@@ -1,38 +1,761 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` maps every
+implemented operator (SURVEY.md §2) to a (spark, sf_dir) → DataFrame callable;
+``oracle_sql()`` gives the DuckDB-equivalent SQL the driver hash-matches at
+sf0.01.
+
+Oracle-parity discipline used throughout (see SURVEY.md §7 pitfalls):
+  * aggregate monetary/quantity doubles through exact DECIMAL casts, emit
+    ``CAST(sum AS DOUBLE)`` — bit-identical across engines regardless of
+    partition/summation order;
+  * averages as exact-sum / count (never engine AVG over doubles);
+  * moments (stddev/skew/kurt) from exact decimal power sums + the DuckDB
+    bias-corrected estimator formulas, using only +,-,*,/,sqrt (correctly
+    rounded IEEE ops — identical in JVM and C);
+  * every computed column aliased identically on both sides;
+  * LIMIT only after a total ORDER BY (deterministic row set).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from keboola_storage_duckdb_spark.operators import filters as KF
+from keboola_storage_duckdb_spark.operators import dedup as KD
+from keboola_storage_duckdb_spark.sources.tables import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship (driver t1 smoke): TPC-H Q1-shaped pricing summary — exercises
+# parquet scan S3, predicate pushdown P2/P4, group-agg A1/A4/A13, exact
+# decimal summation discipline.
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(4,2)")
+    ep = F.col("l_extendedprice").cast("decimal(9,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    tax = F.col("l_tax").cast("decimal(3,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+              F.sum(qty).cast("double").alias("sum_qty"),
+              F.sum(ep).cast("double").alias("sum_base_price"),
+              F.sum(ep * (one - disc)).cast("double").alias("sum_disc_price"),
+              F.sum((ep * (one - disc)) * (one + tax)).cast("double").alias("sum_charge"),
+              (F.sum(qty).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+              (F.sum(ep).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
+              (F.sum(disc).cast("double") / F.count("l_discount")).alias("avg_disc"),
+              F.count(F.lit(1)).alias("count_order"),
+          )
+    )
+
+
+_PRICING_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM((CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from keboola_storage_duckdb_spark.session import apply_session_conf
+    apply_session_conf(spark)
+    return q_pricing_summary(spark, SF0001)
+
+
+# ---------------------------------------------------------------------------
+# Preview / export (O1-O3, P1-P2)
+# ---------------------------------------------------------------------------
+
+def q_preview_orders(spark, sf_dir):
+    """O1/O3: preview = ORDER BY + LIMIT (reference default 1000 rows,
+    src/database.py:4641-4644)."""
+    return _t(spark, sf_dir, "orders").orderBy("o_orderkey").limit(1000)
+
+
+def q_export_projection(spark, sf_dir):
+    """P1+P2+O2+O3: export with columns, raw where, order, limit
+    (reference src/routers/table_import.py:560-629)."""
+    df = _t(spark, sf_dir, "orders")
+    cond = KF.raw_where("o_totalprice > 200000 AND o_orderstatus = 'F'")
+    return (df.filter(cond)
+              .select("o_orderkey", "o_custkey", "o_totalprice")
+              .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+              .limit(500))
+
+
+def q_typed_where(spark, sf_dir):
+    """P3: TableWhereFilter grammar — eq single / eq multi (IN) / ge with
+    TRY_CAST dataType (reference src/grpc/handlers/schema.py:406-432)."""
+    df = _t(spark, sf_dir, "customer")
+    conds = [
+        KF.typed_where("c_mktsegment", "eq", ["BUILDING", "AUTOMOBILE"]),
+        KF.typed_where("c_acctbal", "ge", [1000.0], data_type="DOUBLE"),
+        KF.typed_where("c_nationkey", "ne", [3]),
+    ]
+    return (df.filter(KF.combine_where(conds))
+              .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))
+
+
+def q_change_interval(spark, sf_dir):
+    """P4: changeSince/changeUntil on a timestamp column (events.ts plays
+    the system _timestamp role)."""
+    df = _t(spark, sf_dir, "events")
+    cond = KF.change_interval("2024-01-10 00:00:00", "2024-01-20 00:00:00", column="ts")
+    val = F.col("value").cast("decimal(12,2)")
+    return (df.filter(cond)
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(val).cast("double").alias("sum_value")))
+
+
+def q_fulltext(spark, sf_dir):
+    """P5: fulltextSearch across all columns (string-rendered, \\x01-joined)."""
+    df = _t(spark, sf_dir, "documents")
+    return df.filter(KF.fulltext_search(df, "merge")).select("doc_id")
+
+
+def q_ref_filter_in(spark, sf_dir):
+    """P6/J3: WhereRefTableFilter IN → left-semi join."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    return (KF.ref_table_filter(orders, "o_custkey", "IN", cust, "c_custkey")
+              .select("o_orderkey"))
+
+
+def q_ref_filter_not_in(spark, sf_dir):
+    """P6/J3: WhereRefTableFilter NOT_IN → left-anti join."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    return (KF.ref_table_filter(orders, "o_custkey", "NOT_IN", cust, "c_custkey")
+              .select("o_orderkey"))
+
+
+def q_empty_to_null(spark, sf_dir):
+    """P7: convertEmptyValuesToNullOnColumns — count the coerced NULLs."""
+    df = _t(spark, sf_dir, "events")
+    # carve some empties deterministically, then coerce and count
+    df = df.withColumn("props", F.when(F.col("event_id") % 7 == 0, F.lit(""))
+                                 .otherwise(F.col("props")))
+    out = KF.empty_to_null(df, ["props"])
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("props").alias("props_non_null"),
+        F.count(F.when(F.col("props").isNull(), 1)).alias("props_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J3)
+# ---------------------------------------------------------------------------
+
+def q_join_cust_orders_nation(spark, sf_dir):
+    """J1: multi-way equi-join with broadcast dims; revenue per nation."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    tp = F.col("o_totalprice").cast("decimal(12,2)")
+    return (orders.join(cust, orders.o_custkey == cust.c_custkey)
+                  .join(nation, cust.c_nationkey == nation.n_nationkey)
+                  .groupBy("n_name")
+                  .agg(F.count(F.lit(1)).alias("n_orders"),
+                       F.sum(tp).cast("double").alias("sum_totalprice")))
+
+
+def q_join_lineitem_part(spark, sf_dir):
+    """J1 + broadcast: revenue by part brand (fact × broadcast dim)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    ep = F.col("l_extendedprice").cast("decimal(9,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (li.join(part, li.l_partkey == part.p_partkey)
+              .groupBy("p_brand")
+              .agg(F.sum(ep * (one - disc)).cast("double").alias("revenue"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
+# ---------------------------------------------------------------------------
+# Dedup / merge write modes (W3/W4/W6/W10, SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+def _upsert_frames(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0)
+    s1 = (orders.filter(F.col("o_orderkey") % 2 == 0)
+                .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+                .withColumn("seq", F.lit(1)))
+    s2 = (orders.filter(F.col("o_orderkey") % 4 == 0)
+                .withColumn("o_totalprice", F.col("o_totalprice") + 2000)
+                .withColumn("seq", F.lit(2)))
+    return target, s1.unionByName(s2)
+
+
+def q_upsert_update_duplicates(spark, sf_dir):
+    """W3: INSERT … ON CONFLICT DO UPDATE — staged rows win; last-wins
+    inside the batch pinned by explicit seq (reference documents the order
+    as non-deterministic, src/routers/table_import.py:207-215)."""
+    target, staging = _upsert_frames(spark, sf_dir)
+    return KD.upsert_update_duplicates(target, staging, ["o_orderkey"], order_col="seq")
+
+
+def q_upsert_do_nothing(spark, sf_dir):
+    """W4: ON CONFLICT DO NOTHING — existing rows kept, first-wins in batch."""
+    target, staging = _upsert_frames(spark, sf_dir)
+    return KD.upsert_do_nothing(target, staging, ["o_orderkey"], order_col="seq")
+
+
+def q_dedup_count_conflicts(spark, sf_dir):
+    """W6 precheck: count of staged PKs that would violate the constraint."""
+    target, staging = _upsert_frames(spark, sf_dir)
+    conflicts = staging.join(target.select("o_orderkey"), on="o_orderkey", how="left_semi")
+    return conflicts.agg(F.count(F.lit(1)).alias("conflict_rows"),
+                         F.countDistinct("o_orderkey").alias("conflict_keys"))
+
+
+def q_delete_rows(spark, sf_dir):
+    """W10: DELETE WHERE <typed filters> → remaining rows (reference returns
+    deleted/remaining counts; we return the surviving keys = same info)."""
+    df = _t(spark, sf_dir, "events")
+    cond = (KF.typed_where("event_type", "eq", ["error"])
+            & KF.typed_where("value", "gt", [100.0], data_type="DOUBLE"))
+    return df.filter(~cond).select("event_id")
+
+
+def q_import_from_table(spark, sf_dir):
+    """W8: TableImportFromTableCommand — column mapping src→dst + where +
+    deterministic limit (proto TableImportFromTableCommand)."""
+    src = _t(spark, sf_dir, "customer")
+    mapped = (src.select(F.col("c_custkey").alias("id"),
+                         F.col("c_name").alias("customer_name"),
+                         F.col("c_acctbal").alias("balance"))
+                 .filter(F.col("balance") > 0)
+                 .orderBy("id").limit(200))
+    return mapped
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A2, A10, A11, A13) — profiler pieces as oracle-able queries
+# ---------------------------------------------------------------------------
+
+def q_distinct_counts(spark, sf_dir):
+    """A2: exact COUNT(DISTINCT …) (never approx — oracle hash-matches)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("d_orderkey"),
+        F.countDistinct("l_partkey").alias("d_partkey"),
+        F.countDistinct("l_suppkey").alias("d_suppkey"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("d_flag_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_corr_pairs(spark, sf_dir):
+    """A10: Pearson correlations from exact decimal co-sums (one pass,
+    no join — reference loops pairwise CORR, src/database.py:5474-5499)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(4,2)")
+    ep = F.col("l_extendedprice").cast("decimal(9,2)")
+    d = F.col("l_discount").cast("decimal(3,2)")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sq"), F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(ep).cast("double").alias("se"), F.sum(ep * ep).cast("double").alias("see"),
+        F.sum(d).cast("double").alias("sd"), F.sum(d * d).cast("double").alias("sdd"),
+        F.sum(q * ep).cast("double").alias("sqe"),
+        F.sum(q * d).cast("double").alias("sqd"),
+        F.sum(ep * d).cast("double").alias("sed"),
+    )
+
+    def corr(n, sx, sxx, sy, syy, sxy):
+        return (n * F.col(sxy) - F.col(sx) * F.col(sy)) / (
+            F.sqrt(n * F.col(sxx) - F.col(sx) * F.col(sx))
+            * F.sqrt(n * F.col(syy) - F.col(sy) * F.col(sy)))
+
+    n = F.col("n")
+    return agg.select(
+        corr(n, "sq", "sqq", "se", "see", "sqe").alias("corr_qty_price"),
+        corr(n, "sq", "sqq", "sd", "sdd", "sqd").alias("corr_qty_disc"),
+        corr(n, "se", "see", "sd", "sdd", "sed").alias("corr_price_disc"),
+    )
+
+
+def q_string_stats(spark, sf_dir):
+    """A9+A11: per-string-column length stats and empty/whitespace counts
+    (reference src/database.py:5413-5421) over documents."""
+    df = _t(spark, sf_dir, "documents")
+    rows = []
+    for c in ["text", "lang", "source"]:
+        rows.append(df.agg(
+            F.lit(c).alias("col"),
+            F.count(F.col(c)).alias("non_null"),
+            F.count(F.when(F.col(c) == "", 1)).alias("empty_count"),
+            F.count(F.when((F.col(c) != "") & (F.trim(F.col(c)) == ""), 1)).alias("whitespace_count"),
+            (F.sum(F.length(c)).cast("double") / F.count(F.col(c))).alias("len_avg"),
+            F.min(F.length(c)).alias("len_min"),
+            F.max(F.length(c)).alias("len_max"),
+        ))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _string_stats_sql():
+    parts = []
+    for c in ["text", "lang", "source"]:
+        parts.append(f"""
+SELECT '{c}' AS col,
+  COUNT({c}) AS non_null,
+  COUNT(*) FILTER (WHERE {c} = '') AS empty_count,
+  COUNT(*) FILTER (WHERE {c} <> '' AND TRIM({c}) = '') AS whitespace_count,
+  CAST(SUM(LENGTH({c})) AS DOUBLE) / COUNT({c}) AS len_avg,
+  MIN(LENGTH({c})) AS len_min,
+  MAX(LENGTH({c})) AS len_max
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Numeric moments (A4/A5): DuckDB bias-corrected estimators from exact
+# decimal power sums — identical formula text runs on both engines.
+# ---------------------------------------------------------------------------
+
+_MOMENT_COLS = {  # col -> (decimal spec, cents precision, short key)
+    # Power sums are computed on integer cents (scale-0 decimals): DuckDB
+    # converts DECIMAL(p,s>0) → DOUBLE via two roundings (int128→double,
+    # then ·10^-s) while the JVM rounds once, so fractional-scale sums can
+    # differ by 1 ulp. Integer-valued decimals convert with a single correct
+    # rounding in both engines → bit-identical. Skew/kurtosis are
+    # scale-invariant; mean/stddev are divided by 100 at the end.
+    "l_quantity": ("DECIMAL(4,2)", 6, "q"),
+    "l_extendedprice": ("DECIMAL(9,2)", 11, "e"),
+    "l_discount": ("DECIMAL(3,2)", 5, "d"),
+    "l_tax": ("DECIMAL(3,2)", 5, "t"),
+}
+
+
+def _moment_formulas(k: str) -> dict[str, str]:
+    """Formula text over power-sum aliases {k}_n,{k}_s1..{k}_s4. Uses only
+    +,-,*,/,sqrt → deterministic IEEE, bit-identical in Spark and DuckDB."""
+    n, s1, s2, s3, s4 = (f"{k}_n", f"{k}_s1", f"{k}_s2", f"{k}_s3", f"{k}_s4")
+    mean = f"({s1} / {n})"
+    m2 = f"({s2} / {n} - {mean} * {mean})"
+    m3 = f"({s3} / {n} - 3 * {mean} * ({s2} / {n}) + 2 * {mean} * {mean} * {mean})"
+    m4 = (f"({s4} / {n} - 4 * {mean} * ({s3} / {n}) "
+          f"+ 6 * {mean} * {mean} * ({s2} / {n}) "
+          f"- 3 * {mean} * {mean} * {mean} * {mean})")
+    return {
+        "n_value": f"CAST({n} AS DOUBLE)",
+        "mean": f"({mean} / 100)",
+        "stddev": f"(sqrt(({s2} - {s1} * {s1} / {n}) / ({n} - 1)) / 100)",
+        "skewness": (f"({m3} / ({m2} * sqrt({m2}))) "
+                     f"* sqrt(CAST({n} AS DOUBLE) * ({n} - 1)) / ({n} - 2)"),
+        "kurtosis": (f"(({n} + 1) * ({m4} / ({m2} * {m2}) - 3) + 6) "
+                     f"* ({n} - 1) / (({n} - 2) * ({n} - 3))"),
+    }
+
+
+def q_numeric_moments(spark, sf_dir):
+    """A4/A5: mean/stddev/skewness/kurtosis per numeric lineitem column,
+    DuckDB estimator semantics (verified vs DuckDB builtins in tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for col, (ddl, pc, k) in _MOMENT_COLS.items():
+        y = (F.col(col).cast(ddl) * 100).cast(f"decimal({pc},0)")  # integer cents
+        y2 = (y * y).cast("decimal(19,0)")
+        aggs += [
+            F.count(F.col(col)).alias(f"{k}_n"),
+            F.sum(y).cast("double").alias(f"{k}_s1"),
+            F.sum(y2).cast("double").alias(f"{k}_s2"),
+            F.sum(y2 * y).cast("double").alias(f"{k}_s3"),
+            F.sum(y2 * y2).cast("double").alias(f"{k}_s4"),
+        ]
+    one = li.agg(*aggs)
+    sel = []
+    for col, (_ddl, _pc, k) in _MOMENT_COLS.items():
+        f = _moment_formulas(k)
+        sel.append(f"'{col}', {f['n_value']}, {f['mean']}, {f['stddev']}, {f['skewness']}, {f['kurtosis']}")
+    stack = (f"stack({len(_MOMENT_COLS)}, " + ", ".join(sel)
+             + ") as (col, n_value, mean, stddev, skewness, kurtosis)")
+    return one.selectExpr(stack)
+
+
+def _numeric_moments_sql():
+    sums = []
+    for col, (ddl, pc, k) in _MOMENT_COLS.items():
+        y = f"CAST(CAST({col} AS {ddl}) * 100 AS DECIMAL({pc},0))"
+        y2 = f"CAST({y} * {y} AS DECIMAL(19,0))"
+        sums += [
+            f"COUNT({col}) AS {k}_n",
+            f"CAST(SUM({y}) AS DOUBLE) AS {k}_s1",
+            f"CAST(SUM({y2}) AS DOUBLE) AS {k}_s2",
+            f"CAST(SUM({y2} * {y}) AS DOUBLE) AS {k}_s3",
+            f"CAST(SUM({y2} * {y2}) AS DOUBLE) AS {k}_s4",
+        ]
+    selects = []
+    for col, (_ddl, _pc, k) in _MOMENT_COLS.items():
+        f = _moment_formulas(k)
+        selects.append(
+            f"SELECT '{col}' AS col, {f['n_value']} AS n_value, {f['mean']} AS mean, "
+            f"{f['stddev']} AS stddev, {f['skewness']} AS skewness, "
+            f"{f['kurtosis']} AS kurtosis FROM m")
+    return ("WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+            + "\nUNION ALL\n".join(selects))
+
+
+def q_quantiles(spark, sf_dir):
+    """A6: exact interpolated quantiles (DuckDB QUANTILE_CONT ≡ Spark
+    percentile; NOT percentile_approx). Rounded to 6 dp — the two engines'
+    interpolation expressions may differ in the last ulp."""
+    li = _t(spark, sf_dir, "lineitem")
+    probs = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+    parr = "array(" + ",".join(f"CAST({p} AS DOUBLE)" for p in probs) + ")"
+    rows = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount"]:
+        rows.append(
+            li.select(F.posexplode(F.expr(f"percentile({c}, {parr})")).alias("i", "v"))
+              .select(F.lit(c).alias("col"),
+                      F.element_at(F.lit(probs), F.col("i") + 1).alias("p"),
+                      F.round("v", 6).alias("v")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _quantiles_sql():
+    probs = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+    parts = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount"]:
+        for p in probs:
+            parts.append(
+                f"SELECT '{c}' AS col, CAST({p} AS DOUBLE) AS p, "
+                f"ROUND(quantile_cont({c}, {p}), 6) AS v FROM lineitem")
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_outlier_iqr(spark, sf_dir):
+    """A7: IQR outlier count — quantile pass + bounded count pass (the
+    reference computes bounds in Python between two queries,
+    src/database.py:5372-5386)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.agg(F.expr("percentile(l_extendedprice, array(CAST(0.25 AS DOUBLE), CAST(0.75 AS DOUBLE)))").alias("qs")) \
+          .select(F.col("qs")[0].alias("q25"), F.col("qs")[1].alias("q75"))
+    b = q.select("q25", "q75",
+                 (F.col("q25") - 1.5 * (F.col("q75") - F.col("q25"))).alias("lo"),
+                 (F.col("q75") + 1.5 * (F.col("q75") - F.col("q25"))).alias("hi"))
+    joined = li.crossJoin(F.broadcast(b))
+    return (joined.agg(
+        F.count(F.when((F.col("l_extendedprice") < F.col("lo"))
+                       | (F.col("l_extendedprice") > F.col("hi")), 1)).alias("outlier_count"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.first("lo"), 6).alias("lo"),
+        F.round(F.first("hi"), 6).alias("hi")))
+
+
+_OUTLIER_SQL = """
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice, 0.25) AS q25,
+         quantile_cont(l_extendedprice, 0.75) AS q75
+  FROM lineitem
+), bounds AS (
+  SELECT q25 - 1.5 * (q75 - q25) AS lo, q75 + 1.5 * (q75 - q25) AS hi FROM b
+)
+SELECT
+  COUNT(*) FILTER (WHERE l_extendedprice < lo OR l_extendedprice > hi) AS outlier_count,
+  COUNT(*) AS n_rows,
+  ROUND(MIN(lo), 6) AS lo,
+  ROUND(MIN(hi), 6) AS hi
+FROM lineitem, bounds
+"""
+
+
+def q_histogram(spark, sf_dir):
+    """A8: equal-width histogram with a declared bin rule (DuckDB HISTOGRAM
+    auto-buckets; we pin 10 bins over fixed bounds so both engines agree)."""
+    from keboola_storage_duckdb_spark.operators.profile import histogram
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram(li, "l_quantity", lo=0.0, hi=50.0, bins=10).orderBy("bucket")
+
+
+_HISTOGRAM_SQL = """
+SELECT bucket, 0.0 + bucket * 5.0 AS lo, 0.0 + (bucket + 1) * 5.0 AS hi, cnt
+FROM (
+  SELECT CAST(LEAST(FLOOR((CAST(l_quantity AS DOUBLE) - 0.0) / 5.0), 9) AS INTEGER) AS bucket,
+         COUNT(*) AS cnt
+  FROM lineitem
+  WHERE CAST(l_quantity AS DOUBLE) >= 0.0 AND CAST(l_quantity AS DOUBLE) <= 50.0
+  GROUP BY 1
+)
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / set ops (O3/O4, §2.7)
+# ---------------------------------------------------------------------------
+
+def q_group_topk(spark, sf_dir):
+    """O4 extension: top-3 orders per priority via ranked window (Catalyst
+    plans TakeOrdered-style per-group limit; deterministic tie-break)."""
+    df = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (df.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 3)
+              .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice"))
+
+
+def q_set_ops(spark, sf_dir):
+    """§2.7: UNION / INTERSECT / EXCEPT (distinct semantics, as in SQL)."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    c = cust.filter(F.col("c_nationkey") < 5).select("c_custkey")
+    return a.union(b).distinct().intersect(cust.select("c_custkey")).subtract(c)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "preview_orders": q_preview_orders,
+    "export_projection": q_export_projection,
+    "typed_where": q_typed_where,
+    "change_interval": q_change_interval,
+    "fulltext": q_fulltext,
+    "ref_filter_in": q_ref_filter_in,
+    "ref_filter_not_in": q_ref_filter_not_in,
+    "empty_to_null": q_empty_to_null,
+    "join_cust_orders_nation": q_join_cust_orders_nation,
+    "join_lineitem_part": q_join_lineitem_part,
+    "upsert_update_duplicates": q_upsert_update_duplicates,
+    "upsert_do_nothing": q_upsert_do_nothing,
+    "dedup_count_conflicts": q_dedup_count_conflicts,
+    "delete_rows": q_delete_rows,
+    "import_from_table": q_import_from_table,
+    "distinct_counts": q_distinct_counts,
+    "corr_pairs": q_corr_pairs,
+    "string_stats": q_string_stats,
+    "numeric_moments": q_numeric_moments,
+    "quantiles": q_quantiles,
+    "outlier_iqr": q_outlier_iqr,
+    "histogram": q_histogram,
+    "group_topk": q_group_topk,
+    "set_ops": q_set_ops,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": _PRICING_SQL,
+        "preview_orders":
+            "SELECT * FROM orders ORDER BY o_orderkey LIMIT 1000",
+        "export_projection": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_totalprice > 200000 AND o_orderstatus = 'F'
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 500""",
+        "typed_where": """
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+              AND TRY_CAST(c_acctbal AS DOUBLE) >= 1000.0
+              AND c_nationkey <> 3""",
+        "change_interval": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+            GROUP BY event_type""",
+        "fulltext": """
+            SELECT doc_id FROM documents
+            WHERE contains(concat_ws(chr(1),
+                  coalesce(CAST(doc_id AS VARCHAR), ''), coalesce(text, ''),
+                  coalesce(lang, ''), coalesce(source, ''),
+                  coalesce(CAST(n_chars AS VARCHAR), '')), 'merge')""",
+        "ref_filter_in": """
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'AUTOMOBILE')""",
+        "ref_filter_not_in": """
+            SELECT o_orderkey FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_mktsegment = 'AUTOMOBILE'
+                                AND c.c_custkey = o.o_custkey)""",
+        "empty_to_null": """
+            WITH e AS (
+              SELECT CASE WHEN event_id % 7 = 0 THEN '' ELSE props END AS props
+              FROM events
+            ), coerced AS (
+              SELECT CASE WHEN props = '' THEN NULL ELSE props END AS props FROM e
+            )
+            SELECT COUNT(*) AS n_rows, COUNT(props) AS props_non_null,
+                   COUNT(*) FILTER (WHERE props IS NULL) AS props_null
+            FROM coerced""",
+        "join_cust_orders_nation": """
+            SELECT n_name, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_totalprice
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "join_lineitem_part": """
+            SELECT p_brand,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand""",
+        "upsert_update_duplicates": """
+            WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            staging AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice + 1000 AS o_totalprice, o_orderdate,
+                     o_orderpriority, 1 AS seq
+              FROM orders WHERE o_orderkey % 2 = 0
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice + 2000, o_orderdate, o_orderpriority, 2
+              FROM orders WHERE o_orderkey % 4 = 0
+            ),
+            deduped AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                                 ORDER BY seq DESC) AS rn
+                    FROM staging)
+              WHERE rn = 1
+            )
+            SELECT t.* FROM target t
+            WHERE NOT EXISTS (SELECT 1 FROM deduped d
+                              WHERE d.o_orderkey = t.o_orderkey)
+            UNION ALL
+            SELECT * FROM deduped""",
+        "upsert_do_nothing": """
+            WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            staging AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice + 1000 AS o_totalprice, o_orderdate,
+                     o_orderpriority, 1 AS seq
+              FROM orders WHERE o_orderkey % 2 = 0
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice + 2000, o_orderdate, o_orderpriority, 2
+              FROM orders WHERE o_orderkey % 4 = 0
+            ),
+            deduped AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                                 ORDER BY seq ASC) AS rn
+                    FROM staging)
+              WHERE rn = 1
+            )
+            SELECT * FROM target
+            UNION ALL
+            SELECT d.* FROM deduped d
+            WHERE NOT EXISTS (SELECT 1 FROM target t
+                              WHERE t.o_orderkey = d.o_orderkey)""",
+        "dedup_count_conflicts": """
+            WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            staging AS (
+              SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+              UNION ALL
+              SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 0
+            )
+            SELECT COUNT(*) AS conflict_rows,
+                   COUNT(DISTINCT o_orderkey) AS conflict_keys
+            FROM staging s
+            WHERE EXISTS (SELECT 1 FROM target t
+                          WHERE t.o_orderkey = s.o_orderkey)""",
+        "delete_rows": """
+            SELECT event_id FROM events
+            WHERE NOT (event_type = 'error'
+                       AND TRY_CAST(value AS DOUBLE) > 100.0)""",
+        "import_from_table": """
+            SELECT c_custkey AS id, c_name AS customer_name, c_acctbal AS balance
+            FROM customer WHERE c_acctbal > 0
+            ORDER BY id LIMIT 200""",
+        "distinct_counts": """
+            SELECT COUNT(DISTINCT l_orderkey) AS d_orderkey,
+                   COUNT(DISTINCT l_partkey) AS d_partkey,
+                   COUNT(DISTINCT l_suppkey) AS d_suppkey,
+                   COUNT(DISTINCT (l_returnflag, l_linestatus)) AS d_flag_status,
+                   COUNT(*) AS n_rows
+            FROM lineitem""",
+        "corr_pairs": """
+            WITH m AS (
+              SELECT COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS sq,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS sqq,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS se,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS see,
+                CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sd,
+                CAST(SUM(CAST(l_discount AS DECIMAL(3,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sdd,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sqe,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sqd,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sed
+              FROM lineitem
+            )
+            SELECT
+              (n * sqe - sq * se) / (sqrt(n * sqq - sq * sq) * sqrt(n * see - se * se)) AS corr_qty_price,
+              (n * sqd - sq * sd) / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)) AS corr_qty_disc,
+              (n * sed - se * sd) / (sqrt(n * see - se * se) * sqrt(n * sdd - sd * sd)) AS corr_price_disc
+            FROM m""",
+        "string_stats": _string_stats_sql(),
+        "numeric_moments": _numeric_moments_sql(),
+        "quantiles": _quantiles_sql(),
+        "outlier_iqr": _OUTLIER_SQL,
+        "histogram": _HISTOGRAM_SQL,
+        "group_topk": """
+            SELECT o_orderpriority, rank, o_orderkey, o_totalprice
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_orderpriority
+                                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                  FROM orders)
+            WHERE rank <= 3""",
+        "set_ops": """
+            (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             UNION
+             SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+            INTERSECT
+            SELECT c_custkey FROM customer
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_nationkey < 5""",
+    }

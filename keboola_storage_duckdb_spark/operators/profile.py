@@ -1,0 +1,326 @@
+"""Statistical table profiler (SURVEY.md §2.4, reference
+src/database.py:5132-5437 ``get_table_profile`` / ``_get_column_stats``).
+
+The reference issues one DuckDB query per column per statistic, serially.
+Spark-first redesign: ONE ``df.agg(...)`` pass computes every per-column
+aggregate for the whole table (count/non-null/min/max + exact decimal power
+sums for moments + empty/whitespace/length stats), a second bounded pass
+computes distinct counts + quantile-dependent stats (IQR outliers), and a
+third single pass the correlation matrix. At 100 TB that is 2-3 scans with
+map-side partial aggregation instead of O(columns × stats) scans.
+
+Numeric moments use **exact decimal power sums** (S1..S4) followed by
+deterministic IEEE double arithmetic (+,-,*,/,sqrt only — no pow/exp, which
+are not correctly rounded and differ across libm implementations). This makes
+skewness/kurtosis bit-reproducible and lets a DuckDB oracle running the same
+formula hash-match exactly. DuckDB's builtins are the bias-corrected sample
+estimators  G1 = g1*sqrt(n(n-1))/(n-2)  and  G2 = ((n+1)g2+6)(n-1)/((n-2)(n-3))
+(verified numerically against DuckDB 1.0); Spark's builtins are population
+g1/g2 — hence the formula-level reimplementation.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Profiler pattern detectors (reference src/database.py:5439-5472;
+# regexp_full_match is anchored — Spark rlike is substring search, so every
+# pattern carries explicit ^…$ anchors).
+PATTERNS: dict[str, str] = {
+    "email": r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$",
+    "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[1-5][0-9a-fA-F]{3}-[89abAB][0-9a-fA-F]{3}-[0-9a-fA-F]{12}$",
+    "url": r"^https?://[^\s]+$",
+    "phone": r"^\+?[0-9][0-9 \-()]{6,}$",
+    "ipv4": r"^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$",
+    "date_iso": r"^\d{4}-\d{2}-\d{2}$",
+    "datetime_iso": r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?$",
+}
+PATTERN_MATCH_THRESHOLD = 0.9  # share of non-null values that must match
+
+NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.FloatType, T.DoubleType, T.DecimalType)
+STRING_TYPES = (T.StringType,)
+
+QUANTILE_PROBS = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, NUMERIC_TYPES)]
+
+
+def string_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, STRING_TYPES)]
+
+
+# ---------------------------------------------------------------------------
+# Exact-decimal moment machinery
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DecimalSpec:
+    """Decimal cast spec for a numeric column so that power sums up to
+    ``max_power`` stay within DECIMAL(38) under BOTH Spark's and DuckDB's
+    multiplication precision rules (p1+p2+1 capped at 38)."""
+    precision: int
+    scale: int
+    max_power: int = 4
+
+    @property
+    def ddl(self) -> str:
+        return f"DECIMAL({self.precision},{self.scale})"
+
+
+def decimal_spec_for(df_or_stats, col: str, max_abs: float, scale: int = 2) -> DecimalSpec:
+    """Pick the narrowest decimal that holds |x| ≤ max_abs with ``scale``
+    fractional digits, and determine how many exact power sums fit."""
+    int_digits = max(1, int(math.floor(math.log10(max(max_abs, 1)))) + 1)
+    p = int_digits + scale
+    # power k needs roughly k*p + (k-1) digits for the product type, +10 for sum
+    max_power = 1
+    for k in (2, 3, 4):
+        prod_p = k * p + (k - 1)
+        if prod_p <= 38:
+            max_power = k
+    return DecimalSpec(precision=p, scale=scale, max_power=max_power)
+
+
+def power_sum_exprs(col: str, spec: DecimalSpec, alias_prefix: str) -> list[Column]:
+    """Exact power sums S1..S4 (as far as the decimal budget allows) plus
+    count of non-nulls. Products are built by repeated binary multiplication
+    so Spark and DuckDB assign identical result types (p1+p2+1, s1+s2)."""
+    d = F.col(col).cast(spec.ddl)
+    exprs = [
+        F.count(F.col(col)).alias(f"{alias_prefix}_n"),
+        F.sum(d).cast("double").alias(f"{alias_prefix}_s1"),
+    ]
+    if spec.max_power >= 2:
+        exprs.append(F.sum(d * d).cast("double").alias(f"{alias_prefix}_s2"))
+    if spec.max_power >= 3:
+        exprs.append(F.sum(d * d * d).cast("double").alias(f"{alias_prefix}_s3"))
+    if spec.max_power >= 4:
+        exprs.append(F.sum((d * d) * (d * d)).cast("double").alias(f"{alias_prefix}_s4"))
+    return exprs
+
+
+def moments_from_power_sums(n: float, s1: float, s2: float | None,
+                            s3: float | None, s4: float | None) -> dict:
+    """Driver-side: mean/stddev/skewness/kurtosis from power sums using the
+    DuckDB (bias-corrected sample) estimator formulas."""
+    out: dict[str, float | None] = {"mean": None, "stddev": None,
+                                    "skewness": None, "kurtosis": None}
+    if not n:
+        return out
+    mean = s1 / n
+    out["mean"] = mean
+    if s2 is None or n < 2:
+        return out
+    m2 = s2 / n - mean * mean            # population variance
+    var_samp = (s2 - s1 * s1 / n) / (n - 1)
+    out["stddev"] = math.sqrt(var_samp) if var_samp > 0 else 0.0
+    if s3 is None or n < 3 or m2 <= 0:
+        return out
+    m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean ** 3
+    g1 = m3 / (m2 * math.sqrt(m2))
+    out["skewness"] = g1 * math.sqrt(n * (n - 1)) / (n - 2)
+    if s4 is None or n < 4:
+        return out
+    m4 = (s4 / n - 4 * mean * (s3 / n) + 6 * mean * mean * (s2 / n)
+          - 3 * mean ** 4)
+    g2 = m4 / (m2 * m2) - 3
+    out["kurtosis"] = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Cardinality / quality heuristics (driver-side Python over aggregates,
+# mirroring reference src/database.py:5188-5341)
+# ---------------------------------------------------------------------------
+
+def cardinality_class(distinct: int, count: int) -> str:
+    if count == 0:
+        return "constant"
+    if distinct == count:
+        return "unique"
+    if distinct == 1:
+        return "constant"
+    ratio = distinct / count
+    if ratio > 0.9:
+        return "high"
+    if ratio > 0.5:
+        return "medium"
+    if ratio > 0.1:
+        return "low"
+    return "very_low"
+
+
+def quality_score(high_null_cols: int, outlier_cols: int) -> int:
+    """Reference formula: 100 − 5·high_null_cols − 2·outlier_cols, clamped
+    to [0,100] (src/database.py:5188-5257)."""
+    return max(0, min(100, 100 - 5 * high_null_cols - 2 * outlier_cols))
+
+
+# ---------------------------------------------------------------------------
+# Full-table profile (engine API)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ColumnProfile:
+    name: str
+    dtype: str
+    count: int = 0
+    null_count: int = 0
+    distinct_count: int = 0
+    stats: dict = field(default_factory=dict)
+    patterns: list[str] = field(default_factory=list)
+    cardinality: str = ""
+
+
+def profile_table(df: DataFrame, max_corr_cols: int = 10,
+                  corr_threshold: float = 0.3, top_corr: int = 20) -> dict:
+    """Full profile: per-column stats, pattern detection, correlations,
+    quality score. Bounded passes over the data; only aggregate scalars are
+    collected to the driver."""
+    total = df.count()
+    num_cols = numeric_columns(df)
+    str_cols = string_columns(df)
+
+    # ---- pass 1: everything computable in a single agg ----
+    exprs: list[Column] = []
+    for c in df.columns:
+        exprs.append(F.count(F.col(c)).alias(f"nn__{c}"))
+    for c in num_cols:
+        exprs += [F.min(c).cast("double").alias(f"min__{c}"),
+                  F.max(c).cast("double").alias(f"max__{c}"),
+                  F.avg(F.col(c).cast("double")).alias(f"avg__{c}"),
+                  F.stddev_samp(F.col(c).cast("double")).alias(f"std__{c}"),
+                  F.skewness(F.col(c).cast("double")).alias(f"skewpop__{c}"),
+                  F.kurtosis(F.col(c).cast("double")).alias(f"kurtpop__{c}"),
+                  F.expr(f"percentile(`{c}`, array({','.join(map(str, QUANTILE_PROBS))}))")
+                   .alias(f"q__{c}")]
+    for c in str_cols:
+        exprs += [F.count(F.when(F.col(c) == "", 1)).alias(f"empty__{c}"),
+                  F.count(F.when((F.col(c) != "") & (F.trim(F.col(c)) == ""), 1))
+                   .alias(f"ws__{c}"),
+                  F.avg(F.length(c)).alias(f"lavg__{c}"),
+                  F.min(F.length(c)).alias(f"lmin__{c}"),
+                  F.max(F.length(c)).alias(f"lmax__{c}")]
+        for pname, pat in PATTERNS.items():
+            exprs.append(F.count(F.when(F.col(c).rlike(pat), 1)).alias(f"pat__{pname}__{c}"))
+    row1 = df.agg(*exprs).collect()[0].asDict() if exprs else {}
+
+    # ---- pass 2: distinct counts (exact, reference uses COUNT(DISTINCT)) ----
+    dexprs = [F.countDistinct(F.col(c)).alias(f"d__{c}") for c in df.columns]
+    row2 = df.agg(*dexprs).collect()[0].asDict()
+
+    # ---- pass 3: IQR outlier counts using quantiles from pass 1 ----
+    oexprs = []
+    bounds = {}
+    for c in num_cols:
+        q = row1.get(f"q__{c}")
+        if q is None:
+            continue
+        q25, q75 = q[2], q[4]
+        iqr = q75 - q25
+        lo, hi = q25 - 1.5 * iqr, q75 + 1.5 * iqr
+        bounds[c] = (lo, hi)
+        oexprs.append(F.count(F.when((F.col(c) < lo) | (F.col(c) > hi), 1))
+                       .alias(f"out__{c}"))
+    row3 = df.agg(*oexprs).collect()[0].asDict() if oexprs else {}
+
+    # ---- pass 4: correlation matrix (single multi-agg, no join — J4) ----
+    corr_cols = num_cols[:max_corr_cols]
+    cexprs = []
+    for i, a in enumerate(corr_cols):
+        for b in corr_cols[i + 1:]:
+            cexprs.append(F.corr(F.col(a).cast("double"), F.col(b).cast("double"))
+                           .alias(f"corr__{a}__{b}"))
+    row4 = df.agg(*cexprs).collect()[0].asDict() if cexprs else {}
+    correlations = []
+    for k, v in row4.items():
+        if v is not None and abs(v) > corr_threshold:
+            _, a, b = k.split("__")
+            correlations.append({"column_a": a, "column_b": b, "correlation": v})
+    correlations.sort(key=lambda r: (-abs(r["correlation"]), r["column_a"], r["column_b"]))
+    correlations = correlations[:top_corr]
+
+    # ---- assemble ----
+    columns: list[dict] = []
+    high_null_cols = 0
+    outlier_cols = 0
+    dtype_by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in df.columns:
+        nn = row1.get(f"nn__{c}", 0) or 0
+        nulls = total - nn
+        distinct = row2.get(f"d__{c}", 0) or 0
+        prof = {
+            "name": c, "type": dtype_by_name[c], "count": total,
+            "non_null_count": nn, "null_count": nulls,
+            "null_ratio": (nulls / total) if total else 0.0,
+            "distinct_count": distinct,
+            "cardinality": cardinality_class(distinct, nn),
+        }
+        if c in num_cols:
+            prof.update({
+                "min": row1.get(f"min__{c}"), "max": row1.get(f"max__{c}"),
+                "avg": row1.get(f"avg__{c}"), "stddev": row1.get(f"std__{c}"),
+                "quantiles": dict(zip([str(p) for p in QUANTILE_PROBS],
+                                      row1.get(f"q__{c}") or [])),
+                "outlier_count": row3.get(f"out__{c}", 0) or 0,
+                "outlier_bounds": bounds.get(c),
+            })
+            if prof["outlier_count"]:
+                outlier_cols += 1
+        if c in str_cols:
+            prof.update({
+                "empty_count": row1.get(f"empty__{c}", 0) or 0,
+                "whitespace_count": row1.get(f"ws__{c}", 0) or 0,
+                "length_avg": row1.get(f"lavg__{c}"),
+                "length_min": row1.get(f"lmin__{c}"),
+                "length_max": row1.get(f"lmax__{c}"),
+            })
+            pats = []
+            for pname in PATTERNS:
+                hits = row1.get(f"pat__{pname}__{c}", 0) or 0
+                if nn and hits / nn >= PATTERN_MATCH_THRESHOLD:
+                    pats.append(pname)
+            prof["patterns"] = pats
+        if total and nulls / total > 0.5:
+            high_null_cols += 1
+        columns.append(prof)
+
+    return {
+        "row_count": total,
+        "column_count": len(df.columns),
+        "columns": columns,
+        "correlations": correlations,
+        "quality_score": quality_score(high_null_cols, outlier_cols),
+        "quality_issues": {
+            "high_null_columns": high_null_cols,
+            "outlier_columns": outlier_cols,
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Histogram (A8): DuckDB HISTOGRAM() auto-buckets; we declare an explicit
+# equal-width rule (bins over [min, max], last bin right-inclusive) that both
+# engines can evaluate with floor arithmetic (DuckDB 1.0 has no width_bucket).
+# ---------------------------------------------------------------------------
+
+def histogram(df: DataFrame, col: str, lo: float, hi: float, bins: int = 10) -> DataFrame:
+    """Equal-width histogram with declared bounds. Bin i covers
+    [lo + i*w, lo + (i+1)*w) except the last bin which includes hi."""
+    w = (hi - lo) / bins
+    c = F.col(col).cast("double")
+    bucket = F.least(F.floor((c - F.lit(lo)) / F.lit(w)), F.lit(bins - 1)).cast("int")
+    return (df.filter((c >= lo) & (c <= hi))
+              .groupBy(bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .withColumn("lo", (F.lit(lo) + F.col("bucket") * F.lit(w)))
+              .withColumn("hi", (F.lit(lo) + (F.col("bucket") + 1) * F.lit(w)))
+              .select("bucket", "lo", "hi", "cnt"))

@@ -1,0 +1,61 @@
+"""Parquet table loading (S3/S9) with nanosecond-timestamp normalization.
+
+Spark rejects parquet TIMESTAMP(NANOS) columns outright
+(PARQUET_TYPE_ILLEGAL); DuckDB silently *truncates* ns → µs (verified:
+epoch_us(ts) == ns // 1000). For oracle parity and for real-world ns data
+(arrow-written event streams), we read ns columns via
+``spark.sql.legacy.parquet.nanosAsLong`` and rebuild the timestamp with the
+same truncation: ``timestamp_micros(ns div 1000)``. Floor-div == truncation
+for the post-1970 data we target; documented limitation for pre-epoch rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns] (pyarrow footer inspection —
+    driver-side only, one footer read)."""
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one warehouse/testdata table; normalizes ns-timestamps so the
+    logical schema always presents TIMESTAMP (µs) columns."""
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    prev = spark.conf.get(_NANOS_CONF, "false")
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        return df
+    finally:
+        spark.conf.set(_NANOS_CONF, prev)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str],
+                   prefix: str = "") -> None:
+    """S9 analog: expose tables as temp views ``{prefix}{name}`` for
+    spark.sql passthrough (reference ATTACHes per-table files read-only,
+    src/pgwire_server.py:107-152)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(f"{prefix}{n}")
