@@ -1,0 +1,56 @@
+"""Benchmark harness: runs the registered queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing = full execution to driver-side materialization (collect), matching
+what the DuckDB baseline pays when fetching the oracle result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as E
+    from keboola_storage_duckdb_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a trivial job so q1 isn't charged for startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in E.queries().items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as ex:  # a failing query must not hide the rest
+            timings[name] = -1.0
+            print(f"bench error in {name}: {ex}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(json.dumps({
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

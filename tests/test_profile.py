@@ -1,0 +1,95 @@
+"""Profiler parity: our moment formulas vs DuckDB's builtin estimators, and
+the full profile_table pass."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from keboola_storage_duckdb_spark.operators import profile as P
+
+
+def test_moments_match_duckdb_builtins(lineitem, duck):
+    """Our bias-corrected formulas == DuckDB SKEWNESS/KURTOSIS/STDDEV
+    (semantic parity; tolerance because DuckDB streams in fp64)."""
+    want = duck.execute("""
+        SELECT avg(l_quantity), stddev(l_quantity),
+               skewness(l_quantity), kurtosis(l_quantity)
+        FROM lineitem""").fetchone()
+    d = F.col("l_quantity").cast("decimal(9,2)")
+    row = lineitem.agg(
+        F.count("l_quantity").alias("n"),
+        F.sum(d).cast("double").alias("s1"),
+        F.sum(d * d).cast("double").alias("s2"),
+        F.sum(d * d * d).cast("double").alias("s3"),
+        F.sum((d * d) * (d * d)).cast("double").alias("s4"),
+    ).collect()[0]
+    got = P.moments_from_power_sums(row.n, row.s1, row.s2, row.s3, row.s4)
+    assert got["mean"] == pytest.approx(want[0], rel=1e-9)
+    assert got["stddev"] == pytest.approx(want[1], rel=1e-9)
+    assert got["skewness"] == pytest.approx(want[2], rel=1e-6)
+    assert got["kurtosis"] == pytest.approx(want[3], rel=1e-6)
+
+
+def test_quantiles_match_duckdb(lineitem, duck):
+    want = duck.execute(
+        "SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) FROM lineitem"
+    ).fetchone()[0]
+    got = lineitem.agg(F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")).collect()[0][0]
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-12)
+
+
+def test_profile_table_shape(spark, sf_dir):
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "orders")
+    prof = P.profile_table(df)
+    assert prof["row_count"] == df.count()
+    assert prof["column_count"] == len(df.columns)
+    by_name = {c["name"]: c for c in prof["columns"]}
+    ok = by_name["o_orderkey"]
+    assert ok["cardinality"] == "unique"
+    assert ok["null_count"] == 0
+    tp = by_name["o_totalprice"]
+    assert tp["min"] is not None and tp["max"] is not None
+    assert "quantiles" in tp and len(tp["quantiles"]) == 7
+    assert 0 <= prof["quality_score"] <= 100
+    # price correlates with nothing forced, but correlations list exists
+    assert isinstance(prof["correlations"], list)
+
+
+def test_pattern_detection(spark):
+    rows = [(f"user{i}@example.com", f"https://example.com/{i}", "10.0.0.%d" % i,
+             "2025-01-31", "not-a-pattern") for i in range(20)]
+    df = spark.createDataFrame(rows, ["email", "url", "ip", "d_iso", "plain"])
+    prof = P.profile_table(df)
+    pats = {c["name"]: c.get("patterns", []) for c in prof["columns"]}
+    assert "email" in pats["email"]
+    assert "url" in pats["url"]
+    assert "ipv4" in pats["ip"]
+    assert "date_iso" in pats["d_iso"]
+    assert pats["plain"] == []
+
+
+def test_quality_score_formula():
+    assert P.quality_score(0, 0) == 100
+    assert P.quality_score(2, 3) == 100 - 10 - 6
+    assert P.quality_score(50, 50) == 0  # clamped
+
+
+def test_cardinality_classes():
+    assert P.cardinality_class(100, 100) == "unique"
+    assert P.cardinality_class(1, 100) == "constant"
+    assert P.cardinality_class(95, 100) == "high"
+    assert P.cardinality_class(60, 100) == "medium"
+    assert P.cardinality_class(20, 100) == "low"
+    assert P.cardinality_class(2, 100) == "very_low"
+
+
+def test_histogram_bins(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["x"])
+    h = {r.bucket: r.cnt for r in P.histogram(df, "x", 0.0, 100.0, bins=10).collect()}
+    assert sum(h.values()) == 100
+    assert h[0] == 10 and h[9] == 10

@@ -1,0 +1,65 @@
+"""Type mapping (§1.2) and ns-timestamp parquet loading."""
+
+import datetime
+
+import pytest
+
+from keboola_storage_duckdb_spark.catalog.types import (
+    duckdb_to_spark_type,
+    spark_to_duckdb_type,
+    struct_from_columns,
+)
+
+
+def test_duckdb_to_spark_scalars():
+    assert duckdb_to_spark_type("VARCHAR") == "STRING"
+    assert duckdb_to_spark_type("varchar(255)") == "STRING"
+    assert duckdb_to_spark_type("INTEGER") == "INT"
+    assert duckdb_to_spark_type("BIGINT") == "BIGINT"
+    assert duckdb_to_spark_type("DOUBLE") == "DOUBLE"
+    assert duckdb_to_spark_type("HUGEINT") == "DECIMAL(38,0)"
+    assert duckdb_to_spark_type("DECIMAL(10,2)") == "DECIMAL(10,2)"
+    assert duckdb_to_spark_type("TIMESTAMPTZ") == "TIMESTAMP"
+    assert duckdb_to_spark_type("FLOAT[]") == "ARRAY<FLOAT>"
+    with pytest.raises(ValueError):
+        duckdb_to_spark_type("GEOMETRY")
+
+
+def test_roundtrip_to_duckdb():
+    assert spark_to_duckdb_type("STRING") == "VARCHAR"
+    assert spark_to_duckdb_type("DECIMAL(12,3)") == "DECIMAL(12,3)"
+    assert spark_to_duckdb_type("ARRAY<FLOAT>") == "REAL[]"
+
+
+def test_struct_from_columns():
+    st = struct_from_columns([
+        {"name": "id", "type": "INTEGER", "nullable": False},
+        {"name": "name", "type": "VARCHAR"},
+        {"name": "ts", "type": "TIMESTAMP"},
+    ])
+    assert [f.name for f in st.fields] == ["id", "name", "ts"]
+    assert st.fields[0].nullable is False
+    assert st.fields[1].dataType.simpleString() == "string"
+
+
+def test_ns_timestamp_load_matches_duckdb(spark, sf_dir, duck):
+    """events.ts is timestamp[ns]; our loader must truncate exactly like
+    DuckDB (epoch_us == ns // 1000)."""
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    got = {r.event_id: r.ts for r in ev.orderBy("event_id").limit(50).collect()}
+    want = dict(duck.execute(
+        "SELECT event_id, ts FROM events ORDER BY event_id LIMIT 50").fetchall())
+    assert got == want
+
+
+def test_register_views(spark, sf_dir):
+    from keboola_storage_duckdb_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ["nation", "region"], prefix="kb_")
+    n = spark.sql("""
+        SELECT r_name, COUNT(*) AS n FROM kb_nation
+        JOIN kb_region ON n_regionkey = r_regionkey GROUP BY r_name""").count()
+    assert n == 5
