@@ -546,6 +546,271 @@ def q_set_ops(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline operators (SURVEY §7 phase 6): dedup families,
+# similarity search, text analysis, multimodal plumbing, event streams.
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via normalized content fingerprint (hash groupBy)."""
+    from keboola_storage_duckdb_spark.functions.text import fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    fp = fingerprint(docs, "doc_id", "text")
+    return fp.agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.countDistinct("fp").alias("n_unique"),
+                  (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dupes"))
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    """Per-document rolling fingerprint (md5 of normalized text)."""
+    from keboola_storage_duckdb_spark.functions.text import fingerprint
+    return fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram (word-bigram) Jaccard near-dup pairs via inverted-index
+    join — no all-pairs product."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import ngram_jaccard_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash(12 md5 perms) + LSH(3 bands × 4) candidates, exact-Jaccard
+    verified at ≥0.8. Portable md5 hashing → exact SQL oracle."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import minhash_lsh_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text",
+                             n_hashes=12, band_size=4, threshold=0.8)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """32-bit SimHash near-dup pairs, Hamming ≤ 3, pigeonhole-blocked."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import simhash_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting per document."""
+    from keboola_storage_duckdb_spark.functions.text import token_count
+    return token_count(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-profile language ID (broadcast lexicon join + argmax)."""
+    from keboola_storage_duckdb_spark.functions.text import language_id
+    return language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_text_quality(spark, sf_dir):
+    """Heuristic quality score from surface features (length/TTR/token len)."""
+    from keboola_storage_duckdb_spark.functions.text import quality_score
+    return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force exact top-5 cosine neighbors for query vectors
+    (vec_id < 10); double-precision sequential folds, rank on rounded
+    score with id tie-break (deterministic cross-engine)."""
+    from keboola_storage_duckdb_spark.functions.similarity import brute_force_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10),
+                            "vec_id", "embedding", k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Scale-path ANN: random-hyperplane LSH buckets + exact re-rank inside
+    the bucket. Rows-only check (recall<1 by design; the exact twin is
+    q_ann_topk)."""
+    from keboola_storage_duckdb_spark.functions.similarity import lsh_ann_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10),
+                        "vec_id", "embedding", k=5, n_planes=6)
+
+
+def q_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (score ≥ 0.45, id_a < id_b)."""
+    from keboola_storage_duckdb_spark.functions.similarity import cosine_near_dup_pairs
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: text → opaque binary payload + metadata struct,
+    Arrow-batched mapInPandas featurizer (deterministic stub decode)."""
+    from keboola_storage_duckdb_spark.functions.multimodal import (
+        extract_features, to_binary_payload)
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(to_binary_payload(docs, "doc_id", "text"))
+
+
+def q_hourly_rollup(spark, sf_dir):
+    """Tumbling 1-hour event rollup (count / distinct users / exact sum)."""
+    from keboola_storage_duckdb_spark.streaming.events import hourly_rollup
+    return hourly_rollup(_t(spark, sf_dir, "events"))
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min idle) via lag→flag→running-sum."""
+    from keboola_storage_duckdb_spark.streaming.events import sessionize
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def _lang_id_sql():
+    from keboola_storage_duckdb_spark.functions.text import STOPWORDS
+    vals = ", ".join(f"('{lang}', '{w}')"
+                     for lang, ws in STOPWORDS.items() for w in ws)
+    return f"""
+WITH lex(lex_lang, word) AS (VALUES {vals}),
+toks AS (SELECT doc_id AS id, unnest(str_split(lower(text), ' ')) AS word
+         FROM documents),
+hits AS (SELECT id, lex_lang, COUNT(*) AS hits
+         FROM toks JOIN lex USING (word) GROUP BY id, lex_lang),
+best AS (SELECT id, lex_lang AS pred_lang, hits,
+                row_number() OVER (PARTITION BY id
+                                   ORDER BY hits DESC, lex_lang ASC) AS rn
+         FROM hits)
+SELECT d.doc_id AS id, COALESCE(b.pred_lang, 'und') AS pred_lang,
+       COALESCE(b.hits, 0) AS hits
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.id = d.doc_id"""
+
+
+def _minhash_sql(n_hashes=12, band_size=4, threshold=0.8):
+    mins = ", ".join(
+        f"min(CASE WHEN seed = {s} THEN h END) AS mh{s}" for s in range(n_hashes))
+    bands = "\nUNION ALL\n".join(
+        "SELECT id, {b} AS band, md5({parts}) AS bucket FROM sig".format(
+            b=b, parts=" || ".join(f"mh{b * band_size + r}" for r in range(band_size)))
+        for b in range(n_hashes // band_size))
+    return f"""
+WITH toks AS (SELECT doc_id AS id, str_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT id,
+              unnest(list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1])) AS shingle
+       FROM toks),
+hashed AS (SELECT id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+           FROM sh CROSS JOIN (SELECT unnest(range({n_hashes})) AS seed)),
+sig AS (SELECT id, {mins} FROM hashed GROUP BY id),
+buckets AS ({bands}),
+cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+common AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+           JOIN cands c ON c.id_a = a.id AND c.id_b = b.id
+           GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {threshold}"""
+
+
+_NGRAM_JACCARD_SQL = """
+WITH toks AS (SELECT doc_id AS id, str_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT id,
+              unnest(list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1])) AS shingle
+       FROM toks),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+common AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+           GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8"""
+
+
+_SIMHASH_SQL = """
+WITH toks AS (SELECT doc_id AS id, unnest(str_split(text, ' ')) AS tok
+              FROM documents),
+h AS (SELECT id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+votes AS (SELECT id, i,
+                 SUM(CASE WHEN (h >> CAST(i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN (SELECT unnest(range(32)) AS i)
+          GROUP BY id, i),
+sig AS (SELECT id,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END) AS simhash
+        FROM votes GROUP BY id),
+chunks AS (SELECT id, simhash, k,
+                  (simhash >> CAST(8 * k AS INTEGER)) & 255 AS chunk
+           FROM sig CROSS JOIN (SELECT unnest(range(4)) AS k)),
+pairs AS (SELECT DISTINCT a.id AS id_a, a.simhash AS sha,
+                          b.id AS id_b, b.simhash AS shb
+          FROM chunks a JOIN chunks b
+            ON a.k = b.k AND a.chunk = b.chunk AND a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+FROM pairs
+WHERE bit_count(xor(sha, shb)) <= 3"""
+
+
+_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id AS id,
+       len(str_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
+       length(text) AS n_chars
+FROM documents"""
+
+
+_DOT_SQL = ("list_sum(list_transform(generate_series(1, len({a})), "
+            "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+_ANN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                  {_DOT_SQL.format(a='embedding', b='embedding')} AS qn
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+             {_DOT_SQL.format(a='embedding', b='embedding')} AS cn
+      FROM embeddings),
+scored AS (SELECT query_id, neighbor_id,
+                  ROUND({_DOT_SQL.format(a='qv', b='cv')}
+                        / (sqrt(qn) * sqrt(cn)), 6) AS score
+           FROM q CROSS JOIN c
+           WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored)
+WHERE rank <= 5"""
+
+
+_COSINE_NEAR_DUP_SQL = f"""
+WITH v AS (SELECT vec_id, embedding,
+                  {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+             / (sqrt(a.n2) * sqrt(b.n2)), 6) AS score
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+            / (sqrt(a.n2) * sqrt(b.n2)), 6) >= 0.45"""
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id AS id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(16 + (CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 240) AS INTEGER) AS fake_width,
+       CAST(16 + (CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 240) AS INTEGER) AS fake_height
+FROM documents"""
+
+
+_HOURLY_ROLLUP_SQL = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -575,6 +840,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram": q_histogram,
     "group_topk": q_group_topk,
     "set_ops": q_set_ops,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint_docs": q_fingerprint_docs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "cosine_near_dup": q_cosine_near_dup,
+    "multimodal_features": q_multimodal_features,
+    "hourly_rollup": q_hourly_rollup,
+    "sessionize": q_sessionize,
 }
 
 
@@ -758,4 +1037,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM customer
             EXCEPT
             SELECT c_custkey FROM customer WHERE c_nationkey < 5""",
+        "dedup_exact": """
+            WITH fp AS (
+              SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+              FROM documents)
+            SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
+                   COUNT(*) - COUNT(DISTINCT fp) AS n_dupes
+            FROM fp""",
+        "fingerprint_docs": """
+            SELECT doc_id AS id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+            FROM documents""",
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "minhash_lsh": _minhash_sql(),
+        "simhash_pairs": _SIMHASH_SQL,
+        "token_counts": _TOKEN_COUNTS_SQL,
+        "lang_id": _lang_id_sql(),
+        "text_quality": __import__(
+            "keboola_storage_duckdb_spark.functions.text", fromlist=["x"]
+        ).QUALITY_SQL_TEMPLATE.format(id_col="doc_id", text_col="text",
+                                      table="documents"),
+        "ann_topk": _ANN_SQL,
+        # ann_lsh: rows-only (recall<1 scale path; exact twin = ann_topk)
+        "cosine_near_dup": _COSINE_NEAR_DUP_SQL,
+        "multimodal_features": _MULTIMODAL_SQL,
+        "hourly_rollup": _HOURLY_ROLLUP_SQL,
+        "sessionize": __import__(
+            "keboola_storage_duckdb_spark.streaming.events", fromlist=["x"]
+        ).SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000),
     }

@@ -1,0 +1,199 @@
+"""Near-duplicate detection for large-scale training-data pipelines.
+
+Beyond the reference's exact-PK dedup (SURVEY §2.5) — these are the fuzzy
+dedup operators a 100 TB text corpus needs:
+
+  * exact dedup        hash groupBy on content (or normalized fingerprint)
+  * n-gram Jaccard     inverted-index (shingle) join — exact pairwise
+                       similarity, blocked so there is NO all-pairs product
+  * MinHash + LSH      shingle → md5 minhash signature → banded buckets →
+                       candidate join → exact verify. Scales linearly in
+                       corpus size; the classic Broder scheme.
+  * SimHash            32-bit signature + pigeonhole-blocked Hamming join
+
+Portability: all hashes are md5 (identical in Spark and DuckDB), so every
+operator here has an exact SQL oracle twin. Everything is built from JVM-side
+expressions (split/transform/md5/bit ops) — no Python UDFs in hot paths.
+
+Scale notes (100 TB): shingle explode multiplies rows ~Nx but is map-side
+only; the heavy ops are the groupBys on (doc, seed) / (band, bucket) hash
+keys, which shuffle-partition evenly. Stop-shingle removal (max_doc_freq)
+bounds inverted-index skew: a shingle occurring in k docs produces k² pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_tokens(text_col: str | Column) -> Column:
+    """Whitespace word tokens (text normalized upstream if needed)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def shingle_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) distinct pairs — the set representation used by
+    Jaccard/MinHash. Shingles are adjacent word 2-grams; docs with <2 tokens
+    yield none (guarded: Spark's sequence(1,0) counts DOWN, unlike DuckDB's
+    generate_series which returns empty)."""
+    toks = docs.select(F.col(id_col).alias("id"),
+                       word_tokens(text_col).alias("toks"))
+    sh = toks.select(
+        "id",
+        F.explode(
+            F.when(F.size("toks") < 2, F.array().cast("array<string>"))
+             .otherwise(F.expr(
+                 "transform(sequence(1, size(toks) - 1), "
+                 "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        ).alias("shingle"))
+    return sh.distinct()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
+                        threshold: float = 0.8,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Exact pairwise bigram-Jaccard via inverted-index join.
+
+    Only pairs sharing ≥1 shingle are ever materialized (blocking), so the
+    cost is Σ_shingle df(s)² — bounded by ``max_doc_freq`` stop-shingle
+    removal at corpus scale. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = shingle_df(docs, id_col, text_col)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
+                .select("id", "shingle"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (a.join(b, "shingle")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    out = (common.join(sa, "id_a").join(sb, "id_b")
+                 .withColumn("jaccard",
+                             F.col("common").cast("double")
+                             / (F.col("na") + F.col("nb") - F.col("common")))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+def minhash_band_buckets(docs: DataFrame, id_col: str, text_col: str,
+                         n_hashes: int = 12, band_size: int = 4) -> DataFrame:
+    """MinHash signatures + LSH banding.
+
+    Permutation h_s(x) = md5(s || '|' || x) — min over a doc's shingles of a
+    cryptographic hash is a valid minwise permutation and is portable across
+    engines. Returns (id, band, bucket) where bucket = md5 of the band's
+    concatenated minhashes.
+    """
+    assert n_hashes % band_size == 0
+    sh = shingle_df(docs, id_col, text_col)
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed")
+    hashed = sh.select("id", "shingle", seeds).select(
+        "id", "seed",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"),
+                       F.col("shingle"))).alias("h"))
+    sig = hashed.groupBy("id").agg(
+        *[F.min(F.when(F.col("seed") == s, F.col("h"))).alias(f"mh{s}")
+          for s in range(n_hashes)])
+    n_bands = n_hashes // band_size
+    band_cols = []
+    for b in range(n_bands):
+        parts = [F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.md5(F.concat(*parts)).alias("bucket")))
+    return (sig.select("id", F.explode(F.array(*band_cols)).alias("bb"))
+               .select("id", F.col("bb.band").alias("band"),
+                       F.col("bb.bucket").alias("bucket")))
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
+                      n_hashes: int = 12, band_size: int = 4,
+                      threshold: float = 0.8) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: banded candidate generation, then
+    exact Jaccard verification restricted to candidates.
+
+    Returns (id_a, id_b, jaccard) for verified pairs. Candidate count scales
+    with the number of true near-dups, not the corpus square.
+    """
+    bb = minhash_band_buckets(docs, id_col, text_col, n_hashes, band_size)
+    left = bb.select(F.col("id").alias("id_a"), "band", "bucket")
+    right = bb.select(F.col("id").alias("id_b"), "band", "bucket")
+    cands = (left.join(right, ["band", "bucket"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b").distinct())
+
+    sh = shingle_df(docs, id_col, text_col)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (a.join(b, "shingle")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .join(cands, ["id_a", "id_b"], "left_semi")
+                .groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (common.join(sa, "id_a").join(sb, "id_b")
+                  .withColumn("jaccard",
+                              F.col("common").cast("double")
+                              / (F.col("na") + F.col("nb") - F.col("common")))
+                  .filter(F.col("jaccard") >= threshold)
+                  .select("id_a", "id_b", "jaccard"))
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str,
+            bits: int = 32) -> DataFrame:
+    """32-bit SimHash over word tokens (occurrence-weighted).
+
+    Token hash = first 8 md5 hex chars → uint32; per-bit vote sum; sign →
+    bit. Returns (id, simhash). One explode + one groupBy — linear."""
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(word_tokens(text_col)).alias("tok"))
+                .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+                                  .cast("bigint")))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
+               .otherwise(-1)).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    sig = toks.groupBy("id").agg(*votes)
+    acc = F.lit(0).cast("bigint")
+    for i in range(bits):
+        acc = acc + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0)
+    return sig.select("id", acc.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance with pigeonhole blocking:
+    split the 32-bit signature into 4 bytes; any pair within Hamming ≤ 3
+    must agree on ≥1 byte, so candidates come from 4 equality joins instead
+    of an all-pairs product. Returns (id_a, id_b, hamming)."""
+    sig = simhash(docs, id_col, text_col)
+    chunks = sig.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("k"),
+                     F.shiftright(F.col("simhash"), 8 * k).bitwiseAND(255)
+                      .alias("chunk"))
+            for k in range(4)])).alias("c")) \
+        .select("id", "simhash", F.col("c.k").alias("k"),
+                F.col("c.chunk").alias("chunk"))
+    a = chunks.select(F.col("id").alias("id_a"),
+                      F.col("simhash").alias("sh_a"), "k", "chunk")
+    b = chunks.select(F.col("id").alias("id_b"),
+                      F.col("simhash").alias("sh_b"), "k", "chunk")
+    return (a.join(b, ["k", "chunk"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                      .alias("hamming"))
+             .distinct()
+             .filter(F.col("hamming") <= max_hamming))

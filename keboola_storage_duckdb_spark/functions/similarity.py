@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute-force top-k cosine — the exact baseline; dot products via
+    JVM-side ``aggregate(zip_with(...))`` folds in double precision
+    (bit-identical to DuckDB's sequential list fold — verified), ranked by
+    (score, id) for deterministic top-k.
+  * LSH-bucketed ANN (random hyperplanes) — the scale path: signature =
+    sign-bits of dot products with md5-derived pseudo-random hyperplanes;
+    candidates share a bucket, then exact re-rank within buckets. Linear
+    candidate generation instead of the full cross product.
+
+At 100 TB the cross join of brute force is O(Q×N) — fine for small Q
+(broadcast the queries), impossible for large Q; the LSH path (or an IVF
+partition-pruned variant using a cluster-id column) is the default there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+       "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+NORM2 = ("aggregate({a}, CAST(0 AS DOUBLE), "
+         "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+
+
+def with_norm(df: DataFrame, vec_col: str, out: str = "norm2") -> DataFrame:
+    return df.withColumn(out, F.expr(NORM2.format(a=vec_col)))
+
+
+def cosine_expr(a: str, b: str, norm_a: str, norm_b: str) -> F.Column:
+    return (F.expr(DOT.format(a=a, b=b))
+            / (F.sqrt(F.col(norm_a)) * F.sqrt(F.col(norm_b))))
+
+
+def brute_force_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
+                     vec_col: str, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (excluding self).
+
+    queries is expected small → broadcast; candidates stream past it with no
+    shuffle until the final per-query top-k (window over k·Q rows).
+    Returns (query_id, neighbor_id, score, rank)."""
+    from pyspark.sql import Window
+
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv")), "qv", "qn")
+    c = with_norm(
+        vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("cv")), "cv", "cn")
+    scored = (c.crossJoin(F.broadcast(q))
+               .filter(F.col("neighbor_id") != F.col("query_id"))
+               .withColumn("score", F.round(cosine_expr("qv", "cv", "qn", "cn"), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "score", "rank"))
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1) derived
+    from md5 — reproducible across runs and engines without Math.random."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{plane}_{i}".encode()).hexdigest()[:8]
+        out.append(int(h, 16) / float(2 ** 31) - 1.0)
+    return out
+
+
+def lsh_bucket(vectors: DataFrame, id_col: str, vec_col: str,
+               n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """Random-hyperplane LSH signature: bucket = Σ 2^p · [dot(v, r_p) > 0].
+    Cosine-similar vectors collide with probability (1 - θ/π)^planes."""
+    sig = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p)
+        arr = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in plane) + ")"
+        dot = F.expr(DOT.format(a=vec_col, b=arr))
+        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(0)
+    return vectors.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("vec"),
+                          sig.alias("bucket"))
+
+
+def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
+                 vec_col: str, k: int = 5, n_planes: int = 8,
+                 dim: int = 64) -> DataFrame:
+    """ANN: exact re-rank restricted to same-LSH-bucket candidates.
+    Recall < 1 by construction; bucket join replaces the cross product."""
+    from pyspark.sql import Window
+
+    cand = lsh_bucket(vectors, id_col, vec_col, n_planes, dim)
+    qb = (lsh_bucket(queries, id_col, vec_col, n_planes, dim)
+          .select(F.col("id").alias("query_id"), F.col("vec").alias("qv"),
+                  "bucket"))
+    joined = (cand.join(F.broadcast(qb), "bucket")
+                  .filter(F.col("id") != F.col("query_id")))
+    scored = (with_norm(with_norm(joined, "qv", "qn"), "vec", "cn")
+              .withColumn("score", F.round(cosine_expr("qv", "vec", "qn", "cn"), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", F.col("id").alias("neighbor_id"),
+                          "score", "rank"))
+
+
+def cosine_near_dup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
+                          threshold: float = 0.95,
+                          block_col: str | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥ threshold).
+
+    ``block_col`` (e.g. a cluster/label column or an LSH bucket) turns the
+    all-pairs product into per-block products — required at scale."""
+    v = with_norm(vectors.select(F.col(id_col).alias("id"),
+                                 F.col(vec_col).alias("v"),
+                                 *([F.col(block_col).alias("blk")] if block_col else [])),
+                  "v", "n2")
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("n2").alias("na"), *([F.col("blk")] if block_col else []))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("n2").alias("nb"), *([F.col("blk")] if block_col else []))
+    joined = a.join(b, on="blk") if block_col else a.crossJoin(b)
+    return (joined.filter(F.col("id_a") < F.col("id_b"))
+                  .withColumn("score", F.round(cosine_expr("va", "vb", "na", "nb"), 6))
+                  .filter(F.col("score") >= threshold)
+                  .select("id_a", "id_b", "score"))

@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All JVM-side expressions (split/regexp/md5/length) — no UDFs — so they run
+inside whole-stage codegen and each has an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Small per-language stopword lexicon for n-gram/stopword-profile language
+# identification. Deliberately tiny & deterministic; real deployments swap a
+# bigger lexicon in — the *operator shape* (broadcast lexicon join + argmax)
+# is what scales.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "es": ["el", "la", "de", "y", "a", "en", "es", "por", "con", "para"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "auf", "fur", "mit"],
+    "fr": ["le", "la", "de", "et", "a", "en", "est", "sur", "pour", "avec"],
+}
+
+# BPE-ish pre-tokenizer: word pieces or single non-space punctuation.
+BPE_REGEX = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + char count."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0)))
+         .alias("bpe_tokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def lexicon_df(spark):
+    rows = [(lang, w) for lang, ws in STOPWORDS.items() for w in ws]
+    return spark.createDataFrame(rows, ["lex_lang", "word"])
+
+
+def language_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-profile language ID: explode lowercase tokens, join the
+    (broadcast) lexicon, count hits per language, argmax with deterministic
+    tie-break (hits desc, lang asc). Docs with zero hits → 'und'.
+
+    Scale: lexicon is broadcast (no shuffle for the join); the only shuffle
+    is the groupBy on (doc, lang) — linear in token count."""
+    spark = docs.sparkSession
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"))
+    hits = (toks.join(F.broadcast(lexicon_df(spark)), "word")
+                .groupBy("id", "lex_lang")
+                .agg(F.count(F.lit(1)).alias("hits")))
+    w = Window.partitionBy("id").orderBy(F.col("hits").desc(), F.col("lex_lang").asc())
+    best = (hits.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("id", F.col("lex_lang").alias("pred_lang"), "hits"))
+    ids = docs.select(F.col(id_col).alias("id"))
+    return (ids.join(best, "id", "left")
+               .select("id",
+                       F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+                       F.coalesce("hits", F.lit(0)).alias("hits")))
+
+
+def quality_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality in [0,100] from cheap surface features:
+    length saturation, type-token ratio, mean token length. All-integer
+    feature counts → deterministic double arithmetic (oracle-exact)."""
+    t = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(t).alias("n_tok"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        F.length(text_col).alias("n_chars"),
+    )
+    n_tok = F.col("n_tok").cast("double")
+    ttr = F.col("n_distinct") / n_tok
+    # mean token length: chars minus separators, over token count
+    mean_len = (F.col("n_chars") - (F.col("n_tok") - 1)) / n_tok
+    score = (F.least(n_tok / 100.0, F.lit(1.0)) * 30.0
+             + ttr * 40.0
+             + F.least(mean_len / 8.0, F.lit(1.0)) * 30.0)
+    return base.select("id", "n_tok", "n_distinct", "n_chars",
+                       F.round(score, 6).alias("quality"))
+
+
+QUALITY_SQL_TEMPLATE = """
+SELECT id, n_tok, n_distinct, n_chars,
+       ROUND(LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 30.0
+             + (n_distinct / CAST(n_tok AS DOUBLE)) * 40.0
+             + LEAST(((n_chars - (n_tok - 1)) / CAST(n_tok AS DOUBLE)) / 8.0, 1.0) * 30.0,
+             6) AS quality
+FROM (
+  SELECT {id_col} AS id,
+         len(str_split({text_col}, ' ')) AS n_tok,
+         len(list_distinct(str_split({text_col}, ' '))) AS n_distinct,
+         length({text_col}) AS n_chars
+  FROM {table}
+)
+"""
+
+
+def fingerprint(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized content fingerprint: lowercase, strip non-alphanumerics
+    (keeping spaces), collapse whitespace, trim, md5. Exact-dup detection
+    robust to case/punct/spacing noise."""
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+        " +", " "))
+    return docs.select(F.col(id_col).alias("id"), F.md5(norm).alias("fp"))
+
+
+FINGERPRINT_SQL_TEMPLATE = """
+SELECT {id_col} AS id,
+       md5(trim(regexp_replace(regexp_replace(lower({text_col}), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+FROM {table}
+"""

@@ -1,0 +1,95 @@
+"""Event-stream operators: time-bucketed rollups and sessionization.
+
+The reference is strictly batch (SURVEY §2.10) — these are the beyond-parity
+operators an events table needs. Both are expressed as batch DataFrame ops
+(oracle-checkable) and, for live pipelines, as Structured Streaming
+(`stream_hourly_rollup`) with watermarked windows.
+
+Scale: both shuffle once on the natural key (bucket / user). Sessionization
+uses a per-user ordered window — at 100 TB the partitionBy(user) window is
+the standard approach; skewed power-users would get a two-phase split
+(intra-day sub-sessions, then merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hourly_rollup(events: DataFrame, ts_col: str = "ts",
+                  value_col: str = "value") -> DataFrame:
+    """Tumbling 1-hour aggregate: events, distinct users, exact value sum."""
+    val = F.col(value_col).cast("decimal(12,2)")
+    return (events
+            .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+                     F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(val).cast("double").alias("sum_value")))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               ts_col: str = "ts") -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than ``gap_minutes``. Returns one row per session with bounds
+    and counts. Classic lag → flag → running-sum pattern (single shuffle
+    on user_id, both window frames reuse the same sort)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy(F.col(ts_col).asc(),
+                                              F.col("event_id").asc())
+    us = F.unix_micros(F.col(ts_col))
+    flagged = events.withColumn(
+        "new_session",
+        F.when(us - F.unix_micros(F.lag(ts_col).over(w)) > gap_us, 1)
+         .when(F.lag(ts_col).over(w).isNull(), 1)
+         .otherwise(0))
+    sessions = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val = F.col("value").cast("decimal(12,2)")
+    return (sessions.groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"),
+                 F.sum(val).cast("double").alias("sum_value")))
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us} THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+def stream_hourly_rollup(spark, source_dir: str, schema) -> DataFrame:
+    """Structured-Streaming twin of hourly_rollup: file-source stream with a
+    1-hour watermark for late events and tumbling windows. Run with
+    ``trigger(availableNow=True)`` for catch-up batch processing or a
+    processing-time trigger for a live feed."""
+    stream = (spark.readStream.schema(schema).parquet(source_dir))
+    return (stream
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                  .alias("sum_value"))
+            .select(F.col("win.start").alias("bucket"), "event_type",
+                    "n_events", "sum_value"))

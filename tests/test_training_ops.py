@@ -1,0 +1,160 @@
+"""Training-data pipeline operators: dedup families, similarity, text,
+multimodal plumbing, sessionization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different words entirely here now"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "one"),                                            # <2 tokens
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    from keboola_storage_duckdb_spark.functions.dedup_ml import ngram_jaccard_pairs
+
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert pairs[(0, 3)] == 1.0          # exact dup
+    assert 0.5 <= pairs[(0, 1)] < 1.0    # near dup
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh_agrees_with_exact(docs):
+    from keboola_storage_duckdb_spark.functions.dedup_ml import minhash_lsh_pairs
+
+    got = {(r.id_a, r.id_b) for r in
+           minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    # exact dup pair must always survive LSH (identical signatures)
+    assert (0, 3) in got
+
+
+def test_simhash_identical_docs_zero_hamming(docs):
+    from keboola_storage_duckdb_spark.functions.dedup_ml import simhash_pairs
+
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_pairs(docs, "doc_id", "text", max_hamming=8).collect()}
+    assert got[(0, 3)] == 0
+
+
+def test_shingle_guard_short_docs(docs):
+    from keboola_storage_duckdb_spark.functions.dedup_ml import shingle_df
+
+    sh = shingle_df(docs, "doc_id", "text")
+    assert sh.filter(F.col("id") == 4).count() == 0  # "one" yields no bigram
+
+
+def test_brute_force_topk_self_excluded(spark):
+    from keboola_storage_duckdb_spark.functions.similarity import brute_force_topk
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        ["vec_id", "embedding"])
+    out = brute_force_topk(vecs, vecs.filter("vec_id = 0"), "vec_id",
+                           "embedding", k=2).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+    assert all(r.query_id == 0 and r.neighbor_id != 0 for r in out)
+
+
+def test_lsh_ann_subset_of_exact(spark, sf_dir):
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        brute_force_topk, lsh_ann_topk)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 3")
+    exact = brute_force_topk(emb, q, "vec_id", "embedding", k=20)
+    approx = lsh_ann_topk(emb, q, "vec_id", "embedding", k=5, n_planes=4)
+    # every ANN neighbor's score must equal the exact score for that pair
+    ex = {(r.query_id, r.neighbor_id): r.score for r in exact.collect()}
+    for r in approx.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in ex:
+            assert ex[key] == r.score
+
+
+def test_language_id_und_fallback(spark):
+    from keboola_storage_duckdb_spark.functions.text import language_id
+
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog"), (1, "zzz qqq xxx")], ["doc_id", "text"])
+    got = {r.id: r.pred_lang for r in language_id(df, "doc_id", "text").collect()}
+    assert got[0] == "en"
+    assert got[1] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    from keboola_storage_duckdb_spark.functions.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "Hello,  World!"), (1, "hello world"), (2, "other")],
+        ["doc_id", "text"])
+    got = {r.id: r.fp for r in fingerprint(df, "doc_id", "text").collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+
+
+def test_multimodal_plumbing(docs):
+    from keboola_storage_duckdb_spark.functions.multimodal import (
+        decode_image, extract_features, to_binary_payload)
+
+    payload = to_binary_payload(docs, "doc_id", "text")
+    assert dict(payload.dtypes)["payload"] == "binary"
+    feats = extract_features(payload).collect()
+    assert len(feats) == docs.count()
+    by_id = {r.id: r for r in feats}
+    assert by_id[0].n_bytes == len("the quick brown fox jumps over the lazy dog")
+    assert by_id[0].content_md5 == by_id[3].content_md5  # exact dups
+    assert 16 <= by_id[0].fake_width < 256
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx")
+
+
+def test_sessionize_gap(spark):
+    import datetime as dt
+
+    from keboola_storage_duckdb_spark.streaming.events import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 100, t0, 1.0, "a"),
+        (2, 100, t0 + dt.timedelta(minutes=10), 1.0, "a"),
+        (3, 100, t0 + dt.timedelta(minutes=60), 1.0, "a"),  # new session
+        (4, 200, t0, 1.0, "a"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value", "event_type"])
+    out = sessionize(ev, gap_minutes=30).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert len(per_user[100]) == 2
+    assert len(per_user[200]) == 1
+    s1 = sorted(per_user[100], key=lambda r: r.session_idx)
+    assert s1[0].n_events == 2 and s1[1].n_events == 1
+
+
+def test_stream_hourly_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """Structured-Streaming twin (availableNow) == batch rollup."""
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+    from keboola_storage_duckdb_spark.streaming.events import (
+        hourly_rollup, stream_hourly_rollup)
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_src")
+    ev.write.parquet(src)  # µs timestamps so readStream sees a legal schema
+    stream_df = stream_hourly_rollup(spark, src, ev.schema)
+    q = (stream_df.writeStream.format("memory").queryName("rollup_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.bucket, r.event_type): (r.n_events, r.sum_value)
+           for r in spark.sql("SELECT * FROM rollup_test").collect()}
+    want = {(r.bucket, r.event_type): (r.n_events, r.sum_value)
+            for r in hourly_rollup(ev).collect()}
+    assert got == want
