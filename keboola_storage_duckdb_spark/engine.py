@@ -1,0 +1,727 @@
+"""StorageEngine: the ProjectDBManager-shaped service API (SURVEY §2.13).
+
+One class whose methods mirror the reference's 26 gRPC handlers + REST-only
+operations (snapshots, branches, profile), implemented entirely on
+DataFrame/Spark SQL over a parquet warehouse. Method-by-method citations
+point at the reference implementation being re-expressed.
+
+Design stance (SURVEY §7):
+  * storage = parquet dir per table + JSON meta (Delta would add OCC/time
+    travel; plain parquet keeps the container dependency-free and mirrors
+    the reference's file-per-table model);
+  * PK is metadata — enforced by precheck joins / window dedup, not
+    constraints (Spark has none);
+  * every write is staged then swapped under the per-table lock (the
+    reference's `_staging/{uuid}` discipline);
+  * reads hand back lazy DataFrames with the declared schema — operators
+    compose onto the scan so Catalyst pushes filters/projections into
+    parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+import time
+import uuid
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .catalog.catalog import (
+    AlreadyExistsError,
+    CatalogError,
+    NotFoundError,
+    StorageCatalog,
+    TableMeta,
+)
+from .catalog.types import duckdb_to_spark_type, struct_from_columns
+from .operators import dedup as KD
+from .operators import filters as KF
+from .operators.profile import profile_table
+
+TIMESTAMP_COL = "_timestamp"  # system column (reference import_export.py:300-312)
+
+
+class StorageEngine:
+    def __init__(self, spark: SparkSession, warehouse: str) -> None:
+        self.spark = spark
+        self.catalog = StorageCatalog(warehouse)
+        self._ops_log_path = os.path.join(self.catalog.warehouse, "_ops.jsonl")
+        self._ops_lock = threading.Lock()
+
+    # ------------------------------------------------------------------ log
+    def _log(self, op: str, **detail) -> None:
+        """Operations log (reference operations_log table,
+        src/database.py:172-417)."""
+        rec = {"op": op, "ts": time.time(), **detail}
+        with self._ops_lock, open(self._ops_log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    # -------------------------------------------------- projects / buckets
+    def create_project(self, project: str) -> None:
+        self.catalog.create_project(project)
+        self._log("create_project", project=project)
+
+    def drop_project(self, project: str) -> None:
+        self.catalog.drop_project(project)
+        self._log("drop_project", project=project)
+
+    def create_bucket(self, project: str, bucket: str) -> None:
+        self.catalog.create_bucket(project, bucket)
+        self._log("create_bucket", project=project, bucket=bucket)
+
+    def drop_bucket(self, project: str, bucket: str, force: bool = False) -> None:
+        self.catalog.drop_bucket(project, bucket, force=force)
+        self._log("drop_bucket", project=project, bucket=bucket)
+
+    # --------------------------------------------------------- tables (D1/D2)
+    def create_table(self, project: str, bucket: str, table: str,
+                     columns: list[dict], primary_key: list[str] | None = None) -> dict:
+        """D1: CREATE TABLE from {name,type,nullable,default} dicts
+        (reference src/database.py:4322-4393). The system _timestamp column
+        is appended automatically."""
+        if self.catalog.table_exists(project, bucket, table):
+            raise AlreadyExistsError(f"table {table} exists")
+        if not os.path.isdir(self.catalog.bucket_dir(project, bucket)):
+            raise NotFoundError(f"bucket {bucket} not found")
+        pk = primary_key or []
+        colnames = {c["name"] for c in columns}
+        for k in pk:
+            if k not in colnames:
+                raise CatalogError(f"primary key column {k} not in schema")
+        struct_from_columns(columns)  # validates the type strings
+        meta = TableMeta(columns=columns, primary_key=pk, created_at=time.time())
+        self.catalog.write_meta(project, bucket, table, meta)
+        os.makedirs(self.catalog.data_dir(project, bucket, table), exist_ok=True)
+        self._log("create_table", project=project, bucket=bucket, table=table)
+        return {"table": table, "columns": columns, "primary_key": pk}
+
+    def drop_table(self, project: str, bucket: str, table: str) -> None:
+        with self.catalog.acquire(project, bucket, table):
+            self.catalog.drop_table(project, bucket, table)
+        self._log("drop_table", project=project, bucket=bucket, table=table)
+
+    def _schema(self, meta: TableMeta, with_system: bool = True) -> T.StructType:
+        st = struct_from_columns(meta.columns)
+        if with_system:
+            st = T.StructType(list(st.fields)
+                              + [T.StructField(TIMESTAMP_COL, T.TimestampType())])
+        return st
+
+    def _resolve_link(self, project: str, bucket: str) -> tuple[str, str]:
+        """Linked-bucket indirection (Share/Link Bucket handlers): a bucket
+        directory containing .link.json reads from its source bucket."""
+        link = os.path.join(self.catalog.bucket_dir(project, bucket), ".link.json")
+        if os.path.isfile(link):
+            with open(link) as f:
+                d = json.load(f)
+            return d["project"], d["bucket"]
+        return project, bucket
+
+    def read_table(self, project: str, bucket: str, table: str,
+                   branch: str | None = None) -> DataFrame:
+        """Lazy scan with the declared schema (+ _timestamp). Branch reads
+        resolve branch-copy-else-main (src/database.py:3082-3133)."""
+        project, bucket = self._resolve_link(project, bucket)
+        src, data_dir = self.catalog.resolve_table(project, bucket, table, branch)
+        meta = self.catalog.read_meta(
+            project, bucket, table, branch if src == "branch" else None)
+        return self.spark.read.schema(self._schema(meta)).parquet(data_dir)
+
+    def table_info(self, project: str, bucket: str, table: str,
+                   branch: str | None = None) -> dict:
+        """ObjectInfo/introspection (D8): schema + PK + row count."""
+        project, bucket = self._resolve_link(project, bucket)
+        src, _ = self.catalog.resolve_table(project, bucket, table, branch)
+        meta = self.catalog.read_meta(
+            project, bucket, table, branch if src == "branch" else None)
+        return {
+            "project": project, "bucket": bucket, "table": table,
+            "source": src,
+            "columns": meta.columns, "primary_key": meta.primary_key,
+            "row_count": self.read_table(project, bucket, table, branch).count(),
+        }
+
+    # -------------------------------------------------------------- writes
+    def _write_table(self, project: str, bucket: str, table: str, df: DataFrame,
+                     branch: str | None = None) -> None:
+        """Stage parquet then swap (single-writer under the table lock)."""
+        staged = self.catalog.staging_data_dir(project, bucket, table, branch)
+        df.write.mode("overwrite").parquet(staged)
+        self.catalog.swap_data_dir(project, bucket, table, staged, branch)
+
+    def _conform(self, df: DataFrame, meta: TableMeta,
+                 convert_empty_to_null: Iterable[str] = ()) -> DataFrame:
+        """W7 staging-schema enforcement: select declared columns in order,
+        cast to declared types, add _timestamp. `_`-prefixed source columns
+        are ignored (reference import_export.py:300-312)."""
+        cols = []
+        empties = {c.lower() for c in convert_empty_to_null}
+        for c in meta.columns:
+            name, typ = c["name"], duckdb_to_spark_type(c["type"])
+            col = F.col(name) if name in df.columns else F.lit(c.get("default"))
+            if name.lower() in empties:
+                col = F.when(col.cast("string") == "", None).otherwise(col)
+            cols.append(col.cast(typ).alias(name))
+        return df.select(*cols).withColumn(TIMESTAMP_COL, F.current_timestamp())
+
+    def ensure_cow_for_write(self, project: str, bucket: str, table: str,
+                             branch: str | None) -> None:
+        """Branch copy-on-write: copy main → branch on first branch write
+        (reference src/database.py:3359-3415, copy :2926-2969)."""
+        if branch is None or self.catalog.table_exists(project, bucket, table, branch):
+            return
+        meta = self.catalog.read_meta(project, bucket, table)
+        os.makedirs(self.catalog.bucket_dir(project, bucket, branch), exist_ok=True)
+        self.catalog.write_meta(project, bucket, table, meta, branch)
+        src = self.catalog.data_dir(project, bucket, table)
+        dst = self.catalog.data_dir(project, bucket, table, branch)
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+
+    def import_file(self, project: str, bucket: str, table: str, path: str,
+                    file_format: str = "csv", dedup_mode: str = "update_duplicates",
+                    incremental: bool = False, branch: str | None = None,
+                    csv_options: dict | None = None,
+                    convert_empty_to_null: Iterable[str] = ()) -> dict:
+        """Import pipeline: STAGING → TRANSFORM → CLEANUP
+        (reference src/routers/table_import.py:240-468).
+
+        Full load (incremental=False) = W1 overwrite. Incremental applies
+        the dedup mode: update_duplicates W3 / insert_duplicates W5 /
+        fail_on_duplicates W6 / pk-only do-nothing W4 — all PK-shuffle
+        joins, never driver-side."""
+        self.ensure_cow_for_write(project, bucket, table, branch)
+        src_kind, _ = self.catalog.resolve_table(project, bucket, table, branch)
+        eff_branch = branch if src_kind == "branch" else None
+        meta = self.catalog.read_meta(project, bucket, table, eff_branch)
+
+        # STAGING (S1-S3): read with declared schema
+        if file_format == "csv":
+            opts = {"header": "true", "sep": ",", "quote": '"', "escape": '"',
+                    "nullValue": ""}
+            opts.update(csv_options or {})
+            reader = self.spark.read.options(**opts)
+            staged = reader.schema(struct_from_columns(meta.columns)).csv(path)
+        elif file_format == "parquet":
+            staged = self.spark.read.parquet(path)
+        else:
+            raise CatalogError(f"unsupported import format {file_format!r}")
+        staged = self._conform(staged, meta, convert_empty_to_null)
+
+        pk = meta.primary_key
+        with self.catalog.acquire(project, bucket, table):
+            existing = self.read_table(project, bucket, table, eff_branch)
+            before = existing.count()
+            # TRANSFORM (W1-W6)
+            if not incremental:
+                result = staged
+            elif not pk or dedup_mode == "insert_duplicates":
+                result = existing.unionByName(staged)
+            elif dedup_mode == "update_duplicates":
+                result = KD.upsert_update_duplicates(existing, staged, pk)
+            elif dedup_mode == "do_nothing":
+                result = KD.upsert_do_nothing(existing, staged, pk)
+            elif dedup_mode == "fail_on_duplicates":
+                KD.check_fail_on_duplicates(existing, staged, pk)
+                result = existing.unionByName(staged)
+            else:
+                raise CatalogError(f"unknown dedup mode {dedup_mode!r}")
+            self._write_table(project, bucket, table, result, eff_branch)
+            after = self.read_table(project, bucket, table, eff_branch).count()
+        self._log("import_file", project=project, bucket=bucket, table=table,
+                  format=file_format, incremental=incremental, mode=dedup_mode,
+                  rows_before=before, rows_after=after)
+        return {"rows_before": before, "rows_after": after,
+                "rows_delta": after - before}
+
+    def import_from_table(self, src: tuple[str, str, str],
+                          dst: tuple[str, str, str],
+                          column_mappings: dict[str, str] | None = None,
+                          where: KF.Column | None = None,
+                          seconds: int | None = None,
+                          limit: int | None = None,
+                          dedup_mode: str = "update_duplicates",
+                          incremental: bool = True) -> dict:
+        """W8 TableImportFromTableCommand: source select + src→dst column
+        mapping + recent-rows (`seconds` on _timestamp) + limit, then the
+        normal TRANSFORM stage (proto TableImportFromTableCommand)."""
+        sdf = self.read_table(*src)
+        if seconds is not None:
+            cutoff = F.current_timestamp() - F.expr(f"INTERVAL {int(seconds)} SECOND")
+            sdf = sdf.filter(F.col(TIMESTAMP_COL) >= cutoff)
+        if where is not None:
+            sdf = sdf.filter(where)
+        if column_mappings:
+            sdf = sdf.select(*[F.col(s).alias(d) for s, d in column_mappings.items()])
+        if limit is not None:
+            sdf = sdf.limit(int(limit))
+        dmeta = self.catalog.read_meta(*dst)
+        staged = self._conform(sdf, dmeta)
+        project, bucket, table = dst
+        pk = dmeta.primary_key
+        with self.catalog.acquire(project, bucket, table):
+            existing = self.read_table(project, bucket, table)
+            before = existing.count()
+            if not incremental:
+                result = staged
+            elif not pk or dedup_mode == "insert_duplicates":
+                result = existing.unionByName(staged)
+            elif dedup_mode == "update_duplicates":
+                result = KD.upsert_update_duplicates(existing, staged, pk)
+            elif dedup_mode == "do_nothing":
+                result = KD.upsert_do_nothing(existing, staged, pk)
+            else:
+                KD.check_fail_on_duplicates(existing, staged, pk)
+                result = existing.unionByName(staged)
+            self._write_table(project, bucket, table, result)
+            after = self.read_table(project, bucket, table).count()
+        self._log("import_from_table", src="/".join(src), dst="/".join(dst))
+        return {"rows_before": before, "rows_after": after}
+
+    # ------------------------------------------------------------- queries
+    def _apply_filters(self, df: DataFrame, columns: list[str] | None = None,
+                       where: str | None = None,
+                       where_filters: list[dict] | None = None,
+                       changed_since: str | None = None,
+                       changed_until: str | None = None,
+                       fulltext: str | None = None,
+                       order_by: list[dict] | None = None,
+                       limit: int | None = None) -> DataFrame:
+        """The export/preview filter surface (P1-P5, O1-O3) compiled onto a
+        scan — one place, used by preview/export/delete/workspace-load."""
+        conds = []
+        if where:
+            conds.append(KF.raw_where(where))
+        for wf in (where_filters or []):
+            conds.append(KF.typed_where(wf["column"], wf.get("operator", "eq"),
+                                        wf["values"], wf.get("dataType")))
+        if changed_since or changed_until:
+            conds.append(KF.change_interval(changed_since, changed_until))
+        if fulltext:
+            conds.append(KF.fulltext_search(df, fulltext))
+        cond = KF.combine_where(conds)
+        if cond is not None:
+            df = df.filter(cond)
+        if columns:
+            df = df.select(*columns)
+        for ob in (order_by or []):
+            col = F.col(ob["column"])
+            if ob.get("dataType"):
+                col = col.try_cast(duckdb_to_spark_type(ob["dataType"]))
+            df = df.orderBy(col.desc() if ob.get("order", "ASC").upper() == "DESC"
+                            else col.asc())
+        if limit is not None:
+            df = df.limit(int(limit))
+        return df
+
+    def preview(self, project: str, bucket: str, table: str,
+                branch: str | None = None, limit: int = 1000, **filters) -> list[dict]:
+        """PreviewTable (reference src/database.py:4585-4672): bounded rows
+        as dicts, ISO-serialized timestamps at the API edge."""
+        limit = min(int(limit), 10000)  # reference caps (tables.py:729-735)
+        df = self._apply_filters(self.read_table(project, bucket, table, branch),
+                                 limit=limit, **filters)
+        out = []
+        for row in df.collect():
+            d = row.asDict()
+            for k, v in d.items():
+                if hasattr(v, "isoformat"):
+                    d[k] = v.isoformat()
+            out.append(d)
+        return out
+
+    def export_to_file(self, project: str, bucket: str, table: str, path: str,
+                       file_format: str = "csv", compression: str | None = None,
+                       branch: str | None = None, **filters) -> dict:
+        """S5/S6 export sinks with the filter surface
+        (reference src/routers/table_import.py:560-629)."""
+        df = self._apply_filters(self.read_table(project, bucket, table, branch),
+                                 **filters)
+        writer = df.write.mode("overwrite")
+        if file_format == "csv":
+            writer = writer.option("header", True)
+            if compression:
+                writer = writer.option("compression", compression)
+            writer.csv(path)
+        elif file_format == "parquet":
+            if compression:
+                writer = writer.option("compression", compression)
+            writer.parquet(path)
+        else:
+            raise CatalogError(f"unsupported export format {file_format!r}")
+        n = self.spark.read.format(file_format) \
+            .options(**({"header": "true"} if file_format == "csv" else {})) \
+            .load(path).count()
+        self._log("export", project=project, bucket=bucket, table=table,
+                  format=file_format, rows=n)
+        return {"rows_exported": n, "path": path}
+
+    def delete_rows(self, project: str, bucket: str, table: str,
+                    where: str | None = None,
+                    where_filters: list[dict] | None = None,
+                    ref_filter: dict | None = None,
+                    branch: str | None = None) -> dict:
+        """W10 DeleteTableRows: typed predicate grammar + optional
+        ref-table IN/NOT_IN subquery (P6); rewrite keeping survivors and
+        report deleted/remaining counts (reference src/database.py:5061-5130).
+        Deleting everything triggers the pre-truncate auto-snapshot (W11)."""
+        self.ensure_cow_for_write(project, bucket, table, branch)
+        src_kind, _ = self.catalog.resolve_table(project, bucket, table, branch)
+        eff_branch = branch if src_kind == "branch" else None
+        with self.catalog.acquire(project, bucket, table):
+            df = self.read_table(project, bucket, table, eff_branch)
+            before = df.count()
+            conds = []
+            if where:
+                conds.append(KF.raw_where(where))
+            for wf in (where_filters or []):
+                conds.append(KF.typed_where(wf["column"], wf.get("operator", "eq"),
+                                            wf["values"], wf.get("dataType")))
+            cond = KF.combine_where(conds)
+            survivors = df if cond is None else df.filter(~cond)
+            if ref_filter is not None:
+                # rows matching the ref filter are DELETED → survivors are
+                # the complement mode
+                mode = ref_filter["mode"].upper()
+                inverse = "NOT_IN" if mode == "IN" else "IN"
+                ref_df = self.read_table(*ref_filter["table"])
+                survivors = KF.ref_table_filter(
+                    survivors, ref_filter["column"], inverse,
+                    ref_df, ref_filter["ref_column"])
+            if cond is None and ref_filter is None:
+                # delete-all → auto snapshot first (W11, CLAUDE.md:152)
+                self.snapshot_create(project, bucket, table,
+                                     description="auto: pre-truncate")
+                survivors = df.limit(0)
+            self._write_table(project, bucket, table, survivors, eff_branch)
+            remaining = self.read_table(project, bucket, table, eff_branch).count()
+        self._log("delete_rows", project=project, bucket=bucket, table=table,
+                  deleted=before - remaining, remaining=remaining)
+        return {"rows_deleted": before - remaining, "rows_remaining": remaining}
+
+    def profile(self, project: str, bucket: str, table: str,
+                branch: str | None = None) -> dict:
+        """Statistical profile (reference src/database.py:5132-5437) in 3-4
+        full-table passes instead of per-column query loops."""
+        df = self.read_table(project, bucket, table, branch)
+        return profile_table(df.drop(TIMESTAMP_COL))
+
+    # --------------------------------------------------- schema ops (D3-D7)
+    def add_column(self, project: str, bucket: str, table: str, column: dict,
+                   branch: str | None = None) -> None:
+        """D3 (reference src/database.py:4679-4738): rewrite with the new
+        column filled with its default."""
+        self.ensure_cow_for_write(project, bucket, table, branch)
+        eff = branch if branch and self.catalog.table_exists(
+            project, bucket, table, branch) else None
+        meta = self.catalog.read_meta(project, bucket, table, eff)
+        if any(c["name"] == column["name"] for c in meta.columns):
+            raise AlreadyExistsError(f"column {column['name']} exists")
+        typ = duckdb_to_spark_type(column["type"])
+        with self.catalog.acquire(project, bucket, table):
+            df = self.read_table(project, bucket, table, eff)
+            df = df.withColumn(column["name"],
+                               F.lit(column.get("default")).cast(typ))
+            # keep _timestamp last
+            order = [c["name"] for c in meta.columns] + [column["name"], TIMESTAMP_COL]
+            meta.columns.append({k: column.get(k) for k in
+                                 ("name", "type", "nullable", "default")})
+            self._write_table(project, bucket, table, df.select(*order), eff)
+            self.catalog.write_meta(project, bucket, table, meta, eff)
+        self._log("add_column", table=table, column=column["name"])
+
+    def drop_column(self, project: str, bucket: str, table: str, name: str,
+                    branch: str | None = None) -> None:
+        """D4 (reference src/database.py:4740-4785)."""
+        self.ensure_cow_for_write(project, bucket, table, branch)
+        eff = branch if branch and self.catalog.table_exists(
+            project, bucket, table, branch) else None
+        meta = self.catalog.read_meta(project, bucket, table, eff)
+        if name in meta.primary_key:
+            raise CatalogError(f"cannot drop primary-key column {name}")
+        if not any(c["name"] == name for c in meta.columns):
+            raise NotFoundError(f"column {name} not found")
+        with self.catalog.acquire(project, bucket, table):
+            df = self.read_table(project, bucket, table, eff).drop(name)
+            meta.columns = [c for c in meta.columns if c["name"] != name]
+            self._write_table(project, bucket, table, df, eff)
+            self.catalog.write_meta(project, bucket, table, meta, eff)
+        self._log("drop_column", table=table, column=name)
+
+    def alter_column(self, project: str, bucket: str, table: str, name: str,
+                     new_name: str | None = None, new_type: str | None = None,
+                     set_nullable: bool | None = None,
+                     set_default=None, drop_default: bool = False,
+                     branch: str | None = None) -> None:
+        """D5 composable ALTER COLUMN (reference src/database.py:4787-4880)."""
+        self.ensure_cow_for_write(project, bucket, table, branch)
+        eff = branch if branch and self.catalog.table_exists(
+            project, bucket, table, branch) else None
+        meta = self.catalog.read_meta(project, bucket, table, eff)
+        target = next((c for c in meta.columns if c["name"] == name), None)
+        if target is None:
+            raise NotFoundError(f"column {name} not found")
+        with self.catalog.acquire(project, bucket, table):
+            df = self.read_table(project, bucket, table, eff)
+            if new_type:
+                df = df.withColumn(name, F.col(name).cast(duckdb_to_spark_type(new_type)))
+                target["type"] = new_type
+            if set_nullable is not None:
+                if set_nullable is False:
+                    nulls = df.filter(F.col(name).isNull()).limit(1).count()
+                    if nulls:
+                        raise CatalogError(f"column {name} contains NULLs")
+                target["nullable"] = set_nullable
+            if drop_default:
+                target["default"] = None
+            elif set_default is not None:
+                target["default"] = set_default
+            if new_name:
+                df = df.withColumnRenamed(name, new_name)
+                target["name"] = new_name
+                meta.primary_key = [new_name if k == name else k
+                                    for k in meta.primary_key]
+            self._write_table(project, bucket, table, df, eff)
+            self.catalog.write_meta(project, bucket, table, meta, eff)
+        self._log("alter_column", table=table, column=name)
+
+    def add_primary_key(self, project: str, bucket: str, table: str,
+                        columns: list[str]) -> None:
+        """D6: PK is metadata, but uniqueness is actively validated
+        (groupBy(pk).count() > 1 precheck — reference recreates the table
+        with a constraint, src/database.py:4882-4974)."""
+        meta = self.catalog.read_meta(project, bucket, table)
+        if meta.primary_key:
+            raise AlreadyExistsError("table already has a primary key")
+        names = {c["name"] for c in meta.columns}
+        for c in columns:
+            if c not in names:
+                raise NotFoundError(f"column {c} not found")
+        df = self.read_table(project, bucket, table)
+        dupes = (df.groupBy(*columns).count().filter(F.col("count") > 1)
+                   .limit(1).count())
+        if dupes:
+            raise KD.DuplicateKeyError("existing rows violate the primary key")
+        nulls = df.filter(KF.combine_where(
+            [F.col(c).isNull() for c in columns]) if len(columns) == 1
+            else F.greatest(*[F.col(c).isNull().cast("int") for c in columns]) == 1
+        ).limit(1).count()
+        if nulls:
+            raise CatalogError("primary key columns contain NULLs")
+        meta.primary_key = list(columns)
+        self.catalog.write_meta(project, bucket, table, meta)
+        self._log("add_primary_key", table=table, columns=columns)
+
+    def drop_primary_key(self, project: str, bucket: str, table: str) -> None:
+        """D7 (reference src/database.py:4976-5059)."""
+        meta = self.catalog.read_meta(project, bucket, table)
+        meta.primary_key = []
+        self.catalog.write_meta(project, bucket, table, meta)
+        self._log("drop_primary_key", table=table)
+
+    # ---------------------------------------------------------- snapshots
+    def snapshot_create(self, project: str, bucket: str, table: str,
+                        description: str = "") -> dict:
+        """S7: ZSTD parquet snapshot + schema JSON sidecar
+        (reference src/routers/snapshots.py:190-253)."""
+        meta = self.catalog.read_meta(project, bucket, table)
+        snap_id = uuid.uuid4().hex[:12]
+        sd = self.catalog.snapshot_dir(project, bucket, table)
+        os.makedirs(sd, exist_ok=True)
+        path = os.path.join(sd, snap_id)
+        df = self.read_table(project, bucket, table)
+        rows = df.count()
+        df.write.option("compression", "zstd").parquet(path)
+        with open(path + ".schema.json", "w") as f:
+            json.dump({"columns": meta.columns, "primary_key": meta.primary_key,
+                       "description": description, "created_at": time.time(),
+                       "row_count": rows}, f)
+        self._log("snapshot_create", table=table, snapshot=snap_id)
+        return {"snapshot_id": snap_id, "row_count": rows}
+
+    def snapshot_list(self, project: str, bucket: str, table: str) -> list[dict]:
+        sd = self.catalog.snapshot_dir(project, bucket, table)
+        out = []
+        if os.path.isdir(sd):
+            for e in sorted(os.listdir(sd)):
+                if e.endswith(".schema.json"):
+                    with open(os.path.join(sd, e)) as f:
+                        d = json.load(f)
+                    d["snapshot_id"] = e[:-len(".schema.json")]
+                    out.append(d)
+        return out
+
+    def snapshot_restore(self, project: str, bucket: str, table: str,
+                         snapshot_id: str) -> dict:
+        """S4: CREATE OR REPLACE from snapshot parquet, PK re-applied from
+        the sidecar (reference src/routers/snapshots.py:527-553)."""
+        sd = self.catalog.snapshot_dir(project, bucket, table)
+        path = os.path.join(sd, snapshot_id)
+        if not os.path.isdir(path):
+            raise NotFoundError(f"snapshot {snapshot_id} not found")
+        with open(path + ".schema.json") as f:
+            sidecar = json.load(f)
+        meta = TableMeta(columns=sidecar["columns"],
+                         primary_key=sidecar.get("primary_key", []),
+                         created_at=time.time())
+        df = self.spark.read.parquet(path)
+        with self.catalog.acquire(project, bucket, table):
+            self.catalog.write_meta(project, bucket, table, meta)
+            self._write_table(project, bucket, table, df)
+            rows = self.read_table(project, bucket, table).count()
+        self._log("snapshot_restore", table=table, snapshot=snapshot_id)
+        return {"row_count": rows}
+
+    # ------------------------------------------------------------ branches
+    def create_branch(self, project: str, branch: str) -> None:
+        """CreateDevBranch: empty branch dir; tables CoW on first write
+        (reference src/database.py:2848-2862)."""
+        d = self.catalog.project_dir(project, branch)
+        if os.path.exists(d):
+            raise AlreadyExistsError(f"branch {branch} exists")
+        os.makedirs(d)
+        self._log("create_branch", project=project, branch=branch)
+
+    def drop_branch(self, project: str, branch: str) -> None:
+        d = self.catalog.project_dir(project, branch)
+        if not os.path.isdir(d):
+            raise NotFoundError(f"branch {branch} not found")
+        shutil.rmtree(d)
+        self._log("drop_branch", project=project, branch=branch)
+
+    def branch_pull(self, project: str, branch: str, bucket: str, table: str) -> None:
+        """Refresh the branch copy from main
+        (reference src/routers/branches.py:288-372)."""
+        if not self.catalog.table_exists(project, bucket, table, branch):
+            raise NotFoundError(f"table {table} has no branch copy")
+        meta = self.catalog.read_meta(project, bucket, table)
+        df = self.read_table(project, bucket, table)
+        with self.catalog.acquire(project, bucket, table):
+            self.catalog.write_meta(project, bucket, table, meta, branch)
+            self._write_table(project, bucket, table, df, branch)
+        self._log("branch_pull", table=table, branch=branch)
+
+    # ------------------------------------------------- bucket share / link
+    def share_bucket(self, project: str, bucket: str) -> None:
+        """ShareBucket: mark shareable (metadata flag)."""
+        d = self.catalog.bucket_dir(project, bucket)
+        if not os.path.isdir(d):
+            raise NotFoundError(f"bucket {bucket} not found")
+        with open(os.path.join(d, ".shared.json"), "w") as f:
+            json.dump({"shared_at": time.time()}, f)
+        self._log("share_bucket", project=project, bucket=bucket)
+
+    def link_bucket(self, src_project: str, src_bucket: str,
+                    dst_project: str, dst_bucket: str) -> None:
+        """LinkBucket: destination bucket reads through to the source
+        (view-like indirection, no data copy)."""
+        sd = self.catalog.bucket_dir(src_project, src_bucket)
+        if not os.path.isfile(os.path.join(sd, ".shared.json")):
+            raise CatalogError(f"bucket {src_bucket} is not shared")
+        self.catalog.create_bucket(dst_project, dst_bucket)
+        with open(os.path.join(self.catalog.bucket_dir(dst_project, dst_bucket),
+                               ".link.json"), "w") as f:
+            json.dump({"project": src_project, "bucket": src_bucket}, f)
+        self._log("link_bucket", src=f"{src_project}/{src_bucket}",
+                  dst=f"{dst_project}/{dst_bucket}")
+
+    def list_linked_tables(self, project: str, bucket: str) -> list[str]:
+        src_p, src_b = self._resolve_link(project, bucket)
+        return self.catalog.list_tables(src_p, src_b)
+
+    # ----------------------------------------------------------- workspaces
+    def create_workspace(self, workspace: str) -> None:
+        d = self.catalog.workspace_dir(workspace)
+        if os.path.exists(d):
+            raise AlreadyExistsError(f"workspace {workspace} exists")
+        os.makedirs(d)
+        self._log("create_workspace", workspace=workspace)
+
+    def drop_workspace(self, workspace: str) -> None:
+        d = self.catalog.workspace_dir(workspace)
+        if not os.path.isdir(d):
+            raise NotFoundError(f"workspace {workspace} not found")
+        shutil.rmtree(d)
+        self._log("drop_workspace", workspace=workspace)
+
+    def clear_workspace(self, workspace: str) -> None:
+        d = self.catalog.workspace_dir(workspace)
+        if not os.path.isdir(d):
+            raise NotFoundError(f"workspace {workspace} not found")
+        for e in os.listdir(d):
+            shutil.rmtree(os.path.join(d, e), ignore_errors=True)
+        self._log("clear_workspace", workspace=workspace)
+
+    def load_table_to_workspace(self, workspace: str, project: str, bucket: str,
+                                table: str, dst_name: str,
+                                columns: list[str] | None = None,
+                                where: str | None = None) -> dict:
+        """W9 CTAS workspace load with columns/where pushdown
+        (reference src/database.py:3778-3836)."""
+        df = self.read_table(project, bucket, table)
+        if where:
+            df = df.filter(KF.raw_where(where))
+        if columns:
+            df = df.select(*columns)
+        dst = os.path.join(self.catalog.workspace_dir(workspace), dst_name)
+        df.write.mode("overwrite").parquet(dst)
+        n = self.spark.read.parquet(dst).count()
+        self._log("workspace_load", workspace=workspace, table=dst_name, rows=n)
+        return {"rows_loaded": n}
+
+    def workspace_table(self, workspace: str, name: str) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.catalog.workspace_dir(workspace), name))
+
+    # ------------------------------------------------ SQL passthrough (Q1/Q2)
+    def register_project_views(self, project: str,
+                               branch: str | None = None) -> list[str]:
+        """ATTACH-equivalent: every project table becomes a temp view named
+        '{bucket}_{table}' (reference src/pgwire_server.py:107-152)."""
+        views = []
+        for bucket in self.catalog.list_buckets(project):
+            for table in self.list_linked_tables(project, bucket):
+                name = f"{bucket}_{table}"
+                self.read_table(project, bucket, table, branch) \
+                    .createOrReplaceTempView(name)
+                views.append(name)
+        return views
+
+    def execute_query(self, project: str, sql: str,
+                      branch: str | None = None,
+                      timeout_seconds: float | None = None,
+                      stringify: bool = False) -> list[dict]:
+        """Q1 ExecuteQuery (reference src/grpc/handlers/query.py:95-161):
+        register views, run SQL, optionally stringify values like the
+        reference's protobuf marshaling. Statement timeout enforced by a
+        job-group cancel timer (the reference SETs statement_timeout)."""
+        self.register_project_views(project, branch)
+        sc = self.spark.sparkContext
+        group = f"exec-{uuid.uuid4().hex[:8]}"
+        sc.setJobGroup(group, sql[:100], interruptOnCancel=True)
+        timer = None
+        if timeout_seconds:
+            timer = threading.Timer(timeout_seconds,
+                                    lambda: sc.cancelJobGroup(group))
+            timer.start()
+        try:
+            rows = self.spark.sql(sql).collect()
+        finally:
+            if timer:
+                timer.cancel()
+            sc.setJobGroup("", "")
+        out = []
+        for r in rows:
+            d = r.asDict()
+            if stringify:
+                d = {k: (None if v is None else
+                         v.isoformat() if hasattr(v, "isoformat") else str(v))
+                     for k, v in d.items()}
+            out.append(d)
+        return out

@@ -1,0 +1,242 @@
+"""End-to-end engine lifecycle, mirroring the reference's workflow E2E suite
+(SURVEY §5: data-pipeline roundtrips, dedup modes, snapshot recovery, branch
+CoW, bucket sharing, workspace SQL)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from keboola_storage_duckdb_spark.catalog.catalog import (
+    AlreadyExistsError,
+    CatalogError,
+    NotFoundError,
+)
+from keboola_storage_duckdb_spark.engine import StorageEngine
+from keboola_storage_duckdb_spark.operators.dedup import DuplicateKeyError
+
+USERS_COLUMNS = [  # the reference's canonical fixture (FIXTURES.md §1)
+    {"name": "id", "type": "INTEGER", "nullable": False},
+    {"name": "name", "type": "VARCHAR", "nullable": True},
+    {"name": "email", "type": "VARCHAR", "nullable": True},
+    {"name": "age", "type": "INTEGER", "nullable": True},
+]
+
+CSV = """id,name,email,age
+1,Alice,alice@example.com,30
+2,Bob,bob@example.com,25
+3,Carol,,40
+"""
+
+CSV_V2 = """id,name,email,age
+2,Bobby,bobby@example.com,26
+4,Dave,dave@example.com,50
+"""
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    eng = StorageEngine(spark, str(wh))
+    eng.create_project("p1")
+    eng.create_bucket("p1", "in_c_data")
+    return eng
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("files")
+    p = str(d / "users.csv")
+    with open(p, "w") as f:
+        f.write(CSV)
+    p2 = str(d / "users_v2.csv")
+    with open(p2, "w") as f:
+        f.write(CSV_V2)
+    return {"v1": p, "v2": p2}
+
+
+def test_create_and_import_full_load(engine, csv_path):
+    engine.create_table("p1", "in_c_data", "users", USERS_COLUMNS,
+                        primary_key=["id"])
+    with pytest.raises(AlreadyExistsError):
+        engine.create_table("p1", "in_c_data", "users", USERS_COLUMNS)
+    res = engine.import_file("p1", "in_c_data", "users", csv_path["v1"],
+                             file_format="csv")
+    assert res["rows_after"] == 3
+    info = engine.table_info("p1", "in_c_data", "users")
+    assert info["row_count"] == 3
+    assert info["primary_key"] == ["id"]
+
+
+def test_null_roundtrip_and_timestamp(engine):
+    rows = engine.preview("p1", "in_c_data", "users",
+                          order_by=[{"column": "id"}])
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[3]["email"] is None          # empty CSV field → NULL
+    assert by_id[1]["_timestamp"] is not None  # system column added
+
+
+def test_incremental_update_duplicates(engine, csv_path):
+    res = engine.import_file("p1", "in_c_data", "users", csv_path["v2"],
+                             file_format="csv", incremental=True,
+                             dedup_mode="update_duplicates")
+    assert res["rows_after"] == 4  # 1,2(updated),3,4
+    rows = {r["id"]: r for r in engine.preview("p1", "in_c_data", "users")}
+    assert rows[2]["name"] == "Bobby"
+    assert rows[4]["name"] == "Dave"
+    assert rows[1]["name"] == "Alice"
+
+
+def test_incremental_do_nothing(engine, csv_path, tmp_path):
+    p = str(tmp_path / "v3.csv")
+    with open(p, "w") as f:
+        f.write("id,name,email,age\n2,Robert,r@example.com,27\n5,Eve,e@example.com,22\n")
+    engine.import_file("p1", "in_c_data", "users", p, file_format="csv",
+                       incremental=True, dedup_mode="do_nothing")
+    rows = {r["id"]: r for r in engine.preview("p1", "in_c_data", "users")}
+    assert rows[2]["name"] == "Bobby"  # kept, not overwritten
+    assert rows[5]["name"] == "Eve"    # new key inserted
+
+
+def test_fail_on_duplicates(engine, csv_path):
+    with pytest.raises(DuplicateKeyError):
+        engine.import_file("p1", "in_c_data", "users", csv_path["v2"],
+                           file_format="csv", incremental=True,
+                           dedup_mode="fail_on_duplicates")
+
+
+def test_filtered_export_roundtrip(engine, tmp_path):
+    out = str(tmp_path / "export_csv")
+    res = engine.export_to_file(
+        "p1", "in_c_data", "users", out, file_format="csv",
+        columns=["id", "name", "age"], where="age >= 26",
+        order_by=[{"column": "id"}])
+    assert res["rows_exported"] == 4  # Alice 30, Bobby 26, Carol 40, Dave 50
+    back = engine.spark.read.option("header", True).csv(out)
+    assert sorted(r["name"] for r in back.collect()) == ["Alice", "Bobby", "Carol", "Dave"]
+
+
+def test_typed_where_and_reftable_delete(engine, tmp_path):
+    res = engine.delete_rows(
+        "p1", "in_c_data", "users",
+        where_filters=[{"column": "age", "operator": "ge", "values": [50],
+                        "dataType": "INTEGER"}])
+    assert res["rows_deleted"] == 1  # Dave (50)
+    assert res["rows_remaining"] == 4
+
+
+def test_schema_evolution(engine):
+    engine.add_column("p1", "in_c_data", "users",
+                      {"name": "status", "type": "VARCHAR", "default": "active"})
+    rows = engine.preview("p1", "in_c_data", "users")
+    assert all(r["status"] == "active" for r in rows)
+    engine.alter_column("p1", "in_c_data", "users", "status",
+                        new_name="state", new_type="VARCHAR")
+    rows = engine.preview("p1", "in_c_data", "users")
+    assert all("state" in r for r in rows)
+    engine.drop_column("p1", "in_c_data", "users", "state")
+    assert "state" not in engine.preview("p1", "in_c_data", "users")[0]
+    with pytest.raises(CatalogError):
+        engine.drop_column("p1", "in_c_data", "users", "id")  # PK column
+
+
+def test_pk_management(engine, spark, tmp_path):
+    engine.drop_primary_key("p1", "in_c_data", "users")
+    assert engine.table_info("p1", "in_c_data", "users")["primary_key"] == []
+    engine.add_primary_key("p1", "in_c_data", "users", ["id"])
+    assert engine.table_info("p1", "in_c_data", "users")["primary_key"] == ["id"]
+    # D6 must reject a non-unique candidate key (validated, not assumed)
+    engine.create_table("p1", "in_c_data", "dupes", [
+        {"name": "k", "type": "INTEGER"}])
+    p = str(tmp_path / "dupes.csv")
+    with open(p, "w") as f:
+        f.write("k\n1\n1\n")
+    engine.import_file("p1", "in_c_data", "dupes", p, file_format="csv")
+    with pytest.raises(DuplicateKeyError):
+        engine.add_primary_key("p1", "in_c_data", "dupes", ["k"])
+    engine.drop_table("p1", "in_c_data", "dupes")
+
+
+def test_snapshot_create_restore(engine):
+    before = engine.table_info("p1", "in_c_data", "users")["row_count"]
+    snap = engine.snapshot_create("p1", "in_c_data", "users", "pre-delete")
+    assert snap["row_count"] == before
+    engine.delete_rows("p1", "in_c_data", "users")  # delete-all (auto-snapshot W11)
+    assert engine.table_info("p1", "in_c_data", "users")["row_count"] == 0
+    snaps = engine.snapshot_list("p1", "in_c_data", "users")
+    assert len(snaps) >= 2  # manual + auto pre-truncate
+    engine.snapshot_restore("p1", "in_c_data", "users", snap["snapshot_id"])
+    assert engine.table_info("p1", "in_c_data", "users")["row_count"] == before
+
+
+def test_branch_cow_divergence_and_pull(engine, tmp_path):
+    engine.create_branch("p1", "dev")
+    # branch read resolves to main before any branch write
+    main_rows = engine.table_info("p1", "in_c_data", "users")["row_count"]
+    assert engine.table_info("p1", "in_c_data", "users", branch="dev")[
+        "row_count"] == main_rows
+    # branch write triggers CoW; main untouched
+    p = str(tmp_path / "branch.csv")
+    with open(p, "w") as f:
+        f.write("id,name,email,age\n99,Branchy,b@example.com,1\n")
+    engine.import_file("p1", "in_c_data", "users", p, file_format="csv",
+                       incremental=True, dedup_mode="update_duplicates",
+                       branch="dev")
+    assert engine.table_info("p1", "in_c_data", "users", branch="dev")[
+        "row_count"] == main_rows + 1
+    assert engine.table_info("p1", "in_c_data", "users")["row_count"] == main_rows
+    # pull refreshes branch from main
+    engine.branch_pull("p1", "dev", "in_c_data", "users")
+    assert engine.table_info("p1", "in_c_data", "users", branch="dev")[
+        "row_count"] == main_rows
+
+
+def test_share_link_bucket(engine):
+    engine.create_project("p2")
+    engine.share_bucket("p1", "in_c_data")
+    engine.link_bucket("p1", "in_c_data", "p2", "in_linked")
+    assert "users" in engine.list_linked_tables("p2", "in_linked")
+    df = engine.read_table("p2", "in_linked", "users")
+    assert df.count() == engine.table_info("p1", "in_c_data", "users")["row_count"]
+
+
+def test_workspace_load_and_sql(engine):
+    engine.create_workspace("ws1")
+    res = engine.load_table_to_workspace(
+        "ws1", "p1", "in_c_data", "users", "u", columns=["id", "name"],
+        where="age >= 26")
+    assert res["rows_loaded"] == 3
+    assert engine.workspace_table("ws1", "u").columns == ["id", "name"]
+    rows = engine.execute_query(
+        "p1", "SELECT COUNT(*) AS n FROM in_c_data_users")
+    assert rows[0]["n"] == engine.table_info("p1", "in_c_data", "users")["row_count"]
+    engine.clear_workspace("ws1")
+    with pytest.raises(Exception):
+        engine.workspace_table("ws1", "u").count()
+
+
+def test_execute_query_stringify(engine):
+    rows = engine.execute_query(
+        "p1", "SELECT id, _timestamp FROM in_c_data_users ORDER BY id LIMIT 1",
+        stringify=True)
+    assert isinstance(rows[0]["id"], str)
+    assert "T" in rows[0]["_timestamp"]  # ISO serialized
+
+
+def test_import_from_table(engine):
+    engine.create_table("p1", "in_c_data", "users_copy", [
+        {"name": "uid", "type": "INTEGER", "nullable": False},
+        {"name": "uname", "type": "VARCHAR"},
+    ], primary_key=["uid"])
+    res = engine.import_from_table(
+        ("p1", "in_c_data", "users"), ("p1", "in_c_data", "users_copy"),
+        column_mappings={"id": "uid", "name": "uname"})
+    assert res["rows_after"] == engine.table_info(
+        "p1", "in_c_data", "users")["row_count"]
+
+
+def test_drop_guards(engine):
+    with pytest.raises(CatalogError):
+        engine.drop_bucket("p1", "in_c_data")  # not empty
+    with pytest.raises(NotFoundError):
+        engine.drop_table("p1", "in_c_data", "missing")
