@@ -311,23 +311,28 @@ def q_corr_pairs(spark, sf_dir):
 
 def q_string_stats(spark, sf_dir):
     """A9+A11: per-string-column length stats and empty/whitespace counts
-    (reference src/database.py:5413-5421) over documents."""
+    (reference src/database.py:5413-5421) over documents. ONE scan computes
+    all columns' aggregates (the reference loops per column); stack()
+    reshapes the single agg row — no re-scan per column."""
     df = _t(spark, sf_dir, "documents")
-    rows = []
-    for c in ["text", "lang", "source"]:
-        rows.append(df.agg(
-            F.lit(c).alias("col"),
-            F.count(F.col(c)).alias("non_null"),
-            F.count(F.when(F.col(c) == "", 1)).alias("empty_count"),
-            F.count(F.when((F.col(c) != "") & (F.trim(F.col(c)) == ""), 1)).alias("whitespace_count"),
-            (F.sum(F.length(c)).cast("double") / F.count(F.col(c))).alias("len_avg"),
-            F.min(F.length(c)).alias("len_min"),
-            F.max(F.length(c)).alias("len_max"),
-        ))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    cols = ["text", "lang", "source"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.count(F.when(F.col(c) == "", 1)).alias(f"em_{c}"),
+            F.count(F.when((F.col(c) != "") & (F.trim(F.col(c)) == ""), 1))
+             .alias(f"ws_{c}"),
+            (F.sum(F.length(c)).cast("double") / F.count(F.col(c))).alias(f"la_{c}"),
+            F.min(F.length(c)).alias(f"ln_{c}"),
+            F.max(F.length(c)).alias(f"lx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', nn_{c}, em_{c}, ws_{c}, la_{c}, ln_{c}, lx_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {parts}) as "
+        "(col, non_null, empty_count, whitespace_count, len_avg, len_min, len_max)")
 
 
 def _string_stats_sql():
@@ -440,17 +445,19 @@ def q_quantiles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     probs = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
     parr = "array(" + ",".join(f"CAST({p} AS DOUBLE)" for p in probs) + ")"
-    rows = []
-    for c in ["l_quantity", "l_extendedprice", "l_discount"]:
-        rows.append(
-            li.select(F.posexplode(F.expr(f"percentile({c}, {parr})")).alias("i", "v"))
-              .select(F.lit(c).alias("col"),
-                      F.element_at(F.lit(probs), F.col("i") + 1).alias("p"),
-                      F.round("v", 6).alias("v")))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    # ONE scan: all three exact-percentile arrays in a single agg, then
+    # reshape the one-row result (explode cols, posexplode probs).
+    one = li.agg(*[F.expr(f"percentile({c}, {parr})").alias(f"q_{c}")
+                   for c in cols])
+    rows = one.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col"), F.col(f"q_{c}").alias("vs"))
+        for c in cols])).alias("e"))
+    return (rows.select(F.col("e.col").alias("col"),
+                        F.posexplode(F.col("e.vs")).alias("i", "v0"))
+                .select("col",
+                        F.element_at(F.lit(probs), F.col("i") + 1).alias("p"),
+                        F.round("v0", 6).alias("v")))
 
 
 def _quantiles_sql():

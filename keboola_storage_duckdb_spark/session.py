@@ -52,6 +52,13 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # local[N] runs everything in the driver JVM, whose default 1g heap OOMs
+    # on shuffle-heavy operators (e.g. the inverted-index near-dup joins).
+    # Only effective at JVM launch — getOrCreate passes it to spark-submit;
+    # a no-op on an already-running session.
+    conf.setdefault("spark.driver.memory",
+                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+    conf.setdefault("spark.driver.maxResultSize", "4g")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
