@@ -34,8 +34,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       parallel: bool = False) -> DataFrame:
+    """Load a fixture table. ``parallel=True`` repartitions to core count for
+    compute-bound consumers: the driver fixtures are single-row-group parquet,
+    so the scan yields ONE task and everything pipelined onto it (heavy aggs,
+    cross joins) serializes. Column pruning and filters still push through
+    the exchange, so pure scans/limits should NOT set it (extra shuffle)."""
+    df = load_table(spark, sf_dir, name)
+    if parallel:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -665,22 +674,25 @@ def q_sessionize(spark, sf_dir):
 
 def _lang_id_sql():
     from keboola_storage_duckdb_spark.functions.text import STOPWORDS
-    vals = ", ".join(f"('{lang}', '{w}')"
-                     for lang, ws in STOPWORDS.items() for w in ws)
+    langs = sorted(STOPWORDS)
+    hsel = ", ".join(
+        "len(list_filter(toks, x -> list_contains([{ws}], x))) AS h_{lg}".format(
+            ws=", ".join(f"'{w}'" for w in STOPWORDS[lg]), lg=lg)
+        for lg in langs)
+    greatest = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    whens = []
+    for lg in langs[:-1]:
+        cond = " AND ".join(f"h_{lg} >= h_{l2}" for l2 in langs if l2 > lg)
+        whens.append(f"WHEN {cond} THEN '{lg}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
     return f"""
-WITH lex(lex_lang, word) AS (VALUES {vals}),
-toks AS (SELECT doc_id AS id, unnest(str_split(lower(text), ' ')) AS word
-         FROM documents),
-hits AS (SELECT id, lex_lang, COUNT(*) AS hits
-         FROM toks JOIN lex USING (word) GROUP BY id, lex_lang),
-best AS (SELECT id, lex_lang AS pred_lang, hits,
-                row_number() OVER (PARTITION BY id
-                                   ORDER BY hits DESC, lex_lang ASC) AS rn
-         FROM hits)
-SELECT d.doc_id AS id, COALESCE(b.pred_lang, 'und') AS pred_lang,
-       COALESCE(b.hits, 0) AS hits
-FROM documents d
-LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.id = d.doc_id"""
+WITH t AS (SELECT doc_id AS id, str_split(lower(text), ' ') AS toks
+           FROM documents),
+h AS (SELECT id, {hsel} FROM t)
+SELECT id,
+       CASE WHEN {greatest} = 0 THEN 'und' ELSE {case} END AS pred_lang,
+       {greatest} AS hits
+FROM h"""
 
 
 def _minhash_sql(n_hashes=12, band_size=4, threshold=0.8):

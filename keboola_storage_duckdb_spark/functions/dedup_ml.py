@@ -33,22 +33,39 @@ def word_tokens(text_col: str | Column) -> Column:
     return F.split(c, " ")
 
 
+def _par(df: DataFrame, mult: int = 1) -> int:
+    """Target partition count for compute-heavy stages: the session's core
+    parallelism (not the input's — a single-row-group parquet scan or an
+    AQE-coalesced shuffle can leave a tiny partition count feeding a stage
+    whose cost is quadratic in its *output*, serializing the heavy work)."""
+    return df.sparkSession.sparkContext.defaultParallelism * mult
+
+
 def shingle_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, shingle) distinct pairs — the set representation used by
-    Jaccard/MinHash. Shingles are adjacent word 2-grams; docs with <2 tokens
-    yield none (guarded: Spark's sequence(1,0) counts DOWN, unlike DuckDB's
-    generate_series which returns empty)."""
+    """(id, n, shingle) — one row per *distinct* shingle of each doc, with
+    ``n`` = the doc's distinct-shingle count carried alongside. Shingles are
+    adjacent word 2-grams; docs with <2 tokens yield none (guarded: Spark's
+    sequence(1,0) counts DOWN, unlike DuckDB's generate_series which returns
+    empty).
+
+    Dedup is per-row ``array_distinct`` (set semantics are per-document), so
+    NO ``distinct()`` shuffle is needed, and carrying ``n`` through the
+    explode lets Jaccard consumers skip a separate per-doc size aggregation
+    plus its two re-join steps — the whole set representation is one
+    shuffle-free narrow map."""
     toks = docs.select(F.col(id_col).alias("id"),
                        word_tokens(text_col).alias("toks"))
-    sh = toks.select(
+    toks = toks.repartition(_par(docs))  # explode fan-out off 1-split inputs
+    arr = toks.select(
         "id",
-        F.explode(
+        F.array_distinct(
             F.when(F.size("toks") < 2, F.array().cast("array<string>"))
              .otherwise(F.expr(
                  "transform(sequence(1, size(toks) - 1), "
                  "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-        ).alias("shingle"))
-    return sh.distinct()
+        ).alias("shs"))
+    return arr.select("id", F.size("shs").alias("n"),
+                      F.explode("shs").alias("shingle"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
@@ -62,20 +79,28 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
     """
     sh = shingle_df(docs, id_col, text_col)
     if max_doc_freq is not None:
+        from pyspark.sql import Window
+
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
-                .select("id", "shingle"))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+                .select("id", "shingle")
+                # set sizes must reflect the *surviving* shingles
+                .withColumn("n", F.count(F.lit(1))
+                                  .over(Window.partitionBy("id"))))
+    # The streamed side must be wide: the broadcast join's *output* is
+    # Σ df(s)² rows (≫ input), so a small input partition count would
+    # serialize the pair-count aggregation. Explicit repartition pins the
+    # fan-out stage at 2× core count. Set sizes na/nb ride along and come
+    # out of the agg as per-pair constants — no size re-join.
+    a = (sh.repartition(_par(sh, 2))
+           .select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
     common = (a.join(b, "shingle")
                 .filter(F.col("id_a") < F.col("id_b"))
                 .groupBy("id_a", "id_b")
-                .agg(F.count(F.lit(1)).alias("common")))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    out = (common.join(sa, "id_a").join(sb, "id_b")
-                 .withColumn("jaccard",
+                .agg(F.count(F.lit(1)).alias("common"),
+                     F.first("na").alias("na"), F.first("nb").alias("nb")))
+    out = (common.withColumn("jaccard",
                              F.col("common").cast("double")
                              / (F.col("na") + F.col("nb") - F.col("common")))
                  .filter(F.col("jaccard") >= threshold)
@@ -94,14 +119,15 @@ def minhash_band_buckets(docs: DataFrame, id_col: str, text_col: str,
     """
     assert n_hashes % band_size == 0
     sh = shingle_df(docs, id_col, text_col)
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed")
-    hashed = sh.select("id", "shingle", seeds).select(
-        "id", "seed",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"),
-                       F.col("shingle"))).alias("h"))
-    sig = hashed.groupBy("id").agg(
-        *[F.min(F.when(F.col("seed") == s, F.col("h"))).alias(f"mh{s}")
+    # One row per shingle with n_hashes hash *columns* (not an n_hashes-way
+    # explode): map-side combine then reduces (id → n_hashes mins) directly,
+    # shuffling one row per (doc, shingle) instead of n_hashes rows.
+    hashed = sh.select(
+        "id",
+        *[F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h{s}")
           for s in range(n_hashes)])
+    sig = hashed.groupBy("id").agg(
+        *[F.min(F.col(f"h{s}")).alias(f"mh{s}") for s in range(n_hashes)])
     n_bands = n_hashes // band_size
     band_cols = []
     for b in range(n_bands):
@@ -130,18 +156,22 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
                  .select("id_a", "id_b").distinct())
 
     sh = shingle_df(docs, id_col, text_col)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (a.join(b, "shingle")
-                .filter(F.col("id_a") < F.col("id_b"))
-                .join(cands, ["id_a", "id_b"], "left_semi")
+    # Candidate-driven verify: expand each candidate pair with id_a's
+    # shingles (broadcast of the small candidate set), then count matches
+    # against id_b's shingles. Cost is Σ_cand |shingles(id_a)| — proportional
+    # to the number of candidates LSH emits, never the full inverted-index
+    # pair product the exact operator pays. Set sizes ride along (shingle_df
+    # carries n), so no size re-joins.
+    a_sh = (F.broadcast(cands)
+            .join(sh.select(F.col("id").alias("id_a"),
+                            F.col("n").alias("na"), "shingle"), "id_a"))
+    common = (sh.select(F.col("id").alias("id_b"),
+                        F.col("n").alias("nb"), "shingle")
+                .join(F.broadcast(a_sh), ["id_b", "shingle"])
                 .groupBy("id_a", "id_b")
-                .agg(F.count(F.lit(1)).alias("common")))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    return (common.join(sa, "id_a").join(sb, "id_b")
-                  .withColumn("jaccard",
+                .agg(F.count(F.lit(1)).alias("common"),
+                     F.first("na").alias("na"), F.first("nb").alias("nb")))
+    return (common.withColumn("jaccard",
                               F.col("common").cast("double")
                               / (F.col("na") + F.col("nb") - F.col("common")))
                   .filter(F.col("jaccard") >= threshold)
@@ -154,7 +184,8 @@ def simhash(docs: DataFrame, id_col: str, text_col: str,
 
     Token hash = first 8 md5 hex chars → uint32; per-bit vote sum; sign →
     bit. Returns (id, simhash). One explode + one groupBy — linear."""
-    toks = (docs.select(F.col(id_col).alias("id"),
+    toks = (docs.repartition(_par(docs))
+                .select(F.col(id_col).alias("id"),
                         F.explode(word_tokens(text_col)).alias("tok"))
                 .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
                                   .cast("bigint")))

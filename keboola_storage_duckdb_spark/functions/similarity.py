@@ -47,9 +47,13 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
     q = with_norm(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv")), "qv", "qn")
+    # Candidates stream past the broadcast queries; Q·N dot products are the
+    # cost, so pin the streamed side at core parallelism (a single-row-group
+    # scan would otherwise run the whole cross product in one task).
     c = with_norm(
         vectors.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("cv")), "cv", "cn")
+                       F.col(vec_col).alias("cv")), "cv", "cn") \
+        .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
     scored = (c.crossJoin(F.broadcast(q))
                .filter(F.col("neighbor_id") != F.col("query_id"))
                .withColumn("score", F.round(cosine_expr("qv", "cv", "qn", "cn"), 6)))
@@ -94,7 +98,9 @@ def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
     Recall < 1 by construction; bucket join replaces the cross product."""
     from pyspark.sql import Window
 
-    cand = lsh_bucket(vectors, id_col, vec_col, n_planes, dim)
+    cand = lsh_bucket(
+        vectors.repartition(vectors.sparkSession.sparkContext.defaultParallelism),
+        id_col, vec_col, n_planes, dim)
     qb = (lsh_bucket(queries, id_col, vec_col, n_planes, dim)
           .select(F.col("id").alias("query_id"), F.col("vec").alias("qv"),
                   "bucket"))
@@ -120,11 +126,15 @@ def cosine_near_dup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
                                  F.col(vec_col).alias("v"),
                                  *([F.col(block_col).alias("blk")] if block_col else [])),
                   "v", "n2")
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                 F.col("n2").alias("na"), *([F.col("blk")] if block_col else []))
+    # The N² dot products dominate; spread the streamed side across cores
+    # (the other side is broadcast / co-partitioned by block).
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    a = v.repartition(par).select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n2").alias("na"), *([F.col("blk")] if block_col else []))
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
                  F.col("n2").alias("nb"), *([F.col("blk")] if block_col else []))
-    joined = a.join(b, on="blk") if block_col else a.crossJoin(b)
+    joined = a.join(b, on="blk") if block_col else a.crossJoin(F.broadcast(b))
     return (joined.filter(F.col("id_a") < F.col("id_b"))
                   .withColumn("score", F.round(cosine_expr("va", "vb", "na", "nb"), 6))
                   .filter(F.col("score") >= threshold)

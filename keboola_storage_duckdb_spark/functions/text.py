@@ -42,27 +42,41 @@ def lexicon_df(spark):
 
 
 def language_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Stopword-profile language ID: explode lowercase tokens, join the
-    (broadcast) lexicon, count hits per language, argmax with deterministic
-    tie-break (hits desc, lang asc). Docs with zero hits → 'und'.
+    """Stopword-profile language ID, fully per-row: per language,
+    hits = occurrence count of that language's stopwords in the lowercased
+    token stream (``size(filter(tokens, …))``), then a scalar argmax with
+    deterministic tie-break (hits desc, lang asc). Zero hits → 'und'.
 
-    Scale: lexicon is broadcast (no shuffle for the join); the only shuffle
-    is the groupBy on (doc, lang) — linear in token count."""
-    spark = docs.sparkSession
-    toks = docs.select(F.col(id_col).alias("id"),
-                       F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"))
-    hits = (toks.join(F.broadcast(lexicon_df(spark)), "word")
-                .groupBy("id", "lex_lang")
-                .agg(F.count(F.lit(1)).alias("hits")))
-    w = Window.partitionBy("id").orderBy(F.col("hits").desc(), F.col("lex_lang").asc())
-    best = (hits.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("id", F.col("lex_lang").alias("pred_lang"), "hits"))
-    ids = docs.select(F.col(id_col).alias("id"))
-    return (ids.join(best, "id", "left")
-               .select("id",
-                       F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
-                       F.coalesce("hits", F.lit(0)).alias("hits")))
+    Scale: no explode, no join, no shuffle — a narrow map over the corpus
+    that whole-stage-codegens; the lexicon is inlined as literal arrays.
+    (An earlier explode+broadcast-join+window formulation shuffled the full
+    token stream; this one is embarrassingly parallel.)"""
+    langs = sorted(STOPWORDS)  # tie-break order = alphabetical
+
+    def _hits(ws):
+        # NB: F.filter dispatches on lambda arity — a second (default) arg
+        # would be bound to the element *index* column.
+        return lambda x: x.isin(ws)
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        *[F.size(F.filter(toks, _hits(STOPWORDS[lg]))).alias(f"h_{lg}")
+          for lg in langs])
+    hcols = [F.col(f"h_{lg}") for lg in langs]
+    best = F.greatest(*hcols)
+    # first lang (alphabetically) reaching the max ← `>=` cascade
+    pred = F.lit(langs[-1])
+    for lg in reversed(langs[:-1]):
+        later = [F.col(f"h_{l2}") for l2 in langs if l2 > lg]
+        cond = F.col(f"h_{lg}") >= later[0]
+        for c in later[1:]:
+            cond = cond & (F.col(f"h_{lg}") >= c)
+        pred = F.when(cond, F.lit(lg)).otherwise(pred)
+    return base.select(
+        "id",
+        F.when(best == 0, F.lit("und")).otherwise(pred).alias("pred_lang"),
+        best.cast("bigint").alias("hits"))
 
 
 def quality_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
