@@ -672,6 +672,228 @@ def q_sessionize(spark, sf_dir):
     return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Wave 2 coverage: pattern profiling, sampling, term extraction, grouping
+# sets, as-of join, JSON functions, running windows, dedup clustering
+# ---------------------------------------------------------------------------
+
+def q_pattern_profile(spark, sf_dir):
+    """Profiler pattern detection (reference src/database.py:5439-5472):
+    7 anchored regex detectors x 3 columns in ONE scan (the reference loops
+    per column/pattern). ts rendered to a string column so the datetime
+    detector has real positives."""
+    from keboola_storage_duckdb_spark.operators.profile import pattern_counts
+    ev = _t(spark, sf_dir, "events")
+    der = ev.select("event_type", "props",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"))
+    return pattern_counts(der, ["event_type", "props", "ts_str"])
+
+
+def _pattern_profile_sql():
+    from keboola_storage_duckdb_spark.operators.profile import PATTERNS
+    cols = ["event_type", "props", "ts_str"]
+    aggs, rows = [], []
+    for c in cols:
+        aggs.append(f"COUNT({c}) AS nn_{c}")
+        for pn, pat in PATTERNS.items():
+            aggs.append(f"COUNT(*) FILTER (WHERE regexp_matches({c}, '{pat}')) AS m_{c}_{pn}")
+            rows.append(
+                f"SELECT '{c}' AS col, '{pn}' AS pattern, nn_{c} AS n_nonnull, "
+                f"m_{c}_{pn} AS n_match, "
+                f"CAST(m_{c}_{pn} AS DOUBLE) / nullif(nn_{c}, 0) AS match_share FROM a")
+    return ("WITH d AS (SELECT event_type, props, "
+            "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str FROM events),\n"
+            "a AS (SELECT " + ", ".join(aggs) + " FROM d)\n"
+            + "\nUNION ALL\n".join(rows))
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling (5%% via md5(id) mod 20) — the
+    reproducible train/eval-split primitive for training pipelines; md5 is
+    engine-portable so the sample is exact cross-engine (unlike
+    TABLESAMPLE/rand which are seed- and partitioning-dependent)."""
+    docs = _t(spark, sf_dir, "documents")
+    h = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("bigint"))
+    return docs.filter(h % 20 == 0).select("doc_id", "lang", "n_chars")
+
+
+_HASH_SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 20 = 0"""
+
+
+def q_top_terms(spark, sf_dir):
+    """Distinctive-term extraction: top-3 terms per doc ranked by
+    (tf desc, corpus df asc, word asc) — TF-IDF ordering without the libm
+    log (cross-engine exact; log() rounding differs between libraries)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.col("doc_id").alias("id"),
+                       F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    tf = toks.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("word").asc())
+    return (tf.join(dfreq, "word")
+              .withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 3)
+              .select("id", "word", "tf", "df", "rank"))
+
+
+_TOP_TERMS_SQL = """
+WITH toks AS (SELECT doc_id AS id, unnest(str_split(lower(text), ' ')) AS word
+              FROM documents),
+tf AS (SELECT id, word, COUNT(*) AS tf FROM toks GROUP BY id, word),
+dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word)
+SELECT id, word, tf, df, rank FROM (
+  SELECT tf.id, tf.word, tf.tf, dfreq.df,
+         CAST(row_number() OVER (PARTITION BY tf.id
+                                 ORDER BY tf.tf DESC, dfreq.df ASC, tf.word ASC) AS INTEGER) AS rank
+  FROM tf JOIN dfreq USING (word))
+WHERE rank <= 3"""
+
+
+def q_rollup_agg(spark, sf_dir):
+    """Grouping sets (SURVEY SS2.4 "no rollup in service code" — provided via
+    the SQL surface): ROLLUP over (returnflag, linestatus) with exact
+    decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(4,2)")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.sum(qty).cast("double").alias("sum_qty")))
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (beyond-reference; SURVEY SS2.3 notes the reference has no
+    range/as-of joins): for every 'error' event, the most recent 'click' by
+    the same user at or before it. Spark plan = union + partitioned window
+    (one shuffle, no row expansion); the DuckDB oracle is the same
+    formulation (DuckDB's native ASOF JOIN is equivalent but breaks
+    equal-timestamp ties arbitrarily — the window form pins the tie-break)."""
+    from keboola_storage_duckdb_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+                .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ts",
+                        F.col("event_id").alias("click_id"),
+                        F.col("ts").alias("click_ts")))
+    out = asof_join(errors, clicks, on="user_id", ts="ts",
+                    right_cols=["click_id", "click_ts"], suffix="")
+    return out.select(
+        "event_id", "user_id", "ts", "click_id", "click_ts",
+        ((F.unix_micros("ts") - F.unix_micros("click_ts"))
+         / F.lit(1000000.0)).alias("gap_s"))
+
+
+_ASOF_SQL = """
+WITH u AS (
+  SELECT user_id AS k, ts AS t, 0 AS kind, event_id AS click_id, ts AS click_ts,
+         NULL::BIGINT AS event_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1, NULL, NULL, event_id
+  FROM events WHERE event_type = 'error'
+), w AS (
+  SELECT *,
+         last_value(click_id IGNORE NULLS) OVER win AS c_id,
+         last_value(click_ts IGNORE NULLS) OVER win AS c_ts
+  FROM u
+  WINDOW win AS (PARTITION BY k ORDER BY t, kind, click_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, k AS user_id, t AS ts, c_id AS click_id, c_ts AS click_ts,
+       date_diff('microsecond', c_ts, t) / 1000000.0 AS gap_s
+FROM w WHERE kind = 1"""
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON functions (SURVEY SS2.8 JSON family): extract props.$.k, typed
+    aggregate per event_type (exact int sums; avg as sum/count)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.select("event_type", k.alias("k"))
+              .groupBy("event_type")
+              .agg(F.count("k").alias("n"),
+                   F.sum("k").alias("sum_k"),
+                   F.min("k").alias("min_k"),
+                   F.max("k").alias("max_k"),
+                   (F.sum("k").cast("double") / F.count("k")).alias("avg_k")))
+
+
+_JSON_SQL = """
+WITH e AS (SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type, COUNT(k) AS n, SUM(k) AS sum_k, MIN(k) AS min_k,
+       MAX(k) AS max_k, CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+FROM e GROUP BY event_type"""
+
+
+def q_running_window(spark, sf_dir):
+    """Running windows: per-user cumulative value (exact decimal running
+    sum) + inter-event gap via lag. One shuffle on user_id; frame order
+    pinned by (ts, event_id) so the running sum is deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(12,2)")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(v).over(w).cast("double").alias("run_value"),
+        ((F.unix_micros(F.col("ts"))
+          - F.unix_micros(F.lag("ts").over(wl))) / F.lit(1000000.0)).alias("gap_s"))
+
+
+_RUNNING_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER win AS DOUBLE) AS run_value,
+       date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+         / 1000000.0 AS gap_s
+FROM events
+WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup clustering: connected components (iterative min-label
+    propagation) over the cosine near-dup pair graph — turns pairwise
+    near-dup hits into keep-one-per-cluster groups. Oracle = recursive CTE
+    reachability closure (exact same min-id-per-component labels)."""
+    from keboola_storage_duckdb_spark.functions.graph import connected_components
+    from keboola_storage_duckdb_spark.functions.similarity import cosine_near_dup_pairs
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    return connected_components(edges)
+
+
+def _dedup_clusters_sql():
+    return f"""
+WITH RECURSIVE v AS (SELECT vec_id, embedding,
+                            {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
+                     FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                  / (sqrt(a.n2) * sqrt(b.n2)), 6) >= 0.45),
+ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+r AS (SELECT DISTINCT a AS id, a AS lab FROM ed
+      UNION
+      SELECT ed.b AS id, r.lab FROM r JOIN ed ON ed.a = r.id)
+SELECT id, MIN(lab) AS cluster FROM r GROUP BY id"""
+
+
 def _lang_id_sql():
     from keboola_storage_duckdb_spark.functions.text import STOPWORDS
     langs = sorted(STOPWORDS)
@@ -873,6 +1095,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "hourly_rollup": q_hourly_rollup,
     "sessionize": q_sessionize,
+    "pattern_profile": q_pattern_profile,
+    "hash_sample": q_hash_sample,
+    "top_terms": q_top_terms,
+    "rollup_agg": q_rollup_agg,
+    "asof_join": q_asof_join,
+    "json_extract": q_json_extract,
+    "running_window": q_running_window,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 
@@ -1086,4 +1316,12 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": __import__(
             "keboola_storage_duckdb_spark.streaming.events", fromlist=["x"]
         ).SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000),
+        "pattern_profile": _pattern_profile_sql(),
+        "hash_sample": _HASH_SAMPLE_SQL,
+        "top_terms": _TOP_TERMS_SQL,
+        "rollup_agg": _ROLLUP_SQL,
+        "asof_join": _ASOF_SQL,
+        "json_extract": _JSON_SQL,
+        "running_window": _RUNNING_SQL,
+        "dedup_clusters": _dedup_clusters_sql(),
     }

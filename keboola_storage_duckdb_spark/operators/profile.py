@@ -324,3 +324,30 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float, bins: int = 10) -> 
               .withColumn("lo", (F.lit(lo) + F.col("bucket") * F.lit(w)))
               .withColumn("hi", (F.lit(lo) + (F.col("bucket") + 1) * F.lit(w)))
               .select("bucket", "lo", "hi", "cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Pattern detection as a standalone relational operator (profiler piece
+# A-patterns, reference src/database.py:5439-5472: regexp_full_match of 7
+# anchored detectors per string column). One scan computes every
+# (column, pattern) count; stack() reshapes the single agg row.
+# ---------------------------------------------------------------------------
+
+def pattern_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col, pattern, n_nonnull, n_match, match_share) for every string
+    column × detector. Anchored rlike == DuckDB regexp_full_match semantics
+    (Spark rlike is substring search; PATTERNS carry ^…$ anchors)."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        for pname, pat in PATTERNS.items():
+            aggs.append(F.count(F.when(F.col(c).rlike(pat), 1))
+                         .alias(f"m_{c}_{pname}"))
+    one = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', '{p}', nn_{c}, m_{c}_{p}, "
+        f"CAST(m_{c}_{p} AS DOUBLE) / nullif(nn_{c}, 0)"
+        for c in cols for p in PATTERNS)
+    n = len(cols) * len(PATTERNS)
+    return one.selectExpr(
+        f"stack({n}, {parts}) as (col, pattern, n_nonnull, n_match, match_share)")

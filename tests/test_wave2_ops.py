@@ -1,0 +1,98 @@
+"""Wave-2 operators: as-of join, connected components, pattern profiling,
+deterministic hash sampling, rollup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic(spark):
+    from keboola_storage_duckdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01 10:00:00")),
+         (2, 1, _ts("2024-01-01 12:00:00")),
+         (3, 2, _ts("2024-01-01 10:30:00"))],
+        ["eid", "uid", "ts"])
+    right = spark.createDataFrame(
+        [(100, 1, _ts("2024-01-01 09:00:00")),
+         (101, 1, _ts("2024-01-01 11:00:00")),
+         (102, 2, _ts("2024-01-01 11:00:00"))],  # after left row 3
+        ["rid", "uid", "ts"])
+    out = asof_join(left, right.select("uid", "ts", "rid"),
+                    on="uid", ts="ts", right_cols=["rid"], suffix="")
+    got = {r.eid: r.rid for r in out.collect()}
+    assert got == {1: 100, 2: 101, 3: None}
+
+
+def test_asof_join_inclusive_at_equal_ts(spark):
+    from keboola_storage_duckdb_spark.operators.asof import asof_join
+
+    t = _ts("2024-01-01 10:00:00")
+    left = spark.createDataFrame([(1, 1, t)], ["eid", "uid", "ts"])
+    right = spark.createDataFrame([(100, 1, t)], ["rid", "uid", "ts"])
+    out = asof_join(left, right.select("uid", "ts", "rid"),
+                    on="uid", ts="ts", right_cols=["rid"], suffix="")
+    assert out.collect()[0].rid == 100  # right row at exactly left.ts matches
+
+
+def test_connected_components_two_clusters(spark):
+    from keboola_storage_duckdb_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4)], ["id_a", "id_b"])
+    got = {r.id: r.cluster for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_chain_converges(spark):
+    # a 12-node path graph needs several propagation rounds
+    from keboola_storage_duckdb_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    got = {r.id: r.cluster for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_pattern_counts_detects(spark):
+    from keboola_storage_duckdb_spark.operators.profile import pattern_counts
+
+    df = spark.createDataFrame(
+        [("a@b.com", "2024-01-02"), ("not-an-email", "2024-01-03"),
+         (None, "nope")],
+        ["email_col", "date_col"])
+    rows = {(r.col, r.pattern): r for r in
+            pattern_counts(df, ["email_col", "date_col"]).collect()}
+    assert rows[("email_col", "email")].n_match == 1
+    assert rows[("email_col", "email")].n_nonnull == 2
+    assert rows[("date_col", "date_iso")].n_match == 2
+    assert rows[("date_col", "email")].n_match == 0
+    assert rows[("email_col", "email")].match_share == pytest.approx(0.5)
+
+
+def test_hash_sample_deterministic(spark, sf_dir):
+    import __spark_entry__ as E
+
+    a = sorted(r.doc_id for r in E.q_hash_sample(spark, sf_dir).collect())
+    b = sorted(r.doc_id for r in E.q_hash_sample(spark, sf_dir).collect())
+    assert a == b and len(a) > 0
+
+
+def test_rollup_has_grand_total(spark, sf_dir):
+    import __spark_entry__ as E
+
+    rows = E.q_rollup_agg(spark, sf_dir).collect()
+    total = [r for r in rows if r.l_returnflag is None and r.l_linestatus is None]
+    assert len(total) == 1
+    assert total[0].n_rows == sum(
+        r.n_rows for r in rows
+        if r.l_returnflag is not None and r.l_linestatus is not None)
