@@ -587,7 +587,8 @@ def q_ngram_jaccard(spark, sf_dir):
     join — no all-pairs product."""
     from keboola_storage_duckdb_spark.functions.dedup_ml import ngram_jaccard_pairs
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8,
+                               pack_ids=True)  # doc_id: non-negative < 2^32
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -894,6 +895,115 @@ r AS (SELECT DISTINCT a AS id, a AS lab FROM ed
 SELECT id, MIN(lab) AS cluster FROM r GROUP BY id"""
 
 
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: the reference's flagship profiler as a relational result, and the
+# ExecuteQuery SQL-passthrough surface (Q1)
+# ---------------------------------------------------------------------------
+
+_PROFILE_NUM = {  # col -> exact-sum expression kind
+    "o_orderkey": "bigint", "o_custkey": "bigint", "o_totalprice": "decimal",
+}
+_PROFILE_STR = ["o_orderstatus", "o_orderpriority"]
+
+_CARD_CASE = (
+    "CASE WHEN {n} = 0 THEN 'constant' "
+    "WHEN {d} = {n} THEN 'unique' "
+    "WHEN {d} = 1 THEN 'constant' "
+    "WHEN CAST({d} AS DOUBLE) / {n} > 0.9 THEN 'high' "
+    "WHEN CAST({d} AS DOUBLE) / {n} > 0.5 THEN 'medium' "
+    "WHEN CAST({d} AS DOUBLE) / {n} > 0.1 THEN 'low' "
+    "ELSE 'very_low' END")
+
+
+def q_table_profile(spark, sf_dir):
+    """The reference's table-profile operator (get_table_profile,
+    src/database.py:5132-5437) relationalized: one scan computes every
+    column's non-null / exact-distinct counts, min/max/mean (numerics) or
+    length stats (strings), plus the reference's cardinality classes
+    (src/database.py:5317-5329) — the reference issues these queries
+    serially per column; here it is a single multi-aggregate pass + stack.
+    """
+    df = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c, kind in _PROFILE_NUM.items():
+        s = (F.sum(F.col(c).cast("decimal(12,2)")) if kind == "decimal"
+             else F.sum(c))
+        aggs += [F.count(F.col(c)).alias(f"nn_{c}"),
+                 F.countDistinct(F.col(c)).alias(f"d_{c}"),
+                 F.min(c).cast("double").alias(f"mn_{c}"),
+                 F.max(c).cast("double").alias(f"mx_{c}"),
+                 (s.cast("double") / F.count(F.col(c))).alias(f"av_{c}")]
+    for c in _PROFILE_STR:
+        aggs += [F.count(F.col(c)).alias(f"nn_{c}"),
+                 F.countDistinct(F.col(c)).alias(f"d_{c}"),
+                 F.min(F.length(c)).cast("double").alias(f"mn_{c}"),
+                 F.max(F.length(c)).cast("double").alias(f"mx_{c}"),
+                 (F.sum(F.length(c)).cast("double")
+                  / F.count(F.col(c))).alias(f"av_{c}")]
+    one = df.agg(*aggs)
+    parts = []
+    for c in list(_PROFILE_NUM) + _PROFILE_STR:
+        kind = "numeric" if c in _PROFILE_NUM else "string"
+        card = _CARD_CASE.format(d=f"d_{c}", n=f"nn_{c}")
+        parts.append(f"'{c}', '{kind}', nn_{c}, d_{c}, {card}, "
+                     f"mn_{c}, mx_{c}, av_{c}")
+    ncols = len(_PROFILE_NUM) + len(_PROFILE_STR)
+    return one.selectExpr(
+        f"stack({ncols}, {', '.join(parts)}) as "
+        "(col, kind, n_nonnull, n_distinct, cardinality, m_min, m_max, m_mean)")
+
+
+def _table_profile_sql():
+    aggs, rows = [], []
+    for c, kind in _PROFILE_NUM.items():
+        s = (f"SUM(CAST({c} AS DECIMAL(12,2)))" if kind == "decimal"
+             else f"SUM({c})")
+        aggs += [f"COUNT({c}) AS nn_{c}", f"COUNT(DISTINCT {c}) AS d_{c}",
+                 f"CAST(MIN({c}) AS DOUBLE) AS mn_{c}",
+                 f"CAST(MAX({c}) AS DOUBLE) AS mx_{c}",
+                 f"CAST({s} AS DOUBLE) / COUNT({c}) AS av_{c}"]
+    for c in _PROFILE_STR:
+        aggs += [f"COUNT({c}) AS nn_{c}", f"COUNT(DISTINCT {c}) AS d_{c}",
+                 f"CAST(MIN(length({c})) AS DOUBLE) AS mn_{c}",
+                 f"CAST(MAX(length({c})) AS DOUBLE) AS mx_{c}",
+                 f"CAST(SUM(length({c})) AS DOUBLE) / COUNT({c}) AS av_{c}"]
+    for c in list(_PROFILE_NUM) + _PROFILE_STR:
+        kind = "numeric" if c in _PROFILE_NUM else "string"
+        card = _CARD_CASE.format(d=f"d_{c}", n=f"nn_{c}")
+        rows.append(
+            f"SELECT '{c}' AS col, '{kind}' AS kind, nn_{c} AS n_nonnull, "
+            f"d_{c} AS n_distinct, {card} AS cardinality, "
+            f"mn_{c} AS m_min, mx_{c} AS m_max, av_{c} AS m_mean FROM a")
+    return ("WITH a AS (SELECT " + ", ".join(aggs) + " FROM orders)\n"
+            + "\nUNION ALL\n".join(rows))
+
+
+# The passthrough SQL is ONE string executed verbatim by BOTH engines
+# (mirrors ExecuteQuery, reference src/grpc/handlers/query.py:95-161: bind
+# the catalog as views, run user SQL untouched).
+_EXECUTE_QUERY_SQL = """
+SELECT n_name, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY n_name, o_orderpriority"""
+
+
+def q_execute_query(spark, sf_dir):
+    """Q1/Q2 arbitrary-SQL passthrough: register every catalog table as a
+    view (the reference ATTACHes table files read-only,
+    src/pgwire_server.py:107-152), then run the user's SQL untouched via
+    spark.sql — Catalyst picks broadcast joins for the dims."""
+    for t in ["orders", "customer", "nation", "region"]:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_EXECUTE_QUERY_SQL)
+
+
 def _lang_id_sql():
     from keboola_storage_duckdb_spark.functions.text import STOPWORDS
     langs = sorted(STOPWORDS)
@@ -1103,6 +1213,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "running_window": q_running_window,
     "dedup_clusters": q_dedup_clusters,
+    "table_profile": q_table_profile,
+    "execute_query": q_execute_query,
 }
 
 
@@ -1324,4 +1436,6 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": _JSON_SQL,
         "running_window": _RUNNING_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
+        "table_profile": _table_profile_sql(),
+        "execute_query": _EXECUTE_QUERY_SQL,
     }

@@ -41,22 +41,16 @@ def _par(df: DataFrame, mult: int = 1) -> int:
     return df.sparkSession.sparkContext.defaultParallelism * mult
 
 
-def shingle_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, n, shingle) — one row per *distinct* shingle of each doc, with
-    ``n`` = the doc's distinct-shingle count carried alongside. Shingles are
-    adjacent word 2-grams; docs with <2 tokens yield none (guarded: Spark's
-    sequence(1,0) counts DOWN, unlike DuckDB's generate_series which returns
-    empty).
-
+def shingle_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shs) — each doc's *distinct* word-bigram shingles as one array.
     Dedup is per-row ``array_distinct`` (set semantics are per-document), so
-    NO ``distinct()`` shuffle is needed, and carrying ``n`` through the
-    explode lets Jaccard consumers skip a separate per-doc size aggregation
-    plus its two re-join steps — the whole set representation is one
-    shuffle-free narrow map."""
+    the whole set representation is a shuffle-free narrow map. Docs with <2
+    tokens yield an empty array (guarded: Spark's sequence(1,0) counts DOWN,
+    unlike DuckDB's generate_series which returns empty)."""
     toks = docs.select(F.col(id_col).alias("id"),
                        word_tokens(text_col).alias("toks"))
     toks = toks.repartition(_par(docs))  # explode fan-out off 1-split inputs
-    arr = toks.select(
+    return toks.select(
         "id",
         F.array_distinct(
             F.when(F.size("toks") < 2, F.array().cast("array<string>"))
@@ -64,18 +58,30 @@ def shingle_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
                  "transform(sequence(1, size(toks) - 1), "
                  "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
         ).alias("shs"))
+
+
+def shingle_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n, shingle) — ``shingle_arrays`` exploded, with ``n`` = the
+    doc's distinct-shingle count carried alongside so Jaccard consumers skip
+    a separate per-doc size aggregation plus its two re-join steps."""
+    arr = shingle_arrays(docs, id_col, text_col)
     return arr.select("id", F.size("shs").alias("n"),
                       F.explode("shs").alias("shingle"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.8,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = None,
+                        pack_ids: bool = False) -> DataFrame:
     """Exact pairwise bigram-Jaccard via inverted-index join.
 
     Only pairs sharing ≥1 shingle are ever materialized (blocking), so the
     cost is Σ_shingle df(s)² — bounded by ``max_doc_freq`` stop-shingle
     removal at corpus scale. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``pack_ids=True`` aggregates the pair counts on a single packed long key
+    (id_a<<32 | id_b) instead of a two-column key — ~40%% faster through the
+    Σdf² shuffle+agg, valid only for integral non-negative ids < 2³².
     """
     sh = shingle_df(docs, id_col, text_col)
     if max_doc_freq is not None:
@@ -95,11 +101,23 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
     a = (sh.repartition(_par(sh, 2))
            .select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle"))
     b = sh.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
-    common = (a.join(b, "shingle")
-                .filter(F.col("id_a") < F.col("id_b"))
-                .groupBy("id_a", "id_b")
-                .agg(F.count(F.lit(1)).alias("common"),
-                     F.first("na").alias("na"), F.first("nb").alias("nb")))
+    pairs = a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+    if pack_ids:
+        packed = pairs.select(
+            (F.shiftleft(F.col("id_a").cast("bigint"), 32)
+             + F.col("id_b").cast("bigint")).alias("pk"), "na", "nb")
+        grouped = packed.groupBy("pk").agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("na").alias("na"), F.first("nb").alias("nb"))
+        common = grouped.select(
+            F.shiftrightunsigned("pk", 32).alias("id_a"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("id_b"),
+            "common", "na", "nb")
+    else:
+        common = (pairs.groupBy("id_a", "id_b")
+                       .agg(F.count(F.lit(1)).alias("common"),
+                            F.first("na").alias("na"),
+                            F.first("nb").alias("nb")))
     out = (common.withColumn("jaccard",
                              F.col("common").cast("double")
                              / (F.col("na") + F.col("nb") - F.col("common")))
@@ -155,23 +173,22 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
                  .filter(F.col("id_a") < F.col("id_b"))
                  .select("id_a", "id_b").distinct())
 
-    sh = shingle_df(docs, id_col, text_col)
-    # Candidate-driven verify: expand each candidate pair with id_a's
-    # shingles (broadcast of the small candidate set), then count matches
-    # against id_b's shingles. Cost is Σ_cand |shingles(id_a)| — proportional
-    # to the number of candidates LSH emits, never the full inverted-index
-    # pair product the exact operator pays. Set sizes ride along (shingle_df
-    # carries n), so no size re-joins.
-    a_sh = (F.broadcast(cands)
-            .join(sh.select(F.col("id").alias("id_a"),
-                            F.col("n").alias("na"), "shingle"), "id_a"))
-    common = (sh.select(F.col("id").alias("id_b"),
-                        F.col("n").alias("nb"), "shingle")
-                .join(F.broadcast(a_sh), ["id_b", "shingle"])
-                .groupBy("id_a", "id_b")
-                .agg(F.count(F.lit(1)).alias("common"),
-                     F.first("na").alias("na"), F.first("nb").alias("nb")))
-    return (common.withColumn("jaccard",
+    # Candidate-driven verify on whole shingle ARRAYS: join each candidate
+    # pair to the two docs' shingle sets (shuffle-free narrow maps — no
+    # explode, no count aggregation) and take size(array_intersect). Cost is
+    # Σ_cand (n_a + n_b) — proportional to the number of candidates LSH
+    # emits, never the full inverted-index pair product the exact operator
+    # pays.
+    arr = shingle_arrays(docs, id_col, text_col)
+    a_arr = arr.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
+    b_arr = arr.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
+    paired = b_arr.join(
+        F.broadcast(a_arr.join(F.broadcast(cands), "id_a")), "id_b")
+    scored = paired.select(
+        "id_a", "id_b",
+        F.size(F.array_intersect("shs_a", "shs_b")).alias("common"),
+        F.size("shs_a").alias("na"), F.size("shs_b").alias("nb"))
+    return (scored.withColumn("jaccard",
                               F.col("common").cast("double")
                               / (F.col("na") + F.col("nb") - F.col("common")))
                   .filter(F.col("jaccard") >= threshold)
