@@ -1004,6 +1004,86 @@ def q_execute_query(spark, sf_dir):
     return spark.sql(_EXECUTE_QUERY_SQL)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: prefix-filtered exact Jaccard, dedup survivor selection,
+# stratified sampling, salted skew aggregation
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard_prefix(spark, sf_dir):
+    """PPJoin prefix filtering: exact Jaccard pairs from a rarest-shingles
+    prefix index + array_intersect verify — the corpus-scale exact path.
+    Hash-matches the SAME oracle as ngram_jaccard (identical output by
+    construction)."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        ngram_jaccard_prefix_pairs)
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_prefix_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """Dedup SELECTION (completes detect → cluster → select): canonical
+    survivor per exact-duplicate fingerprint group = min doc_id; emits every
+    doc with its group's survivor and whether it survives."""
+    from keboola_storage_duckdb_spark.functions.text import fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    fp = fingerprint(docs, "doc_id", "text")
+    w = Window.partitionBy("fp")
+    return (fp.withColumn("survivor", F.min("id").over(w))
+              .select("id", "fp", "survivor",
+                      (F.col("id") == F.col("survivor")).alias("keep")))
+
+
+_DEDUP_SURVIVORS_SQL = """
+WITH fp AS (
+  SELECT doc_id AS id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+  FROM documents)
+SELECT id, fp, MIN(id) OVER (PARTITION BY fp) AS survivor,
+       id = MIN(id) OVER (PARTITION BY fp) AS keep
+FROM fp"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling: different md5-hash rates per
+    language (en 5%%, others 25%%) — the reproducible class-balancing
+    primitive; exact cross-engine because the hash is md5, not rand()."""
+    docs = _t(spark, sf_dir, "documents")
+    h = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("bigint") % 20)
+    rate = F.when(F.col("lang") == "en", 1).otherwise(5)
+    return docs.filter(h < rate).select("doc_id", "lang", "n_chars")
+
+
+_STRATIFIED_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 20
+      < CASE WHEN lang = 'en' THEN 1 ELSE 5 END"""
+
+
+def q_skew_agg(spark, sf_dir):
+    """Two-phase salted aggregation: events has only a handful of hot
+    event_type keys, the canonical skew shape. Phase 1 aggregates on
+    (key, salt=event_id%16) spreading each hot key over 16 reducers; phase 2
+    combines the 16 partials. Result is identical to a plain groupBy (exact
+    decimal sums are order-insensitive) — the oracle IS the plain GROUP BY."""
+    ev = _t(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(12,2)")
+    p1 = (ev.groupBy("event_type", (F.col("event_id") % 16).alias("salt"))
+            .agg(F.count(F.lit(1)).alias("c"), F.sum(val).alias("s")))
+    return (p1.groupBy("event_type")
+              .agg(F.sum("c").alias("n_events"),
+                   F.sum("s").cast("double").alias("sum_value")))
+
+
+_SKEW_AGG_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type"""
+
+
 def _lang_id_sql():
     from keboola_storage_duckdb_spark.functions.text import STOPWORDS
     langs = sorted(STOPWORDS)
@@ -1215,6 +1295,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "table_profile": q_table_profile,
     "execute_query": q_execute_query,
+    "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+    "dedup_survivors": q_dedup_survivors,
+    "stratified_sample": q_stratified_sample,
+    "skew_agg": q_skew_agg,
 }
 
 
@@ -1438,4 +1522,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "table_profile": _table_profile_sql(),
         "execute_query": _EXECUTE_QUERY_SQL,
+        "ngram_jaccard_prefix": _NGRAM_JACCARD_SQL,
+        "dedup_survivors": _DEDUP_SURVIVORS_SQL,
+        "stratified_sample": _STRATIFIED_SQL,
+        "skew_agg": _SKEW_AGG_SQL,
     }

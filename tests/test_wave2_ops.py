@@ -96,3 +96,32 @@ def test_rollup_has_grand_total(spark, sf_dir):
     assert total[0].n_rows == sum(
         r.n_rows for r in rows
         if r.l_returnflag is not None and r.l_linestatus is not None)
+
+
+def test_prefix_jaccard_equals_inverted_index(spark, sf_dir):
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        ngram_jaccard_pairs, ngram_jaccard_prefix_pairs)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {(r.id_a, r.id_b): r.jaccard
+         for r in ngram_jaccard_pairs(docs, "doc_id", "text", 0.8).collect()}
+    b = {(r.id_a, r.id_b): r.jaccard
+         for r in ngram_jaccard_prefix_pairs(docs, "doc_id", "text", 0.8).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_skew_agg_matches_plain_groupby(spark, sf_dir):
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plain = {r.event_type: (r.n, float(r.s)) for r in
+             ev.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("s"))
+               .collect()}
+    salted = {r.event_type: (r.n_events, r.sum_value)
+              for r in E.q_skew_agg(spark, sf_dir).collect()}
+    assert plain == salted
