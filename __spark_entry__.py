@@ -1084,6 +1084,49 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM events GROUP BY event_type"""
 
 
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-partitioned ANN: route queries to nprobe nearest label-centroids,
+    exact-rank only inside those inverted lists (the partition-pruned scale
+    path; at 100 TB the table is partitioned by label on disk so routing
+    prunes parquet partitions). Rows-only check (recall<1 by design; exact
+    twin = ann_topk)."""
+    from keboola_storage_duckdb_spark.functions.similarity import ivf_ann_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10),
+                        "vec_id", "embedding", "label", k=5, nprobe=2)
+
+
+def q_session_window(spark, sf_dir):
+    """Native session_window gap-merge sessions (the Structured-Streaming-
+    ready formulation); oracle = the lag→flag→running-sum closure, which
+    computes the identical grouping."""
+    from keboola_storage_duckdb_spark.streaming.events import session_window_agg
+    return session_window_agg(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def _session_window_sql(gap_us):
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us} THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, session_idx"""
+
+
 def _lang_id_sql():
     from keboola_storage_duckdb_spark.functions.text import STOPWORDS
     langs = sorted(STOPWORDS)
@@ -1299,6 +1342,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivors": q_dedup_survivors,
     "stratified_sample": q_stratified_sample,
     "skew_agg": q_skew_agg,
+    "ann_ivf": q_ann_ivf,
+    "session_window": q_session_window,
 }
 
 
@@ -1526,4 +1571,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": _DEDUP_SURVIVORS_SQL,
         "stratified_sample": _STRATIFIED_SQL,
         "skew_agg": _SKEW_AGG_SQL,
+        # ann_ivf: rows-only (recall<1 scale path; exact twin = ann_topk)
+        "session_window": _session_window_sql(30 * 60 * 1_000_000),
     }

@@ -86,3 +86,69 @@ def extract_features(df: DataFrame) -> DataFrame:
             })
 
     return df.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Image resize stage: per-partition Arrow-batched map. Decode is
+    stubbed (no codecs in this container) — the stub keeps the payload and
+    stamps the target dims; a deployment swaps in decode → PIL.resize →
+    re-encode. The Spark plumbing (schema, batching, zero shuffle) is the
+    deliverable."""
+
+    def do_resize(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            # real impl: decode_image(p) → img.resize((w, h)) → re-encode
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "payload": pdf["payload"],
+                "width": target_w,
+                "height": target_h,
+            })
+
+    return df.mapInPandas(do_resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_md5", T.StringType()),
+])
+
+
+def sample_frames(df: DataFrame, every_n: int = 10,
+                  max_frames: int = 8) -> DataFrame:
+    """Video frame-sampling stage: one input row fans out to ≤max_frames
+    rows (id, frame_idx, frame_md5). Decode is stubbed deterministically:
+    'frames' are content-hash-derived so tests reproduce without codecs.
+    Pattern: mapInPandas rows-to-many — output batches need not align 1:1
+    with input rows."""
+
+    def do_sample(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                n_fake_frames = 1 + hashlib.md5(payload).digest()[2] % (
+                    max_frames * every_n)
+                for k, f in enumerate(range(0, n_fake_frames, every_n)):
+                    if k >= max_frames:
+                        break
+                    ids.append(i)
+                    idxs.append(f)
+                    hashes.append(hashlib.md5(
+                        payload + f.to_bytes(4, "little")).hexdigest())
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs,
+                                "frame_md5": hashes})
+
+    return df.mapInPandas(do_sample, schema=FRAME_SCHEMA)

@@ -139,3 +139,63 @@ def cosine_near_dup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
                   .withColumn("score", F.round(cosine_expr("va", "vb", "na", "nb"), 6))
                   .filter(F.col("score") >= threshold)
                   .select("id_a", "id_b", "score"))
+
+
+def ivf_centroids(vectors: DataFrame, id_col: str, vec_col: str,
+                  label_col: str) -> DataFrame:
+    """Per-cluster centroid vectors (label, centroid) — the coarse
+    quantizer for IVF search. Computed distributedly: posexplode to
+    (label, dim, component), mean per (label, dim), re-assemble ordered by
+    dim. One shuffle keyed (label, dim) — dense and tiny."""
+    comps = vectors.select(F.col(label_col).alias("label"),
+                           F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    means = (comps.groupBy("label", "dim")
+                  .agg(F.avg(F.col("x").cast("double")).alias("m")))
+    return (means.groupBy("label")
+                 .agg(F.array_sort(
+                          F.collect_list(F.struct("dim", "m"))).alias("dm"))
+                 .select("label",
+                         F.expr("transform(dm, s -> s.m)").alias("centroid")))
+
+
+def ivf_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
+                 vec_col: str, label_col: str, k: int = 5,
+                 nprobe: int = 2) -> DataFrame:
+    """IVF (inverted-file) ANN: route each query to its ``nprobe`` nearest
+    centroids, then exact-rank only within those clusters' inverted lists.
+
+    This is the partition-pruned scale path: with C clusters and balanced
+    lists, each query scans ~nprobe/C of the corpus instead of all of it —
+    at 100 TB the vectors table is PARTITIONED BY label on disk, so routing
+    prunes parquet partitions at the scan (the cheapest possible skip).
+    Recall < 1 by construction; the exact twin is ``brute_force_topk``.
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(vectors, id_col, vec_col, label_col)
+    q = with_norm(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("qv")), "qv", "qn")
+    # route: query × centroid scores (C is small → broadcast centroids)
+    qc = (q.crossJoin(F.broadcast(
+              with_norm(cents, "centroid", "cn")))
+            .withColumn("cscore", cosine_expr("qv", "centroid", "qn", "cn")))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(),
+                                                F.col("label").asc())
+    routed = (qc.withColumn("rt", F.row_number().over(wr))
+                .filter(F.col("rt") <= nprobe)
+                .select("query_id", "qv", "qn", "label"))
+    # search only the probed clusters' lists
+    c = with_norm(
+        vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("cv"),
+                       F.col(label_col).alias("label")), "cv", "cn") \
+        .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+    scored = (c.join(F.broadcast(routed), "label")
+               .filter(F.col("neighbor_id") != F.col("query_id"))
+               .withColumn("score",
+                           F.round(cosine_expr("qv", "cv", "qn", "cn"), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "score", "rank"))

@@ -93,3 +93,42 @@ def stream_hourly_rollup(spark, source_dir: str, schema) -> DataFrame:
                   .alias("sum_value"))
             .select(F.col("win.start").alias("bucket"), "event_type",
                     "n_events", "sum_value"))
+
+
+def session_window_agg(events: DataFrame, gap_minutes: int = 30,
+                       ts_col: str = "ts") -> DataFrame:
+    """Gap-based sessions via Spark's native ``session_window`` — the same
+    grouping the lag→flag→running-sum formulation computes, expressed as a
+    merging window aggregate (works identically over batch and streams).
+    Returns (user_id, session_start, session_end, n_events, sum_value) with
+    session_end = last event ts (the raw window end includes the gap)."""
+    return (events
+            .groupBy(F.session_window(F.col(ts_col), f"{gap_minutes} minutes")
+                      .alias("win"),
+                     F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max(ts_col).alias("session_end"),
+                 F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                  .alias("sum_value"))
+            .select("user_id", F.col("win.start").alias("session_start"),
+                    "session_end", "n_events", "sum_value"))
+
+
+def stream_sessionize(spark, source_dir: str, schema,
+                      gap_minutes: int = 30) -> DataFrame:
+    """Structured-Streaming sessionization: watermarked session_window.
+    State for a user's open session is kept until the watermark passes
+    session_end + gap; update/complete output modes emit closed sessions.
+    The batch twin is ``session_window_agg`` (tested equivalent)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (stream
+            .withWatermark("ts", f"{gap_minutes * 2} minutes")
+            .groupBy(F.session_window(F.col("ts"), f"{gap_minutes} minutes")
+                      .alias("win"),
+                     F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max("ts").alias("session_end"),
+                 F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                  .alias("sum_value"))
+            .select("user_id", F.col("win.start").alias("session_start"),
+                    "session_end", "n_events", "sum_value"))
