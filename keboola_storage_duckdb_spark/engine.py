@@ -679,6 +679,53 @@ class StorageEngine:
         return self.spark.read.parquet(
             os.path.join(self.catalog.workspace_dir(workspace), name))
 
+    def reset_workspace_password(self, workspace: str) -> str:
+        """ResetWorkspacePassword: mint a credential, store only its sha256
+        (the reference's workspace_credentials rows hold sha256 digests,
+        src/pgwire_server.py:568-650, src/database.py:2587-2648). Returns
+        the cleartext once; verification is hash comparison."""
+        import hashlib
+
+        d = self.catalog.workspace_dir(workspace)
+        if not os.path.isdir(d):
+            raise NotFoundError(f"workspace {workspace} not found")
+        password = uuid.uuid4().hex
+        digest = hashlib.sha256(password.encode()).hexdigest()
+        with open(os.path.join(d, "_credentials.json"), "w") as f:
+            json.dump({"sha256": digest, "ts": time.time()}, f)
+        self._log("reset_workspace_password", workspace=workspace)
+        return password
+
+    def verify_workspace_password(self, workspace: str, password: str) -> bool:
+        import hashlib
+
+        path = os.path.join(self.catalog.workspace_dir(workspace),
+                            "_credentials.json")
+        if not os.path.exists(path):
+            return False
+        with open(path) as f:
+            stored = json.load(f)["sha256"]
+        return hashlib.sha256(password.encode()).hexdigest() == stored
+
+    # ----------------------------------------------------------- object info
+    def object_info(self, path: list[str]) -> dict:
+        """ObjectInfo: describe a project / bucket / table path (the
+        reference dispatches on path length, src/grpc/servicer.py registry;
+        table info mirrors get_table_info)."""
+        if len(path) == 1:
+            project = path[0]
+            return {"type": "project", "name": project,
+                    "buckets": self.catalog.list_buckets(project)}
+        if len(path) == 2:
+            project, bucket = path
+            return {"type": "bucket", "project": project, "name": bucket,
+                    "tables": self.list_linked_tables(project, bucket)}
+        if len(path) == 3:
+            project, bucket, table = path
+            return {"type": "table",
+                    **self.table_info(project, bucket, table)}
+        raise CatalogError(f"invalid object path: {path}")
+
     # ------------------------------------------------ SQL passthrough (Q1/Q2)
     def register_project_views(self, project: str,
                                branch: str | None = None) -> list[str]:

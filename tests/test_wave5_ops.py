@@ -103,3 +103,24 @@ def test_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
                   for r in session_window_agg(
                       spark.read.parquet(src), 30).collect()}
     assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
+def test_workspace_credentials_and_object_info(spark, tmp_path):
+    from keboola_storage_duckdb_spark.engine import StorageEngine
+
+    eng = StorageEngine(spark, str(tmp_path / "wh"))
+    eng.create_project("p1")
+    eng.create_bucket("p1", "in_c_main")
+    eng.create_table("p1", "in_c_main", "t1",
+                     [{"name": "id", "type": "INTEGER", "nullable": False}])
+    eng.create_workspace("ws1")
+    pw = eng.reset_workspace_password("ws1")
+    assert eng.verify_workspace_password("ws1", pw)
+    assert not eng.verify_workspace_password("ws1", "wrong")
+
+    info = eng.object_info(["p1"])
+    assert info["type"] == "project" and "in_c_main" in info["buckets"]
+    info = eng.object_info(["p1", "in_c_main"])
+    assert info["tables"] == ["t1"]
+    info = eng.object_info(["p1", "in_c_main", "t1"])
+    assert info["type"] == "table"
