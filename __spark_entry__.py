@@ -1127,6 +1127,54 @@ FROM numbered
 GROUP BY user_id, session_idx"""
 
 
+
+
+def q_extract_parts(spark, sf_dir):
+    """Date-part functions over orders: per (year, month) exact revenue.
+    DOW conventions differ across engines (Spark dayofweek: Sunday=1;
+    DuckDB dow: Sunday=0) — aligned explicitly in the oracle."""
+    df = _t(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice").cast("decimal(12,2)")
+    return (df.groupBy(F.year("o_orderdate").alias("y"),
+                       F.month("o_orderdate").alias("m"))
+              .agg(F.count(F.lit(1)).alias("n_orders"),
+                   F.sum(tp).cast("double").alias("revenue"),
+                   F.countDistinct(F.dayofweek("o_orderdate")).alias("n_dows")))
+
+
+_EXTRACT_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT dayofweek(o_orderdate) + 1) AS n_dows
+FROM orders GROUP BY 1, 2"""
+
+
+def q_moving_window(spark, sf_dir):
+    """RANGE-frame windows: per-user 1-hour trailing event sum/count at each
+    event (time-based frame, not row-based — the other window frame family).
+    Spark rangeBetween needs a numeric ordering column → unix_micros."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(12,2)")
+    us = F.unix_micros(F.col("ts"))
+    w = (Window.partitionBy("user_id").orderBy(us.alias("us"))
+               .rangeBetween(-3_600_000_000, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(v).over(w).cast("double").alias("sum_1h"))
+
+
+_MOVING_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER win AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER win AS DOUBLE) AS sum_1h
+FROM events
+WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+
+
 def _lang_id_sql():
     from keboola_storage_duckdb_spark.functions.text import STOPWORDS
     langs = sorted(STOPWORDS)
@@ -1344,6 +1392,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_agg": q_skew_agg,
     "ann_ivf": q_ann_ivf,
     "session_window": q_session_window,
+    "extract_parts": q_extract_parts,
+    "moving_window": q_moving_window,
 }
 
 
@@ -1573,4 +1623,6 @@ def oracle_sql() -> dict[str, str]:
         "skew_agg": _SKEW_AGG_SQL,
         # ann_ivf: rows-only (recall<1 scale path; exact twin = ann_topk)
         "session_window": _session_window_sql(30 * 60 * 1_000_000),
+        "extract_parts": _EXTRACT_SQL,
+        "moving_window": _MOVING_SQL,
     }

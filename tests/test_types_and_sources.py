@@ -31,7 +31,7 @@ def test_roundtrip_to_duckdb():
     assert spark_to_duckdb_type("ARRAY<FLOAT>") == "REAL[]"
 
 
-def test_struct_from_columns():
+def test_struct_from_columns(spark):  # parsing DDL strings needs the JVM
     st = struct_from_columns([
         {"name": "id", "type": "INTEGER", "nullable": False},
         {"name": "name", "type": "VARCHAR"},
@@ -63,3 +63,21 @@ def test_register_views(spark, sf_dir):
         SELECT r_name, COUNT(*) AS n FROM kb_nation
         JOIN kb_region ON n_regionkey = r_regionkey GROUP BY r_name""").count()
     assert n == 5
+
+
+def test_infer_csv_schema(spark, tmp_path):
+    from keboola_storage_duckdb_spark.sources.infer import infer_csv_schema
+
+    p = str(tmp_path / "sample.csv")
+    with open(p, "w") as f:
+        f.write("id,name,price,active,created,big\n")
+        f.write("1,alpha,9.99,true,2024-01-02,9999999999\n")
+        f.write("2,beta,12,false,2024-01-03,3\n")
+        f.write("3,,0.5,true,2024-01-04 10:00:00,4\n")
+    got = {c["name"]: c for c in infer_csv_schema(spark, p)}
+    assert got["id"]["type"] == "INTEGER"
+    assert got["name"]["type"] == "VARCHAR" and got["name"]["nullable"]
+    assert got["price"]["type"] == "DOUBLE"
+    assert got["active"]["type"] == "BOOLEAN"
+    assert got["created"]["type"] == "TIMESTAMP"  # DATE widened by 3rd row
+    assert got["big"]["type"] == "BIGINT"
