@@ -132,3 +132,49 @@ def stream_sessionize(spark, source_dir: str, schema,
                   .alias("sum_value"))
             .select("user_id", F.col("win.start").alias("session_start"),
                     "session_end", "n_events", "sum_value"))
+
+
+def stream_dedup_events(spark, source_dir: str, schema,
+                        watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id: watermarked dropDuplicates — the
+    streaming twin of exact_dedup. State holds one key per event inside the
+    watermark horizon and is purged past it (bounded state at 100 TB/day
+    ingest; without the watermark state grows forever)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+USER_TOTALS_SCHEMA = "user_id BIGINT, n_events BIGINT, sum_value DOUBLE"
+_USER_STATE_SCHEMA = "n BIGINT, s DOUBLE"
+
+
+def stream_user_totals(spark, source_dir: str, schema) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (event count, value sum) carried in GroupState across
+    micro-batches — the pattern for any accumulator Spark's built-in
+    streaming aggs can't express (model-ish state, decaying counters, …).
+
+    State is one tiny row per user; each micro-batch updates only the users
+    it touches. Batch twin: groupBy(user).agg(count, sum) — tested equal
+    after a full availableNow pass."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [round(s, 2)]})
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (stream.groupBy("user_id")
+                  .applyInPandasWithState(
+                      update,
+                      outputStructType=USER_TOTALS_SCHEMA,
+                      stateStructType=_USER_STATE_SCHEMA,
+                      outputMode="update",
+                      timeoutConf=GroupStateTimeout.NoTimeout))

@@ -1,0 +1,79 @@
+"""Wave-6: stateful streaming (applyInPandasWithState), streaming dedup,
+salted join/agg equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from keboola_storage_duckdb_spark.sources.tables import load_table
+
+
+def test_stream_user_totals_matches_batch(spark, sf_dir, tmp_path):
+    from keboola_storage_duckdb_spark.streaming.events import stream_user_totals
+
+    ev = load_table(spark, sf_dir, "events").limit(3000)
+    src = str(tmp_path / "ev_src")
+    ev.write.parquet(src)
+    got = stream_user_totals(spark, src, ev.schema)
+    q = (got.writeStream.format("memory").queryName("totals_test")
+            .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream_rows = {r.user_id: (r.n_events, r.sum_value)
+                   for r in spark.sql(
+                       "select * from totals_test").collect()}
+    batch = {r.user_id: (r.n, round(r.s, 2)) for r in
+             spark.read.parquet(src).groupBy("user_id")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("value").alias("s")).collect()}
+    assert set(stream_rows) == set(batch)
+    for u, (n, s) in batch.items():
+        assert stream_rows[u][0] == n
+        assert abs(stream_rows[u][1] - s) < 0.05  # float sum rounding
+
+
+def test_stream_dedup_events(spark, sf_dir, tmp_path):
+    from keboola_storage_duckdb_spark.streaming.events import stream_dedup_events
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    dup = ev.unionByName(ev)  # every event twice
+    src = str(tmp_path / "dup_src")
+    dup.write.parquet(src)
+    got = stream_dedup_events(spark, src, ev.schema)
+    q = (got.writeStream.format("memory").queryName("dedup_test")
+            .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    n = spark.sql("select count(distinct event_id) c, count(*) n "
+                  "from dedup_test").collect()[0]
+    assert n.c == n.n == 500
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    from keboola_storage_duckdb_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment").withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(cust, "o_custkey")
+    salted = salted_join(orders, cust, "o_custkey", n_salts=4)
+    a = {(r.o_orderkey, r.c_mktsegment) for r in plain.collect()}
+    b = {(r.o_orderkey, r.c_mktsegment) for r in salted.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    from keboola_storage_duckdb_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(12,2)")
+    plain = {r.event_type: (r.n, r.s) for r in
+             ev.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(v).cast("double").alias("s")).collect()}
+    two = salted_agg(
+        ev, ["event_type"],
+        aggs=[F.count(F.lit(1)).alias("pn"), F.sum(v).alias("ps")],
+        reaggs=[F.sum("pn").alias("n"), F.sum("ps").cast("double").alias("s")],
+        salt_col=F.col("event_id"))
+    got = {r.event_type: (r.n, r.s) for r in two.collect()}
+    assert got == plain
