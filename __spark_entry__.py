@@ -1175,6 +1175,65 @@ WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
 
 
+
+
+def q_string_funcs(spark, sf_dir):
+    """§2.8 string-function family over customer: case, substring, replace,
+    concat, split, trim, lpad — each exactly mirrored by DuckDB."""
+    df = _t(spark, sf_dir, "customer")
+    return df.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("sub"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("repl"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        F.size(F.split(F.col("c_name"), "#")).alias("n_parts"),
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("padded"),
+        F.length(F.trim(F.col("c_name"))).alias("trimlen"))
+
+
+_STRING_FUNCS_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS up,
+       lower(c_mktsegment) AS lo,
+       substr(c_name, 1, 8) AS sub,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS repl,
+       concat_ws('|', c_mktsegment, c_name) AS joined,
+       CAST(len(str_split(c_name, '#')) AS INTEGER) AS n_parts,
+       lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded,
+       CAST(length(trim(c_name)) AS INTEGER) AS trimlen
+FROM customer"""
+
+
+def q_scalar_conditionals(spark, sf_dir):
+    """§2.8 conditional/scalar family: coalesce, nullif, greatest, least,
+    CASE, try_cast-null propagation — over orders."""
+    df = _t(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return df.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("F")), F.lit("final"))
+         .alias("status_or_final"),
+        F.greatest(tp, F.lit(100000.0)).alias("floor100k"),
+        F.least(tp, F.lit(300000.0)).alias("cap300k"),
+        F.when(tp > 200000, "big").when(tp > 100000, "mid")
+         .otherwise("small").alias("bucket"),
+        F.expr("try_cast(o_orderpriority AS DOUBLE)").alias("prio_num"))
+
+
+_SCALAR_COND_SQL = """
+SELECT o_orderkey,
+       coalesce(nullif(o_orderstatus, 'F'), 'final') AS status_or_final,
+       greatest(o_totalprice, 100000.0) AS floor100k,
+       least(o_totalprice, 300000.0) AS cap300k,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END AS bucket,
+       TRY_CAST(o_orderpriority AS DOUBLE) AS prio_num
+FROM orders"""
+
+
 def _lang_id_sql():
     from keboola_storage_duckdb_spark.functions.text import STOPWORDS
     langs = sorted(STOPWORDS)
@@ -1394,6 +1453,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_window": q_session_window,
     "extract_parts": q_extract_parts,
     "moving_window": q_moving_window,
+    "string_funcs": q_string_funcs,
+    "scalar_conditionals": q_scalar_conditionals,
 }
 
 
@@ -1625,4 +1686,6 @@ def oracle_sql() -> dict[str, str]:
         "session_window": _session_window_sql(30 * 60 * 1_000_000),
         "extract_parts": _EXTRACT_SQL,
         "moving_window": _MOVING_SQL,
+        "string_funcs": _STRING_FUNCS_SQL,
+        "scalar_conditionals": _SCALAR_COND_SQL,
     }
