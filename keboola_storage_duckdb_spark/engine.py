@@ -147,6 +147,36 @@ class StorageEngine:
             "row_count": self.read_table(project, bucket, table, branch).count(),
         }
 
+    def optimize_table(self, project: str, bucket: str, table: str,
+                       partition_by: list[str] | None = None,
+                       target_files: int | None = None) -> dict:
+        """Compaction / re-layout (beyond-reference — the warehouse-health
+        op a 100 TB deployment runs continuously): rewrite the table,
+        optionally hive-partitioned by low-cardinality columns (reads then
+        get partition *pruning* at the scan, the cheapest possible skip) and
+        repartitioned to a target file count (small-file compaction after
+        many incremental imports). Atomic via the same stage-and-swap path
+        as every other write."""
+        with self.catalog.acquire(project, bucket, table):
+            df = self.read_table(project, bucket, table)
+            out = df
+            if target_files:
+                out = (df.repartition(target_files, *partition_by)
+                       if partition_by else df.repartition(target_files))
+            staged = self.catalog.staging_data_dir(project, bucket, table, None)
+            writer = out.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(staged)
+            self.catalog.swap_data_dir(project, bucket, table, staged, None)
+            meta = self.catalog.read_meta(project, bucket, table, None)
+            meta.properties["partition_by"] = list(partition_by or [])
+            self.catalog.write_meta(project, bucket, table, meta)
+        self._log("optimize_table", project=project, bucket=bucket,
+                  table=table, partition_by=partition_by or [])
+        return {"partition_by": partition_by or [],
+                "target_files": target_files}
+
     # -------------------------------------------------------------- writes
     def _write_table(self, project: str, bucket: str, table: str, df: DataFrame,
                      branch: str | None = None) -> None:

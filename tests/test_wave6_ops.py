@@ -77,3 +77,38 @@ def test_salted_agg_equals_plain(spark, sf_dir):
         salt_col=F.col("event_id"))
     got = {r.event_type: (r.n, r.s) for r in two.collect()}
     assert got == plain
+
+
+def test_optimize_table_partitions_and_preserves_rows(spark, tmp_path):
+    import os
+    from keboola_storage_duckdb_spark.engine import StorageEngine
+
+    eng = StorageEngine(spark, str(tmp_path / "wh"))
+    eng.create_project("p1")
+    eng.create_bucket("p1", "in_c_main")
+    eng.create_table("p1", "in_c_main", "t1", [
+        {"name": "id", "type": "INTEGER", "nullable": False},
+        {"name": "cat", "type": "VARCHAR"},
+        {"name": "val", "type": "DOUBLE"},
+    ])
+    csv = str(tmp_path / "rows.csv")
+    with open(csv, "w") as f:
+        f.write("id,cat,val\n")
+        for i in range(100):
+            f.write(f"{i},c{i % 3},{i * 1.5}\n")
+    eng.import_file("p1", "in_c_main", "t1", csv)
+    before = {(r.id, r.cat, r.val) for r in
+              eng.read_table("p1", "in_c_main", "t1")
+                 .select("id", "cat", "val").collect()}
+
+    eng.optimize_table("p1", "in_c_main", "t1",
+                       partition_by=["cat"], target_files=2)
+    after_df = eng.read_table("p1", "in_c_main", "t1")
+    after = {(r.id, r.cat, r.val) for r in
+             after_df.select("id", "cat", "val").collect()}
+    assert before == after and len(after) == 100
+    # hive-partitioned layout on disk
+    data_dir = eng.catalog.data_dir("p1", "in_c_main", "t1")
+    assert any(e.startswith("cat=") for e in os.listdir(data_dir))
+    # partition pruning: filtered scan only lists the matching partition
+    assert after_df.filter("cat = 'c1'").count() == 33
