@@ -177,6 +177,48 @@ class StorageEngine:
         return {"partition_by": partition_by or [],
                 "target_files": target_files}
 
+    # ------------------------------------------------- service-parity ops
+    def operations_log(self, limit: int = 100) -> list[dict]:
+        """Tail of the operations log (reference operations_log table)."""
+        if not os.path.exists(self._ops_log_path):
+            return []
+        with open(self._ops_log_path) as f:
+            lines = f.readlines()
+        return [json.loads(x) for x in lines[-limit:]]
+
+    def create_api_key(self, name: str) -> str:
+        """Mint an API key; store only its sha256 (reference api_keys table,
+        src/database.py:172-417). Returns cleartext once."""
+        import hashlib
+
+        key = uuid.uuid4().hex + uuid.uuid4().hex
+        digest = hashlib.sha256(key.encode()).hexdigest()
+        path = os.path.join(self.catalog.warehouse, "_api_keys.json")
+        keys = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                keys = json.load(f)
+        keys[name] = {"sha256": digest, "ts": time.time()}
+        with open(path, "w") as f:
+            json.dump(keys, f)
+        self._log("create_api_key", name=name)
+        return key
+
+    def verify_api_key(self, key: str) -> str | None:
+        """Return the key's name if valid, else None."""
+        import hashlib
+
+        path = os.path.join(self.catalog.warehouse, "_api_keys.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            keys = json.load(f)
+        digest = hashlib.sha256(key.encode()).hexdigest()
+        for name, rec in keys.items():
+            if rec["sha256"] == digest:
+                return name
+        return None
+
     # -------------------------------------------------------------- writes
     def _write_table(self, project: str, bucket: str, table: str, df: DataFrame,
                      branch: str | None = None) -> None:

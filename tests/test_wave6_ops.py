@@ -112,3 +112,34 @@ def test_optimize_table_partitions_and_preserves_rows(spark, tmp_path):
     assert any(e.startswith("cat=") for e in os.listdir(data_dir))
     # partition pruning: filtered scan only lists the matching partition
     assert after_df.filter("cat = 'c1'").count() == 33
+
+
+def test_idempotency_cache_replays_and_expires():
+    import time as _time
+    from keboola_storage_duckdb_spark.idempotency import IdempotencyCache
+
+    cache = IdempotencyCache(ttl_seconds=0.2)
+    calls = []
+
+    def op():
+        calls.append(1)
+        return len(calls)
+
+    assert cache.run("k1", op) == 1
+    assert cache.run("k1", op) == 1          # replayed, not re-executed
+    assert cache.run(None, op) == 2          # no key → always executes
+    assert cache.run("k2", op) == 3
+    _time.sleep(0.25)
+    assert cache.run("k1", op) == 4          # TTL expired → re-executes
+
+
+def test_api_keys_and_ops_log(spark, tmp_path):
+    from keboola_storage_duckdb_spark.engine import StorageEngine
+
+    eng = StorageEngine(spark, str(tmp_path / "wh"))
+    key = eng.create_api_key("ci-bot")
+    assert eng.verify_api_key(key) == "ci-bot"
+    assert eng.verify_api_key("nope") is None
+    eng.create_project("p1")
+    ops = [r["op"] for r in eng.operations_log()]
+    assert ops[-1] == "create_project" and "create_api_key" in ops
