@@ -1234,6 +1234,56 @@ SELECT o_orderkey,
 FROM orders"""
 
 
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Pivot (wide aggregation): events per user-decile × event_type —
+    Spark .pivot() with explicit value list (never let pivot scan for
+    distinct values at 100 TB); oracle = conditional aggregation, which is
+    exactly what Catalyst lowers pivot to."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error", "signup"]
+    dec = (F.col("user_id") % 10).alias("user_decile")
+    out = (ev.groupBy(dec).pivot("event_type", types).count()
+             .na.fill(0, types))
+    for t in types:
+        out = out.withColumnRenamed(t, f"n_{t}")
+    return out
+
+
+_PIVOT_SQL = """
+SELECT user_id % 10 AS user_decile,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup
+FROM events GROUP BY 1"""
+
+
+def q_grouped_quantiles(spark, sf_dir):
+    """Exact per-group quantiles: p25/p50/p75 of o_totalprice per order
+    priority (grouped percentile — the profiler's quantile op under a
+    group-by; exact interpolation, never approx)."""
+    df = _t(spark, sf_dir, "orders")
+    parr = "array(CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE))"
+    g = df.groupBy("o_orderpriority").agg(
+        F.expr(f"percentile(o_totalprice, {parr})").alias("qs"),
+        F.count(F.lit(1)).alias("n"))
+    return g.select("o_orderpriority", "n",
+                    F.round(F.col("qs")[0], 6).alias("p25"),
+                    F.round(F.col("qs")[1], 6).alias("p50"),
+                    F.round(F.col("qs")[2], 6).alias("p75"))
+
+
+_GROUPED_QUANTILES_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75
+FROM orders GROUP BY o_orderpriority"""
+
+
 def _lang_id_sql():
     from keboola_storage_duckdb_spark.functions.text import STOPWORDS
     langs = sorted(STOPWORDS)
@@ -1455,6 +1505,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moving_window": q_moving_window,
     "string_funcs": q_string_funcs,
     "scalar_conditionals": q_scalar_conditionals,
+    "pivot_counts": q_pivot_counts,
+    "grouped_quantiles": q_grouped_quantiles,
 }
 
 
@@ -1688,4 +1740,6 @@ def oracle_sql() -> dict[str, str]:
         "moving_window": _MOVING_SQL,
         "string_funcs": _STRING_FUNCS_SQL,
         "scalar_conditionals": _SCALAR_COND_SQL,
+        "pivot_counts": _PIVOT_SQL,
+        "grouped_quantiles": _GROUPED_QUANTILES_SQL,
     }
