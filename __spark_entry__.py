@@ -1288,7 +1288,8 @@ def _lang_id_sql():
     from keboola_storage_duckdb_spark.functions.text import STOPWORDS
     langs = sorted(STOPWORDS)
     hsel = ", ".join(
-        "len(list_filter(toks, x -> list_contains([{ws}], x))) AS h_{lg}".format(
+        "coalesce(len(list_filter(toks, x -> list_contains([{ws}], x))), 0)"
+        " AS h_{lg}".format(
             ws=", ".join(f"'{w}'" for w in STOPWORDS[lg]), lg=lg)
         for lg in langs)
     greatest = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"

@@ -159,6 +159,18 @@ class StorageEngine:
         as every other write."""
         with self.catalog.acquire(project, bucket, table):
             df = self.read_table(project, bucket, table)
+            if partition_by:
+                # Hive encoding folds NULL and '' into the default partition
+                # (read back as NULL) — refuse rather than silently mutate.
+                bad = df.filter(
+                    " OR ".join(f"(`{c}` IS NULL OR `{c}` = '')"
+                                if dict(df.dtypes).get(c) == "string"
+                                else f"(`{c}` IS NULL)"
+                                for c in partition_by)).limit(1).count()
+                if bad:
+                    raise CatalogError(
+                        "partition columns must be non-null (and non-empty "
+                        "for strings); hive layout cannot represent them")
             out = df
             if target_files:
                 out = (df.repartition(target_files, *partition_by)
@@ -194,13 +206,18 @@ class StorageEngine:
         key = uuid.uuid4().hex + uuid.uuid4().hex
         digest = hashlib.sha256(key.encode()).hexdigest()
         path = os.path.join(self.catalog.warehouse, "_api_keys.json")
-        keys = {}
-        if os.path.exists(path):
-            with open(path) as f:
-                keys = json.load(f)
-        keys[name] = {"sha256": digest, "ts": time.time()}
-        with open(path, "w") as f:
-            json.dump(keys, f)
+        # read-modify-write under the ops lock, staged + atomic rename —
+        # concurrent creates must not drop keys, a crash must not corrupt
+        with self._ops_lock:
+            keys = {}
+            if os.path.exists(path):
+                with open(path) as f:
+                    keys = json.load(f)
+            keys[name] = {"sha256": digest, "ts": time.time()}
+            tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(keys, f)
+            os.replace(tmp, path)
         self._log("create_api_key", name=name)
         return key
 
@@ -226,6 +243,12 @@ class StorageEngine:
         staged = self.catalog.staging_data_dir(project, bucket, table, branch)
         df.write.mode("overwrite").parquet(staged)
         self.catalog.swap_data_dir(project, bucket, table, staged, branch)
+        if branch is None:
+            # plain rewrite drops any optimize_table layout — keep meta honest
+            meta = self.catalog.read_meta(project, bucket, table, None)
+            if meta.properties.get("partition_by"):
+                meta.properties["partition_by"] = []
+                self.catalog.write_meta(project, bucket, table, meta)
 
     def _conform(self, df: DataFrame, meta: TableMeta,
                  convert_empty_to_null: Iterable[str] = ()) -> DataFrame:

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import par as _par
+
 
 def word_tokens(text_col: str | Column) -> Column:
     """Whitespace word tokens (text normalized upstream if needed)."""
@@ -33,12 +35,7 @@ def word_tokens(text_col: str | Column) -> Column:
     return F.split(c, " ")
 
 
-def _par(df: DataFrame, mult: int = 1) -> int:
-    """Target partition count for compute-heavy stages: the session's core
-    parallelism (not the input's — a single-row-group parquet scan or an
-    AQE-coalesced shuffle can leave a tiny partition count feeding a stage
-    whose cost is quadratic in its *output*, serializing the heavy work)."""
-    return df.sparkSession.sparkContext.defaultParallelism * mult
+
 
 
 def shingle_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -60,13 +57,16 @@ def shingle_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("shs"))
 
 
+def _explode_shingles(arr: DataFrame) -> DataFrame:
+    return arr.select("id", F.size("shs").alias("n"),
+                      F.explode("shs").alias("shingle"))
+
+
 def shingle_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n, shingle) — ``shingle_arrays`` exploded, with ``n`` = the
     doc's distinct-shingle count carried alongside so Jaccard consumers skip
     a separate per-doc size aggregation plus its two re-join steps."""
-    arr = shingle_arrays(docs, id_col, text_col)
-    return arr.select("id", F.size("shs").alias("n"),
-                      F.explode("shs").alias("shingle"))
+    return _explode_shingles(shingle_arrays(docs, id_col, text_col))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
@@ -159,7 +159,8 @@ def _verify_pairs_with_arrays(cands: DataFrame, arr: DataFrame,
 
 
 def minhash_band_buckets(docs: DataFrame, id_col: str, text_col: str,
-                         n_hashes: int = 12, band_size: int = 4) -> DataFrame:
+                         n_hashes: int = 12, band_size: int = 4,
+                         _arr: DataFrame | None = None) -> DataFrame:
     """MinHash signatures + LSH banding.
 
     Permutation h_s(x) = md5(s || '|' || x) — min over a doc's shingles of a
@@ -168,7 +169,8 @@ def minhash_band_buckets(docs: DataFrame, id_col: str, text_col: str,
     concatenated minhashes.
     """
     assert n_hashes % band_size == 0
-    sh = shingle_df(docs, id_col, text_col)
+    sh = (_explode_shingles(_arr) if _arr is not None
+          else shingle_df(docs, id_col, text_col))
     # One row per shingle with n_hashes hash *columns* (not an n_hashes-way
     # explode): map-side combine then reduces (id → n_hashes mins) directly,
     # shuffling one row per (doc, shingle) instead of n_hashes rows.
@@ -198,7 +200,12 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
     Returns (id_a, id_b, jaccard) for verified pairs. Candidate count scales
     with the number of true near-dups, not the corpus square.
     """
-    bb = minhash_band_buckets(docs, id_col, text_col, n_hashes, band_size)
+    # One shingle computation shared by candidate generation AND verify:
+    # lazy localCheckpoint materializes the (id, shs) arrays at first use
+    # and both branches reuse them instead of re-tokenizing the corpus.
+    arr = shingle_arrays(docs, id_col, text_col).localCheckpoint(eager=False)
+    bb = minhash_band_buckets(docs, id_col, text_col, n_hashes, band_size,
+                              _arr=arr)
     left = bb.select(F.col("id").alias("id_a"), "band", "bucket")
     right = bb.select(F.col("id").alias("id_b"), "band", "bucket")
     cands = (left.join(right, ["band", "bucket"])
@@ -206,12 +213,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
                  .select("id_a", "id_b").distinct())
 
     # Candidate-driven verify on whole shingle ARRAYS: join each candidate
-    # pair to the two docs' shingle sets (shuffle-free narrow maps — no
-    # explode, no count aggregation) and take size(array_intersect). Cost is
-    # Σ_cand (n_a + n_b) — proportional to the number of candidates LSH
-    # emits, never the full inverted-index pair product the exact operator
-    # pays.
-    arr = shingle_arrays(docs, id_col, text_col)
+    # pair to the two docs' shingle sets and take size(array_intersect).
+    # Cost is Σ_cand (n_a + n_b) — proportional to the number of candidates
+    # LSH emits, never the full inverted-index pair product.
     return _verify_pairs_with_arrays(cands, arr, threshold)
 
 
@@ -285,7 +289,8 @@ def ngram_jaccard_prefix_pairs(docs: DataFrame, id_col: str, text_col: str,
     """
     from pyspark.sql import Window
 
-    sh = shingle_df(docs, id_col, text_col)
+    arr = shingle_arrays(docs, id_col, text_col).localCheckpoint(eager=False)
+    sh = _explode_shingles(arr)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = (sh.join(freq, "shingle")
                 .withColumn("r", F.row_number().over(
@@ -304,5 +309,4 @@ def ngram_jaccard_prefix_pairs(docs: DataFrame, id_col: str, text_col: str,
                        & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na"))))
                .select("id_a", "id_b").distinct())
 
-    arr = shingle_arrays(docs, id_col, text_col)
     return _verify_pairs_with_arrays(cands, arr, threshold)

@@ -38,17 +38,20 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b",
                 .distinct())
     und = und.localCheckpoint()
     labels = (und.select(F.col("src").alias("id")).distinct()
-                 .select("id", F.col("id").alias("lab")))
-    prev_sum = None
+                 .select("id", F.col("id").alias("lab"))
+                 .localCheckpoint())
     for _ in range(max_iter):
         msgs = (und.join(labels.withColumnRenamed("id", "src"), "src")
                    .select(F.col("dst").alias("id"), "lab"))
-        labels = (labels.unionByName(msgs)
-                        .groupBy("id").agg(F.min("lab").alias("lab"))
-                        .localCheckpoint())
-        # Σ labels strictly decreases until fixpoint (labels only ever drop).
-        cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
-        if cur_sum == prev_sum:
+        new_labels = (labels.unionByName(msgs)
+                            .groupBy("id").agg(F.min("lab").alias("lab"))
+                            .localCheckpoint())
+        # Fixpoint = no (id, lab) row changed. Anti-join count works for ANY
+        # id type (a Σ-of-labels check would be NULL over string ids and
+        # terminate after one round with wrong clusters).
+        changed = new_labels.join(labels, ["id", "lab"], "left_anti") \
+                            .limit(1).count()
+        labels = new_labels
+        if changed == 0:
             break
-        prev_sum = cur_sum
     return labels.select("id", F.col("lab").alias("cluster"))

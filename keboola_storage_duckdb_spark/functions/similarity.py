@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import par as _par
+
 DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 NORM2 = ("aggregate({a}, CAST(0 AS DOUBLE), "
@@ -53,7 +55,7 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
     c = with_norm(
         vectors.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("cv")), "cv", "cn") \
-        .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+        .repartition(_par(vectors))
     scored = (c.crossJoin(F.broadcast(q))
                .filter(F.col("neighbor_id") != F.col("query_id"))
                .withColumn("score", F.round(cosine_expr("qv", "cv", "qn", "cn"), 6)))
@@ -98,9 +100,8 @@ def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
     Recall < 1 by construction; bucket join replaces the cross product."""
     from pyspark.sql import Window
 
-    cand = lsh_bucket(
-        vectors.repartition(vectors.sparkSession.sparkContext.defaultParallelism),
-        id_col, vec_col, n_planes, dim)
+    cand = lsh_bucket(vectors.repartition(_par(vectors)),
+                      id_col, vec_col, n_planes, dim)
     qb = (lsh_bucket(queries, id_col, vec_col, n_planes, dim)
           .select(F.col("id").alias("query_id"), F.col("vec").alias("qv"),
                   "bucket"))
@@ -117,24 +118,32 @@ def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
 
 def cosine_near_dup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
                           threshold: float = 0.95,
-                          block_col: str | None = None) -> DataFrame:
+                          block_col: str | None = None,
+                          broadcast_build: bool = True) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥ threshold).
 
     ``block_col`` (e.g. a cluster/label column or an LSH bucket) turns the
-    all-pairs product into per-block products — required at scale."""
+    all-pairs product into per-block products — REQUIRED at scale: the
+    unblocked path is O(N²). ``broadcast_build`` hints the build side of the
+    unblocked cross product (right for corpora that fit executor memory);
+    set False on a large unblocked input to degrade to a partitioned
+    cartesian instead of a guaranteed broadcast OOM — but at that size use
+    ``block_col``."""
     v = with_norm(vectors.select(F.col(id_col).alias("id"),
                                  F.col(vec_col).alias("v"),
                                  *([F.col(block_col).alias("blk")] if block_col else [])),
                   "v", "n2")
     # The N² dot products dominate; spread the streamed side across cores
     # (the other side is broadcast / co-partitioned by block).
-    par = vectors.sparkSession.sparkContext.defaultParallelism
-    a = v.repartition(par).select(
+    a = v.repartition(_par(vectors)).select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("n2").alias("na"), *([F.col("blk")] if block_col else []))
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
                  F.col("n2").alias("nb"), *([F.col("blk")] if block_col else []))
-    joined = a.join(b, on="blk") if block_col else a.crossJoin(F.broadcast(b))
+    if block_col:
+        joined = a.join(b, on="blk")
+    else:
+        joined = a.crossJoin(F.broadcast(b) if broadcast_build else b)
     return (joined.filter(F.col("id_a") < F.col("id_b"))
                   .withColumn("score", F.round(cosine_expr("va", "vb", "na", "nb"), 6))
                   .filter(F.col("score") >= threshold)
@@ -189,7 +198,7 @@ def ivf_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
         vectors.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("cv"),
                        F.col(label_col).alias("label")), "cv", "cn") \
-        .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+        .repartition(_par(vectors))
     scored = (c.join(F.broadcast(routed), "label")
                .filter(F.col("neighbor_id") != F.col("query_id"))
                .withColumn("score",

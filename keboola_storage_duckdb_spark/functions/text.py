@@ -59,10 +59,13 @@ def language_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         return lambda x: x.isin(ws)
 
     toks = F.split(F.lower(F.col(text_col)), " ")
+    # NULL text must yield ('und', 0) — guard explicitly: with ANSI off,
+    # size(NULL) is -1 (not NULL), so a coalesce would never fire
     base = docs.select(
         F.col(id_col).alias("id"),
-        *[F.size(F.filter(toks, _hits(STOPWORDS[lg]))).alias(f"h_{lg}")
-          for lg in langs])
+        *[F.when(F.col(text_col).isNull(), F.lit(0))
+           .otherwise(F.size(F.filter(toks, _hits(STOPWORDS[lg]))))
+           .alias(f"h_{lg}") for lg in langs])
     hcols = [F.col(f"h_{lg}") for lg in langs]
     best = F.greatest(*hcols)
     # first lang (alphabetically) reaching the max ← `>=` cascade

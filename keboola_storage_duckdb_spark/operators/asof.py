@@ -31,26 +31,32 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     Returns all left columns plus ``<right_col><suffix>`` columns (null when
     no prior right row exists).
     """
+    if not right_cols:
+        raise ValueError("asof_join requires at least one right column")
     lcols = left.columns
-    # kind 0 = right (sorts first at equal ts → inclusive as-of), 1 = left
+    rtypes = dict(right.dtypes)
+    # kind 0 = right (sorts first at equal ts → inclusive as-of), 1 = left.
+    # The right payload is carried as ONE struct so the match is atomic —
+    # carrying columns independently with last(ignorenulls) would stitch
+    # fields from *different* right rows whenever a right column is NULL.
+    payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
     r = right.select(
         F.col(on).alias("_k"), F.col(ts).alias("_t"), F.lit(0).alias("_kind"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        payload.alias("_r"),
         *[F.lit(None).alias(f"_l_{c}") for c in lcols])
+    struct_ddl = "struct<" + ",".join(
+        f"{c}:{rtypes[c]}" for c in right_cols) + ">"
     l = left.select(
         F.col(on).alias("_k"), F.col(ts).alias("_t"), F.lit(1).alias("_kind"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}")
-          for c in right_cols],
+        F.lit(None).cast(struct_ddl).alias("_r"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols])
     u = r.unionByName(l)
     w = (Window.partitionBy("_k")
-               .orderBy("_t", "_kind", f"_r_{right_cols[0]}")
+               .orderBy("_t", "_kind", F.col("_r"))
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = u.select(
-        "*",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-          for c in right_cols])
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_c"))
     return (carried.filter(F.col("_kind") == 1)
                    .select(*[F.col(f"_l_{c}").alias(c) for c in lcols],
-                           *[F.col(f"_c_{c}").alias(f"{c}{suffix}")
+                           *[F.col("_c")[c].alias(f"{c}{suffix}")
                              for c in right_cols]))

@@ -41,19 +41,27 @@ def plan_facts(df: DataFrame, execute: bool = False) -> dict:
       sort-merge join to broadcast from runtime statistics)
     """
     text = formatted_plan(df)
+    # Node counting uses the SIMPLE tree — the formatted output repeats
+    # every operator in its details section, which would double-count
+    # joins/exchanges (and half-disarm count-based plan assertions).
+    tree = formatted_plan(df, "simple")
     if execute:
         # AQE finalizes the physical plan (and its WholeStageCodegen spans)
         # only at execution; run the query, then read the executed plan.
         df.collect()
-        text = df._jdf.queryExecution().executedPlan().toString()
+        tree = df._jdf.queryExecution().executedPlan().toString()
+        # post-AQE toString shows the final plan; initial-plan section (if
+        # present) would double-count — keep only the final plan part
+        tree = tree.split("+- == Initial Plan ==")[0]
+        text = tree
     return {
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", text),
         "read_schemas": re.findall(r"ReadSchema: (\S+)", text),
         "joins": re.findall(
             r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
-            r"BroadcastNestedLoopJoin|CartesianProduct)\b", text),
-        "exchanges": len(re.findall(r"\bExchange\b", text)),
-        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", text))),
+            r"BroadcastNestedLoopJoin|CartesianProduct)\b", tree),
+        "exchanges": len(re.findall(r"\bExchange\b", tree)),
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", tree))),
     }
 
 

@@ -136,12 +136,17 @@ def stream_sessionize(spark, source_dir: str, schema,
 
 def stream_dedup_events(spark, source_dir: str, schema,
                         watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact dedup on event_id: watermarked dropDuplicates — the
-    streaming twin of exact_dedup. State holds one key per event inside the
-    watermark horizon and is purged past it (bounded state at 100 TB/day
-    ingest; without the watermark state grows forever)."""
+    """Streaming exact dedup on event_id — the streaming twin of
+    exact_dedup. Uses ``dropDuplicatesWithinWatermark`` so state for a key
+    is EVICTED once the watermark passes it: plain
+    ``dropDuplicates(["event_id"])`` would keep one state row per distinct
+    event_id forever (the watermark only bounds state when the event-time
+    column is part of the dedup key). Bounded state at 100 TB/day ingest;
+    duplicates arriving farther apart than the watermark are not caught —
+    that's the documented contract of within-watermark dedup."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
-    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return (stream.withWatermark("ts", watermark)
+                  .dropDuplicatesWithinWatermark(["event_id"]))
 
 
 USER_TOTALS_SCHEMA = "user_id BIGINT, n_events BIGINT, sum_value DOUBLE"

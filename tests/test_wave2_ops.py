@@ -125,3 +125,46 @@ def test_skew_agg_matches_plain_groupby(spark, sf_dir):
     salted = {r.event_type: (r.n_events, r.sum_value)
               for r in E.q_skew_agg(spark, sf_dir).collect()}
     assert plain == salted
+
+
+def test_connected_components_string_ids(spark):
+    # regression: a Σ-labels convergence check was NULL over string ids and
+    # terminated after one round with wrong clusters
+    from keboola_storage_duckdb_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], ["id_a", "id_b"])
+    got = {r.id: r.cluster for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_asof_join_atomic_carry_with_null_columns(spark):
+    # regression: independent last(ignorenulls) per column stitched fields
+    # from different right rows when a right column held NULL
+    import datetime as dt
+    from keboola_storage_duckdb_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, 1, t("2024-01-01 03:00:00"))], ["eid", "uid", "ts"])
+    right = spark.createDataFrame(
+        [(1, t("2024-01-01 01:00:00"), 10, None),
+         (1, t("2024-01-01 02:00:00"), None, 20)],
+        "uid long, ts timestamp, x long, y long")
+    out = asof_join(left, right.select("uid", "ts", "x", "y"),
+                    on="uid", ts="ts", right_cols=["x", "y"], suffix="")
+    row = out.collect()[0]
+    # the matched row is r2 (ts=02:00) — its (NULL, 20), never (10, 20)
+    assert row.x is None and row.y == 20
+
+
+def test_lang_id_null_text(spark):
+    # regression: NULL text must yield ('und', 0), not NULL-propagated junk
+    from keboola_storage_duckdb_spark.functions.text import language_id
+
+    df = spark.createDataFrame([(0, None), (1, "the cat")],
+                               "doc_id long, text string")
+    got = {r.id: (r.pred_lang, r.hits)
+           for r in language_id(df, "doc_id", "text").collect()}
+    assert got[0] == ("und", 0)
+    assert got[1][0] == "en"
