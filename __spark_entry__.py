@@ -1284,6 +1284,18 @@ SELECT o_orderpriority, COUNT(*) AS n,
 FROM orders GROUP BY o_orderpriority"""
 
 
+
+
+def q_kmeans(spark, sf_dir):
+    """Iterative k-means over embeddings (deterministic md5 seeding, Lloyd
+    rounds as distributed assignment + mean re-estimation). Rows-only check
+    — genuinely iterative, not SQL-expressible (the driver records the
+    weaker rows-only result for such ops by design)."""
+    from keboola_storage_duckdb_spark.functions.clustering import kmeans
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans(emb, "vec_id", "embedding", k=4, max_iter=6)
+
+
 def _lang_id_sql():
     from keboola_storage_duckdb_spark.functions.text import STOPWORDS
     langs = sorted(STOPWORDS)
@@ -1508,6 +1520,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_conditionals": q_scalar_conditionals,
     "pivot_counts": q_pivot_counts,
     "grouped_quantiles": q_grouped_quantiles,
+    "kmeans": q_kmeans,
 }
 
 

@@ -124,3 +124,22 @@ def test_workspace_credentials_and_object_info(spark, tmp_path):
     assert info["tables"] == ["t1"]
     info = eng.object_info(["p1", "in_c_main", "t1"])
     assert info["type"] == "table"
+
+
+def test_kmeans_separates_labels(spark):
+    from keboola_storage_duckdb_spark.functions.clustering import kmeans
+
+    rows = []
+    for i in range(30):
+        rows.append((i, [10.0 + (i % 5) * 0.1, 0.0]))
+        rows.append((100 + i, [0.0, 10.0 + (i % 5) * 0.1]))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.id: r.cluster for r in
+           kmeans(vecs, "vec_id", "embedding", k=2, max_iter=8).collect()}
+    g1 = {got[i] for i in range(30)}
+    g2 = {got[100 + i] for i in range(30)}
+    assert len(g1) == 1 and len(g2) == 1 and g1 != g2  # perfect split
+    # deterministic
+    again = {r.id: r.cluster for r in
+             kmeans(vecs, "vec_id", "embedding", k=2, max_iter=8).collect()}
+    assert again == got
