@@ -1296,6 +1296,21 @@ def q_kmeans(spark, sf_dir):
     return kmeans(emb, "vec_id", "embedding", k=4, max_iter=6)
 
 
+
+
+def q_ann_topk_pandas(spark, sf_dir):
+    """Arrow/NumPy vectorized brute-force top-k (mapInPandas batch matmul
+    against the broadcast query matrix) — the Pandas-UDF fast path for wide
+    embeddings. Rows-only check: pairwise summation differs from the
+    sequential fold at the last ulp, so the bit-exact twin is ann_topk
+    (tested round-6 equal)."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        brute_force_topk_pandas)
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk_pandas(emb, emb.filter(F.col("vec_id") < 10),
+                                   "vec_id", "embedding", k=5)
+
+
 def _lang_id_sql():
     from keboola_storage_duckdb_spark.functions.text import STOPWORDS
     langs = sorted(STOPWORDS)
@@ -1521,6 +1536,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_counts": q_pivot_counts,
     "grouped_quantiles": q_grouped_quantiles,
     "kmeans": q_kmeans,
+    "ann_topk_pandas": q_ann_topk_pandas,
 }
 
 

@@ -143,3 +143,22 @@ def test_kmeans_separates_labels(spark):
     again = {r.id: r.cluster for r in
              kmeans(vecs, "vec_id", "embedding", k=2, max_iter=8).collect()}
     assert again == got
+
+
+def test_pandas_topk_matches_jvm_exact_path(spark, sf_dir):
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        brute_force_topk, brute_force_topk_pandas)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    jvm = {(r.query_id, r.rank): (r.neighbor_id, r.score)
+           for r in brute_force_topk(emb, q, "vec_id", "embedding", 5).collect()}
+    arrow = {(r.query_id, r.rank): (r.neighbor_id, r.score)
+             for r in brute_force_topk_pandas(
+                 emb, q, "vec_id", "embedding", 5).collect()}
+    assert set(jvm) == set(arrow)
+    for key, (nid, score) in jvm.items():
+        anid, ascore = arrow[key]
+        assert anid == nid
+        assert abs(ascore - score) <= 1e-6
