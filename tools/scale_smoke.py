@@ -1,0 +1,99 @@
+"""Scale smoke: replicate the sf0.1 fixtures 10× (≈ sf1: 6M lineitem rows,
+50k docs, 20k embeddings) into .tmp/ and run the headline operators.
+
+This is the "would the plan survive a 10× scale-up" check the fixtures
+can't provide: quadratic-output operators must degrade gracefully (the
+inverted-index Jaccard REQUIRES its stop-shingle cap here — Σdf² grows
+~100×; LSH/prefix paths must stay near-linear).
+
+Usage: python tools/scale_smoke.py [replication_factor]
+Writes nothing outside /root/repo.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+REPL = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/.tmp/scale_smoke"
+
+ID_COLS = {
+    "lineitem": "l_orderkey", "orders": "o_orderkey", "customer": "c_custkey",
+    "documents": "doc_id", "embeddings": "vec_id", "events": "event_id",
+}
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+    for t in ["region", "nation", "supplier", "part"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    for t, idc in ID_COLS.items():
+        df = load_table(spark, SRC, t)  # ns-timestamp-safe loader
+        n = df.agg(F.max(idc)).collect()[0][0] + 1
+        reps = [df.withColumn(idc, F.col(idc) + F.lit(int(i * n)))
+                for i in range(REPL)]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        # many row groups → realistic multi-split scans
+        out.repartition(16).write.mode("overwrite") \
+           .parquet(f"{DST}/{t}.parquet")
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        minhash_lsh_pairs, ngram_jaccard_pairs)
+    from keboola_storage_duckdb_spark.session import get_spark
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    build(spark)
+    timings = {"build": round(time.perf_counter() - t0, 1)}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        n = fn().count() if hasattr(fn(), "count") else fn()
+        timings[name] = {"sec": round(time.perf_counter() - t0, 1), "rows": n}
+
+    Q = E.queries()
+    for name in ["pricing_summary", "join_lineitem_part", "numeric_moments",
+                 "quantiles", "distinct_counts", "sessionize", "minhash_lsh",
+                 "ann_topk", "ann_topk_pandas", "ann_ivf", "lang_id",
+                 "top_terms", "table_profile", "kmeans"]:
+        run(name, lambda name=name: Q[name](spark, DST))
+
+    # Quadratic-output operators at 10×: the UNBLOCKED/UNCAPPED forms are the
+    # documented non-scale paths (the fixture's dense vocabulary makes Σdf²
+    # grow ~100×; 20k×20k cosine pairs likewise). Measure the scale forms:
+    # stop-shingle-capped inverted index, and label-blocked cosine pairs.
+    docs = load_table(spark, DST, "documents")
+    run("ngram_jaccard_capped_df200",
+        lambda: ngram_jaccard_pairs(docs, "doc_id", "text", 0.8,
+                                    max_doc_freq=200, pack_ids=True))
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        cosine_near_dup_pairs)
+    emb = load_table(spark, DST, "embeddings")
+    run("cosine_near_dup_blocked",
+        lambda: cosine_near_dup_pairs(emb, "vec_id", "embedding", 0.45,
+                                      block_col="label"))
+
+    print(json.dumps({"replication": REPL, "timings": timings}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
