@@ -1311,6 +1311,46 @@ def q_ann_topk_pandas(spark, sf_dir):
                                    "vec_id", "embedding", k=5)
 
 
+
+
+def q_near_dedup_keep(spark, sf_dir):
+    """End-to-end near-dup pipeline over embeddings: detect (cosine pairs)
+    → cluster (connected components) → select (keep the min-id member per
+    cluster; unclustered vectors are kept). Emits every vector with its
+    cluster (own id if unclustered) and the keep decision — the exact frame
+    a training pipeline joins against to drop duplicates."""
+    from keboola_storage_duckdb_spark.functions.graph import connected_components
+    from keboola_storage_duckdb_spark.functions.similarity import cosine_near_dup_pairs
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    cc = connected_components(edges).withColumnRenamed("id", "vec_id")
+    return (emb.select("vec_id").join(cc, "vec_id", "left")
+               .select("vec_id",
+                       F.coalesce("cluster", F.col("vec_id")).alias("cluster"),
+                       (F.coalesce("cluster", F.col("vec_id"))
+                        == F.col("vec_id")).alias("keep")))
+
+
+def _near_dedup_keep_sql():
+    return f"""
+WITH RECURSIVE v AS (SELECT vec_id, embedding,
+                            {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
+                     FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                  / (sqrt(a.n2) * sqrt(b.n2)), 6) >= 0.45),
+ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+r AS (SELECT DISTINCT a AS id, a AS lab FROM ed
+      UNION
+      SELECT ed.b AS id, r.lab FROM r JOIN ed ON ed.a = r.id),
+cc AS (SELECT id AS vec_id, MIN(lab) AS cluster FROM r GROUP BY id)
+SELECT e.vec_id,
+       COALESCE(cc.cluster, e.vec_id) AS cluster,
+       COALESCE(cc.cluster, e.vec_id) = e.vec_id AS keep
+FROM embeddings e LEFT JOIN cc ON cc.vec_id = e.vec_id"""
+
+
 def _lang_id_sql():
     from keboola_storage_duckdb_spark.functions.text import STOPWORDS
     langs = sorted(STOPWORDS)
@@ -1537,6 +1577,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouped_quantiles": q_grouped_quantiles,
     "kmeans": q_kmeans,
     "ann_topk_pandas": q_ann_topk_pandas,
+    "near_dedup_keep": q_near_dedup_keep,
 }
 
 
@@ -1770,6 +1811,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_window": _MOVING_SQL,
         "string_funcs": _STRING_FUNCS_SQL,
         "scalar_conditionals": _SCALAR_COND_SQL,
+        "near_dedup_keep": _near_dedup_keep_sql(),
         "pivot_counts": _PIVOT_SQL,
         "grouped_quantiles": _GROUPED_QUANTILES_SQL,
     }
