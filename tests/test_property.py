@@ -103,3 +103,64 @@ def test_typed_where_model(spark, data, op_values):
     else:
         expect = [i for i, x in enumerate(data) if _OPS[op](x, values[0])]
     assert got == expect
+
+
+@given(lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                      min_size=1, max_size=10),
+       rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                       min_size=0, max_size=10))
+@settings(**SETTINGS)
+def test_asof_join_model(spark, lefts, rights):
+    """as-of vs brute-force model: most recent right at-or-before each left
+    (per key), ties toward the larger payload id (window tie-break)."""
+    import datetime as dt
+    from keboola_storage_duckdb_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(i, k, t(s)) for i, (k, s) in enumerate(lefts)],
+        "eid long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100 + i, k, t(s)) for i, (k, s) in enumerate(rights)],
+        "rid long, k long, ts timestamp")
+    out = asof_join(left, right.select("k", "ts", "rid"),
+                    on="k", ts="ts", right_cols=["rid"], suffix="")
+    got = {r.eid: r.rid for r in out.collect()}
+    for i, (k, s) in enumerate(lefts):
+        cands = [(rs, 100 + j) for j, (rk, rs) in enumerate(rights)
+                 if rk == k and rs <= s]
+        expect = max(cands)[1] if cands else None  # latest ts, then max rid
+        assert got[i] == expect, (i, k, s, cands)
+
+
+@given(events=st.lists(st.tuples(st.integers(0, 1), st.integers(0, 100)),
+                       min_size=1, max_size=14))
+@settings(**SETTINGS)
+def test_sessionize_model(spark, events):
+    """sessionize vs model: per-user sorted gaps > threshold split sessions."""
+    import datetime as dt
+    from keboola_storage_duckdb_spark.streaming.events import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    gap_min = 1
+    rows = [(i, u, base + dt.timedelta(seconds=s * 10), 1.0)
+            for i, (u, s) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {(r.user_id, r.session_start, r.session_end): r.n_events
+           for r in sessionize(df, gap_minutes=gap_min).collect()}
+
+    expect = {}
+    for u in {u for u, _ in events}:
+        ts = sorted(t for (uu, s) in events if uu == u
+                    for t in [base + dt.timedelta(seconds=s * 10)])
+        sess = [[ts[0]]]
+        for a, b in zip(ts, ts[1:]):
+            if (b - a).total_seconds() > gap_min * 60:
+                sess.append([b])
+            else:
+                sess[-1].append(b)
+        for s in sess:
+            expect[(u, s[0], s[-1])] = len(s)
+    assert got == expect
