@@ -1351,6 +1351,44 @@ SELECT e.vec_id,
 FROM embeddings e LEFT JOIN cc ON cc.vec_id = e.vec_id"""
 
 
+
+
+def q_array_funcs(spark, sf_dir):
+    """§2.8 array/higher-order family over embeddings: size, min/max,
+    slice, sort, per-element transform, fold (aggregate) — every op
+    mirrored exactly by DuckDB list functions."""
+    df = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return df.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.array_min(v).cast("double"), 6).alias("vmin"),
+        F.round(F.array_max(v).cast("double"), 6).alias("vmax"),
+        F.round(F.element_at(F.array_sort(v), 1).cast("double"), 6)
+         .alias("sorted_first"),
+        F.round(F.expr(
+            "aggregate(slice(embedding, 1, 8), CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE))"), 6).alias("head8_sum"),
+        F.round(F.expr(
+            "aggregate(transform(embedding, x -> CAST(abs(x) AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"), 6).alias("l1_norm"))
+
+
+_ARRAY_FUNCS_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+       ROUND(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS sorted_first,
+       ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 [CAST(x AS DOUBLE) for x in embedding[1:8]]),
+             (acc, x) -> acc + x), 6) AS head8_sum,
+       ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 [CAST(abs(x) AS DOUBLE) for x in embedding]),
+             (acc, x) -> acc + x), 6) AS l1_norm
+FROM embeddings"""
+
+
 def _lang_id_sql():
     from keboola_storage_duckdb_spark.functions.text import STOPWORDS
     langs = sorted(STOPWORDS)
@@ -1578,6 +1616,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans": q_kmeans,
     "ann_topk_pandas": q_ann_topk_pandas,
     "near_dedup_keep": q_near_dedup_keep,
+    "array_funcs": q_array_funcs,
 }
 
 
@@ -1812,6 +1851,7 @@ def oracle_sql() -> dict[str, str]:
         "string_funcs": _STRING_FUNCS_SQL,
         "scalar_conditionals": _SCALAR_COND_SQL,
         "near_dedup_keep": _near_dedup_keep_sql(),
+        "array_funcs": _ARRAY_FUNCS_SQL,
         "pivot_counts": _PIVOT_SQL,
         "grouped_quantiles": _GROUPED_QUANTILES_SQL,
     }

@@ -620,6 +620,57 @@ class StorageEngine:
         self.catalog.write_meta(project, bucket, table, meta)
         self._log("drop_primary_key", table=table)
 
+    # ------------------------------------------------- snapshot settings
+    def set_snapshot_settings(self, level: str, path: list[str],
+                              enabled: bool | None = None,
+                              retention_days: int | None = None) -> None:
+        """Snapshot-settings hierarchy project → bucket → table (reference
+        src/snapshot_config.py, src/database.py:1841-1991): settings at a
+        narrower level override broader ones; unset fields inherit."""
+        if level not in ("project", "bucket", "table"):
+            raise CatalogError(f"invalid settings level {level!r}")
+        want = {"project": 1, "bucket": 2, "table": 3}[level]
+        if len(path) != want:
+            raise CatalogError(f"{level} settings need a {want}-part path")
+        store = self._snapshot_settings_path()
+        with self._ops_lock:
+            data = {}
+            if os.path.exists(store):
+                with open(store) as f:
+                    data = json.load(f)
+            key = "/".join(path)
+            entry = data.setdefault(level, {}).setdefault(key, {})
+            if enabled is not None:
+                entry["enabled"] = enabled
+            if retention_days is not None:
+                entry["retention_days"] = retention_days
+            tmp = store + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(data, f)
+            os.replace(tmp, store)
+        self._log("set_snapshot_settings", level=level, path=path)
+
+    def resolve_snapshot_settings(self, project: str, bucket: str,
+                                  table: str) -> dict:
+        """Effective settings for a table: table > bucket > project >
+        defaults (enabled=True, retention: manual 90 d / auto 7 d —
+        reference CLAUDE.md:243-244)."""
+        out = {"enabled": True, "retention_days": 90,
+               "auto_retention_days": 7}
+        store = self._snapshot_settings_path()
+        if not os.path.exists(store):
+            return out
+        with open(store) as f:
+            data = json.load(f)
+        for level, key in (("project", project),
+                           ("bucket", f"{project}/{bucket}"),
+                           ("table", f"{project}/{bucket}/{table}")):
+            out.update(data.get(level, {}).get(key, {}))
+        return out
+
+    def _snapshot_settings_path(self) -> str:
+        return os.path.join(self.catalog.warehouse, "_snapshot_settings.json")
+
     # ---------------------------------------------------------- snapshots
     def snapshot_create(self, project: str, bucket: str, table: str,
                         description: str = "") -> dict:

@@ -143,3 +143,24 @@ def test_api_keys_and_ops_log(spark, tmp_path):
     eng.create_project("p1")
     ops = [r["op"] for r in eng.operations_log()]
     assert ops[-1] == "create_project" and "create_api_key" in ops
+
+
+def test_snapshot_settings_hierarchy(spark, tmp_path):
+    from keboola_storage_duckdb_spark.engine import StorageEngine
+
+    eng = StorageEngine(spark, str(tmp_path / "wh"))
+    # defaults
+    got = eng.resolve_snapshot_settings("p1", "b1", "t1")
+    assert got == {"enabled": True, "retention_days": 90,
+                   "auto_retention_days": 7}
+    # project-level off, bucket overrides retention, table re-enables
+    eng.set_snapshot_settings("project", ["p1"], enabled=False)
+    assert eng.resolve_snapshot_settings("p1", "b1", "t1")["enabled"] is False
+    eng.set_snapshot_settings("bucket", ["p1", "b1"], retention_days=30)
+    got = eng.resolve_snapshot_settings("p1", "b1", "t1")
+    assert got["enabled"] is False and got["retention_days"] == 30
+    eng.set_snapshot_settings("table", ["p1", "b1", "t1"], enabled=True)
+    got = eng.resolve_snapshot_settings("p1", "b1", "t1")
+    assert got["enabled"] is True and got["retention_days"] == 30
+    # sibling table unaffected by the table-level override
+    assert eng.resolve_snapshot_settings("p1", "b1", "t2")["enabled"] is False
