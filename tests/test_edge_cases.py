@@ -1,0 +1,73 @@
+"""Edge-case hardening: degenerate documents (empty / single-word / NULL),
+empty inputs through the pair operators, null strata."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(0, "alpha beta gamma delta"),
+         (1, "alpha beta gamma delta"),   # exact dup of 0
+         (2, "one"),                       # single word: no bigrams
+         (3, ""),                          # empty text
+         (4, None),                        # NULL text
+         (5, "zeta eta theta iota")],
+        "doc_id long, text string")
+
+
+def test_pair_ops_handle_degenerate_docs(spark):
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        minhash_lsh_pairs, ngram_jaccard_pairs, ngram_jaccard_prefix_pairs,
+        simhash_pairs)
+
+    docs = _docs(spark)
+    for fn in (ngram_jaccard_pairs, ngram_jaccard_prefix_pairs,
+               minhash_lsh_pairs):
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in fn(docs, "doc_id", "text", threshold=0.8).collect()}
+        assert got == {(0, 1): 1.0}, (fn.__name__, got)
+    # simhash ignores docs with no tokens; exact dups at hamming 0
+    sh = {(r.id_a, r.id_b): r.hamming
+          for r in simhash_pairs(docs, "doc_id", "text", 3).collect()}
+    assert sh.get((0, 1)) == 0
+
+
+def test_pair_ops_on_empty_input(spark):
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        minhash_lsh_pairs, ngram_jaccard_pairs)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert ngram_jaccard_pairs(empty, "doc_id", "text").count() == 0
+    assert minhash_lsh_pairs(empty, "doc_id", "text").count() == 0
+
+
+def test_connected_components_empty_edges(spark):
+    from keboola_storage_duckdb_spark.functions.graph import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+
+
+def test_asof_join_empty_right(spark):
+    import datetime as dt
+    from keboola_storage_duckdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1))], "eid long, uid long, ts timestamp")
+    right = spark.createDataFrame([], "uid long, ts timestamp, rid long")
+    out = asof_join(left, right, on="uid", ts="ts", right_cols=["rid"],
+                    suffix="")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].rid is None
+
+
+def test_fingerprint_empty_and_null(spark):
+    from keboola_storage_duckdb_spark.functions.text import fingerprint
+
+    got = {r.id: r.fp for r in
+           fingerprint(_docs(spark), "doc_id", "text").collect()}
+    assert got[3] is not None          # empty string fingerprints fine
+    assert got[4] is None              # NULL text -> NULL fingerprint
+    assert got[0] == got[1]            # exact dups agree
