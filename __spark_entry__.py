@@ -1389,6 +1389,58 @@ SELECT vec_id,
 FROM embeddings"""
 
 
+
+
+def q_minhash_estimate(spark, sf_dir):
+    """MinHash estimated-vs-exact Jaccard per LSH candidate pair — the
+    sketch-quality frame used to tune (n_hashes, band_size)."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        minhash_estimate_pairs)
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_estimate_pairs(docs, "doc_id", "text",
+                                  n_hashes=12, band_size=4)
+
+
+def _minhash_estimate_sql(n_hashes=12, band_size=4):
+    mins = ", ".join(
+        f"min(CASE WHEN seed = {s} THEN h END) AS mh{s}" for s in range(n_hashes))
+    bands = "\nUNION ALL\n".join(
+        "SELECT id, {b} AS band, md5({parts}) AS bucket FROM sig".format(
+            b=b, parts=" || ".join(f"mh{b * band_size + r}" for r in range(band_size)))
+        for b in range(n_hashes // band_size))
+    match = " + ".join(
+        f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END"
+        for s in range(n_hashes))
+    return f"""
+WITH toks AS (SELECT doc_id AS id, str_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT id,
+              unnest(list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1])) AS shingle
+       FROM toks),
+hashed AS (SELECT id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+           FROM sh CROSS JOIN (SELECT unnest(range({n_hashes})) AS seed)),
+sig AS (SELECT id, {mins} FROM hashed GROUP BY id),
+buckets AS ({bands}),
+cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+common AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+           JOIN cands c ON c.id_a = a.id AND c.id_b = b.id
+           GROUP BY 1, 2)
+SELECT c.id_a, c.id_b,
+       ROUND(({match}) / {float(n_hashes)}, 6) AS est_jaccard,
+       CAST(COALESCE(cm.common, 0) AS DOUBLE)
+         / (sa2.n + sb2.n - COALESCE(cm.common, 0)) AS jaccard
+FROM cands c
+JOIN sig sa ON sa.id = c.id_a
+JOIN sig sb ON sb.id = c.id_b
+LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+JOIN sizes sa2 ON sa2.id = c.id_a
+JOIN sizes sb2 ON sb2.id = c.id_b"""
+
+
 def _lang_id_sql():
     from keboola_storage_duckdb_spark.functions.text import STOPWORDS
     langs = sorted(STOPWORDS)
@@ -1617,6 +1669,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_pandas": q_ann_topk_pandas,
     "near_dedup_keep": q_near_dedup_keep,
     "array_funcs": q_array_funcs,
+    "minhash_estimate": q_minhash_estimate,
 }
 
 
@@ -1852,6 +1905,7 @@ def oracle_sql() -> dict[str, str]:
         "scalar_conditionals": _SCALAR_COND_SQL,
         "near_dedup_keep": _near_dedup_keep_sql(),
         "array_funcs": _ARRAY_FUNCS_SQL,
+        "minhash_estimate": _minhash_estimate_sql(),
         "pivot_counts": _PIVOT_SQL,
         "grouped_quantiles": _GROUPED_QUANTILES_SQL,
     }

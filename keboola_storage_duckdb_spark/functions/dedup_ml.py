@@ -158,6 +158,24 @@ def _verify_pairs_with_arrays(cands: DataFrame, arr: DataFrame,
                   .select("id_a", "id_b", "jaccard"))
 
 
+
+def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
+                       n_hashes: int = 12,
+                       _arr: DataFrame | None = None) -> DataFrame:
+    """(id, mh0..mh{n-1}) MinHash signature table. One row per shingle with
+    n_hashes hash *columns* (not an n_hashes-way explode): map-side combine
+    reduces (id → n_hashes mins) directly, shuffling one row per
+    (doc, shingle) instead of n_hashes rows."""
+    sh = (_explode_shingles(_arr) if _arr is not None
+          else shingle_df(docs, id_col, text_col))
+    hashed = sh.select(
+        "id",
+        *[F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h{s}")
+          for s in range(n_hashes)])
+    return hashed.groupBy("id").agg(
+        *[F.min(F.col(f"h{s}")).alias(f"mh{s}") for s in range(n_hashes)])
+
+
 def minhash_band_buckets(docs: DataFrame, id_col: str, text_col: str,
                          n_hashes: int = 12, band_size: int = 4,
                          _arr: DataFrame | None = None) -> DataFrame:
@@ -169,17 +187,7 @@ def minhash_band_buckets(docs: DataFrame, id_col: str, text_col: str,
     concatenated minhashes.
     """
     assert n_hashes % band_size == 0
-    sh = (_explode_shingles(_arr) if _arr is not None
-          else shingle_df(docs, id_col, text_col))
-    # One row per shingle with n_hashes hash *columns* (not an n_hashes-way
-    # explode): map-side combine then reduces (id → n_hashes mins) directly,
-    # shuffling one row per (doc, shingle) instead of n_hashes rows.
-    hashed = sh.select(
-        "id",
-        *[F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h{s}")
-          for s in range(n_hashes)])
-    sig = hashed.groupBy("id").agg(
-        *[F.min(F.col(f"h{s}")).alias(f"mh{s}") for s in range(n_hashes)])
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, _arr=_arr)
     n_bands = n_hashes // band_size
     band_cols = []
     for b in range(n_bands):
@@ -310,3 +318,33 @@ def ngram_jaccard_prefix_pairs(docs: DataFrame, id_col: str, text_col: str,
                .select("id_a", "id_b").distinct())
 
     return _verify_pairs_with_arrays(cands, arr, threshold)
+
+
+def minhash_estimate_pairs(docs: DataFrame, id_col: str, text_col: str,
+                           n_hashes: int = 12, band_size: int = 4) -> DataFrame:
+    """Sketch-quality measurement: for every LSH candidate pair, the
+    MinHash-ESTIMATED Jaccard (matching signature components / n_hashes)
+    next to the EXACT Jaccard — the frame you inspect when tuning
+    (n_hashes, band_size) for a corpus: estimator bias/variance vs the
+    candidate threshold. Returns (id_a, id_b, est_jaccard, jaccard)."""
+    arr = shingle_arrays(docs, id_col, text_col).localCheckpoint(eager=False)
+    bb = minhash_band_buckets(docs, id_col, text_col, n_hashes, band_size,
+                              _arr=arr)
+    left = bb.select(F.col("id").alias("id_a"), "band", "bucket")
+    right = bb.select(F.col("id").alias("id_b"), "band", "bucket")
+    cands = (left.join(right, ["band", "bucket"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b").distinct())
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, _arr=arr)
+    sa = sig.select(F.col("id").alias("id_a"),
+                    *[F.col(f"mh{s}").alias(f"a{s}") for s in range(n_hashes)])
+    sb = sig.select(F.col("id").alias("id_b"),
+                    *[F.col(f"mh{s}").alias(f"b{s}") for s in range(n_hashes)])
+    matches = sum(F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+                  for s in range(n_hashes))
+    est = (cands.join(sa, "id_a").join(sb, "id_b")
+                .select("id_a", "id_b",
+                        F.round(matches / F.lit(float(n_hashes)), 6)
+                         .alias("est_jaccard")))
+    exact = _verify_pairs_with_arrays(cands, arr, threshold=0.0)
+    return est.join(exact, ["id_a", "id_b"])
