@@ -164,3 +164,35 @@ def test_sessionize_model(spark, events):
         for s in sess:
             expect[(u, s[0], s[-1])] = len(s)
     assert got == expect
+
+
+@given(edges=st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                      min_size=1, max_size=14))
+@settings(**SETTINGS)
+def test_connected_components_model(spark, edges):
+    """connected_components vs a plain union-find on randomized small graphs
+    (self-loops and duplicate edges included)."""
+    from keboola_storage_duckdb_spark.functions.graph import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.cluster for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # expected label = min vertex id per component
+    comp: dict[int, list[int]] = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    expect = {v: min(vs) for root, vs in comp.items() for v in vs}
+    assert got == expect
