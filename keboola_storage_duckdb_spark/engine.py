@@ -490,9 +490,12 @@ class StorageEngine:
                     survivors, ref_filter["column"], inverse,
                     ref_df, ref_filter["ref_column"])
             if cond is None and ref_filter is None:
-                # delete-all → auto snapshot first (W11, CLAUDE.md:152)
-                self.snapshot_create(project, bucket, table,
-                                     description="auto: pre-truncate")
+                # delete-all → auto snapshot first (W11, CLAUDE.md:152),
+                # unless the settings hierarchy disables snapshots here
+                if self.resolve_snapshot_settings(
+                        project, bucket, table)["enabled"]:
+                    self.snapshot_create(project, bucket, table,
+                                         description="auto: pre-truncate")
                 survivors = df.limit(0)
             self._write_table(project, bucket, table, survivors, eff_branch)
             remaining = self.read_table(project, bucket, table, eff_branch).count()
@@ -702,6 +705,31 @@ class StorageEngine:
                     d["snapshot_id"] = e[:-len(".schema.json")]
                     out.append(d)
         return out
+
+    def snapshot_prune(self, project: str, bucket: str, table: str) -> list[str]:
+        """Apply the resolved retention policy: drop snapshots older than
+        retention_days (auto snapshots use auto_retention_days — reference
+        retention manual 90 d / auto 7 d, CLAUDE.md:243-244). Returns the
+        pruned snapshot ids."""
+        settings = self.resolve_snapshot_settings(project, bucket, table)
+        now = time.time()
+        pruned = []
+        for snap in self.snapshot_list(project, bucket, table):
+            is_auto = str(snap.get("description", "")).startswith("auto:")
+            days = (settings["auto_retention_days"] if is_auto
+                    else settings["retention_days"])
+            if now - snap.get("created_at", now) > days * 86400:
+                sd = self.catalog.snapshot_dir(project, bucket, table)
+                sid = snap["snapshot_id"]
+                shutil.rmtree(os.path.join(sd, sid), ignore_errors=True)
+                try:
+                    os.remove(os.path.join(sd, sid + ".schema.json"))
+                except FileNotFoundError:
+                    pass
+                pruned.append(sid)
+        if pruned:
+            self._log("snapshot_prune", table=table, pruned=pruned)
+        return pruned
 
     def snapshot_restore(self, project: str, bucket: str, table: str,
                          snapshot_id: str) -> dict:

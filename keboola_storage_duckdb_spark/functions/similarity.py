@@ -230,16 +230,21 @@ def brute_force_topk_pandas(vectors: DataFrame, queries: DataFrame,
     spark = vectors.sparkSession
     import numpy as np
 
+    id_type = dict(zip(vectors.schema.names,
+                       [f.dataType for f in vectors.schema.fields]))[id_col]
+    out_schema = T.StructType([
+        T.StructField("query_id", id_type),
+        T.StructField("neighbor_id", id_type),
+        T.StructField("score", T.DoubleType()),
+    ])
+    if not q_rows:  # JVM twin returns empty; don't crash on a (0,) matrix
+        return (spark.createDataFrame([], out_schema)
+                     .withColumn("rank", F.lit(1)))
+
     qids = [r.qid for r in q_rows]
     qmat = np.array([list(r.qv) for r in q_rows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
     bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
-
-    out_schema = T.StructType([
-        T.StructField("query_id", T.LongType()),
-        T.StructField("neighbor_id", T.LongType()),
-        T.StructField("score", T.DoubleType()),
-    ])
 
     def score_batches(batches):
         import pandas as pd
@@ -251,15 +256,19 @@ def brute_force_topk_pandas(vectors: DataFrame, queries: DataFrame,
             cmat = np.array(list(pdf[vec_col].map(list)), dtype=np.float64)
             cnorm = np.sqrt((cmat * cmat).sum(axis=1))
             scores = (cmat @ mat.T) / np.outer(cnorm, norms)  # N×Q
+            batch_ids = pdf[id_col].to_numpy()
             frames = []
             for j, qid in enumerate(ids):
-                col = scores[:, j]
-                take = min(k + 1, len(col))  # +1: self may be present
-                top = np.argpartition(-col, take - 1)[:take]
+                # local top-k must use the FINAL ordering — rounded score
+                # desc, id asc — or round-level ties get cut differently
+                # than the JVM twin's tie-break
+                col = np.round(scores[:, j], 6)
+                order = np.lexsort((batch_ids, -col))
+                take = order[:min(k + 1, len(order))]  # +1: self may be present
                 frames.append(pd.DataFrame({
                     "query_id": qid,
-                    "neighbor_id": pdf[id_col].iloc[top].to_numpy(),
-                    "score": np.round(col[top], 6),
+                    "neighbor_id": batch_ids[take],
+                    "score": col[take],
                 }))
             yield pd.concat(frames, ignore_index=True)
 

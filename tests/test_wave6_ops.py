@@ -164,3 +164,38 @@ def test_snapshot_settings_hierarchy(spark, tmp_path):
     assert got["enabled"] is True and got["retention_days"] == 30
     # sibling table unaffected by the table-level override
     assert eng.resolve_snapshot_settings("p1", "b1", "t2")["enabled"] is False
+
+
+def test_snapshot_settings_gate_auto_snapshot_and_prune(spark, tmp_path):
+    import json as _json
+    import os as _os
+    from keboola_storage_duckdb_spark.engine import StorageEngine
+
+    eng = StorageEngine(spark, str(tmp_path / "wh"))
+    eng.create_project("p1")
+    eng.create_bucket("p1", "b1")
+    eng.create_table("p1", "b1", "t1",
+                     [{"name": "id", "type": "INTEGER", "nullable": False}])
+    csv = str(tmp_path / "r.csv")
+    with open(csv, "w") as f:
+        f.write("id\n1\n2\n")
+    eng.import_file("p1", "b1", "t1", csv)
+
+    # snapshots disabled → delete-all must NOT auto-snapshot
+    eng.set_snapshot_settings("table", ["p1", "b1", "t1"], enabled=False)
+    eng.delete_rows("p1", "b1", "t1")
+    assert eng.snapshot_list("p1", "b1", "t1") == []
+
+    # re-enable → auto snapshot happens; then prune with backdated age
+    eng.set_snapshot_settings("table", ["p1", "b1", "t1"], enabled=True)
+    eng.import_file("p1", "b1", "t1", csv)
+    eng.delete_rows("p1", "b1", "t1")
+    snaps = eng.snapshot_list("p1", "b1", "t1")
+    assert len(snaps) == 1 and snaps[0]["description"].startswith("auto:")
+    # backdate the sidecar past the 7-day auto retention
+    sd = eng.catalog.snapshot_dir("p1", "b1", "t1")
+    sc = _os.path.join(sd, snaps[0]["snapshot_id"] + ".schema.json")
+    d = _json.load(open(sc)); d["created_at"] -= 8 * 86400
+    _json.dump(d, open(sc, "w"))
+    assert eng.snapshot_prune("p1", "b1", "t1") == [snaps[0]["snapshot_id"]]
+    assert eng.snapshot_list("p1", "b1", "t1") == []

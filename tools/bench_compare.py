@@ -9,12 +9,14 @@ paste), prints per-query ratios sorted worst-first and the total.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.1"
+# must match the SF the Spark bench ran at (bench.py honors the same env)
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 

@@ -66,8 +66,12 @@ def main() -> None:
     timings = {"build": round(time.perf_counter() - t0, 1)}
 
     def run(name, fn):
+        # collect(), not count(): count() lets Catalyst prune the projection
+        # expressions entirely (the operator's actual work), and building
+        # the frame once avoids double execution
+        df = fn()
         t0 = time.perf_counter()
-        n = fn().count() if hasattr(fn(), "count") else fn()
+        n = len(df.collect())
         timings[name] = {"sec": round(time.perf_counter() - t0, 1), "rows": n}
 
     Q = E.queries()
