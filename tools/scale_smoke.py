@@ -66,12 +66,12 @@ def main() -> None:
     timings = {"build": round(time.perf_counter() - t0, 1)}
 
     def run(name, fn):
-        # collect(), not count(): count() lets Catalyst prune the projection
-        # expressions entirely (the operator's actual work), and building
-        # the frame once avoids double execution
-        df = fn()
+        # Time construction + collect as ONE region: eager operators (the
+        # iterative ones) do their work during construction, lazy ones at
+        # collect. collect(), not count() — count() lets Catalyst prune the
+        # projection expressions (the operator's actual work).
         t0 = time.perf_counter()
-        n = len(df.collect())
+        n = len(fn().collect())
         timings[name] = {"sec": round(time.perf_counter() - t0, 1), "rows": n}
 
     Q = E.queries()
