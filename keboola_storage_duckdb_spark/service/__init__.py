@@ -1,0 +1,15 @@
+"""HTTP/wire service surface over the StorageEngine.
+
+The reference is usable only through its FastAPI routes + gRPC handlers
+(reference src/main.py, src/unified_server.py); this package provides the
+same workflow surface on the engine:
+
+  * ``app.create_app``     — REST API (Flask; same paths/JSON shapes as the
+                             reference routers)
+  * ``files.FileStore``    — 3-stage file staging (prepare/upload/register)
+  * ``s3.sign/blueprint``  — S3-compatible object API with SigV4
+  * ``pgwire.PgWireServer``— PostgreSQL wire-protocol SQL endpoint
+  * ``metrics.Metrics``    — Prometheus text-format counters
+"""
+
+from .files import FileStore  # noqa: F401
