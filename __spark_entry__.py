@@ -836,7 +836,7 @@ _JSON_SQL = """
 WITH e AS (SELECT event_type,
                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            FROM events)
-SELECT event_type, COUNT(k) AS n, SUM(k) AS sum_k, MIN(k) AS min_k,
+SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k,
        MAX(k) AS max_k, CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
 FROM e GROUP BY event_type"""
 
