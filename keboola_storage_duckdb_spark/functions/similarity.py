@@ -119,7 +119,8 @@ def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
 def cosine_near_dup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
                           threshold: float = 0.95,
                           block_col: str | None = None,
-                          broadcast_build: bool = True) -> DataFrame:
+                          broadcast_build: bool = True,
+                          unblocked_limit: int = 100_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥ threshold).
 
     ``block_col`` (e.g. a cluster/label column or an LSH bucket) turns the
@@ -128,7 +129,19 @@ def cosine_near_dup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
     unblocked cross product (right for corpora that fit executor memory);
     set False on a large unblocked input to degrade to a partitioned
     cartesian instead of a guaranteed broadcast OOM — but at that size use
-    ``block_col``."""
+    ``block_col``.
+
+    The unblocked default is gated: if the input exceeds ``unblocked_limit``
+    rows (checked with a bounded ``limit(n+1).count()`` — cheap next to the
+    N² work it guards), raise instead of launching an O(N²) cross join /
+    broadcast OOM. Pass a larger limit explicitly to override."""
+    if block_col is None:
+        n_bounded = vectors.limit(unblocked_limit + 1).count()
+        if n_bounded > unblocked_limit:
+            raise ValueError(
+                f"cosine_near_dup_pairs: input exceeds {unblocked_limit} rows; "
+                "the unblocked path is O(N^2). Pass block_col= (cluster / LSH "
+                "bucket / label) or raise unblocked_limit explicitly.")
     v = with_norm(vectors.select(F.col(id_col).alias("id"),
                                  F.col(vec_col).alias("v"),
                                  *([F.col(block_col).alias("blk")] if block_col else [])),

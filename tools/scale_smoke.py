@@ -77,7 +77,7 @@ def main() -> None:
     Q = E.queries()
     for name in ["pricing_summary", "join_lineitem_part", "numeric_moments",
                  "quantiles", "distinct_counts", "sessionize", "minhash_lsh",
-                 "ann_topk", "ann_topk_pandas", "ann_ivf", "lang_id",
+                 "ann_topk", "ann_topk_fold", "ann_ivf", "lang_id",
                  "top_terms", "table_profile", "kmeans"]:
         run(name, lambda name=name: Q[name](spark, DST))
 
