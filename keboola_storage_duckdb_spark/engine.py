@@ -53,6 +53,18 @@ class StorageEngine:
         self.catalog = StorageCatalog(warehouse)
         self._ops_log_path = os.path.join(self.catalog.warehouse, "_ops.jsonl")
         self._ops_lock = threading.Lock()
+        self._files = None
+
+    @property
+    def files(self):
+        """File staging store rooted inside the warehouse (`_files/`) — the
+        reference's files API (src/routers/files.py:98-360) whose registered
+        file ids feed table imports (src/routers/table_import.py:286-361)."""
+        if self._files is None:
+            from .service.files import FileStore
+            self._files = FileStore(os.path.join(self.catalog.warehouse,
+                                                 "_files"))
+        return self._files
 
     # ------------------------------------------------------------------ log
     def _log(self, op: str, **detail) -> None:
@@ -279,18 +291,29 @@ class StorageEngine:
         if os.path.isdir(src):
             shutil.copytree(src, dst, dirs_exist_ok=True)
 
-    def import_file(self, project: str, bucket: str, table: str, path: str,
+    def import_file(self, project: str, bucket: str, table: str,
+                    path: str | None = None,
                     file_format: str = "csv", dedup_mode: str = "update_duplicates",
                     incremental: bool = False, branch: str | None = None,
                     csv_options: dict | None = None,
-                    convert_empty_to_null: Iterable[str] = ()) -> dict:
+                    convert_empty_to_null: Iterable[str] = (),
+                    file_id: str | None = None) -> dict:
         """Import pipeline: STAGING → TRANSFORM → CLEANUP
         (reference src/routers/table_import.py:240-468).
+
+        The source is either a direct ``path`` or a registered ``file_id``
+        from the staging files API — the reference's primary ingest flow
+        (prepare→upload→register, then import by file id:
+        src/routers/table_import.py:286-361).
 
         Full load (incremental=False) = W1 overwrite. Incremental applies
         the dedup mode: update_duplicates W3 / insert_duplicates W5 /
         fail_on_duplicates W6 / pk-only do-nothing W4 — all PK-shuffle
         joins, never driver-side."""
+        if (path is None) == (file_id is None):
+            raise CatalogError("import_file needs exactly one of path / file_id")
+        if file_id is not None:
+            path = self.files.local_path(project, file_id)
         self.ensure_cow_for_write(project, bucket, table, branch)
         src_kind, _ = self.catalog.resolve_table(project, bucket, table, branch)
         eff_branch = branch if src_kind == "branch" else None

@@ -46,8 +46,22 @@ class FileStore:
         self.max_size = max_size_bytes
         self.ttl = ttl_seconds
 
+    # -- validation ------------------------------------------------------------
+    @staticmethod
+    def _check_component(value: str, what: str) -> str:
+        """Reject path-traversal in any value joined into a store path.
+        The reference gates every route on project existence before building
+        paths (src/routers/files.py:98-150); with a filesystem-backed store
+        the equivalent invariant is: no component may escape its directory."""
+        if (not value or "/" in value or "\\" in value or ".." in value
+                or value in (".",) or value.startswith("~")):
+            raise FileStoreError(f"invalid_{what}",
+                                 f"invalid {what} {value!r}", status=400)
+        return value
+
     # -- paths ---------------------------------------------------------------
     def _project_dir(self, project: str) -> str:
+        self._check_component(project, "project")
         return os.path.join(self.root, project)
 
     def _staging_dir(self, project: str) -> str:
@@ -88,9 +102,7 @@ class FileStore:
                 status=400,
                 details={"max_size_bytes": self.max_size,
                          "requested_size_bytes": size_bytes})
-        if not filename or "/" in filename or "\\" in filename or ".." in filename:
-            raise FileStoreError("invalid_filename",
-                                 f"invalid filename {filename!r}", status=400)
+        self._check_component(filename, "filename")
         upload_key = uuid.uuid4().hex
         session = {
             "project_id": project,
@@ -154,7 +166,10 @@ class FileStore:
                     sha256.update(chunk)
                     md5.update(chunk)
                     out.write(chunk)
-        except FileStoreError:
+        except BaseException:
+            # any failure (size cap, stream read error, disk full) must not
+            # leave partial staged bytes behind — reference cleans
+            # staging_path on any exception
             if os.path.exists(staging_path):
                 os.remove(staging_path)
             raise
@@ -196,7 +211,8 @@ class FileStore:
                 status=400,
                 details={"expected": expected_sha256,
                          "actual": session["checksum_sha256"]})
-        final_name = name or session["filename"]
+        final_name = self._check_component(name or session["filename"],
+                                           "filename")
         file_id = uuid.uuid4().hex
         os.makedirs(self._permanent_dir(project), exist_ok=True)
         permanent_path = os.path.join(self._permanent_dir(project),
@@ -227,6 +243,7 @@ class FileStore:
         """Adopt an already-written local file (e.g. an export) as a
         permanent record — the reference's export path writes straight into
         the files area and records it (src/routers/table_import.py:560-629)."""
+        self._check_component(name, "filename")
         file_id = uuid.uuid4().hex
         os.makedirs(self._permanent_dir(project), exist_ok=True)
         permanent_path = os.path.join(self._permanent_dir(project),
