@@ -456,11 +456,19 @@ class StorageEngine:
 
     def export_to_file(self, project: str, bucket: str, table: str, path: str,
                        file_format: str = "csv", compression: str | None = None,
-                       branch: str | None = None, **filters) -> dict:
+                       branch: str | None = None, single_file: bool = False,
+                       **filters) -> dict:
         """S5/S6 export sinks with the filter surface
-        (reference src/routers/table_import.py:560-629)."""
+        (reference src/routers/table_import.py:560-629).
+
+        ``single_file=True`` coalesces to one part file — the shape the
+        files API records as one downloadable object (the reference writes
+        a single file). Driver-side convenience; leave False for large
+        exports so the write stays parallel."""
         df = self._apply_filters(self.read_table(project, bucket, table, branch),
                                  **filters)
+        if single_file:
+            df = df.coalesce(1)
         writer = df.write.mode("overwrite")
         if file_format == "csv":
             writer = writer.option("header", True)
@@ -754,6 +762,20 @@ class StorageEngine:
             self._log("snapshot_prune", table=table, pruned=pruned)
         return pruned
 
+    def snapshot_delete(self, project: str, bucket: str, table: str,
+                        snapshot_id: str) -> None:
+        """Delete one snapshot (reference src/routers/snapshots.py:431-470)."""
+        sd = self.catalog.snapshot_dir(project, bucket, table)
+        path = os.path.join(sd, snapshot_id)
+        if not os.path.isdir(path):
+            raise NotFoundError(f"snapshot {snapshot_id} not found")
+        shutil.rmtree(path)
+        try:
+            os.remove(path + ".schema.json")
+        except FileNotFoundError:
+            pass
+        self._log("snapshot_delete", table=table, snapshot=snapshot_id)
+
     def snapshot_restore(self, project: str, bucket: str, table: str,
                          snapshot_id: str) -> dict:
         """S4: CREATE OR REPLACE from snapshot parquet, PK re-applied from
@@ -940,11 +962,17 @@ class StorageEngine:
     def execute_query(self, project: str, sql: str,
                       branch: str | None = None,
                       timeout_seconds: float | None = None,
-                      stringify: bool = False) -> list[dict]:
+                      stringify: bool = False,
+                      max_rows: int | None = 100_000) -> list[dict]:
         """Q1 ExecuteQuery (reference src/grpc/handlers/query.py:95-161):
         register views, run SQL, optionally stringify values like the
         reference's protobuf marshaling. Statement timeout enforced by a
-        job-group cancel timer (the reference SETs statement_timeout)."""
+        job-group cancel timer (the reference SETs statement_timeout).
+
+        ``max_rows`` caps the driver-side collect (the reference stringifies
+        unbounded result sets into one protobuf — a driver OOM at scale);
+        results are truncated to the cap, recorded in the ops log. Pass
+        ``max_rows=None`` to explicitly opt into an unbounded collect."""
         self.register_project_views(project, branch)
         sc = self.spark.sparkContext
         group = f"exec-{uuid.uuid4().hex[:8]}"
@@ -955,7 +983,16 @@ class StorageEngine:
                                     lambda: sc.cancelJobGroup(group))
             timer.start()
         try:
-            rows = self.spark.sql(sql).collect()
+            df = self.spark.sql(sql)
+            if max_rows is not None:
+                # limit(n+1) so truncation is detectable without a count
+                rows = df.limit(max_rows + 1).collect()
+                if len(rows) > max_rows:
+                    rows = rows[:max_rows]
+                    self._log("execute_query_truncated", project=project,
+                              max_rows=max_rows)
+            else:
+                rows = df.collect()
         finally:
             if timer:
                 timer.cancel()

@@ -23,6 +23,21 @@ class IdempotencyCache:
         for k in dead:
             del self._entries[k]
 
+    def get(self, key: str) -> object | None:
+        """Cached result for ``key`` within the TTL, else None — the replay
+        probe for HTTP middleware (the reference checks the request cache
+        before dispatch, src/middleware/idempotency.py)."""
+        now = time.time()
+        with self._lock:
+            self._purge(now)
+            entry = self._entries.get(key)
+            return entry[1] if entry else None
+
+    def put(self, key: str, value: object) -> None:
+        """Record ``key``'s response for replay. First writer wins."""
+        with self._lock:
+            self._entries.setdefault(key, (time.time(), value))
+
     def run(self, key: str | None, fn: Callable[[], object]) -> object:
         """Execute ``fn`` once per key within the TTL; replays return the
         cached result. ``key=None`` bypasses caching (no header sent)."""

@@ -5,11 +5,13 @@ The reference is usable only through its FastAPI routes + gRPC handlers
 same workflow surface on the engine:
 
   * ``app.create_app``     — REST API (Flask; same paths/JSON shapes as the
-                             reference routers)
+                             reference routers, with X-Idempotency-Key
+                             replay and optional X-API-Key auth)
   * ``files.FileStore``    — 3-stage file staging (prepare/upload/register)
-  * ``s3.sign/blueprint``  — S3-compatible object API with SigV4
-  * ``pgwire.PgWireServer``— PostgreSQL wire-protocol SQL endpoint
-  * ``metrics.Metrics``    — Prometheus text-format counters
+
+Planned (reference parity not yet built): the S3-compatible object API with
+SigV4 (src/routers/s3_compat.py) and the PG-wire SQL endpoint
+(src/pgwire_server.py).
 """
 
 from .files import FileStore  # noqa: F401

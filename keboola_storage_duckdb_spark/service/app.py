@@ -1,0 +1,444 @@
+"""REST service surface over StorageEngine (Flask app factory).
+
+The reference is usable only through its FastAPI routers + gRPC handlers
+(reference src/main.py, src/routers/*.py); this module exposes the same
+workflow surface over the Spark-backed engine with the same paths and JSON
+shapes:
+
+  * projects / buckets / tables CRUD        (routers/projects.py:36-367,
+    buckets.py:50-331, tables.py:84-710)
+  * schema ops: columns / primary-key / rows (routers/table_schema.py)
+  * import from staged file id / export      (routers/table_import.py:227-629)
+  * files staging API prepare/upload/register (routers/files.py:98-360)
+  * snapshots create/list/restore/delete     (routers/snapshots.py:190-577)
+  * branches + pull                          (routers/branches.py)
+  * workspaces + load + credentials          (routers/workspaces.py)
+  * SQL passthrough /query                   (routers/driver.py:338, ExecuteQuery)
+  * health / operations log
+
+Cross-cutting behavior mirrored from the reference middleware:
+  * X-Idempotency-Key replay (middleware/idempotency.py) — a retried
+    mutating request with the same key returns the first response without
+    re-executing.
+  * optional X-API-Key auth (routers/api_keys.py) — enabled by passing
+    require_auth=True; keys are minted via engine.create_api_key.
+  * branch_id path segment: "default" = main storage, anything else is a
+    dev branch (reference resolve_branch).
+
+Run it:  app = create_app(engine); app.run(port=8000)  — or any WSGI host.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+
+from flask import Flask, Response, jsonify, request
+
+from ..catalog.catalog import (
+    AlreadyExistsError,
+    CatalogError,
+    NotFoundError,
+)
+from ..idempotency import IdempotencyCache
+from ..operators.dedup import DuplicateKeyError
+from ..operators.filters import WhereClauseError
+from .files import FileStoreError
+
+
+def _branch(branch_id: str) -> str | None:
+    return None if branch_id in ("default", "main") else branch_id
+
+
+def create_app(engine, require_auth: bool = False) -> Flask:
+    app = Flask("keboola_storage_duckdb_spark")
+    idem = IdempotencyCache()
+
+    # ---------------------------------------------------------- middleware
+    @app.before_request
+    def _auth():
+        if not require_auth or request.path == "/health":
+            return None
+        key = request.headers.get("X-API-Key")
+        if not key or engine.verify_api_key(key) is None:
+            return jsonify({"error": "unauthorized",
+                            "message": "missing or invalid API key"}), 401
+        return None
+
+    def _idem_key() -> str | None:
+        if request.method not in ("POST", "PUT", "DELETE"):
+            return None
+        key = request.headers.get("X-Idempotency-Key")
+        return f"{request.method} {request.path} {key}" if key else None
+
+    @app.before_request
+    def _idempotency_replay():
+        """Replays short-circuit before the handler runs
+        (reference src/middleware/idempotency.py: 10-min TTL, first
+        response wins, replays return it verbatim)."""
+        key = _idem_key()
+        cached = idem.get(key) if key else None
+        if cached is not None:
+            body, status = cached
+            return Response(body, status=status,
+                            mimetype="application/json",
+                            headers={"X-Idempotency-Replayed": "true"})
+        return None
+
+    @app.after_request
+    def _idempotency_store(resp):
+        key = _idem_key()
+        if key and resp.status_code < 500:
+            idem.put(key, (resp.get_data(), resp.status_code))
+        return resp
+
+    # ------------------------------------------------------------- errors
+    @app.errorhandler(FileStoreError)
+    def _fs_err(e):
+        return jsonify({"error": e.code, "message": e.message,
+                        "details": e.details}), e.status
+
+    @app.errorhandler(NotFoundError)
+    def _nf(e):
+        return jsonify({"error": "not_found", "message": str(e)}), 404
+
+    @app.errorhandler(AlreadyExistsError)
+    def _ae(e):
+        return jsonify({"error": "already_exists", "message": str(e)}), 409
+
+    @app.errorhandler(DuplicateKeyError)
+    def _dup(e):
+        return jsonify({"error": "duplicate_key", "message": str(e)}), 400
+
+    @app.errorhandler(CatalogError)
+    def _ce(e):
+        return jsonify({"error": "bad_request", "message": str(e)}), 400
+
+    @app.errorhandler(WhereClauseError)
+    def _wc(e):
+        return jsonify({"error": "bad_request", "message": str(e)}), 400
+
+    # ------------------------------------------------------------- health
+    @app.get("/health")
+    def health():
+        return jsonify({"status": "ok",
+                        "spark": engine.spark.version,
+                        "projects": len(engine.catalog.list_projects())})
+
+    @app.get("/operations")
+    def operations():
+        limit = int(request.args.get("limit", 100))
+        return jsonify(engine.operations_log(limit=limit))
+
+    # ----------------------------------------------------------- projects
+    @app.post("/projects")
+    def create_project():
+        body = request.get_json(force=True)
+        engine.create_project(body["id"])
+        return jsonify({"id": body["id"]}), 201
+
+    @app.get("/projects")
+    def list_projects():
+        return jsonify([{"id": p} for p in engine.catalog.list_projects()])
+
+    @app.get("/projects/<project>")
+    def get_project(project):
+        if project not in engine.catalog.list_projects():
+            raise NotFoundError(f"project {project} not found")
+        return jsonify({"id": project,
+                        "buckets": engine.catalog.list_buckets(project)})
+
+    @app.delete("/projects/<project>")
+    def drop_project(project):
+        engine.drop_project(project)
+        return jsonify({"deleted": project})
+
+    # ------------------------------------------------------------ buckets
+    @app.post("/projects/<project>/branches/<branch_id>/buckets")
+    def create_bucket(project, branch_id):
+        body = request.get_json(force=True)
+        engine.create_bucket(project, body["name"])
+        return jsonify({"name": body["name"]}), 201
+
+    @app.get("/projects/<project>/branches/<branch_id>/buckets")
+    def list_buckets(project, branch_id):
+        return jsonify([{"name": b}
+                        for b in engine.catalog.list_buckets(project)])
+
+    @app.delete("/projects/<project>/branches/<branch_id>/buckets/<bucket>")
+    def drop_bucket(project, branch_id, bucket):
+        force = request.args.get("force", "false").lower() == "true"
+        engine.drop_bucket(project, bucket, force=force)
+        return jsonify({"deleted": bucket})
+
+    # ------------------------------------------------------------- tables
+    tbl = "/projects/<project>/branches/<branch_id>/buckets/<bucket>/tables"
+
+    @app.post(tbl)
+    def create_table(project, branch_id, bucket):
+        body = request.get_json(force=True)
+        out = engine.create_table(project, bucket, body["name"],
+                                  body["columns"],
+                                  primary_key=body.get("primary_key"))
+        return jsonify(out), 201
+
+    @app.get(tbl)
+    def list_tables(project, branch_id, bucket):
+        return jsonify(engine.list_linked_tables(project, bucket))
+
+    @app.get(tbl + "/<table>")
+    def get_table(project, branch_id, bucket, table):
+        return jsonify(engine.table_info(project, bucket, table,
+                                         _branch(branch_id)))
+
+    @app.delete(tbl + "/<table>")
+    def drop_table(project, branch_id, bucket, table):
+        engine.drop_table(project, bucket, table)
+        return jsonify({"deleted": table})
+
+    @app.get(tbl + "/<table>/preview")
+    def preview_table(project, branch_id, bucket, table):
+        args = request.args
+        filters = {}
+        if args.get("columns"):
+            filters["columns"] = args["columns"].split(",")
+        for k in ("where", "fulltext", "changed_since", "changed_until"):
+            if args.get(k):
+                filters[k] = args[k]
+        if args.get("order_by"):
+            filters["order_by"] = [{"column": c}
+                                   for c in args["order_by"].split(",")]
+        rows = engine.preview(project, bucket, table, _branch(branch_id),
+                              limit=int(args.get("limit", 1000)), **filters)
+        return jsonify({"rows": rows, "row_count": len(rows)})
+
+    @app.post(tbl + "/<table>/profile")
+    def profile_table(project, branch_id, bucket, table):
+        return jsonify(engine.profile(project, bucket, table,
+                                      _branch(branch_id)))
+
+    # --------------------------------------------------------- schema ops
+    @app.post(tbl + "/<table>/columns")
+    def add_column(project, branch_id, bucket, table):
+        body = request.get_json(force=True)
+        engine.add_column(project, bucket, table, body, _branch(branch_id))
+        return jsonify({"added": body["name"]}), 201
+
+    @app.delete(tbl + "/<table>/columns/<column>")
+    def drop_column(project, branch_id, bucket, table, column):
+        engine.drop_column(project, bucket, table, column, _branch(branch_id))
+        return jsonify({"deleted": column})
+
+    @app.put(tbl + "/<table>/columns/<column>")
+    def alter_column(project, branch_id, bucket, table, column):
+        body = request.get_json(force=True)
+        engine.alter_column(project, bucket, table, column,
+                            new_name=body.get("new_name"),
+                            new_type=body.get("new_type"),
+                            set_nullable=body.get("nullable"),
+                            set_default=body.get("default"),
+                            drop_default=body.get("drop_default", False),
+                            branch=_branch(branch_id))
+        return jsonify({"altered": column})
+
+    @app.post(tbl + "/<table>/primary-key")
+    def add_pk(project, branch_id, bucket, table):
+        body = request.get_json(force=True)
+        engine.add_primary_key(project, bucket, table, body["columns"])
+        return jsonify({"primary_key": body["columns"]}), 201
+
+    @app.delete(tbl + "/<table>/primary-key")
+    def drop_pk(project, branch_id, bucket, table):
+        engine.drop_primary_key(project, bucket, table)
+        return jsonify({"primary_key": []})
+
+    @app.delete(tbl + "/<table>/rows")
+    def delete_rows(project, branch_id, bucket, table):
+        body = request.get_json(force=True) if request.data else {}
+        out = engine.delete_rows(project, bucket, table,
+                                 where=body.get("where"),
+                                 where_filters=body.get("where_filters"),
+                                 ref_filter=body.get("ref_filter"),
+                                 branch=_branch(branch_id))
+        return jsonify(out)
+
+    # ------------------------------------------------------ import/export
+    @app.post(tbl + "/<table>/import/file")
+    def import_file(project, branch_id, bucket, table):
+        body = request.get_json(force=True)
+        opts = body.get("import_options", {})
+        out = engine.import_file(
+            project, bucket, table,
+            path=body.get("path"),
+            file_id=body.get("file_id"),
+            file_format=body.get("format", "csv"),
+            incremental=opts.get("incremental", False),
+            dedup_mode=opts.get("dedup_mode", "update_duplicates"),
+            csv_options=body.get("csv_options"),
+            convert_empty_to_null=body.get("convert_empty_to_null", ()),
+            branch=_branch(branch_id))
+        return jsonify(out)
+
+    @app.post(tbl + "/<table>/export")
+    def export_table(project, branch_id, bucket, table):
+        """Export into the project files area and register the result —
+        the reference's export flow writes into files and records it
+        (src/routers/table_import.py:560-629)."""
+        body = request.get_json(force=True)
+        fmt = body.get("format", "csv")
+        filters = {k: body[k] for k in
+                   ("columns", "where", "where_filters", "order_by", "limit")
+                   if k in body}
+        staging = os.path.join(engine.files.root, project, "export_tmp")
+        out = engine.export_to_file(project, bucket, table, staging,
+                                    file_format=fmt,
+                                    compression=body.get("compression"),
+                                    branch=_branch(branch_id),
+                                    single_file=True, **filters)
+        # adopt the single part file as one downloadable file record
+        name = body.get("file_name", f"{table}.{fmt}")
+        part = next(e for e in sorted(os.listdir(staging))
+                    if e.startswith("part-"))
+        rec = engine.files.register_local(
+            project, os.path.join(staging, part), name,
+            content_type=f"application/{fmt}")
+        shutil.rmtree(staging, ignore_errors=True)
+        return jsonify({"rows_exported": out["rows_exported"],
+                        "file": rec})
+
+    # -------------------------------------------------------------- files
+    @app.post("/projects/<project>/files/prepare")
+    def files_prepare(project):
+        body = request.get_json(force=True)
+        return jsonify(engine.files.prepare(
+            project, body["filename"],
+            content_type=body.get("content_type"),
+            size_bytes=body.get("size_bytes"),
+            tags=body.get("tags"))), 201
+
+    @app.post("/projects/<project>/files/upload/<upload_key>")
+    def files_upload(project, upload_key):
+        return jsonify(engine.files.upload(
+            project, upload_key, io.BytesIO(request.get_data())))
+
+    @app.post("/projects/<project>/files")
+    def files_register(project):
+        body = request.get_json(force=True)
+        return jsonify(engine.files.register(
+            project, body["upload_key"], name=body.get("name"),
+            tags=body.get("tags"),
+            expected_sha256=body.get("expected_sha256"))), 201
+
+    @app.get("/projects/<project>/files")
+    def files_list(project):
+        return jsonify(engine.files.list(project))
+
+    @app.get("/projects/<project>/files/<file_id>")
+    def files_get(project, file_id):
+        return jsonify(engine.files.get(project, file_id))
+
+    @app.get("/projects/<project>/files/<file_id>/download")
+    def files_download(project, file_id):
+        rec = engine.files.get(project, file_id)
+        with open(engine.files.local_path(project, file_id), "rb") as f:
+            data = f.read()
+        return Response(
+            data,
+            mimetype=rec.get("content_type") or "application/octet-stream",
+            headers={"Content-Disposition":
+                     f'attachment; filename="{rec["name"]}"'})
+
+    @app.delete("/projects/<project>/files/<file_id>")
+    def files_delete(project, file_id):
+        engine.files.delete(project, file_id)
+        return jsonify({"deleted": file_id})
+
+    # ---------------------------------------------------------- snapshots
+    snaps = "/projects/<project>/branches/<branch_id>/snapshots"
+
+    @app.post(snaps)
+    def snapshot_create(project, branch_id):
+        body = request.get_json(force=True)
+        out = engine.snapshot_create(project, body["bucket"], body["table"],
+                                     description=body.get("description", ""))
+        return jsonify(out), 201
+
+    @app.get(snaps)
+    def snapshot_list(project, branch_id):
+        return jsonify(engine.snapshot_list(
+            project, request.args["bucket"], request.args["table"]))
+
+    @app.post(snaps + "/<snapshot_id>/restore")
+    def snapshot_restore(project, branch_id, snapshot_id):
+        body = request.get_json(force=True)
+        return jsonify(engine.snapshot_restore(
+            project, body["bucket"], body["table"], snapshot_id))
+
+    @app.delete(snaps + "/<snapshot_id>")
+    def snapshot_delete(project, branch_id, snapshot_id):
+        engine.snapshot_delete(project, request.args["bucket"],
+                               request.args["table"], snapshot_id)
+        return jsonify({"deleted": snapshot_id})
+
+    # ----------------------------------------------------------- branches
+    @app.post("/projects/<project>/branches")
+    def create_branch(project):
+        body = request.get_json(force=True)
+        engine.create_branch(project, body["id"])
+        return jsonify({"id": body["id"]}), 201
+
+    @app.delete("/projects/<project>/branches/<branch_id>")
+    def drop_branch(project, branch_id):
+        engine.drop_branch(project, branch_id)
+        return jsonify({"deleted": branch_id})
+
+    @app.post("/projects/<project>/branches/<branch_id>"
+              "/tables/<bucket>/<table>/pull")
+    def branch_pull(project, branch_id, bucket, table):
+        engine.branch_pull(project, branch_id, bucket, table)
+        return jsonify({"pulled": f"{bucket}/{table}"})
+
+    # --------------------------------------------------------- workspaces
+    @app.post("/projects/<project>/workspaces")
+    def create_workspace(project):
+        body = request.get_json(force=True)
+        engine.create_workspace(body["id"])
+        return jsonify({"id": body["id"]}), 201
+
+    @app.delete("/projects/<project>/workspaces/<ws>")
+    def drop_workspace(project, ws):
+        engine.drop_workspace(ws)
+        return jsonify({"deleted": ws})
+
+    @app.post("/projects/<project>/workspaces/<ws>/clear")
+    def clear_workspace(project, ws):
+        engine.clear_workspace(ws)
+        return jsonify({"cleared": ws})
+
+    @app.post("/projects/<project>/workspaces/<ws>/load")
+    def workspace_load(project, ws):
+        body = request.get_json(force=True)
+        out = engine.load_table_to_workspace(
+            ws, project, body["bucket"], body["table"],
+            body.get("destination", body["table"]),
+            columns=body.get("columns"), where=body.get("where"))
+        return jsonify(out)
+
+    @app.post("/projects/<project>/workspaces/<ws>/credentials/reset")
+    def workspace_credentials(project, ws):
+        return jsonify({"password": engine.reset_workspace_password(ws)})
+
+    # ---------------------------------------------------------- SQL query
+    @app.post("/projects/<project>/query")
+    def query(project):
+        body = request.get_json(force=True)
+        rows = engine.execute_query(
+            project, body["sql"],
+            branch=_branch(body.get("branch", "default")),
+            timeout_seconds=body.get("timeout_seconds"),
+            stringify=body.get("stringify", True),
+            max_rows=body.get("max_rows", 10_000))
+        return jsonify({"rows": rows, "row_count": len(rows)})
+
+    return app

@@ -223,6 +223,18 @@ def test_execute_query_stringify(engine):
     assert "T" in rows[0]["_timestamp"]  # ISO serialized
 
 
+def test_execute_query_row_cap(engine):
+    # users has >1 row; a cap of 1 truncates the collect (and logs it)
+    rows = engine.execute_query(
+        "p1", "SELECT id FROM in_c_data_users ORDER BY id", max_rows=1)
+    assert len(rows) == 1
+    full = engine.execute_query(
+        "p1", "SELECT id FROM in_c_data_users", max_rows=None)
+    assert len(full) > 1
+    with open(engine._ops_log_path) as f:
+        assert any('"execute_query_truncated"' in line for line in f)
+
+
 def test_import_from_table(engine):
     engine.create_table("p1", "in_c_data", "users_copy", [
         {"name": "uid", "type": "INTEGER", "nullable": False},

@@ -1,0 +1,219 @@
+"""REST surface e2e (service/app.py) — drives the HTTP workflow the
+reference exercises in tests/test_data_pipeline_e2e.py:186-442: create
+project → bucket → table, stage a file through the files API, import it,
+preview, export back into the files area, delete rows, snapshot
+create/restore/delete, branches, workspaces, SQL query — plus the
+middleware: X-Idempotency-Key replay and X-API-Key auth."""
+
+import io
+import json
+
+import pytest
+
+from keboola_storage_duckdb_spark.engine import StorageEngine
+from keboola_storage_duckdb_spark.service.app import create_app
+
+USERS_COLUMNS = [
+    {"name": "id", "type": "INTEGER", "nullable": False},
+    {"name": "name", "type": "VARCHAR", "nullable": True},
+    {"name": "age", "type": "INTEGER", "nullable": True},
+]
+
+CSV = "id,name,age\n1,Alice,30\n2,Bob,25\n3,Carol,40\n"
+CSV_V2 = "id,name,age\n2,Bobby,26\n4,Dave,50\n"
+
+BASE = "/projects/p1/branches/default/buckets/in_c_data/tables"
+
+
+@pytest.fixture(scope="module")
+def client(spark, tmp_path_factory):
+    eng = StorageEngine(spark, str(tmp_path_factory.mktemp("wh_http")))
+    app = create_app(eng)
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        yield c
+
+
+def _post(client, url, body=None, **kw):
+    return client.post(url, data=json.dumps(body or {}),
+                       content_type="application/json", **kw)
+
+
+def _stage_csv(client, data: bytes, filename="users.csv"):
+    prep = _post(client, "/projects/p1/files/prepare",
+                 {"filename": filename}).get_json()
+    up = client.post(f"/projects/p1/files/upload/{prep['upload_key']}",
+                     data=data)
+    assert up.status_code == 200
+    reg = _post(client, "/projects/p1/files", {"upload_key": prep["upload_key"]})
+    assert reg.status_code == 201
+    return reg.get_json()
+
+
+def test_project_bucket_table_crud(client):
+    assert _post(client, "/projects", {"id": "p1"}).status_code == 201
+    assert _post(client, "/projects", {"id": "p1"}).status_code == 409
+    assert client.get("/projects").get_json() == [{"id": "p1"}]
+    r = _post(client, "/projects/p1/branches/default/buckets",
+              {"name": "in_c_data"})
+    assert r.status_code == 201
+    r = _post(client, BASE, {"name": "users", "columns": USERS_COLUMNS,
+                             "primary_key": ["id"]})
+    assert r.status_code == 201
+    assert client.get(BASE).get_json() == ["users"]
+    info = client.get(BASE + "/users").get_json()
+    assert info["primary_key"] == ["id"] and info["row_count"] == 0
+    assert client.get(BASE + "/nope").status_code == 404
+
+
+def test_staged_import_preview(client):
+    rec = _stage_csv(client, CSV.encode())
+    r = _post(client, BASE + "/users/import/file",
+              {"file_id": rec["id"], "format": "csv"})
+    assert r.status_code == 200 and r.get_json()["rows_after"] == 3
+    prev = client.get(BASE + "/users/preview?order_by=id&limit=2").get_json()
+    assert prev["row_count"] == 2
+    assert prev["rows"][0]["name"] == "Alice"
+    # incremental upsert via a second staged file
+    rec2 = _stage_csv(client, CSV_V2.encode(), "users_v2.csv")
+    r = _post(client, BASE + "/users/import/file",
+              {"file_id": rec2["id"], "format": "csv",
+               "import_options": {"incremental": True,
+                                  "dedup_mode": "update_duplicates"}})
+    assert r.get_json()["rows_after"] == 4
+    rows = client.get(BASE + "/users/preview?order_by=id").get_json()["rows"]
+    assert {r["id"]: r["name"] for r in rows}[2] == "Bobby"
+
+
+def test_export_registers_file(client):
+    r = _post(client, BASE + "/users/export",
+              {"format": "csv", "columns": ["id", "name"],
+               "where": "age > 26", "file_name": "grown_ups.csv"})
+    body = r.get_json()
+    assert r.status_code == 200 and body["rows_exported"] == 3
+    fid = body["file"]["id"]
+    dl = client.get(f"/projects/p1/files/{fid}/download")
+    text = dl.data.decode()
+    assert text.startswith("id,name") and "Alice" in text and "Bobby" not in text
+    assert any(f["id"] == fid for f in
+               client.get("/projects/p1/files").get_json())
+
+
+def test_schema_ops_over_http(client):
+    r = _post(client, BASE + "/users/columns",
+              {"name": "email", "type": "VARCHAR", "default": "n/a"})
+    assert r.status_code == 201
+    cols = [c["name"] for c in client.get(BASE + "/users").get_json()["columns"]]
+    assert "email" in cols
+    r = client.put(BASE + "/users/columns/email",
+                   data=json.dumps({"new_name": "mail"}),
+                   content_type="application/json")
+    assert r.status_code == 200
+    r = client.delete(BASE + "/users/columns/mail")
+    assert r.status_code == 200
+    # PK drop + re-add
+    assert client.delete(BASE + "/users/primary-key").status_code == 200
+    assert _post(client, BASE + "/users/primary-key",
+                 {"columns": ["id"]}).status_code == 201
+
+
+def test_snapshot_restore_delete_and_row_delete(client):
+    snap = _post(client, "/projects/p1/branches/default/snapshots",
+                 {"bucket": "in_c_data", "table": "users"}).get_json()
+    assert snap["row_count"] == 4
+    r = client.delete(BASE + "/users/rows",
+                      data=json.dumps({"where": "age > 26"}),
+                      content_type="application/json")
+    assert r.get_json()["rows_remaining"] == 1  # only Bobby (26) survives
+    rest = _post(client,
+                 f"/projects/p1/branches/default/snapshots/{snap['snapshot_id']}/restore",
+                 {"bucket": "in_c_data", "table": "users"})
+    assert rest.get_json()["row_count"] == 4
+    listed = client.get("/projects/p1/branches/default/snapshots"
+                        "?bucket=in_c_data&table=users").get_json()
+    assert len(listed) == 1
+    assert client.delete(
+        f"/projects/p1/branches/default/snapshots/{snap['snapshot_id']}"
+        "?bucket=in_c_data&table=users").status_code == 200
+    assert client.get("/projects/p1/branches/default/snapshots"
+                      "?bucket=in_c_data&table=users").get_json() == []
+
+
+def test_branch_workflow(client):
+    assert _post(client, "/projects/p1/branches", {"id": "dev"}).status_code == 201
+    # import into branch → CoW copy diverges from main
+    rec = _stage_csv(client, CSV_V2.encode(), "branch.csv")
+    r = _post(client, "/projects/p1/branches/dev/buckets/in_c_data"
+                      "/tables/users/import/file",
+              {"file_id": rec["id"], "format": "csv"})
+    assert r.get_json()["rows_after"] == 2
+    main_rows = client.get(BASE + "/users/preview").get_json()["row_count"]
+    assert main_rows == 4  # main untouched
+    dev = client.get("/projects/p1/branches/dev/buckets/in_c_data"
+                     "/tables/users").get_json()
+    assert dev["row_count"] == 2 and dev["source"] == "branch"
+    _post(client, "/projects/p1/branches/dev/tables/in_c_data/users/pull")
+    dev = client.get("/projects/p1/branches/dev/buckets/in_c_data"
+                     "/tables/users").get_json()
+    assert dev["row_count"] == 4
+    assert client.delete("/projects/p1/branches/dev").status_code == 200
+
+
+def test_workspace_and_query(client):
+    assert _post(client, "/projects/p1/workspaces", {"id": "ws1"}).status_code == 201
+    r = _post(client, "/projects/p1/workspaces/ws1/load",
+              {"bucket": "in_c_data", "table": "users", "destination": "u",
+               "columns": ["id", "name"]})
+    assert r.get_json()["rows_loaded"] == 4
+    pw = _post(client, "/projects/p1/workspaces/ws1/credentials/reset")
+    assert len(pw.get_json()["password"]) == 32
+    q = _post(client, "/projects/p1/query",
+              {"sql": "SELECT COUNT(*) AS n FROM in_c_data_users"})
+    assert q.get_json()["rows"][0]["n"] == "4"  # stringified by default
+    q2 = _post(client, "/projects/p1/query",
+               {"sql": "SELECT id FROM in_c_data_users ORDER BY id",
+                "max_rows": 2, "stringify": False})
+    assert q2.get_json()["row_count"] == 2
+    assert _post(client, "/projects/p1/workspaces/ws1/clear").status_code == 200
+    assert client.delete("/projects/p1/workspaces/ws1").status_code == 200
+
+
+def test_idempotency_replay(client):
+    hdr = {"X-Idempotency-Key": "create-bucket-once"}
+    r1 = client.post("/projects/p1/branches/default/buckets",
+                     data=json.dumps({"name": "in_c_idem"}),
+                     content_type="application/json", headers=hdr)
+    assert r1.status_code == 201
+    # same key → replay of the 201, NOT a 409, and no re-execution
+    r2 = client.post("/projects/p1/branches/default/buckets",
+                     data=json.dumps({"name": "in_c_idem"}),
+                     content_type="application/json", headers=hdr)
+    assert r2.status_code == 201
+    assert r2.headers.get("X-Idempotency-Replayed") == "true"
+    # without the key the duplicate create is a real conflict
+    r3 = _post(client, "/projects/p1/branches/default/buckets",
+               {"name": "in_c_idem"})
+    assert r3.status_code == 409
+
+
+def test_error_shapes(client):
+    r = client.get(BASE + "/users/preview?where=id%3B%20DROP%20TABLE")
+    assert r.status_code == 400
+    assert r.get_json()["error"] == "bad_request"
+    r = _post(client, BASE + "/users/import/file", {"file_id": "nope"})
+    assert r.status_code == 404
+    r = _post(client, "/projects/p1/files/prepare", {"filename": "../evil"})
+    assert r.status_code == 400
+
+
+def test_auth_required_mode(spark, tmp_path_factory):
+    eng = StorageEngine(spark, str(tmp_path_factory.mktemp("wh_auth")))
+    key = eng.create_api_key("ci")
+    app = create_app(eng, require_auth=True)
+    with app.test_client() as c:
+        assert c.get("/health").status_code == 200          # health is open
+        assert c.get("/projects").status_code == 401        # no key
+        assert c.get("/projects",
+                     headers={"X-API-Key": "wrong"}).status_code == 401
+        assert c.get("/projects",
+                     headers={"X-API-Key": key}).status_code == 200
