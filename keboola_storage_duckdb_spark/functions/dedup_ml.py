@@ -280,41 +280,73 @@ def simhash_pairs(docs: DataFrame, id_col: str, text_col: str,
 
 
 def ngram_jaccard_prefix_pairs(docs: DataFrame, id_col: str, text_col: str,
-                               threshold: float = 0.8) -> DataFrame:
+                               threshold: float = 0.8,
+                               hashed_verify: bool = True) -> DataFrame:
     """Exact bigram-Jaccard pairs via PREFIX FILTERING (the PPJoin family —
     Vernica et al., "Efficient Parallel Set-Similarity Joins Using
     MapReduce", SIGMOD'10): order each doc's shingles by global document
     frequency (rarest first); for Jaccard ≥ t only the first
     n − ⌈t·n⌉ + 1 shingles need indexing — any qualifying pair must share a
-    prefix shingle. Candidates come from the tiny prefix inverted index;
-    verification joins whole shingle arrays (array_intersect), so the full
-    Σ df(s)² pair product of the plain inverted-index join is never paid.
+    prefix shingle. Candidates come from the tiny prefix inverted index,
+    pruned further by the PPJoin length + positional filters; verification
+    joins whole shingle arrays (array_intersect), so the full Σ df(s)² pair
+    product of the plain inverted-index join is never paid.
 
-    Returns exactly the same rows as ``ngram_jaccard_pairs`` (same oracle).
-    At corpus scale this is the default exact path; the plain
-    inverted-index join only wins on pathologically dense small-vocabulary
-    corpora where every pair is a candidate anyway.
+    ``hashed_verify`` (default) replaces each shingle string with the first
+    15 md5 hex chars as int64 for the candidate/verify stages — intersects
+    on bigint arrays are 2-3× cheaper than on ~20-char strings (A/B'd,
+    alternating reps). md5 truncation is deterministic and identical in
+    DuckDB, so the oracle twin stays engine-exact; set distinctness is
+    preserved unless two shingles collide in 60 bits (P ≈ n²/2⁶¹ over the
+    corpus vocabulary — zero on the test corpora, verified equal to the
+    string path at every SF).
+
+    Returns the same rows as ``ngram_jaccard_pairs`` (same oracle). At
+    corpus scale this is the default exact path; the plain inverted-index
+    join only wins on pathologically dense small-vocabulary corpora where
+    every pair is a candidate anyway.
     """
     from pyspark.sql import Window
 
-    arr = shingle_arrays(docs, id_col, text_col).localCheckpoint(eager=False)
+    arr = shingle_arrays(docs, id_col, text_col)
+    if hashed_verify:
+        arr = arr.select("id", F.expr(
+            "transform(shs, s -> "
+            "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+        ).alias("shs"))
+    arr = arr.localCheckpoint(eager=False)
     sh = _explode_shingles(arr)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = (sh.join(freq, "shingle")
                 .withColumn("r", F.row_number().over(
                     Window.partitionBy("id").orderBy("df", "shingle"))))
     plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    prefix = ranked.filter(F.col("r") <= plen).select("id", "n", "shingle")
+    prefix = ranked.filter(F.col("r") <= plen).select("id", "n", "r", "shingle")
     pa = prefix.select(F.col("id").alias("id_a"), F.col("n").alias("na"),
-                       "shingle")
+                       F.col("r").alias("ra"), "shingle")
     pb = prefix.select(F.col("id").alias("id_b"), F.col("n").alias("nb"),
-                       "shingle")
+                       F.col("r").alias("rb"), "shingle")
     # PPJoin length filter: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t — prune
-    # size-incompatible candidates before the verify joins (3× here).
+    # size-incompatible candidates before the verify joins.
+    # PPJoin POSITIONAL filter: both docs' shingles are sorted in the SAME
+    # global (df, shingle) order, so for the first common prefix token at
+    # ranks (ra, rb) every other common shingle must sit after BOTH ranks:
+    # overlap ≤ 1 + min(na − ra, nb − rb). A qualifying pair needs
+    # overlap ≥ α = ⌈t/(1+t)·(na+nb)⌉ (the Jaccard⇔overlap equivalence), so
+    # candidates whose every prefix match fails the bound are pruned before
+    # the array-verify joins. Keeping a pair if ANY match passes is sound:
+    # the first common token's bound is a true upper bound and passes for
+    # every qualifying pair. (ε guards double rounding from pruning a
+    # boundary pair.)
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
+                   * (F.col("na") + F.col("nb")) - F.lit(1e-9))
+    ubound = F.lit(1) + F.least(F.col("na") - F.col("ra"),
+                                F.col("nb") - F.col("rb"))
     cands = (pa.repartition(_par(sh, 2)).join(pb, "shingle")
                .filter((F.col("id_a") < F.col("id_b"))
                        & (F.col("na") >= F.ceil(F.lit(threshold) * F.col("nb")))
-                       & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na"))))
+                       & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na")))
+                       & (ubound >= alpha))
                .select("id_a", "id_b").distinct())
 
     return _verify_pairs_with_arrays(cands, arr, threshold)
