@@ -6,12 +6,13 @@ same workflow surface on the engine:
 
   * ``app.create_app``     — REST API (Flask; same paths/JSON shapes as the
                              reference routers, with X-Idempotency-Key
-                             replay and optional X-API-Key auth)
+                             replay, optional X-API-Key auth, /metrics)
   * ``files.FileStore``    — 3-stage file staging (prepare/upload/register)
-
-Planned (reference parity not yet built): the S3-compatible object API with
-SigV4 (src/routers/s3_compat.py) and the PG-wire SQL endpoint
-(src/pgwire_server.py).
+  * ``s3.S3Api``           — S3-compatible object API (SigV4 + presigned
+                             URLs + ListObjectsV2), mounted under /s3
+  * ``pgwire.PgWireServer``— PostgreSQL wire-protocol SQL endpoint over
+                             the engine's project views
+  * ``metrics.Metrics``    — Prometheus text-format counters
 """
 
 from .files import FileStore  # noqa: F401

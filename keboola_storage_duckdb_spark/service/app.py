@@ -33,6 +33,7 @@ from __future__ import annotations
 import io
 import os
 import shutil
+import time
 
 from flask import Flask, Response, jsonify, request
 
@@ -51,14 +52,39 @@ def _branch(branch_id: str) -> str | None:
     return None if branch_id in ("default", "main") else branch_id
 
 
-def create_app(engine, require_auth: bool = False) -> Flask:
+def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
     app = Flask("keboola_storage_duckdb_spark")
     idem = IdempotencyCache()
+
+    from .metrics import Metrics
+    from .s3 import S3Api
+    app.register_blueprint(S3Api(engine, s3_config).blueprint())
+    metrics = Metrics()
+
+    @app.before_request
+    def _time_request():
+        request.environ["storage.t0"] = time.time()
+
+    @app.after_request
+    def _observe(resp):
+        t0 = request.environ.get("storage.t0")
+        route = (request.url_rule.rule if request.url_rule
+                 else request.path)
+        if t0 is not None and route != "/metrics":
+            metrics.observe(request.method, route, resp.status_code,
+                            time.time() - t0)
+        return resp
+
+    @app.get("/metrics")
+    def metrics_endpoint():
+        return Response(metrics.render(), mimetype="text/plain")
 
     # ---------------------------------------------------------- middleware
     @app.before_request
     def _auth():
-        if not require_auth or request.path == "/health":
+        # /s3 carries its own auth (SigV4 / presigned / api-key)
+        if not require_auth or request.path in ("/health", "/metrics") \
+                or request.path.startswith("/s3/"):
             return None
         key = request.headers.get("X-API-Key")
         if not key or engine.verify_api_key(key) is None:

@@ -1,0 +1,164 @@
+"""PG-wire endpoint (service/pgwire.py) — a hand-rolled PostgreSQL v3
+client (startup/auth/simple-query, independent of the server code) drives
+the server end-to-end: auth success/failure, project views queryable under
+{bucket}_{table} names, NULL handling, error recovery within a session,
+connection limit, session registry."""
+
+import socket
+import struct
+
+import pytest
+
+from keboola_storage_duckdb_spark.engine import StorageEngine
+from keboola_storage_duckdb_spark.service.pgwire import PgWireServer
+
+USERS_COLUMNS = [
+    {"name": "id", "type": "INTEGER", "nullable": False},
+    {"name": "name", "type": "VARCHAR", "nullable": True},
+]
+
+
+class MiniPgClient:
+    def __init__(self, port, user, database, password):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=10)
+        self._startup(user, database)
+        self.auth_error = self._authenticate(password)
+
+    def _send_startup(self, params):
+        body = struct.pack("!I", 196608)
+        for k, v in params.items():
+            body += k.encode() + b"\x00" + v.encode() + b"\x00"
+        body += b"\x00"
+        self.sock.sendall(struct.pack("!I", len(body) + 4) + body)
+
+    def _startup(self, user, database):
+        self._send_startup({"user": user, "database": database})
+
+    def _recv_exact(self, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("server closed")
+            buf += chunk
+        return buf
+
+    def _read_msg(self):
+        t = self._recv_exact(1)
+        (length,) = struct.unpack("!I", self._recv_exact(4))
+        return t, self._recv_exact(length - 4)
+
+    def _authenticate(self, password):
+        t, body = self._read_msg()
+        if t == b"E":
+            return self._parse_error(body)
+        assert t == b"R" and struct.unpack("!I", body)[0] == 3
+        self.sock.sendall(b"p" + struct.pack("!I", len(password) + 5)
+                          + password.encode() + b"\x00")
+        while True:
+            t, body = self._read_msg()
+            if t == b"E":
+                return self._parse_error(body)
+            if t == b"Z":
+                return None  # ReadyForQuery — authenticated
+
+    @staticmethod
+    def _parse_error(body):
+        fields = {}
+        for part in body.split(b"\x00"):
+            if part:
+                fields[chr(part[0])] = part[1:].decode()
+        return fields
+
+    def query(self, sql):
+        """Returns (columns, rows, error) — rows as lists of str|None."""
+        self.sock.sendall(b"Q" + struct.pack("!I", len(sql) + 5)
+                          + sql.encode() + b"\x00")
+        cols, rows, err = [], [], None
+        while True:
+            t, body = self._read_msg()
+            if t == b"T":
+                (n,) = struct.unpack("!H", body[:2])
+                off = 2
+                for _ in range(n):
+                    end = body.index(b"\x00", off)
+                    cols.append(body[off:end].decode())
+                    off = end + 1 + 18
+            elif t == b"D":
+                (n,) = struct.unpack("!H", body[:2])
+                off, vals = 2, []
+                for _ in range(n):
+                    (ln,) = struct.unpack("!i", body[off:off + 4])
+                    off += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(body[off:off + ln].decode())
+                        off += ln
+                rows.append(vals)
+            elif t == b"E":
+                err = self._parse_error(body)
+            elif t == b"Z":
+                return cols, rows, err
+
+    def terminate(self):
+        self.sock.sendall(b"X" + struct.pack("!I", 4))
+        self.sock.close()
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    eng = StorageEngine(spark, str(tmp_path_factory.mktemp("wh_pg")))
+    eng.create_project("p5")
+    eng.create_bucket("p5", "in_c_data")
+    eng.create_table("p5", "in_c_data", "users", USERS_COLUMNS,
+                     primary_key=["id"])
+    import pandas as pd
+    pdf = pd.DataFrame({"id": [1, 2, 3], "name": ["Alice", None, "Carol"]})
+    path = str(tmp_path_factory.mktemp("pgdata") / "u.csv")
+    pdf.to_csv(path, index=False)
+    eng.import_file("p5", "in_c_data", "users", path, file_format="csv")
+    eng.create_workspace("ws_pg")
+    password = eng.reset_workspace_password("ws_pg")
+    srv = PgWireServer(eng, max_connections=2)
+    srv.start()
+    yield srv, password, eng
+    srv.stop()
+
+
+def test_auth_failure(server):
+    srv, _pw, _eng = server
+    c = MiniPgClient(srv.port, "ws_pg", "p5", "wrong-password")
+    assert c.auth_error is not None
+    assert c.auth_error["C"] == "28P01"
+
+
+def test_query_roundtrip_with_nulls(server):
+    srv, pw, _eng = server
+    c = MiniPgClient(srv.port, "ws_pg", "p5", pw)
+    assert c.auth_error is None
+    cols, rows, err = c.query(
+        "SELECT id, name FROM in_c_data_users ORDER BY id")
+    assert err is None
+    assert cols == ["id", "name"]
+    assert rows == [["1", "Alice"], ["2", None], ["3", "Carol"]]
+    # SQL error does not kill the session
+    _c, _r, err = c.query("SELECT nope FROM does_not_exist")
+    assert err is not None and err["S"] == "ERROR"
+    cols, rows, err = c.query("SELECT COUNT(*) AS n FROM in_c_data_users")
+    assert err is None and rows == [["3"]]
+    assert srv.sessions and list(srv.sessions.values())[0]["queries"] >= 3
+    c.terminate()
+
+
+def test_api_key_auth_and_connection_limit(server):
+    srv, _pw, eng = server
+    key = eng.create_api_key("pg-test")
+    c1 = MiniPgClient(srv.port, "anyone", "p5", key)
+    assert c1.auth_error is None
+    c2 = MiniPgClient(srv.port, "anyone", "p5", key)
+    assert c2.auth_error is None
+    c3 = MiniPgClient(srv.port, "anyone", "p5", key)  # over the limit of 2
+    assert c3.auth_error is not None and c3.auth_error["C"] == "53300"
+    c1.terminate()
+    c2.terminate()

@@ -206,6 +206,16 @@ def test_error_shapes(client):
     assert r.status_code == 400
 
 
+def test_metrics_endpoint(client):
+    client.get("/health")
+    m = client.get("/metrics")
+    assert m.status_code == 200
+    text = m.data.decode()
+    assert 'storage_http_requests_total{method="GET",route="/health"' in text
+    assert "storage_http_request_seconds_sum" in text
+    assert "storage_uptime_seconds" in text
+
+
 def test_auth_required_mode(spark, tmp_path_factory):
     eng = StorageEngine(spark, str(tmp_path_factory.mktemp("wh_auth")))
     key = eng.create_api_key("ci")
