@@ -632,17 +632,17 @@ def q_text_quality(spark, sf_dir):
 
 def q_ann_topk(spark, sf_dir):
     """Brute-force exact top-5 cosine neighbors for query vectors
-    (vec_id < 10), served by the Arrow/NumPy matmul kernel (one float64
-    BLAS matmul per Arrow batch against the broadcast query matrix) — the
-    fast path for Q·dim-heavy scoring. Ranks on round-6 score with id
-    tie-break, which the batched summation reproduces exactly at that
-    precision; the sequential-fold twin is q_ann_topk_fold (bit-parity
-    with the DuckDB oracle by construction)."""
+    (vec_id < 10), served by the kernel-adaptive path: JVM sequential
+    folds for small query sets (no Python round-trip — and bit-parity
+    with the DuckDB oracle), the Arrow/NumPy batch matmul once Q is large
+    enough to amortize the mapInPandas overhead (one float64 BLAS matmul
+    per batch against the broadcast query matrix). Both kernels rank on
+    (round-6 score, id) and return identical rows."""
     from keboola_storage_duckdb_spark.functions.similarity import (
-        brute_force_topk_pandas)
+        brute_force_topk_auto)
     emb = _t(spark, sf_dir, "embeddings")
-    return brute_force_topk_pandas(emb, emb.filter(F.col("vec_id") < 10),
-                                   "vec_id", "embedding", k=5)
+    return brute_force_topk_auto(emb, emb.filter(F.col("vec_id") < 10),
+                                 "vec_id", "embedding", k=5)
 
 
 def q_ann_lsh(spark, sf_dir):

@@ -223,6 +223,23 @@ def ivf_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
                   .select("query_id", "neighbor_id", "score", "rank"))
 
 
+def brute_force_topk_auto(vectors: DataFrame, queries: DataFrame,
+                          id_col: str, vec_col: str, k: int = 5,
+                          matmul_min_queries: int = 64) -> DataFrame:
+    """Kernel-adaptive exact top-k: the JVM ``aggregate(zip_with(...))``
+    fold has no Python/Arrow round-trip and wins for small query sets; the
+    mapInPandas BLAS matmul amortizes that overhead across queries and wins
+    as Q grows (one N×Q float64 matmul per Arrow batch). The crossover is
+    the fixed mapInPandas cost (~0.3-0.5 s locally) vs O(Q·N·dim) fold
+    work, so route on the (bounded) query count. Both kernels rank on
+    (round-6 score, id) and return identical rows — A/B'd and
+    round-6-equality-tested."""
+    q_bounded = queries.limit(matmul_min_queries + 1).count()
+    if q_bounded <= matmul_min_queries:
+        return brute_force_topk(vectors, queries, id_col, vec_col, k)
+    return brute_force_topk_pandas(vectors, queries, id_col, vec_col, k)
+
+
 def brute_force_topk_pandas(vectors: DataFrame, queries: DataFrame,
                             id_col: str, vec_col: str, k: int = 5) -> DataFrame:
     """Vectorized (Arrow/NumPy) twin of ``brute_force_topk``: the query

@@ -162,3 +162,23 @@ def test_pandas_topk_matches_jvm_exact_path(spark, sf_dir):
         anid, ascore = arrow[key]
         assert anid == nid
         assert abs(ascore - score) <= 1e-6
+
+
+def test_topk_auto_routes_both_kernels(spark, sf_dir):
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        brute_force_topk, brute_force_topk_auto)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    want = {(r.query_id, r.rank): r.neighbor_id
+            for r in brute_force_topk(emb, q, "vec_id", "embedding", 3).collect()}
+    # small Q → fold route; forced matmul route via threshold 0
+    fold = {(r.query_id, r.rank): r.neighbor_id
+            for r in brute_force_topk_auto(
+                emb, q, "vec_id", "embedding", 3).collect()}
+    mat = {(r.query_id, r.rank): r.neighbor_id
+           for r in brute_force_topk_auto(
+               emb, q, "vec_id", "embedding", 3,
+               matmul_min_queries=0).collect()}
+    assert fold == want and mat == want
