@@ -850,6 +850,26 @@ class StorageEngine:
         self._log("link_bucket", src=f"{src_project}/{src_bucket}",
                   dst=f"{dst_project}/{dst_bucket}")
 
+    def unshare_bucket(self, project: str, bucket: str) -> None:
+        """UnshareBucket: drop the shareable flag (refuses while links
+        exist is the reference's DB-level concern; metadata flag here)."""
+        path = os.path.join(self.catalog.bucket_dir(project, bucket),
+                            ".shared.json")
+        if not os.path.isfile(path):
+            raise NotFoundError(f"bucket {bucket} is not shared")
+        os.remove(path)
+        self._log("unshare_bucket", project=project, bucket=bucket)
+
+    def unlink_bucket(self, project: str, bucket: str) -> None:
+        """UnlinkBucket: remove the read-through indirection; the local
+        bucket remains (empty) like the reference's unlink."""
+        path = os.path.join(self.catalog.bucket_dir(project, bucket),
+                            ".link.json")
+        if not os.path.isfile(path):
+            raise NotFoundError(f"bucket {bucket} is not linked")
+        os.remove(path)
+        self._log("unlink_bucket", project=project, bucket=bucket)
+
     def list_linked_tables(self, project: str, bucket: str) -> list[str]:
         src_p, src_b = self._resolve_link(project, bucket)
         return self.catalog.list_tables(src_p, src_b)
@@ -876,6 +896,14 @@ class StorageEngine:
         for e in os.listdir(d):
             shutil.rmtree(os.path.join(d, e), ignore_errors=True)
         self._log("clear_workspace", workspace=workspace)
+
+    def drop_workspace_object(self, workspace: str, name: str) -> None:
+        """DropWorkspaceObjectCommand: remove one loaded object."""
+        d = os.path.join(self.catalog.workspace_dir(workspace), name)
+        if not os.path.exists(d):
+            raise NotFoundError(f"workspace object {name} not found")
+        shutil.rmtree(d, ignore_errors=True)
+        self._log("drop_workspace_object", workspace=workspace, object=name)
 
     def load_table_to_workspace(self, workspace: str, project: str, bucket: str,
                                 table: str, dst_name: str,

@@ -13,6 +13,9 @@ same workflow surface on the engine:
   * ``pgwire.PgWireServer``— PostgreSQL wire-protocol SQL endpoint over
                              the engine's project views
   * ``metrics.Metrics``    — Prometheus text-format counters
+  * ``driver.driver_blueprint`` — the driver command bridge: the
+                             reference's 35 JSON protocol commands
+                             dispatched onto the engine (/driver/execute)
 """
 
 from .files import FileStore  # noqa: F401

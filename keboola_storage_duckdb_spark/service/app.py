@@ -56,9 +56,11 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
     app = Flask("keboola_storage_duckdb_spark")
     idem = IdempotencyCache()
 
+    from .driver import driver_blueprint
     from .metrics import Metrics
     from .s3 import S3Api
     app.register_blueprint(S3Api(engine, s3_config).blueprint())
+    app.register_blueprint(driver_blueprint(engine, require_auth))
     metrics = Metrics()
 
     @app.before_request
@@ -454,6 +456,43 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
     @app.post("/projects/<project>/workspaces/<ws>/credentials/reset")
     def workspace_credentials(project, ws):
         return jsonify({"password": engine.reset_workspace_password(ws)})
+
+    # ------------------------------------------- sharing / settings / keys
+    @app.post("/projects/<project>/branches/<branch_id>/buckets/<bucket>/share")
+    def share_bucket(project, branch_id, bucket):
+        engine.share_bucket(project, bucket)
+        return jsonify({"shared": bucket})
+
+    @app.delete("/projects/<project>/branches/<branch_id>/buckets/<bucket>/share")
+    def unshare_bucket(project, branch_id, bucket):
+        engine.unshare_bucket(project, bucket)
+        return jsonify({"unshared": bucket})
+
+    @app.post("/projects/<project>/branches/<branch_id>/buckets/<bucket>/link")
+    def link_bucket(project, branch_id, bucket):
+        body = request.get_json(force=True)
+        engine.link_bucket(body["source_project"], body["source_bucket"],
+                           project, bucket)
+        return jsonify({"linked": bucket})
+
+    @app.delete("/projects/<project>/branches/<branch_id>/buckets/<bucket>/link")
+    def unlink_bucket(project, branch_id, bucket):
+        engine.unlink_bucket(project, bucket)
+        return jsonify({"unlinked": bucket})
+
+    @app.put("/snapshot-settings/<level>")
+    def snapshot_settings(level):
+        body = request.get_json(force=True)
+        engine.set_snapshot_settings(level, body["path"],
+                                     enabled=body.get("enabled"),
+                                     retention_days=body.get("retention_days"))
+        return jsonify({"level": level, "path": body["path"]})
+
+    @app.post("/api-keys")
+    def create_api_key():
+        body = request.get_json(force=True)
+        return jsonify({"name": body["name"],
+                        "key": engine.create_api_key(body["name"])}), 201
 
     # ---------------------------------------------------------- SQL query
     @app.post("/projects/<project>/query")

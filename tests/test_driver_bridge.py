@@ -1,0 +1,139 @@
+"""Driver command bridge (service/driver.py) — the reference's HTTP driver
+protocol: JSON commands dispatched to the engine handler surface
+(reference src/routers/driver.py:338-452, grpc/servicer.py:95-241).
+Drives a full lifecycle through /driver/execute only, plus admin-key
+authorization and the sharing/settings/api-key REST routes."""
+
+import json
+
+import pytest
+
+from keboola_storage_duckdb_spark.engine import StorageEngine
+from keboola_storage_duckdb_spark.service.app import create_app
+
+USERS_COLUMNS = [
+    {"name": "id", "type": "INTEGER", "nullable": False},
+    {"name": "name", "type": "VARCHAR", "nullable": True},
+]
+
+
+@pytest.fixture(scope="module")
+def rig(spark, tmp_path_factory):
+    eng = StorageEngine(spark, str(tmp_path_factory.mktemp("wh_drv")))
+    app = create_app(eng)
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        yield eng, c
+
+
+def _exec(c, command, **kw):
+    return c.post("/driver/execute", data=json.dumps({"command": command}),
+                  content_type="application/json", **kw)
+
+
+def test_command_catalog(rig):
+    _eng, c = rig
+    cmds = c.get("/driver/commands").get_json()
+    assert "TableImportFromFileCommand" in cmds
+    assert "ExecuteQueryCommand" in cmds
+    assert len(cmds) == 35  # the reference's full command set
+
+
+def test_lifecycle_via_commands(rig, tmp_path):
+    _eng, c = rig
+    for cmd in (
+        {"type": "InitBackendCommand"},
+        {"type": "CreateProjectCommand", "projectId": "pd"},
+        {"type": "CreateBucketCommand", "projectId": "pd",
+         "bucketName": "in_c_b"},
+        {"type": "CreateTableCommand", "projectId": "pd",
+         "bucketName": "in_c_b", "tableName": "users",
+         "columns": USERS_COLUMNS, "primaryKey": ["id"]},
+    ):
+        r = _exec(c, cmd)
+        assert r.status_code == 200, r.get_json()
+    csv = tmp_path / "u.csv"
+    csv.write_text("id,name\n1,Ann\n2,Ben\n")
+    r = _exec(c, {"type": "TableImportFromFileCommand", "projectId": "pd",
+                  "bucketName": "in_c_b", "tableName": "users",
+                  "path": str(csv), "format": "csv"})
+    assert r.get_json()["result"]["rows_after"] == 2
+    r = _exec(c, {"type": "PreviewTableCommand", "projectId": "pd",
+                  "bucketName": "in_c_b", "tableName": "users"})
+    assert len(r.get_json()["result"]["rows"]) == 2
+    r = _exec(c, {"type": "ExecuteQueryCommand", "projectId": "pd",
+                  "sql": "SELECT COUNT(*) AS n FROM in_c_b_users"})
+    assert r.get_json()["result"]["rows"][0]["n"] == "2"
+    r = _exec(c, {"type": "AddColumnCommand", "projectId": "pd",
+                  "bucketName": "in_c_b", "tableName": "users",
+                  "column": {"name": "age", "type": "INTEGER"}})
+    assert r.status_code == 200
+    r = _exec(c, {"type": "DeleteTableRowsCommand", "projectId": "pd",
+                  "bucketName": "in_c_b", "tableName": "users",
+                  "where": "id = 1"})
+    assert r.get_json()["result"]["rows_remaining"] == 1
+    r = _exec(c, {"type": "ObjectInfoCommand", "path": ["pd", "in_c_b", "users"]})
+    assert r.get_json()["result"]["row_count"] == 1
+    assert _exec(c, {"type": "NopeCommand"}).status_code == 400
+
+
+def test_share_link_and_settings_routes(rig):
+    _eng, c = rig
+    base = "/projects/pd/branches/default/buckets/in_c_b"
+    assert c.post(base + "/share").status_code == 200
+    r = c.post("/projects/pd/branches/default/buckets/linked_b/link",
+               data=json.dumps({"source_project": "pd",
+                                "source_bucket": "in_c_b"}),
+               content_type="application/json")
+    assert r.status_code == 200
+    tables = c.get("/projects/pd/branches/default/buckets/linked_b/tables")
+    assert tables.get_json() == ["users"]  # read-through
+    assert c.delete(
+        "/projects/pd/branches/default/buckets/linked_b/link").status_code == 200
+    assert c.delete(base + "/share").status_code == 200
+    assert c.delete(base + "/share").status_code == 404  # already unshared
+    r = c.put("/snapshot-settings/table",
+              data=json.dumps({"path": ["pd", "in_c_b", "users"],
+                               "enabled": False}),
+              content_type="application/json")
+    assert r.status_code == 200
+    r = c.post("/api-keys", data=json.dumps({"name": "ci2"}),
+               content_type="application/json")
+    assert r.status_code == 201 and len(r.get_json()["key"]) == 64
+
+
+def test_admin_only_commands_require_admin_key(spark, tmp_path_factory):
+    eng = StorageEngine(spark, str(tmp_path_factory.mktemp("wh_drv_auth")))
+    admin = eng.create_api_key("admin")
+    member = eng.create_api_key("member")
+    app = create_app(eng, require_auth=True)
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        cmd = {"type": "CreateProjectCommand", "projectId": "px"}
+        assert _exec(c, cmd).status_code == 401
+        assert _exec(c, cmd,
+                     headers={"X-API-Key": member}).status_code == 403
+        assert _exec(c, cmd,
+                     headers={"X-API-Key": admin}).status_code == 200
+        # project-scope command works with the member key
+        r = _exec(c, {"type": "CreateBucketCommand", "projectId": "px",
+                      "bucketName": "in_c_m"},
+                  headers={"X-API-Key": member})
+        assert r.status_code == 200
+
+
+def test_workspace_commands(rig):
+    _eng, c = rig
+    for cmd in (
+        {"type": "CreateWorkspaceCommand", "workspaceId": "wsd"},
+        {"type": "LoadTableToWorkspaceCommand", "workspaceId": "wsd",
+         "projectId": "pd", "bucketName": "in_c_b", "tableName": "users",
+         "destinationName": "u"},
+        {"type": "DropWorkspaceObjectCommand", "workspaceId": "wsd",
+         "objectName": "u"},
+        {"type": "GrantWorkspaceAccessToProjectCommand",
+         "workspaceId": "wsd", "projectId": "pd"},
+        {"type": "DropWorkspaceCommand", "workspaceId": "wsd"},
+    ):
+        r = _exec(c, cmd)
+        assert r.status_code == 200, (cmd, r.get_json())
