@@ -10,15 +10,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Small per-language stopword lexicon for n-gram/stopword-profile language
-# identification. Deliberately tiny & deterministic; real deployments swap a
-# bigger lexicon in — the *operator shape* (broadcast lexicon join + argmax)
-# is what scales.
+# Per-language stopword profiles (classic high-frequency function words —
+# public-knowledge lists). ASCII-folded forms included alongside accented
+# ones so ASCII-normalized corpora still hit. Order within a list is
+# irrelevant (occurrence counts are summed); languages are matched by
+# argmax with (hits desc, lang asc) tie-break.
 STOPWORDS: dict[str, list[str]] = {
-    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
-    "es": ["el", "la", "de", "y", "a", "en", "es", "por", "con", "para"],
-    "de": ["der", "die", "das", "und", "zu", "in", "ist", "auf", "fur", "mit"],
-    "fr": ["le", "la", "de", "et", "a", "en", "est", "sur", "pour", "avec"],
+    "en": ["the", "a", "an", "of", "and", "to", "in", "is", "on", "for",
+           "with", "that", "this", "it", "as", "are", "was", "be", "by",
+           "at", "from", "or", "not", "but", "have", "they", "you"],
+    "es": ["el", "la", "los", "las", "de", "del", "y", "a", "en", "es",
+           "por", "con", "para", "un", "una", "que", "no", "se", "su",
+           "al", "lo", "como", "mas", "más", "pero", "sus", "le"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "auf", "fur",
+           "für", "mit", "den", "von", "nicht", "ein", "eine", "im",
+           "dem", "sich", "des", "auch", "es", "an", "werden", "aus"],
+    "fr": ["le", "la", "les", "de", "des", "et", "a", "à", "en", "est",
+           "sur", "pour", "avec", "un", "une", "du", "que", "qui", "dans",
+           "ne", "pas", "se", "au", "ce", "il", "plus", "par"],
+    "it": ["il", "lo", "la", "gli", "di", "che", "e", "è", "un", "una",
+           "per", "con", "non", "del", "della", "sono", "da", "si", "come",
+           "anche", "al", "nel", "più", "piu"],
+    "pt": ["o", "os", "as", "de", "do", "da", "e", "que", "em", "um",
+           "uma", "para", "com", "nao", "não", "por", "se", "dos", "das",
+           "ao", "mais", "como", "mas", "foi"],
+    "nl": ["de", "het", "een", "van", "en", "in", "is", "dat", "op",
+           "te", "zijn", "met", "voor", "niet", "aan", "er", "maar",
+           "ook", "als", "bij", "dan", "uit"],
+    "id": ["yang", "dan", "di", "ini", "itu", "dengan", "untuk", "tidak",
+           "dari", "dalam", "akan", "pada", "juga", "ke", "karena",
+           "ada", "mereka", "sudah", "saya", "kita"],
 }
 
 # BPE-ish pre-tokenizer: word pieces or single non-space punctuation.
