@@ -181,19 +181,38 @@ def ivf_centroids(vectors: DataFrame, id_col: str, vec_col: str,
 
 
 def ivf_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
-                 vec_col: str, label_col: str, k: int = 5,
-                 nprobe: int = 2) -> DataFrame:
+                 vec_col: str, label_col: str | None = None, k: int = 5,
+                 nprobe: int = 2, n_clusters: int = 16,
+                 kmeans_iter: int = 8) -> DataFrame:
     """IVF (inverted-file) ANN: route each query to its ``nprobe`` nearest
     centroids, then exact-rank only within those clusters' inverted lists.
 
+    The coarse quantizer is either an existing partition column
+    (``label_col`` — e.g. the on-disk partition key) or, when ``label_col``
+    is None, a TRUE k-means quantizer: deterministic Lloyd clustering
+    (functions/clustering.kmeans) assigns every vector to one of
+    ``n_clusters`` learned cells, which is the classic IVF construction
+    and gives balanced, geometry-aware lists when no natural partition
+    exists.
+
     This is the partition-pruned scale path: with C clusters and balanced
     lists, each query scans ~nprobe/C of the corpus instead of all of it —
-    at 100 TB the vectors table is PARTITIONED BY label on disk, so routing
-    prunes parquet partitions at the scan (the cheapest possible skip).
-    Recall < 1 by construction; the exact twin is ``brute_force_topk``.
+    at 100 TB the vectors table is PARTITIONED BY the quantizer cell on
+    disk, so routing prunes parquet partitions at the scan (the cheapest
+    possible skip). Recall < 1 by construction; the exact twin is
+    ``brute_force_topk``.
     """
     from pyspark.sql import Window
 
+    if label_col is None:
+        from .clustering import kmeans
+
+        assign = kmeans(vectors, id_col, vec_col, k=n_clusters,
+                        max_iter=kmeans_iter) \
+            .withColumnRenamed("id", id_col) \
+            .withColumnRenamed("cluster", "_ivf_cell")
+        vectors = vectors.join(assign, id_col)
+        label_col = "_ivf_cell"
     cents = ivf_centroids(vectors, id_col, vec_col, label_col)
     q = with_norm(queries.select(F.col(id_col).alias("query_id"),
                                  F.col(vec_col).alias("qv")), "qv", "qn")

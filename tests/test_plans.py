@@ -50,3 +50,45 @@ def test_typed_where_pushes_equality_filters(spark, sf_dir):
     facts = plan_facts(E.q_typed_where(spark, sf_dir))
     pushed = " ".join(facts["pushed_filters"])
     assert "c_mktsegment" in pushed and "c_nationkey" in pushed, facts
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Co-located layout: two tables bucketed on the join key must join
+    with NO Exchange on either side (the repeated-join scale strategy) —
+    vs the plain parquet join which shuffles both sides."""
+    from pyspark.sql import functions as F
+
+    from keboola_storage_duckdb_spark.plans import plan_facts
+    from keboola_storage_duckdb_spark.sources.bucketed import (
+        bucketed, write_bucketed)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    # plain join shuffles (disable auto-broadcast so size doesn't hide it)
+    with_conf = spark.conf
+    prev = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = plan_facts(
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+                    .groupBy("o_orderpriority")
+                    .agg(F.count(F.lit(1)).alias("n")))
+        assert plain["exchanges"] >= 2  # both sides shuffle
+
+        write_bucketed(orders, "orders_b", "o_orderkey", n_buckets=8)
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "lineitem_b", "o_orderkey", n_buckets=8)
+        ob, lb = bucketed(spark, "orders_b"), bucketed(spark, "lineitem_b")
+        joined = lb.join(ob, "o_orderkey").select("o_orderkey",
+                                                  "o_orderpriority",
+                                                  "l_quantity")
+        facts = plan_facts(joined)
+        assert facts["joins"] == ["SortMergeJoin"], facts
+        assert facts["exchanges"] == 0, facts  # co-located: no shuffle
+        assert joined.count() == lineitem.count()
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

@@ -164,6 +164,30 @@ def test_pandas_topk_matches_jvm_exact_path(spark, sf_dir):
         assert abs(ascore - score) <= 1e-6
 
 
+def test_ivf_kmeans_quantizer_recall(spark, sf_dir):
+    """IVF with the learned k-means quantizer (label_col=None): recall@5
+    vs brute force must be reasonable even with few probes, and perfect
+    when probing every cell."""
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        brute_force_topk, ivf_ann_topk)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, q, "vec_id", "embedding", 5).collect()}
+    n_cells = 4
+    got = {(r.query_id, r.neighbor_id)
+           for r in ivf_ann_topk(emb, q, "vec_id", "embedding", None,
+                                 k=5, nprobe=2, n_clusters=n_cells).collect()}
+    assert len(got & exact) / len(exact) >= 0.4  # partial probe: partial recall
+    full = {(r.query_id, r.neighbor_id)
+            for r in ivf_ann_topk(emb, q, "vec_id", "embedding", None,
+                                  k=5, nprobe=n_cells,
+                                  n_clusters=n_cells).collect()}
+    assert full == exact  # probing every cell == exact search
+
+
 def test_topk_auto_routes_both_kernels(spark, sf_dir):
     from keboola_storage_duckdb_spark.sources.tables import load_table
     from keboola_storage_duckdb_spark.functions.similarity import (
