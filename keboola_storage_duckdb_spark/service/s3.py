@@ -32,8 +32,10 @@ import hashlib
 import hmac
 import os
 import secrets
+import shutil
 import time
 import urllib.parse
+import uuid
 from datetime import datetime, timezone
 from xml.sax.saxutils import escape
 
@@ -116,6 +118,12 @@ class S3Api:
 
     def _objects_dir(self, project: str) -> str:
         return os.path.join(self.engine.files.root, project, "objects")
+
+    def _multipart_dir(self, project: str, upload_id: str) -> str:
+        if not upload_id.isalnum():
+            raise PermissionError(upload_id)
+        return os.path.join(self.engine.files.root, project, ".multipart",
+                            upload_id)
 
     def _object_path(self, project: str, key: str) -> str:
         """Join + containment check: a key may contain '/' but must resolve
@@ -292,9 +300,21 @@ class S3Api:
         @bp.put("/<bucket>/<path:key>")
         def put_object(bucket, key):
             def run(project):
+                data = request.get_data()
+                # multipart part upload: ?partNumber=N&uploadId=U
+                if "uploadId" in request.args:
+                    part_no = int(request.args["partNumber"])
+                    d = api._multipart_dir(project, request.args["uploadId"])
+                    if not os.path.isdir(d):
+                        return _xml_error("NoSuchUpload",
+                                          "Upload ID does not exist", 404)
+                    with open(os.path.join(d, f"{part_no:05d}"), "wb") as f:
+                        f.write(data)
+                    return Response(
+                        b"", headers={"ETag":
+                                      f'"{hashlib.md5(data).hexdigest()}"'})
                 path = api._object_path(project, key)
                 os.makedirs(os.path.dirname(path), exist_ok=True)
-                data = request.get_data()
                 with open(path, "wb") as f:
                     f.write(data)
                 return Response(
@@ -302,9 +322,60 @@ class S3Api:
                                   f'"{hashlib.md5(data).hexdigest()}"'})
             return guarded(bucket, key, run)
 
+        @bp.post("/<bucket>/<path:key>")
+        def multipart(bucket, key):
+            """S3 multipart lifecycle: POST ?uploads initiates, POST
+            ?uploadId=U completes (body lists parts; final ETag is the S3
+            md5-of-part-md5s '-N' form)."""
+            def run(project):
+                if "uploads" in request.args:
+                    upload_id = uuid.uuid4().hex
+                    os.makedirs(api._multipart_dir(project, upload_id))
+                    body = ('<?xml version="1.0" encoding="UTF-8"?>'
+                            "<InitiateMultipartUploadResult>"
+                            f"<Bucket>{escape(bucket)}</Bucket>"
+                            f"<Key>{escape(key)}</Key>"
+                            f"<UploadId>{upload_id}</UploadId>"
+                            "</InitiateMultipartUploadResult>")
+                    return Response(body, mimetype="application/xml")
+                if "uploadId" in request.args:
+                    d = api._multipart_dir(project, request.args["uploadId"])
+                    if not os.path.isdir(d):
+                        return _xml_error("NoSuchUpload",
+                                          "Upload ID does not exist", 404)
+                    parts = sorted(os.listdir(d))
+                    if not parts:
+                        return _xml_error("InvalidRequest", "no parts", 400)
+                    path = api._object_path(project, key)
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    digests = b""
+                    with open(path, "wb") as out:
+                        for p in parts:
+                            with open(os.path.join(d, p), "rb") as f:
+                                data = f.read()
+                            digests += hashlib.md5(data).digest()
+                            out.write(data)
+                    shutil.rmtree(d, ignore_errors=True)
+                    etag = (f"{hashlib.md5(digests).hexdigest()}"
+                            f"-{len(parts)}")
+                    body = ('<?xml version="1.0" encoding="UTF-8"?>'
+                            "<CompleteMultipartUploadResult>"
+                            f"<Key>{escape(key)}</Key>"
+                            f'<ETag>"{etag}"</ETag>'
+                            "</CompleteMultipartUploadResult>")
+                    return Response(body, mimetype="application/xml")
+                return _xml_error("InvalidRequest",
+                                  "expected ?uploads or ?uploadId", 400)
+            return guarded(bucket, key, run)
+
         @bp.delete("/<bucket>/<path:key>")
         def delete_object(bucket, key):
             def run(project):
+                if "uploadId" in request.args:      # AbortMultipartUpload
+                    shutil.rmtree(
+                        api._multipart_dir(project, request.args["uploadId"]),
+                        ignore_errors=True)
+                    return Response(b"", status=204)
                 path = api._object_path(project, key)
                 if os.path.isfile(path):
                     os.remove(path)

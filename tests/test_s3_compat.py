@@ -129,6 +129,46 @@ def test_key_traversal_rejected(setup):
     assert r.status_code in (403, 404)
 
 
+def test_multipart_upload_lifecycle(setup):
+    _eng, c = setup
+    key = "big/multi.bin"
+    p = f"/s3/p9/{key}"
+    # initiate
+    r = c.post(p + "?uploads", headers=_sign("POST", p, query="uploads="))
+    assert r.status_code == 200
+    import re
+    upload_id = re.search(rb"<UploadId>([0-9a-f]+)</UploadId>", r.data).group(1).decode()
+    # upload 3 parts (out of order — completion must order by part number)
+    parts = {1: b"A" * 10, 2: b"B" * 10, 3: b"C" * 5}
+    for n in (2, 1, 3):
+        q = f"partNumber={n}&uploadId={upload_id}"
+        r = c.put(f"{p}?{q}", data=parts[n],
+                  headers=_sign("PUT", p, query=q, body=parts[n]))
+        assert r.status_code == 200
+        assert r.headers["ETag"] == f'"{hashlib.md5(parts[n]).hexdigest()}"'
+    # complete → object equals ordered concatenation; ETag is md5-of-md5s-N
+    q = f"uploadId={upload_id}"
+    r = c.post(f"{p}?{q}", headers=_sign("POST", p, query=q))
+    assert r.status_code == 200
+    digests = b"".join(hashlib.md5(parts[n]).digest() for n in (1, 2, 3))
+    assert f'"{hashlib.md5(digests).hexdigest()}-3"'.encode() in r.data
+    got = c.get(p, headers=_sign("GET", p))
+    assert got.data == b"A" * 10 + b"B" * 10 + b"C" * 5
+    # completed upload id is gone
+    r = c.post(f"{p}?{q}", headers=_sign("POST", p, query=q))
+    assert r.status_code == 404 and b"NoSuchUpload" in r.data
+    # abort path removes a fresh upload's parts
+    r = c.post(p + "?uploads", headers=_sign("POST", p, query="uploads="))
+    uid2 = re.search(rb"<UploadId>([0-9a-f]+)</UploadId>", r.data).group(1).decode()
+    q2 = f"partNumber=1&uploadId={uid2}"
+    c.put(f"{p}?{q2}", data=b"x", headers=_sign("PUT", p, query=q2, body=b"x"))
+    q3 = f"uploadId={uid2}"
+    assert c.delete(f"{p}?{q3}",
+                    headers=_sign("DELETE", p, query=q3)).status_code == 204
+    assert c.post(f"{p}?{q3}",
+                  headers=_sign("POST", p, query=q3)).status_code == 404
+
+
 def test_api_key_fallback(setup):
     eng, c = setup
     key = eng.create_api_key("s3-test")
