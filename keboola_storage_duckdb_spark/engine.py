@@ -874,6 +874,27 @@ class StorageEngine:
         src_p, src_b = self._resolve_link(project, bucket)
         return self.catalog.list_tables(src_p, src_b)
 
+    def grant_readonly(self, project: str, bucket: str) -> None:
+        """GrantReadonly (reference bucket_sharing.py:659-718): metadata-only
+        — enforcement is the link read-through (ATTACH READ_ONLY there)."""
+        d = self.catalog.bucket_dir(project, bucket)
+        if not os.path.isdir(d):
+            raise NotFoundError(f"bucket {bucket} not found")
+        with open(os.path.join(d, ".readonly.json"), "w") as f:
+            json.dump({"granted_at": time.time()}, f)
+        self._log("grant_readonly", project=project, bucket=bucket)
+
+    def revoke_readonly(self, project: str, bucket: str) -> None:
+        """RevokeReadonly (reference bucket_sharing.py:732-780): no-op apart
+        from metadata, mirrored as flag removal (idempotent like the ref)."""
+        d = self.catalog.bucket_dir(project, bucket)
+        if not os.path.isdir(d):
+            raise NotFoundError(f"bucket {bucket} not found")
+        path = os.path.join(d, ".readonly.json")
+        if os.path.isfile(path):
+            os.remove(path)
+        self._log("revoke_readonly", project=project, bucket=bucket)
+
     # ----------------------------------------------------------- workspaces
     def create_workspace(self, workspace: str) -> None:
         d = self.catalog.workspace_dir(workspace)

@@ -480,6 +480,25 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
         engine.unlink_bucket(project, bucket)
         return jsonify({"unlinked": bucket})
 
+    # Readonly grant/revoke (reference bucket_sharing.py:648-780): the
+    # reference documents these as metadata-only API-compat operations —
+    # enforcement is the linked read-through itself, so they validate the
+    # bucket and log, nothing else.
+    @app.post("/projects/<project>/branches/<branch_id>/buckets/<bucket>"
+              "/grant-readonly")
+    def grant_readonly(project, branch_id, bucket):
+        engine.grant_readonly(project, bucket)
+        return jsonify({
+            "status": "success",
+            "message": "readonly is enforced by link read-through",
+            "bucket_name": bucket})
+
+    @app.delete("/projects/<project>/branches/<branch_id>/buckets/<bucket>"
+                "/grant-readonly")
+    def revoke_readonly(project, branch_id, bucket):
+        engine.revoke_readonly(project, bucket)
+        return Response(b"", status=204)
+
     @app.put("/snapshot-settings/<level>")
     def snapshot_settings(level):
         body = request.get_json(force=True)

@@ -206,6 +206,39 @@ def test_error_shapes(client):
     assert r.status_code == 400
 
 
+def test_bucket_sharing_workflow(client):
+    """Share → link → read-through → readonly grant → unlink → unshare,
+    mirroring reference bucket_sharing.py:48-780 (share records intent,
+    link creates the read-through on the target side)."""
+    assert _post(client, "/projects", {"id": "p2"}).status_code == 201
+    share = "/projects/p1/branches/default/buckets/in_c_data/share"
+    link = "/projects/p2/branches/default/buckets/in_c_linked/link"
+    # linking an unshared bucket is refused
+    r = _post(client, link, {"source_project": "p1",
+                             "source_bucket": "in_c_data"})
+    assert r.status_code == 400
+    assert _post(client, share).get_json() == {"shared": "in_c_data"}
+    r = _post(client, link, {"source_project": "p1",
+                             "source_bucket": "in_c_data"})
+    assert r.status_code == 200
+    # the linked bucket reads through to the source's tables
+    linked = "/projects/p2/branches/default/buckets/in_c_linked/tables"
+    assert client.get(linked).get_json() == ["users"]
+    prev = client.get(linked + "/users/preview?order_by=id&limit=1").get_json()
+    assert prev["rows"][0]["name"] == "Alice"
+    # readonly grant/revoke are metadata-only API-compat ops
+    ro = "/projects/p1/branches/default/buckets/in_c_data/grant-readonly"
+    assert _post(client, ro).get_json()["status"] == "success"
+    assert client.delete(ro).status_code == 204
+    assert _post(client, "/projects/p1/branches/default/buckets/nope"
+                 "/grant-readonly").status_code == 404
+    # unlink removes the indirection; unshare drops the flag
+    assert client.delete(link).status_code == 200
+    assert client.get(linked).get_json() == []
+    assert client.delete(share).status_code == 200
+    assert client.delete(share).status_code == 404
+
+
 def test_metrics_endpoint(client):
     client.get("/health")
     m = client.get("/metrics")
