@@ -10,7 +10,7 @@ here they are Spark temp views registered by
 ``engine.register_project_views`` and executed by ``engine.execute_query``
 (row cap + statement timeout enforced engine-side).
 
-Protocol subset (the part every driver's simple-query path uses):
+Protocol subset:
   * SSLRequest → 'N' (plaintext), GSSENCRequest → 'N'
   * StartupMessage (proto 3.0) → AuthenticationCleartextPassword →
     PasswordMessage → AuthenticationOk + ParameterStatus + BackendKeyData +
@@ -18,13 +18,20 @@ Protocol subset (the part every driver's simple-query path uses):
   * Simple Query 'Q' → RowDescription / DataRow* / CommandComplete /
     ReadyForQuery (all values text-format, like the reference's stringified
     ExecuteQuery marshaling)
+  * Extended protocol: Parse ('P') → ParseComplete, Bind ('B') with
+    text-format $n parameters → BindComplete, Describe ('D') →
+    ParameterDescription/RowDescription/NoData, Execute ('E') → DataRow* +
+    CommandComplete (or PortalSuspended when the row limit cuts the
+    portal), Close ('C') → CloseComplete, Flush ('H'), Sync ('S') →
+    ReadyForQuery. Errors inside an extended sequence skip to Sync, per
+    the PG spec. Result columns are only knowable by running the query,
+    so a portal executes eagerly on first Describe/Execute and caches its
+    rows (the proxy pattern; binary parameter format is rejected).
   * ErrorResponse on failure, then ReadyForQuery (session survives errors)
   * Terminate 'X'
 
 Connection limit + live-session registry mirror the reference's
-``max_connections`` and session tracking. Extended-protocol messages
-(Parse/Bind/Execute) are answered with ErrorResponse asking for simple
-mode — psycopg2/psql use simple mode for plain queries.
+``max_connections`` and session tracking.
 """
 
 from __future__ import annotations
@@ -41,6 +48,15 @@ def _msg(type_byte: bytes, payload: bytes) -> bytes:
 
 def _cstr(s: str) -> bytes:
     return s.encode() + b"\x00"
+
+
+class _PgError(Exception):
+    """Protocol-level error carrying a SQLSTATE code."""
+
+    def __init__(self, code: str, message: str) -> None:
+        super().__init__(message)
+        self.code = code
+        self.message = message
 
 
 class PgWireServer:
@@ -199,18 +215,167 @@ class PgWireServer:
         self._ready(conn)
         return params
 
+    # --------------------------------------------------- extended protocol
+    @staticmethod
+    def _literal(value: bytes | None) -> str:
+        """Text-format parameter → SQL literal (NULL / bare number /
+        single-quoted string with '' escaping)."""
+        if value is None:
+            return "NULL"
+        s = value.decode()
+        try:
+            float(s)
+            if s.lower() not in ("nan", "inf", "-inf", "infinity",
+                                 "-infinity"):
+                return s
+        except ValueError:
+            pass
+        return "'" + s.replace("'", "''") + "'"
+
+    def _bind_params(self, sql: str, params: list[bytes | None]) -> str:
+        # substitute $n highest-first so $10 is not clobbered by $1
+        for i in range(len(params), 0, -1):
+            sql = sql.replace(f"${i}", self._literal(params[i - 1]))
+        return sql
+
+    def _run_portal(self, portal: dict, project: str) -> None:
+        """Execute a bound portal once and cache its result rows."""
+        if "rows" in portal:
+            return
+        rows = self.engine.execute_query(
+            project, portal["sql"], stringify=True,
+            timeout_seconds=self.query_timeout, max_rows=self.max_rows)
+        portal["cols"] = list(rows[0].keys()) if rows else []
+        portal["rows"] = rows
+        portal["sent"] = 0
+
+    def _row_description(self, conn: socket.socket, cols: list[str]) -> None:
+        desc = struct.pack("!H", len(cols))
+        for c in cols:
+            desc += _cstr(c) + struct.pack("!IHIhih", 0, 0, 25, -1, -1, 0)
+        conn.sendall(_msg(b"T", desc))
+
+    def _send_rows(self, conn: socket.socket, cols: list[str],
+                   rows: list[dict]) -> None:
+        for r in rows:
+            payload = struct.pack("!H", len(cols))
+            for c in cols:
+                v = r[c]
+                if v is None:
+                    payload += struct.pack("!i", -1)
+                else:
+                    b = str(v).encode()
+                    payload += struct.pack("!i", len(b)) + b
+            conn.sendall(_msg(b"D", payload))
+
+    def _handle_extended(self, conn: socket.socket, t: bytes, body: bytes,
+                         project: str, stmts: dict, portals: dict) -> None:
+        """One Parse/Bind/Describe/Execute/Close message; raises
+        _PgError to trigger skip-to-Sync."""
+        if t == b"P":                                        # Parse
+            i = body.index(b"\x00")
+            name = body[:i].decode()
+            j = body.index(b"\x00", i + 1)
+            sql = body[i + 1:j].decode()
+            (nparams,) = struct.unpack("!H", body[j + 1:j + 3])
+            stmts[name] = {"sql": sql, "nparams": nparams}
+            conn.sendall(_msg(b"1", b""))                    # ParseComplete
+        elif t == b"B":                                      # Bind
+            i = body.index(b"\x00")
+            portal_name = body[:i].decode()
+            j = body.index(b"\x00", i + 1)
+            stmt_name = body[i + 1:j].decode()
+            if stmt_name not in stmts:
+                raise _PgError("26000", f"unknown statement {stmt_name!r}")
+            off = j + 1
+            (nfmt,) = struct.unpack("!H", body[off:off + 2]); off += 2
+            fmts = struct.unpack(f"!{nfmt}h", body[off:off + 2 * nfmt])
+            off += 2 * nfmt
+            if any(f == 1 for f in fmts):
+                raise _PgError("0A000", "binary parameter format "
+                               "not supported; send text format")
+            (nvals,) = struct.unpack("!H", body[off:off + 2]); off += 2
+            params: list[bytes | None] = []
+            for _ in range(nvals):
+                (ln,) = struct.unpack("!i", body[off:off + 4]); off += 4
+                if ln == -1:
+                    params.append(None)
+                else:
+                    params.append(body[off:off + ln]); off += ln
+            portals[portal_name] = {
+                "sql": self._bind_params(stmts[stmt_name]["sql"], params)}
+            conn.sendall(_msg(b"2", b""))                    # BindComplete
+        elif t == b"D":                                      # Describe
+            kind, name = body[:1], body[1:].rstrip(b"\x00").decode()
+            if kind == b"S":
+                if name not in stmts:
+                    raise _PgError("26000", f"unknown statement {name!r}")
+                n = stmts[name]["nparams"]
+                conn.sendall(_msg(b"t", struct.pack("!H", n)
+                                  + struct.pack("!I", 25) * n))
+                conn.sendall(_msg(b"n", b""))                # NoData
+            else:
+                if name not in portals:
+                    raise _PgError("34000", f"unknown portal {name!r}")
+                self._run_portal(portals[name], project)
+                self._row_description(conn, portals[name]["cols"])
+        elif t == b"E":                                      # Execute
+            i = body.index(b"\x00")
+            name = body[:i].decode()
+            (limit,) = struct.unpack("!i", body[i + 1:i + 5])
+            if name not in portals:
+                raise _PgError("34000", f"unknown portal {name!r}")
+            p = portals[name]
+            self._run_portal(p, project)
+            remaining = p["rows"][p["sent"]:]
+            batch = remaining if limit <= 0 else remaining[:limit]
+            self._send_rows(conn, p["cols"], batch)
+            p["sent"] += len(batch)
+            if limit > 0 and p["sent"] < len(p["rows"]):
+                conn.sendall(_msg(b"s", b""))                # PortalSuspended
+            else:
+                conn.sendall(_msg(b"C", _cstr(f"SELECT {p['sent']}")))
+        elif t == b"C":                                      # Close
+            kind, name = body[:1], body[1:].rstrip(b"\x00").decode()
+            (stmts if kind == b"S" else portals).pop(name, None)
+            conn.sendall(_msg(b"3", b""))                    # CloseComplete
+        # 'H' Flush: no-op — every response above is sent immediately
+
     def _query_loop(self, conn: socket.socket, session_id: str,
                     project: str) -> None:
+        stmts: dict[str, dict] = {}
+        portals: dict[str, dict] = {}
+        skip_to_sync = False
         while True:
             t = self._recv_exact(conn, 1)
             (length,) = struct.unpack("!I", self._recv_exact(conn, 4))
             body = self._recv_exact(conn, length - 4)
             if t == b"X":                                    # Terminate
                 return
+            if t == b"S":                                    # Sync
+                skip_to_sync = False
+                portals.clear()                              # end of txn
+                self._ready(conn)
+                continue
+            if skip_to_sync:
+                continue
+            if t in b"PBDECH":
+                with self._lock:
+                    if t == b"E" and session_id in self.sessions:
+                        self.sessions[session_id]["queries"] += 1
+                try:
+                    self._handle_extended(conn, t, body, project,
+                                          stmts, portals)
+                except _PgError as e:
+                    self._error(conn, e.code, e.message)
+                    skip_to_sync = True
+                except Exception as e:
+                    self._error(conn, "42601", str(e)[:500])
+                    skip_to_sync = True
+                continue
             if t != b"Q":
                 self._error(conn, "0A000",
-                            "extended protocol not supported; "
-                            "use simple query mode")
+                            f"unsupported message type {t!r}")
                 self._ready(conn)
                 continue
             sql = body.rstrip(b"\x00").decode()
@@ -230,23 +395,10 @@ class PgWireServer:
                 self._error(conn, "42601", str(e)[:500])
                 self._ready(conn)
                 continue
+            # every column text-format (oid 25) — the reference stringifies
+            # all ExecuteQuery values the same way
             cols = list(rows[0].keys()) if rows else []
-            # RowDescription: every column as text (oid 25) — the
-            # reference stringifies all ExecuteQuery values the same way
-            desc = struct.pack("!H", len(cols))
-            for c in cols:
-                desc += (_cstr(c)
-                         + struct.pack("!IHIhih", 0, 0, 25, -1, -1, 0))
-            conn.sendall(_msg(b"T", desc))
-            for r in rows:
-                payload = struct.pack("!H", len(cols))
-                for c in cols:
-                    v = r[c]
-                    if v is None:
-                        payload += struct.pack("!i", -1)
-                    else:
-                        b = str(v).encode()
-                        payload += struct.pack("!i", len(b)) + b
-                conn.sendall(_msg(b"D", payload))
+            self._row_description(conn, cols)
+            self._send_rows(conn, cols, rows)
             conn.sendall(_msg(b"C", _cstr(f"SELECT {len(rows)}")))
             self._ready(conn)

@@ -105,6 +105,63 @@ class MiniPgClient:
         self.sock.sendall(b"X" + struct.pack("!I", 4))
         self.sock.close()
 
+    # ------------------------------------------------- extended protocol
+    def _send(self, t, payload):
+        self.sock.sendall(t + struct.pack("!I", len(payload) + 4) + payload)
+
+    def parse(self, name, sql, nparams=0):
+        self._send(b"P", name.encode() + b"\x00" + sql.encode() + b"\x00"
+                   + struct.pack("!H", nparams)
+                   + struct.pack("!I", 25) * nparams)
+
+    def bind(self, portal, stmt, params=(), fmt_codes=()):
+        body = portal.encode() + b"\x00" + stmt.encode() + b"\x00"
+        body += struct.pack("!H", len(fmt_codes))
+        body += b"".join(struct.pack("!h", f) for f in fmt_codes)
+        body += struct.pack("!H", len(params))
+        for p in params:
+            if p is None:
+                body += struct.pack("!i", -1)
+            else:
+                body += struct.pack("!i", len(p)) + p
+        body += struct.pack("!H", 0)
+        self._send(b"B", body)
+
+    def describe(self, kind, name):
+        self._send(b"D", kind + name.encode() + b"\x00")
+
+    def execute(self, portal, limit=0):
+        self._send(b"E", portal.encode() + b"\x00" + struct.pack("!i", limit))
+
+    def close_stmt(self, kind, name):
+        self._send(b"C", kind + name.encode() + b"\x00")
+
+    def sync(self):
+        self._send(b"S", b"")
+
+    def drain(self):
+        """Read messages until ReadyForQuery; returns list of (type, body)."""
+        out = []
+        while True:
+            t, body = self._read_msg()
+            out.append((t, body))
+            if t == b"Z":
+                return out
+
+    @staticmethod
+    def decode_datarow(body):
+        (n,) = struct.unpack("!H", body[:2])
+        off, vals = 2, []
+        for _ in range(n):
+            (ln,) = struct.unpack("!i", body[off:off + 4])
+            off += 4
+            if ln == -1:
+                vals.append(None)
+            else:
+                vals.append(body[off:off + ln].decode())
+                off += ln
+        return vals
+
 
 @pytest.fixture(scope="module")
 def server(spark, tmp_path_factory):
@@ -148,6 +205,64 @@ def test_query_roundtrip_with_nulls(server):
     cols, rows, err = c.query("SELECT COUNT(*) AS n FROM in_c_data_users")
     assert err is None and rows == [["3"]]
     assert srv.sessions and list(srv.sessions.values())[0]["queries"] >= 3
+    c.terminate()
+
+
+def test_extended_protocol_parse_bind_execute(server):
+    """Parse/Bind/Describe/Execute/Sync with a $1 parameter — the message
+    flow psycopg2-style drivers use for parameterized queries."""
+    srv, pw, _eng = server
+    c = MiniPgClient(srv.port, "ws_pg", "p5", pw)
+    assert c.auth_error is None
+    c.parse("s1", "SELECT id, name FROM in_c_data_users "
+                  "WHERE id >= $1 ORDER BY id", nparams=1)
+    c.bind("", "s1", params=[b"2"])
+    c.describe(b"P", "")
+    c.execute("")
+    c.sync()
+    msgs = c.drain()
+    types = [t for t, _ in msgs]
+    assert types[:3] == [b"1", b"2", b"T"]          # Parse/Bind/RowDesc
+    rows = [c.decode_datarow(b) for t, b in msgs if t == b"D"]
+    assert rows == [["2", None], ["3", "Carol"]]
+    assert (b"C", b"SELECT 2\x00") in msgs
+
+    # string parameter with a quote must be escaped, not break the query
+    c.parse("s2", "SELECT COUNT(*) AS n FROM in_c_data_users "
+                  "WHERE name = $1", nparams=1)
+    c.bind("", "s2", params=[b"O'Brien"])
+    c.execute("")
+    c.sync()
+    rows = [c.decode_datarow(b) for t, b in c.drain() if t == b"D"]
+    assert rows == [["0"]]
+
+    # Execute with a row limit suspends the portal, then resumes
+    c.parse("s3", "SELECT id FROM in_c_data_users ORDER BY id")
+    c.bind("p3", "s3")
+    c.execute("p3", limit=2)
+    c.execute("p3")
+    c.sync()
+    msgs = c.drain()
+    assert b"s" in [t for t, _ in msgs]             # PortalSuspended
+    rows = [c.decode_datarow(b) for t, b in msgs if t == b"D"]
+    assert rows == [["1"], ["2"], ["3"]]
+
+    # Describe(statement) → ParameterDescription + NoData; Close works
+    c.describe(b"S", "s1")
+    c.close_stmt(b"S", "s1")
+    c.sync()
+    types = [t for t, _ in c.drain()]
+    assert types[:3] == [b"t", b"n", b"3"]
+
+    # error inside a sequence skips to Sync, session survives
+    c.bind("", "missing_stmt")
+    c.execute("")                                   # must be skipped
+    c.sync()
+    msgs = c.drain()
+    errs = [b for t, b in msgs if t == b"E"]
+    assert len(errs) == 1 and b"26000" in errs[0]
+    cols, rows, err = c.query("SELECT 1 AS one")
+    assert err is None and rows == [["1"]]
     c.terminate()
 
 
