@@ -618,6 +618,14 @@ def q_token_counts(spark, sf_dir):
     return token_count(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Token-window chunking (size 32, stride 24) — the context-window
+    shape a training pipeline feeds a tokenizer. Narrow map, no shuffle."""
+    from keboola_storage_duckdb_spark.functions.text import chunk_documents
+    return chunk_documents(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                           chunk_size=32, stride=24)
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-profile language ID (broadcast lexicon join + argmax)."""
     from keboola_storage_duckdb_spark.functions.text import language_id
@@ -1573,6 +1581,15 @@ SELECT doc_id AS id,
 FROM documents"""
 
 
+from keboola_storage_duckdb_spark.functions.text import (  # noqa: E402
+    CHUNK_SQL_TEMPLATE,
+)
+
+_CHUNK_DOCS_SQL = CHUNK_SQL_TEMPLATE.format(
+    id_col="doc_id", text_col="text", table="documents",
+    chunk_size=32, stride=24)
+
+
 _DOT_SQL = ("list_sum(list_transform(generate_series(1, len({a})), "
             "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
 
@@ -1754,6 +1771,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
     "token_counts": q_token_counts,
+    "chunk_docs": q_chunk_docs,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "ann_topk": q_ann_topk,
@@ -1774,9 +1792,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "execute_query": q_execute_query,
     "skew_agg": q_skew_agg,
     "extract_parts": q_extract_parts,
-    "string_funcs": q_string_funcs,
     "pivot_counts": q_pivot_counts,
     # ---- tail (51+): variants of certified operators / rows-only ----
+    "string_funcs": q_string_funcs,              # F1 certified via string_stats
     "cosine_near_dup": q_cosine_near_dup,        # unblocked twin of _blocked
     "hash_sample": q_hash_sample,                # sampling twin of stratified
     "session_window": q_session_window,          # native twin of sessionize
@@ -1994,6 +2012,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
+        "chunk_docs": _CHUNK_DOCS_SQL,
         "lang_id": _lang_id_sql(),
         "text_quality": __import__(
             "keboola_storage_duckdb_spark.functions.text", fromlist=["x"]

@@ -57,6 +57,60 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_size: int = 32, stride: int = 24) -> DataFrame:
+    """Fixed-size overlapping token-window chunks — the standard shape a
+    training pipeline feeds a tokenizer (context windows with overlap so no
+    boundary is lost). Tokens come from the BPE-ish pre-tokenizer regex;
+    chunk i covers tokens [i*stride, i*stride+chunk_size); the last chunk
+    may be short; empty docs produce no chunks.
+
+    Scale: tokenize → ``sequence``/``explode`` over chunk starts →
+    ``slice`` — a narrow per-row map with no shuffle, output ~n/stride
+    rows per doc. At 100 TB this is embarrassingly parallel and the output
+    partitioning inherits the scan's (repartition downstream if chunks
+    feed a shuffle-heavy stage).
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0))
+    # last chunk start index = ceil(max(n - size, 0) / stride), integer math
+    last = F.floor((F.greatest(F.col("n_tok") - chunk_size, F.lit(0))
+                    + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    base = (df
+            .select(F.col(id_col).alias("doc_id"), toks.alias("toks"),
+                    F.size(toks).alias("n_tok"))
+            .where(F.col("n_tok") > 0)
+            .select("doc_id", "toks",
+                    F.explode(F.sequence(F.lit(0), last)).alias("chunk_idx")))
+    return base.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(F.slice(F.col("toks"),
+                             F.col("chunk_idx") * stride + 1, chunk_size),
+                     " ").alias("chunk_text"),
+        F.size(F.slice(F.col("toks"),
+                       F.col("chunk_idx") * stride + 1, chunk_size))
+         .cast("int").alias("n_tokens"))
+
+
+CHUNK_SQL_TEMPLATE = r"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all({text_col}, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]') AS t
+  FROM {table}
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), expanded AS (
+  SELECT doc_id, t,
+         CAST(unnest(range(0, (GREATEST(n - {chunk_size}, 0) + {stride} - 1) // {stride} + 1)) AS INTEGER) AS chunk_idx
+  FROM sized
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(t[chunk_idx*{stride}+1 : chunk_idx*{stride}+{chunk_size}], ' ') AS chunk_text,
+       CAST(len(t[chunk_idx*{stride}+1 : chunk_idx*{stride}+{chunk_size}]) AS INTEGER) AS n_tokens
+FROM expanded
+"""
+
+
 def lexicon_df(spark):
     rows = [(lang, w) for lang, ws in STOPWORDS.items() for w in ws]
     return spark.createDataFrame(rows, ["lex_lang", "word"])

@@ -80,6 +80,25 @@ def test_lsh_ann_subset_of_exact(spark, sf_dir):
             assert ex[key] == r.score
 
 
+def test_chunk_documents_boundaries(spark):
+    from keboola_storage_duckdb_spark.functions.text import chunk_documents
+    docs = spark.createDataFrame(
+        [(1, "one two three four"),            # n=4 == size → 1 chunk
+         (2, "a b c d e f"),                   # n=6 → starts 0, 3 → 2 chunks
+         (3, ""),                              # empty → no chunks
+         (4, "x")],                            # n=1 → 1 short chunk
+        ["doc_id", "text"])
+    out = chunk_documents(docs, "doc_id", "text", chunk_size=4, stride=3)
+    rows = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+            for r in out.collect()}
+    assert rows == {
+        (1, 0): ("one two three four", 4),
+        (2, 0): ("a b c d", 4),
+        (2, 1): ("d e f", 3),                  # overlap of 1 token at stride 3
+        (4, 0): ("x", 1),
+    }
+
+
 def test_language_id_und_fallback(spark):
     from keboola_storage_duckdb_spark.functions.text import language_id
 
