@@ -618,6 +618,31 @@ def q_token_counts(spark, sf_dir):
     return token_count(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram-overlap decontamination: corpus docs sharing any
+    bigram shingle with the held-out set (doc_id % 97 == 0 stands in for
+    an eval benchmark). Broadcast semi-join — the corpus never shuffles."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where((F.col("doc_id") % 97) == 0)
+    corpus = docs.where((F.col("doc_id") % 97) != 0)
+    return decontaminate(corpus, bench, "doc_id", "text")
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style rule-based quality filter, all-integer thresholds."""
+    from keboola_storage_duckdb_spark.functions.text import gopher_quality
+    return gopher_quality(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                          min_words=50)
+
+
+def q_pii_redact(spark, sf_dir):
+    """Email/IP/phone redaction with per-type counts (RE2/Java-identical
+    patterns)."""
+    from keboola_storage_duckdb_spark.functions.text import pii_redact
+    return pii_redact(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_chunk_docs(spark, sf_dir):
     """Token-window chunking (size 32, stride 24) — the context-window
     shape a training pipeline feeds a tokenizer. Narrow map, no shuffle."""
@@ -1583,11 +1608,43 @@ FROM documents"""
 
 from keboola_storage_duckdb_spark.functions.text import (  # noqa: E402
     CHUNK_SQL_TEMPLATE,
+    GOPHER_SQL_TEMPLATE,
+    GOPHER_STOPWORDS,
+    PII_EMAIL,
+    PII_IP,
+    PII_PHONE,
+    PII_SQL_TEMPLATE,
 )
 
 _CHUNK_DOCS_SQL = CHUNK_SQL_TEMPLATE.format(
     id_col="doc_id", text_col="text", table="documents",
     chunk_size=32, stride=24)
+
+_DECONTAMINATE_SQL = """
+WITH toks AS (SELECT doc_id AS id, str_split(text, ' ') AS t FROM documents),
+arr AS (SELECT id,
+               list_distinct(list_transform(generate_series(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i + 1])) AS shs
+        FROM toks),
+corpus AS (SELECT id, shs FROM arr WHERE id % 97 <> 0),
+bench AS (SELECT DISTINCT unnest(shs) AS shingle FROM arr WHERE id % 97 = 0),
+doc_sh AS (SELECT id, unnest(shs) AS shingle FROM corpus),
+shared AS (SELECT id, COUNT(*) AS n_shared
+           FROM doc_sh JOIN bench USING (shingle) GROUP BY id)
+SELECT c.id AS doc_id,
+       CAST(len(c.shs) AS INTEGER) AS n_sh,
+       COALESCE(s.n_shared, 0) AS n_shared,
+       COALESCE(s.n_shared, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN shared s ON s.id = c.id"""
+
+_GOPHER_SQL = GOPHER_SQL_TEMPLATE.format(
+    id_col="doc_id", text_col="text", table="documents",
+    min_words=50, max_words=100_000,
+    stopwords=", ".join(f"'{w}'" for w in GOPHER_STOPWORDS))
+
+_PII_SQL = PII_SQL_TEMPLATE.format(
+    id_col="doc_id", text_col="text", table="documents",
+    email=PII_EMAIL, ip=PII_IP, phone=PII_PHONE)
 
 
 _DOT_SQL = ("list_sum(list_transform(generate_series(1, len({a})), "
@@ -1790,10 +1847,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "table_profile": q_table_profile,
     "execute_query": q_execute_query,
-    "skew_agg": q_skew_agg,
-    "extract_parts": q_extract_parts,
+    "decontaminate": q_decontaminate,
+    "gopher_quality": q_gopher_quality,
     "pivot_counts": q_pivot_counts,
     # ---- tail (51+): variants of certified operators / rows-only ----
+    "skew_agg": q_skew_agg,                      # A13 certified via pricing_summary
+    "extract_parts": q_extract_parts,            # F3 certified via change_interval
+    "pii_redact": q_pii_redact,                  # F-family text map (regex certified
+                                                 # via pattern_profile/fulltext)
     "string_funcs": q_string_funcs,              # F1 certified via string_stats
     "cosine_near_dup": q_cosine_near_dup,        # unblocked twin of _blocked
     "hash_sample": q_hash_sample,                # sampling twin of stratified
@@ -2013,6 +2074,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _SIMHASH_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
+        "gopher_quality": _GOPHER_SQL,
+        "pii_redact": _PII_SQL,
         "lang_id": _lang_id_sql(),
         "text_quality": __import__(
             "keboola_storage_duckdb_spark.functions.text", fromlist=["x"]

@@ -69,6 +69,39 @@ def shingle_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return _explode_shingles(shingle_arrays(docs, id_col, text_col))
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  id_col: str, text_col: str) -> DataFrame:
+    """Test-set decontamination: flag corpus docs sharing any word-bigram
+    shingle with a benchmark/eval set (the n-gram-overlap rule LLM data
+    pipelines apply before training; see e.g. GPT-3/PaLM appendix
+    methodology — public knowledge).
+
+    Returns (doc_id, n_sh, n_shared, contaminated) — one row per corpus
+    doc, n_shared = distinct shingles also present in the benchmark.
+
+    Scale: the benchmark side is tiny relative to a 100 TB corpus, so its
+    distinct-shingle set is BROADCAST and the corpus side never shuffles —
+    a map-side semi-join after the per-row shingle transform. The corpus
+    explode is narrow; the per-doc count re-aggregates on doc_id (one
+    shuffle keyed by doc id, which partitions evenly by construction).
+    """
+    doc_arr = shingle_arrays(docs, id_col, text_col)
+    bench_sh = (_explode_shingles(
+        shingle_arrays(benchmark, id_col, text_col))
+        .select("shingle").distinct())
+    doc_sh = _explode_shingles(doc_arr)
+    shared = (doc_sh.join(F.broadcast(bench_sh), "shingle")
+              .groupBy("id").agg(F.count(F.lit(1)).alias("n_shared")))
+    return (doc_arr
+            .select("id", F.size("shs").alias("n_sh"))
+            .join(shared, "id", "left")
+            .select(F.col("id").alias("doc_id"),
+                    F.col("n_sh").cast("int").alias("n_sh"),
+                    F.coalesce("n_shared", F.lit(0)).cast("long")
+                     .alias("n_shared"))
+            .withColumn("contaminated", F.col("n_shared") > 0))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.8,
                         max_doc_freq: int | None = None,

@@ -111,6 +111,121 @@ FROM expanded
 """
 
 
+# The 8 high-frequency English function words the Gopher rules check for
+# (Rae et al. 2021, "Scaling Language Models" §A1.1 — public knowledge).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(docs: DataFrame, id_col: str, text_col: str,
+                   min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """Gopher-style rule-based quality filter. Per doc, the five surface
+    rules as booleans plus the conjunction ``keep``:
+
+      * word count within [min_words, max_words]
+      * mean word length within [3, 10] chars
+      * symbol-to-word ratio ('#' or '...') ≤ 0.1
+      * ≥ 80% of words contain an alphabetic character
+      * ≥ 2 of the 8 Gopher stopwords occur
+
+    All thresholds are evaluated in INTEGER arithmetic (3·n ≤ Σlen ≤ 10·n,
+    10·sym ≤ n, 5·alpha ≥ 4·n) so the oracle is bit-exact — no ratios, no
+    libm. A narrow whole-stage-codegen map: no shuffle, no UDF."""
+    toks = F.split(F.col(text_col), " ")
+    low = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_words"),
+        F.aggregate(F.transform(toks, lambda w: F.length(w)),
+                    F.lit(0), lambda acc, x: acc + x).alias("sum_len"),
+        (F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"#"), F.lit(0)))
+         + F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\.\.\."),
+                                       F.lit(0)))).alias("n_sym"),
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+         .alias("n_alpha"),
+        F.size(F.filter(low, lambda w: w.isin(GOPHER_STOPWORDS)))
+         .alias("n_stop"))
+    rules = base.select(
+        "doc_id", "n_words",
+        F.col("n_words").between(min_words, max_words).alias("ok_count"),
+        ((F.col("sum_len") >= 3 * F.col("n_words"))
+         & (F.col("sum_len") <= 10 * F.col("n_words"))).alias("ok_mean_len"),
+        (10 * F.col("n_sym") <= F.col("n_words")).alias("ok_symbol"),
+        (5 * F.col("n_alpha") >= 4 * F.col("n_words")).alias("ok_alpha"),
+        (F.col("n_stop") >= 2).alias("ok_stop"))
+    return rules.withColumn(
+        "keep", F.col("ok_count") & F.col("ok_mean_len") & F.col("ok_symbol")
+                & F.col("ok_alpha") & F.col("ok_stop"))
+
+
+GOPHER_SQL_TEMPLATE = r"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         len(str_split({text_col}, ' ')) AS n_words,
+         list_sum(list_transform(str_split({text_col}, ' '), w -> length(w))) AS sum_len,
+         len(regexp_extract_all({text_col}, '#'))
+           + len(regexp_extract_all({text_col}, '\.\.\.')) AS n_sym,
+         len(list_filter(str_split({text_col}, ' '),
+                         w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         len(list_filter(str_split(lower({text_col}), ' '),
+                         w -> w IN ({stopwords}))) AS n_stop
+  FROM {table}
+), rules AS (
+  SELECT doc_id, n_words,
+         n_words BETWEEN {min_words} AND {max_words} AS ok_count,
+         sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS ok_mean_len,
+         10 * n_sym <= n_words AS ok_symbol,
+         5 * n_alpha >= 4 * n_words AS ok_alpha,
+         n_stop >= 2 AS ok_stop
+  FROM base
+)
+SELECT doc_id, n_words, ok_count, ok_mean_len, ok_symbol, ok_alpha, ok_stop,
+       ok_count AND ok_mean_len AND ok_symbol AND ok_alpha AND ok_stop AS keep
+FROM rules
+"""
+
+
+# PII patterns chosen for identical semantics under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repeats, \b, alternation only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{7,15}|\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b"
+
+
+def pii_redact(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped numbers, with per-type counts.
+    Replacement order matters (email before phone so the digits in a
+    local-part are not re-matched); both engines apply the same order.
+    Narrow map over the corpus — no shuffle, no UDF."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "[EMAIL]"),
+            PII_IP, "[IP]"),
+        PII_PHONE, "[PHONE]")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+         .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IP), F.lit(0)))
+         .alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
+         .alias("n_phones"),
+        redacted.alias("redacted"))
+
+
+PII_SQL_TEMPLATE = r"""
+SELECT {id_col} AS doc_id,
+       len(regexp_extract_all({text_col}, '{email}')) AS n_emails,
+       len(regexp_extract_all({text_col}, '{ip}')) AS n_ips,
+       len(regexp_extract_all({text_col}, '{phone}')) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace({text_col},
+           '{email}', '[EMAIL]', 'g'),
+           '{ip}', '[IP]', 'g'),
+           '{phone}', '[PHONE]', 'g') AS redacted
+FROM {table}
+"""
+
+
 def lexicon_df(spark):
     rows = [(lang, w) for lang, ws in STOPWORDS.items() for w in ws]
     return spark.createDataFrame(rows, ["lex_lang", "word"])

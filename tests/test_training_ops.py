@@ -99,6 +99,50 @@ def test_chunk_documents_boundaries(spark):
     }
 
 
+def test_decontaminate_flags_overlap(spark):
+    from keboola_storage_duckdb_spark.functions.dedup_ml import decontaminate
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "a quick brown dog"),        # shares shingle 'quick brown'
+         (2, "entirely different words here"),
+         (3, "fox jumps high")],          # shares 'fox jumps'
+        ["doc_id", "text"])
+    out = {r.doc_id: (r.n_shared, r.contaminated)
+           for r in decontaminate(corpus, bench, "doc_id", "text").collect()}
+    assert out == {1: (1, True), 2: (0, False), 3: (1, True)}
+
+
+def test_gopher_rules(spark):
+    from keboola_storage_duckdb_spark.functions.text import gopher_quality
+    good = "the cat and the dog have been known to sit with that old mat"
+    docs = spark.createDataFrame(
+        [(1, good),                                  # passes all but count
+         (2, "xx " * 5 + "### ### ### ### ###"),     # symbol + stopword fail
+         (3, "a b c d e f g h i j")],                # mean-len + stopword fail
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           gopher_quality(docs, "doc_id", "text", min_words=5).collect()}
+    assert out[1].keep
+    assert not out[2].ok_symbol and not out[2].keep
+    assert not out[3].ok_mean_len and not out[3].ok_stop
+
+
+def test_pii_redact_patterns(spark):
+    from keboola_storage_duckdb_spark.functions.text import pii_redact
+    docs = spark.createDataFrame(
+        [(1, "mail bob@example.com or +420123456789 from 10.0.0.1"),
+         (2, "call 555-867-5309 twice 555-867-5309"),
+         (3, "nothing sensitive here")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in pii_redact(docs, "doc_id", "text").collect()}
+    assert out[1].redacted == "mail [EMAIL] or [PHONE] from [IP]"
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 1, 1)
+    assert out[2].redacted == "call [PHONE] twice [PHONE]"
+    assert out[2].n_phones == 2
+    assert out[3].redacted == "nothing sensitive here"
+
+
 def test_language_id_und_fallback(spark):
     from keboola_storage_duckdb_spark.functions.text import language_id
 
