@@ -52,6 +52,23 @@ def test_typed_where_pushes_equality_filters(spark, sf_dir):
     assert "c_mktsegment" in pushed and "c_nationkey" in pushed, facts
 
 
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    facts = plan_facts(E.q_decontaminate(spark, sf_dir))
+    # the overlap probe must broadcast the benchmark shingles — the corpus
+    # side of the semi-join never shuffles
+    assert "BroadcastHashJoin" in facts["joins"], facts
+    assert "SortMergeJoin" not in facts["joins"], facts
+
+
+def test_narrow_text_maps_have_no_exchanges(spark, sf_dir):
+    # chunking / quality / redaction are per-row maps: zero joins, and no
+    # exchange beyond the scan itself
+    for q in (E.q_chunk_docs, E.q_gopher_quality, E.q_pii_redact):
+        facts = plan_facts(q(spark, sf_dir))
+        assert not facts["joins"], (q.__name__, facts)
+        assert facts["exchanges"] == 0, (q.__name__, facts)
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     """Co-located layout: two tables bucketed on the join key must join
     with NO Exchange on either side (the repeated-join scale strategy) —
