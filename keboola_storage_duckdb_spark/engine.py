@@ -93,14 +93,19 @@ class StorageEngine:
 
     # --------------------------------------------------------- tables (D1/D2)
     def create_table(self, project: str, bucket: str, table: str,
-                     columns: list[dict], primary_key: list[str] | None = None) -> dict:
+                     columns: list[dict], primary_key: list[str] | None = None,
+                     storage_format: str = "parquet") -> dict:
         """D1: CREATE TABLE from {name,type,nullable,default} dicts
         (reference src/database.py:4322-4393). The system _timestamp column
-        is appended automatically."""
+        is appended automatically. ``storage_format="versioned"`` opts the
+        table into the commit-log backend (OCC + time travel,
+        backends/versioned.py); default is plain stage-and-swap Parquet."""
         if self.catalog.table_exists(project, bucket, table):
             raise AlreadyExistsError(f"table {table} exists")
         if not os.path.isdir(self.catalog.bucket_dir(project, bucket)):
             raise NotFoundError(f"bucket {bucket} not found")
+        if storage_format not in ("parquet", "versioned"):
+            raise CatalogError(f"unknown storage_format {storage_format!r}")
         pk = primary_key or []
         colnames = {c["name"] for c in columns}
         for k in pk:
@@ -108,10 +113,13 @@ class StorageEngine:
                 raise CatalogError(f"primary key column {k} not in schema")
         struct_from_columns(columns)  # validates the type strings
         meta = TableMeta(columns=columns, primary_key=pk, created_at=time.time())
+        if storage_format != "parquet":
+            meta.properties["storage_format"] = storage_format
         self.catalog.write_meta(project, bucket, table, meta)
         os.makedirs(self.catalog.data_dir(project, bucket, table), exist_ok=True)
         self._log("create_table", project=project, bucket=bucket, table=table)
-        return {"table": table, "columns": columns, "primary_key": pk}
+        return {"table": table, "columns": columns, "primary_key": pk,
+                "storage_format": storage_format}
 
     def drop_table(self, project: str, bucket: str, table: str) -> None:
         with self.catalog.acquire(project, bucket, table):
@@ -135,14 +143,31 @@ class StorageEngine:
             return d["project"], d["bucket"]
         return project, bucket
 
+    @staticmethod
+    def _versioned(meta) -> bool:
+        return meta.properties.get("storage_format") == "versioned"
+
+    def _version_log(self, project: str, bucket: str, table: str):
+        from .backends.versioned import VersionLog
+        return VersionLog(self.catalog.table_dir(project, bucket, table))
+
     def read_table(self, project: str, bucket: str, table: str,
-                   branch: str | None = None) -> DataFrame:
+                   branch: str | None = None,
+                   version: int | None = None) -> DataFrame:
         """Lazy scan with the declared schema (+ _timestamp). Branch reads
-        resolve branch-copy-else-main (src/database.py:3082-3133)."""
+        resolve branch-copy-else-main (src/database.py:3082-3133). For a
+        versioned table, ``version`` pins a commit-log snapshot (time
+        travel); default is the latest commit."""
         project, bucket = self._resolve_link(project, bucket)
         src, data_dir = self.catalog.resolve_table(project, bucket, table, branch)
         meta = self.catalog.read_meta(
             project, bucket, table, branch if src == "branch" else None)
+        if src == "main" and self._versioned(meta):
+            d = self._version_log(project, bucket, table).data_dir(version)
+            if d is not None:
+                data_dir = d
+        elif version is not None:
+            raise CatalogError("version= requires a versioned-format table")
         return self.spark.read.schema(self._schema(meta)).parquet(data_dir)
 
     def table_info(self, project: str, bucket: str, table: str,
@@ -187,12 +212,20 @@ class StorageEngine:
             if target_files:
                 out = (df.repartition(target_files, *partition_by)
                        if partition_by else df.repartition(target_files))
-            staged = self.catalog.staging_data_dir(project, bucket, table, None)
+            meta0 = self.catalog.read_meta(project, bucket, table, None)
+            log = (self._version_log(project, bucket, table)
+                   if self._versioned(meta0) else None)
+            staged = (log.staging_dir() if log is not None
+                      else self.catalog.staging_data_dir(project, bucket,
+                                                         table, None))
             writer = out.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(staged)
-            self.catalog.swap_data_dir(project, bucket, table, staged, None)
+            if log is not None:
+                log.commit(staged, "optimize")
+            else:
+                self.catalog.swap_data_dir(project, bucket, table, staged, None)
             meta = self.catalog.read_meta(project, bucket, table, None)
             meta.properties["partition_by"] = list(partition_by or [])
             self.catalog.write_meta(project, bucket, table, meta)
@@ -200,6 +233,29 @@ class StorageEngine:
                   table=table, partition_by=partition_by or [])
         return {"partition_by": partition_by or [],
                 "target_files": target_files}
+
+    # ---------------------------------------------- versioned-table extras
+    def table_history(self, project: str, bucket: str, table: str) -> list[dict]:
+        """Commit log of a versioned table, oldest first (Delta-style
+        DESCRIBE HISTORY)."""
+        meta = self.catalog.read_meta(project, bucket, table, None)
+        if not self._versioned(meta):
+            raise CatalogError(f"table {table} is not versioned")
+        return self._version_log(project, bucket, table).history()
+
+    def vacuum_table(self, project: str, bucket: str, table: str,
+                     retain_last: int = 1) -> dict:
+        """Drop data of versions older than the last ``retain_last``
+        commits (Delta-style VACUUM; history entries stay auditable)."""
+        meta = self.catalog.read_meta(project, bucket, table, None)
+        if not self._versioned(meta):
+            raise CatalogError(f"table {table} is not versioned")
+        with self.catalog.acquire(project, bucket, table):
+            removed = self._version_log(project, bucket, table).vacuum(
+                retain_last)
+        self._log("vacuum_table", project=project, bucket=bucket,
+                  table=table, removed=removed)
+        return {"removed_versions": removed}
 
     # ------------------------------------------------- service-parity ops
     def operations_log(self, limit: int = 100) -> list[dict]:
@@ -250,8 +306,25 @@ class StorageEngine:
 
     # -------------------------------------------------------------- writes
     def _write_table(self, project: str, bucket: str, table: str, df: DataFrame,
-                     branch: str | None = None) -> None:
-        """Stage parquet then swap (single-writer under the table lock)."""
+                     branch: str | None = None, op: str = "write") -> None:
+        """Stage parquet then publish: plain tables swap the data dir
+        (single-writer under the table lock); versioned tables commit a new
+        immutable version (multi-process OCC, backends/versioned.py).
+        Branch copies are always plain (CoW materializes one snapshot)."""
+        if branch is None and self._versioned(
+                self.catalog.read_meta(project, bucket, table, None)):
+            log = self._version_log(project, bucket, table)
+            # OCC: claim the version that succeeds the state this write was
+            # computed from — snapshot BEFORE the (slow) parquet stage, so a
+            # concurrent committer makes our commit fail instead of our
+            # result silently clobbering a state it never read
+            expected = log.latest_version() + 1
+            staged = log.staging_dir()
+            df.write.mode("overwrite").parquet(staged)
+            version = log.commit(staged, op, version=expected)
+            self._log("commit_version", project=project, bucket=bucket,
+                      table=table, version=version, commit_op=op)
+            return
         staged = self.catalog.staging_data_dir(project, bucket, table, branch)
         df.write.mode("overwrite").parquet(staged)
         self.catalog.swap_data_dir(project, bucket, table, staged, branch)
@@ -285,8 +358,16 @@ class StorageEngine:
             return
         meta = self.catalog.read_meta(project, bucket, table)
         os.makedirs(self.catalog.bucket_dir(project, bucket, branch), exist_ok=True)
+        if self._versioned(meta):
+            # branch copy is a plain one-snapshot materialization of the
+            # latest committed version (branches don't carry the log)
+            src = (self._version_log(project, bucket, table).data_dir()
+                   or self.catalog.data_dir(project, bucket, table))
+            meta = TableMeta.from_json(meta.to_json())
+            meta.properties.pop("storage_format", None)
+        else:
+            src = self.catalog.data_dir(project, bucket, table)
         self.catalog.write_meta(project, bucket, table, meta, branch)
-        src = self.catalog.data_dir(project, bucket, table)
         dst = self.catalog.data_dir(project, bucket, table, branch)
         if os.path.isdir(src):
             shutil.copytree(src, dst, dirs_exist_ok=True)
@@ -350,7 +431,8 @@ class StorageEngine:
                 result = existing.unionByName(staged)
             else:
                 raise CatalogError(f"unknown dedup mode {dedup_mode!r}")
-            self._write_table(project, bucket, table, result, eff_branch)
+            self._write_table(project, bucket, table, result, eff_branch,
+                              op=f"import:{dedup_mode}")
             after = self.read_table(project, bucket, table, eff_branch).count()
         self._log("import_file", project=project, bucket=bucket, table=table,
                   format=file_format, incremental=incremental, mode=dedup_mode,
@@ -397,7 +479,8 @@ class StorageEngine:
             else:
                 KD.check_fail_on_duplicates(existing, staged, pk)
                 result = existing.unionByName(staged)
-            self._write_table(project, bucket, table, result)
+            self._write_table(project, bucket, table, result,
+                              op="import_from_table")
             after = self.read_table(project, bucket, table).count()
         self._log("import_from_table", src="/".join(src), dst="/".join(dst))
         return {"rows_before": before, "rows_after": after}
@@ -439,11 +522,14 @@ class StorageEngine:
         return df
 
     def preview(self, project: str, bucket: str, table: str,
-                branch: str | None = None, limit: int = 1000, **filters) -> list[dict]:
+                branch: str | None = None, limit: int = 1000,
+                version: int | None = None, **filters) -> list[dict]:
         """PreviewTable (reference src/database.py:4585-4672): bounded rows
-        as dicts, ISO-serialized timestamps at the API edge."""
+        as dicts, ISO-serialized timestamps at the API edge. ``version``
+        time-travels a versioned table's pinned commit."""
         limit = min(int(limit), 10000)  # reference caps (tables.py:729-735)
-        df = self._apply_filters(self.read_table(project, bucket, table, branch),
+        df = self._apply_filters(self.read_table(project, bucket, table, branch,
+                                                 version=version),
                                  limit=limit, **filters)
         out = []
         for row in df.collect():
@@ -528,7 +614,8 @@ class StorageEngine:
                     self.snapshot_create(project, bucket, table,
                                          description="auto: pre-truncate")
                 survivors = df.limit(0)
-            self._write_table(project, bucket, table, survivors, eff_branch)
+            self._write_table(project, bucket, table, survivors, eff_branch,
+                              op="delete_rows")
             remaining = self.read_table(project, bucket, table, eff_branch).count()
         self._log("delete_rows", project=project, bucket=bucket, table=table,
                   deleted=before - remaining, remaining=remaining)
@@ -561,7 +648,8 @@ class StorageEngine:
             order = [c["name"] for c in meta.columns] + [column["name"], TIMESTAMP_COL]
             meta.columns.append({k: column.get(k) for k in
                                  ("name", "type", "nullable", "default")})
-            self._write_table(project, bucket, table, df.select(*order), eff)
+            self._write_table(project, bucket, table, df.select(*order), eff,
+                              op="add_column")
             self.catalog.write_meta(project, bucket, table, meta, eff)
         self._log("add_column", table=table, column=column["name"])
 
@@ -579,7 +667,8 @@ class StorageEngine:
         with self.catalog.acquire(project, bucket, table):
             df = self.read_table(project, bucket, table, eff).drop(name)
             meta.columns = [c for c in meta.columns if c["name"] != name]
-            self._write_table(project, bucket, table, df, eff)
+            self._write_table(project, bucket, table, df, eff,
+                              op="alter_schema")
             self.catalog.write_meta(project, bucket, table, meta, eff)
         self._log("drop_column", table=table, column=name)
 
@@ -616,7 +705,8 @@ class StorageEngine:
                 target["name"] = new_name
                 meta.primary_key = [new_name if k == name else k
                                     for k in meta.primary_key]
-            self._write_table(project, bucket, table, df, eff)
+            self._write_table(project, bucket, table, df, eff,
+                              op="alter_schema")
             self.catalog.write_meta(project, bucket, table, meta, eff)
         self._log("alter_column", table=table, column=name)
 
@@ -792,7 +882,7 @@ class StorageEngine:
         df = self.spark.read.parquet(path)
         with self.catalog.acquire(project, bucket, table):
             self.catalog.write_meta(project, bucket, table, meta)
-            self._write_table(project, bucket, table, df)
+            self._write_table(project, bucket, table, df, op="snapshot_restore")
             rows = self.read_table(project, bucket, table).count()
         self._log("snapshot_restore", table=table, snapshot=snapshot_id)
         return {"row_count": rows}

@@ -208,7 +208,9 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
         body = request.get_json(force=True)
         out = engine.create_table(project, bucket, body["name"],
                                   body["columns"],
-                                  primary_key=body.get("primary_key"))
+                                  primary_key=body.get("primary_key"),
+                                  storage_format=body.get("storage_format",
+                                                          "parquet"))
         return jsonify(out), 201
 
     @app.get(tbl)
@@ -237,9 +239,24 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
         if args.get("order_by"):
             filters["order_by"] = [{"column": c}
                                    for c in args["order_by"].split(",")]
+        version = int(args["version"]) if args.get("version") else None
         rows = engine.preview(project, bucket, table, _branch(branch_id),
-                              limit=int(args.get("limit", 1000)), **filters)
+                              limit=int(args.get("limit", 1000)),
+                              version=version, **filters)
         return jsonify({"rows": rows, "row_count": len(rows)})
+
+    # Versioned-backend extras (backends/versioned.py): Delta-style
+    # history / vacuum; preview?version=N time-travels a pinned commit.
+    @app.get(tbl + "/<table>/history")
+    def table_history(project, branch_id, bucket, table):
+        return jsonify(engine.table_history(project, bucket, table))
+
+    @app.post(tbl + "/<table>/vacuum")
+    def vacuum_table(project, branch_id, bucket, table):
+        body = request.get_json(force=True) if request.data else {}
+        return jsonify(engine.vacuum_table(
+            project, bucket, table,
+            retain_last=int(body.get("retain_last", 1))))
 
     @app.post(tbl + "/<table>/profile")
     def profile_table(project, branch_id, bucket, table):
