@@ -36,6 +36,21 @@ def test_minhash_lsh_agrees_with_exact(docs):
     assert (0, 3) in got
 
 
+def test_simhash_fold_equals_grouped(spark, sf_dir):
+    """The shuffle-free per-row fold signature must be bit-identical to
+    the explode+groupBy formulation it replaced."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        simhash,
+        simhash_grouped,
+    )
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+    d = load_table(spark, sf_dir, "documents")
+    a = {(r.id, r.simhash) for r in simhash(d, "doc_id", "text").collect()}
+    b = {(r.id, r.simhash)
+         for r in simhash_grouped(d, "doc_id", "text").collect()}
+    assert a == b and a
+
+
 def test_simhash_identical_docs_zero_hamming(docs):
     from keboola_storage_duckdb_spark.functions.dedup_ml import simhash_pairs
 
