@@ -78,7 +78,9 @@ def main() -> None:
     for name in ["pricing_summary", "join_lineitem_part", "numeric_moments",
                  "quantiles", "distinct_counts", "sessionize", "minhash_lsh",
                  "ann_topk", "ann_topk_fold", "ann_ivf", "lang_id",
-                 "top_terms", "table_profile", "kmeans"]:
+                 "top_terms", "table_profile", "kmeans", "chunk_docs",
+                 "decontaminate", "gopher_quality", "pii_redact",
+                 "simhash_pairs"]:
         run(name, lambda name=name: Q[name](spark, DST))
 
     # Quadratic-output operators at 10×: the UNBLOCKED/UNCAPPED forms are the
