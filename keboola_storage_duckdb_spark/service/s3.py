@@ -230,6 +230,31 @@ class S3Api:
         @bp.get("/<bucket>")
         def list_objects(bucket):
             def run(project):
+                if "uploads" in request.args:   # ListMultipartUploads
+                    mp_root = os.path.join(api.engine.files.root, project,
+                                           ".multipart")
+                    ups = []
+                    if os.path.isdir(mp_root):
+                        for uid in sorted(os.listdir(mp_root)):
+                            d = os.path.join(mp_root, uid)
+                            if not os.path.isdir(d):
+                                continue
+                            try:
+                                with open(d + ".key") as f:
+                                    k = f.read()
+                            except OSError:
+                                k = ""
+                            ups.append(
+                                "<Upload>"
+                                f"<Key>{escape(k)}</Key>"
+                                f"<UploadId>{uid}</UploadId>"
+                                "</Upload>")
+                    body = ('<?xml version="1.0" encoding="UTF-8"?>'
+                            "<ListMultipartUploadsResult>"
+                            f"<Bucket>{escape(bucket)}</Bucket>"
+                            + "".join(ups)
+                            + "</ListMultipartUploadsResult>")
+                    return Response(body, mimetype="application/xml")
                 prefix = request.args.get("prefix", "")
                 max_keys = min(int(request.args.get("max-keys", 1000)), 1000)
                 root = api._objects_dir(project)
@@ -270,6 +295,29 @@ class S3Api:
         @bp.get("/<bucket>/<path:key>")
         def get_object(bucket, key):
             def run(project):
+                if "uploadId" in request.args:  # ListParts
+                    d = api._multipart_dir(project,
+                                           request.args["uploadId"])
+                    if not os.path.isdir(d):
+                        return _xml_error("NoSuchUpload",
+                                          "Upload ID does not exist", 404)
+                    parts = []
+                    for p in sorted(os.listdir(d)):
+                        full = os.path.join(d, p)
+                        with open(full, "rb") as f:
+                            etag = hashlib.md5(f.read()).hexdigest()
+                        parts.append(
+                            "<Part>"
+                            f"<PartNumber>{int(p)}</PartNumber>"
+                            f'<ETag>"{etag}"</ETag>'
+                            f"<Size>{os.path.getsize(full)}</Size>"
+                            "</Part>")
+                    body = ('<?xml version="1.0" encoding="UTF-8"?>'
+                            "<ListPartsResult>"
+                            f"<Key>{escape(key)}</Key>"
+                            f"<UploadId>{request.args['uploadId']}</UploadId>"
+                            + "".join(parts) + "</ListPartsResult>")
+                    return Response(body, mimetype="application/xml")
                 path = api._object_path(project, key)
                 if not os.path.isfile(path):
                     return _xml_error("NoSuchKey",
@@ -330,7 +378,10 @@ class S3Api:
             def run(project):
                 if "uploads" in request.args:
                     upload_id = uuid.uuid4().hex
-                    os.makedirs(api._multipart_dir(project, upload_id))
+                    d = api._multipart_dir(project, upload_id)
+                    os.makedirs(d)
+                    with open(d + ".key", "w") as f:
+                        f.write(key)
                     body = ('<?xml version="1.0" encoding="UTF-8"?>'
                             "<InitiateMultipartUploadResult>"
                             f"<Bucket>{escape(bucket)}</Bucket>"
@@ -356,6 +407,10 @@ class S3Api:
                             digests += hashlib.md5(data).digest()
                             out.write(data)
                     shutil.rmtree(d, ignore_errors=True)
+                    try:
+                        os.remove(d + ".key")
+                    except OSError:
+                        pass
                     etag = (f"{hashlib.md5(digests).hexdigest()}"
                             f"-{len(parts)}")
                     body = ('<?xml version="1.0" encoding="UTF-8"?>'
@@ -372,9 +427,12 @@ class S3Api:
         def delete_object(bucket, key):
             def run(project):
                 if "uploadId" in request.args:      # AbortMultipartUpload
-                    shutil.rmtree(
-                        api._multipart_dir(project, request.args["uploadId"]),
-                        ignore_errors=True)
+                    d = api._multipart_dir(project, request.args["uploadId"])
+                    shutil.rmtree(d, ignore_errors=True)
+                    try:
+                        os.remove(d + ".key")
+                    except OSError:
+                        pass
                     return Response(b"", status=204)
                 path = api._object_path(project, key)
                 if os.path.isfile(path):

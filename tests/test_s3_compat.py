@@ -169,6 +169,32 @@ def test_multipart_upload_lifecycle(setup):
                   headers=_sign("POST", p, query=q3)).status_code == 404
 
 
+def test_multipart_listings(setup):
+    _eng, c = setup
+    key = "big/listed.bin"
+    p = f"/s3/p9/{key}"
+    r = c.post(p + "?uploads", headers=_sign("POST", p, query="uploads="))
+    import re
+    uid = re.search(rb"<UploadId>([0-9a-f]+)</UploadId>", r.data).group(1).decode()
+    q = f"partNumber=2&uploadId={uid}"
+    c.put(f"{p}?{q}", data=b"xyz", headers=_sign("PUT", p, query=q, body=b"xyz"))
+    # ListMultipartUploads shows the in-flight upload with its key
+    r = c.get("/s3/p9?uploads", headers=_sign("GET", "/s3/p9", query="uploads="))
+    assert r.status_code == 200
+    assert f"<UploadId>{uid}</UploadId>".encode() in r.data
+    assert b"<Key>big/listed.bin</Key>" in r.data
+    # ListParts reports number/etag/size
+    q2 = f"uploadId={uid}"
+    r = c.get(f"{p}?{q2}", headers=_sign("GET", p, query=q2))
+    assert b"<PartNumber>2</PartNumber>" in r.data
+    assert hashlib.md5(b"xyz").hexdigest().encode() in r.data
+    assert b"<Size>3</Size>" in r.data
+    # abort clears it from the listing
+    c.delete(f"{p}?{q2}", headers=_sign("DELETE", p, query=q2))
+    r = c.get("/s3/p9?uploads", headers=_sign("GET", "/s3/p9", query="uploads="))
+    assert uid.encode() not in r.data
+
+
 def test_api_key_fallback(setup):
     eng, c = setup
     key = eng.create_api_key("s3-test")
