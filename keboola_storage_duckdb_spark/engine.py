@@ -400,13 +400,16 @@ class StorageEngine:
         eff_branch = branch if src_kind == "branch" else None
         meta = self.catalog.read_meta(project, bucket, table, eff_branch)
 
-        # STAGING (S1-S3): read with declared schema
+        # STAGING (S1-S3). CSV columns are mapped BY HEADER NAME, not
+        # position (reference inserts by name, src/database.py): an explicit
+        # schema + header=true in Spark binds positionally and silently
+        # jumbles a reordered file, so read header-named all-string columns
+        # and let _conform select-by-name + cast to the declared types.
         if file_format == "csv":
             opts = {"header": "true", "sep": ",", "quote": '"', "escape": '"',
-                    "nullValue": ""}
+                    "nullValue": "", "inferSchema": "false"}
             opts.update(csv_options or {})
-            reader = self.spark.read.options(**opts)
-            staged = reader.schema(struct_from_columns(meta.columns)).csv(path)
+            staged = self.spark.read.options(**opts).csv(path)
         elif file_format == "parquet":
             staged = self.spark.read.parquet(path)
         else:

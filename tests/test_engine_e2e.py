@@ -247,6 +247,64 @@ def test_import_from_table(engine):
         "p1", "in_c_data", "users")["row_count"]
 
 
+def test_column_order_mapping(engine, tmp_path):
+    """Staged columns arrive in a different order than the declared schema
+    — mapping is by NAME, not position (reference data-pipeline e2e's
+    column-order class; _conform selects declared columns by name)."""
+    engine.create_table("p1", "in_c_data", "reordered", USERS_COLUMNS,
+                        primary_key=["id"])
+    p = str(tmp_path / "shuffled.csv")
+    with open(p, "w") as f:
+        f.write("age,email,id,name\n30,a@x.com,1,Ann\n25,,2,Ben\n")
+    engine.import_file("p1", "in_c_data", "reordered", p, file_format="csv")
+    rows = {r.id: (r.name, r.email, r.age) for r in
+            engine.read_table("p1", "in_c_data", "reordered").collect()}
+    assert rows == {1: ("Ann", "a@x.com", 30), 2: ("Ben", None, 25)}
+
+
+def test_append_without_pk(engine, tmp_path):
+    """No PK declared → incremental import plain-appends (reference
+    append-without-PK class): duplicates accumulate, nothing dedups."""
+    engine.create_table("p1", "in_c_data", "nopk", USERS_COLUMNS)
+    p = str(tmp_path / "r.csv")
+    with open(p, "w") as f:
+        f.write("id,name,email,age\n1,A,,10\n1,A,,10\n")
+    engine.import_file("p1", "in_c_data", "nopk", p, file_format="csv")
+    out = engine.import_file("p1", "in_c_data", "nopk", p, file_format="csv",
+                             incremental=True)
+    assert out["rows_after"] == 4  # 2 + 2, duplicates kept
+
+
+def test_multi_format_etl_chain(engine, tmp_path):
+    """CSV import → Parquet export → Parquet import into a second table →
+    CSV export; values survive every hop (reference multi-format ETL
+    chain class)."""
+    engine.create_table("p1", "in_c_data", "etl_src", USERS_COLUMNS,
+                        primary_key=["id"])
+    src_csv = str(tmp_path / "src.csv")
+    with open(src_csv, "w") as f:
+        f.write("id,name,email,age\n7,Gus,g@x.com,33\n8,Hal,,44\n")
+    engine.import_file("p1", "in_c_data", "etl_src", src_csv,
+                       file_format="csv")
+    pq_dir = str(tmp_path / "hop.parquet")
+    engine.export_to_file("p1", "in_c_data", "etl_src", pq_dir,
+                          file_format="parquet")
+    engine.create_table("p1", "in_c_data", "etl_dst", USERS_COLUMNS,
+                        primary_key=["id"])
+    engine.import_file("p1", "in_c_data", "etl_dst", pq_dir,
+                       file_format="parquet")
+    out_csv = str(tmp_path / "out_csv")
+    engine.export_to_file("p1", "in_c_data", "etl_dst", out_csv,
+                          file_format="csv", single_file=True)
+    import csv as _csv
+    files = [os.path.join(out_csv, f) for f in os.listdir(out_csv)
+             if f.endswith(".csv")] if os.path.isdir(out_csv) else [out_csv]
+    with open(files[0]) as f:
+        rows = {r["id"]: (r["name"], r["email"], r["age"])
+                for r in _csv.DictReader(f)}
+    assert rows == {"7": ("Gus", "g@x.com", "33"), "8": ("Hal", "", "44")}
+
+
 def test_drop_guards(engine):
     with pytest.raises(CatalogError):
         engine.drop_bucket("p1", "in_c_data")  # not empty
