@@ -245,6 +245,14 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
                               version=version, **filters)
         return jsonify({"rows": rows, "row_count": len(rows)})
 
+    @app.post(tbl + "/<table>/optimize")
+    def optimize_table(project, branch_id, bucket, table):
+        body = request.get_json(force=True) if request.data else {}
+        return jsonify(engine.optimize_table(
+            project, bucket, table,
+            partition_by=body.get("partition_by"),
+            target_files=body.get("target_files")))
+
     # Versioned-backend extras (backends/versioned.py): Delta-style
     # history / vacuum; preview?version=N time-travels a pinned commit.
     @app.get(tbl + "/<table>/history")

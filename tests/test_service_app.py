@@ -206,6 +206,14 @@ def test_error_shapes(client):
     assert r.status_code == 400
 
 
+def test_optimize_route(client):
+    r = _post(client, BASE + "/users/optimize", {"target_files": 2})
+    assert r.status_code == 200
+    assert r.get_json()["target_files"] == 2
+    prev = client.get(BASE + "/users/preview?order_by=id&limit=1").get_json()
+    assert prev["rows"][0]["id"] == 1
+
+
 def test_bucket_sharing_workflow(client):
     """Share → link → read-through → readonly grant → unlink → unshare,
     mirroring reference bucket_sharing.py:48-780 (share records intent,
