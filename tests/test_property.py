@@ -196,3 +196,88 @@ def test_connected_components_model(spark, edges):
         comp.setdefault(find(v), []).append(v)
     expect = {v: min(vs) for root, vs in comp.items() for v in vs}
     assert got == expect
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=6),
+    size=st.integers(2, 6), stride=st.integers(1, 6))
+@settings(**SETTINGS)
+def test_chunk_documents_model(spark, texts, size, stride):
+    """Chunking invariants vs a plain-Python model: same chunk set, every
+    token covered, first chunk starts at token 0, consecutive starts differ
+    by exactly `stride`."""
+    import re
+
+    from keboola_storage_duckdb_spark.functions.text import (
+        BPE_REGEX,
+        chunk_documents,
+    )
+    stride = min(stride, size)  # overlap requires stride <= size
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+           for r in chunk_documents(docs, "doc_id", "text",
+                                    chunk_size=size, stride=stride).collect()}
+    expect = {}
+    for i, t in enumerate(texts):
+        toks = re.findall(BPE_REGEX, t)
+        if not toks:
+            continue
+        last = -(-max(len(toks) - size, 0) // stride)  # ceil
+        for c in range(last + 1):
+            piece = toks[c * stride:c * stride + size]
+            expect[(i, c)] = (" ".join(piece), len(piece))
+    assert got == expect
+    # coverage: the union of chunk ranges is the whole token list
+    for i, t in enumerate(texts):
+        toks = re.findall(BPE_REGEX, t)
+        if toks:
+            covered = set()
+            for (d, c) in (k for k in expect if k[0] == i):
+                covered |= set(range(c * stride,
+                                     min(c * stride + size, len(toks))))
+            assert covered == set(range(len(toks)))
+
+
+@given(n_commits=st.integers(1, 6), retain=st.integers(1, 6))
+@settings(**SETTINGS)
+def test_version_log_model(tmp_path_factory, n_commits, retain):
+    """VersionLog: versions number densely from 1; latest tracks commits;
+    vacuum removes exactly the non-retained data dirs but keeps entries."""
+    import os
+
+    from keboola_storage_duckdb_spark.backends.versioned import (
+        CommitConflictError,
+        VersionLog,
+    )
+    root = str(tmp_path_factory.mktemp("vlog"))
+    log = VersionLog(root)
+    for i in range(n_commits):
+        staged = log.staging_dir()
+        os.makedirs(staged)
+        with open(os.path.join(staged, "part"), "w") as f:
+            f.write(str(i))
+        assert log.commit(staged, f"op{i}") == i + 1
+    assert log.latest_version() == n_commits
+    assert [e["version"] for e in log.history()] == \
+        list(range(1, n_commits + 1))
+    # a stale writer (snapshot taken before the last commit) must conflict
+    staged = log.staging_dir()
+    os.makedirs(staged)
+    try:
+        log.commit(staged, "stale", version=log.latest_version())
+        assert False, "stale commit must conflict"
+    except CommitConflictError:
+        pass
+    removed = log.vacuum(retain_last=retain)
+    assert removed == list(range(1, max(n_commits - retain, 0) + 1))
+    # retained versions still resolve; vacuumed ones raise
+    for v in range(1, n_commits + 1):
+        if v in removed:
+            try:
+                log.data_dir(v)
+                assert False
+            except Exception:
+                pass
+        else:
+            assert os.path.isdir(log.data_dir(v))
