@@ -35,6 +35,13 @@ DEFAULT_CONF = {
     # ANSI off: the reference's TRY_CAST-based filter grammar wants
     # null-on-error cast semantics (we use try_cast explicitly anyway).
     "spark.sql.ansi.enabled": "false",
+    # Unannotated parquet timestamp[us] columns (no isAdjustedToUTC flag)
+    # would otherwise be inferred as TIMESTAMP_NTZ, while DuckDB reads the
+    # same file as plain TIMESTAMP — breaking unix_micros() paths and oracle
+    # type parity. With the session TZ pinned to UTC the two readings are
+    # bit-identical, so always present TimestampType. load_table() also
+    # casts defensively for sessions built elsewhere.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

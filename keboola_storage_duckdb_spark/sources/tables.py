@@ -13,8 +13,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP.
+
+    Unannotated parquet timestamp[us] columns (no UTC-adjustment flag) are
+    inferred as TIMESTAMP_NTZ when ``spark.sql.parquet.inferTimestampNTZ``
+    is on (the PySpark 4.x default). DuckDB reads the identical file as
+    plain TIMESTAMP, and ``unix_micros()`` rejects NTZ input. Under the
+    engine's pinned UTC session timezone the NTZ->TIMESTAMP cast is
+    bit-exact (equal unix_micros on both read paths), so the loader always
+    presents TimestampType regardless of which session built it."""
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def _nanos_columns(path: str) -> list[str]:
@@ -40,14 +58,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _nanos_columns(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _normalize_ntz(spark.read.parquet(path))
     prev = spark.conf.get(_NANOS_CONF, "false")
     spark.conf.set(_NANOS_CONF, "true")
     try:
         df = spark.read.parquet(path)
         for c in ns_cols:
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-        return df
+        return _normalize_ntz(df)
     finally:
         spark.conf.set(_NANOS_CONF, prev)
 

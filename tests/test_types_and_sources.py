@@ -55,6 +55,44 @@ def test_ns_timestamp_load_matches_duckdb(spark, sf_dir, duck):
     assert got == want
 
 
+def test_unannotated_us_timestamp_loads_as_timestamp(spark, tmp_path):
+    """A parquet timestamp[us] column with NO UTC-adjustment annotation must
+    load as TimestampType (not TIMESTAMP_NTZ), regardless of the session's
+    inferTimestampNTZ setting — DuckDB reads the same file as plain
+    TIMESTAMP, and unix_micros() rejects NTZ. The loader must be invariant
+    to how a fixture writer serializes timestamps (second regeneration
+    breakage after ns->us)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    pq.write_table(
+        pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            # tz-naive us timestamps -> parquet TIMESTAMP(MICROS,
+            # isAdjustedToUTC=false)
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+                 datetime.datetime(2024, 6, 7, 8, 9, 10),
+                 None],
+                pa.timestamp("us")),
+        }),
+        str(tmp_path / "naive.parquet"),
+    )
+    prev = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        df = load_table(spark, str(tmp_path), "naive")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        from pyspark.sql import functions as F
+        micros = [r[0] for r in
+                  df.orderBy("id").select(F.unix_micros("ts")).collect()]
+        assert micros == [1704164645123456, 1717747750000000, None]
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
+
+
 def test_register_views(spark, sf_dir):
     from keboola_storage_duckdb_spark.sources.tables import register_views
 
