@@ -450,23 +450,27 @@ def _numeric_moments_sql():
 def q_quantiles(spark, sf_dir):
     """A6: exact interpolated quantiles (DuckDB QUANTILE_CONT ≡ Spark
     percentile; NOT percentile_approx). Rounded to 6 dp — the two engines'
-    interpolation expressions may differ in the last ulp."""
+    interpolation expressions may differ in the last ulp.
+
+    Served by the bounded-memory two-pass selection
+    (operators/quantiles.py): histogram bin-count scan → in-bin exact
+    selection, never buffering a whole column in one aggregation buffer
+    (the built-in percentile() does, which OOMs at 100 TB). The order
+    statistics are bit-identical to percentile(); interpolation + rounding
+    happen in Spark expressions so engine arithmetic is unchanged."""
+    from keboola_storage_duckdb_spark.operators.quantiles import (
+        exact_quantile_order_stats)
     li = _t(spark, sf_dir, "lineitem")
     probs = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
-    parr = "array(" + ",".join(f"CAST({p} AS DOUBLE)" for p in probs) + ")"
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    # ONE scan: all three exact-percentile arrays in a single agg, then
-    # reshape the one-row result (explode cols, posexplode probs).
-    one = li.agg(*[F.expr(f"percentile({c}, {parr})").alias(f"q_{c}")
-                   for c in cols])
-    rows = one.select(F.explode(F.array(*[
-        F.struct(F.lit(c).alias("col"), F.col(f"q_{c}").alias("vs"))
-        for c in cols])).alias("e"))
-    return (rows.select(F.col("e.col").alias("col"),
-                        F.posexplode(F.col("e.vs")).alias("i", "v0"))
-                .select("col",
-                        F.element_at(F.lit(probs), F.col("i") + 1).alias("p"),
-                        F.round("v0", 6).alias("v")))
+    stats = exact_quantile_order_stats(li, cols, probs)
+    rows = [(c, float(p)) + stats[c][p] for c in cols for p in probs]
+    df = spark.createDataFrame(
+        rows, "col string, p double, qlo double, qhi double, frac double")
+    return df.select(
+        "col", "p",
+        F.round(F.col("qlo") + (F.col("qhi") - F.col("qlo")) * F.col("frac"),
+                6).alias("v"))
 
 
 def _quantiles_sql():
@@ -483,13 +487,18 @@ def _quantiles_sql():
 def q_outlier_iqr(spark, sf_dir):
     """A7: IQR outlier count — quantile pass + bounded count pass (the
     reference computes bounds in Python between two queries,
-    src/database.py:5372-5386)."""
+    src/database.py:5372-5386). The quantile pass uses the bounded-memory
+    two-pass selection (operators/quantiles.py), mirroring the reference's
+    two-query shape instead of a whole-column aggregation buffer."""
+    from keboola_storage_duckdb_spark.operators.quantiles import (
+        exact_quantiles)
     li = _t(spark, sf_dir, "lineitem")
-    q = li.agg(F.expr("percentile(l_extendedprice, array(CAST(0.25 AS DOUBLE), CAST(0.75 AS DOUBLE)))").alias("qs")) \
-          .select(F.col("qs")[0].alias("q25"), F.col("qs")[1].alias("q75"))
-    b = q.select("q25", "q75",
-                 (F.col("q25") - 1.5 * (F.col("q75") - F.col("q25"))).alias("lo"),
-                 (F.col("q75") + 1.5 * (F.col("q75") - F.col("q25"))).alias("hi"))
+    qs = exact_quantiles(li, ["l_extendedprice"], [0.25, 0.75])
+    q25, q75 = qs["l_extendedprice"]
+    b = spark.createDataFrame([(q25, q75)], "q25 double, q75 double") \
+             .select("q25", "q75",
+                     (F.col("q25") - 1.5 * (F.col("q75") - F.col("q25"))).alias("lo"),
+                     (F.col("q75") + 1.5 * (F.col("q75") - F.col("q25"))).alias("hi"))
     joined = li.crossJoin(F.broadcast(b))
     return (joined.agg(
         F.count(F.when((F.col("l_extendedprice") < F.col("lo"))

@@ -199,9 +199,7 @@ def profile_table(df: DataFrame, max_corr_cols: int = 10,
                   F.avg(F.col(c).cast("double")).alias(f"avg__{c}"),
                   F.stddev_samp(F.col(c).cast("double")).alias(f"std__{c}"),
                   F.skewness(F.col(c).cast("double")).alias(f"skewpop__{c}"),
-                  F.kurtosis(F.col(c).cast("double")).alias(f"kurtpop__{c}"),
-                  F.expr(f"percentile(`{c}`, array({','.join(map(str, QUANTILE_PROBS))}))")
-                   .alias(f"q__{c}")]
+                  F.kurtosis(F.col(c).cast("double")).alias(f"kurtpop__{c}")]
     for c in str_cols:
         exprs += [F.count(F.when(F.col(c) == "", 1)).alias(f"empty__{c}"),
                   F.count(F.when((F.col(c) != "") & (F.trim(F.col(c)) == ""), 1))
@@ -212,6 +210,16 @@ def profile_table(df: DataFrame, max_corr_cols: int = 10,
         for pname, pat in PATTERNS.items():
             exprs.append(F.count(F.when(F.col(c).rlike(pat), 1)).alias(f"pat__{pname}__{c}"))
     row1 = df.agg(*exprs).collect()[0].asDict() if exprs else {}
+
+    # ---- pass 1b: exact quantiles via bounded-memory two-pass selection
+    # (operators/quantiles.py) — bit-identical to percentile() but never
+    # buffers a whole column in one aggregation buffer (100 TB safe) ----
+    if num_cols:
+        from .quantiles import exact_quantiles
+        qvals = exact_quantiles(df, num_cols, list(QUANTILE_PROBS))
+        for c in num_cols:
+            row1[f"q__{c}"] = qvals[c] if any(
+                v is not None for v in qvals[c]) else None
 
     # ---- pass 2: distinct counts (exact, reference uses COUNT(DISTINCT)) ----
     dexprs = [F.countDistinct(F.col(c)).alias(f"d__{c}") for c in df.columns]

@@ -41,6 +41,35 @@ def test_quantiles_match_duckdb(lineitem, duck):
         assert g == pytest.approx(w, rel=1e-12)
 
 
+def test_exact_quantiles_bitwise_match_builtin(lineitem):
+    """The bounded-memory two-pass selection must be BIT-identical to
+    Spark's percentile() — including when tiny bins force the recursive
+    refinement round."""
+    from keboola_storage_duckdb_spark.operators.quantiles import exact_quantiles
+
+    probs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    parr = "array(" + ",".join(f"CAST({p} AS DOUBLE)" for p in probs) + ")"
+    ref = lineitem.agg(*[F.expr(f"percentile({c}, {parr})").alias(c)
+                         for c in cols]).first()
+    for kwargs in ({}, {"bins": 4, "max_inbin": 50}):
+        got = exact_quantiles(lineitem, cols, probs, **kwargs)
+        for c in cols:
+            assert list(ref[c]) == got[c], (c, kwargs)
+
+
+def test_exact_quantiles_edge_cases(spark):
+    from keboola_storage_duckdb_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(1.0, None, 5.0), (1.0, None, 2.5), (1.0, None, None)],
+        "const double, nulls double, mixed double")
+    got = exact_quantiles(df, ["const", "nulls", "mixed"], [0.0, 0.5, 1.0])
+    assert got["const"] == [1.0, 1.0, 1.0]
+    assert got["nulls"] == [None, None, None]
+    assert got["mixed"] == [2.5, 3.75, 5.0]  # interpolated over 2 non-nulls
+
+
 def test_profile_table_shape(spark, sf_dir):
     from keboola_storage_duckdb_spark.sources.tables import load_table
 
