@@ -1,0 +1,155 @@
+"""CLI parity layer e2e (cli.py) — mirrors the reference CLI's workflow
+tests (cli/tests: create-from-csv → import → preview → export → profile →
+files) over a REAL http server (werkzeug in a thread), exercising the
+stdlib urllib client end-to-end."""
+
+import json
+
+import pytest
+
+from keboola_storage_duckdb_spark.cli import (
+    infer_column_type,
+    infer_schema_from_csv,
+    main,
+)
+
+CSV = "id,name,age,joined\n1,Alice,30,2024-01-02\n2,Bob,25,2024-02-03\n3,,40,2024-03-04\n"
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    from threading import Thread
+
+    from werkzeug.serving import make_server
+
+    from keboola_storage_duckdb_spark.engine import StorageEngine
+    from keboola_storage_duckdb_spark.service.app import create_app
+
+    eng = StorageEngine(spark, str(tmp_path_factory.mktemp("wh_cli")))
+    srv = make_server("127.0.0.1", 0, create_app(eng))
+    t = Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def run(server, *argv, json_out=True, capsys=None):
+    args = ["--url", server] + (["--json"] if json_out else []) + list(argv)
+    rc = main(args)
+    out = capsys.readouterr().out if capsys else ""
+    return rc, out
+
+
+def test_infer_column_type():
+    assert infer_column_type(["1", "2", "-3"]) == "INTEGER"
+    assert infer_column_type(["1", "99999999999"]) == "BIGINT"
+    assert infer_column_type(["1.5", "2"]) == "DOUBLE"
+    assert infer_column_type(["true", "false"]) == "BOOLEAN"
+    assert infer_column_type(["2024-01-02"]) == "DATE"
+    assert infer_column_type(["2024-01-02", "2024-01-02 10:00:00"]) == "TIMESTAMP"
+    assert infer_column_type(["abc", "1"]) == "VARCHAR"
+    assert infer_column_type(["", "  "]) == "VARCHAR"
+
+
+def test_infer_schema_from_csv(tmp_path):
+    p = tmp_path / "s.csv"
+    p.write_text(CSV)
+    cols = infer_schema_from_csv(p)
+    assert [c["name"] for c in cols] == ["id", "name", "age", "joined"]
+    types = {c["name"]: c["type"] for c in cols}
+    assert types == {"id": "INTEGER", "name": "VARCHAR",
+                     "age": "INTEGER", "joined": "DATE"}
+    assert {c["name"]: c["nullable"] for c in cols}["name"] is True
+
+
+def test_cli_end_to_end(server, tmp_path, capsys):
+    csv_file = tmp_path / "users.csv"
+    csv_file.write_text(CSV)
+
+    rc, out = run(server, "projects", "create", "pc", capsys=capsys)
+    assert rc == 0 and json.loads(out)["id"] == "pc"
+    rc, out = run(server, "buckets", "create", "pc", "in_c_cli", capsys=capsys)
+    assert rc == 0
+
+    # create with client-side schema inference
+    rc, out = run(server, "tables", "create", "pc", "in_c_cli", "users",
+                  "--from-csv", str(csv_file), "--pk", "id", capsys=capsys)
+    assert rc == 0 and json.loads(out)["table"] == "users"
+
+    # import through the 3-stage files flow
+    rc, out = run(server, "tables", "import", "pc", "in_c_cli", "users",
+                  str(csv_file), capsys=capsys)
+    assert rc == 0 and json.loads(out)["rows_after"] == 3
+
+    # preview (table-rendered output path)
+    rc, out = run(server, "tables", "preview", "pc", "in_c_cli", "users",
+                  "--limit", "5", "--order-by", "id",
+                  json_out=False, capsys=capsys)
+    assert rc == 0 and "Alice" in out and "Showing 3 row(s)" in out
+
+    # export back out through files download
+    out_csv = tmp_path / "out.csv"
+    rc, out = run(server, "tables", "export", "pc", "in_c_cli", "users",
+                  str(out_csv), capsys=capsys)
+    assert rc == 0 and json.loads(out)["rows_exported"] == 3
+    text = out_csv.read_text()
+    assert "Alice" in text and text.splitlines()[0].startswith("id")
+
+    # profile
+    rc, out = run(server, "tables", "profile", "pc", "in_c_cli", "users",
+                  capsys=capsys)
+    prof = json.loads(out)
+    assert rc == 0 and prof["row_count"] == 3
+    assert any(c["name"] == "age" for c in prof["columns"])
+
+    # query passthrough
+    rc, out = run(server, "query", "pc",
+                  "SELECT COUNT(*) AS n FROM in_c_cli_users", capsys=capsys)
+    assert rc == 0 and json.loads(out)["rows"][0]["n"] == "3"
+
+    # files list / delete
+    rc, out = run(server, "files", "list", "pc", capsys=capsys)
+    files = json.loads(out)
+    assert rc == 0 and len(files) >= 2  # staged import + export artifact
+    fid = files[0]["id"]
+    rc, out = run(server, "files", "delete", "pc", fid, capsys=capsys)
+    assert rc == 0
+
+    # tables list + delete
+    rc, out = run(server, "tables", "list", "pc", "in_c_cli",
+                  json_out=False, capsys=capsys)
+    assert rc == 0 and "users" in out
+    rc, out = run(server, "tables", "delete", "pc", "in_c_cli", "users",
+                  capsys=capsys)
+    assert rc == 0
+
+
+def test_cli_error_paths(server, capsys):
+    rc, _ = run(server, "projects", "create", "pc2", capsys=capsys)
+    assert rc == 0
+    rc, _ = run(server, "projects", "create", "pc2", capsys=capsys)
+    assert rc == 1  # 409 already exists surfaces as exit 1
+    err = capsys.readouterr()
+    rc, _ = run(server, "tables", "preview", "pc2", "nope", "t", capsys=capsys)
+    assert rc == 1
+
+
+def test_cli_config_roundtrip(tmp_path, monkeypatch, capsys):
+    import importlib
+
+    import keboola_storage_duckdb_spark.cli as cli
+
+    monkeypatch.setenv("KEBOOLA_SPARK_CONFIG_DIR", str(tmp_path / "cfg"))
+    importlib.reload(cli)
+    try:
+        assert cli.main(["config", "set", "url", "http://x:1"]) == 0
+        assert cli.main(["config", "set", "api-key", "secret-key-123"]) == 0
+        capsys.readouterr()
+        assert cli.main(["--json", "config", "show"]) == 0
+        got = json.loads(capsys.readouterr().out)
+        assert got["url"] == "http://x:1"
+        assert "secret-key-123" != got["api_key"]  # masked
+        assert got["api_key"].startswith("secr")
+    finally:
+        monkeypatch.undo()
+        importlib.reload(cli)
