@@ -18,15 +18,17 @@ Protocol subset:
   * Simple Query 'Q' → RowDescription / DataRow* / CommandComplete /
     ReadyForQuery (all values text-format, like the reference's stringified
     ExecuteQuery marshaling)
-  * Extended protocol: Parse ('P') → ParseComplete, Bind ('B') with
-    text-format $n parameters → BindComplete, Describe ('D') →
+  * Extended protocol: Parse ('P') → ParseComplete, Bind ('B') with text-
+    OR binary-format $n parameters (bool/int2/int4/int8/oid/float4/float8
+    decoded per the declared Parse OID; text family passes through as
+    UTF-8) → BindComplete, Describe ('D') →
     ParameterDescription/RowDescription/NoData, Execute ('E') → DataRow* +
     CommandComplete (or PortalSuspended when the row limit cuts the
     portal), Close ('C') → CloseComplete, Flush ('H'), Sync ('S') →
     ReadyForQuery. Errors inside an extended sequence skip to Sync, per
     the PG spec. Result columns are only knowable by running the query,
     so a portal executes eagerly on first Describe/Execute and caches its
-    rows (the proxy pattern; binary parameter format is rejected).
+    rows (the proxy pattern). Result rows remain text-format.
   * ErrorResponse on failure, then ReadyForQuery (session survives errors)
   * Terminate 'X'
 
@@ -232,10 +234,43 @@ class PgWireServer:
             pass
         return "'" + s.replace("'", "''") + "'"
 
-    def _bind_params(self, sql: str, params: list[bytes | None]) -> str:
+    # binary-format decoders by parameter type OID (the reference's
+    # buenavista server accepts binary Bind params, src/pgwire_server.py:
+    # 363-657); text-family OIDs carry UTF-8 bytes in both formats.
+    _BIN_DECODERS = {
+        16: lambda b: "TRUE" if b != b"\x00" else "FALSE",     # bool
+        20: lambda b: str(struct.unpack("!q", b)[0]),          # int8
+        21: lambda b: str(struct.unpack("!h", b)[0]),          # int2
+        23: lambda b: str(struct.unpack("!i", b)[0]),          # int4
+        26: lambda b: str(struct.unpack("!I", b)[0]),          # oid
+        700: lambda b: repr(struct.unpack("!f", b)[0]),        # float4
+        701: lambda b: repr(struct.unpack("!d", b)[0]),        # float8
+    }
+
+    def _decode_param(self, raw: bytes | None, fmt: int, oid: int) -> str:
+        """One Bind parameter (either wire format) → SQL literal."""
+        if raw is None:
+            return "NULL"
+        if fmt == 0:
+            return self._literal(raw)
+        dec = self._BIN_DECODERS.get(oid)
+        if dec is not None:
+            try:
+                return dec(raw)
+            except struct.error:
+                raise _PgError("08P01",
+                               f"binary parameter length {len(raw)} invalid "
+                               f"for type oid {oid}")
+        if oid in (0, 17, 25, 1042, 1043):  # unknown/bytea/text family
+            # binary representation of the text family IS the UTF-8 bytes
+            return self._literal(raw)
+        raise _PgError("0A000", f"binary parameter format not supported "
+                                f"for type oid {oid}")
+
+    def _bind_params(self, sql: str, literals: list[str]) -> str:
         # substitute $n highest-first so $10 is not clobbered by $1
-        for i in range(len(params), 0, -1):
-            sql = sql.replace(f"${i}", self._literal(params[i - 1]))
+        for i in range(len(literals), 0, -1):
+            sql = sql.replace(f"${i}", literals[i - 1])
         return sql
 
     def _run_portal(self, portal: dict, project: str) -> None:
@@ -278,7 +313,10 @@ class PgWireServer:
             j = body.index(b"\x00", i + 1)
             sql = body[i + 1:j].decode()
             (nparams,) = struct.unpack("!H", body[j + 1:j + 3])
-            stmts[name] = {"sql": sql, "nparams": nparams}
+            oids = struct.unpack(f"!{nparams}I",
+                                 body[j + 3:j + 3 + 4 * nparams])
+            stmts[name] = {"sql": sql, "nparams": nparams,
+                           "param_oids": list(oids)}
             conn.sendall(_msg(b"1", b""))                    # ParseComplete
         elif t == b"B":                                      # Bind
             i = body.index(b"\x00")
@@ -291,28 +329,33 @@ class PgWireServer:
             (nfmt,) = struct.unpack("!H", body[off:off + 2]); off += 2
             fmts = struct.unpack(f"!{nfmt}h", body[off:off + 2 * nfmt])
             off += 2 * nfmt
-            if any(f == 1 for f in fmts):
-                raise _PgError("0A000", "binary parameter format "
-                               "not supported; send text format")
             (nvals,) = struct.unpack("!H", body[off:off + 2]); off += 2
-            params: list[bytes | None] = []
-            for _ in range(nvals):
+            oids = stmts[stmt_name].get("param_oids", [])
+            literals: list[str] = []
+            for k in range(nvals):
                 (ln,) = struct.unpack("!i", body[off:off + 4]); off += 4
-                if ln == -1:
-                    params.append(None)
-                else:
-                    params.append(body[off:off + ln]); off += ln
+                raw = None
+                if ln != -1:
+                    raw = body[off:off + ln]; off += ln
+                # PG spec: 0 format codes → all text; 1 → applies to all
+                fmt = (fmts[k] if len(fmts) == nvals
+                       else (fmts[0] if fmts else 0))
+                oid = oids[k] if k < len(oids) else 0
+                literals.append(self._decode_param(raw, fmt, oid))
             portals[portal_name] = {
-                "sql": self._bind_params(stmts[stmt_name]["sql"], params)}
+                "sql": self._bind_params(stmts[stmt_name]["sql"], literals)}
             conn.sendall(_msg(b"2", b""))                    # BindComplete
         elif t == b"D":                                      # Describe
             kind, name = body[:1], body[1:].rstrip(b"\x00").decode()
             if kind == b"S":
                 if name not in stmts:
                     raise _PgError("26000", f"unknown statement {name!r}")
-                n = stmts[name]["nparams"]
-                conn.sendall(_msg(b"t", struct.pack("!H", n)
-                                  + struct.pack("!I", 25) * n))
+                oids = stmts[name].get("param_oids") or []
+                oids = (oids + [0] * stmts[name]["nparams"])[
+                    :stmts[name]["nparams"]]
+                conn.sendall(_msg(b"t", struct.pack("!H", len(oids))
+                                  + b"".join(struct.pack("!I", o or 25)
+                                             for o in oids)))
                 conn.sendall(_msg(b"n", b""))                # NoData
             else:
                 if name not in portals:

@@ -109,10 +109,11 @@ class MiniPgClient:
     def _send(self, t, payload):
         self.sock.sendall(t + struct.pack("!I", len(payload) + 4) + payload)
 
-    def parse(self, name, sql, nparams=0):
+    def parse(self, name, sql, nparams=0, oids=None):
+        oids = list(oids or []) + [25] * (nparams - len(oids or []))
         self._send(b"P", name.encode() + b"\x00" + sql.encode() + b"\x00"
                    + struct.pack("!H", nparams)
-                   + struct.pack("!I", 25) * nparams)
+                   + b"".join(struct.pack("!I", o) for o in oids))
 
     def bind(self, portal, stmt, params=(), fmt_codes=()):
         body = portal.encode() + b"\x00" + stmt.encode() + b"\x00"
@@ -262,6 +263,65 @@ def test_extended_protocol_parse_bind_execute(server):
     errs = [b for t, b in msgs if t == b"E"]
     assert len(errs) == 1 and b"26000" in errs[0]
     cols, rows, err = c.query("SELECT 1 AS one")
+    assert err is None and rows == [["1"]]
+    c.terminate()
+
+
+def test_extended_protocol_binary_params(server):
+    """Binary-format Bind parameters — the default wire format for JDBC /
+    Npgsql-style drivers (reference accepts them,
+    src/pgwire_server.py:363-657): int4/int8/float8/bool/text decoded per
+    the Parse-declared OID, NULL passthrough, a single format code
+    applying to all params, and a malformed length raising 08P01."""
+    srv, pw, _eng = server
+    c = MiniPgClient(srv.port, "ws_pg", "p5", pw)
+    assert c.auth_error is None
+
+    # int4 binary
+    c.parse("b1", "SELECT id, name FROM in_c_data_users "
+                  "WHERE id >= $1 ORDER BY id", nparams=1, oids=[23])
+    c.bind("", "b1", params=[struct.pack("!i", 2)], fmt_codes=(1,))
+    c.execute("")
+    c.sync()
+    rows = [c.decode_datarow(b) for t, b in c.drain() if t == b"D"]
+    assert rows == [["2", None], ["3", "Carol"]]
+
+    # mixed: int8 binary + text binary (UTF-8 bytes), one fmt code each
+    c.parse("b2", "SELECT COUNT(*) AS n FROM in_c_data_users "
+                  "WHERE id = $1 AND name = $2", nparams=2, oids=[20, 25])
+    c.bind("", "b2", params=[struct.pack("!q", 1), b"Alice"],
+           fmt_codes=(1, 1))
+    c.execute("")
+    c.sync()
+    rows = [c.decode_datarow(b) for t, b in c.drain() if t == b"D"]
+    assert rows == [["1"]]
+
+    # float8 binary with single format code applying to all params
+    c.parse("b3", "SELECT CAST($1 AS DOUBLE) * 2 AS d", nparams=1,
+            oids=[701])
+    c.bind("", "b3", params=[struct.pack("!d", 1.25)], fmt_codes=(1,))
+    c.execute("")
+    c.sync()
+    rows = [c.decode_datarow(b) for t, b in c.drain() if t == b"D"]
+    assert rows == [["2.5"]]
+
+    # bool binary + binary NULL
+    c.parse("b4", "SELECT CAST($1 AS BOOLEAN) AS b, $2 AS v", nparams=2,
+            oids=[16, 25])
+    c.bind("", "b4", params=[b"\x01", None], fmt_codes=(1, 1))
+    c.execute("")
+    c.sync()
+    rows = [c.decode_datarow(b) for t, b in c.drain() if t == b"D"]
+    assert rows == [["True", None]]  # engine stringify convention
+
+    # malformed binary length → 08P01, sequence skips to Sync, survives
+    c.parse("b5", "SELECT $1 AS v", nparams=1, oids=[23])
+    c.bind("", "b5", params=[b"\x00\x00"], fmt_codes=(1,))
+    c.execute("")
+    c.sync()
+    errs = [b for t, b in c.drain() if t == b"E"]
+    assert len(errs) == 1 and b"08P01" in errs[0]
+    _cols, rows, err = c.query("SELECT 1 AS one")
     assert err is None and rows == [["1"]]
     c.terminate()
 
