@@ -1,11 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched pandas (mapInPandas).
 
-The container has no image/audio codecs, so the decode step is STUBBED
-(NotImplementedError) behind a deterministic fake featurizer — but the
-Spark-side plumbing is real and tested: binary column schema, metadata
+Codec-LESS formats decode for REAL: netpbm PPM/PGM (P6/P5) and
+uncompressed 24/32-bit BMP are parsed with pure numpy (``decode_image``),
+feeding ``extract_image_features`` (actual width/height/channels/mean
+luminance) and ``resize_images`` (nearest-neighbor resample + netpbm
+re-encode). Formats that need codecs this container doesn't ship
+(JPEG/PNG/audio/video) fall back to the deterministic stub featurizer /
+passthrough — the Spark-side plumbing (binary column schema, metadata
 struct, Arrow batch shape, mapInPandas signature, partition-preserving
-iteration. Swap ``_decode_stub`` for PIL/librosa in a real deployment.
+iteration) is identical either way; deployments extend ``decode_image``
+with PIL/librosa keeping the same contract.
 
 Scale notes: binary payloads ride in parquet as BYTE_ARRAY; mapInPandas
 streams Arrow batches (spark.sql.execution.arrow.maxRecordsPerBatch) so
@@ -47,14 +52,83 @@ def to_binary_payload(df: DataFrame, id_col: str, payload_col: str,
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decoder entry point — intentionally unimplemented here.
+def decode_image(payload: bytes) -> dict:
+    """Real decoder for the codec-LESS formats a pure-numpy runtime can
+    parse: PPM/PGM (netpbm P6/P5 binary, published spec) and uncompressed
+    24/32-bit BMP (BITMAPINFOHEADER, published spec). Returns
+    ``{"format", "width", "height", "channels", "pixels"}`` with pixels as
+    a HxWxC uint8 ndarray. Raises ValueError for anything else (JPEG/PNG
+    need codecs this container doesn't ship; deployments extend this with
+    PIL and keep the same contract)."""
+    import numpy as np
 
-    The container ships no imaging libraries; deployments override this
-    with PIL.Image.open(io.BytesIO(payload)) or equivalent."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "container; use _decode_stub for deterministic fake features")
+    if payload[:2] in (b"P6", b"P5") and len(payload) > 2 \
+            and payload[2:3].isspace():
+        # netpbm header: magic, then whitespace/comment-separated
+        # width height maxval, then a single whitespace byte, then raster
+        toks, i, n = [], 2, len(payload)
+        while len(toks) < 3 and i < n:
+            while i < n and payload[i:i + 1].isspace():
+                i += 1
+            if payload[i:i + 1] == b"#":          # comment to end of line
+                while i < n and payload[i:i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < n and not payload[j:j + 1].isspace():
+                j += 1
+            toks.append(payload[i:j])
+            i = j
+        if len(toks) < 3 or not all(t.isdigit() for t in toks):
+            raise ValueError("malformed netpbm header")
+        w, h, maxval = (int(t) for t in toks)
+        if maxval != 255 or w <= 0 or h <= 0:
+            raise ValueError("unsupported netpbm maxval/dims")
+        i += 1                                    # the single ws after maxval
+        ch = 3 if payload[:2] == b"P6" else 1
+        need = w * h * ch
+        raster = payload[i:i + need]
+        if len(raster) != need or len(payload) - i != need:
+            raise ValueError("netpbm raster size mismatch")
+        pixels = np.frombuffer(raster, np.uint8).reshape(h, w, ch)
+        return {"format": "ppm" if ch == 3 else "pgm", "width": w,
+                "height": h, "channels": ch, "pixels": pixels}
+
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        data_off = int.from_bytes(payload[10:14], "little")
+        hdr_size = int.from_bytes(payload[14:18], "little")
+        if hdr_size < 40:
+            raise ValueError("unsupported BMP header")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+            raise ValueError("only uncompressed 24/32-bit BMP supported")
+        ch = bpp // 8
+        flipped = h > 0                           # positive height = bottom-up
+        h = abs(h)
+        stride = (w * ch + 3) & ~3                # rows pad to 4 bytes
+        need = stride * h
+        if len(payload) < data_off + need:
+            raise ValueError("BMP pixel data truncated")
+        rows = np.frombuffer(payload, np.uint8, need, data_off) \
+                 .reshape(h, stride)[:, :w * ch].reshape(h, w, ch)
+        if flipped:
+            rows = rows[::-1]
+        rows = rows[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]  # BGR→RGB
+        return {"format": "bmp", "width": w, "height": h,
+                "channels": ch, "pixels": rows}
+
+    raise ValueError("unrecognized image format "
+                     "(codec-less decode supports PPM/PGM/BMP)")
+
+
+def encode_ppm(pixels) -> bytes:
+    """Re-encode a HxWx{1,3} uint8 array as binary netpbm (P5/P6)."""
+    h, w, ch = pixels.shape
+    magic = b"P6" if ch == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + pixels.tobytes()
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int]:
@@ -88,32 +162,104 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+# Real-decode featurizer output (image_features): decodable payloads get
+# their ACTUAL dimensions; unknown formats yield nulls + decoded=false.
+IMAGE_FEATURE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("content_md5", T.StringType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("mean_luma", T.DoubleType()),
+    T.StructField("decoded", T.BooleanType()),
+])
+
+
+def extract_image_features(df: DataFrame) -> DataFrame:
+    """REAL image feature extraction over binary payloads: PPM/PGM/BMP are
+    decoded with ``decode_image`` (pure numpy, no codec dependency) to
+    actual width/height/channels plus mean luminance (ITU-R 601 weights);
+    undecodable payloads keep nulls with decoded=false instead of failing
+    the batch. Same Arrow-batched zero-shuffle shape as
+    ``extract_features``."""
+
+    def featurize(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("fmt", "w", "h", "ch", "luma", "ok")}
+            for p in pdf["payload"]:
+                try:
+                    img = decode_image(bytes(p))
+                    px = img["pixels"].astype("float64")
+                    luma = (px.mean() if img["channels"] == 1 else
+                            float((px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587
+                                   + px[:, :, 2] * 0.114).mean()))
+                    vals = (img["format"], img["width"], img["height"],
+                            img["channels"], luma, True)
+                except ValueError:
+                    vals = (None, None, None, None, None, False)
+                for k, v in zip(("fmt", "w", "h", "ch", "luma", "ok"), vals):
+                    rows[k].append(v)
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "content_md5": [hashlib.md5(bytes(p)).hexdigest()
+                                for p in pdf["payload"]],
+                "format": rows["fmt"],
+                "width": pd.array(rows["w"], dtype="Int32"),
+                "height": pd.array(rows["h"], dtype="Int32"),
+                "channels": pd.array(rows["ch"], dtype="Int32"),
+                "mean_luma": rows["luma"],
+                "decoded": rows["ok"],
+            })
+
+    return df.mapInPandas(featurize, schema=IMAGE_FEATURE_SCHEMA)
+
+
 RESIZE_SCHEMA = T.StructType([
     T.StructField("id", T.LongType()),
     T.StructField("payload", T.BinaryType()),
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
+    T.StructField("resized", T.BooleanType()),
 ])
 
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Image resize stage: per-partition Arrow-batched map. Decode is
-    stubbed (no codecs in this container) — the stub keeps the payload and
-    stamps the target dims; a deployment swaps in decode → PIL.resize →
-    re-encode. The Spark plumbing (schema, batching, zero shuffle) is the
-    deliverable."""
+    """Image resize stage: per-partition Arrow-batched map. PPM/PGM/BMP
+    payloads are REALLY resized (decode → nearest-neighbor index sampling
+    → netpbm re-encode); payloads needing absent codecs pass through
+    unchanged with resized=false. The Spark plumbing (schema, batching,
+    zero shuffle) is unchanged either way."""
 
     def do_resize(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            # real impl: decode_image(p) → img.resize((w, h)) → re-encode
-            yield pd.DataFrame({
-                "id": pdf["id"],
-                "payload": pdf["payload"],
-                "width": target_w,
-                "height": target_h,
-            })
+            payloads, ws, hs, oks = [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    img = decode_image(bytes(p))
+                    px = img["pixels"][:, :, :3] if img["channels"] == 4 \
+                        else img["pixels"]
+                    ys = (np.arange(target_h) * img["height"]) // target_h
+                    xs = (np.arange(target_w) * img["width"]) // target_w
+                    payloads.append(encode_ppm(
+                        np.ascontiguousarray(px[ys][:, xs])))
+                    ws.append(target_w)
+                    hs.append(target_h)
+                    oks.append(True)
+                except ValueError:
+                    payloads.append(bytes(p))
+                    ws.append(target_w)
+                    hs.append(target_h)
+                    oks.append(False)
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "width": ws, "height": hs, "resized": oks})
 
     return df.mapInPandas(do_resize, schema=RESIZE_SCHEMA)
 

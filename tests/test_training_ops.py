@@ -191,8 +191,8 @@ def test_multimodal_plumbing(docs):
     assert by_id[0].n_bytes == len("the quick brown fox jumps over the lazy dog")
     assert by_id[0].content_md5 == by_id[3].content_md5  # exact dups
     assert 16 <= by_id[0].fake_width < 256
-    with pytest.raises(NotImplementedError):
-        decode_image(b"xx")
+    with pytest.raises(ValueError):
+        decode_image(b"xx")  # needs a codec we don't ship
 
 
 def test_sessionize_gap(spark):

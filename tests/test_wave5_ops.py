@@ -41,6 +41,7 @@ def test_multimodal_resize_and_frames(spark):
     assert {r.id for r in resized} == {1, 2}
     assert all(r.width == 224 and r.height == 224 for r in resized)
     assert all(r.payload is not None for r in resized)
+    assert all(r.resized is False for r in resized)  # text isn't an image
 
     frames = sample_frames(payloads, every_n=10, max_frames=4)
     rows = frames.collect()
@@ -50,6 +51,70 @@ def test_multimodal_resize_and_frames(spark):
     # deterministic across runs
     again = {(r.id, r.frame_idx, r.frame_md5) for r in frames.collect()}
     assert again == {(r.id, r.frame_idx, r.frame_md5) for r in rows}
+
+
+def _make_ppm(w, h):
+    import numpy as np
+
+    px = (np.arange(w * h * 3, dtype=np.uint32) % 256).astype(np.uint8)
+    return px.reshape(h, w, 3), (
+        b"P6\n# test comment\n" + f"{w} {h}\n255\n".encode()
+        + px.tobytes())
+
+
+def _make_bmp(w, h, px):
+    """Bottom-up 24-bit BMP with row padding (the published layout)."""
+    import numpy as np
+
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):          # bottom-up
+        row = px[y][:, [2, 1, 0]].tobytes()  # RGB→BGR
+        raster += row + b"\x00" * (stride - len(row))
+    header = (b"BM" + (54 + len(raster)).to_bytes(4, "little")
+              + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little")
+              + b"\x00" * 16)
+    return header + bytes(raster)
+
+
+def test_real_decode_ppm_bmp(spark):
+    """PPM and BMP decode for REAL: actual dimensions, identical pixels
+    across the two containers, true nearest-neighbor resize."""
+    import numpy as np
+
+    from keboola_storage_duckdb_spark.functions.multimodal import (
+        decode_image, extract_image_features, resize_images)
+
+    px, ppm = _make_ppm(6, 4)
+    bmp = _make_bmp(6, 4, px)
+
+    img = decode_image(ppm)
+    assert (img["width"], img["height"], img["channels"]) == (6, 4, 3)
+    img2 = decode_image(bmp)
+    assert np.array_equal(img["pixels"], img2["pixels"])
+
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(bmp)), (3, b"not an image")],
+        "id long, payload binary")
+    feats = {r.id: r for r in extract_image_features(df).collect()}
+    assert feats[1].decoded and (feats[1].width, feats[1].height) == (6, 4)
+    assert feats[1].format == "ppm" and feats[2].format == "bmp"
+    assert feats[2].decoded and (feats[2].width, feats[2].height) == (6, 4)
+    assert feats[1].mean_luma == feats[2].mean_luma  # same pixels
+    assert not feats[3].decoded and feats[3].width is None
+
+    out = {r.id: r for r in resize_images(df, 3, 2).collect()}
+    assert out[1].resized and out[2].resized and not out[3].resized
+    r1 = decode_image(bytes(out[1].payload))
+    assert (r1["width"], r1["height"]) == (3, 2)
+    # nearest-neighbor: resized pixels are a subset sampling of the source
+    ys = (np.arange(2) * 4) // 2
+    xs = (np.arange(3) * 6) // 3
+    assert np.array_equal(r1["pixels"], px[ys][:, xs])
 
 
 def test_ivf_routing_prunes_and_ranks(spark):
