@@ -89,7 +89,9 @@ class VersionLog:
         if version == 0:
             return None
         e = self.entry(version)
-        d = os.path.join(self.table_dir, e["data"])
+        # shallow-cloned entries (branch CoW) reference the source table's
+        # data dir via "base" — zero-copy, like Delta's shallow clone
+        d = os.path.join(e.get("base", self.table_dir), e["data"])
         if not os.path.isdir(d):
             raise NotFoundError(
                 f"version {version} data was vacuumed (retained log entry "
@@ -144,8 +146,31 @@ class VersionLog:
         victims = vs[:-retain_last] if retain_last < len(vs) else []
         removed = []
         for v in victims:
-            d = os.path.join(self.table_dir, self.entry(v)["data"])
+            e = self.entry(v)
+            if "base" in e:
+                continue  # shallow-cloned data belongs to the source table
+            d = os.path.join(self.table_dir, e["data"])
             if os.path.isdir(d):
                 shutil.rmtree(d, ignore_errors=True)
                 removed.append(v)
         return removed
+
+    def shallow_clone_into(self, dst_table_dir: str) -> int:
+        """Copy the commit LOG (not the data) into another table dir: every
+        entry gains ``base`` = this table dir (entries that are themselves
+        clones keep their original base, so clone chains stay one hop).
+        The clone time-travels through the full source history at zero
+        data cost; new commits in the clone land locally on top. Same
+        caveat as Delta shallow clones: vacuuming the SOURCE removes data
+        the clone's old versions reference (its local commits are safe).
+        Returns the number of versions cloned."""
+        dst = VersionLog(dst_table_dir)
+        os.makedirs(dst.log_dir, exist_ok=True)
+        for v in self.versions():
+            e = dict(self.entry(v))
+            e.setdefault("base", self.table_dir)
+            path = os.path.join(dst.log_dir, f"{v:08d}.json")
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump(e, f)
+        return len(self.versions())

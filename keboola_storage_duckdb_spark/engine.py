@@ -147,9 +147,11 @@ class StorageEngine:
     def _versioned(meta) -> bool:
         return meta.properties.get("storage_format") == "versioned"
 
-    def _version_log(self, project: str, bucket: str, table: str):
+    def _version_log(self, project: str, bucket: str, table: str,
+                     branch: str | None = None):
         from .backends.versioned import VersionLog
-        return VersionLog(self.catalog.table_dir(project, bucket, table))
+        return VersionLog(self.catalog.table_dir(project, bucket, table,
+                                                 branch))
 
     def read_table(self, project: str, bucket: str, table: str,
                    branch: str | None = None,
@@ -162,8 +164,12 @@ class StorageEngine:
         src, data_dir = self.catalog.resolve_table(project, bucket, table, branch)
         meta = self.catalog.read_meta(
             project, bucket, table, branch if src == "branch" else None)
-        if src == "main" and self._versioned(meta):
-            d = self._version_log(project, bucket, table).data_dir(version)
+        if self._versioned(meta):
+            # branch copies carry a shallow-cloned commit log (CoW), so
+            # time travel works on both main and branch reads
+            log = self._version_log(project, bucket, table,
+                                    branch if src == "branch" else None)
+            d = log.data_dir(version)
             if d is not None:
                 data_dir = d
         elif version is not None:
@@ -235,13 +241,17 @@ class StorageEngine:
                 "target_files": target_files}
 
     # ---------------------------------------------- versioned-table extras
-    def table_history(self, project: str, bucket: str, table: str) -> list[dict]:
+    def table_history(self, project: str, bucket: str, table: str,
+                      branch: str | None = None) -> list[dict]:
         """Commit log of a versioned table, oldest first (Delta-style
-        DESCRIBE HISTORY)."""
-        meta = self.catalog.read_meta(project, bucket, table, None)
+        DESCRIBE HISTORY). A branch with a CoW copy reports its own log
+        (shallow-cloned main history + local commits)."""
+        src, _ = self.catalog.resolve_table(project, bucket, table, branch)
+        eff = branch if src == "branch" else None
+        meta = self.catalog.read_meta(project, bucket, table, eff)
         if not self._versioned(meta):
             raise CatalogError(f"table {table} is not versioned")
-        return self._version_log(project, bucket, table).history()
+        return self._version_log(project, bucket, table, eff).history()
 
     def vacuum_table(self, project: str, bucket: str, table: str,
                      retain_last: int = 1) -> dict:
@@ -309,11 +319,15 @@ class StorageEngine:
                      branch: str | None = None, op: str = "write") -> None:
         """Stage parquet then publish: plain tables swap the data dir
         (single-writer under the table lock); versioned tables commit a new
-        immutable version (multi-process OCC, backends/versioned.py).
-        Branch copies are always plain (CoW materializes one snapshot)."""
-        if branch is None and self._versioned(
-                self.catalog.read_meta(project, bucket, table, None)):
-            log = self._version_log(project, bucket, table)
+        immutable version (multi-process OCC, backends/versioned.py) — on
+        MAIN and on branches alike (branch CoW shallow-clones the log, so
+        branch writes stack local commits on top of the cloned history)."""
+        eff_branch = (branch if branch is not None
+                      and self.catalog.table_exists(project, bucket, table,
+                                                    branch) else None)
+        if self._versioned(
+                self.catalog.read_meta(project, bucket, table, eff_branch)):
+            log = self._version_log(project, bucket, table, eff_branch)
             # OCC: claim the version that succeeds the state this write was
             # computed from — snapshot BEFORE the (slow) parquet stage, so a
             # concurrent committer makes our commit fail instead of our
@@ -358,16 +372,14 @@ class StorageEngine:
             return
         meta = self.catalog.read_meta(project, bucket, table)
         os.makedirs(self.catalog.bucket_dir(project, bucket, branch), exist_ok=True)
-        if self._versioned(meta):
-            # branch copy is a plain one-snapshot materialization of the
-            # latest committed version (branches don't carry the log)
-            src = (self._version_log(project, bucket, table).data_dir()
-                   or self.catalog.data_dir(project, bucket, table))
-            meta = TableMeta.from_json(meta.to_json())
-            meta.properties.pop("storage_format", None)
-        else:
-            src = self.catalog.data_dir(project, bucket, table)
         self.catalog.write_meta(project, bucket, table, meta, branch)
+        if self._versioned(meta):
+            # zero-copy CoW: shallow-clone the commit log — the branch
+            # time-travels through the full main history, and its own
+            # writes commit locally on top (backends/versioned.py)
+            self._version_log(project, bucket, table).shallow_clone_into(
+                self.catalog.table_dir(project, bucket, table, branch))
+        src = self.catalog.data_dir(project, bucket, table)
         dst = self.catalog.data_dir(project, bucket, table, branch)
         if os.path.isdir(src):
             shutil.copytree(src, dst, dirs_exist_ok=True)

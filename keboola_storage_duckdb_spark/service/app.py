@@ -257,7 +257,8 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
     # history / vacuum; preview?version=N time-travels a pinned commit.
     @app.get(tbl + "/<table>/history")
     def table_history(project, branch_id, bucket, table):
-        return jsonify(engine.table_history(project, bucket, table))
+        return jsonify(engine.table_history(project, bucket, table,
+                                            _branch(branch_id)))
 
     @app.post(tbl + "/<table>/vacuum")
     def vacuum_table(project, branch_id, bucket, table):

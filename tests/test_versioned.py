@@ -124,8 +124,12 @@ def test_vacuum_drops_old_versions_keeps_history(eng):
     assert eng.read_table("pv", "in_c_v", "t").count() == 3
 
 
-def test_branch_cow_materializes_latest(eng, tmp_path):
+def test_branch_cow_shallow_clones_log(eng, tmp_path):
+    """Branch CoW shallow-clones the commit log (zero data copy): the
+    branch keeps full time travel through main's history, branch writes
+    commit locally on top, and main never sees them."""
     eng.create_branch("pv", "dev")
+    main_latest = eng.table_history("pv", "in_c_v", "t")[-1]["version"]
     eng.import_file("pv", "in_c_v", "t",
                     _csv(tmp_path, "e.csv", {"id": [50], "v": ["branch"]}),
                     file_format="csv", incremental=True, branch="dev")
@@ -133,9 +137,32 @@ def test_branch_cow_materializes_latest(eng, tmp_path):
     assert eng.read_table("pv", "in_c_v", "t", branch="dev").count() == 4
     # main unaffected, still versioned
     assert eng.read_table("pv", "in_c_v", "t").count() == 3
-    # branch copies are plain: version pinning there is refused
-    with pytest.raises(CatalogError):
+    assert eng.table_history("pv", "in_c_v", "t")[-1]["version"] == main_latest
+
+    # branched TIME TRAVEL: pre-branch versions resolve through the clone
+    assert eng.read_table("pv", "in_c_v", "t", branch="dev",
+                          version=main_latest).count() == 3
+    # branch history = cloned main history + the local commit
+    bh = eng.table_history("pv", "in_c_v", "t", branch="dev")
+    assert [h["version"] for h in bh][-2:] == [main_latest, main_latest + 1]
+    assert "base" in bh[0] and "base" not in bh[-1]
+
+    # vacuumed-on-main versions stay vacuumed for the clone too
+    with pytest.raises(NotFoundError):
         eng.read_table("pv", "in_c_v", "t", branch="dev", version=1)
+
+    # a second branch write stacks another local version
+    eng.import_file("pv", "in_c_v", "t",
+                    _csv(tmp_path, "f.csv", {"id": [51], "v": ["b2"]}),
+                    file_format="csv", incremental=True, branch="dev")
+    assert eng.read_table("pv", "in_c_v", "t", branch="dev").count() == 5
+    assert eng.read_table("pv", "in_c_v", "t", branch="dev",
+                          version=main_latest + 1).count() == 4
+    # branch vacuum never touches main's data dirs
+    out = VersionLog(eng.catalog.table_dir("pv", "in_c_v", "t", "dev")) \
+        .vacuum(retain_last=1)
+    assert out == [main_latest + 1]  # only the branch-local old version
+    assert eng.read_table("pv", "in_c_v", "t", version=main_latest).count() == 3
 
 
 def test_versioned_over_http(eng, tmp_path):
