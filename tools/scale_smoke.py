@@ -98,7 +98,60 @@ def main() -> None:
         lambda: cosine_near_dup_pairs(emb, "vec_id", "embedding", 0.45,
                                       block_col="label"))
 
+    timings["service"] = service_path(spark)
+
     print(json.dumps({"replication": REPL, "timings": timings}, indent=2))
+
+
+def service_path(spark) -> dict:
+    """REST-path smoke at 10×: create → import(parquet) → profile → export
+    through the Flask app (full routing + middleware), timing each leg.
+    The import is the 6M-row lineitem replica; export exercises the
+    projection/limit/compression path."""
+    from keboola_storage_duckdb_spark.catalog.types import spark_to_duckdb_type
+    from keboola_storage_duckdb_spark.engine import StorageEngine
+    from keboola_storage_duckdb_spark.service.app import create_app
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    wh = os.path.join(DST, "wh_service")
+    shutil.rmtree(wh, ignore_errors=True)
+    eng = StorageEngine(spark, wh)
+    app = create_app(eng)
+    app.config["TESTING"] = True
+    c = app.test_client()
+
+    def post(url, body=None):
+        r = c.post(url, data=json.dumps(body or {}),
+                   content_type="application/json")
+        assert r.status_code < 400, (url, r.status_code, r.get_data()[:300])
+        return r.get_json()
+
+    cols = [{"name": f.name,
+             "type": spark_to_duckdb_type(f.dataType.simpleString().upper())}
+            for f in load_table(spark, DST, "lineitem").schema.fields]
+    post("/projects", {"id": "ps_scale"})
+    post("/projects/ps_scale/branches/default/buckets", {"name": "in_c_s"})
+    base = "/projects/ps_scale/branches/default/buckets/in_c_s/tables"
+    post(base, {"name": "lineitem", "columns": cols})
+
+    out = {}
+    t0 = time.perf_counter()
+    res = post(base + "/lineitem/import/file",
+               {"path": f"{DST}/lineitem.parquet", "format": "parquet"})
+    out["import"] = {"sec": round(time.perf_counter() - t0, 1),
+                     "rows": res["rows_after"]}
+    t0 = time.perf_counter()
+    prof = post(base + "/lineitem/profile")
+    out["profile"] = {"sec": round(time.perf_counter() - t0, 1),
+                      "rows": prof["row_count"]}
+    t0 = time.perf_counter()
+    exp = post(base + "/lineitem/export",
+               {"format": "csv", "compression": "gzip",
+                "columns": ["l_orderkey", "l_extendedprice", "l_shipdate"],
+                "limit": 500000})
+    out["export"] = {"sec": round(time.perf_counter() - t0, 1),
+                     "rows": exp["rows_exported"]}
+    return out
 
 
 if __name__ == "__main__":
