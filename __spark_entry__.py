@@ -729,6 +729,49 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(to_binary_payload(docs, "doc_id", "text"))
 
 
+def q_image_features(spark, sf_dir):
+    """REAL image decode, cross-engine checked: build a valid binary P6
+    PPM per document (width 4-8 from text length, height 3-6 from doc_id,
+    md5-derived raster truncated to w*h*3), parse it with the pure-numpy
+    decoder (functions/multimodal.py decode_image via
+    extract_image_features), and emit the header-derived fields. The
+    DuckDB oracle PREDICTS width/height/n_bytes from the construction
+    without any decoder — so a parse that misreads the header, raster
+    length, or dimensions hash-mismatches."""
+    from keboola_storage_duckdb_spark.functions.multimodal import (
+        extract_image_features)
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.lit(4) + F.length("text") % 5).cast("int")
+    h = (F.lit(3) + F.col("doc_id") % 4).cast("int")
+    raster = F.expr(
+        "substring(" + "concat(" + ",".join(["unhex(md5(text))"] * 9) + ")"
+        ", 1, (4 + length(text) % 5) * (3 + doc_id % 4) * 3)")
+    header = F.encode(F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                               h.cast("string"), F.lit("\n255\n")), "UTF-8")
+    payload = F.concat(header, raster)
+    feats = extract_image_features(
+        docs.select(F.col("doc_id").alias("id"), payload.alias("payload")))
+    return feats.select("id", "n_bytes", "format", "width", "height",
+                        "channels", "decoded")
+
+
+_IMAGE_FEATURES_SQL = """
+WITH p AS (
+  SELECT doc_id, text,
+         4 + length(text) % 5 AS w,
+         3 + doc_id % 4 AS h
+  FROM documents)
+SELECT doc_id AS id,
+       CAST(length('P6' || chr(10) || w || ' ' || h || chr(10) || '255'
+                   || chr(10)) + w * h * 3 AS INTEGER) AS n_bytes,
+       'ppm' AS format,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       TRUE AS decoded
+FROM p"""
+
+
 def q_hourly_rollup(spark, sf_dir):
     """Tumbling 1-hour event rollup (count / distinct users / exact sum)."""
     from keboola_storage_duckdb_spark.streaming.events import hourly_rollup
@@ -1881,6 +1924,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dedup_keep": q_near_dedup_keep,        # composition of certified ops
     "ngram_jaccard_inverted": q_ngram_jaccard_inverted,  # same oracle as ngram_jaccard
     "ann_topk_fold": q_ann_topk_fold,            # bit-parity twin of ann_topk
+    "image_features": q_image_features,          # REAL decode; header-predicting oracle
     "kmeans": q_kmeans,                          # rows-only iterative
 }
 
@@ -2124,6 +2168,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_keep": _near_dedup_keep_sql(),
         "array_funcs": _ARRAY_FUNCS_SQL,
         "minhash_estimate": _minhash_estimate_sql(),
+        "image_features": _IMAGE_FEATURES_SQL,
         "pivot_counts": _PIVOT_SQL,
         "grouped_quantiles": _GROUPED_QUANTILES_SQL,
     }
