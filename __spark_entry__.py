@@ -772,6 +772,63 @@ SELECT doc_id AS id,
 FROM p"""
 
 
+def _le_bytes_sql(expr: str, nbytes: int) -> str:
+    """SQL expr: little-endian binary encoding of an int expression."""
+    h = f"lpad(hex({expr}), {2 * nbytes}, '0')"
+    parts = "||".join(f"substr({h}, {2 * i + 1}, 2)"
+                      for i in reversed(range(nbytes)))
+    return f"unhex({parts})"
+
+
+def q_audio_features(spark, sf_dir):
+    """REAL audio decode, cross-engine checked (the WAV twin of
+    image_features): build a valid PCM-16 mono RIFF/WAVE per document
+    (rate 8-20 kHz from doc_id, 20-69 samples from text length,
+    md5-derived sample bytes), parse it with the pure-struct decoder
+    (functions/multimodal.py decode_audio via extract_audio_features).
+    The DuckDB oracle predicts sample_rate/n_samples/n_bytes/duration
+    from the construction without touching the binary."""
+    from keboola_storage_duckdb_spark.functions.multimodal import (
+        extract_audio_features)
+    docs = _t(spark, sf_dir, "documents")
+    rate = "(8000 + (doc_id % 4) * 4000)"
+    ns = "(20 + length(text) % 50)"
+    dsize = f"({ns} * 2)"
+    raster9 = "concat(" + ",".join(["unhex(md5(text))"] * 9) + ")"
+    payload = (
+        "concat(encode('RIFF','UTF-8'), "
+        + _le_bytes_sql(f"(36 + {dsize})", 4)
+        + ", encode('WAVEfmt ','UTF-8'), "
+        + _le_bytes_sql("16", 4) + ", " + _le_bytes_sql("1", 2) + ", "
+        + _le_bytes_sql("1", 2) + ", " + _le_bytes_sql(rate, 4) + ", "
+        + _le_bytes_sql(f"({rate} * 2)", 4) + ", "
+        + _le_bytes_sql("2", 2) + ", " + _le_bytes_sql("16", 2)
+        + ", encode('data','UTF-8'), " + _le_bytes_sql(dsize, 4)
+        + f", substring({raster9}, 1, {dsize}))")
+    feats = extract_audio_features(
+        docs.selectExpr("doc_id AS id", payload + " AS payload"))
+    return feats.select("id", "n_bytes", "format", "sample_rate", "channels",
+                        "bits", "n_samples", "duration_ms", "decoded")
+
+
+_AUDIO_FEATURES_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         8000 + (doc_id % 4) * 4000 AS rate,
+         20 + length(text) % 50 AS ns
+  FROM documents)
+SELECT doc_id AS id,
+       CAST(44 + ns * 2 AS INTEGER) AS n_bytes,
+       'wav' AS format,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(16 AS INTEGER) AS bits,
+       CAST(ns AS INTEGER) AS n_samples,
+       CAST(ns AS DOUBLE) * 1000 / rate AS duration_ms,
+       TRUE AS decoded
+FROM p"""
+
+
 def q_hourly_rollup(spark, sf_dir):
     """Tumbling 1-hour event rollup (count / distinct users / exact sum)."""
     from keboola_storage_duckdb_spark.streaming.events import hourly_rollup
@@ -1925,6 +1982,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_inverted": q_ngram_jaccard_inverted,  # same oracle as ngram_jaccard
     "ann_topk_fold": q_ann_topk_fold,            # bit-parity twin of ann_topk
     "image_features": q_image_features,          # REAL decode; header-predicting oracle
+    "audio_features": q_audio_features,          # REAL WAV decode; same oracle style
     "kmeans": q_kmeans,                          # rows-only iterative
 }
 
@@ -2169,6 +2227,7 @@ def oracle_sql() -> dict[str, str]:
         "array_funcs": _ARRAY_FUNCS_SQL,
         "minhash_estimate": _minhash_estimate_sql(),
         "image_features": _IMAGE_FEATURES_SQL,
+        "audio_features": _AUDIO_FEATURES_SQL,
         "pivot_counts": _PIVOT_SQL,
         "grouped_quantiles": _GROUPED_QUANTILES_SQL,
     }

@@ -131,6 +131,111 @@ def encode_ppm(pixels) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + pixels.tobytes()
 
 
+def decode_audio(payload: bytes) -> dict:
+    """Real decoder for the codec-less audio format: RIFF/WAVE with
+    uncompressed PCM (format tag 1, 8/16-bit — the published canonical WAV
+    layout). Returns ``{"format", "sample_rate", "channels", "bits",
+    "n_samples", "samples"}`` with samples as an (n_samples, channels)
+    int16 ndarray (8-bit unsigned is centered to int16 range). Raises
+    ValueError for non-WAV or compressed streams (MP3/AAC need codecs this
+    container doesn't ship)."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)          # chunks pad to even offsets
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if tag != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError("only uncompressed PCM 8/16-bit WAV supported")
+    frame = channels * bits // 8
+    usable = len(data) - len(data) % frame
+    if usable == 0:
+        raise ValueError("WAV data chunk empty")
+    if bits == 16:
+        samples = np.frombuffer(data, "<i2", usable // 2)
+    else:
+        samples = (np.frombuffer(data, np.uint8, usable).astype(np.int16)
+                   - 128) * 256
+    return {"format": "wav", "sample_rate": rate, "channels": channels,
+            "bits": bits, "n_samples": usable // frame,
+            "samples": samples.reshape(-1, channels)}
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("content_md5", T.StringType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bits", T.IntegerType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("duration_ms", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("decoded", T.BooleanType()),
+])
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: PCM WAV payloads decode to actual
+    sample-rate/channels/duration plus RMS amplitude; undecodable payloads
+    yield nulls with decoded=false. Arrow-batched, zero shuffle — the same
+    scale shape as the image featurizer."""
+
+    def featurize(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {k: [] for k in ("fmt", "rate", "ch", "bits", "ns",
+                                    "dur", "rms", "ok")}
+            for p in pdf["payload"]:
+                try:
+                    a = decode_audio(bytes(p))
+                    x = a["samples"].astype("float64")
+                    vals = (a["format"], a["sample_rate"], a["channels"],
+                            a["bits"], a["n_samples"],
+                            a["n_samples"] * 1000.0 / a["sample_rate"],
+                            float(np.sqrt((x * x).mean())), True)
+                except ValueError:
+                    vals = (None,) * 7 + (False,)
+                for k, v in zip(("fmt", "rate", "ch", "bits", "ns", "dur",
+                                 "rms", "ok"), vals):
+                    cols[k].append(v)
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "content_md5": [hashlib.md5(bytes(p)).hexdigest()
+                                for p in pdf["payload"]],
+                "format": cols["fmt"],
+                "sample_rate": pd.array(cols["rate"], dtype="Int32"),
+                "channels": pd.array(cols["ch"], dtype="Int32"),
+                "bits": pd.array(cols["bits"], dtype="Int32"),
+                "n_samples": pd.array(cols["ns"], dtype="Int32"),
+                "duration_ms": cols["dur"],
+                "rms": cols["rms"],
+                "decoded": cols["ok"],
+            })
+
+    return df.mapInPandas(featurize, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int]:
     """Deterministic fake 'decode': derive a (width, height) from the
     content hash so tests are reproducible without codecs."""

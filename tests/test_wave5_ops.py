@@ -117,6 +117,44 @@ def test_real_decode_ppm_bmp(spark):
     assert np.array_equal(r1["pixels"], px[ys][:, xs])
 
 
+def _make_wav(rate, samples, bits=16, channels=1):
+    import struct
+
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        data = bytes((s // 256) + 128 for s in samples)
+    block = channels * bits // 8
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                          rate * block, block, bits)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_real_decode_wav(spark):
+    """PCM WAV decodes for REAL: sample values round-trip, 8-bit recenters,
+    non-audio payloads fall back with decoded=false."""
+    from keboola_storage_duckdb_spark.functions.multimodal import (
+        decode_audio, extract_audio_features)
+
+    wav = _make_wav(16000, [0, 1000, -1000, 32767])
+    a = decode_audio(wav)
+    assert (a["sample_rate"], a["channels"], a["bits"]) == (16000, 1, 16)
+    assert a["samples"].ravel().tolist() == [0, 1000, -1000, 32767]
+    a8 = decode_audio(_make_wav(8000, [0, 256, -256], bits=8))
+    assert a8["bits"] == 8 and a8["n_samples"] == 3
+    with pytest.raises(ValueError):
+        decode_audio(b"\xff\xfbmp3-needs-a-codec")
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, b"not audio")], "id long, payload binary")
+    feats = {r.id: r for r in extract_audio_features(df).collect()}
+    assert feats[1].decoded and feats[1].n_samples == 4
+    assert feats[1].duration_ms == 4 * 1000.0 / 16000
+    assert feats[1].rms > 0
+    assert not feats[2].decoded and feats[2].sample_rate is None
+
+
 def test_ivf_routing_prunes_and_ranks(spark):
     from keboola_storage_duckdb_spark.functions.similarity import (
         brute_force_topk, ivf_ann_topk)
