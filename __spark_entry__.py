@@ -459,18 +459,14 @@ def q_quantiles(spark, sf_dir):
     statistics are bit-identical to percentile(); interpolation + rounding
     happen in Spark expressions so engine arithmetic is unchanged."""
     from keboola_storage_duckdb_spark.operators.quantiles import (
-        exact_quantile_order_stats)
+        exact_quantiles)
     li = _t(spark, sf_dir, "lineitem")
     probs = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    stats = exact_quantile_order_stats(li, cols, probs)
-    rows = [(c, float(p)) + stats[c][p] for c in cols for p in probs]
-    df = spark.createDataFrame(
-        rows, "col string, p double, qlo double, qhi double, frac double")
-    return df.select(
-        "col", "p",
-        F.round(F.col("qlo") + (F.col("qhi") - F.col("qlo")) * F.col("frac"),
-                6).alias("v"))
+    qs = exact_quantiles(li, cols, probs)
+    rows = [(c, float(p), v) for c in cols for p, v in zip(probs, qs[c])]
+    df = spark.createDataFrame(rows, "col string, p double, v0 double")
+    return df.select("col", "p", F.round("v0", 6).alias("v"))
 
 
 def _quantiles_sql():
@@ -1434,16 +1430,27 @@ FROM events GROUP BY 1"""
 def q_grouped_quantiles(spark, sf_dir):
     """Exact per-group quantiles: p25/p50/p75 of o_totalprice per order
     priority (grouped percentile — the profiler's quantile op under a
-    group-by; exact interpolation, never approx)."""
+    group-by; exact interpolation, never approx). Served by the GROUPED
+    bounded-memory two-pass selection (operators/quantiles.py): per-group
+    percentile() buffers one whole group per aggregation buffer — the same
+    OOM shape at scale whenever any group is huge — while this path never
+    shuffles more than (group x bin) aggregate rows."""
+    from keboola_storage_duckdb_spark.operators.quantiles import (
+        exact_quantiles_grouped)
     df = _t(spark, sf_dir, "orders")
-    parr = "array(CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE))"
-    g = df.groupBy("o_orderpriority").agg(
-        F.expr(f"percentile(o_totalprice, {parr})").alias("qs"),
-        F.count(F.lit(1)).alias("n"))
-    return g.select("o_orderpriority", "n",
-                    F.round(F.col("qs")[0], 6).alias("p25"),
-                    F.round(F.col("qs")[1], 6).alias("p50"),
-                    F.round(F.col("qs")[2], 6).alias("p75"))
+    counts = {r.g: r.n for r in
+              df.groupBy(F.col("o_orderpriority").alias("g"))
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    qs = exact_quantiles_grouped(df, "o_orderpriority", "o_totalprice",
+                                 [0.25, 0.5, 0.75])
+    rows = [(g, counts[g]) + tuple(vs) for g, vs in qs.items()]
+    out = spark.createDataFrame(
+        rows, "o_orderpriority string, n long, q25 double, q50 double, "
+              "q75 double")
+    return out.select("o_orderpriority", "n",
+                      F.round("q25", 6).alias("p25"),
+                      F.round("q50", 6).alias("p50"),
+                      F.round("q75", 6).alias("p75"))
 
 
 _GROUPED_QUANTILES_SQL = """

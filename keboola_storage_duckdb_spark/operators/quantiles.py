@@ -21,10 +21,13 @@ computes the SAME interpolated order statistics with bounded memory:
    bounded by ``max_inbin`` values, and the target order statistic is read
    with ``element_at``.
 
-Interpolation uses Spark's own formula (``lower + (higher - lower) *
-frac`` at position ``p * (n - 1)``) with the same IEEE-754 op order, so the
-result is bit-identical to ``percentile()`` — verified by tests against the
-built-in at every fixture SF.
+Interpolation uses Spark Percentile.getPercentile's own formula
+(``(higher - position) * lower + (position - lower) * higher`` at position
+``p * (n - 1)``, integer positions special-cased) with the same IEEE-754
+op order, so the result is bit-identical to ``percentile()`` — verified by
+tests against the built-in at every fixture SF. (The one-sided form
+``lo + (hi - lo) * frac`` is NOT bit-safe: it disagrees in the last ulp on
+real data, observed on orders.o_totalprice.)
 
 At 100 TB this is the only viable exact-quantile shape: every scan is a
 narrow projection with map-side-combined aggregation; nothing larger than
@@ -39,30 +42,41 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["exact_quantile_order_stats", "exact_quantiles"]
+__all__ = ["exact_quantile_order_stats", "exact_quantiles",
+           "exact_quantiles_grouped"]
 
 
 def _rank_set(n: int, probs: list[float]) -> dict[float, tuple[int, int, float]]:
-    """For each probability: (lower_rank, higher_rank, frac) at position
-    p*(n-1), 0-based — Spark Percentile.getPercentile's arithmetic."""
+    """For each probability: (lower_rank, higher_rank, position) at
+    position p*(n-1), 0-based — Spark Percentile.getPercentile's
+    arithmetic."""
     out = {}
     for p in probs:
         pos = p * (n - 1)
-        lo = int(math.floor(pos))
-        hi = int(math.ceil(pos))
-        out[p] = (lo, hi, pos - lo)
+        out[p] = (int(math.floor(pos)), int(math.ceil(pos)), pos)
     return out
+
+
+def _interp(lo_rank: int, hi_rank: int, pos: float,
+            lo_val: float, hi_val: float) -> float:
+    """Spark Percentile's exact interpolation, same IEEE op order:
+    ``(higher - position) * lower + (position - lower) * higher`` with the
+    integer-position special case (Percentile.getPercentile)."""
+    if lo_rank == hi_rank:
+        return lo_val
+    return (hi_rank - pos) * lo_val + (pos - lo_rank) * hi_val
 
 
 def exact_quantile_order_stats(df: DataFrame, cols: list[str],
                                probs: list[float], bins: int = 4096,
                                max_inbin: int = 4_000_000,
                                ) -> dict[str, dict[float, tuple]]:
-    """Resolve every (col, prob) to ``(lower_value, higher_value, frac)``
-    — the two exact order statistics Spark's percentile interpolates
-    between — with bounded memory. Returns
-    ``{col: {prob: (lo_val, hi_val, frac) | None}}`` (None when the column
-    has no non-null values). Columns are evaluated as DOUBLE.
+    """Resolve every (col, prob) to ``(lower_value, higher_value,
+    interpolated_value)`` — the two exact order statistics Spark's
+    percentile interpolates between, plus the interpolation computed with
+    Spark's own formula — with bounded memory. Returns
+    ``{col: {prob: (lo_val, hi_val, value) | None}}`` (None when the
+    column has no non-null values). Columns are evaluated as DOUBLE.
     """
     spark = df.sparkSession
     base = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
@@ -170,8 +184,138 @@ def exact_quantile_order_stats(df: DataFrame, cols: list[str],
         out[c] = {}
         for p in probs:
             rs = ranks_by_col[c].get(p)
-            out[c][p] = (None if rs is None else
-                         (resolved[(c, rs[0])], resolved[(c, rs[1])], rs[2]))
+            if rs is None:
+                out[c][p] = None
+            else:
+                lo_v, hi_v = resolved[(c, rs[0])], resolved[(c, rs[1])]
+                out[c][p] = (lo_v, hi_v,
+                             _interp(rs[0], rs[1], rs[2], lo_v, hi_v))
+    return out
+
+
+def exact_quantiles_grouped(df: DataFrame, group_col: str, value_col: str,
+                            probs: list[float], bins: int = 1024,
+                            max_inbin: int = 4_000_000,
+                            ) -> dict[object, list[float]]:
+    """GROUPED exact interpolated quantiles with bounded memory — the
+    grouped twin of :func:`exact_quantiles`. A per-group ``percentile()``
+    buffers one whole group per aggregation buffer, which is the same
+    OOM shape at scale whenever any single group is huge. Here every scan
+    aggregates by (group, bin) with map-side combine, so nothing bigger
+    than ``bins`` rows per group crosses a shuffle until the final bounded
+    in-bin sorts.
+
+    Driver state is O(groups x bins): sized for low-cardinality group
+    columns (priorities, categories, labels — the profiler shape, up to a
+    few thousand groups). NULL group keys participate like any other key;
+    NULL values are ignored per percentile semantics. Returns
+    ``{group: [v per prob]}`` bit-identical to
+    ``percentile(value, probs)`` under the same groupBy (tested)."""
+    spark = df.sparkSession
+    base = df.select(F.col(group_col).alias("g"),
+                     F.col(value_col).cast("double").alias("v"))
+
+    stats = (base.groupBy("g")
+                 .agg(F.count("v").alias("n"), F.min("v").alias("mn"),
+                      F.max("v").alias("mx")).collect())
+
+    resolved: dict[tuple[object, int], float] = {}
+    probes: list[tuple[object, int, float, float, int]] = []
+    ranks_by_g: dict[object, dict[float, tuple[int, int, float]]] = {}
+    for row in stats:
+        if not row.n:
+            ranks_by_g[row.g] = {}
+            continue
+        ranks_by_g[row.g] = _rank_set(row.n, probs)
+        needed = sorted({r for lo, hi, _ in ranks_by_g[row.g].values()
+                         for r in (lo, hi)})
+        if row.mn == row.mx:
+            for r in needed:
+                resolved[(row.g, r)] = row.mn
+        else:
+            probes.extend((row.g, r, row.mn, row.mx, 0) for r in needed)
+
+    selection: list[tuple[object, float, float, int, int]] = []
+    while probes:
+        # one histogram task per distinct (group, range); ranges come from
+        # per-group min/max so they differ per group — ship them as a
+        # broadcast lookup joined on the group key
+        tasks: dict[tuple[object, float, float], int] = {}
+        for g, _r, lo, hi, _o in probes:
+            tasks.setdefault((g, lo, hi), len(tasks))
+        spec = spark.createDataFrame(
+            [(tid, g, lo, hi) for (g, lo, hi), tid in tasks.items()],
+            base.select(F.lit(0).alias("tid"), "g",
+                        F.col("v").alias("lo"),
+                        F.col("v").alias("hi")).schema)
+        w = (F.col("hi") - F.col("lo")) / bins
+        idx = F.least(F.lit(bins - 1),
+                      F.floor((F.col("v") - F.col("lo")) / w)).cast("int")
+        # eqNullSafe: a NULL group key is a group like any other
+        hist = (base.join(F.broadcast(spec),
+                          base["g"].eqNullSafe(spec["g"]))
+                    .filter((F.col("v") >= F.col("lo"))
+                            & (F.col("v") <= F.col("hi")))
+                    .groupBy("tid", idx.alias("bin"))
+                    .agg(F.count(F.lit(1)).alias("cnt"),
+                         F.min("v").alias("bmin"), F.max("v").alias("bmax"))
+                    .collect())
+        by_task: dict[int, list] = {}
+        for row in hist:
+            by_task.setdefault(row.tid, []).append(row)
+        for t in by_task.values():
+            t.sort(key=lambda r: r.bin)
+        nxt = []
+        for g, rank, lo, hi, offset in probes:
+            cum = offset
+            for b in by_task.get(tasks[(g, lo, hi)], []):
+                if rank < cum + b.cnt:
+                    if b.bmin == b.bmax:
+                        resolved[(g, rank)] = b.bmin
+                    elif b.cnt <= max_inbin:
+                        selection.append((g, b.bmin, b.bmax, rank, rank - cum))
+                    else:
+                        nxt.append((g, rank, b.bmin, b.bmax, cum))
+                    break
+                cum += b.cnt
+        probes = nxt
+
+    if selection:
+        groups: dict[tuple[object, float, float], int] = {}
+        for g, lo, hi, _r, _lr in selection:
+            groups.setdefault((g, lo, hi), len(groups))
+        spec = spark.createDataFrame(
+            [(pid, g, lo, hi) for (g, lo, hi), pid in groups.items()],
+            base.select(F.lit(0).alias("pid"), "g",
+                        F.col("v").alias("lo"),
+                        F.col("v").alias("hi")).schema)
+        sorted_bins = (base.join(F.broadcast(spec),
+                                 base["g"].eqNullSafe(spec["g"]))
+                           .filter((F.col("v") >= F.col("lo"))
+                                   & (F.col("v") <= F.col("hi")))
+                           .groupBy("pid")
+                           .agg(F.sort_array(F.collect_list("v"))
+                                 .alias("vs")))
+        want = spark.createDataFrame(
+            [(groups[(g, lo, hi)], lr, i)
+             for i, (g, lo, hi, _r, lr) in enumerate(selection)],
+            "pid int, lr int, k int")
+        got = (sorted_bins.join(F.broadcast(want), "pid")
+                          .select("k", F.element_at("vs", F.col("lr") + 1)
+                                        .alias("v")).collect())
+        vals = {row.k: row.v for row in got}
+        for i, (g, _lo, _hi, rank, _lr) in enumerate(selection):
+            resolved[(g, rank)] = vals[i]
+
+    out: dict[object, list[float]] = {}
+    for g, ranks in ranks_by_g.items():
+        vs = []
+        for p in probs:
+            rs = ranks.get(p)
+            vs.append(None if rs is None else
+                      _interp(rs[0], rs[1], rs[2],
+                              resolved[(g, rs[0])], resolved[(g, rs[1])]))
+        out[g] = vs
     return out
 
 
@@ -179,16 +323,13 @@ def exact_quantiles(df: DataFrame, cols: list[str], probs: list[float],
                     bins: int = 4096, max_inbin: int = 4_000_000,
                     ) -> dict[str, list[float]]:
     """Interpolated exact quantiles per column, bit-identical to Spark's
-    ``percentile(col, array(probs))`` (same order statistics, same IEEE
-    op order: ``lower + (higher - lower) * frac``), computed with bounded
+    ``percentile(col, array(probs))`` (same order statistics, same
+    interpolation expression and IEEE op order), computed with bounded
     memory. Returns ``{col: [v per prob]}`` (None entries for all-null
     columns)."""
     stats = exact_quantile_order_stats(df, cols, probs, bins, max_inbin)
     out: dict[str, list[float]] = {}
     for c in cols:
-        vs = []
-        for p in probs:
-            s = stats[c][p]
-            vs.append(None if s is None else s[0] + (s[1] - s[0]) * s[2])
-        out[c] = vs
+        out[c] = [None if stats[c][p] is None else stats[c][p][2]
+                  for p in probs]
     return out

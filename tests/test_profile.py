@@ -58,6 +58,36 @@ def test_exact_quantiles_bitwise_match_builtin(lineitem):
             assert list(ref[c]) == got[c], (c, kwargs)
 
 
+def test_exact_quantiles_grouped_bitwise_match_builtin(spark, sf_dir):
+    """Grouped bounded-memory selection == per-group percentile(),
+    bit-for-bit — orders.o_totalprice is the column where the one-sided
+    lerp form provably differs in the last ulp, so this pins the exact
+    Spark interpolation expression."""
+    from keboola_storage_duckdb_spark.operators.quantiles import (
+        exact_quantiles_grouped)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "orders")
+    parr = "array(CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE))"
+    ref = {r.o_orderpriority: list(r.qs) for r in
+           df.groupBy("o_orderpriority")
+             .agg(F.expr(f"percentile(o_totalprice, {parr})").alias("qs"))
+             .collect()}
+    for kwargs in ({}, {"bins": 4, "max_inbin": 20}):
+        got = exact_quantiles_grouped(df, "o_orderpriority", "o_totalprice",
+                                      [0.25, 0.5, 0.75], **kwargs)
+        assert got == ref, kwargs
+
+    # null groups, all-null groups, null values
+    d2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 5.0), (None, 7.0),
+         ("c", 2.0), ("c", None), ("d", None)], "g string, v double")
+    ref2 = {r.g: (list(r.qs) if r.qs is not None else [None]) for r in
+            d2.groupBy("g").agg(F.expr("percentile(v, array(0.5D))")
+                                 .alias("qs")).collect()}
+    assert exact_quantiles_grouped(d2, "g", "v", [0.5]) == ref2
+
+
 def test_exact_quantiles_edge_cases(spark):
     from keboola_storage_duckdb_spark.operators.quantiles import exact_quantiles
 
