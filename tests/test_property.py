@@ -281,3 +281,28 @@ def test_version_log_model(tmp_path_factory, n_commits, retain):
                 pass
         else:
             assert os.path.isdir(log.data_dir(v))
+
+
+@given(vals=st.lists(
+           st.floats(min_value=-1e6, max_value=1e6,
+                     allow_nan=False, allow_infinity=False, width=64),
+           min_size=1, max_size=40),
+       probs=st.lists(st.floats(min_value=0.0, max_value=1.0,
+                                allow_nan=False), min_size=1, max_size=4),
+       bins=st.sampled_from([2, 4, 4096]),
+       max_inbin=st.sampled_from([1, 3, 4_000_000]))
+@settings(**SETTINGS)
+def test_exact_quantiles_model(spark, vals, probs, bins, max_inbin):
+    """Property: the bounded-memory two-pass selection is bit-identical to
+    Spark's percentile() for arbitrary doubles / probabilities / bin
+    configurations (tiny bins + max_inbin force deep recursive refinement
+    and heavy in-bin selection)."""
+    from keboola_storage_duckdb_spark.operators.quantiles import (
+        exact_quantiles)
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    parr = ("array(" + ",".join(f"CAST({repr(p)} AS DOUBLE)" for p in probs)
+            + ")")
+    ref = df.agg(F.expr(f"percentile(x, {parr})")).collect()[0][0]
+    got = exact_quantiles(df, ["x"], probs, bins=bins, max_inbin=max_inbin)
+    assert got["x"] == list(ref)
