@@ -825,6 +825,53 @@ SELECT doc_id AS id,
 FROM p"""
 
 
+def q_video_features(spark, sf_dir):
+    """REAL video decode, cross-engine checked (the Y4M leg of the
+    multimodal triad): build a valid YUV4MPEG2 stream per document
+    (width 2-8 from doc_id, height 2, C420, 1-5 FRAMEs of md5-derived
+    planes), parse it with the pure-Python decoder
+    (functions/multimodal.py decode_video via extract_video_features).
+    The DuckDB oracle predicts dims/frame-count/bytes/duration from the
+    construction without touching the binary."""
+    from keboola_storage_duckdb_spark.functions.multimodal import (
+        extract_video_features)
+    docs = _t(spark, sf_dir, "documents")
+    w = "(2 + (doc_id % 4) * 2)"
+    nf = "(1 + length(text) % 5)"
+    unit_len = f"(6 + 3 * {w})"
+    header = (f"encode('YUV4MPEG2 W' || {w} || "
+              "' H2 F25:1 Ip A1:1 C420' || chr(10), 'UTF-8')")
+    frame = (f"concat(encode('FRAME' || chr(10), 'UTF-8'), "
+             f"substring(concat(unhex(md5(text)), unhex(md5(text))), "
+             f"1, 3 * {w}))")
+    payload = (f"concat({header}, substring(concat("
+               + ",".join([frame] * 5)
+               + f"), 1, {nf} * {unit_len}))")
+    feats = extract_video_features(
+        docs.selectExpr("doc_id AS id", payload + " AS payload"))
+    return feats.select("id", "n_bytes", "format", "width", "height",
+                        "n_frames", "fps", "duration_ms", "decoded")
+
+
+_VIDEO_FEATURES_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         2 + (doc_id % 4) * 2 AS w,
+         1 + length(text) % 5 AS nf
+  FROM documents)
+SELECT doc_id AS id,
+       CAST(length('YUV4MPEG2 W' || w || ' H2 F25:1 Ip A1:1 C420') + 1
+            + nf * (6 + 3 * w) AS INTEGER) AS n_bytes,
+       'y4m' AS format,
+       CAST(w AS INTEGER) AS width,
+       CAST(2 AS INTEGER) AS height,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(25.0 AS DOUBLE) AS fps,
+       CAST(nf AS DOUBLE) * 1000 / 25.0 AS duration_ms,
+       TRUE AS decoded
+FROM p"""
+
+
 def q_hourly_rollup(spark, sf_dir):
     """Tumbling 1-hour event rollup (count / distinct users / exact sum)."""
     from keboola_storage_duckdb_spark.streaming.events import hourly_rollup
@@ -1990,6 +2037,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_fold": q_ann_topk_fold,            # bit-parity twin of ann_topk
     "image_features": q_image_features,          # REAL decode; header-predicting oracle
     "audio_features": q_audio_features,          # REAL WAV decode; same oracle style
+    "video_features": q_video_features,          # REAL Y4M decode; same oracle style
     "kmeans": q_kmeans,                          # rows-only iterative
 }
 
@@ -2235,6 +2283,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_estimate": _minhash_estimate_sql(),
         "image_features": _IMAGE_FEATURES_SQL,
         "audio_features": _AUDIO_FEATURES_SQL,
+        "video_features": _VIDEO_FEATURES_SQL,
         "pivot_counts": _PIVOT_SQL,
         "grouped_quantiles": _GROUPED_QUANTILES_SQL,
     }

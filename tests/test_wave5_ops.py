@@ -155,6 +155,46 @@ def test_real_decode_wav(spark):
     assert not feats[2].decoded and feats[2].sample_rate is None
 
 
+def _make_y4m(w, h, frames, fps=b"30:1", subsampling=b"C420"):
+    head = b"YUV4MPEG2 W%d H%d F%s Ip A1:1 %s\n" % (w, h, fps, subsampling)
+    return head + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def test_real_decode_y4m(spark):
+    """Y4M decodes for REAL: dims/fps/frame offsets from the actual
+    stream; sample_frames hashes true frame planes; non-video falls back."""
+    from keboola_storage_duckdb_spark.functions.multimodal import (
+        decode_video, extract_video_features, sample_frames)
+
+    frames = [bytes([i] * 24) for i in range(5)]       # 4x4 C420 = 24 B
+    y4m = _make_y4m(4, 4, frames)
+    v = decode_video(y4m)
+    assert (v["width"], v["height"], v["n_frames"]) == (4, 4, 5)
+    assert v["fps_num"] == 30 and v["frame_size"] == 24
+    for off, f in zip(v["frame_offsets"], frames):
+        assert y4m[off:off + 24] == f
+    with pytest.raises(ValueError):
+        decode_video(b"\x00\x00\x00 ftypmp42 needs a codec")
+    with pytest.raises(ValueError):
+        decode_video(_make_y4m(4, 4, [b"\x00" * 10]))  # truncated frame
+
+    df = spark.createDataFrame(
+        [(1, bytearray(y4m)), (2, b"not video")], "id long, payload binary")
+    feats = {r.id: r for r in extract_video_features(df).collect()}
+    assert feats[1].decoded and feats[1].n_frames == 5
+    assert feats[1].fps == 30.0
+    assert feats[1].duration_ms == 5 * 1000.0 / 30.0
+    assert not feats[2].decoded and feats[2].width is None
+
+    # real sampling: frame 0 and frame 2 hashes match the actual planes
+    import hashlib
+    rows = {(r.id, r.frame_idx): r.frame_md5 for r in
+            sample_frames(df, every_n=2, max_frames=4).collect()}
+    assert rows[(1, 0)] == hashlib.md5(frames[0]).hexdigest()
+    assert rows[(1, 2)] == hashlib.md5(frames[2]).hexdigest()
+    assert (1, 4) in rows and (2, 0) in rows  # stub fallback still fans out
+
+
 def test_ivf_routing_prunes_and_ranks(spark):
     from keboola_storage_duckdb_spark.functions.similarity import (
         brute_force_topk, ivf_ann_topk)
