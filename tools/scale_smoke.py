@@ -80,7 +80,8 @@ def main() -> None:
                  "ann_topk", "ann_topk_fold", "ann_ivf", "lang_id",
                  "top_terms", "table_profile", "kmeans", "chunk_docs",
                  "decontaminate", "gopher_quality", "pii_redact",
-                 "simhash_pairs"]:
+                 "simhash_pairs", "grouped_quantiles", "image_features",
+                 "audio_features", "video_features"]:
         run(name, lambda name=name: Q[name](spark, DST))
 
     # Quadratic-output operators at 10×: the UNBLOCKED/UNCAPPED forms are the
