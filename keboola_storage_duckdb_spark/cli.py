@@ -354,6 +354,8 @@ def cmd_tables_preview(args):
         params["where"] = args.where
     if args.order_by:
         params["order_by"] = args.order_by
+    if args.version is not None:
+        params["version"] = args.version
     res = _client(args).get(f"{_tbl_base(args)}/{args.table}/preview",
                             params=params)
     if args.json:
@@ -423,6 +425,23 @@ def cmd_tables_profile(args):
 def cmd_tables_delete(args):
     res = _client(args).delete(f"{_tbl_base(args)}/{args.table}")
     print_json(res) if args.json else print(f"Table '{args.table}' deleted")
+
+
+def cmd_tables_history(args):
+    res = _client(args).get(f"{_tbl_base(args)}/{args.table}/history")
+    if args.json:
+        print_json(res)
+        return
+    rows = [[h["version"], h["op"], h.get("ts"),
+             "shallow-clone" if "base" in h else "local"] for h in res]
+    print_table(["Version", "Op", "Ts", "Data"], rows)
+
+
+def cmd_tables_vacuum(args):
+    res = _client(args).post(f"{_tbl_base(args)}/{args.table}/vacuum",
+                             {"retain_last": args.retain_last})
+    (print_json(res) if args.json
+     else print(f"Vacuumed versions: {res['removed_versions'] or '-'}"))
 
 
 def cmd_files_list(args):
@@ -536,6 +555,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--columns", help="comma-separated projection")
     s.add_argument("--where")
     s.add_argument("--order-by")
+    s.add_argument("--version", type=int,
+                   help="time-travel to a commit (versioned tables)")
     s = table_parser("import", cmd_tables_import)
     s.add_argument("file")
     s.add_argument("--format", default="csv", choices=["csv", "parquet"])
@@ -547,6 +568,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--columns")
     table_parser("profile", cmd_tables_profile)
     table_parser("delete", cmd_tables_delete)
+    table_parser("history", cmd_tables_history)
+    s = table_parser("vacuum", cmd_tables_vacuum)
+    s.add_argument("--retain-last", type=int, default=1)
 
     g = sub.add_parser("files").add_subparsers(dest="cmd", required=True)
     s = g.add_parser("list")
