@@ -264,16 +264,16 @@ def extract_video_features(df: DataFrame) -> DataFrame:
                     vals = (v["format"], v["width"], v["height"],
                             v["n_frames"], fps,
                             v["n_frames"] * 1000.0 / fps, True)
-                except ValueError:
+                except (ValueError, TypeError):
                     vals = (None,) * 6 + (False,)
                 for k, val in zip(("fmt", "w", "h", "nf", "fps", "dur",
                                    "ok"), vals):
                     cols[k].append(val)
             yield pd.DataFrame({
                 "id": pdf["id"],
-                "n_bytes": [len(p) for p in pdf["payload"]],
-                "content_md5": [hashlib.md5(bytes(p)).hexdigest()
-                                for p in pdf["payload"]],
+                "n_bytes": pd.array([_opt_len(p) for p in pdf["payload"]],
+                    dtype="Int32"),
+                "content_md5": [_opt_md5(p) for p in pdf["payload"]],
                 "format": cols["fmt"],
                 "width": pd.array(cols["w"], dtype="Int32"),
                 "height": pd.array(cols["h"], dtype="Int32"),
@@ -322,16 +322,16 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                             a["bits"], a["n_samples"],
                             a["n_samples"] * 1000.0 / a["sample_rate"],
                             float(np.sqrt((x * x).mean())), True)
-                except ValueError:
+                except (ValueError, TypeError):
                     vals = (None,) * 7 + (False,)
                 for k, v in zip(("fmt", "rate", "ch", "bits", "ns", "dur",
                                  "rms", "ok"), vals):
                     cols[k].append(v)
             yield pd.DataFrame({
                 "id": pdf["id"],
-                "n_bytes": [len(p) for p in pdf["payload"]],
-                "content_md5": [hashlib.md5(bytes(p)).hexdigest()
-                                for p in pdf["payload"]],
+                "n_bytes": pd.array([_opt_len(p) for p in pdf["payload"]],
+                    dtype="Int32"),
+                "content_md5": [_opt_md5(p) for p in pdf["payload"]],
                 "format": cols["fmt"],
                 "sample_rate": pd.array(cols["rate"], dtype="Int32"),
                 "channels": pd.array(cols["ch"], dtype="Int32"),
@@ -343,6 +343,15 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             })
 
     return df.mapInPandas(featurize, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def _opt_len(p):
+    """len() with NULL passthrough — 100 TB corpora have null payloads."""
+    return None if p is None else len(p)
+
+
+def _opt_md5(p):
+    return None if p is None else hashlib.md5(bytes(p)).hexdigest()
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int]:
@@ -364,13 +373,15 @@ def extract_features(df: DataFrame) -> DataFrame:
 
         for pdf in batches:
             payloads = pdf["payload"]
-            dims = [_decode_stub(p) for p in payloads]
+            dims = [(None, None) if p is None else _decode_stub(p)
+                    for p in payloads]
             yield pd.DataFrame({
                 "id": pdf["id"],
-                "n_bytes": [len(p) for p in payloads],
-                "content_md5": [hashlib.md5(p).hexdigest() for p in payloads],
-                "fake_width": [d[0] for d in dims],
-                "fake_height": [d[1] for d in dims],
+                "n_bytes": pd.array([_opt_len(p) for p in payloads],
+                                    dtype="Int32"),
+                "content_md5": [_opt_md5(p) for p in payloads],
+                "fake_width": pd.array([d[0] for d in dims], dtype="Int32"),
+                "fake_height": pd.array([d[1] for d in dims], dtype="Int32"),
             })
 
     return df.mapInPandas(featurize, schema=FEATURE_SCHEMA)
@@ -413,15 +424,15 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                                    + px[:, :, 2] * 0.114).mean()))
                     vals = (img["format"], img["width"], img["height"],
                             img["channels"], luma, True)
-                except ValueError:
+                except (ValueError, TypeError):
                     vals = (None, None, None, None, None, False)
                 for k, v in zip(("fmt", "w", "h", "ch", "luma", "ok"), vals):
                     rows[k].append(v)
             yield pd.DataFrame({
                 "id": pdf["id"],
-                "n_bytes": [len(p) for p in pdf["payload"]],
-                "content_md5": [hashlib.md5(bytes(p)).hexdigest()
-                                for p in pdf["payload"]],
+                "n_bytes": pd.array([_opt_len(p) for p in pdf["payload"]],
+                    dtype="Int32"),
+                "content_md5": [_opt_md5(p) for p in pdf["payload"]],
                 "format": rows["fmt"],
                 "width": pd.array(rows["w"], dtype="Int32"),
                 "height": pd.array(rows["h"], dtype="Int32"),
@@ -467,8 +478,8 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     ws.append(target_w)
                     hs.append(target_h)
                     oks.append(True)
-                except ValueError:
-                    payloads.append(bytes(p))
+                except (ValueError, TypeError):
+                    payloads.append(None if p is None else bytes(p))
                     ws.append(target_w)
                     hs.append(target_h)
                     oks.append(False)
@@ -500,6 +511,8 @@ def sample_frames(df: DataFrame, every_n: int = 10,
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for i, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue        # null payload → no frames
                 payload = bytes(payload)
                 try:
                     v = decode_video(payload)
@@ -507,7 +520,7 @@ def sample_frames(df: DataFrame, every_n: int = 10,
                     get = (lambda f, v=v, p=payload:
                            p[v["frame_offsets"][f]:
                              v["frame_offsets"][f] + v["frame_size"]])
-                except ValueError:
+                except (ValueError, TypeError):
                     n_fake = 1 + hashlib.md5(payload).digest()[2] % (
                         max_frames * every_n)
                     frame_ids = range(0, n_fake, every_n)

@@ -195,6 +195,28 @@ def test_real_decode_y4m(spark):
     assert (1, 4) in rows and (2, 0) in rows  # stub fallback still fans out
 
 
+def test_null_payloads_survive_every_stage(spark):
+    """A 100 TB corpus has null payloads; every multimodal stage must emit
+    null/fallback rows instead of crashing the Arrow batch."""
+    from keboola_storage_duckdb_spark.functions.multimodal import (
+        extract_audio_features, extract_features, extract_image_features,
+        extract_video_features, resize_images, sample_frames)
+
+    df = spark.createDataFrame(
+        [(1, b"some bytes"), (2, None)], "id long, payload binary")
+    stub = {r.id: r for r in extract_features(df).collect()}
+    assert stub[2].n_bytes is None and stub[2].content_md5 is None
+    assert stub[1].fake_width is not None
+    for fn in (extract_image_features, extract_audio_features,
+               extract_video_features):
+        rows = {r.id: r for r in fn(df).collect()}
+        assert rows[2].decoded is False and rows[2].n_bytes is None
+    rz = {r.id: r for r in resize_images(df, 4, 4).collect()}
+    assert rz[2].payload is None and rz[2].resized is False
+    frames = sample_frames(df, every_n=2, max_frames=2).collect()
+    assert {r.id for r in frames} == {1}  # null payload → no frames
+
+
 def test_ivf_routing_prunes_and_ranks(spark):
     from keboola_storage_duckdb_spark.functions.similarity import (
         brute_force_topk, ivf_ann_topk)
