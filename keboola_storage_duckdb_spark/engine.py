@@ -254,17 +254,23 @@ class StorageEngine:
         return self._version_log(project, bucket, table, eff).history()
 
     def vacuum_table(self, project: str, bucket: str, table: str,
-                     retain_last: int = 1) -> dict:
+                     retain_last: int = 1,
+                     branch: str | None = None) -> dict:
         """Drop data of versions older than the last ``retain_last``
-        commits (Delta-style VACUUM; history entries stay auditable)."""
-        meta = self.catalog.read_meta(project, bucket, table, None)
+        commits (Delta-style VACUUM; history entries stay auditable).
+        Branch-scoped vacuums resolve like ``table_history`` and only
+        drop branch-local version data — a branch clone's shallow-cloned
+        entries point at main's data dirs, which vacuum never touches."""
+        src, _ = self.catalog.resolve_table(project, bucket, table, branch)
+        eff = branch if src == "branch" else None
+        meta = self.catalog.read_meta(project, bucket, table, eff)
         if not self._versioned(meta):
             raise CatalogError(f"table {table} is not versioned")
         with self.catalog.acquire(project, bucket, table):
-            removed = self._version_log(project, bucket, table).vacuum(
+            removed = self._version_log(project, bucket, table, eff).vacuum(
                 retain_last)
         self._log("vacuum_table", project=project, bucket=bucket,
-                  table=table, removed=removed)
+                  table=table, branch=eff, removed=removed)
         return {"removed_versions": removed}
 
     # ------------------------------------------------- service-parity ops
@@ -322,9 +328,14 @@ class StorageEngine:
         immutable version (multi-process OCC, backends/versioned.py) — on
         MAIN and on branches alike (branch CoW shallow-clones the log, so
         branch writes stack local commits on top of the cloned history)."""
-        eff_branch = (branch if branch is not None
-                      and self.catalog.table_exists(project, bucket, table,
-                                                    branch) else None)
+        if branch is not None and not self.catalog.table_exists(
+                project, bucket, table, branch):
+            # a missed ensure_cow_for_write must fail loudly — silently
+            # committing branch data into MAIN's version log corrupts main
+            raise CatalogError(
+                f"branch {branch} has no copy of {table}; "
+                "call ensure_cow_for_write before writing")
+        eff_branch = branch
         if self._versioned(
                 self.catalog.read_meta(project, bucket, table, eff_branch)):
             log = self._version_log(project, bucket, table, eff_branch)

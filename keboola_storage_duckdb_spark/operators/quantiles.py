@@ -79,21 +79,44 @@ def exact_quantile_order_stats(df: DataFrame, cols: list[str],
     column has no non-null values). Columns are evaluated as DOUBLE.
     """
     spark = df.sparkSession
-    base = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    # NaN → NULL in the scan base: Spark orders NaN ABOVE every double
+    # (and `NaN >= x` is true), so a NaN would poison min/max (width NaN
+    # → null bin ids) and leak into range predicates. percentile() still
+    # COUNTS NaN and resolves top ranks to NaN — reproduced below from
+    # the separate nan__ count, so results stay bit-identical.
+    casts = {c: F.col(c).cast("double") for c in cols}
+    base = df.select(*[F.when(~F.isnan(casts[c]), casts[c]).alias(c)
+                       for c in cols])
 
-    stats = base.agg(*[e for c in cols for e in (
-        F.count(F.col(c)).alias(f"n__{c}"),
-        F.min(c).alias(f"min__{c}"),
-        F.max(c).alias(f"max__{c}"))]).first()
+    stats = df.agg(*[e for c in cols for e in (
+        F.count(casts[c]).alias(f"n__{c}"),
+        F.count(F.when(F.isnan(casts[c]), True)).alias(f"nan__{c}"),
+        F.min(F.when(~F.isnan(casts[c]), casts[c])).alias(f"min__{c}"),
+        F.max(F.when(~F.isnan(casts[c]), casts[c])).alias(f"max__{c}"),
+        )]).first()
 
     resolved: dict[tuple[str, int], float] = {}   # (col, rank) -> value
     # active probes: (col, rank, range_lo, range_hi, offset) — offset =
     # number of the column's non-null values strictly below range_lo.
     probes: list[tuple[str, int, float, float, int]] = []
+    # selection probes: (col, lo, hi, rank, local_rank)
+    selection: list[tuple[str, float, float, int, int]] = []
     ranks_by_col: dict[str, dict[float, tuple[int, int, float]]] = {}
+
+    def _route(c: str, rank: int, lo: float, hi: float, offset: int,
+               out_probes: list) -> None:
+        # refinement needs a finite positive bin width; a range whose
+        # (hi-lo)/bins is 0 (denormal underflow) or non-finite would
+        # yield null bin ids — resolve such ranges by direct selection
+        w = (hi - lo) / bins
+        if math.isfinite(w) and w > 0:
+            out_probes.append((c, rank, lo, hi, offset))
+        else:
+            selection.append((c, lo, hi, rank, rank - offset))
 
     for c in cols:
         n = stats[f"n__{c}"]
+        m = n - stats[f"nan__{c}"]          # non-NaN count
         cmin, cmax = stats[f"min__{c}"], stats[f"max__{c}"]
         if not n:
             ranks_by_col[c] = {}
@@ -101,14 +124,13 @@ def exact_quantile_order_stats(df: DataFrame, cols: list[str],
         ranks_by_col[c] = _rank_set(n, probs)
         needed = sorted({r for lo, hi, _ in ranks_by_col[c].values()
                          for r in (lo, hi)})
-        if cmin == cmax:
-            for r in needed:
+        for r in needed:
+            if r >= m:                      # NaN region: top of the order
+                resolved[(c, r)] = float("nan")
+            elif cmin == cmax:
                 resolved[(c, r)] = cmin
-        else:
-            probes.extend((c, r, cmin, cmax, 0) for r in needed)
-
-    # selection probes: (col, lo, hi, rank, local_rank)
-    selection: list[tuple[str, float, float, int, int]] = []
+            else:
+                _route(c, r, cmin, cmax, 0, probes)
 
     while probes:
         # group probes by (col, range) → one histogram task each
@@ -149,7 +171,7 @@ def exact_quantile_order_stats(df: DataFrame, cols: list[str],
                     elif b.cnt <= max_inbin:
                         selection.append((c, b.bmin, b.bmax, rank, rank - cum))
                     else:
-                        nxt.append((c, rank, b.bmin, b.bmax, cum))
+                        _route(c, rank, b.bmin, b.bmax, cum, nxt)
                     break
                 cum += b.cnt
         probes = nxt

@@ -265,7 +265,8 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
         body = request.get_json(force=True) if request.data else {}
         return jsonify(engine.vacuum_table(
             project, bucket, table,
-            retain_last=int(body.get("retain_last", 1))))
+            retain_last=int(body.get("retain_last", 1)),
+            branch=_branch(branch_id)))
 
     @app.post(tbl + "/<table>/profile")
     def profile_table(project, branch_id, bucket, table):

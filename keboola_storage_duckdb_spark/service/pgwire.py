@@ -261,7 +261,11 @@ class PgWireServer:
                 raise _PgError("08P01",
                                f"binary parameter length {len(raw)} invalid "
                                f"for type oid {oid}")
-        if oid in (0, 17, 25, 1042, 1043):  # unknown/bytea/text family
+        if oid == 17:                       # bytea: keep the raw bytes
+            # a text literal would UnicodeDecodeError on non-UTF8 input —
+            # emit a binary-typed unhex literal instead
+            return f"unhex('{raw.hex()}')"
+        if oid in (0, 25, 1042, 1043):      # unknown/text family
             # binary representation of the text family IS the UTF-8 bytes
             return self._literal(raw)
         raise _PgError("0A000", f"binary parameter format not supported "
@@ -330,6 +334,13 @@ class PgWireServer:
             fmts = struct.unpack(f"!{nfmt}h", body[off:off + 2 * nfmt])
             off += 2 * nfmt
             (nvals,) = struct.unpack("!H", body[off:off + 2]); off += 2
+            # PG spec: format-code count must be 0 (all text), 1 (applies
+            # to all), or exactly nvals — anything else is a protocol
+            # violation; guessing fmts[0] could misread mixed text/binary
+            if len(fmts) not in (0, 1, nvals):
+                raise _PgError(
+                    "08P01", f"Bind format codes ({len(fmts)}) do not "
+                             f"match parameter count ({nvals})")
             oids = stmts[stmt_name].get("param_oids", [])
             literals: list[str] = []
             for k in range(nvals):

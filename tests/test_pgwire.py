@@ -326,6 +326,38 @@ def test_extended_protocol_binary_params(server):
     c.terminate()
 
 
+def test_binary_bytea_and_format_code_validation(server):
+    """ADVICE r5: binary bytea params must survive non-UTF8 bytes (emitted
+    as an unhex literal, not a text literal), and a Bind whose format-code
+    count is neither 0, 1, nor nvals is a protocol violation (08P01), not
+    a silent fmts[0] fallback."""
+    srv, pw, _eng = server
+    c = MiniPgClient(srv.port, "ws_pg", "p5", pw)
+    assert c.auth_error is None
+
+    # non-UTF8 bytea roundtrip: md5 of the exact bytes proves no mangling
+    payload = bytes([0xff, 0x00, 0x9c, 0x80, 0x41])
+    c.parse("y1", "SELECT md5($1) AS h", nparams=1, oids=[17])
+    c.bind("", "y1", params=[payload], fmt_codes=(1,))
+    c.execute("")
+    c.sync()
+    rows = [c.decode_datarow(b) for t, b in c.drain() if t == b"D"]
+    import hashlib
+    assert rows == [[hashlib.md5(payload).hexdigest()]]
+
+    # 2 format codes for 3 params → 08P01, session survives
+    c.parse("y2", "SELECT $1 AS a, $2 AS b, $3 AS c", nparams=3,
+            oids=[25, 25, 25])
+    c.bind("", "y2", params=[b"x", b"y", b"z"], fmt_codes=(0, 0))
+    c.execute("")
+    c.sync()
+    errs = [b for t, b in c.drain() if t == b"E"]
+    assert len(errs) == 1 and b"08P01" in errs[0]
+    _cols, rows, err = c.query("SELECT 1 AS one")
+    assert err is None and rows == [["1"]]
+    c.terminate()
+
+
 def test_api_key_auth_and_connection_limit(server):
     srv, _pw, eng = server
     key = eng.create_api_key("pg-test")

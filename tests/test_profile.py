@@ -100,6 +100,32 @@ def test_exact_quantiles_edge_cases(spark):
     assert got["mixed"] == [2.5, 3.75, 5.0]  # interpolated over 2 non-nulls
 
 
+def test_exact_quantiles_nan_matches_builtin(spark):
+    # Spark orders NaN above every double: percentile() counts NaN and
+    # resolves top ranks to it. The bounded-memory engine must agree
+    # instead of crashing on a NaN bin width (ADVICE r5, quantiles.py).
+    import math
+
+    from pyspark.sql import functions as F
+
+    from keboola_storage_duckdb_spark.operators.quantiles import exact_quantiles
+
+    rows = [(float(i),) for i in range(20)] + \
+        [(float("nan"),)] * 3 + [(None,)] * 2
+    df = spark.createDataFrame(rows, "v double")
+    probs = [0.0, 0.25, 0.5, 0.9, 0.95, 1.0]
+    ref = df.agg(F.expr(
+        "percentile(v, array(0.0D,0.25D,0.5D,0.9D,0.95D,1.0D))")
+        .alias("qs")).first().qs
+    got = exact_quantiles(df, ["v"], probs)["v"]
+    for g, r in zip(got, ref):
+        assert (math.isnan(g) and math.isnan(r)) or g == r, (got, list(ref))
+    # all-NaN column: every rank sits in the NaN region
+    d2 = spark.createDataFrame([(float("nan"),)] * 4, "v double")
+    got2 = exact_quantiles(d2, ["v"], [0.5])["v"]
+    assert math.isnan(got2[0])
+
+
 def test_profile_table_shape(spark, sf_dir):
     from keboola_storage_duckdb_spark.sources.tables import load_table
 

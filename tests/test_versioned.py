@@ -194,6 +194,51 @@ def test_versioned_over_http(eng, tmp_path):
         assert out["removed_versions"] == [1]
 
 
+def test_branch_scoped_vacuum_via_api(eng, tmp_path):
+    """ADVICE r5 (service/app.py vacuum route): a branch-scoped vacuum
+    must reach the BRANCH's version log — not silently vacuum main,
+    whose data dirs the branch clone's time travel references."""
+    import json as _json
+
+    from keboola_storage_duckdb_spark.service.app import create_app
+    eng.create_table("pv", "in_c_v", "bv", COLS, primary_key=["id"],
+                     storage_format="versioned")
+    for i in (1, 2):
+        eng.import_file("pv", "in_c_v", "bv",
+                        _csv(tmp_path, f"bv{i}.csv",
+                             {"id": [i], "v": [f"r{i}"]}),
+                        file_format="csv", incremental=True)
+    main_latest = eng.table_history("pv", "in_c_v", "bv")[-1]["version"]
+    eng.create_branch("pv", "bdev")
+    eng.import_file("pv", "in_c_v", "bv",
+                    _csv(tmp_path, "bv3.csv", {"id": [3], "v": ["b"]}),
+                    file_format="csv", incremental=True, branch="bdev")
+    eng.import_file("pv", "in_c_v", "bv",
+                    _csv(tmp_path, "bv4.csv", {"id": [4], "v": ["b2"]}),
+                    file_format="csv", incremental=True, branch="bdev")
+    app = create_app(eng)
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        out = c.post("/projects/pv/branches/bdev/buckets/in_c_v/tables"
+                     "/bv/vacuum", data=_json.dumps({"retain_last": 1}),
+                     content_type="application/json").get_json()
+    # only the branch-local old version dropped; main's history intact
+    assert out["removed_versions"] == [main_latest + 1]
+    assert eng.read_table("pv", "in_c_v", "bv",
+                          version=main_latest).count() == 2
+    assert [h["version"] for h in eng.table_history("pv", "in_c_v", "bv")] \
+        == [1, 2]
+
+
+def test_write_table_requires_branch_copy(eng, spark):
+    """ADVICE r5 (engine.py _write_table): a branch write with no branch
+    copy must fail loudly instead of silently committing into MAIN."""
+    from keboola_storage_duckdb_spark.catalog.catalog import CatalogError as CE
+    df = spark.createDataFrame([(9, "x")], "id int, v string")
+    with pytest.raises(CE):
+        eng._write_table("pv", "in_c_v", "bv", df, branch="no-such-branch")
+
+
 def test_plain_table_rejects_version_pin(eng, tmp_path):
     eng.create_table("pv", "in_c_v", "plain", COLS)
     with pytest.raises(CatalogError):
