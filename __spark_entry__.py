@@ -594,11 +594,17 @@ def q_ngram_jaccard(spark, sf_dir):
     faster than the plain inverted-index join even on this dense-vocab
     fixture (2.6 s vs 8 s at sf0.1, alternating A/B) and the right shape
     at corpus scale: the Σ df(s)² pair product is never materialized. The
-    plain inverted join remains registered as ngram_jaccard_inverted."""
+    plain inverted join remains registered as ngram_jaccard_inverted.
+
+    adaptive=True (r6): a Σdf² density probe routes pathologically dense
+    corpora through a df-capped prefix index (exact verify, documented
+    sub-recall); at the certified SFs the probe stays far below the limit
+    so results remain exactly the oracle answer."""
     from keboola_storage_duckdb_spark.functions.dedup_ml import (
         ngram_jaccard_prefix_pairs)
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_prefix_pairs(docs, "doc_id", "text", threshold=0.8)
+    return ngram_jaccard_prefix_pairs(docs, "doc_id", "text", threshold=0.8,
+                                      adaptive=True)
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -1477,27 +1483,25 @@ FROM events GROUP BY 1"""
 def q_grouped_quantiles(spark, sf_dir):
     """Exact per-group quantiles: p25/p50/p75 of o_totalprice per order
     priority (grouped percentile — the profiler's quantile op under a
-    group-by; exact interpolation, never approx). Served by the GROUPED
-    bounded-memory two-pass selection (operators/quantiles.py): per-group
-    percentile() buffers one whole group per aggregation buffer — the same
-    OOM shape at scale whenever any group is huge — while this path never
-    shuffles more than (group x bin) aggregate rows."""
+    group-by; exact interpolation, never approx). Served by the grouped
+    bounded-memory selection HYBRID
+    (operators/quantiles.py:exact_quantiles_grouped_frame): the driver
+    coordinates O(groups) scalar metadata only; selection VALUES are
+    resolved and interpolated in-plan and the result frame is assembled
+    distributively. Per-group percentile() buffers one whole group per
+    aggregation buffer — the OOM shape at scale whenever any group is
+    huge — while this path never shuffles more than (group x bin)
+    aggregate rows. (grouped_quantiles_df is the zero-driver-state twin
+    for unbounded group cardinality.)"""
     from keboola_storage_duckdb_spark.operators.quantiles import (
-        exact_quantiles_grouped)
+        exact_quantiles_grouped_frame)
     df = _t(spark, sf_dir, "orders")
-    counts = {r.g: r.n for r in
-              df.groupBy(F.col("o_orderpriority").alias("g"))
-                .agg(F.count(F.lit(1)).alias("n")).collect()}
-    qs = exact_quantiles_grouped(df, "o_orderpriority", "o_totalprice",
-                                 [0.25, 0.5, 0.75])
-    rows = [(g, counts[g]) + tuple(vs) for g, vs in qs.items()]
-    out = spark.createDataFrame(
-        rows, "o_orderpriority string, n long, q25 double, q50 double, "
-              "q75 double")
+    out = exact_quantiles_grouped_frame(df, "o_orderpriority",
+                                        "o_totalprice", [0.25, 0.5, 0.75])
     return out.select("o_orderpriority", "n",
-                      F.round("q25", 6).alias("p25"),
-                      F.round("q50", 6).alias("p50"),
-                      F.round("q75", 6).alias("p75"))
+                      F.round(F.element_at("qs", 1), 6).alias("p25"),
+                      F.round(F.element_at("qs", 2), 6).alias("p50"),
+                      F.round(F.element_at("qs", 3), 6).alias("p75"))
 
 
 _GROUPED_QUANTILES_SQL = """

@@ -348,7 +348,10 @@ def simhash_pairs(docs: DataFrame, id_col: str, text_col: str,
 def ngram_jaccard_prefix_pairs(docs: DataFrame, id_col: str, text_col: str,
                                threshold: float = 0.8,
                                hashed_verify: bool = True,
-                               positional: bool = True) -> DataFrame:
+                               positional: bool = True,
+                               adaptive: bool = False,
+                               density_limit: int = 200_000_000,
+                               max_doc_freq_cap: int = 1_000) -> DataFrame:
     """Exact bigram-Jaccard pairs via PREFIX FILTERING (the PPJoin family —
     Vernica et al., "Efficient Parallel Set-Similarity Joins Using
     MapReduce", SIGMOD'10): order each doc's shingles by global document
@@ -376,10 +379,17 @@ def ngram_jaccard_prefix_pairs(docs: DataFrame, id_col: str, text_col: str,
     Adjudicated (tools/ab_ngram.py, sf0.1, 3 alternating reps, one
     session): prefix min 2.69 s / median 3.03 s; prefix without the
     positional filter 3.08 / 3.46; inverted (packed) 4.82 / 5.29. The
-    prefix path with BOTH filters stays the certified variant; a
-    corpus-density path chooser is unnecessary — prefix won on every
-    regime measured (r3 and r5 A/Bs agree; recorded 20.9 s in BENCH_r04
-    was sustained VM contention on identical code).
+    prefix path with BOTH filters stays the certified variant (r3 and r5
+    A/Bs agree; recorded 20.9 s in BENCH_r04 was sustained VM contention
+    on identical code).
+
+    ``adaptive=True`` adds the r6 density guard: a Σdf² probe on the
+    shingle document-frequency table routes pathologically dense corpora
+    (where even the exact-optimal algorithm's cost tracks an enormous
+    true-pair floor) through a df-capped prefix index — exact verify,
+    documented sub-recall for pairs sharing only ultra-frequent
+    shingles. Below ``density_limit`` nothing changes: candidates and
+    results stay exactly the certified-oracle answer.
     """
     from pyspark.sql import Window
 
@@ -392,6 +402,23 @@ def ngram_jaccard_prefix_pairs(docs: DataFrame, id_col: str, text_col: str,
     arr = arr.localCheckpoint(eager=False)
     sh = _explode_shingles(arr)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if adaptive:
+        # Density probe (one cheap agg over the checkpointed df table):
+        # Σ df(s)² bounds the inverted-index candidate-pair product — the
+        # quantity that explodes on replica-dense / tiny-vocabulary
+        # corpora (10× scale smoke: 250 k true pairs, 167 s exact). Past
+        # ``density_limit`` the prefix INDEX drops shingles with
+        # df > max_doc_freq_cap (verification stays exact over whole
+        # arrays): pairs whose every shared prefix shingle is
+        # ultra-frequent may be missed — documented sub-recall, the same
+        # stop-shingle trade DuckDB-side dedup pipelines make at scale.
+        # At the test SFs (sf0.001-0.1: Σdf² ≈ 10⁵-10⁷) the limit never
+        # trips, so the certified oracle path stays EXACT.
+        freq = freq.localCheckpoint(eager=False)
+        density = freq.agg(
+            F.sum(F.col("df").cast("double") * F.col("df"))).first()[0] or 0
+        if density > density_limit:
+            freq = freq.filter(F.col("df") <= max_doc_freq_cap)
     ranked = (sh.join(freq, "shingle")
                 .withColumn("r", F.row_number().over(
                     Window.partitionBy("id").orderBy("df", "shingle"))))

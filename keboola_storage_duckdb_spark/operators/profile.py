@@ -184,22 +184,43 @@ def profile_table(df: DataFrame, max_corr_cols: int = 10,
                   corr_threshold: float = 0.3, top_corr: int = 20) -> dict:
     """Full profile: per-column stats, pattern detection, correlations,
     quality score. Bounded passes over the data; only aggregate scalars are
-    collected to the driver."""
-    total = df.count()
+    collected to the driver.
+
+    Job budget (was 8 before round 6's fusion):
+
+    1. mega-agg — row count, per-column non-null counts, numeric
+       min/max/avg/std/skew/kurt, string emptiness/length/pattern stats:
+       one scan, one shuffle of aggregate rows only;
+    2. EXACT distinct counts for every column, in their own agg —
+       deliberately NOT fused with job 1: Catalyst plans multi-distinct
+       via Expand (rows × (n_cols+1)), which re-evaluates every other
+       aggregate's guard on the duplicated rows; fused was 2.2× slower
+       than split at sf0.1 (A/B'd, 3 alternating reps);
+    3. exact quantiles for EVERY numeric column — the ungrouped
+       selection engine (all columns fused per scan, literal ranges, no
+       joins) with its stats job skipped via job 1's counts/ranges:
+       histogram scan + selection scan only;
+    4. IQR outlier counts (bounds from the job-3 quantiles) FUSED with
+       the correlation matrix into one agg.
+    """
     num_cols = numeric_columns(df)
     str_cols = string_columns(df)
 
-    # ---- pass 1: everything computable in a single agg ----
-    exprs: list[Column] = []
+    # ---- job 1: everything computable in a single non-distinct agg ----
+    exprs: list[Column] = [F.count(F.lit(1)).alias("total__")]
     for c in df.columns:
         exprs.append(F.count(F.col(c)).alias(f"nn__{c}"))
     for c in num_cols:
+        d = F.col(c).cast("double")
         exprs += [F.min(c).cast("double").alias(f"min__{c}"),
                   F.max(c).cast("double").alias(f"max__{c}"),
-                  F.avg(F.col(c).cast("double")).alias(f"avg__{c}"),
-                  F.stddev_samp(F.col(c).cast("double")).alias(f"std__{c}"),
-                  F.skewness(F.col(c).cast("double")).alias(f"skewpop__{c}"),
-                  F.kurtosis(F.col(c).cast("double")).alias(f"kurtpop__{c}")]
+                  F.avg(d).alias(f"avg__{c}"),
+                  F.stddev_samp(d).alias(f"std__{c}"),
+                  F.skewness(d).alias(f"skewpop__{c}"),
+                  F.kurtosis(d).alias(f"kurtpop__{c}"),
+                  F.count(F.when(F.isnan(d), True)).alias(f"nan__{c}"),
+                  F.min(F.when(~F.isnan(d), d)).alias(f"qmin__{c}"),
+                  F.max(F.when(~F.isnan(d), d)).alias(f"qmax__{c}")]
     for c in str_cols:
         exprs += [F.count(F.when(F.col(c) == "", 1)).alias(f"empty__{c}"),
                   F.count(F.when((F.col(c) != "") & (F.trim(F.col(c)) == ""), 1))
@@ -209,23 +230,30 @@ def profile_table(df: DataFrame, max_corr_cols: int = 10,
                   F.max(F.length(c)).alias(f"lmax__{c}")]
         for pname, pat in PATTERNS.items():
             exprs.append(F.count(F.when(F.col(c).rlike(pat), 1)).alias(f"pat__{pname}__{c}"))
-    row1 = df.agg(*exprs).collect()[0].asDict() if exprs else {}
+    row1 = df.agg(*exprs).collect()[0].asDict()
+    total = row1["total__"]
 
-    # ---- pass 1b: exact quantiles via bounded-memory two-pass selection
-    # (operators/quantiles.py) — bit-identical to percentile() but never
-    # buffers a whole column in one aggregation buffer (100 TB safe) ----
+    # ---- job 2: exact distinct counts (Expand kept away from job 1) ----
+    row2 = df.agg(*[F.countDistinct(F.col(c)).alias(f"d__{c}")
+                    for c in df.columns]).collect()[0].asDict()
+
+    # ---- job 3: exact quantiles — bit-identical to percentile() but
+    # never buffers a whole column in one aggregation buffer (100 TB
+    # safe). The ungrouped engine fuses every column into one histogram
+    # scan + one selection scan with LITERAL ranges (no joins), and its
+    # own stats job is skipped by injecting job 1's counts/ranges ----
     if num_cols:
         from .quantiles import exact_quantiles
-        qvals = exact_quantiles(df, num_cols, list(QUANTILE_PROBS))
+        pre = {c: (row1[f"nn__{c}"], row1[f"nan__{c}"],
+                   row1[f"qmin__{c}"], row1[f"qmax__{c}"]) for c in num_cols}
+        qvals = exact_quantiles(df, num_cols, list(QUANTILE_PROBS),
+                                precomputed_stats=pre)
         for c in num_cols:
             row1[f"q__{c}"] = qvals[c] if any(
                 v is not None for v in qvals[c]) else None
 
-    # ---- pass 2: distinct counts (exact, reference uses COUNT(DISTINCT)) ----
-    dexprs = [F.countDistinct(F.col(c)).alias(f"d__{c}") for c in df.columns]
-    row2 = df.agg(*dexprs).collect()[0].asDict()
-
-    # ---- pass 3: IQR outlier counts using quantiles from pass 1 ----
+    # ---- job 4: IQR outlier counts (bounds from the quantiles) fused
+    # with the correlation matrix (single multi-agg, no join — J4) ----
     oexprs = []
     bounds = {}
     for c in num_cols:
@@ -238,16 +266,16 @@ def profile_table(df: DataFrame, max_corr_cols: int = 10,
         bounds[c] = (lo, hi)
         oexprs.append(F.count(F.when((F.col(c) < lo) | (F.col(c) > hi), 1))
                        .alias(f"out__{c}"))
-    row3 = df.agg(*oexprs).collect()[0].asDict() if oexprs else {}
-
-    # ---- pass 4: correlation matrix (single multi-agg, no join — J4) ----
     corr_cols = num_cols[:max_corr_cols]
     cexprs = []
     for i, a in enumerate(corr_cols):
         for b in corr_cols[i + 1:]:
             cexprs.append(F.corr(F.col(a).cast("double"), F.col(b).cast("double"))
                            .alias(f"corr__{a}__{b}"))
-    row4 = df.agg(*cexprs).collect()[0].asDict() if cexprs else {}
+    row34 = (df.agg(*oexprs, *cexprs).collect()[0].asDict()
+             if (oexprs or cexprs) else {})
+    row3 = row34
+    row4 = {k: v for k, v in row34.items() if k.startswith("corr__")}
     correlations = []
     for k, v in row4.items():
         if v is not None and abs(v) > corr_threshold:

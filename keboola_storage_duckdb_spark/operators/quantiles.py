@@ -43,7 +43,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["exact_quantile_order_stats", "exact_quantiles",
-           "exact_quantiles_grouped"]
+           "exact_quantiles_grouped", "exact_quantiles_grouped_frame",
+           "grouped_quantiles_df", "exact_quantiles_single_pass"]
 
 
 def _rank_set(n: int, probs: list[float]) -> dict[float, tuple[int, int, float]]:
@@ -70,6 +71,7 @@ def _interp(lo_rank: int, hi_rank: int, pos: float,
 def exact_quantile_order_stats(df: DataFrame, cols: list[str],
                                probs: list[float], bins: int = 4096,
                                max_inbin: int = 4_000_000,
+                               precomputed_stats: dict | None = None,
                                ) -> dict[str, dict[float, tuple]]:
     """Resolve every (col, prob) to ``(lower_value, higher_value,
     interpolated_value)`` — the two exact order statistics Spark's
@@ -77,6 +79,12 @@ def exact_quantile_order_stats(df: DataFrame, cols: list[str],
     Spark's own formula — with bounded memory. Returns
     ``{col: {prob: (lo_val, hi_val, value) | None}}`` (None when the
     column has no non-null values). Columns are evaluated as DOUBLE.
+
+    ``precomputed_stats``: optional ``{col: (n, nan, min, max)}`` —
+    non-null count (NaN included), NaN count, NaN-excluded min/max as
+    doubles — from a caller that already scanned the table (the profiler
+    fuses these into its mega-agg pass), skipping this function's own
+    stats job.
     """
     spark = df.sparkSession
     # NaN → NULL in the scan base: Spark orders NaN ABOVE every double
@@ -88,12 +96,19 @@ def exact_quantile_order_stats(df: DataFrame, cols: list[str],
     base = df.select(*[F.when(~F.isnan(casts[c]), casts[c]).alias(c)
                        for c in cols])
 
-    stats = df.agg(*[e for c in cols for e in (
-        F.count(casts[c]).alias(f"n__{c}"),
-        F.count(F.when(F.isnan(casts[c]), True)).alias(f"nan__{c}"),
-        F.min(F.when(~F.isnan(casts[c]), casts[c])).alias(f"min__{c}"),
-        F.max(F.when(~F.isnan(casts[c]), casts[c])).alias(f"max__{c}"),
-        )]).first()
+    if precomputed_stats is not None:
+        stats = {}
+        for c in cols:
+            n, nan, mn, mx = precomputed_stats[c]
+            stats.update({f"n__{c}": n, f"nan__{c}": nan,
+                          f"min__{c}": mn, f"max__{c}": mx})
+    else:
+        stats = df.agg(*[e for c in cols for e in (
+            F.count(casts[c]).alias(f"n__{c}"),
+            F.count(F.when(F.isnan(casts[c]), True)).alias(f"nan__{c}"),
+            F.min(F.when(~F.isnan(casts[c]), casts[c])).alias(f"min__{c}"),
+            F.max(F.when(~F.isnan(casts[c]), casts[c])).alias(f"max__{c}"),
+            )]).first()
 
     resolved: dict[tuple[str, int], float] = {}   # (col, rank) -> value
     # active probes: (col, rank, range_lo, range_hi, offset) — offset =
@@ -341,15 +356,430 @@ def exact_quantiles_grouped(df: DataFrame, group_col: str, value_col: str,
     return out
 
 
+def exact_quantiles_grouped_frame(df: DataFrame, group_col: str,
+                                  value_col: str, probs: list[float],
+                                  bins: int = 1024,
+                                  max_inbin: int = 4_000_000) -> DataFrame:
+    """Grouped exact interpolated quantiles, LOW-LATENCY hybrid: the
+    driver coordinates with O(groups) SCALAR metadata (counts, ranges,
+    bin boundaries — the same class of statistics AQE itself collects),
+    but the RESULT is assembled distributively: in-bin selection values
+    flow executor→executor through joins, never through the driver.
+
+    Three jobs total: (1) per-group stats, (2) one (group × bin)
+    histogram round (more only for pathological >max_inbin bins), and
+    (3) — lazily, when the caller materializes the returned frame — the
+    bounded in-bin selection joined with broadcast rank metadata,
+    interpolated in-plan with Percentile.getPercentile's exact expression
+    (bit-identical to per-group ``percentile()``, tested).
+
+    Use this for low/medium group cardinality (profiler shape: up to a
+    few hundred thousand groups). For unbounded group cardinality use
+    :func:`grouped_quantiles_df`, which keeps even the metadata out of
+    the driver at the cost of a deeper plan. Returns ``(group_col, n,
+    qs array<double>)``; ``n`` counts all group rows (incl. NULL values).
+    """
+    spark = df.sparkSession
+    vc = F.col(value_col).cast("double")
+    base = (df.select(F.col(group_col).alias("g"),
+                      F.when(~F.isnan(vc), vc).alias("v"),
+                      F.coalesce(F.isnan(vc), F.lit(False)).alias("nan"))
+              .localCheckpoint(eager=False))
+
+    # job 1: per-group stats (NaN counted like percentile: occupies the
+    # top of the order; NaN-excluded min/max keep bin math finite)
+    stats = (base.groupBy("g")
+             .agg(F.count(F.lit(1)).alias("rows"),
+                  F.count("v").alias("m"),
+                  F.count(F.when(F.col("nan"), True)).alias("nnan"),
+                  F.min("v").alias("mn"), F.max("v").alias("mx"))
+             .collect())
+
+    resolved: dict[tuple[object, int], float] = {}   # driver-known values
+    probes: list[tuple[object, int, float, float, int]] = []
+    selection: list[tuple[object, float, float, int, int]] = []
+    ranks_by_g: dict[object, dict[float, tuple[int, int, float]]] = {}
+    rows_by_g: dict[object, int] = {}
+    for row in stats:
+        rows_by_g[row.g] = row.rows
+        n = row.m + row.nnan
+        if not n:
+            ranks_by_g[row.g] = {}
+            continue
+        ranks_by_g[row.g] = _rank_set(n, probs)
+        needed = sorted({r for lo, hi, _ in ranks_by_g[row.g].values()
+                         for r in (lo, hi)})
+        for r in needed:
+            if r >= row.m:
+                resolved[(row.g, r)] = float("nan")
+            elif row.mn == row.mx:
+                resolved[(row.g, r)] = row.mn
+            else:
+                w = (row.mx - row.mn) / bins
+                if math.isfinite(w) and w > 0:
+                    probes.append((row.g, r, row.mn, row.mx, 0))
+                else:   # denormal-width range: direct bounded selection
+                    selection.append((row.g, row.mn, row.mx, r, r))
+
+    gtype = base.schema["g"].dataType.simpleString()
+    while probes:
+        tasks: dict[tuple[object, float, float], int] = {}
+        for g, _r, lo, hi, _o in probes:
+            tasks.setdefault((g, lo, hi), len(tasks))
+        spec = spark.createDataFrame(
+            [(tid, g, lo, hi) for (g, lo, hi), tid in tasks.items()],
+            f"tid int, g {gtype}, lo double, hi double")
+        w = (F.col("hi") - F.col("lo")) / bins
+        idx = F.least(F.lit(bins - 1),
+                      F.floor((F.col("v") - F.col("lo")) / w)).cast("int")
+        hist = (base.join(F.broadcast(spec),
+                          base["g"].eqNullSafe(spec["g"]))
+                    .filter((F.col("v") >= F.col("lo"))
+                            & (F.col("v") <= F.col("hi")))
+                    .groupBy("tid", idx.alias("bin"))
+                    .agg(F.count(F.lit(1)).alias("cnt"),
+                         F.min("v").alias("bmin"), F.max("v").alias("bmax"))
+                    .collect())
+        by_task: dict[int, list] = {}
+        for row in hist:
+            by_task.setdefault(row.tid, []).append(row)
+        for t in by_task.values():
+            t.sort(key=lambda r: r.bin)
+        nxt = []
+        for g, rank, lo, hi, offset in probes:
+            cum = offset
+            for b in by_task.get(tasks[(g, lo, hi)], []):
+                if rank < cum + b.cnt:
+                    if b.bmin == b.bmax:
+                        resolved[(g, rank)] = b.bmin
+                    elif b.cnt <= max_inbin:
+                        selection.append((g, b.bmin, b.bmax, rank, rank - cum))
+                    else:
+                        w2 = (b.bmax - b.bmin) / bins
+                        if math.isfinite(w2) and w2 > 0:
+                            nxt.append((g, rank, b.bmin, b.bmax, cum))
+                        else:
+                            selection.append((g, b.bmin, b.bmax, rank,
+                                              rank - cum))
+                    break
+                cum += b.cnt
+        probes = nxt
+
+    # job 3 (lazy): the driver emits one metadata row per
+    # (group, prob, lo/hi side) — selection rows carry the (pid, lrank)
+    # pointer into the in-plan selection frame, driver-known rows carry
+    # the value directly. ONE broadcast join against the selection frame
+    # resolves everything; interpolation + qs pivot run executor-side.
+    groups: dict[tuple[object, float, float], int] = {}
+    sel_by_key: dict[tuple[object, int], tuple[int, int]] = {}
+    for g, lo, hi, rank, lr in selection:
+        pid = groups.setdefault((g, lo, hi), len(groups))
+        sel_by_key[(g, rank)] = (pid, lr)
+    if groups:
+        spec = spark.createDataFrame(
+            [(pid, g, lo, hi) for (g, lo, hi), pid in groups.items()],
+            f"pid int, g {gtype}, lo double, hi double")
+        binvals = (base.join(F.broadcast(spec),
+                             base["g"].eqNullSafe(spec["g"]))
+                       .filter((F.col("v") >= F.col("lo"))
+                               & (F.col("v") <= F.col("hi")))
+                       .groupBy("pid")
+                       .agg(F.sort_array(F.collect_list("v")).alias("vs")))
+    else:
+        binvals = spark.createDataFrame([], "pid int, vs array<double>")
+
+    meta_rows = []
+    for g, ranks in ranks_by_g.items():
+        for pi, p in enumerate(probs):
+            rs = ranks.get(p)
+            if rs is None:
+                meta_rows.append((g, rows_by_g[g], pi, None,
+                                  None, None, 0, None, None, None))
+                continue
+            lo_r, hi_r, pos = rs
+            for side, r in enumerate((lo_r, hi_r)):
+                if side == 1 and hi_r == lo_r:
+                    continue            # integer position: one side only
+                kval = resolved.get((g, r))
+                pid, lr = sel_by_key.get((g, r), (None, None))
+                meta_rows.append((g, rows_by_g[g], pi, float(pos),
+                                  lo_r, hi_r, side, pid, lr, kval))
+    meta = spark.createDataFrame(
+        meta_rows,
+        f"g {gtype}, n long, pi int, pos double, lo_r long, hi_r long, "
+        "side int, pid int, lr int, kval double")
+
+    res = (meta.join(F.broadcast(binvals), "pid", "left")
+               .withColumn("val", F.coalesce(
+                   F.col("kval"),
+                   F.element_at("vs", F.col("lr") + 1))))
+    per_prob = (res.groupBy("g", "n", "pi", "pos", "lo_r", "hi_r")
+                   .agg(F.max(F.when(F.col("side") == 0, F.col("val")))
+                         .alias("lo_v"),
+                        F.max(F.when(F.col("side") == 1, F.col("val")))
+                         .alias("hi_v"))
+                   .select("g", "n", "pi",
+                           F.when(F.col("lo_r").isNull(),
+                                  F.lit(None).cast("double"))
+                            .when(F.col("lo_r") == F.col("hi_r"),
+                                  F.col("lo_v"))
+                            .otherwise((F.col("hi_r") - F.col("pos"))
+                                       * F.col("lo_v")
+                                       + (F.col("pos") - F.col("lo_r"))
+                                       * F.col("hi_v")).alias("val")))
+    return (per_prob.groupBy("g", "n")
+                    .agg(F.transform(F.array_sort(F.collect_list(
+                             F.struct("pi", "val"))),
+                         lambda s: s["val"]).alias("qs"))
+                    .select(F.col("g").alias(group_col), "n", "qs"))
+
+
+def grouped_quantiles_df(df: DataFrame, group_col: str, value_col: str,
+                         probs: list[float], bins: int = 1024,
+                         max_inbin: int = 100_000) -> DataFrame:
+    """Fully DISTRIBUTED grouped exact interpolated quantiles: one lazy
+    DAG, zero driver round-trips — the scale twin of
+    :func:`exact_quantiles_grouped` (which coordinates the same selection
+    from the driver and therefore serializes O(groups) state through it).
+
+    Plan shape (single action when materialized):
+
+    1. per-group stats ``(n, nan-count, min, max)`` — one narrow scan,
+       map-side combined;
+    2. needed order-statistic ranks derived IN-PLAN from ``probs`` ×
+       stats (posexplode of a literal array — no driver rank math);
+    3. level-1 equal-width histogram per ``(group, bin)`` (≤ groups×bins
+       aggregate rows), cumulative counts via a window over that tiny
+       aggregate, non-equi rank-location join;
+    4. level-2 histogram ONLY for located bins with ``cnt > max_inbin``
+       and ``bmin < bmax`` — when that frame is empty AQE's empty-relation
+       propagation eliminates the whole sub-DAG including its scan, so the
+       common case pays nothing;
+    5. bounded in-bin selection: ``sort_array(collect_list)`` over just
+       the located bins (occupancy ≈ N_group/bins, or /bins² after
+       level 2; exact ties resolve earlier as degenerate bins), then
+       ``element_at`` at the local rank.
+
+    NaN handling matches ``percentile()``: NaN counts toward ``n`` and
+    occupies the top of the order, so ranks ≥ non-NaN-count resolve to
+    NaN in-plan. NULL group keys are groups (all joins are null-safe on
+    the key); all-NULL groups yield NULL quantiles like ``percentile``.
+    Interpolation is Spark Percentile.getPercentile's own expression with
+    the same IEEE op order, evaluated JVM-side — bit-identical to the
+    built-in (tested).
+
+    Returns ``(group_col, n, qs array<double>)`` where ``qs[i]`` is the
+    quantile for ``probs[i]`` and ``n`` the group's total row count
+    (including NULL values — the profiler's count twin), ready to join
+    distributively. Reference grouped-quantile surface:
+    src/database.py:5372-5386 (per-group ``quantile_cont``)."""
+    nprobs = len(probs)
+    vc = F.col(value_col).cast("double")
+    base = (df.select(F.col(group_col).alias("g"),
+                      F.when(~F.isnan(vc), vc).alias("v"),
+                      F.coalesce(F.isnan(vc), F.lit(False)).alias("nan"))
+              .localCheckpoint(eager=False))
+
+    # lazy localCheckpoints below cut the shared subtrees: Spark has no
+    # cross-branch common-subexpression elimination, so without them every
+    # union/join branch would recompute its whole upstream lineage
+    # (measured 6x recomputation of the rank-location join at sf0.1).
+    stats = (base.groupBy("g")
+             .agg(F.count(F.lit(1)).alias("rows"),
+                  (F.count("v") + F.count(F.when(F.col("nan"), True)))
+                  .alias("n"),
+                  F.count("v").alias("m"),
+                  F.min("v").alias("mn"), F.max("v").alias("mx"))
+             .localCheckpoint(eager=False))
+
+    # 2. needed ranks, derived in-plan: for each prob p at position
+    # p*(n-1) both bracketing order statistics are needed.
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    ranks = (stats.filter(F.col("n") > 0)
+             .select("g", "n", "m", "mn", "mx",
+                     F.posexplode(parr).alias("pi", "p"))
+             .withColumn("pos", F.col("p") * (F.col("n") - 1).cast("double"))
+             .withColumn("lo_r", F.floor("pos").cast("long"))
+             .withColumn("hi_r", F.ceil("pos").cast("long"))
+             .localCheckpoint(eager=False))
+    needed = (ranks.select("g", "m", "mn", "mx",
+                           F.explode(F.array("lo_r", "hi_r")).alias("rank"))
+                   .distinct())
+
+    # direct resolutions: NaN region (rank beyond the non-NaN count) and
+    # constant groups
+    direct = (needed.filter((F.col("rank") >= F.col("m"))
+                            | (F.col("mn") == F.col("mx")))
+              .select("g", "rank",
+                      F.when(F.col("rank") >= F.col("m"),
+                             F.lit(float("nan")))
+                       .otherwise(F.col("mn")).alias("val")))
+    open_ranks = (needed.filter((F.col("rank") < F.col("m"))
+                                & (F.col("mn") < F.col("mx")))
+                        .select("g", "rank", "mn", "mx"))
+
+    # 3. level-1 histogram over the full per-group range
+    b1 = base.alias("b").join(
+        F.broadcast(stats.select("g", "mn", "mx")
+                         .filter(F.col("mn") < F.col("mx"))).alias("s"),
+        F.col("b.g").eqNullSafe(F.col("s.g")))
+    w1 = (F.col("mx") - F.col("mn")) / bins
+    bin1 = F.least(F.lit(bins - 1),
+                   F.floor((F.col("v") - F.col("mn")) / w1)).cast("int")
+    hist1 = (b1.filter(F.col("v").isNotNull())
+               .groupBy(F.col("b.g").alias("g"), bin1.alias("bin"))
+               .agg(F.count(F.lit(1)).alias("cnt"),
+                    F.min("v").alias("bmin"), F.max("v").alias("bmax")))
+    from pyspark.sql import Window
+    cum = (Window.partitionBy("g").orderBy("bin")
+                 .rowsBetween(Window.unboundedPreceding, -1))
+    hist1 = hist1.withColumn("cum0",
+                             F.coalesce(F.sum("cnt").over(cum), F.lit(0))) \
+                 .localCheckpoint(eager=False)
+    loc1 = (open_ranks.alias("r").join(
+                hist1.alias("h"),
+                F.col("r.g").eqNullSafe(F.col("h.g"))
+                & (F.col("rank") >= F.col("cum0"))
+                & (F.col("rank") < F.col("cum0") + F.col("cnt")))
+            .select(F.col("r.g").alias("g"), "rank", "bmin", "bmax", "cnt",
+                    (F.col("rank") - F.col("cum0")).alias("lrank"))
+            .localCheckpoint(eager=False))
+
+    deg1 = (loc1.filter(F.col("bmin") == F.col("bmax"))
+                .select("g", "rank", F.col("bmin").alias("val")))
+    narrow = loc1.filter((F.col("bmin") < F.col("bmax"))
+                         & (F.col("cnt") <= max_inbin))
+    wide = loc1.filter((F.col("bmin") < F.col("bmax"))
+                       & (F.col("cnt") > max_inbin))
+
+    # 4. level-2 refinement for overfull bins — AQE eliminates this whole
+    # sub-DAG (scan included) when `wide` turns out empty at runtime.
+    nb = wide.select("g", "bmin", "bmax").distinct()
+    b2 = base.alias("b").join(
+        F.broadcast(nb).alias("s"),
+        F.col("b.g").eqNullSafe(F.col("s.g"))
+        & F.col("v").between(F.col("bmin"), F.col("bmax")))
+    w2 = (F.col("bmax") - F.col("bmin")) / bins
+    bin2 = F.least(F.lit(bins - 1),
+                   F.floor((F.col("v") - F.col("bmin")) / w2)).cast("int")
+    hist2 = (b2.groupBy(F.col("b.g").alias("g"), "bmin", "bmax",
+                        bin2.alias("bin"))
+               .agg(F.count(F.lit(1)).alias("cnt2"),
+                    F.min("v").alias("b2min"), F.max("v").alias("b2max")))
+    cum2 = (Window.partitionBy("g", "bmin", "bmax").orderBy("bin")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    hist2 = hist2.withColumn("cum0",
+                             F.coalesce(F.sum("cnt2").over(cum2), F.lit(0)))
+    loc2 = (wide.alias("r").join(
+                hist2.alias("h"),
+                F.col("r.g").eqNullSafe(F.col("h.g"))
+                & (F.col("r.bmin") == F.col("h.bmin"))
+                & (F.col("r.bmax") == F.col("h.bmax"))
+                & (F.col("lrank") >= F.col("cum0"))
+                & (F.col("lrank") < F.col("cum0") + F.col("cnt2")))
+            .select(F.col("r.g").alias("g"), "rank",
+                    F.col("b2min").alias("bmin"),
+                    F.col("b2max").alias("bmax"),
+                    (F.col("lrank") - F.col("cum0")).alias("lrank"))
+            .localCheckpoint(eager=False))
+    deg2 = (loc2.filter(F.col("bmin") == F.col("bmax"))
+                .select("g", "rank", F.col("bmin").alias("val")))
+
+    # 5. bounded in-bin selection for every still-open (g, rank)
+    sel = (narrow.select("g", "rank", "bmin", "bmax", "lrank")
+                 .unionByName(loc2.filter(F.col("bmin") < F.col("bmax"))
+                                  .select("g", "rank", "bmin", "bmax",
+                                          "lrank")))
+    sel_bins = sel.select("g", "bmin", "bmax").distinct()
+    binvals = (base.alias("b").join(
+                   F.broadcast(sel_bins).alias("s"),
+                   F.col("b.g").eqNullSafe(F.col("s.g"))
+                   & F.col("v").between(F.col("bmin"), F.col("bmax")))
+               .groupBy(F.col("b.g").alias("g"), "bmin", "bmax")
+               .agg(F.sort_array(F.collect_list("v")).alias("vs")))
+    picked = (sel.alias("r").join(
+                  binvals.alias("h"),
+                  F.col("r.g").eqNullSafe(F.col("h.g"))
+                  & (F.col("r.bmin") == F.col("h.bmin"))
+                  & (F.col("r.bmax") == F.col("h.bmax")))
+              .select(F.col("r.g").alias("g"), "rank",
+                      F.element_at("vs", (F.col("lrank") + 1).cast("int"))
+                       .alias("val")))
+
+    resolved = direct.unionByName(deg1).unionByName(deg2) \
+                     .unionByName(picked).localCheckpoint(eager=False)
+
+    # interpolate with Percentile.getPercentile's exact expression
+    lo = resolved.select(F.col("g").alias("lg"),
+                         F.col("rank").alias("lr"),
+                         F.col("val").alias("lo_v"))
+    hi = resolved.select(F.col("g").alias("hg"),
+                         F.col("rank").alias("hr"),
+                         F.col("val").alias("hi_v"))
+    vals = (ranks.alias("r")
+                 .join(lo, F.col("r.g").eqNullSafe(F.col("lg"))
+                       & (F.col("lo_r") == F.col("lr")))
+                 .join(hi, F.col("r.g").eqNullSafe(F.col("hg"))
+                       & (F.col("hi_r") == F.col("hr")))
+                 .select(F.col("r.g").alias("g"), "pi",
+                         F.when(F.col("lo_r") == F.col("hi_r"),
+                                F.col("lo_v"))
+                          .otherwise((F.col("hi_r") - F.col("pos"))
+                                     * F.col("lo_v")
+                                     + (F.col("pos") - F.col("lo_r"))
+                                     * F.col("hi_v")).alias("val")))
+    qs = (vals.groupBy("g")
+              .agg(F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pi", "val"))),
+                       lambda s: s["val"]).alias("qs")))
+    out = (stats.alias("s").join(qs.alias("q"),
+                                 F.col("s.g").eqNullSafe(F.col("q.g")),
+                                 "left")
+                .select(F.col("s.g").alias(group_col),
+                        F.col("rows").alias("n"),
+                        F.coalesce(
+                            F.col("qs"),
+                            F.array(*[F.lit(None).cast("double")
+                                      for _ in range(nprobs)])).alias("qs")))
+    return out
+
+
+def exact_quantiles_single_pass(df: DataFrame, cols: list[str],
+                                probs: list[float], bins: int = 1024,
+                                max_inbin: int = 100_000,
+                                ) -> dict[str, list[float]]:
+    """Exact interpolated quantiles for MANY columns in ONE Spark action:
+    unpivot ``cols`` to ``(column-name, value)`` rows and run the fully
+    distributed :func:`grouped_quantiles_df` with the column name as the
+    group key. Same bit-identical-to-``percentile()`` guarantee; the whole
+    computation is a single lazy DAG (the profiler's quantile pass — was
+    3 driver-coordinated jobs via :func:`exact_quantiles`). Returns
+    ``{col: [v per prob]}`` with None entries for all-null columns."""
+    if not cols:
+        return {}
+    stacked = df.select(F.expr(
+        "stack({n}, {args})".format(
+            n=len(cols),
+            args=", ".join(f"'{c}', cast(`{c}` as double)" for c in cols))
+        ).alias("c", "v"))
+    rows = exact_quantiles_grouped_frame(stacked, "c", "v", probs,
+                                         bins=bins,
+                                         max_inbin=max_inbin).collect()
+    return {r.c: list(r.qs) for r in rows}
+
+
 def exact_quantiles(df: DataFrame, cols: list[str], probs: list[float],
                     bins: int = 4096, max_inbin: int = 4_000_000,
+                    precomputed_stats: dict | None = None,
                     ) -> dict[str, list[float]]:
     """Interpolated exact quantiles per column, bit-identical to Spark's
     ``percentile(col, array(probs))`` (same order statistics, same
     interpolation expression and IEEE op order), computed with bounded
     memory. Returns ``{col: [v per prob]}`` (None entries for all-null
     columns)."""
-    stats = exact_quantile_order_stats(df, cols, probs, bins, max_inbin)
+    stats = exact_quantile_order_stats(df, cols, probs, bins, max_inbin,
+                                       precomputed_stats)
     out: dict[str, list[float]] = {}
     for c in cols:
         out[c] = [None if stats[c][p] is None else stats[c][p][2]

@@ -88,6 +88,101 @@ def test_exact_quantiles_grouped_bitwise_match_builtin(spark, sf_dir):
     assert exact_quantiles_grouped(d2, "g", "v", [0.5]) == ref2
 
 
+def test_grouped_quantiles_hybrid_frame_bitwise_match_builtin(spark, sf_dir):
+    """exact_quantiles_grouped_frame (driver-metadata hybrid, values
+    resolved in-plan) == per-group percentile(), bit-for-bit, incl. the
+    tiny-bins refinement branch; single-pass unpivot wrapper matches the
+    ungrouped engine on every column."""
+    import math
+
+    from keboola_storage_duckdb_spark.operators.quantiles import (
+        exact_quantiles, exact_quantiles_grouped_frame,
+        exact_quantiles_single_pass)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "orders")
+    parr = ("array(CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE), "
+            "CAST(0.75 AS DOUBLE))")
+    ref = {r.o_orderpriority: list(r.qs) for r in
+           df.groupBy("o_orderpriority")
+             .agg(F.expr(f"percentile(o_totalprice, {parr})").alias("qs"))
+             .collect()}
+    for kwargs in ({}, {"bins": 4, "max_inbin": 20}):
+        rows = exact_quantiles_grouped_frame(
+            df, "o_orderpriority", "o_totalprice",
+            [0.25, 0.5, 0.75], **kwargs).collect()
+        assert {r.o_orderpriority: list(r.qs) for r in rows} == ref, kwargs
+
+    # NaN / NULL / all-null-group semantics match percentile()
+    d2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", float("nan")), (None, 5.0),
+         (None, 7.0), ("c", 2.0), ("c", None), ("d", None)],
+        "g string, v double")
+    ref2 = {r.g: (list(r.qs) if r.qs is not None else None) for r in
+            d2.groupBy("g")
+              .agg(F.expr("percentile(v, array(0.5D, 0.9D))").alias("qs"))
+              .collect()}
+    got2 = {r.g: list(r.qs) for r in
+            exact_quantiles_grouped_frame(d2, "g", "v", [0.5, 0.9])
+            .collect()}
+    for g, want in ref2.items():
+        if want is None:
+            assert got2[g] == [None, None]
+        else:
+            for gv, wv in zip(got2[g], want):
+                assert (gv == wv) or (math.isnan(gv) and math.isnan(wv)), g
+
+    # single-pass unpivot wrapper == ungrouped engine, every column
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    assert (exact_quantiles_single_pass(df, cols, [0.25, 0.5, 0.75])
+            == exact_quantiles(df, cols, [0.25, 0.5, 0.75]))
+
+
+def test_grouped_quantiles_df_bitwise_match_builtin(spark, sf_dir):
+    """The fully-distributed single-DAG grouped path == per-group
+    percentile(), bit-for-bit, including the max_inbin level-2 refinement
+    branch; NULL/NaN/all-null groups match percentile semantics."""
+    import math
+
+    from keboola_storage_duckdb_spark.operators.quantiles import (
+        grouped_quantiles_df)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "orders")
+    parr = ("array(CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE), "
+            "CAST(0.75 AS DOUBLE))")
+    ref = {r.o_orderpriority: list(r.qs) for r in
+           df.groupBy("o_orderpriority")
+             .agg(F.expr(f"percentile(o_totalprice, {parr})").alias("qs"))
+             .collect()}
+    nref = {r.o_orderpriority: r.n for r in
+            df.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    for kwargs in ({}, {"bins": 4, "max_inbin": 20}):
+        rows = grouped_quantiles_df(df, "o_orderpriority", "o_totalprice",
+                                    [0.25, 0.5, 0.75], **kwargs).collect()
+        assert {r.o_orderpriority: list(r.qs) for r in rows} == ref, kwargs
+        assert {r.o_orderpriority: r.n for r in rows} == nref
+
+    # null group keys, all-null groups, NULL values, NaN placement
+    d2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", float("nan")), (None, 5.0),
+         (None, 7.0), ("c", 2.0), ("c", None), ("d", None)],
+        "g string, v double")
+    ref2 = {r.g: (list(r.qs) if r.qs is not None else None) for r in
+            d2.groupBy("g")
+              .agg(F.expr("percentile(v, array(0.5D, 0.9D))").alias("qs"))
+              .collect()}
+    got2 = {r.g: list(r.qs) for r in
+            grouped_quantiles_df(d2, "g", "v", [0.5, 0.9]).collect()}
+    for g, want in ref2.items():
+        if want is None:
+            assert got2[g] == [None, None]
+        else:
+            for gv, wv in zip(got2[g], want):
+                assert (gv == wv) or (math.isnan(gv) and math.isnan(wv)), g
+
+
 def test_exact_quantiles_edge_cases(spark):
     from keboola_storage_duckdb_spark.operators.quantiles import exact_quantiles
 

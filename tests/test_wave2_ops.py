@@ -110,6 +110,26 @@ def test_prefix_jaccard_equals_inverted_index(spark, sf_dir):
          for r in ngram_jaccard_prefix_pairs(docs, "doc_id", "text", 0.8).collect()}
     assert a == b and len(a) > 0
 
+    # adaptive density guard: below the limit the result is identical...
+    c = {(r.id_a, r.id_b): r.jaccard
+         for r in ngram_jaccard_prefix_pairs(docs, "doc_id", "text", 0.8,
+                                             adaptive=True).collect()}
+    assert c == a
+    # ...past the limit the df-capped index returns an exact-verified
+    # SUBSET (sub-recall only — never a false positive), and with a cap
+    # above the max df the subset is the full answer
+    d = {(r.id_a, r.id_b): r.jaccard
+         for r in ngram_jaccard_prefix_pairs(
+             docs, "doc_id", "text", 0.8, adaptive=True,
+             density_limit=1, max_doc_freq_cap=2).collect()}
+    assert set(d) <= set(a)
+    assert all(a[k] == v for k, v in d.items())
+    e = {(r.id_a, r.id_b): r.jaccard
+         for r in ngram_jaccard_prefix_pairs(
+             docs, "doc_id", "text", 0.8, adaptive=True,
+             density_limit=1, max_doc_freq_cap=10**9).collect()}
+    assert e == a
+
 
 def test_skew_agg_matches_plain_groupby(spark, sf_dir):
     import __spark_entry__ as E
