@@ -46,6 +46,26 @@ from .operators.profile import profile_table
 
 TIMESTAMP_COL = "_timestamp"  # system column (reference import_export.py:300-312)
 
+# Arrow IPC wire format (reference ADR-011,
+# docs/adr/011-apache-arrow-integration.md:113)
+ARROW_MIME = "application/vnd.apache.arrow.stream"
+
+
+def df_to_arrow_ipc(df: DataFrame) -> tuple[bytes, str, int]:
+    """Serialize a (bounded!) DataFrame to an Arrow IPC stream via Spark's
+    native Arrow collect path (``df.toArrow()`` — Arrow batches travel
+    from executors without ever materializing Python Row objects).
+    Returns (ipc_bytes, schema_string, row_count). Callers must bound the
+    frame (limit / max_rows) first — this is an API-edge serializer, not
+    a data-export path (exports write distributed parquet/csv)."""
+    import pyarrow as pa
+
+    tbl = df.toArrow()
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as writer:
+        writer.write_table(tbl)
+    return sink.getvalue().to_pybytes(), str(tbl.schema), tbl.num_rows
+
 
 class StorageEngine:
     def __init__(self, spark: SparkSession, warehouse: str) -> None:
@@ -401,7 +421,8 @@ class StorageEngine:
                     incremental: bool = False, branch: str | None = None,
                     csv_options: dict | None = None,
                     convert_empty_to_null: Iterable[str] = (),
-                    file_id: str | None = None) -> dict:
+                    file_id: str | None = None,
+                    import_strategy: str = "user_defined_table") -> dict:
         """Import pipeline: STAGING → TRANSFORM → CLEANUP
         (reference src/routers/table_import.py:240-468).
 
@@ -413,15 +434,35 @@ class StorageEngine:
         Full load (incremental=False) = W1 overwrite. Incremental applies
         the dedup mode: update_duplicates W3 / insert_duplicates W5 /
         fail_on_duplicates W6 / pk-only do-nothing W4 — all PK-shuffle
-        joins, never driver-side."""
+        joins, never driver-side.
+
+        ``import_strategy`` mirrors proto/table.proto
+        ``ImportOptions.ImportStrategy``: ``user_defined_table`` conforms
+        to the declared column types (this engine's historic behavior);
+        ``string_table`` (the reference's classic-Keboola default, enum 0)
+        loads EVERY column as STRING regardless of declared types — the
+        table's stored schema follows, so later reads and DDL see VARCHAR
+        columns, and existing typed rows are migrated to string on an
+        incremental string-table import."""
         if (path is None) == (file_id is None):
             raise CatalogError("import_file needs exactly one of path / file_id")
+        if import_strategy not in ("user_defined_table", "string_table"):
+            raise CatalogError(
+                f"unknown import strategy {import_strategy!r}")
         if file_id is not None:
             path = self.files.local_path(project, file_id)
         self.ensure_cow_for_write(project, bucket, table, branch)
         src_kind, _ = self.catalog.resolve_table(project, bucket, table, branch)
         eff_branch = branch if src_kind == "branch" else None
         meta = self.catalog.read_meta(project, bucket, table, eff_branch)
+        if import_strategy == "string_table" and any(
+                c["type"].upper() not in ("VARCHAR", "STRING", "TEXT")
+                for c in meta.columns):
+            meta = TableMeta(
+                columns=[{**c, "type": "VARCHAR"} for c in meta.columns],
+                primary_key=meta.primary_key, created_at=meta.created_at,
+                properties=meta.properties)
+            self.catalog.write_meta(project, bucket, table, meta, eff_branch)
 
         # STAGING (S1-S3). CSV columns are mapped BY HEADER NAME, not
         # position (reference inserts by name, src/database.py): an explicit
@@ -435,6 +476,14 @@ class StorageEngine:
             staged = self.spark.read.options(**opts).csv(path)
         elif file_format == "parquet":
             staged = self.spark.read.parquet(path)
+        elif file_format == "arrow":
+            # Arrow IPC import (reference ADR-011 import endpoint,
+            # docs/adr/011-apache-arrow-integration.md:99-107): the stream
+            # enters Spark through the native Arrow createDataFrame path.
+            import pyarrow as pa
+            with pa.OSFile(path, "rb") as f:
+                tbl = pa.ipc.open_stream(f).read_all()
+            staged = self.spark.createDataFrame(tbl)
         else:
             raise CatalogError(f"unsupported import format {file_format!r}")
         staged = self._conform(staged, meta, convert_empty_to_null)
@@ -442,6 +491,12 @@ class StorageEngine:
         pk = meta.primary_key
         with self.catalog.acquire(project, bucket, table):
             existing = self.read_table(project, bucket, table, eff_branch)
+            if import_strategy == "string_table":
+                # migrate previously-typed rows so the union/upsert sees
+                # one all-string schema
+                existing = existing.select(
+                    *[F.col(c).cast("string").alias(c) if c != TIMESTAMP_COL
+                      else F.col(c) for c in existing.columns])
             before = existing.count()
             # TRANSFORM (W1-W6)
             if not incremental:
@@ -546,6 +601,22 @@ class StorageEngine:
         if limit is not None:
             df = df.limit(int(limit))
         return df
+
+    def preview_arrow(self, project: str, bucket: str, table: str,
+                      branch: str | None = None, limit: int = 1000,
+                      version: int | None = None,
+                      **filters) -> tuple[bytes, str, int]:
+        """PreviewTable as an Apache Arrow IPC stream (reference ADR-011,
+        docs/adr/011-apache-arrow-integration.md:60-137 — Arrow as the
+        alternative wire format; the reference benchmarked 201× vs JSON
+        on 100 k rows). Spark speaks Arrow natively (``df.toArrow()``),
+        so the result batches never round-trip through Python row
+        objects. Returns (ipc_bytes, schema_string, row_count)."""
+        limit = min(int(limit), 10000)
+        df = self._apply_filters(
+            self.read_table(project, bucket, table, branch, version=version),
+            limit=limit, **filters)
+        return df_to_arrow_ipc(df)
 
     def preview(self, project: str, bucket: str, table: str,
                 branch: str | None = None, limit: int = 1000,
@@ -1123,6 +1194,47 @@ class StorageEngine:
                     .createOrReplaceTempView(name)
                 views.append(name)
         return views
+
+    def execute_query_arrow(self, project: str, sql: str,
+                            branch: str | None = None,
+                            timeout_seconds: float | None = None,
+                            max_rows: int | None = 100_000,
+                            ) -> tuple[bytes, str, int]:
+        """Q1 ExecuteQuery with Arrow IPC results (reference ADR-011 query
+        endpoint, docs/adr/011-apache-arrow-integration.md:78-97): same
+        view registration / job-group timeout / truncation semantics as
+        :meth:`execute_query`, but the bounded result leaves the JVM as
+        Arrow batches (``df.toArrow()``) and is returned as an IPC stream
+        — no Python row marshaling, no JSON. Returns
+        (ipc_bytes, schema_string, row_count)."""
+        self.register_project_views(project, branch)
+        sc = self.spark.sparkContext
+        group = f"exec-{uuid.uuid4().hex[:8]}"
+        sc.setJobGroup(group, sql[:100], interruptOnCancel=True)
+        timer = None
+        if timeout_seconds:
+            timer = threading.Timer(timeout_seconds,
+                                    lambda: sc.cancelJobGroup(group))
+            timer.start()
+        try:
+            df = self.spark.sql(sql)
+            if max_rows is not None:
+                tbl = df.limit(max_rows + 1).toArrow()
+                if tbl.num_rows > max_rows:
+                    tbl = tbl.slice(0, max_rows)
+                    self._log("execute_query_truncated", project=project,
+                              max_rows=max_rows)
+            else:
+                tbl = df.toArrow()
+        finally:
+            if timer:
+                timer.cancel()
+            sc.setJobGroup("", "")
+        import pyarrow as pa
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, tbl.schema) as writer:
+            writer.write_table(tbl)
+        return sink.getvalue().to_pybytes(), str(tbl.schema), tbl.num_rows
 
     def execute_query(self, project: str, sql: str,
                       branch: str | None = None,

@@ -42,10 +42,31 @@ from ..catalog.catalog import (
     CatalogError,
     NotFoundError,
 )
+from ..engine import ARROW_MIME
 from ..idempotency import IdempotencyCache
 from ..operators.dedup import DuplicateKeyError
 from ..operators.filters import WhereClauseError
 from .files import FileStoreError
+
+
+def _wants_arrow(body: dict | None = None) -> bool:
+    """Arrow IPC content negotiation (reference ADR-011: Accept header or
+    an explicit format=arrow in query string / body)."""
+    if ARROW_MIME in request.headers.get("Accept", ""):
+        return True
+    if request.args.get("format") == "arrow":
+        return True
+    return bool(body) and body.get("format") == "arrow"
+
+
+def _arrow_response(data: bytes, schema: str, n: int,
+                    filename: str | None = None) -> Response:
+    # pyarrow renders schemas one field per line; headers are single-line
+    headers = {"X-Arrow-Schema": schema.replace("\n", "; "),
+               "X-Row-Count": str(n)}
+    if filename:
+        headers["Content-Disposition"] = f"attachment; filename={filename}"
+    return Response(data, mimetype=ARROW_MIME, headers=headers)
 
 
 def _branch(branch_id: str) -> str | None:
@@ -240,6 +261,12 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
             filters["order_by"] = [{"column": c}
                                    for c in args["order_by"].split(",")]
         version = int(args["version"]) if args.get("version") else None
+        if _wants_arrow():
+            data, schema, n = engine.preview_arrow(
+                project, bucket, table, _branch(branch_id),
+                limit=int(args.get("limit", 1000)),
+                version=version, **filters)
+            return _arrow_response(data, schema, n)
         rows = engine.preview(project, bucket, table, _branch(branch_id),
                               limit=int(args.get("limit", 1000)),
                               version=version, **filters)
@@ -321,6 +348,23 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
     # ------------------------------------------------------ import/export
     @app.post(tbl + "/<table>/import/file")
     def import_file(project, branch_id, bucket, table):
+        if request.content_type == ARROW_MIME:
+            # ADR-011 Arrow import: the request body IS the IPC stream
+            import tempfile
+            opts = request.args
+            with tempfile.NamedTemporaryFile(suffix=".arrow",
+                                             delete=False) as f:
+                f.write(request.get_data())
+                tmp = f.name
+            try:
+                out = engine.import_file(
+                    project, bucket, table, path=tmp, file_format="arrow",
+                    incremental=opts.get("incremental") == "true",
+                    dedup_mode=opts.get("dedup_mode", "update_duplicates"),
+                    branch=_branch(branch_id))
+            finally:
+                os.unlink(tmp)
+            return jsonify(out)
         body = request.get_json(force=True)
         opts = body.get("import_options", {})
         out = engine.import_file(
@@ -330,6 +374,8 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
             file_format=body.get("format", "csv"),
             incremental=opts.get("incremental", False),
             dedup_mode=opts.get("dedup_mode", "update_duplicates"),
+            import_strategy=opts.get("import_strategy",
+                                     "user_defined_table"),
             csv_options=body.get("csv_options"),
             convert_empty_to_null=body.get("convert_empty_to_null", ()),
             branch=_branch(branch_id))
@@ -345,22 +391,39 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
         filters = {k: body[k] for k in
                    ("columns", "where", "where_filters", "order_by", "limit")
                    if k in body}
+        if fmt == "arrow" or _wants_arrow(body):
+            # ADR-011 export shape: the bounded result streams back
+            # directly as Arrow IPC (no file registration round-trip)
+            data, schema, n = engine.preview_arrow(
+                project, bucket, table, _branch(branch_id),
+                limit=body.get("limit", 10_000), **{
+                    k: v for k, v in filters.items() if k != "limit"})
+            return _arrow_response(data, schema, n,
+                                   filename=f"{table}.arrow")
         staging = os.path.join(engine.files.root, project, "export_tmp")
         out = engine.export_to_file(project, bucket, table, staging,
                                     file_format=fmt,
                                     compression=body.get("compression"),
                                     branch=_branch(branch_id),
-                                    single_file=True, **filters)
-        # adopt the single part file as one downloadable file record
+                                    single_file=body.get("single_file", True),
+                                    **filters)
+        # adopt the part file(s) as downloadable file records; the
+        # parallel path (single_file=false — large exports keep the write
+        # distributed) registers every part as a sliced file set
         name = body.get("file_name", f"{table}.{fmt}")
-        part = next(e for e in sorted(os.listdir(staging))
-                    if e.startswith("part-"))
-        rec = engine.files.register_local(
-            project, os.path.join(staging, part), name,
-            content_type=f"application/{fmt}")
+        parts = [e for e in sorted(os.listdir(staging))
+                 if e.startswith("part-")]
+        recs = []
+        for i, part in enumerate(parts):
+            pname = name if len(parts) == 1 else f"{name}.{i:05d}"
+            recs.append(engine.files.register_local(
+                project, os.path.join(staging, part), pname,
+                content_type=f"application/{fmt}"))
         shutil.rmtree(staging, ignore_errors=True)
-        return jsonify({"rows_exported": out["rows_exported"],
-                        "file": rec})
+        resp = {"rows_exported": out["rows_exported"], "file": recs[0]}
+        if len(recs) > 1:
+            resp["files"] = recs
+        return jsonify(resp)
 
     # -------------------------------------------------------------- files
     @app.post("/projects/<project>/files/prepare")
@@ -544,6 +607,13 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
     @app.post("/projects/<project>/query")
     def query(project):
         body = request.get_json(force=True)
+        if _wants_arrow(body):
+            data, schema, n = engine.execute_query_arrow(
+                project, body["sql"],
+                branch=_branch(body.get("branch", "default")),
+                timeout_seconds=body.get("timeout_seconds"),
+                max_rows=body.get("max_rows", 10_000))
+            return _arrow_response(data, schema, n)
         rows = engine.execute_query(
             project, body["sql"],
             branch=_branch(body.get("branch", "default")),

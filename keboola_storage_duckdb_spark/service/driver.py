@@ -23,6 +23,15 @@ ADMIN_ONLY = {"InitBackendCommand", "RemoveBackendCommand",
               "CreateProjectCommand", "DropProjectCommand"}
 
 
+def _strategy(v) -> str:
+    """proto/table.proto ImportOptions.ImportStrategy: accepts the enum
+    number (0=STRING_TABLE, 1=USER_DEFINED_TABLE), the enum name, or the
+    engine's snake_case string; None keeps the engine default."""
+    if v in (0, "0", "STRING_TABLE", "string_table"):
+        return "string_table"
+    return "user_defined_table"
+
+
 def _handlers(engine) -> dict:
     """Command type → callable(payload) → result dict. Payload field names
     follow the reference's driver JSON (projectId/bucketName/tableName…)."""
@@ -75,7 +84,8 @@ def _handlers(engine) -> dict:
             path=c.get("path"), file_id=c.get("fileId"),
             file_format=c.get("format", "csv"),
             incremental=c.get("incremental", False),
-            dedup_mode=c.get("dedupMode", "update_duplicates")),
+            dedup_mode=c.get("dedupMode", "update_duplicates"),
+            import_strategy=_strategy(c.get("importStrategy"))),
         "TableExportToFileCommand": lambda c: engine.export_to_file(
             c["projectId"], c["bucketName"], c["tableName"], c["path"],
             file_format=c.get("format", "csv"),

@@ -64,11 +64,24 @@ class _PgError(Exception):
 class PgWireServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
                  max_connections: int = 20, query_timeout: float = 300.0,
-                 max_rows: int = 10_000) -> None:
+                 max_rows: int = 10_000,
+                 max_connections_per_workspace: int = 5,
+                 certfile: str | None = None,
+                 keyfile: str | None = None) -> None:
         self.engine = engine
         self.host = host
         self._requested_port = port
         self.max_connections = max_connections
+        # reference src/config.py:73-80: 100 global / 5 per workspace
+        self.max_connections_per_workspace = max_connections_per_workspace
+        # optional TLS (reference src/pgwire_server.py:424-470): with a
+        # cert configured the server answers 'S' to SSLRequest and wraps
+        # the socket; without one it answers 'N' (plaintext) as before
+        self._ssl_ctx = None
+        if certfile:
+            import ssl
+            self._ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            self._ssl_ctx.load_cert_chain(certfile, keyfile)
         self.query_timeout = query_timeout
         self.max_rows = max_rows
         self.sessions: dict[str, dict] = {}
@@ -147,7 +160,7 @@ class PgWireServer:
                 self._error(conn, "53300", "too many connections",
                             severity="FATAL")
                 return
-            params = self._handshake(conn)
+            params, conn = self._handshake(conn)
             if params is None:
                 with self._lock:
                     self.sessions.pop(session_id, None)
@@ -169,26 +182,45 @@ class PgWireServer:
             except OSError:
                 pass
 
-    def _handshake(self, conn: socket.socket) -> dict | None:
-        """Startup + auth; returns startup params or None if rejected."""
+    def _handshake(self, conn: socket.socket):
+        """Startup + auth; returns (params, conn) — params None if
+        rejected; conn may be a TLS-wrapped replacement socket after an
+        accepted SSLRequest."""
         while True:
             (length,) = struct.unpack("!I", self._recv_exact(conn, 4))
             body = self._recv_exact(conn, length - 4)
             (code,) = struct.unpack("!I", body[:4])
+            if code == 80877103 and self._ssl_ctx is not None:  # SSLRequest
+                conn.sendall(b"S")
+                conn = self._ssl_ctx.wrap_socket(conn, server_side=True)
+                continue
             if code == 80877103 or code == 80877104:   # SSL / GSSENC probe
                 conn.sendall(b"N")
                 continue
             if code == 80877102:                       # CancelRequest
-                return None
+                return None, conn
             if code != 196608:                         # protocol 3.0
                 self._error(conn, "0A000",
                             f"unsupported protocol {code >> 16}.{code & 0xffff}",
                             severity="FATAL")
-                return None
+                return None, conn
             parts = body[4:].split(b"\x00")
             params = {parts[i].decode(): parts[i + 1].decode()
                       for i in range(0, len(parts) - 1, 2) if parts[i]}
             break
+        # per-workspace connection cap (reference src/config.py:75-76
+        # enforces 5 per workspace on top of the global limit) — checked
+        # before auth so the 6th client gets FATAL 53300 while another
+        # workspace still connects
+        ws = params.get("user", "")
+        with self._lock:
+            per = sum(1 for sess in self.sessions.values()
+                      if sess.get("user") == ws)
+        if per >= self.max_connections_per_workspace:
+            self._error(conn, "53300",
+                        f'too many connections for workspace "{ws}"',
+                        severity="FATAL")
+            return None, conn
         # cleartext password auth (reference: workspace credential check)
         conn.sendall(_msg(b"R", struct.pack("!I", 3)))
         t = self._recv_exact(conn, 1)
@@ -197,7 +229,7 @@ class PgWireServer:
         if t != b"p":
             self._error(conn, "08P01", "expected PasswordMessage",
                         severity="FATAL")
-            return None
+            return None, conn
         password = body.rstrip(b"\x00").decode()
         user = params.get("user", "")
         ok = (self.engine.verify_workspace_password(user, password)
@@ -206,7 +238,7 @@ class PgWireServer:
             self._error(conn, "28P01",
                         f'password authentication failed for user "{user}"',
                         severity="FATAL")
-            return None
+            return None, conn
         conn.sendall(_msg(b"R", struct.pack("!I", 0)))       # AuthenticationOk
         for k, v in (("server_version", "15.0 (spark-storage)"),
                      ("client_encoding", "UTF8"),
@@ -215,7 +247,7 @@ class PgWireServer:
             conn.sendall(_msg(b"S", _cstr(k) + _cstr(v)))
         conn.sendall(_msg(b"K", struct.pack("!II", 0, 0)))   # BackendKeyData
         self._ready(conn)
-        return params
+        return params, conn
 
     # --------------------------------------------------- extended protocol
     @staticmethod

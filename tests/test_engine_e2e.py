@@ -310,3 +310,51 @@ def test_drop_guards(engine):
         engine.drop_bucket("p1", "in_c_data")  # not empty
     with pytest.raises(NotFoundError):
         engine.drop_table("p1", "in_c_data", "missing")
+
+
+def test_import_strategy_string_table(engine, csv_path):
+    """proto/table.proto ImportOptions.ImportStrategy: STRING_TABLE (the
+    reference's classic-Keboola default) loads every column as STRING
+    regardless of declared types; USER_DEFINED_TABLE keeps the declared
+    types — mirrors reference tests/test_data_pipeline_e2e.py typed vs
+    string roundtrips."""
+    import pyspark.sql.types as T
+
+    # typed (default) roundtrip
+    engine.create_table("p1", "in_c_data", "users_typed", USERS_COLUMNS,
+                        primary_key=["id"])
+    engine.import_file("p1", "in_c_data", "users_typed", csv_path["v1"])
+    df = engine.read_table("p1", "in_c_data", "users_typed")
+    assert isinstance(df.schema["id"].dataType, T.IntegerType)
+    assert isinstance(df.schema["age"].dataType, T.IntegerType)
+
+    # string-table roundtrip: same CSV, every column STRING
+    engine.create_table("p1", "in_c_data", "users_str", USERS_COLUMNS,
+                        primary_key=["id"])
+    out = engine.import_file("p1", "in_c_data", "users_str", csv_path["v1"],
+                             import_strategy="string_table")
+    assert out["rows_after"] == 3
+    df = engine.read_table("p1", "in_c_data", "users_str")
+    assert isinstance(df.schema["id"].dataType, T.StringType)
+    assert isinstance(df.schema["age"].dataType, T.StringType)
+    rows = {r.id: r for r in df.collect()}
+    assert rows["1"].age == "30" and rows["3"].email is None
+    # stored meta follows: later DDL/introspection sees VARCHAR
+    meta = engine.catalog.read_meta("p1", "in_c_data", "users_str")
+    assert all(c["type"] == "VARCHAR" for c in meta.columns)
+
+    # incremental string-table import onto the (previously typed) table
+    # upserts on the string PK
+    out = engine.import_file("p1", "in_c_data", "users_str", csv_path["v2"],
+                             incremental=True,
+                             import_strategy="string_table")
+    rows = {r.id: r.name for r in
+            engine.read_table("p1", "in_c_data", "users_str").collect()}
+    assert rows == {"1": "Alice", "2": "Bobby", "3": "Carol", "4": "Dave"}
+
+    # unknown strategy rejected
+    import pytest as _pt
+    from keboola_storage_duckdb_spark.catalog.catalog import CatalogError
+    with _pt.raises(CatalogError):
+        engine.import_file("p1", "in_c_data", "users_str", csv_path["v1"],
+                           import_strategy="bogus")

@@ -369,3 +369,98 @@ def test_api_key_auth_and_connection_limit(server):
     assert c3.auth_error is not None and c3.auth_error["C"] == "53300"
     c1.terminate()
     c2.terminate()
+
+
+def test_per_workspace_connection_cap(spark, tmp_path_factory):
+    """Reference src/config.py:75-76: on top of the global limit, each
+    workspace gets at most N connections — the (N+1)th client for one
+    workspace is refused FATAL 53300 while another workspace still
+    connects."""
+    eng = StorageEngine(spark, str(tmp_path_factory.mktemp("wh_pgcap")))
+    eng.create_project("p6")
+    eng.create_workspace("ws_a")
+    eng.create_workspace("ws_b")
+    pa = eng.reset_workspace_password("ws_a")
+    pb = eng.reset_workspace_password("ws_b")
+    srv = PgWireServer(eng, max_connections=20,
+                       max_connections_per_workspace=2)
+    srv.start()
+    try:
+        held = [MiniPgClient(srv.port, "ws_a", "p6", pa) for _ in range(2)]
+        assert all(c.auth_error is None for c in held)
+        third = MiniPgClient(srv.port, "ws_a", "p6", pa)
+        assert third.auth_error is not None
+        assert third.auth_error["C"] == "53300"
+        assert third.auth_error["S"] == "FATAL"
+        other = MiniPgClient(srv.port, "ws_b", "p6", pb)
+        assert other.auth_error is None
+        other.terminate()
+        # freeing one slot admits a new ws_a client
+        held[0].terminate()
+        import time
+        time.sleep(0.3)
+        again = MiniPgClient(srv.port, "ws_a", "p6", pa)
+        assert again.auth_error is None
+        again.terminate()
+        held[1].terminate()
+    finally:
+        srv.stop()
+
+
+def test_tls_handshake(spark, tmp_path_factory):
+    """SSLRequest completes a real TLS handshake when a certificate is
+    configured (reference src/pgwire_server.py:424-470) and the full
+    auth + query flow runs over the encrypted socket."""
+    import datetime
+    import ssl
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "localhost")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (x509.CertificateBuilder()
+            .subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now)
+            .not_valid_after(now + datetime.timedelta(days=1))
+            .sign(key, hashes.SHA256()))
+    d = tmp_path_factory.mktemp("pgtls")
+    certfile, keyfile = str(d / "cert.pem"), str(d / "key.pem")
+    with open(certfile, "wb") as f:
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(keyfile, "wb") as f:
+        f.write(key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption()))
+
+    eng = StorageEngine(spark, str(tmp_path_factory.mktemp("wh_pgtls")))
+    eng.create_project("p7")
+    eng.create_workspace("ws_tls")
+    pw = eng.reset_workspace_password("ws_tls")
+    srv = PgWireServer(eng, certfile=certfile, keyfile=keyfile)
+    srv.start()
+    try:
+        raw = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        raw.sendall(struct.pack("!II", 8, 80877103))         # SSLRequest
+        assert raw.recv(1) == b"S"
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+        tls = ctx.wrap_socket(raw)
+        assert tls.version() is not None                     # handshake done
+        c = MiniPgClient.__new__(MiniPgClient)
+        c.sock = tls
+        c._startup("ws_tls", "p7")
+        c.auth_error = c._authenticate(pw)
+        assert c.auth_error is None
+        cols, rows, err = c.query("SELECT 1 AS one")
+        assert err is None and rows == [["1"]]
+        c.terminate()
+    finally:
+        srv.stop()

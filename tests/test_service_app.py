@@ -268,3 +268,58 @@ def test_auth_required_mode(spark, tmp_path_factory):
                      headers={"X-API-Key": "wrong"}).status_code == 401
         assert c.get("/projects",
                      headers={"X-API-Key": key}).status_code == 200
+
+
+def test_arrow_ipc_edges(client):
+    """ADR-011 parity: preview / query / export answer Arrow IPC under
+    content negotiation (byte-valid stream, row-equal with the JSON
+    path), and an Arrow IPC request body imports a table."""
+    import pyarrow as pa
+
+    from keboola_storage_duckdb_spark.engine import ARROW_MIME
+
+    # preview via Accept header
+    r = client.get(BASE + "/users/preview?order_by=id",
+                   headers={"Accept": ARROW_MIME})
+    assert r.status_code == 200 and r.content_type.startswith(ARROW_MIME)
+    tbl = pa.ipc.open_stream(r.data).read_all()
+    assert int(r.headers["X-Row-Count"]) == tbl.num_rows
+    jrows = client.get(BASE + "/users/preview?order_by=id").get_json()["rows"]
+    arows = tbl.to_pylist()
+    assert [x["id"] for x in arows] == [x["id"] for x in jrows]
+    assert [x["name"] for x in arows] == [x["name"] for x in jrows]
+
+    # query via body format=arrow
+    r = _post(client, "/projects/p1/query",
+              {"sql": "SELECT count(*) AS n FROM in_c_data_users",
+               "format": "arrow"})
+    assert r.content_type.startswith(ARROW_MIME)
+    qt = pa.ipc.open_stream(r.data).read_all()
+    jn = _post(client, "/projects/p1/query",
+               {"sql": "SELECT count(*) AS n FROM in_c_data_users"}
+               ).get_json()["rows"][0]["n"]
+    assert qt.to_pylist()[0]["n"] == int(jn)
+
+    # export ?format=arrow streams directly with a filename
+    r = _post(client, BASE + "/users/export", {"format": "arrow"})
+    assert r.content_type.startswith(ARROW_MIME)
+    assert "users.arrow" in r.headers["Content-Disposition"]
+    et = pa.ipc.open_stream(r.data).read_all()
+    assert et.num_rows == tbl.num_rows
+
+    # Arrow import: round-trip the exported stream into a fresh table
+    _post(client, BASE, {"name": "users_arrow", "columns": USERS_COLUMNS})
+    imp = client.post(BASE + "/users_arrow/import/file",
+                      data=r.data, content_type=ARROW_MIME)
+    assert imp.status_code == 200
+    assert imp.get_json()["rows_after"] == tbl.num_rows
+
+
+def test_export_parallel_path(client):
+    """single_file=false keeps the write distributed and registers every
+    part as a sliced file set."""
+    r = _post(client, BASE + "/users/export",
+              {"format": "csv", "single_file": False})
+    body = r.get_json()
+    assert r.status_code == 200 and body["rows_exported"] >= 1
+    assert "file" in body    # first slice always present
