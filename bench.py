@@ -40,6 +40,7 @@ def main() -> None:
     # so far landed in a contention window) — up to 5 reps for the
     # multi-second queries where a bad window costs tens of seconds.
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name, fn in E.queries().items():
         try:
             runs = []
@@ -56,6 +57,11 @@ def main() -> None:
                     fn(spark, sf_dir).collect()
                     runs.append(time.perf_counter() - t0)
             timings[name] = round(min(runs), 4)
+            if len(runs) > 1:
+                # full rep spread so a reader can separate VM contention
+                # (wide spread) from a real regression (tight spread at a
+                # higher level) without a rerun
+                spreads[name] = [round(r, 4) for r in runs]
         except Exception as ex:  # a failing query must not hide the rest
             timings[name] = -1.0
             print(f"bench error in {name}: {ex}", file=sys.stderr)
@@ -66,6 +72,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spreads": spreads,
         "sf": sf,
     }))
 
