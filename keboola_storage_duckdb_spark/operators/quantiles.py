@@ -33,6 +33,21 @@ At 100 TB this is the only viable exact-quantile shape: every scan is a
 narrow projection with map-side-combined aggregation; nothing larger than
 ``bins`` rows per column crosses a shuffle until the final bounded in-bin
 sort.
+
+Three implementations share the algorithm, differing in who coordinates:
+
+- :func:`exact_quantiles` / :func:`exact_quantile_order_stats` — ungrouped,
+  all columns fused per scan with LITERAL ranges (no joins); driver holds
+  O(cols × probs) scalars. The profiler's path (its stats scan can be
+  skipped via ``precomputed_stats``).
+- :func:`exact_quantiles_grouped_frame` — grouped HYBRID: driver holds
+  O(groups) scalar metadata, selection VALUES resolve in-plan and the
+  result frame assembles distributively. Low-latency grouped path.
+- :func:`grouped_quantiles_df` — grouped, fully in-plan, zero driver
+  state: ranks derived from a posexploded literal, rank-location by
+  non-equi join over the (group × bin) aggregate, AQE-eliminated level-2
+  refinement. The unbounded-group-cardinality path; costs ~2× the hybrid's
+  wall at toy SF from stage-count floor (NOTES round 6).
 """
 
 from __future__ import annotations
