@@ -212,14 +212,23 @@ class StorageEngine:
 
     def optimize_table(self, project: str, bucket: str, table: str,
                        partition_by: list[str] | None = None,
-                       target_files: int | None = None) -> dict:
+                       target_files: int | None = None,
+                       cluster_by: list[str] | None = None) -> dict:
         """Compaction / re-layout (beyond-reference — the warehouse-health
         op a 100 TB deployment runs continuously): rewrite the table,
         optionally hive-partitioned by low-cardinality columns (reads then
         get partition *pruning* at the scan, the cheapest possible skip) and
         repartitioned to a target file count (small-file compaction after
         many incremental imports). Atomic via the same stage-and-swap path
-        as every other write."""
+        as every other write.
+
+        ``cluster_by`` sort-clusters rows (range-partition across files +
+        sortWithinPartitions inside them) on the given columns so parquet
+        row-group min/max statistics become selective — point/range
+        filters on the cluster columns then skip most row groups at the
+        scan (the Z-order/liquid-clustering trade made with a single sort
+        key order). Composable with ``partition_by`` (clustering applies
+        within each hive partition) and ``target_files``."""
         with self.catalog.acquire(project, bucket, table):
             df = self.read_table(project, bucket, table)
             if partition_by:
@@ -235,9 +244,17 @@ class StorageEngine:
                         "partition columns must be non-null (and non-empty "
                         "for strings); hive layout cannot represent them")
             out = df
-            if target_files:
+            if cluster_by and target_files and not partition_by:
+                # one shuffle: range-partition on the cluster key so files
+                # cover disjoint key ranges, then sort inside each file
+                out = df.repartitionByRange(target_files,
+                                            *[F.col(c) for c in cluster_by])
+            elif target_files:
                 out = (df.repartition(target_files, *partition_by)
                        if partition_by else df.repartition(target_files))
+            if cluster_by:
+                out = out.sortWithinPartitions(*[F.col(c)
+                                                 for c in cluster_by])
             meta0 = self.catalog.read_meta(project, bucket, table, None)
             log = (self._version_log(project, bucket, table)
                    if self._versioned(meta0) else None)
@@ -254,10 +271,13 @@ class StorageEngine:
                 self.catalog.swap_data_dir(project, bucket, table, staged, None)
             meta = self.catalog.read_meta(project, bucket, table, None)
             meta.properties["partition_by"] = list(partition_by or [])
+            meta.properties["cluster_by"] = list(cluster_by or [])
             self.catalog.write_meta(project, bucket, table, meta)
         self._log("optimize_table", project=project, bucket=bucket,
-                  table=table, partition_by=partition_by or [])
+                  table=table, partition_by=partition_by or [],
+                  cluster_by=cluster_by or [])
         return {"partition_by": partition_by or [],
+                "cluster_by": cluster_by or [],
                 "target_files": target_files}
 
     # ---------------------------------------------- versioned-table extras

@@ -278,7 +278,8 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
         return jsonify(engine.optimize_table(
             project, bucket, table,
             partition_by=body.get("partition_by"),
-            target_files=body.get("target_files")))
+            target_files=body.get("target_files"),
+            cluster_by=body.get("cluster_by")))
 
     # Versioned-backend extras (backends/versioned.py): Delta-style
     # history / vacuum; preview?version=N time-travels a pinned commit.

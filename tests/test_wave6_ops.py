@@ -114,6 +114,60 @@ def test_optimize_table_partitions_and_preserves_rows(spark, tmp_path):
     assert after_df.filter("cat = 'c1'").count() == 33
 
 
+def test_optimize_cluster_by_sorts_row_groups(spark, tmp_path):
+    """cluster_by range-partitions + sorts so parquet row-group min/max
+    stats become selective: every data file covers a narrow, disjoint id
+    range (the property min/max row-group skipping needs)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from keboola_storage_duckdb_spark.engine import StorageEngine
+
+    eng = StorageEngine(spark, str(tmp_path / "whc"))
+    eng.create_project("p1")
+    eng.create_bucket("p1", "in_c_main")
+    eng.create_table("p1", "in_c_main", "t2", [
+        {"name": "id", "type": "INTEGER", "nullable": False},
+        {"name": "val", "type": "DOUBLE"},
+    ])
+    csv = str(tmp_path / "rows2.csv")
+    import random
+    rng = random.Random(7)
+    ids = list(range(1000))
+    rng.shuffle(ids)                     # unsorted on disk before optimize
+    with open(csv, "w") as f:
+        f.write("id,val\n")
+        for i in ids:
+            f.write(f"{i},{i * 0.5}\n")
+    eng.import_file("p1", "in_c_main", "t2", csv)
+
+    out = eng.optimize_table("p1", "in_c_main", "t2",
+                             cluster_by=["id"], target_files=4)
+    assert out["cluster_by"] == ["id"]
+    df = eng.read_table("p1", "in_c_main", "t2")
+    assert df.count() == 1000
+    assert {r.id for r in df.select("id").collect()} == set(range(1000))
+
+    data_dir = eng.catalog.data_dir("p1", "in_c_main", "t2")
+    ranges = []
+    for e in sorted(os.listdir(data_dir)):
+        if not e.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(data_dir, e)).metadata
+        stats = [md.row_group(i).column(0).statistics
+                 for i in range(md.num_row_groups)]
+        ranges.append((min(st.min for st in stats),
+                       max(st.max for st in stats)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2                 # disjoint file key ranges
+    # meta records the layout
+    meta = eng.catalog.read_meta("p1", "in_c_main", "t2")
+    assert meta.properties["cluster_by"] == ["id"]
+
+
 def test_idempotency_cache_replays_and_expires():
     import time as _time
     from keboola_storage_duckdb_spark.idempotency import IdempotencyCache
