@@ -213,7 +213,9 @@ class StorageEngine:
     def optimize_table(self, project: str, bucket: str, table: str,
                        partition_by: list[str] | None = None,
                        target_files: int | None = None,
-                       cluster_by: list[str] | None = None) -> dict:
+                       cluster_by: list[str] | None = None,
+                       bloom_filter_columns: list[str] | None = None,
+                       ) -> dict:
         """Compaction / re-layout (beyond-reference — the warehouse-health
         op a 100 TB deployment runs continuously): rewrite the table,
         optionally hive-partitioned by low-cardinality columns (reads then
@@ -221,6 +223,12 @@ class StorageEngine:
         repartitioned to a target file count (small-file compaction after
         many incremental imports). Atomic via the same stage-and-swap path
         as every other write.
+
+        ``bloom_filter_columns`` writes parquet bloom filters for the
+        given columns (``parquet.bloom.filter.enabled#col``) — point
+        lookups on high-cardinality, non-clustered columns then skip row
+        groups that provably lack the value, the complement of min/max
+        skipping for unsorted keys.
 
         ``cluster_by`` sort-clusters rows (range-partition across files +
         sortWithinPartitions inside them) on the given columns so parquet
@@ -264,6 +272,9 @@ class StorageEngine:
             writer = out.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
+            for c in (bloom_filter_columns or []):
+                writer = writer.option(f"parquet.bloom.filter.enabled#{c}",
+                                       "true")
             writer.parquet(staged)
             if log is not None:
                 log.commit(staged, "optimize")
@@ -272,12 +283,15 @@ class StorageEngine:
             meta = self.catalog.read_meta(project, bucket, table, None)
             meta.properties["partition_by"] = list(partition_by or [])
             meta.properties["cluster_by"] = list(cluster_by or [])
+            meta.properties["bloom_filter_columns"] = list(
+                bloom_filter_columns or [])
             self.catalog.write_meta(project, bucket, table, meta)
         self._log("optimize_table", project=project, bucket=bucket,
                   table=table, partition_by=partition_by or [],
                   cluster_by=cluster_by or [])
         return {"partition_by": partition_by or [],
                 "cluster_by": cluster_by or [],
+                "bloom_filter_columns": bloom_filter_columns or [],
                 "target_files": target_files}
 
     # ---------------------------------------------- versioned-table extras

@@ -279,7 +279,8 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
             project, bucket, table,
             partition_by=body.get("partition_by"),
             target_files=body.get("target_files"),
-            cluster_by=body.get("cluster_by")))
+            cluster_by=body.get("cluster_by"),
+            bloom_filter_columns=body.get("bloom_filter_columns")))
 
     # Versioned-backend extras (backends/versioned.py): Delta-style
     # history / vacuum; preview?version=N time-travels a pinned commit.

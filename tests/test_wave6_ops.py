@@ -168,6 +168,48 @@ def test_optimize_cluster_by_sorts_row_groups(spark, tmp_path):
     assert meta.properties["cluster_by"] == ["id"]
 
 
+def test_optimize_bloom_filter_columns(spark, tmp_path):
+    """bloom_filter_columns writes parquet bloom filters (the point-lookup
+    complement of min/max skipping for unsorted high-cardinality keys):
+    rows intact, meta records the layout, and the bloom-enabled file is
+    strictly larger than the plain rewrite of identical data."""
+    import os
+
+    from keboola_storage_duckdb_spark.engine import StorageEngine
+
+    eng = StorageEngine(spark, str(tmp_path / "whb"))
+    eng.create_project("p1")
+    eng.create_bucket("p1", "in_c_main")
+    eng.create_table("p1", "in_c_main", "t3", [
+        {"name": "id", "type": "INTEGER", "nullable": False},
+        {"name": "key", "type": "VARCHAR"},
+    ])
+    csv = str(tmp_path / "rows3.csv")
+    with open(csv, "w") as f:
+        f.write("id,key\n")
+        for i in range(5000):
+            f.write(f"{i},k{i * 7919 % 100000:05d}\n")
+    eng.import_file("p1", "in_c_main", "t3", csv)
+
+    def data_bytes():
+        d = eng.catalog.data_dir("p1", "in_c_main", "t3")
+        return sum(os.path.getsize(os.path.join(d, e))
+                   for e in os.listdir(d) if e.endswith(".parquet"))
+
+    eng.optimize_table("p1", "in_c_main", "t3", target_files=1)
+    plain = data_bytes()
+    out = eng.optimize_table("p1", "in_c_main", "t3", target_files=1,
+                             bloom_filter_columns=["key"])
+    assert out["bloom_filter_columns"] == ["key"]
+    with_bloom = data_bytes()
+    assert with_bloom > plain             # bloom bitset adds bytes
+    df = eng.read_table("p1", "in_c_main", "t3")
+    assert df.count() == 5000
+    assert df.filter("key = 'k07919'").count() == 1
+    meta = eng.catalog.read_meta("p1", "in_c_main", "t3")
+    assert meta.properties["bloom_filter_columns"] == ["key"]
+
+
 def test_idempotency_cache_replays_and_expires():
     import time as _time
     from keboola_storage_duckdb_spark.idempotency import IdempotencyCache
