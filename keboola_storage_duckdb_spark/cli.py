@@ -427,6 +427,24 @@ def cmd_tables_delete(args):
     print_json(res) if args.json else print(f"Table '{args.table}' deleted")
 
 
+def cmd_tables_optimize(args):
+    body = {}
+    if args.partition_by:
+        body["partition_by"] = args.partition_by.split(",")
+    if args.cluster_by:
+        body["cluster_by"] = args.cluster_by.split(",")
+    if args.bloom_filter:
+        body["bloom_filter_columns"] = args.bloom_filter.split(",")
+    if args.target_files:
+        body["target_files"] = args.target_files
+    res = _client(args).post(f"{_tbl_base(args)}/{args.table}/optimize", body)
+    (print_json(res) if args.json
+     else print(f"Optimized: partition_by={res['partition_by'] or '-'} "
+                f"cluster_by={res['cluster_by'] or '-'} "
+                f"bloom={res['bloom_filter_columns'] or '-'} "
+                f"target_files={res['target_files'] or '-'}"))
+
+
 def cmd_tables_history(args):
     res = _client(args).get(f"{_tbl_base(args)}/{args.table}/history")
     if args.json:
@@ -571,6 +589,12 @@ def build_parser() -> argparse.ArgumentParser:
     table_parser("history", cmd_tables_history)
     s = table_parser("vacuum", cmd_tables_vacuum)
     s.add_argument("--retain-last", type=int, default=1)
+
+    s = table_parser("optimize", cmd_tables_optimize)
+    s.add_argument("--partition-by", help="comma-separated hive partition columns")
+    s.add_argument("--cluster-by", help="comma-separated sort-cluster columns")
+    s.add_argument("--bloom-filter", help="comma-separated bloom-filter columns")
+    s.add_argument("--target-files", type=int)
 
     g = sub.add_parser("files").add_subparsers(dest="cmd", required=True)
     s = g.add_parser("list")

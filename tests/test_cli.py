@@ -115,6 +115,14 @@ def test_cli_end_to_end(server, tmp_path, capsys):
     rc, out = run(server, "files", "delete", "pc", fid, capsys=capsys)
     assert rc == 0
 
+    # optimize: sort-clustering + bloom filters over the REST route
+    rc, out = run(server, "tables", "optimize", "pc", "in_c_cli", "users",
+                  "--cluster-by", "id", "--bloom-filter", "name",
+                  "--target-files", "1", capsys=capsys)
+    opt = json.loads(out)
+    assert rc == 0 and opt["cluster_by"] == ["id"]
+    assert opt["bloom_filter_columns"] == ["name"]
+
     # tables list + delete
     rc, out = run(server, "tables", "list", "pc", "in_c_cli",
                   json_out=False, capsys=capsys)
