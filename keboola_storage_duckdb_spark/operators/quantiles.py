@@ -77,8 +77,11 @@ def _interp(lo_rank: int, hi_rank: int, pos: float,
             lo_val: float, hi_val: float) -> float:
     """Spark Percentile's exact interpolation, same IEEE op order:
     ``(higher - position) * lower + (position - lower) * higher`` with the
-    integer-position special case (Percentile.getPercentile)."""
-    if lo_rank == hi_rank:
+    integer-position special case AND the equal-keys short-circuit
+    (Percentile.getPercentile returns lowerKey when higherKey == lowerKey
+    — the weighted form rounds differently there, e.g. 1.5 →
+    1.5000000000000002 at p=1e-05; caught by the grouped property test)."""
+    if lo_rank == hi_rank or lo_val == hi_val:
         return lo_val
     return (hi_rank - pos) * lo_val + (pos - lo_rank) * hi_val
 
@@ -538,6 +541,10 @@ def exact_quantiles_grouped_frame(df: DataFrame, group_col: str,
                                   F.lit(None).cast("double"))
                             .when(F.col("lo_r") == F.col("hi_r"),
                                   F.col("lo_v"))
+                            # equal-keys short-circuit (SQL NaN = NaN is
+                            # true, so double-NaN also takes this branch)
+                            .when(F.col("lo_v") == F.col("hi_v"),
+                                  F.col("lo_v"))
                             .otherwise((F.col("hi_r") - F.col("pos"))
                                        * F.col("lo_v")
                                        + (F.col("pos") - F.col("lo_r"))
@@ -738,6 +745,9 @@ def grouped_quantiles_df(df: DataFrame, group_col: str, value_col: str,
                        & (F.col("hi_r") == F.col("hr")))
                  .select(F.col("r.g").alias("g"), "pi",
                          F.when(F.col("lo_r") == F.col("hi_r"),
+                                F.col("lo_v"))
+                          # equal-keys short-circuit, like getPercentile
+                          .when(F.col("lo_v") == F.col("hi_v"),
                                 F.col("lo_v"))
                           .otherwise((F.col("hi_r") - F.col("pos"))
                                      * F.col("lo_v")

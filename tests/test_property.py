@@ -306,3 +306,39 @@ def test_exact_quantiles_model(spark, vals, probs, bins, max_inbin):
     ref = df.agg(F.expr(f"percentile(x, {parr})")).collect()[0][0]
     got = exact_quantiles(df, ["x"], probs, bins=bins, max_inbin=max_inbin)
     assert got["x"] == list(ref)
+
+
+@given(rows=st.lists(
+           st.tuples(st.integers(0, 3),
+                     st.one_of(st.none(),
+                               st.floats(min_value=-1e6, max_value=1e6,
+                                         allow_nan=False))),
+           min_size=1, max_size=30),
+       probs=st.lists(st.floats(min_value=0.0, max_value=1.0,
+                                allow_nan=False), min_size=1, max_size=3),
+       bins=st.sampled_from([2, 1024]),
+       max_inbin=st.sampled_from([1, 100_000]))
+@settings(**SETTINGS)
+def test_grouped_quantile_engines_model(spark, rows, probs, bins, max_inbin):
+    """Property: BOTH grouped engines — the driver-metadata hybrid
+    (exact_quantiles_grouped_frame) and the fully in-plan DAG
+    (grouped_quantiles_df) — are bit-identical to per-group percentile()
+    for arbitrary (group, nullable double) rows, probabilities and bin
+    configurations (tiny bins/max_inbin force refinement + selection)."""
+    from keboola_storage_duckdb_spark.operators.quantiles import (
+        exact_quantiles_grouped_frame, grouped_quantiles_df)
+
+    df = spark.createDataFrame(rows, "g long, v double")
+    parr = ("array(" + ",".join(f"CAST({repr(p)} AS DOUBLE)" for p in probs)
+            + ")")
+    ref = {r.g: (list(r.qs) if r.qs is not None else [None] * len(probs))
+           for r in df.groupBy("g")
+                      .agg(F.expr(f"percentile(v, {parr})").alias("qs"))
+                      .collect()}
+    nref = {r.g: r.n for r in
+            df.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for fn in (exact_quantiles_grouped_frame, grouped_quantiles_df):
+        out = fn(df, "g", "v", probs, bins=bins,
+                 max_inbin=max_inbin).collect()
+        assert {r.g: list(r.qs) for r in out} == ref, fn.__name__
+        assert {r.g: r.n for r in out} == nref, fn.__name__
