@@ -351,7 +351,8 @@ def ngram_jaccard_prefix_pairs(docs: DataFrame, id_col: str, text_col: str,
                                positional: bool = True,
                                adaptive: bool = False,
                                density_limit: int = 200_000_000,
-                               max_doc_freq_cap: int = 1_000) -> DataFrame:
+                               max_doc_freq_cap: int = 1_000,
+                               dense_route: str = "lsh") -> DataFrame:
     """Exact bigram-Jaccard pairs via PREFIX FILTERING (the PPJoin family —
     Vernica et al., "Efficient Parallel Set-Similarity Joins Using
     MapReduce", SIGMOD'10): order each doc's shingles by global document
@@ -418,6 +419,25 @@ def ngram_jaccard_prefix_pairs(docs: DataFrame, id_col: str, text_col: str,
         density = freq.agg(
             F.sum(F.col("df").cast("double") * F.col("df"))).first()[0] or 0
         if density > density_limit:
+            if dense_route == "lsh":
+                # MinHash-LSH candidates + EXACT array verify: recall
+                # ~1-(1-t^band)^bands (≈0.88 at t=0.8 with 16×4), far
+                # above the df-cap route on replica-dense corpora (10×
+                # smoke: 14 s for either route, LSH recovers ~90% of true
+                # pairs vs 5% for cap=1000). Emitted pairs carry EXACT
+                # Jaccard — sub-recall only, never a false positive.
+                bb = minhash_band_buckets(None, id_col, text_col,
+                                          n_hashes=16, band_size=4,
+                                          _arr=arr)
+                left = bb.select(F.col("id").alias("id_a"), "band", "bucket")
+                right = bb.select(F.col("id").alias("id_b"), "band", "bucket")
+                cands = (left.join(right, ["band", "bucket"])
+                             .filter(F.col("id_a") < F.col("id_b"))
+                             .select("id_a", "id_b").distinct())
+                return _verify_pairs_with_arrays(cands, arr, threshold)
+            # df-cap route: drop ultra-frequent shingles from INDEXING
+            # only (deterministic; misses pairs whose every shared
+            # shingle is ultra-frequent)
             freq = freq.filter(F.col("df") <= max_doc_freq_cap)
     ranked = (sh.join(freq, "shingle")
                 .withColumn("r", F.row_number().over(

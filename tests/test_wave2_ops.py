@@ -115,20 +115,31 @@ def test_prefix_jaccard_equals_inverted_index(spark, sf_dir):
          for r in ngram_jaccard_prefix_pairs(docs, "doc_id", "text", 0.8,
                                              adaptive=True).collect()}
     assert c == a
-    # ...past the limit the df-capped index returns an exact-verified
-    # SUBSET (sub-recall only — never a false positive), and with a cap
-    # above the max df the subset is the full answer
+    # ...past the limit BOTH dense routes return an exact-verified SUBSET
+    # (sub-recall only — never a false positive, values exact)
     d = {(r.id_a, r.id_b): r.jaccard
          for r in ngram_jaccard_prefix_pairs(
              docs, "doc_id", "text", 0.8, adaptive=True,
-             density_limit=1, max_doc_freq_cap=2).collect()}
+             density_limit=1, max_doc_freq_cap=2,
+             dense_route="df_cap").collect()}
     assert set(d) <= set(a)
     assert all(a[k] == v for k, v in d.items())
+    # df-cap with a cap above the max df degenerates to the full answer
     e = {(r.id_a, r.id_b): r.jaccard
          for r in ngram_jaccard_prefix_pairs(
              docs, "doc_id", "text", 0.8, adaptive=True,
-             density_limit=1, max_doc_freq_cap=10**9).collect()}
+             density_limit=1, max_doc_freq_cap=10**9,
+             dense_route="df_cap").collect()}
     assert e == a
+    # LSH route: exact values on whatever it recalls, and on this small
+    # corpus near-dup pairs share most shingles so recall is high
+    g = {(r.id_a, r.id_b): r.jaccard
+         for r in ngram_jaccard_prefix_pairs(
+             docs, "doc_id", "text", 0.8, adaptive=True,
+             density_limit=1).collect()}
+    assert set(g) <= set(a)
+    assert all(a[k] == v for k, v in g.items())
+    assert len(g) >= len(a) // 2
 
 
 def test_skew_agg_matches_plain_groupby(spark, sf_dir):
