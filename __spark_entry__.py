@@ -1965,6 +1965,42 @@ GROUP BY 1, 2"""
 # operator is already certified by an in-window sibling (same oracle or
 # same kernel), rows-only iterative ops, and perf twins. Everything —
 # in-window or not — still runs through tools/check_oracle.py locally.
+def q_pack_sequences(spark, sf_dir):
+    """Pretraining token-stream packing: every document's span in the
+    concatenated global token stream and the max_len context windows it
+    lands in. Served by a TWO-PHASE exclusive scan
+    (functions/packing.py): range repartition + per-partition totals +
+    broadcast prefix offsets + intra-partition windows — bit-identical to
+    the single-partition windowed cumsum (the oracle) while every stage
+    stays partition-parallel (the naive global window is the classic
+    100 TB scale-killer)."""
+    from keboola_storage_duckdb_spark.functions.packing import (
+        pack_token_stream)
+    docs = _t(spark, sf_dir, "documents")
+    return pack_token_stream(docs, "doc_id", "text", max_len=2048)
+
+
+_PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start_token
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, start_token,
+       start_token // 2048 AS first_chunk,
+       (start_token + n_tokens - 1) // 2048 AS last_chunk,
+       (start_token + n_tokens - 1) // 2048 - start_token // 2048 + 1
+         AS n_chunks
+FROM s"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver-certified window (1-50): one entry per operator ----
     "pricing_summary": q_pricing_summary,
@@ -2042,6 +2078,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_features": q_image_features,          # REAL decode; header-predicting oracle
     "audio_features": q_audio_features,          # REAL WAV decode; same oracle style
     "video_features": q_video_features,          # REAL Y4M decode; same oracle style
+    "pack_sequences": q_pack_sequences,          # token-stream packing map
     "kmeans": q_kmeans,                          # rows-only iterative
 }
 
@@ -2265,6 +2302,7 @@ def oracle_sql() -> dict[str, str]:
         ).SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000),
         "pattern_profile": _pattern_profile_sql(),
         "hash_sample": _HASH_SAMPLE_SQL,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
         "top_terms": _TOP_TERMS_SQL,
         "rollup_agg": _ROLLUP_SQL,
         "asof_join": _ASOF_SQL,

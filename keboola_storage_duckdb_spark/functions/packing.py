@@ -1,0 +1,87 @@
+"""Token-stream packing — the pretraining concat-and-chunk map.
+
+A training pipeline concatenates every document's tokens into one global
+stream and slices it into fixed-length context windows; each document then
+occupies the half-open token span ``[start, start + n_tokens)`` and lands
+in chunks ``start DIV max_len`` through ``(start + n_tokens - 1) DIV
+max_len``. This module computes that mapping EXACTLY and scalably.
+
+The naive formulation is a running sum over a global ORDER BY — in Spark a
+window without ``partitionBy``, i.e. a single-partition sort: the classic
+100 TB scale-killer. Here the prefix sum is a TWO-PHASE exclusive scan
+(the standard parallel-scan decomposition):
+
+1. range-repartition by the order key so partition *p* holds a contiguous
+   key range and partition ids increase with the key;
+2. one tiny aggregation computes per-partition token totals; the driver
+   turns the P totals into P exclusive prefix offsets (O(P) scalars —
+   AQE-class metadata, never row data);
+3. a broadcast join attaches each partition's offset and an intra-partition
+   window (``partitionBy(pid)`` — parallel, bounded by partition size)
+   supplies the local exclusive cumsum. Global start = offset + local.
+
+The result is bit-identical to the single-partition window (verified by an
+exact DuckDB oracle running the plain windowed cumsum) while every stage
+stays partition-parallel. No reference counterpart (the reference has no
+training-data ops); part of the brief's training-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import BPE_REGEX
+
+__all__ = ["pack_token_stream"]
+
+
+def pack_token_stream(docs: DataFrame, id_col: str, text_col: str,
+                      max_len: int = 2048,
+                      partitions: int | None = None) -> DataFrame:
+    """Map each document to its span in the packed global token stream.
+
+    Returns ``(doc_id, n_tokens, start_token, first_chunk, last_chunk,
+    n_chunks)`` where chunks are ``max_len``-token context windows over
+    the concatenation of all documents' BPE-ish tokens in ``id_col``
+    order. Zero-token documents are excluded (they occupy no span).
+    """
+    spark = docs.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    toks = (docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.size(F.regexp_extract_all(F.col(text_col),
+                                            F.lit(BPE_REGEX), F.lit(0)))
+                 .cast("long").alias("n_tokens"))
+                .filter(F.col("n_tokens") > 0))
+
+    # phase 1: contiguous key ranges per partition, pid increasing with key
+    ranged = (toks.repartitionByRange(partitions, "doc_id")
+                  .withColumn("pid", F.spark_partition_id())
+                  .localCheckpoint(eager=False))   # pin pid assignment
+
+    # phase 2: P per-partition totals -> P exclusive prefix offsets
+    totals = sorted(ranged.groupBy("pid")
+                          .agg(F.sum("n_tokens").alias("t")).collect(),
+                    key=lambda r: r.pid)
+    offsets, acc = [], 0
+    for row in totals:
+        offsets.append((row.pid, acc))
+        acc += row.t
+    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+
+    # phase 3: intra-partition exclusive cumsum + broadcast offset
+    w = (Window.partitionBy("pid").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    out = (ranged.join(F.broadcast(off), "pid")
+                 .withColumn("start_token",
+                             F.col("off") + F.coalesce(
+                                 F.sum("n_tokens").over(w), F.lit(0)))
+                 .select("doc_id", "n_tokens", "start_token",
+                         F.expr(f"start_token DIV {max_len}")
+                          .alias("first_chunk"),
+                         F.expr(f"(start_token + n_tokens - 1) "
+                                f"DIV {max_len}").alias("last_chunk")))
+    return out.withColumn(
+        "n_chunks", F.col("last_chunk") - F.col("first_chunk") + F.lit(1))

@@ -236,3 +236,41 @@ def test_stream_hourly_rollup_matches_batch(spark, sf_dir, tmp_path):
     want = {(r.bucket, r.event_type): (r.n_events, r.sum_value)
             for r in hourly_rollup(ev).collect()}
     assert got == want
+
+
+def test_pack_token_stream_matches_global_window(spark, sf_dir):
+    """Two-phase exclusive scan == the naive single-partition global
+    window cumsum, bit-for-bit, and zero-token docs occupy no span."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from keboola_storage_duckdb_spark.functions.packing import (
+        pack_token_stream)
+    from keboola_storage_duckdb_spark.functions.text import BPE_REGEX
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.doc_id: (r.n_tokens, r.start_token, r.first_chunk,
+                      r.last_chunk, r.n_chunks)
+           for r in pack_token_stream(docs, "doc_id", "text",
+                                      max_len=512, partitions=7).collect()}
+    toks = (docs.select(
+                "doc_id",
+                F.size(F.regexp_extract_all(F.col("text"),
+                                            F.lit(BPE_REGEX), F.lit(0)))
+                 .cast("long").alias("n"))
+                .filter(F.col("n") > 0))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    ref = {r.doc_id: (r.n, r.s, r.s // 512, (r.s + r.n - 1) // 512,
+                      (r.s + r.n - 1) // 512 - r.s // 512 + 1)
+           for r in toks.withColumn(
+               "s", F.coalesce(F.sum("n").over(w), F.lit(0))).collect()}
+    assert got == ref and len(got) > 0
+
+    # empty / null docs occupy no span and shift nothing
+    d2 = spark.createDataFrame(
+        [(1, "aa bb"), (2, ""), (3, None), (4, "cc")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.start_token, r.n_tokens) for r in
+           pack_token_stream(d2, "doc_id", "text", max_len=3).collect()}
+    assert out == {1: (0, 2), 4: (2, 1)}
