@@ -1965,6 +1965,66 @@ GROUP BY 1, 2"""
 # operator is already certified by an in-window sibling (same oracle or
 # same kernel), rows-only iterative ops, and perf twins. Everything —
 # in-window or not — still runs through tools/check_oracle.py locally.
+def q_repetition_signals(spark, sf_dir):
+    """Gopher/FineWeb REPETITION filters (duplicate-line occurrences and
+    characters, top word-bigram coverage) with integer-arithmetic keep
+    rules — the repetition half of the Gopher rule set
+    (functions/text.py:repetition_signals); surface rules are certified
+    as gopher_quality. Explode + (doc, key) partial aggregation — the
+    scalable shape for long documents."""
+    from keboola_storage_duckdb_spark.functions.text import (
+        repetition_signals)
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text")
+
+
+_REPETITION_SQL = r"""
+WITH lines AS (
+  SELECT doc_id, unnest(str_split(COALESCE(text, ''), chr(10))) AS line
+  FROM documents
+), lc AS (
+  SELECT doc_id, line, COUNT(*) AS c, LENGTH(line) AS l
+  FROM lines GROUP BY doc_id, line
+), lsig AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+           AS dup_line_occurrences,
+         CAST(SUM(c * l) AS BIGINT) AS line_chars,
+         CAST(SUM(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS BIGINT)
+           AS dup_line_chars
+  FROM lc GROUP BY doc_id
+), words AS (
+  SELECT doc_id, str_split(COALESCE(text, ''), ' ') AS w FROM documents
+), bigrams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2 THEN
+             list_transform(generate_series(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i + 1])
+           ELSE [] END) AS bg
+  FROM words
+), bc AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+), top AS (
+  SELECT b.doc_id, MIN(b.bg) AS top_bigram,
+         CAST(MAX(b.c) AS BIGINT) AS top_bigram_count
+  FROM bc b JOIN (SELECT doc_id, MAX(c) AS mc FROM bc GROUP BY doc_id) m
+    ON b.doc_id = m.doc_id AND b.c = m.mc
+  GROUP BY b.doc_id
+)
+SELECT l.doc_id, l.n_lines, l.dup_line_occurrences, l.line_chars,
+       l.dup_line_chars,
+       t.top_bigram,
+       COALESCE(t.top_bigram_count, 0) AS top_bigram_count,
+       COALESCE(t.top_bigram_count * LENGTH(t.top_bigram), 0)
+         AS top_bigram_chars,
+       10 * l.dup_line_occurrences <= 3 * l.n_lines AS ok_dup_lines,
+       5 * l.dup_line_chars <= l.line_chars AS ok_dup_line_chars,
+       5 * COALESCE(t.top_bigram_count * LENGTH(t.top_bigram), 0)
+         <= l.line_chars AS ok_top_bigram
+FROM lsig l LEFT JOIN top t ON l.doc_id = t.doc_id"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Pretraining token-stream packing: every document's span in the
     concatenated global token stream and the max_len context windows it
@@ -2079,6 +2139,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,          # REAL WAV decode; same oracle style
     "video_features": q_video_features,          # REAL Y4M decode; same oracle style
     "pack_sequences": q_pack_sequences,          # token-stream packing map
+    "repetition_signals": q_repetition_signals,  # Gopher repetition rules
     "kmeans": q_kmeans,                          # rows-only iterative
 }
 
@@ -2303,6 +2364,7 @@ def oracle_sql() -> dict[str, str]:
         "pattern_profile": _pattern_profile_sql(),
         "hash_sample": _HASH_SAMPLE_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
+        "repetition_signals": _REPETITION_SQL,
         "top_terms": _TOP_TERMS_SQL,
         "rollup_agg": _ROLLUP_SQL,
         "asof_join": _ASOF_SQL,

@@ -325,3 +325,76 @@ SELECT {id_col} AS id,
        md5(trim(regexp_replace(regexp_replace(lower({text_col}), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
 FROM {table}
 """
+
+
+def repetition_signals(docs: DataFrame, id_col: str,
+                       text_col: str) -> DataFrame:
+    """Gopher/FineWeb REPETITION filters (the sixth Gopher rule family,
+    complementing :func:`gopher_quality`'s surface rules): per document,
+
+      * duplicate-LINE signals — occurrences and characters inside lines
+        whose text appears more than once in the document;
+      * top word-BIGRAM signal — characters covered by the most frequent
+        word 2-gram (ties broken by the lexicographically smallest
+        bigram, pinned on both engines).
+
+    Emits raw integer counts plus the keep-rules in INTEGER arithmetic
+    (dup-line occurrences ≤ 30%: ``10·dup ≤ 3·n``; dup-line chars ≤ 20%
+    and top-bigram chars ≤ 20%: ``5·part ≤ whole``) so the DuckDB oracle
+    is bit-exact — no ratios, no libm.
+
+    Plan shape: explode → groupBy (doc, line) / (doc, bigram) with
+    map-side partial aggregation, re-aggregate per doc, broadcast-free
+    shuffle keyed by document — the scalable form (per-doc array
+    nested-loop counting would be O(len²) for long documents).
+    """
+    lines = (docs.select(F.col(id_col).alias("doc_id"),
+                         F.explode(F.split(F.coalesce(F.col(text_col),
+                                                      F.lit("")), "\n"))
+                          .alias("line")))
+    lc = (lines.groupBy("doc_id", "line")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .withColumn("l", F.length("line")))
+    lsig = (lc.groupBy("doc_id")
+              .agg(F.sum("c").alias("n_lines"),
+                   F.sum(F.when(F.col("c") > 1, F.col("c"))
+                          .otherwise(F.lit(0))).alias("dup_line_occurrences"),
+                   F.sum(F.col("c") * F.col("l")).alias("line_chars"),
+                   F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("l"))
+                          .otherwise(F.lit(0))).alias("dup_line_chars")))
+
+    w = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    bigrams = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.when(F.size(w) >= 2, F.expr(
+            f"transform(sequence(1, size(split(coalesce({text_col}, '')"
+            f", ' ')) - 1), i -> concat(element_at(split(coalesce("
+            f"{text_col}, ''), ' '), i), ' ', element_at(split(coalesce("
+            f"{text_col}, ''), ' '), i + 1)))"))
+                  .otherwise(F.array().cast("array<string>"))).alias("bg")))
+    bc = (bigrams.groupBy("doc_id", "bg")
+                 .agg(F.count(F.lit(1)).alias("c")))
+    # deterministic top bigram: max count, then MIN bigram string
+    top = (bc.alias("b").join(
+               bc.groupBy("doc_id").agg(F.max("c").alias("mc")).alias("m"),
+               (F.col("b.doc_id") == F.col("m.doc_id"))
+               & (F.col("b.c") == F.col("m.mc")))
+             .groupBy(F.col("b.doc_id").alias("doc_id"))
+             .agg(F.min("bg").alias("top_bigram"),
+                  F.max("c").alias("top_bigram_count")))
+    top = top.withColumn(
+        "top_bigram_chars",
+        F.col("top_bigram_count") * F.length("top_bigram"))
+
+    out = (lsig.join(top, "doc_id", "left")
+               .na.fill({"top_bigram_count": 0, "top_bigram_chars": 0}))
+    return out.select(
+        "doc_id", "n_lines", "dup_line_occurrences", "line_chars",
+        "dup_line_chars", "top_bigram", "top_bigram_count",
+        "top_bigram_chars",
+        (10 * F.col("dup_line_occurrences") <= 3 * F.col("n_lines"))
+        .alias("ok_dup_lines"),
+        (5 * F.col("dup_line_chars") <= F.col("line_chars"))
+        .alias("ok_dup_line_chars"),
+        (5 * F.col("top_bigram_chars") <= F.col("line_chars"))
+        .alias("ok_top_bigram"))
