@@ -109,3 +109,15 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         with_conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_pack_sequences_never_single_partition(spark, sf_dir):
+    """The packing exclusive scan must stay partition-parallel: no
+    SinglePartition exchange (the naive global-window cumsum plans
+    `Exchange SinglePartition` — the classic 100 TB scale-killer) and
+    the window must be keyed by the partition id."""
+    df = E.q_pack_sequences(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "windowspecdefinition(pid" in plan.lower().replace(" ", "") \
+        or "pid" in plan, plan
