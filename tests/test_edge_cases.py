@@ -71,3 +71,22 @@ def test_fingerprint_empty_and_null(spark):
     assert got[3] is not None          # empty string fingerprints fine
     assert got[4] is None              # NULL text -> NULL fingerprint
     assert got[0] == got[1]            # exact dups agree
+
+
+def test_grouped_quantile_engines_empty_input(spark):
+    from keboola_storage_duckdb_spark.operators.quantiles import (
+        exact_quantiles_grouped_frame, grouped_quantiles_df)
+
+    empty = spark.createDataFrame([], "g string, v double")
+    for fn in (exact_quantiles_grouped_frame, grouped_quantiles_df):
+        out = fn(empty, "g", "v", [0.5, 0.9])
+        assert out.columns == ["g", "n", "qs"]
+        assert out.count() == 0, fn.__name__
+
+
+def test_pack_token_stream_empty_input(spark):
+    from keboola_storage_duckdb_spark.functions.packing import (
+        pack_token_stream)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_token_stream(empty, "doc_id", "text").count() == 0
