@@ -129,9 +129,11 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
         key = _idem_key()
         cached = idem.get(key) if key else None
         if cached is not None:
-            body, status = cached
+            # 3-tuple carries the original mimetype (an Arrow replay must
+            # not come back as application/json); old 2-tuples default
+            body, status, *mt = cached
             return Response(body, status=status,
-                            mimetype="application/json",
+                            mimetype=(mt[0] if mt else "application/json"),
                             headers={"X-Idempotency-Replayed": "true"})
         return None
 
@@ -139,7 +141,8 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
     def _idempotency_store(resp):
         key = _idem_key()
         if key and resp.status_code < 500:
-            idem.put(key, (resp.get_data(), resp.status_code))
+            idem.put(key, (resp.get_data(), resp.status_code,
+                           resp.mimetype))
         return resp
 
     # ------------------------------------------------------------- errors
