@@ -51,7 +51,13 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
                 runs.append(time.perf_counter() - t0)
-                while (min(runs) > 0.8 and max(runs) / min(runs) > 2
+                # heavy queries tie-break on a tighter spread: a 20 s
+                # query under contention rarely swings a full 2x between
+                # two draws, but 1.5x is routine — and a bad record there
+                # costs tens of seconds of reported wall
+                while (min(runs) > 0.8
+                       and max(runs) / min(runs) > (1.5 if min(runs) > 3
+                                                    else 2)
                        and len(runs) < (5 if min(runs) > 3 else 3)):
                     t0 = time.perf_counter()
                     fn(spark, sf_dir).collect()
