@@ -76,6 +76,22 @@ def test_lifecycle_via_commands(rig, tmp_path):
     assert r.get_json()["result"]["row_count"] == 1
     assert _exec(c, {"type": "NopeCommand"}).status_code == 400
 
+    # importStrategy over the wire: enum number 0 = STRING_TABLE loads
+    # every column as STRING (proto/table.proto ImportOptions)
+    r = _exec(c, {"type": "CreateTableCommand", "projectId": "pd",
+                  "bucketName": "in_c_b", "tableName": "users_s",
+                  "columns": USERS_COLUMNS, "primaryKey": ["id"]})
+    assert r.status_code == 200
+    r = _exec(c, {"type": "TableImportFromFileCommand", "projectId": "pd",
+                  "bucketName": "in_c_b", "tableName": "users_s",
+                  "path": str(csv), "format": "csv", "importStrategy": 0})
+    assert r.get_json()["result"]["rows_after"] == 2
+    r = _exec(c, {"type": "ObjectInfoCommand",
+                  "path": ["pd", "in_c_b", "users_s"]})
+    cols = {col["name"]: col["type"]
+            for col in r.get_json()["result"]["columns"]}
+    assert cols["id"] == "VARCHAR" and cols["name"] == "VARCHAR"
+
 
 def test_share_link_and_settings_routes(rig):
     _eng, c = rig
@@ -87,7 +103,7 @@ def test_share_link_and_settings_routes(rig):
                content_type="application/json")
     assert r.status_code == 200
     tables = c.get("/projects/pd/branches/default/buckets/linked_b/tables")
-    assert tables.get_json() == ["users"]  # read-through
+    assert tables.get_json() == ["users", "users_s"]  # read-through
     assert c.delete(
         "/projects/pd/branches/default/buckets/linked_b/link").status_code == 200
     assert c.delete(base + "/share").status_code == 200
