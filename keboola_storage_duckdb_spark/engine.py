@@ -414,6 +414,118 @@ class StorageEngine:
                 meta.properties["partition_by"] = []
                 self.catalog.write_meta(project, bucket, table, meta)
 
+    _SAFE_PARTITION_VALUE = __import__("re").compile(r"^[A-Za-z0-9._\-]+$")
+
+    def _merge_partitioned(self, project: str, bucket: str, table: str,
+                           staged: DataFrame, meta: TableMeta,
+                           pk: list[str], dedup_mode: str,
+                           branch: str | None) -> bool:
+        """SELECTIVE PARTITION REWRITE for incremental imports into a
+        hive-partitioned table (``optimize_table(partition_by=…)``): only
+        the partitions an upsert actually touches are read-merged-swapped;
+        untouched partition directories keep their files byte-identical.
+        At 100 TB this is the difference between a merge costing
+        O(changed partitions) and a full-table rewrite — the full scan it
+        still performs is a COLUMN-PRUNED (pk + partition cols) pass to
+        find the old homes of re-staged keys.
+
+        Affected set per mode: update_duplicates = staged partitions ∪
+        old homes of staged PKs (a key may move partitions — its old row
+        must be rewritten away); do_nothing = partitions of genuinely-new
+        keys; insert/fail_on_duplicates = staged partitions.
+
+        Returns False (caller falls back to the full stage-and-swap) for
+        versioned tables (commits are whole-table snapshots), when a
+        partition column is missing, or when any affected partition value
+        doesn't match the conservative safe charset (hive dir-name
+        escaping differences would risk swapping the wrong directory).
+        """
+        pcols = meta.properties.get("partition_by") or []
+        if not pcols or self._versioned(meta):
+            return False
+        if any(c not in staged.columns for c in pcols):
+            return False
+        existing = self.read_table(project, bucket, table, branch)
+
+        aff = staged.select(*pcols).distinct()
+        if pk and dedup_mode == "update_duplicates":
+            old_homes = (existing.join(
+                             staged.select(*pk).distinct(), pk, "leftsemi")
+                         .select(*pcols).distinct())
+            aff = aff.unionByName(old_homes).distinct()
+            merge = lambda sub: KD.upsert_update_duplicates(sub, staged, pk)
+        elif pk and dedup_mode == "do_nothing":
+            # first-wins inside the batch (mirrors KD.upsert_do_nothing),
+            # then only genuinely-new keys insert
+            from pyspark.sql import Window
+            w = (Window.partitionBy(*pk)
+                       .orderBy(F.col("__seq").asc()))
+            first = (staged.withColumn("__seq",
+                                       F.monotonically_increasing_id())
+                           .withColumn("__rn", F.row_number().over(w))
+                           .filter(F.col("__rn") == 1)
+                           .drop("__rn", "__seq"))
+            # pin the non-deterministic arrival-order dedup so the
+            # affected-partition probe and the merge write see the SAME
+            # surviving rows
+            new_rows = first.join(existing.select(*pk).distinct(),
+                                  pk, "left_anti") \
+                            .localCheckpoint(eager=False)
+            aff = new_rows.select(*pcols).distinct()
+            merge = lambda sub: sub.unionByName(new_rows)
+        else:
+            if pk and dedup_mode == "fail_on_duplicates":
+                KD.check_fail_on_duplicates(existing, staged, pk)
+            merge = lambda sub: sub.unionByName(staged)
+
+        aff_rows = [tuple(r) for r in aff.collect()]
+        if not aff_rows:
+            return True                     # nothing to change
+        for vals in aff_rows:
+            for v in vals:
+                if v is None or not self._SAFE_PARTITION_VALUE.match(str(v)):
+                    return False
+        in_aff = None
+        for vals in aff_rows:           # OR of per-partition conjunctions —
+            c = None                    # prunes the scan to affected dirs
+            for col, v in zip(pcols, vals):
+                e = F.col(col) == F.lit(v)
+                c = e if c is None else (c & e)
+            in_aff = c if in_aff is None else (in_aff | c)
+        merged = merge(existing.filter(in_aff))
+
+        stage_dir = self.catalog.staging_data_dir(project, bucket, table,
+                                                  branch)
+        merged.write.mode("overwrite").partitionBy(*pcols) \
+              .parquet(stage_dir)
+        live = self.catalog.data_dir(project, bucket, table, branch)
+        # swap per affected partition leaf dir; a partition whose merged
+        # result is empty (every row re-homed) gets its dir removed
+        def leaf(vals) -> str:
+            return os.path.join(*[f"{c}={v}"
+                                  for c, v in zip(pcols, vals)])
+        produced = set()
+        for root, _dirs, files in os.walk(stage_dir):
+            if any(f.endswith(".parquet") for f in files):
+                produced.add(os.path.relpath(root, stage_dir))
+        for vals in aff_rows:
+            rel = leaf(vals)
+            dst = os.path.join(live, rel)
+            src = os.path.join(stage_dir, rel)
+            if rel in produced:
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                trash = dst + f".old-{uuid.uuid4().hex}"
+                if os.path.isdir(dst):
+                    os.rename(dst, trash)
+                os.rename(src, dst)
+                shutil.rmtree(trash, ignore_errors=True)
+            elif os.path.isdir(dst):
+                shutil.rmtree(dst, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        self._log("merge_partitioned", project=project, bucket=bucket,
+                  table=table, partitions=len(aff_rows), mode=dedup_mode)
+        return True
+
     def _conform(self, df: DataFrame, meta: TableMeta,
                  convert_empty_to_null: Iterable[str] = ()) -> DataFrame:
         """W7 staging-schema enforcement: select declared columns in order,
@@ -532,22 +644,30 @@ class StorageEngine:
                     *[F.col(c).cast("string").alias(c) if c != TIMESTAMP_COL
                       else F.col(c) for c in existing.columns])
             before = existing.count()
-            # TRANSFORM (W1-W6)
-            if not incremental:
-                result = staged
-            elif not pk or dedup_mode == "insert_duplicates":
-                result = existing.unionByName(staged)
-            elif dedup_mode == "update_duplicates":
-                result = KD.upsert_update_duplicates(existing, staged, pk)
-            elif dedup_mode == "do_nothing":
-                result = KD.upsert_do_nothing(existing, staged, pk)
-            elif dedup_mode == "fail_on_duplicates":
-                KD.check_fail_on_duplicates(existing, staged, pk)
-                result = existing.unionByName(staged)
-            else:
+            if dedup_mode not in ("insert_duplicates", "update_duplicates",
+                                  "do_nothing", "fail_on_duplicates"):
                 raise CatalogError(f"unknown dedup mode {dedup_mode!r}")
-            self._write_table(project, bucket, table, result, eff_branch,
-                              op=f"import:{dedup_mode}")
+            # TRANSFORM (W1-W6); hive-partitioned tables take the
+            # SELECTIVE PARTITION REWRITE path — only touched partitions
+            # are merged and swapped (_merge_partitioned)
+            if incremental and self._merge_partitioned(
+                    project, bucket, table, staged, meta, pk, dedup_mode,
+                    eff_branch):
+                pass
+            else:
+                if not incremental:
+                    result = staged
+                elif not pk or dedup_mode == "insert_duplicates":
+                    result = existing.unionByName(staged)
+                elif dedup_mode == "update_duplicates":
+                    result = KD.upsert_update_duplicates(existing, staged, pk)
+                elif dedup_mode == "do_nothing":
+                    result = KD.upsert_do_nothing(existing, staged, pk)
+                else:   # fail_on_duplicates
+                    KD.check_fail_on_duplicates(existing, staged, pk)
+                    result = existing.unionByName(staged)
+                self._write_table(project, bucket, table, result, eff_branch,
+                                  op=f"import:{dedup_mode}")
             after = self.read_table(project, bucket, table, eff_branch).count()
         self._log("import_file", project=project, bucket=bucket, table=table,
                   format=file_format, incremental=incremental, mode=dedup_mode,

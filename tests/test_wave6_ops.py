@@ -295,3 +295,79 @@ def test_snapshot_settings_gate_auto_snapshot_and_prune(spark, tmp_path):
     _json.dump(d, open(sc, "w"))
     assert eng.snapshot_prune("p1", "b1", "t1") == [snaps[0]["snapshot_id"]]
     assert eng.snapshot_list("p1", "b1", "t1") == []
+
+
+def test_partition_scoped_upsert(spark, tmp_path):
+    """Incremental imports into a hive-partitioned table rewrite ONLY the
+    touched partitions: untouched partition directories keep their files
+    byte-identical (inode-level), results equal the full-rewrite
+    semantics, and a key moving partitions is erased from its old home."""
+    import os
+
+    from keboola_storage_duckdb_spark.engine import StorageEngine
+
+    eng = StorageEngine(spark, str(tmp_path / "whp"))
+    eng.create_project("p1")
+    eng.create_bucket("p1", "in_c_main")
+    eng.create_table("p1", "in_c_main", "t4", [
+        {"name": "id", "type": "INTEGER", "nullable": False},
+        {"name": "cat", "type": "VARCHAR"},
+        {"name": "val", "type": "DOUBLE"},
+    ], primary_key=["id"])
+    csv = str(tmp_path / "p_rows.csv")
+    with open(csv, "w") as f:
+        f.write("id,cat,val\n")
+        for i in range(90):
+            f.write(f"{i},c{i % 3},{float(i)}\n")
+    eng.import_file("p1", "in_c_main", "t4", csv)
+    eng.optimize_table("p1", "in_c_main", "t4", partition_by=["cat"])
+    data_dir = eng.catalog.data_dir("p1", "in_c_main", "t4")
+
+    def part_files(p):
+        d = os.path.join(data_dir, p)
+        return {e: os.stat(os.path.join(d, e)).st_ino
+                for e in os.listdir(d) if e.endswith(".parquet")}
+
+    before_c2 = part_files("cat=c2")
+
+    # upsert rows into c0 and c1 only (ids 0,1 keep their cat; 300 is new)
+    up = str(tmp_path / "p_up.csv")
+    with open(up, "w") as f:
+        f.write("id,cat,val\n0,c0,999.0\n1,c1,888.0\n300,c0,777.0\n")
+    eng.import_file("p1", "in_c_main", "t4", up, incremental=True,
+                    dedup_mode="update_duplicates")
+
+    # untouched partition files identical down to the inode
+    assert part_files("cat=c2") == before_c2
+    df = eng.read_table("p1", "in_c_main", "t4")
+    rows = {r.id: (r.cat, r.val) for r in df.collect()}
+    assert len(rows) == 91
+    assert rows[0] == ("c0", 999.0) and rows[1] == ("c1", 888.0)
+    assert rows[300] == ("c0", 777.0) and rows[2] == ("c2", 2.0)
+    # partition layout survives the incremental import
+    meta = eng.catalog.read_meta("p1", "in_c_main", "t4")
+    assert meta.properties["partition_by"] == ["cat"]
+
+    # a key MOVING partitions is erased from its old home
+    mv = str(tmp_path / "p_mv.csv")
+    with open(mv, "w") as f:
+        f.write("id,cat,val\n2,c0,111.0\n")
+    eng.import_file("p1", "in_c_main", "t4", mv, incremental=True,
+                    dedup_mode="update_duplicates")
+    df = eng.read_table("p1", "in_c_main", "t4")
+    assert {r.cat for r in df.filter("id = 2").collect()} == {"c0"}
+    assert df.count() == 91
+
+    # do_nothing: existing key ignored, new key lands in its partition
+    dn = str(tmp_path / "p_dn.csv")
+    with open(dn, "w") as f:
+        f.write("id,cat,val\n0,c1,123.0\n301,c1,5.0\n")
+    before_c0 = part_files("cat=c0")
+    eng.import_file("p1", "in_c_main", "t4", dn, incremental=True,
+                    dedup_mode="do_nothing")
+    assert part_files("cat=c0") == before_c0     # c0 untouched
+    df = eng.read_table("p1", "in_c_main", "t4")
+    rows = {r.id: (r.cat, r.val) for r in df.collect()}
+    assert rows[0] == ("c0", 999.0)              # existing kept
+    assert rows[301] == ("c1", 5.0)
+    assert df.count() == 92
