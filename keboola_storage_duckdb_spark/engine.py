@@ -478,38 +478,59 @@ class StorageEngine:
                 KD.check_fail_on_duplicates(existing, staged, pk)
             merge = lambda sub: sub.unionByName(staged)
 
-        aff_rows = [tuple(r) for r in aff.collect()]
+        aff_rows = self._safe_partition_rows(aff)
+        if aff_rows is None:
+            return False
         if not aff_rows:
             return True                     # nothing to change
+        merged = merge(existing.filter(self._partition_pred(pcols,
+                                                            aff_rows)))
+        self._rewrite_partitions(project, bucket, table, branch,
+                                 merged, aff_rows, pcols)
+        self._log("merge_partitioned", project=project, bucket=bucket,
+                  table=table, partitions=len(aff_rows), mode=dedup_mode)
+        return True
+
+    @staticmethod
+    def _partition_pred(pcols: list[str], aff_rows: list[tuple]):
+        """OR of per-partition conjunctions — prunes scans to the
+        affected hive directories."""
+        pred = None
         for vals in aff_rows:
-            for v in vals:
-                if v is None or not self._SAFE_PARTITION_VALUE.match(str(v)):
-                    return False
-        in_aff = None
-        for vals in aff_rows:           # OR of per-partition conjunctions —
-            c = None                    # prunes the scan to affected dirs
+            c = None
             for col, v in zip(pcols, vals):
                 e = F.col(col) == F.lit(v)
                 c = e if c is None else (c & e)
-            in_aff = c if in_aff is None else (in_aff | c)
-        merged = merge(existing.filter(in_aff))
+            pred = c if pred is None else (pred | c)
+        return pred
 
+    def _safe_partition_rows(self, aff) -> list[tuple] | None:
+        """Collect affected partition values; None when any value falls
+        outside the conservative charset (hive dir-name escaping risk)."""
+        rows = [tuple(r) for r in aff.collect()]
+        for vals in rows:
+            for v in vals:
+                if v is None or not self._SAFE_PARTITION_VALUE.match(str(v)):
+                    return None
+        return rows
+
+    def _rewrite_partitions(self, project: str, bucket: str, table: str,
+                            branch: str | None, merged: DataFrame,
+                            aff_rows: list[tuple], pcols: list[str]) -> None:
+        """Stage ``merged`` hive-partitioned, then swap ONLY the affected
+        leaf dirs into the live data dir; an affected partition with no
+        surviving rows is removed."""
         stage_dir = self.catalog.staging_data_dir(project, bucket, table,
                                                   branch)
         merged.write.mode("overwrite").partitionBy(*pcols) \
               .parquet(stage_dir)
         live = self.catalog.data_dir(project, bucket, table, branch)
-        # swap per affected partition leaf dir; a partition whose merged
-        # result is empty (every row re-homed) gets its dir removed
-        def leaf(vals) -> str:
-            return os.path.join(*[f"{c}={v}"
-                                  for c, v in zip(pcols, vals)])
         produced = set()
         for root, _dirs, files in os.walk(stage_dir):
             if any(f.endswith(".parquet") for f in files):
                 produced.add(os.path.relpath(root, stage_dir))
         for vals in aff_rows:
-            rel = leaf(vals)
+            rel = os.path.join(*[f"{c}={v}" for c, v in zip(pcols, vals)])
             dst = os.path.join(live, rel)
             src = os.path.join(stage_dir, rel)
             if rel in produced:
@@ -522,8 +543,31 @@ class StorageEngine:
             elif os.path.isdir(dst):
                 shutil.rmtree(dst, ignore_errors=True)
         shutil.rmtree(stage_dir, ignore_errors=True)
-        self._log("merge_partitioned", project=project, bucket=bucket,
-                  table=table, partitions=len(aff_rows), mode=dedup_mode)
+
+    def _delete_partitioned(self, project: str, bucket: str, table: str,
+                            survivors: DataFrame, deleted: DataFrame,
+                            branch: str | None) -> bool:
+        """Partition-scoped DELETE: the partitions holding matching rows
+        come from a partition-column-pruned scan of the DELETED rows;
+        only those directories are rewritten with their survivors —
+        everything else keeps its files byte-identical. Returns False
+        (caller does the full rewrite) for non-partitioned or versioned
+        tables or unsafe partition values."""
+        meta = self.catalog.read_meta(project, bucket, table, branch)
+        pcols = meta.properties.get("partition_by") or []
+        if not pcols or self._versioned(meta):
+            return False
+        aff_rows = self._safe_partition_rows(
+            deleted.select(*pcols).distinct())
+        if aff_rows is None:
+            return False
+        if not aff_rows:
+            return True                  # predicate matched nothing
+        merged = survivors.filter(self._partition_pred(pcols, aff_rows))
+        self._rewrite_partitions(project, bucket, table, branch,
+                                 merged, aff_rows, pcols)
+        self._log("delete_partitioned", project=project, bucket=bucket,
+                  table=table, partitions=len(aff_rows))
         return True
 
     def _conform(self, df: DataFrame, meta: TableMeta,
@@ -865,8 +909,28 @@ class StorageEngine:
                     self.snapshot_create(project, bucket, table,
                                          description="auto: pre-truncate")
                 survivors = df.limit(0)
-            self._write_table(project, bucket, table, survivors, eff_branch,
-                              op="delete_rows")
+            # partition-scoped delete needs the DELETED rows (for the
+            # affected-partition probe): the predicate's complement,
+            # composed directly rather than an exceptAll set-difference
+            deleted = None
+            if cond is not None or ref_filter is not None:
+                deleted = df if cond is None else df.filter(cond)
+                if ref_filter is not None:
+                    base = df if cond is None else df.filter(~cond)
+                    matched = KF.ref_table_filter(
+                        base, ref_filter["column"],
+                        ref_filter["mode"].upper(),
+                        self.read_table(*ref_filter["table"]),
+                        ref_filter["ref_column"])
+                    deleted = (matched if cond is None
+                               else df.filter(cond).unionByName(matched))
+            if deleted is not None and self._delete_partitioned(
+                    project, bucket, table, survivors, deleted,
+                    eff_branch):
+                pass
+            else:
+                self._write_table(project, bucket, table, survivors,
+                                  eff_branch, op="delete_rows")
             remaining = self.read_table(project, bucket, table, eff_branch).count()
         self._log("delete_rows", project=project, bucket=bucket, table=table,
                   deleted=before - remaining, remaining=remaining)

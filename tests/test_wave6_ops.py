@@ -371,3 +371,17 @@ def test_partition_scoped_upsert(spark, tmp_path):
     assert rows[0] == ("c0", 999.0)              # existing kept
     assert rows[301] == ("c1", 5.0)
     assert df.count() == 92
+
+    # partition-scoped DELETE: rows deleted from c1 only — c0/c2 files
+    # stay byte-identical
+    before_c0 = part_files("cat=c0")
+    before_c2 = part_files("cat=c2")
+    out = eng.delete_rows("p1", "in_c_main", "t4", where="cat = 'c1'")
+    assert out["rows_deleted"] > 0
+    assert part_files("cat=c0") == before_c0
+    assert part_files("cat=c2") == before_c2
+    import os as _os
+    assert not _os.path.isdir(_os.path.join(data_dir, "cat=c1"))
+    df = eng.read_table("p1", "in_c_main", "t4")
+    assert df.filter("cat = 'c1'").count() == 0
+    assert df.count() == 92 - out["rows_deleted"]
