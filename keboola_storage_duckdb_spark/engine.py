@@ -485,8 +485,9 @@ class StorageEngine:
             return True                     # nothing to change
         merged = merge(existing.filter(self._partition_pred(pcols,
                                                             aff_rows)))
-        self._rewrite_partitions(project, bucket, table, branch,
-                                 merged, aff_rows, pcols)
+        if not self._rewrite_partitions(project, bucket, table, branch,
+                                        merged, aff_rows, pcols):
+            return False
         self._log("merge_partitioned", project=project, bucket=bucket,
                   table=table, partitions=len(aff_rows), mode=dedup_mode)
         return True
@@ -516,10 +517,15 @@ class StorageEngine:
 
     def _rewrite_partitions(self, project: str, bucket: str, table: str,
                             branch: str | None, merged: DataFrame,
-                            aff_rows: list[tuple], pcols: list[str]) -> None:
+                            aff_rows: list[tuple], pcols: list[str]) -> bool:
         """Stage ``merged`` hive-partitioned, then swap ONLY the affected
         leaf dirs into the live data dir; an affected partition with no
-        surviving rows is removed."""
+        surviving rows is removed. Returns False WITHOUT touching the
+        live dir when any staged partition name falls outside the
+        expected set (a value whose str() differs from Spark's hive
+        encoding, e.g. bool True vs 'true' — swapping on a mismatched
+        name would silently drop rows); callers then take the full
+        rewrite."""
         stage_dir = self.catalog.staging_data_dir(project, bucket, table,
                                                   branch)
         merged.write.mode("overwrite").partitionBy(*pcols) \
@@ -529,6 +535,11 @@ class StorageEngine:
         for root, _dirs, files in os.walk(stage_dir):
             if any(f.endswith(".parquet") for f in files):
                 produced.add(os.path.relpath(root, stage_dir))
+        expected = {os.path.join(*[f"{c}={v}" for c, v in zip(pcols, vals)])
+                    for vals in aff_rows}
+        if not produced <= expected:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            return False
         for vals in aff_rows:
             rel = os.path.join(*[f"{c}={v}" for c, v in zip(pcols, vals)])
             dst = os.path.join(live, rel)
@@ -543,6 +554,7 @@ class StorageEngine:
             elif os.path.isdir(dst):
                 shutil.rmtree(dst, ignore_errors=True)
         shutil.rmtree(stage_dir, ignore_errors=True)
+        return True
 
     def _delete_partitioned(self, project: str, bucket: str, table: str,
                             survivors: DataFrame, deleted: DataFrame,
@@ -564,8 +576,9 @@ class StorageEngine:
         if not aff_rows:
             return True                  # predicate matched nothing
         merged = survivors.filter(self._partition_pred(pcols, aff_rows))
-        self._rewrite_partitions(project, bucket, table, branch,
-                                 merged, aff_rows, pcols)
+        if not self._rewrite_partitions(project, bucket, table, branch,
+                                        merged, aff_rows, pcols):
+            return False
         self._log("delete_partitioned", project=project, bucket=bucket,
                   table=table, partitions=len(aff_rows))
         return True
