@@ -2025,6 +2025,45 @@ SELECT l.doc_id, l.n_lines, l.dup_line_occurrences, l.line_chars,
 FROM lsig l LEFT JOIN top t ON l.doc_id = t.doc_id"""
 
 
+def q_range_join(spark, sf_dir):
+    """RANGE JOIN via interval bucketing (operators/rangejoin.py): every
+    lineitem shipped within [o_orderdate, o_orderdate + 7 days) of a
+    sampled order set — a pure interval containment join with NO equi key,
+    the shape Spark would otherwise plan as BroadcastNestedLoop/cartesian
+    (DuckDB ships a dedicated IEJoin for it). Bucketed to 7-day cells so
+    each qualifying pair meets in exactly one hash bucket. Aggregated per
+    interval (count + decimal-exact qty sum)."""
+    from keboola_storage_duckdb_spark.operators.rangejoin import (
+        bucketed_range_join)
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    epoch_day = lambda c: F.datediff(F.to_date(F.col(c)),
+                                     F.lit("1970-01-01"))
+    points = li.select(F.col("l_orderkey"), F.col("l_quantity"),
+                       epoch_day("l_shipdate").alias("t"))
+    iv = (od.filter(F.col("o_orderkey") % 97 == 0)
+            .select(F.col("o_orderkey").alias("iv_id"),
+                    epoch_day("o_orderdate").alias("s"))
+            .withColumn("e", F.col("s") + F.lit(7)))
+    pairs = bucketed_range_join(points, iv, "t", "s", "e", bucket=7)
+    return (pairs.groupBy("iv_id")
+                 .agg(F.count(F.lit(1)).alias("n_shipped"),
+                      F.sum(F.col("l_quantity").cast("decimal(9,2)"))
+                       .cast("double").alias("sum_qty")))
+
+
+_RANGE_JOIN_SQL = """
+SELECT o.o_orderkey AS iv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shipped,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN lineitem l
+  ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+ AND CAST(l.l_shipdate AS DATE) <  CAST(o.o_orderdate AS DATE) + 7
+WHERE o.o_orderkey % 97 = 0
+GROUP BY 1"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Pretraining token-stream packing: every document's span in the
     concatenated global token stream and the max_len context windows it
@@ -2138,6 +2177,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_features": q_image_features,          # REAL decode; header-predicting oracle
     "audio_features": q_audio_features,          # REAL WAV decode; same oracle style
     "video_features": q_video_features,          # REAL Y4M decode; same oracle style
+    "range_join": q_range_join,                  # bucketed interval join
     "pack_sequences": q_pack_sequences,          # token-stream packing map
     "repetition_signals": q_repetition_signals,  # Gopher repetition rules
     "kmeans": q_kmeans,                          # rows-only iterative
@@ -2363,6 +2403,7 @@ def oracle_sql() -> dict[str, str]:
         ).SESSIONIZE_SQL.format(gap_us=30 * 60 * 1_000_000),
         "pattern_profile": _pattern_profile_sql(),
         "hash_sample": _HASH_SAMPLE_SQL,
+        "range_join": _RANGE_JOIN_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "repetition_signals": _REPETITION_SQL,
         "top_terms": _TOP_TERMS_SQL,

@@ -385,3 +385,48 @@ def test_partition_scoped_upsert(spark, tmp_path):
     df = eng.read_table("p1", "in_c_main", "t4")
     assert df.filter("cat = 'c1'").count() == 0
     assert df.count() == 92 - out["rows_deleted"]
+
+
+def test_bucketed_range_join_matches_theta_join(spark):
+    """Bucketed interval join == the naive theta join, for bucket widths
+    smaller/larger than the intervals, with and without extra equi keys;
+    half-open boundaries and inverted intervals behave like the
+    predicate."""
+    from pyspark.sql import functions as F
+
+    from keboola_storage_duckdb_spark.operators.rangejoin import (
+        bucketed_range_join)
+
+    pts = spark.createDataFrame(
+        [(i, i % 3, float(v)) for i, v in enumerate(
+            [0, 1, 5, 7, 10, 10, 12, 19, 20, 25, 33, 47])],
+        "pid long, k int, t double")
+    ivs = spark.createDataFrame(
+        [(100, 0, 0.0, 10.0), (101, 1, 5.0, 5.0),     # empty interval
+         (102, 2, 20.0, 12.0),                        # inverted
+         (103, 0, 10.0, 21.0), (104, 1, 30.0, 50.0)],
+        "iv long, k int, s double, e double")
+
+    naive = {(r.pid, r.iv) for r in
+             pts.alias("p").join(
+                 ivs.alias("i"),
+                 (F.col("t") >= F.col("s")) & (F.col("t") < F.col("e")))
+                .select("pid", "iv").collect()}
+    naive_k = {(r.pid, r.iv) for r in
+               pts.alias("p").join(
+                   ivs.alias("i"),
+                   (F.col("t") >= F.col("s")) & (F.col("t") < F.col("e"))
+                   & (F.col("p.k") == F.col("i.k")))
+                  .select("pid", "iv").collect()}
+    assert naive and naive_k
+    for width in (1, 4, 16, 100):
+        got = {(r.pid, r.iv) for r in
+               bucketed_range_join(pts, ivs, "t", "s", "e",
+                                   bucket=width).select("pid", "iv")
+                                                .collect()}
+        assert got == naive, width
+        gotk = {(r.pid, r.iv) for r in
+                bucketed_range_join(pts, ivs, "t", "s", "e", bucket=width,
+                                    keys=["k"]).select("pid", "iv")
+                                               .collect()}
+        assert gotk == naive_k, width
