@@ -2025,6 +2025,46 @@ SELECT l.doc_id, l.n_lines, l.dup_line_occurrences, l.line_chars,
 FROM lsig l LEFT JOIN top t ON l.doc_id = t.doc_id"""
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Mergeable HyperLogLog distinct sketch per language over documents
+    (functions/sketch.py): md5-derived registers so DuckDB certifies the
+    FULL sketch state (register checksum), estimate computed in order-free
+    exact integer arithmetic (no pow/log). The mergeable max-register
+    shape is the 100 TB path for approximate distinct; exact distinct
+    (A2) remains certified as distinct_counts."""
+    from keboola_storage_duckdb_spark.functions.sketch import hll_estimate
+    docs = _t(spark, sf_dir, "documents")
+    out = hll_estimate(docs, "lang", "doc_id", b_hex=3)
+    return out.select("lang", "registers_used", "register_checksum",
+                      F.round("hll_estimate", 6).alias("hll_estimate"))
+
+
+_HLL_SQL = r"""
+WITH r AS (
+  SELECT lang AS g,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS BIGINT)
+           AS register,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 4, 12) AS BIGINT)
+           AS tail
+  FROM documents WHERE doc_id IS NOT NULL
+), mx AS (
+  SELECT g, register,
+         MAX(CASE WHEN tail > 0 THEN 49 - length(bin(tail))
+                  ELSE 49 END) AS max_rho
+  FROM r GROUP BY g, register
+)
+SELECT g AS lang,
+       CAST(COUNT(*) AS BIGINT) AS registers_used,
+       md5(string_agg(register || ':' || max_rho, ','
+                      ORDER BY register || ':' || max_rho))
+         AS register_checksum,
+       ROUND(6.810691763087074e+21
+             / CAST(SUM(1::BIGINT << (49 - max_rho))
+                    + (4096 - COUNT(*)) * (1::BIGINT << 49) AS DOUBLE),
+             6) AS hll_estimate
+FROM mx GROUP BY g"""
+
+
 def q_range_join(spark, sf_dir):
     """RANGE JOIN via interval bucketing (operators/rangejoin.py): every
     lineitem shipped within [o_orderdate, o_orderdate + 7 days) of a
@@ -2178,6 +2218,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,          # REAL WAV decode; same oracle style
     "video_features": q_video_features,          # REAL Y4M decode; same oracle style
     "range_join": q_range_join,                  # bucketed interval join
+    "hll_distinct": q_hll_distinct,              # mergeable HLL sketch
     "pack_sequences": q_pack_sequences,          # token-stream packing map
     "repetition_signals": q_repetition_signals,  # Gopher repetition rules
     "kmeans": q_kmeans,                          # rows-only iterative
@@ -2404,6 +2445,7 @@ def oracle_sql() -> dict[str, str]:
         "pattern_profile": _pattern_profile_sql(),
         "hash_sample": _HASH_SAMPLE_SQL,
         "range_join": _RANGE_JOIN_SQL,
+        "hll_distinct": _HLL_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "repetition_signals": _REPETITION_SQL,
         "top_terms": _TOP_TERMS_SQL,

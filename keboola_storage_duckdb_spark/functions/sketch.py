@@ -1,0 +1,79 @@
+"""Mergeable HyperLogLog distinct sketch with engine-exact registers.
+
+Spark's ``approx_count_distinct`` is HLL++ behind an opaque binary buffer:
+fine for one engine, unverifiable across two. This module builds the HLL
+from PORTABLE primitives — md5 only — so DuckDB computes bit-identical
+registers and the oracle can certify the sketch itself, not just eyeball
+the estimate:
+
+* register index = first ``b_hex`` hex chars of ``md5(value)``;
+* rank ρ = 1 + leading zero bits in the NEXT 12 hex chars (48 bits —
+  the all-zero tail is implausible at any real cardinality; capped 49),
+  computed as ``49 - bit_length(tail)`` with integer ops (no log2);
+* per (group, register): ``max(ρ)`` — an ordinary max aggregation, which
+  is exactly what makes HLL mergeable at 100 TB: partial registers
+  combine map-side, the shuffle carries ≤ groups × 16^b_hex aggregate
+  rows, and unions of sketches are register-wise max.
+
+The RAW estimate α_m·m²/Σ2^-ρ is evaluated in ORDER-FREE EXACT integer
+arithmetic: each register contributes ``2^(49-ρ)`` (a bigint), the sum is
+exact whatever the aggregation order, empty registers add ``2^49`` each,
+and one deterministic final double division produces the estimate — no
+pow/log anywhere, so the DuckDB twin is bit-identical. Bias corrections
+(which need log()) are deliberately omitted: raw-HLL relative error is
+≈ 1.04/√m for cardinalities ≳ 2.5·m; below that use exact distinct (A2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hll_register_table", "hll_estimate"]
+
+
+def hll_register_table(df: DataFrame, group_col: str, value_col: str,
+                       b_hex: int = 3) -> DataFrame:
+    """(group, register, max ρ) — the mergeable sketch state.
+    ``b_hex`` hex chars of register index → m = 16^b_hex registers."""
+    h = F.md5(F.col(value_col).cast("string"))
+    reg = F.conv(F.substring(h, 1, b_hex), 16, 10).cast("long")
+    tail = F.conv(F.substring(h, b_hex + 1, 12), 16, 10).cast("bigint")
+    # ρ = 49 - bit_length(48-bit tail); bit_length via length(bin(x))
+    rho = F.when(tail > 0,
+                 F.lit(49) - F.length(F.bin(tail)).cast("int")) \
+           .otherwise(F.lit(49))
+    return (df.filter(F.col(value_col).isNotNull())
+              .select(F.col(group_col).alias("g"), reg.alias("register"),
+                      rho.alias("rho"))
+              .groupBy("g", "register")
+              .agg(F.max("rho").alias("max_rho")))
+
+
+def hll_estimate(df: DataFrame, group_col: str, value_col: str,
+                 b_hex: int = 3) -> DataFrame:
+    """Per-group raw HLL estimate + register checksum. Returns
+    ``(group_col, registers_used, register_checksum, hll_estimate)``;
+    the checksum (md5 over the lexicographically ordered register:ρ
+    pairs) certifies the full sketch state across engines."""
+    m = 16 ** b_hex
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numerator = alpha * m * m * float(2 ** 49)      # one exact literal
+    regs = hll_register_table(df, group_col, value_col, b_hex)
+    est = (regs.groupBy("g")
+               .agg(F.count(F.lit(1)).alias("registers_used"),
+                    F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
+                        F.concat_ws(":", F.col("register"),
+                                    F.col("max_rho"))))))
+                     .alias("register_checksum"),
+                    # exact dyadic contributions, order-free bigint sum
+                    F.sum(F.expr(
+                        "shiftleft(cast(1 as bigint), 49 - max_rho)"))
+                     .alias("sum_scaled")))
+    return est.select(
+        F.col("g").alias(group_col), "registers_used", "register_checksum",
+        (F.lit(numerator)
+         / (F.col("sum_scaled")
+            + (F.lit(m).cast("bigint") - F.col("registers_used"))
+            * F.lit(2 ** 49).cast("bigint")).cast("double"))
+        .alias("hll_estimate"))
