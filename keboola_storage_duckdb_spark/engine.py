@@ -583,18 +583,55 @@ class StorageEngine:
                   table=table, partitions=len(aff_rows))
         return True
 
+    def _infer_columns(self, path: str, file_format: str,
+                       csv_options: dict | None = None) -> list[dict]:
+        """Column declarations for CreateMode imports into a not-yet-
+        existing table: CSV via bounded-sample inference; parquet/arrow
+        via the file schema mapped to DuckDB type strings."""
+        from .catalog.types import spark_to_duckdb_type
+        if file_format == "csv":
+            from .sources.infer import infer_csv_schema
+            opts = csv_options or {}
+            return infer_csv_schema(self.spark, path,
+                                    header=opts.get("header", True) in
+                                    (True, "true"),
+                                    sep=opts.get("sep", ","))
+        if file_format == "parquet":
+            schema = self.spark.read.parquet(path).schema
+        elif file_format == "arrow":
+            import pyarrow as pa
+            with pa.OSFile(path, "rb") as f:
+                tbl = pa.ipc.open_stream(f).read_all()
+            schema = self.spark.createDataFrame(tbl.slice(0, 0)).schema
+        else:
+            raise CatalogError(f"unsupported import format {file_format!r}")
+        return [{"name": f.name,
+                 "type": spark_to_duckdb_type(f.dataType.simpleString()
+                                              .upper()),
+                 "nullable": f.nullable}
+                for f in schema.fields if not f.name.startswith("_")]
+
     def _conform(self, df: DataFrame, meta: TableMeta,
-                 convert_empty_to_null: Iterable[str] = ()) -> DataFrame:
+                 convert_empty_to_null: Iterable[str] = (),
+                 import_as_null: Iterable[str] = ()) -> DataFrame:
         """W7 staging-schema enforcement: select declared columns in order,
         cast to declared types, add _timestamp. `_`-prefixed source columns
-        are ignored (reference import_export.py:300-312)."""
+        are ignored (reference import_export.py:300-312).
+
+        ``import_as_null`` mirrors proto/table.proto
+        ``ImportOptions.importAsNull``: the listed literal values (string
+        comparison, every column) import as NULL."""
         cols = []
         empties = {c.lower() for c in convert_empty_to_null}
+        null_vals = list(import_as_null)
         for c in meta.columns:
             name, typ = c["name"], duckdb_to_spark_type(c["type"])
             col = F.col(name) if name in df.columns else F.lit(c.get("default"))
             if name.lower() in empties:
                 col = F.when(col.cast("string") == "", None).otherwise(col)
+            if null_vals:
+                col = F.when(col.cast("string").isin(null_vals),
+                             None).otherwise(col)
             cols.append(col.cast(typ).alias(name))
         return df.select(*cols).withColumn(TIMESTAMP_COL, F.current_timestamp())
 
@@ -625,7 +662,9 @@ class StorageEngine:
                     csv_options: dict | None = None,
                     convert_empty_to_null: Iterable[str] = (),
                     file_id: str | None = None,
-                    import_strategy: str = "user_defined_table") -> dict:
+                    import_strategy: str = "user_defined_table",
+                    import_as_null: Iterable[str] = (),
+                    create_mode: str | None = None) -> dict:
         """Import pipeline: STAGING → TRANSFORM → CLEANUP
         (reference src/routers/table_import.py:240-468).
 
@@ -652,8 +691,28 @@ class StorageEngine:
         if import_strategy not in ("user_defined_table", "string_table"):
             raise CatalogError(
                 f"unknown import strategy {import_strategy!r}")
+        if create_mode not in (None, "create", "replace"):
+            raise CatalogError(f"unknown create mode {create_mode!r}")
         if file_id is not None:
             path = self.files.local_path(project, file_id)
+        if create_mode is not None:
+            # proto/table.proto ImportOptions.CreateMode: CREATE fails if
+            # the table exists (unless INCREMENTAL), REPLACE drops and
+            # recreates it; a missing table is created from the source
+            # file's schema (CSV: bounded-sample inference, sources/
+            # infer.py; parquet/arrow: the file schema mapped to DuckDB
+            # type strings)
+            exists = self.catalog.table_exists(project, bucket, table)
+            if exists and not incremental:
+                if create_mode == "create":
+                    raise AlreadyExistsError(
+                        f"table {table} exists (create mode CREATE)")
+                self.drop_table(project, bucket, table)
+                exists = False
+            if not exists:
+                self.create_table(project, bucket, table,
+                                  self._infer_columns(path, file_format,
+                                                      csv_options))
         self.ensure_cow_for_write(project, bucket, table, branch)
         src_kind, _ = self.catalog.resolve_table(project, bucket, table, branch)
         eff_branch = branch if src_kind == "branch" else None
@@ -689,7 +748,8 @@ class StorageEngine:
             staged = self.spark.createDataFrame(tbl)
         else:
             raise CatalogError(f"unsupported import format {file_format!r}")
-        staged = self._conform(staged, meta, convert_empty_to_null)
+        staged = self._conform(staged, meta, convert_empty_to_null,
+                               import_as_null)
 
         pk = meta.primary_key
         with self.catalog.acquire(project, bucket, table):

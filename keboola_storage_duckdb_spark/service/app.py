@@ -381,6 +381,9 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
             dedup_mode=opts.get("dedup_mode", "update_duplicates"),
             import_strategy=opts.get("import_strategy",
                                      "user_defined_table"),
+            import_as_null=body.get("import_as_null",
+                                    opts.get("import_as_null", ())),
+            create_mode=opts.get("create_mode"),
             csv_options=body.get("csv_options"),
             convert_empty_to_null=body.get("convert_empty_to_null", ()),
             branch=_branch(branch_id))

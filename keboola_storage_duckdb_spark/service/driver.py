@@ -32,6 +32,16 @@ def _strategy(v) -> str:
     return "user_defined_table"
 
 
+def _create_mode(v):
+    """proto/table.proto ImportOptions.CreateMode: 0/CREATE, 1/REPLACE;
+    None keeps the engine default (table must pre-exist)."""
+    if v in (0, "0", "CREATE", "create"):
+        return "create"
+    if v in (1, "1", "REPLACE", "replace"):
+        return "replace"
+    return None
+
+
 def _handlers(engine) -> dict:
     """Command type → callable(payload) → result dict. Payload field names
     follow the reference's driver JSON (projectId/bucketName/tableName…)."""
@@ -85,7 +95,9 @@ def _handlers(engine) -> dict:
             file_format=c.get("format", "csv"),
             incremental=c.get("incremental", False),
             dedup_mode=c.get("dedupMode", "update_duplicates"),
-            import_strategy=_strategy(c.get("importStrategy"))),
+            import_strategy=_strategy(c.get("importStrategy")),
+            import_as_null=c.get("importAsNull", ()),
+            create_mode=_create_mode(c.get("createMode"))),
         "TableExportToFileCommand": lambda c: engine.export_to_file(
             c["projectId"], c["bucketName"], c["tableName"], c["path"],
             file_format=c.get("format", "csv"),

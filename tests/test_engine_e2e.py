@@ -358,3 +358,42 @@ def test_import_strategy_string_table(engine, csv_path):
     with _pt.raises(CatalogError):
         engine.import_file("p1", "in_c_data", "users_str", csv_path["v1"],
                            import_strategy="bogus")
+
+
+def test_import_create_mode_and_import_as_null(engine, csv_path, tmp_path):
+    """proto ImportOptions.CreateMode + importAsNull: CREATE materializes
+    a missing table from the source schema and fails on an existing one;
+    REPLACE drops and recreates; listed literals import as NULL."""
+    import pytest as _pt
+
+    from keboola_storage_duckdb_spark.catalog.catalog import (
+        AlreadyExistsError)
+
+    # CREATE on a missing table: schema inferred from the CSV sample
+    out = engine.import_file("p1", "in_c_data", "users_auto",
+                             csv_path["v1"], create_mode="create")
+    assert out["rows_after"] == 3
+    meta = engine.catalog.read_meta("p1", "in_c_data", "users_auto")
+    types = {c["name"]: c["type"] for c in meta.columns}
+    assert types["id"] in ("INTEGER", "BIGINT")
+    assert types["name"] == "VARCHAR"
+
+    # CREATE again (non-incremental) fails; REPLACE recreates
+    with _pt.raises(AlreadyExistsError):
+        engine.import_file("p1", "in_c_data", "users_auto",
+                           csv_path["v1"], create_mode="create")
+    out = engine.import_file("p1", "in_c_data", "users_auto",
+                             csv_path["v2"], create_mode="replace")
+    assert out["rows_after"] == 2
+
+    # importAsNull: listed literal values become NULL in every column
+    p = str(tmp_path / "nulls.csv")
+    with open(p, "w") as f:
+        f.write("id,name,email,age\n7,N/A,seven@x.com,N/A\n8,Hank,,44\n")
+    engine.create_table("p1", "in_c_data", "users_nulls", USERS_COLUMNS)
+    engine.import_file("p1", "in_c_data", "users_nulls", p,
+                       import_as_null=["N/A"])
+    rows = {r.id: r for r in
+            engine.read_table("p1", "in_c_data", "users_nulls").collect()}
+    assert rows[7].name is None and rows[7].age is None
+    assert rows[8].name == "Hank" and rows[8].age == 44
