@@ -378,9 +378,16 @@ def cmd_tables_import(args):
     rec = c.upload_file_3stage(args.project, p)
     if not args.json:
         print(f"File uploaded: {rec['id']}")
+    opts = {"incremental": args.incremental}
+    if args.string_table:
+        opts["import_strategy"] = "string_table"
+    if args.create_mode:
+        opts["create_mode"] = args.create_mode
+    if args.null_value:
+        opts["import_as_null"] = args.null_value
     res = c.post(f"{_tbl_base(args)}/{args.table}/import/file",
                  {"file_id": rec["id"], "format": args.format,
-                  "import_options": {"incremental": args.incremental}})
+                  "import_options": opts})
     if args.json:
         print_json(res)
     else:
@@ -577,8 +584,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="time-travel to a commit (versioned tables)")
     s = table_parser("import", cmd_tables_import)
     s.add_argument("file")
-    s.add_argument("--format", default="csv", choices=["csv", "parquet"])
+    s.add_argument("--format", default="csv",
+                   choices=["csv", "parquet", "arrow"])
     s.add_argument("--incremental", action="store_true")
+    s.add_argument("--string-table", action="store_true",
+                   help="STRING_TABLE strategy: every column as VARCHAR")
+    s.add_argument("--create-mode", choices=["create", "replace"],
+                   help="create the table from the file schema / replace it")
+    s.add_argument("--null-value", action="append",
+                   help="literal imported as NULL (repeatable)")
     s = table_parser("export", cmd_tables_export)
     s.add_argument("output")
     s.add_argument("--format", default="csv", choices=["csv", "parquet"])
