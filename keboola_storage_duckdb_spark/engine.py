@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import threading
 import time
@@ -414,7 +415,7 @@ class StorageEngine:
                 meta.properties["partition_by"] = []
                 self.catalog.write_meta(project, bucket, table, meta)
 
-    _SAFE_PARTITION_VALUE = __import__("re").compile(r"^[A-Za-z0-9._\-]+$")
+    _SAFE_PARTITION_VALUE = re.compile(r"^[A-Za-z0-9._\-]+$")
 
     def _merge_partitioned(self, project: str, bucket: str, table: str,
                            staged: DataFrame, meta: TableMeta,

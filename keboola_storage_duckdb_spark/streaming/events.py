@@ -183,3 +183,31 @@ def stream_user_totals(spark, source_dir: str, schema) -> DataFrame:
                       stateStructType=_USER_STATE_SCHEMA,
                       outputMode="update",
                       timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_hll_registers(spark, source_dir: str, schema,
+                         group_col: str = "event_type",
+                         value_col: str = "user_id",
+                         b_hex: int = 3) -> DataFrame:
+    """Streaming twin of the mergeable HyperLogLog sketch
+    (functions/sketch.py): the register table is just a streaming
+    ``groupBy(group, register).max(rho)`` — state is bounded at
+    groups × 16^b_hex tiny rows REGARDLESS of stream length (the whole
+    point of sketching a stream), each micro-batch folds in map-side, and
+    the registers stay bit-identical to the batch sketch over the same
+    data (tested), so estimates come from the same exact-integer formula.
+    """
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    h = F.md5(F.col(value_col).cast("string"))
+    reg = F.conv(F.substring(h, 1, b_hex), 16, 10).cast("long")
+    tail = F.conv(F.substring(h, b_hex + 1, 12), 16, 10).cast("bigint")
+    rho = F.when(tail > 0,
+                 F.lit(49) - F.length(F.bin(tail)).cast("int")) \
+           .otherwise(F.lit(49))
+    return (stream.filter(F.col(value_col).isNotNull())
+                  .select(F.col(group_col).alias("g"),
+                          reg.alias("register"), rho.alias("rho"))
+                  .groupBy("g", "register")
+                  .agg(F.max("rho").alias("max_rho")))

@@ -455,3 +455,26 @@ def test_hll_sketch_accuracy_and_mergeability(spark):
     whole = hll_register_table(df, "grp", "v")
     assert (merged.exceptAll(whole).count() == 0
             and whole.exceptAll(merged).count() == 0)
+
+
+def test_stream_hll_registers_equal_batch(spark, sf_dir, tmp_path):
+    """Streaming HLL register state == the batch sketch over the same
+    data, register for register (the mergeable max makes the streaming
+    fold exact, with state bounded at groups x m rows)."""
+    from keboola_storage_duckdb_spark.functions.sketch import (
+        hll_register_table)
+    from keboola_storage_duckdb_spark.streaming.events import (
+        stream_hll_registers)
+
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    src = str(tmp_path / "hll_src")
+    ev.write.parquet(src)
+    got = stream_hll_registers(spark, src, ev.schema)
+    q = (got.writeStream.format("memory").queryName("hll_stream")
+            .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream_regs = {(r.g, r.register): r.max_rho for r in
+                   spark.sql("select * from hll_stream").collect()}
+    batch_regs = {(r.g, r.register): r.max_rho for r in
+                  hll_register_table(ev, "event_type", "user_id").collect()}
+    assert stream_regs == batch_regs and len(batch_regs) > 50
