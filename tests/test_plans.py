@@ -121,3 +121,14 @@ def test_pack_sequences_never_single_partition(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
     assert "windowspecdefinition(pid" in plan.lower().replace(" ", "") \
         or "pid" in plan, plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The bucketed range join must plan as a hash equi-join on the
+    bucket id — BroadcastNestedLoopJoin / CartesianProduct would be the
+    raw theta join's scale-killer plan."""
+    df = E.q_range_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan, plan
