@@ -63,6 +63,11 @@ def main() -> None:
                     fn(spark, sf_dir).collect()
                     runs.append(time.perf_counter() - t0)
             timings[name] = round(min(runs), 4)
+            # drop py4j-held DataFrame/RDD refs promptly: lazy
+            # localCheckpoints from earlier queries otherwise accumulate
+            # on the executors until Python GC happens to run
+            import gc
+            gc.collect()
             if len(runs) > 1:
                 # full rep spread so a reader can separate VM contention
                 # (wide spread) from a real regression (tight spread at a

@@ -81,7 +81,8 @@ def main() -> None:
                  "top_terms", "table_profile", "kmeans", "chunk_docs",
                  "decontaminate", "gopher_quality", "pii_redact",
                  "simhash_pairs", "grouped_quantiles", "image_features",
-                 "audio_features", "video_features"]:
+                 "audio_features", "video_features", "range_join",
+                 "pack_sequences", "repetition_signals", "hll_distinct"]:
         run(name, lambda name=name: Q[name](spark, DST))
 
     # Quadratic-output operators at 10×: the UNBLOCKED/UNCAPPED forms are the
