@@ -2065,6 +2065,52 @@ SELECT g AS lang,
 FROM mx GROUP BY g"""
 
 
+def q_cm_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch point queries (functions/sketch.py): per-type
+    event frequencies estimated from depth×width mergeable counters
+    (plain SUMs — partial sketches add together across partitions and
+    datasets) next to the exact counts; seeded-md5 buckets make every
+    counter engine-reproducible, so DuckDB certifies the sketch and the
+    estimates, and CM's one-sided error (estimate ≥ truth) is visible in
+    the result frame."""
+    from keboola_storage_duckdb_spark.functions.sketch import cm_estimate
+    ev = _t(spark, sf_dir, "events")
+    items = ev.select(F.col("event_type")).filter(
+        F.col("event_type").isNotNull()).distinct()
+    est = cm_estimate(ev, "event_type", items, "event_type")
+    true_n = (ev.filter(F.col("event_type").isNotNull())
+                .groupBy(F.col("event_type").alias("item"))
+                .agg(F.count(F.lit(1)).alias("true_n")))
+    return est.join(true_n, "item")
+
+
+_CM_SQL = r"""
+WITH seeds(i) AS (VALUES (0), (1), (2), (3)),
+c AS (
+  SELECT s.i AS row,
+         CAST('0x' || substr(md5(CAST(s.i AS VARCHAR) || '|' || event_type),
+                             1, 8) AS BIGINT) % 256 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events, seeds s
+  WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+items AS (SELECT DISTINCT event_type AS item FROM events
+          WHERE event_type IS NOT NULL),
+probes AS (
+  SELECT it.item, s.i AS row,
+         CAST('0x' || substr(md5(CAST(s.i AS VARCHAR) || '|' || it.item),
+                             1, 8) AS BIGINT) % 256 AS bucket
+  FROM items it, seeds s
+),
+est AS (SELECT p.item, MIN(COALESCE(c.cnt, 0)) AS cm_estimate
+        FROM probes p LEFT JOIN c USING (row, bucket) GROUP BY 1)
+SELECT e.item, CAST(e.cm_estimate AS BIGINT) AS cm_estimate, t.true_n
+FROM est e
+JOIN (SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1) t USING (item)"""
+
+
 def q_range_join(spark, sf_dir):
     """RANGE JOIN via interval bucketing (operators/rangejoin.py): every
     lineitem shipped within [o_orderdate, o_orderdate + 7 days) of a
@@ -2219,6 +2265,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_features": q_video_features,          # REAL Y4M decode; same oracle style
     "range_join": q_range_join,                  # bucketed interval join
     "hll_distinct": q_hll_distinct,              # mergeable HLL sketch
+    "cm_heavy_hitters": q_cm_heavy_hitters,      # count-min sketch
     "pack_sequences": q_pack_sequences,          # token-stream packing map
     "repetition_signals": q_repetition_signals,  # Gopher repetition rules
     "kmeans": q_kmeans,                          # rows-only iterative
@@ -2446,6 +2493,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _HASH_SAMPLE_SQL,
         "range_join": _RANGE_JOIN_SQL,
         "hll_distinct": _HLL_SQL,
+        "cm_heavy_hitters": _CM_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "repetition_signals": _REPETITION_SQL,
         "top_terms": _TOP_TERMS_SQL,

@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_register_table", "hll_estimate"]
+__all__ = ["hll_register_table", "hll_estimate",
+           "cm_sketch_table", "cm_estimate"]
 
 
 def hll_register_table(df: DataFrame, group_col: str, value_col: str,
@@ -77,3 +78,50 @@ def hll_estimate(df: DataFrame, group_col: str, value_col: str,
             + (F.lit(m).cast("bigint") - F.col("registers_used"))
             * F.lit(2 ** 49).cast("bigint")).cast("double"))
         .alias("hll_estimate"))
+
+
+def cm_sketch_table(df: DataFrame, value_col: str,
+                    depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-Min sketch counters ``(row, bucket, cnt)`` — the mergeable
+    frequency sketch: counters are plain SUMs, so partial sketches
+    combine map-side and across datasets by addition; memory is
+    ``depth × width`` cells regardless of item cardinality. Buckets come
+    from seeded md5 (``md5(seed | '|' | value)``) so DuckDB reproduces
+    every counter exactly — the estimate is deterministic, not just
+    approximately right."""
+    entries = [F.struct(
+        F.lit(i).alias("row"),
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{i}|"),
+                           F.col(value_col).cast("string"))), 1, 8),
+            16, 10).cast("long") % width).alias("bucket"))
+        for i in range(depth)]
+    return (df.filter(F.col(value_col).isNotNull())
+              .select(F.explode(F.array(*entries)).alias("e"))
+              .groupBy(F.col("e.row").alias("row"),
+                       F.col("e.bucket").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cm_estimate(df: DataFrame, value_col: str, items: DataFrame,
+                item_col: str, depth: int = 4,
+                width: int = 256) -> DataFrame:
+    """Point-query the Count-Min sketch for every row of ``items``:
+    estimate = min over rows of the item's counter (an upper bound on the
+    true frequency — collisions only ever ADD). Returns
+    ``(item, cm_estimate)``."""
+    sk = cm_sketch_table(df, value_col, depth, width)
+    probes = items.select(F.col(item_col).alias("item"), F.explode(F.array(
+        *[F.struct(
+            F.lit(i).alias("row"),
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{i}|"),
+                               F.col(item_col).cast("string"))), 1, 8),
+                16, 10).cast("long") % width).alias("bucket"))
+          for i in range(depth)])).alias("e")) \
+        .select("item", F.col("e.row").alias("row"),
+                F.col("e.bucket").alias("bucket"))
+    return (probes.join(sk, ["row", "bucket"], "left")
+                  .groupBy("item")
+                  .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                        .alias("cm_estimate")))

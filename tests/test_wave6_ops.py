@@ -478,3 +478,35 @@ def test_stream_hll_registers_equal_batch(spark, sf_dir, tmp_path):
     batch_regs = {(r.g, r.register): r.max_rho for r in
                   hll_register_table(ev, "event_type", "user_id").collect()}
     assert stream_regs == batch_regs and len(batch_regs) > 50
+
+
+def test_cm_sketch_upper_bound_and_mergeability(spark):
+    """Count-Min: estimates are one-sided upper bounds on true counts
+    (equal when no collision), and summing two halves' counters equals
+    the whole sketch — the additive-merge property."""
+    from pyspark.sql import functions as F
+
+    from keboola_storage_duckdb_spark.functions.sketch import (
+        cm_estimate, cm_sketch_table)
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 100).cast("string").alias("v"))
+    items = df.distinct().withColumnRenamed("v", "item")
+    est = {r.item: r.cm_estimate for r in
+           cm_estimate(df, "v", items, "item", width=64).collect()}
+    true_n = {r.v: r.n for r in
+              df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(est[k] >= n for k, n in true_n.items())
+    # width=64 for 100 items forces collisions; at width=4096 none remain
+    wide = {r.item: r.cm_estimate for r in
+            cm_estimate(df, "v", items, "item", width=4096).collect()}
+    assert wide == true_n
+
+    a = cm_sketch_table(df.filter(F.crc32("v") % 2 == 0), "v")
+    b = cm_sketch_table(df.filter(F.crc32("v") % 2 != 0), "v")
+    merged = {(r.row, r.bucket): r.cnt for r in
+              a.unionByName(b).groupBy("row", "bucket")
+               .agg(F.sum("cnt").alias("cnt")).collect()}
+    whole = {(r.row, r.bucket): r.cnt for r in
+             cm_sketch_table(df, "v").collect()}
+    assert merged == whole
