@@ -2065,6 +2065,33 @@ SELECT g AS lang,
 FROM mx GROUP BY g"""
 
 
+def q_bottom_k_sample(spark, sf_dir):
+    """Deterministic per-language bottom-k document sample
+    (functions/sketch.py:bottom_k_sample): the k smallest md5(doc_id)
+    per group — uniform without replacement, mergeable (bottom-k of a
+    union = bottom-k of the parts' bottom-k), reproducible across
+    engines. The distributed-sampling primitive hash_sample/
+    stratified_sample's fixed-rate filters can't give: an exact-size
+    sample per group."""
+    from keboola_storage_duckdb_spark.functions.sketch import (
+        bottom_k_sample)
+    docs = _t(spark, sf_dir, "documents")
+    return (bottom_k_sample(docs, "lang", "doc_id", k=8)
+            .select(F.col("g").alias("lang"), F.col("id").alias("doc_id"),
+                    "sample_rank"))
+
+
+_BOTTOM_K_SQL = """
+SELECT lang, doc_id, CAST(sample_rank AS INT) AS sample_rank
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)))
+           AS sample_rank
+  FROM documents WHERE doc_id IS NOT NULL
+) WHERE sample_rank <= 8"""
+
+
 def q_cm_heavy_hitters(spark, sf_dir):
     """Count-Min sketch point queries (functions/sketch.py): per-type
     event frequencies estimated from depth×width mergeable counters
@@ -2266,6 +2293,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,                  # bucketed interval join
     "hll_distinct": q_hll_distinct,              # mergeable HLL sketch
     "cm_heavy_hitters": q_cm_heavy_hitters,      # count-min sketch
+    "bottom_k_sample": q_bottom_k_sample,        # mergeable exact-size sample
     "pack_sequences": q_pack_sequences,          # token-stream packing map
     "repetition_signals": q_repetition_signals,  # Gopher repetition rules
     "kmeans": q_kmeans,                          # rows-only iterative
@@ -2494,6 +2522,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _RANGE_JOIN_SQL,
         "hll_distinct": _HLL_SQL,
         "cm_heavy_hitters": _CM_SQL,
+        "bottom_k_sample": _BOTTOM_K_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "repetition_signals": _REPETITION_SQL,
         "top_terms": _TOP_TERMS_SQL,

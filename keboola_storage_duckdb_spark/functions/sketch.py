@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hll_register_table", "hll_estimate",
-           "cm_sketch_table", "cm_estimate"]
+           "cm_sketch_table", "cm_estimate", "bottom_k_sample"]
 
 
 def hll_register_table(df: DataFrame, group_col: str, value_col: str,
@@ -125,3 +125,28 @@ def cm_estimate(df: DataFrame, value_col: str, items: DataFrame,
                   .groupBy("item")
                   .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                         .alias("cm_estimate")))
+
+
+def bottom_k_sample(df: DataFrame, group_col: str, id_col: str,
+                    k: int = 8) -> DataFrame:
+    """Deterministic uniform sample WITHOUT replacement per group: the k
+    rows with the smallest ``md5(id)`` — the bottom-k sketch. Mergeable
+    like the others: bottom-k of a union is the bottom-k of each part's
+    bottom-k (so partial samples combine at 100 TB without a global
+    shuffle of the raw data), the sample is reproducible run-to-run and
+    engine-to-engine (md5, not rand()), and membership is decidable per
+    row. Returns ``(group, id, sample_rank)`` with rank 1..k by hash
+    order (ties on the full hash are impossible short of md5 collision).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc())
+    return (df.filter(F.col(id_col).isNotNull())
+              .select(F.col(group_col).alias("g"),
+                      F.col(id_col).alias("id"), h.alias("h"))
+              .withColumn("sample_rank",
+                          F.row_number().over(
+                              Window.partitionBy("g").orderBy("h")))
+              .filter(F.col("sample_rank") <= k)
+              .select("g", "id", "sample_rank"))

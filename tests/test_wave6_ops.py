@@ -510,3 +510,29 @@ def test_cm_sketch_upper_bound_and_mergeability(spark):
     whole = {(r.row, r.bucket): r.cnt for r in
              cm_sketch_table(df, "v").collect()}
     assert merged == whole
+
+
+def test_bottom_k_sample_mergeability(spark):
+    """Bottom-k sampling: exactly k per group, deterministic, and the
+    bottom-k of two halves' bottom-k samples equals the whole dataset's
+    bottom-k — the merge property that lets partial samples combine
+    without reshuffling raw data."""
+    from pyspark.sql import functions as F
+
+    from keboola_storage_duckdb_spark.functions.sketch import (
+        bottom_k_sample)
+
+    df = spark.range(5000).select(
+        (F.col("id") % 4).cast("string").alias("grp"),
+        F.col("id").cast("string").alias("doc"))
+    whole = {(r.g, r.id) for r in
+             bottom_k_sample(df, "grp", "doc", k=5).collect()}
+    assert len(whole) == 20                    # 4 groups x k
+    ha = bottom_k_sample(df.filter(F.crc32("doc") % 2 == 0),
+                         "grp", "doc", k=5).select("g", "id")
+    hb = bottom_k_sample(df.filter(F.crc32("doc") % 2 != 0),
+                         "grp", "doc", k=5).select("g", "id")
+    merged = {(r.g, r.id) for r in
+              bottom_k_sample(ha.unionByName(hb), "g", "id", k=5)
+              .collect()}
+    assert merged == whole
