@@ -75,6 +75,10 @@ class StorageEngine:
         self._ops_log_path = os.path.join(self.catalog.warehouse, "_ops.jsonl")
         self._ops_lock = threading.Lock()
         self._files = None
+        # monotone catalog generation: bumped by every logged operation
+        # (all mutations log) — view-registration caching keys off it
+        self._generation = 0
+        self._views_cache: dict[tuple[str, str | None], int] = {}
 
     @property
     def files(self):
@@ -94,6 +98,7 @@ class StorageEngine:
         rec = {"op": op, "ts": time.time(), **detail}
         with self._ops_lock, open(self._ops_log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        self._generation += 1
 
     # -------------------------------------------------- projects / buckets
     def create_project(self, project: str) -> None:
@@ -1477,7 +1482,23 @@ class StorageEngine:
     def register_project_views(self, project: str,
                                branch: str | None = None) -> list[str]:
         """ATTACH-equivalent: every project table becomes a temp view named
-        '{bucket}_{table}' (reference src/pgwire_server.py:107-152)."""
+        '{bucket}_{table}' (reference src/pgwire_server.py:107-152).
+
+        Registration is CACHED per (project, branch) against the engine's
+        catalog generation (bumped by every logged operation, mutations
+        included): a PG-wire session or query burst re-registers nothing
+        until something in the warehouse actually changed — listing
+        buckets + rebuilding every table's scan plan costs ~200 ms per
+        table otherwise."""
+        key = (project, branch)
+        gen = self._generation
+        # views share ONE temp-view namespace: a different project/branch
+        # registering since would have overwritten colliding names, so
+        # the cache only holds for the most recent registrant
+        if (getattr(self, "_last_views_key", None) == key
+                and self._views_cache.get(key) == gen):
+            return []
+        self._last_views_key = key
         views = []
         for bucket in self.catalog.list_buckets(project):
             for table in self.list_linked_tables(project, bucket):
@@ -1485,6 +1506,7 @@ class StorageEngine:
                 self.read_table(project, bucket, table, branch) \
                     .createOrReplaceTempView(name)
                 views.append(name)
+        self._views_cache[key] = gen
         return views
 
     def execute_query_arrow(self, project: str, sql: str,
