@@ -323,3 +323,18 @@ def test_export_parallel_path(client):
     body = r.get_json()
     assert r.status_code == 200 and body["rows_exported"] >= 1
     assert "file" in body    # first slice always present
+
+
+def test_arrow_query_truncation(client):
+    """execute_query_arrow honors max_rows with truncation detection."""
+    import pyarrow as pa
+
+    from keboola_storage_duckdb_spark.engine import ARROW_MIME
+
+    r = _post(client, "/projects/p1/query",
+              {"sql": "SELECT id FROM in_c_data_users ORDER BY id",
+               "format": "arrow", "max_rows": 2})
+    assert r.content_type.startswith(ARROW_MIME)
+    tbl = pa.ipc.open_stream(r.data).read_all()
+    assert tbl.num_rows == 2
+    assert int(r.headers["X-Row-Count"]) == 2
