@@ -82,7 +82,8 @@ def main() -> None:
                  "decontaminate", "gopher_quality", "pii_redact",
                  "simhash_pairs", "grouped_quantiles", "image_features",
                  "audio_features", "video_features", "range_join",
-                 "pack_sequences", "repetition_signals", "hll_distinct"]:
+                 "pack_sequences", "repetition_signals", "hll_distinct",
+                 "cm_heavy_hitters", "bottom_k_sample"]:
         run(name, lambda name=name: Q[name](spark, DST))
 
     # Quadratic-output operators at 10×: the UNBLOCKED/UNCAPPED forms are the
