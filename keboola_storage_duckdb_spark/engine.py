@@ -79,6 +79,7 @@ class StorageEngine:
         # (all mutations log) — view-registration caching keys off it
         self._generation = 0
         self._views_cache: dict[tuple[str, str | None], int] = {}
+        self._views_names: dict[tuple[str, str | None], list[str]] = {}
 
     @property
     def files(self):
@@ -413,12 +414,15 @@ class StorageEngine:
         staged = self.catalog.staging_data_dir(project, bucket, table, branch)
         df.write.mode("overwrite").parquet(staged)
         self.catalog.swap_data_dir(project, bucket, table, staged, branch)
-        if branch is None:
-            # plain rewrite drops any optimize_table layout — keep meta honest
-            meta = self.catalog.read_meta(project, bucket, table, None)
-            if meta.properties.get("partition_by"):
-                meta.properties["partition_by"] = []
-                self.catalog.write_meta(project, bucket, table, meta)
+        # plain rewrite drops any optimize_table layout — keep meta honest
+        # on MAIN and on BRANCH copies alike: a stale partition_by in
+        # branch meta would route a later branch incremental through the
+        # selective-rewrite path and swap hive leaf dirs into a flat data
+        # dir (ADVICE r6)
+        meta = self.catalog.read_meta(project, bucket, table, branch)
+        if meta.properties.get("partition_by"):
+            meta.properties["partition_by"] = []
+            self.catalog.write_meta(project, bucket, table, meta, branch)
 
     _SAFE_PARTITION_VALUE = re.compile(r"^[A-Za-z0-9._\-]+$")
 
@@ -723,14 +727,23 @@ class StorageEngine:
         src_kind, _ = self.catalog.resolve_table(project, bucket, table, branch)
         eff_branch = branch if src_kind == "branch" else None
         meta = self.catalog.read_meta(project, bucket, table, eff_branch)
+        meta_migration = None
         if import_strategy == "string_table" and any(
                 c["type"].upper() not in ("VARCHAR", "STRING", "TEXT")
                 for c in meta.columns):
+            # Schema migration typed→VARCHAR. The new meta is NOT persisted
+            # yet: read_table scans parquet with the persisted schema, so
+            # writing VARCHAR meta before the data rewrite would make the
+            # scan of the still-typed files fail (and a failed import would
+            # leave every subsequent read broken). Existing rows are read
+            # with the OLD meta, cast to string in the DataFrame, and the
+            # VARCHAR meta lands only after the data rewrite succeeds
+            # (ADVICE r6 high).
             meta = TableMeta(
                 columns=[{**c, "type": "VARCHAR"} for c in meta.columns],
                 primary_key=meta.primary_key, created_at=meta.created_at,
                 properties=meta.properties)
-            self.catalog.write_meta(project, bucket, table, meta, eff_branch)
+            meta_migration = meta
 
         # STAGING (S1-S3). CSV columns are mapped BY HEADER NAME, not
         # position (reference inserts by name, src/database.py): an explicit
@@ -772,10 +785,14 @@ class StorageEngine:
                 raise CatalogError(f"unknown dedup mode {dedup_mode!r}")
             # TRANSFORM (W1-W6); hive-partitioned tables take the
             # SELECTIVE PARTITION REWRITE path — only touched partitions
-            # are merged and swapped (_merge_partitioned)
-            if incremental and self._merge_partitioned(
-                    project, bucket, table, staged, meta, pk, dedup_mode,
-                    eff_branch):
+            # are merged and swapped (_merge_partitioned). A typed→string
+            # schema migration forces the full-rewrite path: a selective
+            # rewrite would leave untouched partitions typed while the
+            # meta goes VARCHAR.
+            if (incremental and meta_migration is None
+                    and self._merge_partitioned(
+                        project, bucket, table, staged, meta, pk, dedup_mode,
+                        eff_branch)):
                 pass
             else:
                 if not incremental:
@@ -791,6 +808,16 @@ class StorageEngine:
                     result = existing.unionByName(staged)
                 self._write_table(project, bucket, table, result, eff_branch,
                                   op=f"import:{dedup_mode}")
+            if meta_migration is not None:
+                # data is now all-string on disk — safe to persist VARCHAR.
+                # _write_table may have reset partition_by in the persisted
+                # meta (plain rewrite drops the optimized layout); carry
+                # the current properties so the migration doesn't clobber it
+                cur = self.catalog.read_meta(project, bucket, table,
+                                             eff_branch)
+                meta_migration.properties.update(cur.properties)
+                self.catalog.write_meta(project, bucket, table,
+                                        meta_migration, eff_branch)
             after = self.read_table(project, bucket, table, eff_branch).count()
         self._log("import_file", project=project, bucket=bucket, table=table,
                   format=file_format, incremental=incremental, mode=dedup_mode,
@@ -895,6 +922,57 @@ class StorageEngine:
             limit=limit, **filters)
         return df_to_arrow_ipc(df)
 
+    def export_arrow(self, project: str, bucket: str, table: str,
+                     branch: str | None = None, **filters):
+        """FULL-table Arrow IPC export (reference ADR-011 export shape) —
+        the scalable twin of :meth:`preview_arrow`'s 10k-capped collect.
+        The table is first written as DISTRIBUTED parquet (the executors
+        do the scan/filter work in parallel), then converted to one Arrow
+        IPC stream batch-by-batch on the driver: memory held at any time
+        is one record batch, never the table, so a 100 GB export streams
+        through a constant-size window. Returns
+        (batch_iterator, schema_string, row_count) — the iterator yields
+        IPC byte chunks (schema header first) and removes the staging
+        directory when exhausted or closed."""
+        import shutil as _sh
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        df = self._apply_filters(
+            self.read_table(project, bucket, table, branch), **filters)
+        staging = tempfile.mkdtemp(
+            prefix="_arrow_export_", dir=self.catalog.warehouse)
+        try:
+            df.write.mode("overwrite").parquet(staging)
+            ds = pads.dataset(staging, format="parquet")
+            n = ds.count_rows()
+            schema = ds.schema
+        except BaseException:
+            _sh.rmtree(staging, ignore_errors=True)
+            raise
+
+        def batches():
+            import io
+            buf = io.BytesIO()
+            try:
+                with pa.ipc.new_stream(buf, schema) as writer:
+                    for batch in ds.to_batches(batch_size=1 << 16):
+                        writer.write_batch(batch)
+                        if buf.tell():
+                            yield buf.getvalue()
+                            buf.seek(0)
+                            buf.truncate(0)
+                if buf.tell():
+                    yield buf.getvalue()   # EOS marker
+            finally:
+                _sh.rmtree(staging, ignore_errors=True)
+
+        self._log("export_arrow", project=project, bucket=bucket,
+                  table=table, rows=n)
+        return batches(), str(schema), n
+
     def preview(self, project: str, bucket: str, table: str,
                 branch: str | None = None, limit: int = 1000,
                 version: int | None = None, **filters) -> list[dict]:
@@ -989,11 +1067,16 @@ class StorageEngine:
                                          description="auto: pre-truncate")
                 survivors = df.limit(0)
             # partition-scoped delete needs the DELETED rows (for the
-            # affected-partition probe): the predicate's complement,
-            # composed directly rather than an exceptAll set-difference
+            # affected-partition probe): the TRUE complement of survivors.
+            # Survivors keep rows where ~cond is TRUE, so rows where cond
+            # evaluates NULL are deleted too — `cond | cond.isNull()`,
+            # not plain `cond`, or NULL-predicate rows would miss the
+            # affected-partition set and survive layout-dependently
+            # (ADVICE r6).
             deleted = None
+            not_surv = None if cond is None else (cond | cond.isNull())
             if cond is not None or ref_filter is not None:
-                deleted = df if cond is None else df.filter(cond)
+                deleted = df if cond is None else df.filter(not_surv)
                 if ref_filter is not None:
                     base = df if cond is None else df.filter(~cond)
                     matched = KF.ref_table_filter(
@@ -1002,7 +1085,7 @@ class StorageEngine:
                         self.read_table(*ref_filter["table"]),
                         ref_filter["ref_column"])
                     deleted = (matched if cond is None
-                               else df.filter(cond).unionByName(matched))
+                               else df.filter(not_surv).unionByName(matched))
             if deleted is not None and self._delete_partitioned(
                     project, bucket, table, survivors, deleted,
                     eff_branch):
@@ -1489,7 +1572,12 @@ class StorageEngine:
         included): a PG-wire session or query burst re-registers nothing
         until something in the warehouse actually changed — listing
         buckets + rebuilding every table's scan plan costs ~200 ms per
-        table otherwise."""
+        table otherwise. A cache hit returns the SAME view-name list as a
+        fresh registration (the documented public contract). Single-writer
+        assumption: the generation counter is per-engine-instance, so
+        mutations made by ANOTHER process over the same warehouse do not
+        invalidate this cache — run one engine per warehouse (the same
+        assumption the table lock manager makes)."""
         key = (project, branch)
         gen = self._generation
         # views share ONE temp-view namespace: a different project/branch
@@ -1497,7 +1585,7 @@ class StorageEngine:
         # the cache only holds for the most recent registrant
         if (getattr(self, "_last_views_key", None) == key
                 and self._views_cache.get(key) == gen):
-            return []
+            return self._views_names.get(key, [])
         self._last_views_key = key
         views = []
         for bucket in self.catalog.list_buckets(project):
@@ -1507,6 +1595,7 @@ class StorageEngine:
                     .createOrReplaceTempView(name)
                 views.append(name)
         self._views_cache[key] = gen
+        self._views_names[key] = views
         return views
 
     def execute_query_arrow(self, project: str, sql: str,

@@ -400,14 +400,18 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
                    ("columns", "where", "where_filters", "order_by", "limit")
                    if k in body}
         if fmt == "arrow" or _wants_arrow(body):
-            # ADR-011 export shape: the bounded result streams back
-            # directly as Arrow IPC (no file registration round-trip)
-            data, schema, n = engine.preview_arrow(
-                project, bucket, table, _branch(branch_id),
-                limit=body.get("limit", 10_000), **{
-                    k: v for k, v in filters.items() if k != "limit"})
-            return _arrow_response(data, schema, n,
-                                   filename=f"{table}.arrow")
+            # ADR-011 export shape: the FULL result streams back as Arrow
+            # IPC record batches (distributed parquet stage → batchwise
+            # driver conversion, engine.export_arrow) — no silent 10k
+            # preview clamp (ADVICE r6); an explicit `limit` in the body
+            # is honored as a real bound via the filter surface
+            chunks, schema, n = engine.export_arrow(
+                project, bucket, table, _branch(branch_id), **filters)
+            headers = {"X-Arrow-Schema": schema.replace("\n", "; "),
+                       "X-Row-Count": str(n),
+                       "Content-Disposition":
+                           f"attachment; filename={table}.arrow"}
+            return Response(chunks, mimetype=ARROW_MIME, headers=headers)
         staging = os.path.join(engine.files.root, project, "export_tmp")
         out = engine.export_to_file(project, bucket, table, staging,
                                     file_format=fmt,

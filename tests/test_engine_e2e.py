@@ -360,6 +360,61 @@ def test_import_strategy_string_table(engine, csv_path):
                            import_strategy="bogus")
 
 
+def test_string_table_incremental_over_typed_rows(engine, csv_path):
+    """ADVICE r6 (high): incremental STRING_TABLE import onto a table that
+    already holds TYPED parquet rows must (a) not fail reading the typed
+    files, (b) migrate data + meta to VARCHAR atomically — meta flips only
+    after the rewrite, so a crash mid-import never leaves VARCHAR meta
+    over typed parquet."""
+    import pyspark.sql.types as T
+
+    engine.create_table("p1", "in_c_data", "users_mig", USERS_COLUMNS,
+                        primary_key=["id"])
+    # typed rows land first (INT32 parquet pages on disk)
+    engine.import_file("p1", "in_c_data", "users_mig", csv_path["v1"])
+    df = engine.read_table("p1", "in_c_data", "users_mig")
+    assert isinstance(df.schema["id"].dataType, T.IntegerType)
+
+    # the r6-broken path: incremental string_table over those typed rows
+    out = engine.import_file("p1", "in_c_data", "users_mig", csv_path["v2"],
+                             incremental=True,
+                             import_strategy="string_table")
+    assert out["rows_after"] == 4
+    df = engine.read_table("p1", "in_c_data", "users_mig")
+    assert isinstance(df.schema["id"].dataType, T.StringType)
+    rows = {r.id: (r.name, r.age) for r in df.collect()}
+    assert rows == {"1": ("Alice", "30"), "2": ("Bobby", "26"),
+                    "3": ("Carol", "40"), "4": ("Dave", "50")}
+    meta = engine.catalog.read_meta("p1", "in_c_data", "users_mig")
+    assert all(c["type"] == "VARCHAR" for c in meta.columns)
+
+    # and every subsequent read still works (the r6 failure left the
+    # table permanently broken)
+    assert engine.preview("p1", "in_c_data", "users_mig", limit=10)
+
+
+def test_string_table_migration_failure_leaves_table_readable(engine,
+                                                              csv_path,
+                                                              tmp_path):
+    """If the string_table import itself fails (bad source file), the
+    typed meta must survive — VARCHAR meta is persisted only after a
+    successful data rewrite."""
+    engine.create_table("p1", "in_c_data", "users_mig2", USERS_COLUMNS,
+                        primary_key=["id"])
+    engine.import_file("p1", "in_c_data", "users_mig2", csv_path["v1"])
+    bad = str(tmp_path / "bad.parquet")
+    with open(bad, "w") as f:
+        f.write("not parquet")
+    with pytest.raises(Exception):
+        engine.import_file("p1", "in_c_data", "users_mig2", bad,
+                           file_format="parquet", incremental=True,
+                           import_strategy="string_table")
+    # meta still typed, table still readable
+    meta = engine.catalog.read_meta("p1", "in_c_data", "users_mig2")
+    assert any(c["type"].upper() == "INTEGER" for c in meta.columns)
+    assert engine.read_table("p1", "in_c_data", "users_mig2").count() == 3
+
+
 def test_import_create_mode_and_import_as_null(engine, csv_path, tmp_path):
     """proto ImportOptions.CreateMode + importAsNull: CREATE materializes
     a missing table from the source schema and fails on an existing one;

@@ -315,6 +315,42 @@ def test_arrow_ipc_edges(client):
     assert imp.get_json()["rows_after"] == tbl.num_rows
 
 
+def test_arrow_export_streams_full_table(client):
+    """ADVICE r6: Arrow-format EXPORT must return the whole table, not
+    preview_arrow's silent 10k clamp — 12k rows round-trip intact, and an
+    explicit body limit is honored as a real bound."""
+    import io
+
+    import pyarrow as pa
+
+    from keboola_storage_duckdb_spark.engine import ARROW_MIME
+
+    _post(client, BASE, {"name": "big_arrow", "columns": [
+        {"name": "id", "type": "INTEGER", "nullable": False},
+        {"name": "v", "type": "DOUBLE"}]})
+    buf = io.StringIO()
+    buf.write("id,v\n")
+    for i in range(12_000):
+        buf.write(f"{i},{float(i)}\n")
+    rec = _stage_csv(client, buf.getvalue().encode(), "big.csv")
+    imp = _post(client, BASE + "/big_arrow/import/file",
+                {"file_id": rec["id"]})
+    assert imp.get_json()["rows_after"] == 12_000
+
+    r = _post(client, BASE + "/big_arrow/export", {"format": "arrow"})
+    assert r.status_code == 200 and r.content_type.startswith(ARROW_MIME)
+    assert int(r.headers["X-Row-Count"]) == 12_000
+    tbl = pa.ipc.open_stream(r.data).read_all()
+    assert tbl.num_rows == 12_000
+    assert sorted(x["id"] for x in tbl.to_pylist())[:3] == [0, 1, 2]
+
+    # explicit limit stays a real bound
+    r = _post(client, BASE + "/big_arrow/export",
+              {"format": "arrow", "limit": 7})
+    tbl = pa.ipc.open_stream(r.data).read_all()
+    assert tbl.num_rows == 7
+
+
 def test_export_parallel_path(client):
     """single_file=false keeps the write distributed and registers every
     part as a sliced file set."""

@@ -387,6 +387,120 @@ def test_partition_scoped_upsert(spark, tmp_path):
     assert df.count() == 92 - out["rows_deleted"]
 
 
+def test_partitioned_delete_null_predicate_matches_full_path(spark,
+                                                             tmp_path):
+    """ADVICE r6: rows whose delete predicate evaluates NULL are dropped
+    by the full-rewrite path (survivors = filter(~cond)); the
+    partition-scoped path must agree — its deleted-set is the TRUE
+    complement of survivors, so NULL-predicate rows land in the
+    affected-partition probe regardless of which partition they share."""
+    from keboola_storage_duckdb_spark.engine import StorageEngine
+
+    eng = StorageEngine(spark, str(tmp_path / "whn"))
+    eng.create_project("p1")
+    eng.create_bucket("p1", "in_c_main")
+    eng.create_table("p1", "in_c_main", "tn", [
+        {"name": "id", "type": "INTEGER", "nullable": False},
+        {"name": "cat", "type": "VARCHAR"},
+        {"name": "val", "type": "DOUBLE"},
+    ], primary_key=["id"])
+    csv = str(tmp_path / "n_rows.csv")
+    with open(csv, "w") as f:
+        f.write("id,cat,val\n")
+        for i in range(30):
+            # val NULL for ids 0-9, all of them isolated in cat=cnull —
+            # no TRUE-matching row shares their partition, the exact
+            # layout that made the r6 bug visible
+            v = "" if i < 10 else str(float(i))
+            c = "cnull" if i < 10 else f"c{i % 2}"
+            f.write(f"{i},{c},{v}\n")
+    eng.import_file("p1", "in_c_main", "tn", csv)
+
+    # full-rewrite ground truth on an identical unpartitioned twin
+    eng.create_table("p1", "in_c_main", "tn_flat", [
+        {"name": "id", "type": "INTEGER", "nullable": False},
+        {"name": "cat", "type": "VARCHAR"},
+        {"name": "val", "type": "DOUBLE"},
+    ], primary_key=["id"])
+    eng.import_file("p1", "in_c_main", "tn_flat", csv)
+    out_flat = eng.delete_rows("p1", "in_c_main", "tn_flat",
+                               where="val >= 15.0")
+
+    eng.optimize_table("p1", "in_c_main", "tn", partition_by=["cat"])
+    out_part = eng.delete_rows("p1", "in_c_main", "tn", where="val >= 15.0")
+
+    # NULL-val rows (predicate NULL) deleted on BOTH paths
+    assert out_part["rows_deleted"] == out_flat["rows_deleted"]
+    ids_part = {r.id for r in
+                eng.read_table("p1", "in_c_main", "tn").collect()}
+    ids_flat = {r.id for r in
+                eng.read_table("p1", "in_c_main", "tn_flat").collect()}
+    assert ids_part == ids_flat == set(range(10, 15))
+
+
+def test_branch_full_rewrite_resets_branch_partition_meta(spark, tmp_path):
+    """ADVICE r6: a full import on a BRANCH copy of a partitioned table
+    writes flat data — the branch meta's partition_by must reset too, or
+    a later branch incremental would selective-rewrite hive leaves into
+    the flat dir (mixed layout)."""
+    from keboola_storage_duckdb_spark.engine import StorageEngine
+
+    eng = StorageEngine(spark, str(tmp_path / "whb"))
+    eng.create_project("p1")
+    eng.create_bucket("p1", "in_c_main")
+    eng.create_table("p1", "in_c_main", "tb", [
+        {"name": "id", "type": "INTEGER", "nullable": False},
+        {"name": "cat", "type": "VARCHAR"},
+    ], primary_key=["id"])
+    csv = str(tmp_path / "b_rows.csv")
+    with open(csv, "w") as f:
+        f.write("id,cat\n")
+        for i in range(20):
+            f.write(f"{i},c{i % 2}\n")
+    eng.import_file("p1", "in_c_main", "tb", csv)
+    eng.optimize_table("p1", "in_c_main", "tb", partition_by=["cat"])
+
+    # branch full load → flat branch data; branch meta must drop the layout
+    eng.import_file("p1", "in_c_main", "tb", csv, branch="dev")
+    bmeta = eng.catalog.read_meta("p1", "in_c_main", "tb", "dev")
+    assert bmeta.properties.get("partition_by") in ([], None)
+    # main keeps its hive layout untouched
+    mmeta = eng.catalog.read_meta("p1", "in_c_main", "tb")
+    assert mmeta.properties["partition_by"] == ["cat"]
+
+    # a later branch incremental stays consistent (no mixed layout)
+    up = str(tmp_path / "b_up.csv")
+    with open(up, "w") as f:
+        f.write("id,cat\n0,c1\n99,c0\n")
+    eng.import_file("p1", "in_c_main", "tb", up, incremental=True,
+                    branch="dev")
+    df = eng.read_table("p1", "in_c_main", "tb", "dev")
+    rows = {r.id: r.cat for r in df.collect()}
+    assert len(rows) == 21 and rows[0] == "c1" and rows[99] == "c0"
+    # main unaffected
+    assert eng.read_table("p1", "in_c_main", "tb").count() == 20
+
+
+def test_register_project_views_cache_hit_returns_names(spark, tmp_path):
+    """ADVICE r6 (low): a cache hit returns the same view-name list as a
+    fresh registration — the documented ATTACH-equivalent contract."""
+    from keboola_storage_duckdb_spark.engine import StorageEngine
+
+    eng = StorageEngine(spark, str(tmp_path / "whv"))
+    eng.create_project("p1")
+    eng.create_bucket("p1", "in_c_main")
+    eng.create_table("p1", "in_c_main", "tv", [
+        {"name": "id", "type": "INTEGER", "nullable": False}])
+    first = eng.register_project_views("p1")
+    assert first == ["in_c_main_tv"]
+    assert eng.register_project_views("p1") == first     # cache hit
+    # a mutation invalidates; the list refreshes
+    eng.create_table("p1", "in_c_main", "tv2", [
+        {"name": "id", "type": "INTEGER", "nullable": False}])
+    assert set(eng.register_project_views("p1")) == {
+        "in_c_main_tv", "in_c_main_tv2"}
+
+
 def test_bucketed_range_join_matches_theta_join(spark):
     """Bucketed interval join == the naive theta join, for bucket widths
     smaller/larger than the intervals, with and without extra equi keys;
