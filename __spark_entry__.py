@@ -2214,7 +2214,15 @@ FROM s"""
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- driver-certified window (1-50): one entry per operator ----
+    # ---- driver-certified window (slots 1-50) — ROUND-7 ROTATION ----
+    # The driver certifies only the first 50 entries (NOTES; proven
+    # r01/r02). Rounds 1-6 certified 56 distinct queries; this round the
+    # 24 never-certified entries rotate INTO the window (VERDICT r6 #2)
+    # alongside 26 keepers, so by end of r7 every registry operator has a
+    # driver-green row in some CORRECTNESS_r*. Parked at 51+: 30 entries
+    # already green in r01-r06 records (rotation map in NOTES.md).
+    #
+    # keepers (certified r06, re-certified for continuity / touched code)
     "pricing_summary": q_pricing_summary,
     "preview_orders": q_preview_orders,
     "export_projection": q_export_projection,
@@ -2226,77 +2234,77 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_cust_orders_nation": q_join_cust_orders_nation,
     "upsert_update_duplicates": q_upsert_update_duplicates,
     "upsert_do_nothing": q_upsert_do_nothing,
-    "dedup_count_conflicts": q_dedup_count_conflicts,
     "delete_rows": q_delete_rows,
     "import_from_table": q_import_from_table,
     "distinct_counts": q_distinct_counts,
     "corr_pairs": q_corr_pairs,
-    "string_stats": q_string_stats,
     "numeric_moments": q_numeric_moments,
     "quantiles": q_quantiles,
-    "outlier_iqr": q_outlier_iqr,
     "histogram": q_histogram,
-    "group_topk": q_group_topk,
     "set_ops": q_set_ops,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
-    "simhash_pairs": q_simhash_pairs,
-    "token_counts": q_token_counts,
-    "chunk_docs": q_chunk_docs,
-    "lang_id": q_lang_id,
-    "text_quality": q_text_quality,
     "ann_topk": q_ann_topk,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
-    "cosine_near_dup_blocked": q_cosine_near_dup_blocked,
-    "multimodal_features": q_multimodal_features,
     "hourly_rollup": q_hourly_rollup,
     "sessionize": q_sessionize,
-    "pattern_profile": q_pattern_profile,
-    "stratified_sample": q_stratified_sample,
-    "rollup_agg": q_rollup_agg,
-    "asof_join": q_asof_join,
-    "json_extract": q_json_extract,
-    "running_window": q_running_window,
-    "dedup_clusters": q_dedup_clusters,
-    "table_profile": q_table_profile,
     "execute_query": q_execute_query,
-    "decontaminate": q_decontaminate,
-    "gopher_quality": q_gopher_quality,
-    "pivot_counts": q_pivot_counts,
-    # ---- tail (51+): variants of certified operators / rows-only ----
-    "skew_agg": q_skew_agg,                      # A13 certified via pricing_summary
-    "extract_parts": q_extract_parts,            # F3 certified via change_interval
-    "pii_redact": q_pii_redact,                  # F-family text map (regex certified
-                                                 # via pattern_profile/fulltext)
-    "string_funcs": q_string_funcs,              # F1 certified via string_stats
-    "cosine_near_dup": q_cosine_near_dup,        # unblocked twin of _blocked
-    "hash_sample": q_hash_sample,                # sampling twin of stratified
-    "session_window": q_session_window,          # native twin of sessionize
-    "moving_window": q_moving_window,            # RANGE twin of running_window
-    "grouped_quantiles": q_grouped_quantiles,    # grouped twin of quantiles
-    "scalar_conditionals": q_scalar_conditionals,  # F-family sibling
-    "array_funcs": q_array_funcs,                # F-family sibling
-    "ref_filter_not_in": q_ref_filter_not_in,    # anti twin of ref_filter_in
-    "join_lineitem_part": q_join_lineitem_part,  # equi-join twin
-    "top_terms": q_top_terms,                    # text-analysis sibling
-    "fingerprint_docs": q_fingerprint_docs,      # dedup_exact's per-doc frame
+    # rotated IN: never driver-certified before round 7
+    "skew_agg": q_skew_agg,                      # A13 salted-agg variant
+    "extract_parts": q_extract_parts,            # F3 date-part family
+    "pii_redact": q_pii_redact,                  # regex redaction map
+    "string_funcs": q_string_funcs,              # F1 string family
+    "session_window": q_session_window,          # native session_window
+    "moving_window": q_moving_window,            # RANGE-frame window
+    "grouped_quantiles": q_grouped_quantiles,    # grouped exact quantiles
+    "scalar_conditionals": q_scalar_conditionals,  # CASE/nullif/coalesce
+    "array_funcs": q_array_funcs,                # array/lambda family
     "dedup_survivors": q_dedup_survivors,        # survivor-select variant
-    "minhash_estimate": q_minhash_estimate,      # minhash_lsh quality frame
-    "near_dedup_keep": q_near_dedup_keep,        # composition of certified ops
-    "ngram_jaccard_inverted": q_ngram_jaccard_inverted,  # same oracle as ngram_jaccard
-    "ann_topk_fold": q_ann_topk_fold,            # bit-parity twin of ann_topk
-    "image_features": q_image_features,          # REAL decode; header-predicting oracle
-    "audio_features": q_audio_features,          # REAL WAV decode; same oracle style
-    "video_features": q_video_features,          # REAL Y4M decode; same oracle style
+    "minhash_estimate": q_minhash_estimate,      # minhash quality frame
+    "near_dedup_keep": q_near_dedup_keep,        # dedup composition
+    "ngram_jaccard_inverted": q_ngram_jaccard_inverted,  # equivalence twin
+    "ann_topk_fold": q_ann_topk_fold,            # bit-parity JVM fold
+    "image_features": q_image_features,          # REAL PPM/PGM/BMP decode
+    "audio_features": q_audio_features,          # REAL WAV decode
+    "video_features": q_video_features,          # REAL Y4M decode
     "range_join": q_range_join,                  # bucketed interval join
     "hll_distinct": q_hll_distinct,              # mergeable HLL sketch
     "cm_heavy_hitters": q_cm_heavy_hitters,      # count-min sketch
     "bottom_k_sample": q_bottom_k_sample,        # mergeable exact-size sample
-    "pack_sequences": q_pack_sequences,          # token-stream packing map
+    "pack_sequences": q_pack_sequences,          # token-stream packing
     "repetition_signals": q_repetition_signals,  # Gopher repetition rules
     "kmeans": q_kmeans,                          # rows-only iterative
+    # ---- tail (51+): driver-green in r01-r06 CORRECTNESS records ----
+    "dedup_count_conflicts": q_dedup_count_conflicts,  # r06
+    "string_stats": q_string_stats,              # r06
+    "outlier_iqr": q_outlier_iqr,                # r06
+    "group_topk": q_group_topk,                  # r06
+    "simhash_pairs": q_simhash_pairs,            # r06
+    "token_counts": q_token_counts,              # r06
+    "chunk_docs": q_chunk_docs,                  # r06
+    "lang_id": q_lang_id,                        # r06
+    "text_quality": q_text_quality,              # r06
+    "ann_lsh": q_ann_lsh,                        # r06
+    "ann_ivf": q_ann_ivf,                        # r06
+    "cosine_near_dup_blocked": q_cosine_near_dup_blocked,  # r06
+    "multimodal_features": q_multimodal_features,  # r06
+    "pattern_profile": q_pattern_profile,        # r06
+    "stratified_sample": q_stratified_sample,    # r06
+    "rollup_agg": q_rollup_agg,                  # r06
+    "asof_join": q_asof_join,                    # r06
+    "json_extract": q_json_extract,              # r06
+    "running_window": q_running_window,          # r06
+    "dedup_clusters": q_dedup_clusters,          # r06
+    "table_profile": q_table_profile,            # r06
+    "decontaminate": q_decontaminate,            # r06
+    "gopher_quality": q_gopher_quality,          # r06
+    "pivot_counts": q_pivot_counts,              # r06
+    "cosine_near_dup": q_cosine_near_dup,        # r03-r05 window
+    "hash_sample": q_hash_sample,                # r03-r05 window
+    "ref_filter_not_in": q_ref_filter_not_in,    # r03-r05 window
+    "join_lineitem_part": q_join_lineitem_part,  # r03-r05 window
+    "top_terms": q_top_terms,                    # r03-r05 window
+    "fingerprint_docs": q_fingerprint_docs,      # r03-r05 window
 }
 
 

@@ -78,12 +78,24 @@ def main() -> None:
             print(f"bench error in {name}: {ex}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    # The driver tail-captures stdout with a BOUNDED window: round 6's
+    # record was lost (`parsed: null`) because the per-query `spreads`
+    # map grew the single JSON line past that window. Keep the
+    # driver-facing line MINIMAL; the full rep spreads go to a sidecar
+    # file (BENCH_SPREADS.json) and stderr for humans/adjudication.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SPREADS.json"), "w") as f:
+            json.dump({"sf": sf, "spreads": spreads}, f, indent=1)
+    except OSError as ex:
+        print(f"bench: could not write BENCH_SPREADS.json: {ex}",
+              file=sys.stderr)
+    print(json.dumps({"spreads": spreads}), file=sys.stderr)
     print(json.dumps({
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "spreads": spreads,
         "sf": sf,
     }))
 
