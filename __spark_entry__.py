@@ -1483,21 +1483,23 @@ FROM events GROUP BY 1"""
 def q_grouped_quantiles(spark, sf_dir):
     """Exact per-group quantiles: p25/p50/p75 of o_totalprice per order
     priority (grouped percentile — the profiler's quantile op under a
-    group-by; exact interpolation, never approx). Served by the grouped
-    bounded-memory selection HYBRID
-    (operators/quantiles.py:exact_quantiles_grouped_frame): the driver
-    coordinates O(groups) scalar metadata only; selection VALUES are
-    resolved and interpolated in-plan and the result frame is assembled
-    distributively. Per-group percentile() buffers one whole group per
-    aggregation buffer — the OOM shape at scale whenever any group is
-    huge — while this path never shuffles more than (group x bin)
-    aggregate rows. (grouped_quantiles_df is the zero-driver-state twin
-    for unbounded group cardinality.)"""
+    group-by; exact interpolation, never approx). DENSITY-GUARDED
+    (operators/quantiles.py:grouped_quantiles_auto): a per-group-count
+    probe routes small-enough groups to one native percentile()
+    aggregation (whole-stage codegen, the low-latency winner), and any
+    group past the guard to the bounded-memory selection HYBRID
+    (exact_quantiles_grouped_frame) that never shuffles more than
+    (group x bin) aggregate rows — per-group percentile() buffers one
+    whole group per aggregation buffer, the OOM shape at scale whenever
+    any group is huge. Both engines are bit-identical to percentile()
+    (property-tested), so the route can never change the result.
+    (grouped_quantiles_df is the zero-driver-state twin for unbounded
+    group cardinality.)"""
     from keboola_storage_duckdb_spark.operators.quantiles import (
-        exact_quantiles_grouped_frame)
+        grouped_quantiles_auto)
     df = _t(spark, sf_dir, "orders")
-    out = exact_quantiles_grouped_frame(df, "o_orderpriority",
-                                        "o_totalprice", [0.25, 0.5, 0.75])
+    out = grouped_quantiles_auto(df, "o_orderpriority",
+                                 "o_totalprice", [0.25, 0.5, 0.75])
     return out.select("o_orderpriority", "n",
                       F.round(F.element_at("qs", 1), 6).alias("p25"),
                       F.round(F.element_at("qs", 2), 6).alias("p50"),

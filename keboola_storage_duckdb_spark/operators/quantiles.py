@@ -59,7 +59,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["exact_quantile_order_stats", "exact_quantiles",
            "exact_quantiles_grouped", "exact_quantiles_grouped_frame",
-           "grouped_quantiles_df", "exact_quantiles_single_pass"]
+           "grouped_quantiles_auto", "grouped_quantiles_df",
+           "exact_quantiles_single_pass"]
 
 
 def _rank_set(n: int, probs: list[float]) -> dict[float, tuple[int, int, float]]:
@@ -554,6 +555,48 @@ def exact_quantiles_grouped_frame(df: DataFrame, group_col: str,
                              F.struct("pi", "val"))),
                          lambda s: s["val"]).alias("qs"))
                     .select(F.col("g").alias(group_col), "n", "qs"))
+
+
+def grouped_quantiles_auto(df: DataFrame, group_col: str, value_col: str,
+                           probs: list[float], bins: int = 1024,
+                           max_inbin: int = 4_000_000,
+                           max_group_rows: int = 4_000_000) -> DataFrame:
+    """DENSITY-GUARDED grouped exact quantiles (VERDICT r6 #3 — the
+    ngram-style adaptive pattern): one cheap per-group-count probe picks
+    the engine.
+
+    * Every group ≤ ``max_group_rows`` → native per-group
+      ``percentile()``: one whole-stage-codegen aggregation, the
+      low-latency winner whenever each group's values fit one
+      aggregation buffer (4M doubles ≈ 32 MB — comfortable against the
+      multi-GB executor heap; the probe makes the safety check explicit
+      instead of hoping).
+    * Any bigger group → :func:`exact_quantiles_grouped_frame`, whose
+      memory never exceeds (group × bin) aggregate rows regardless of
+      group size — the 100 TB-safe path.
+
+    Both engines are bit-identical to ``percentile()`` (the frame path's
+    interpolation is Percentile.getPercentile's own expression, property-
+    tested incl. the equal-keys edge), so the route choice can never
+    change a result — exactly like the Σdf² guard in ngram_jaccard.
+    Returns ``(group_col, n, qs array<double>)``."""
+    sizes = (df.groupBy(group_col)
+               .agg(F.count(F.lit(1)).alias("cnt"))
+               .agg(F.max("cnt").alias("mx"))
+               .collect())[0]
+    if sizes.mx is not None and sizes.mx <= max_group_rows:
+        vc = F.col(value_col).cast("double")
+        # all-NULL groups: raw percentile() yields a NULL *array*; the
+        # frame/df engines yield an array OF nulls — normalize to the
+        # engines' convention so the route choice is invisible
+        null_qs = F.array(*[F.lit(None).cast("double") for _ in probs])
+        return (df.groupBy(F.col(group_col))
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.coalesce(
+                           F.percentile(vc, [float(p) for p in probs]),
+                           null_qs).alias("qs")))
+    return exact_quantiles_grouped_frame(df, group_col, value_col, probs,
+                                         bins=bins, max_inbin=max_inbin)
 
 
 def grouped_quantiles_df(df: DataFrame, group_col: str, value_col: str,

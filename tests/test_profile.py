@@ -88,6 +88,47 @@ def test_exact_quantiles_grouped_bitwise_match_builtin(spark, sf_dir):
     assert exact_quantiles_grouped(d2, "g", "v", [0.5]) == ref2
 
 
+def test_grouped_quantiles_auto_routes_and_matches(spark, sf_dir):
+    """grouped_quantiles_auto: BOTH routes of the density guard — native
+    per-group percentile() below max_group_rows, bounded-memory frame
+    above it — return bit-identical (group, n, qs) rows."""
+    from keboola_storage_duckdb_spark.operators.quantiles import (
+        grouped_quantiles_auto)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "orders")
+    parr = ("array(CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE), "
+            "CAST(0.75 AS DOUBLE))")
+    ref = {r.o_orderpriority: (r.n, list(r.qs)) for r in
+           df.groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.expr(f"percentile(o_totalprice, {parr})").alias("qs"))
+             .collect()}
+    # guard wide open → native percentile route
+    got_native = {r.o_orderpriority: (r.n, list(r.qs)) for r in
+                  grouped_quantiles_auto(
+                      df, "o_orderpriority", "o_totalprice",
+                      [0.25, 0.5, 0.75]).collect()}
+    # guard forced shut → bounded frame route
+    got_frame = {r.o_orderpriority: (r.n, list(r.qs)) for r in
+                 grouped_quantiles_auto(
+                     df, "o_orderpriority", "o_totalprice",
+                     [0.25, 0.5, 0.75], max_group_rows=1).collect()}
+    assert got_native == ref
+    assert got_frame == ref
+
+    # null group keys / null values agree across routes too
+    d2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 5.0), (None, 7.0),
+         ("c", 2.0), ("c", None), ("d", None)], "g string, v double")
+    a = {r.g: (r.n, list(r.qs) if r.qs is not None else None)
+         for r in grouped_quantiles_auto(d2, "g", "v", [0.5]).collect()}
+    b = {r.g: (r.n, list(r.qs) if r.qs is not None else None)
+         for r in grouped_quantiles_auto(d2, "g", "v", [0.5],
+                                         max_group_rows=1).collect()}
+    assert a == b
+
+
 def test_grouped_quantiles_hybrid_frame_bitwise_match_builtin(spark, sf_dir):
     """exact_quantiles_grouped_frame (driver-metadata hybrid, values
     resolved in-plan) == per-group percentile(), bit-for-bit, incl. the
