@@ -11,7 +11,17 @@ here they are Spark temp views registered by
 (row cap + statement timeout enforced engine-side).
 
 Protocol subset:
-  * SSLRequest → 'N' (plaintext), GSSENCRequest → 'N'
+  * SSLRequest → 'S' + TLS handshake when a certificate is configured,
+    'N' (plaintext) otherwise; GSSENCRequest → 'N'
+  * CLIENT-COMPAT PROBES answered without touching Spark (the reference
+    gets these free from buenavista, src/pgwire_server.py:35-43):
+    ``SELECT version()`` / ``current_schema()`` / ``current_database()``
+    / ``current_user``, ``SHOW <param>`` (+ ``SHOW ALL``), no-op
+    ``SET``/``BEGIN``/``COMMIT``/``ROLLBACK`` command tags, and minimal
+    ``pg_catalog.pg_type`` / ``pg_namespace`` / ``pg_class`` /
+    ``pg_attribute`` lookups served from temp views (real WHERE clauses
+    work — the catalog tables are queried through Spark SQL after the
+    ``pg_catalog.`` prefix is stripped)
   * StartupMessage (proto 3.0) → AuthenticationCleartextPassword →
     PasswordMessage → AuthenticationOk + ParameterStatus + BackendKeyData +
     ReadyForQuery
@@ -38,10 +48,64 @@ Connection limit + live-session registry mirror the reference's
 
 from __future__ import annotations
 
+import re
 import socket
 import struct
 import threading
 import uuid
+
+# What a real client parses out of `SELECT version()` on connect (psql,
+# psycopg, JDBC all regex for "PostgreSQL <major>"). The reference rides
+# buenavista which serves the same shape (src/pgwire_server.py:35-43).
+_SERVER_VERSION = ("PostgreSQL 15.0 (keboola-storage-spark) on "
+                   "Apache Spark")
+
+# SHOW <param> answers — the parameters clients actually probe at startup
+# (psycopg: standard_conforming_strings; JDBC: transaction_isolation +
+# DateStyle; BI tools: search_path / max_identifier_length).
+_SHOW_PARAMS = {
+    "server_version": "15.0",
+    "server_encoding": "UTF8",
+    "client_encoding": "UTF8",
+    "search_path": "main",
+    "timezone": "UTC",
+    "datestyle": "ISO, MDY",
+    "standard_conforming_strings": "on",
+    "integer_datetimes": "on",
+    "transaction_isolation": "read committed",
+    "max_identifier_length": "63",
+    "application_name": "",
+    "is_superuser": "off",
+    "extra_float_digits": "3",
+}
+
+# Minimal pg_catalog.pg_type: the OIDs every driver's type mapper looks
+# up (columns: oid, typname, typnamespace, typtype, typcategory, typelem,
+# typarray, typrelid, typbasetype). Served as a Spark temp view so real
+# WHERE clauses (`WHERE oid = ANY(...)`, joins on pg_namespace) work.
+_PG_TYPE_ROWS = [
+    (16, "bool", 11, "b", "B", 0, 1000, 0, 0),
+    (17, "bytea", 11, "b", "U", 0, 1001, 0, 0),
+    (18, "char", 11, "b", "S", 0, 1002, 0, 0),
+    (19, "name", 11, "b", "S", 0, 1003, 0, 0),
+    (20, "int8", 11, "b", "N", 0, 1016, 0, 0),
+    (21, "int2", 11, "b", "N", 0, 1005, 0, 0),
+    (23, "int4", 11, "b", "N", 0, 1007, 0, 0),
+    (25, "text", 11, "b", "S", 0, 1009, 0, 0),
+    (26, "oid", 11, "b", "N", 0, 1028, 0, 0),
+    (114, "json", 11, "b", "U", 0, 199, 0, 0),
+    (700, "float4", 11, "b", "N", 0, 1021, 0, 0),
+    (701, "float8", 11, "b", "N", 0, 1022, 0, 0),
+    (1042, "bpchar", 11, "b", "S", 0, 1014, 0, 0),
+    (1043, "varchar", 11, "b", "S", 0, 1015, 0, 0),
+    (1082, "date", 11, "b", "D", 0, 1182, 0, 0),
+    (1083, "time", 11, "b", "D", 0, 1183, 0, 0),
+    (1114, "timestamp", 11, "b", "D", 0, 1115, 0, 0),
+    (1184, "timestamptz", 11, "b", "D", 0, 1185, 0, 0),
+    (1700, "numeric", 11, "b", "N", 0, 1231, 0, 0),
+    (2950, "uuid", 11, "b", "U", 0, 2951, 0, 0),
+]
+_PG_NAMESPACE_ROWS = [(11, "pg_catalog"), (2200, "public"), (2201, "main")]
 
 
 def _msg(type_byte: bytes, payload: bytes) -> bytes:
@@ -309,13 +373,93 @@ class PgWireServer:
             sql = sql.replace(f"${i}", literals[i - 1])
         return sql
 
-    def _run_portal(self, portal: dict, project: str) -> None:
+    # ------------------------------------------- client-compat probes (Q2)
+    def _ensure_pg_catalog_views(self) -> None:
+        """Register minimal pg_type/pg_namespace/pg_class/pg_attribute as
+        Spark temp views (once per engine session) so catalog probes with
+        real WHERE clauses / joins run through the normal SQL path."""
+        if getattr(self.engine, "_pg_catalog_views", False):
+            return
+        spark = self.engine.spark
+        spark.createDataFrame(
+            _PG_TYPE_ROWS,
+            "oid int, typname string, typnamespace int, typtype string, "
+            "typcategory string, typelem int, typarray int, typrelid int, "
+            "typbasetype int").createOrReplaceTempView("pg_type")
+        spark.createDataFrame(
+            _PG_NAMESPACE_ROWS,
+            "oid int, nspname string").createOrReplaceTempView("pg_namespace")
+        spark.createDataFrame(
+            [], "oid int, relname string, relnamespace int, relkind string"
+            ).createOrReplaceTempView("pg_class")
+        spark.createDataFrame(
+            [], "attrelid int, attname string, atttypid int, attnum int"
+            ).createOrReplaceTempView("pg_attribute")
+        self.engine._pg_catalog_views = True
+
+    def _compat_dispatch(self, sql: str, project: str, user: str):
+        """Answer the startup probes every real PG client fires before its
+        first user query (buenavista handles these for the reference,
+        src/pgwire_server.py:35-43); returns None when the statement is a
+        normal query for the engine, else ``(rows_or_None, command_tag)``
+        — rows None means a no-result-set command (SET/BEGIN/...)."""
+        s = sql.strip().rstrip(";").strip()
+        low = re.sub(r"\bpg_catalog\.", "", s, flags=re.I).lower()
+        if re.fullmatch(r"select\s+version\(\)", low):
+            return [{"version": _SERVER_VERSION}], "SELECT 1"
+        if re.fullmatch(r"select\s+current_schema(\(\))?", low):
+            return [{"current_schema": "main"}], "SELECT 1"
+        if re.fullmatch(r"select\s+current_database\(\)", low):
+            return [{"current_database": project}], "SELECT 1"
+        if re.fullmatch(r"select\s+(current_user|session_user|user)", low):
+            return [{"current_user": user}], "SELECT 1"
+        if re.match(r"set\s+", low):
+            # accept-and-ignore session GUCs (extra_float_digits, ...)
+            return None, "SET"
+        if re.fullmatch(r"(begin|begin\s+transaction|start\s+transaction"
+                        r"|begin\s+read\s+only)", low):
+            return None, "BEGIN"
+        if re.fullmatch(r"(commit|end)(\s+transaction)?", low):
+            return None, "COMMIT"
+        if re.fullmatch(r"rollback(\s+transaction)?", low):
+            return None, "ROLLBACK"
+        m = re.fullmatch(r"show\s+(.+)", low)
+        if m:
+            name = m.group(1).strip().strip('"')
+            if name == "transaction isolation level":
+                name = "transaction_isolation"
+            if name == "all":
+                return ([{"name": k, "setting": v, "description": ""}
+                         for k, v in sorted(_SHOW_PARAMS.items())],
+                        f"SHOW {len(_SHOW_PARAMS)}")
+            if name.replace(" ", "_") in _SHOW_PARAMS:
+                key = name.replace(" ", "_")
+                return [{key: _SHOW_PARAMS[key]}], "SHOW 1"
+            raise _PgError(
+                "42704", f'unrecognized configuration parameter "{name}"')
+        if re.search(r"\bpg_(type|namespace|class|attribute)\b", low):
+            self._ensure_pg_catalog_views()
+            q = re.sub(r"\bpg_catalog\.", "", s, flags=re.I)
+            rows = self.engine.execute_query(
+                project, q, stringify=True,
+                timeout_seconds=self.query_timeout, max_rows=self.max_rows)
+            return rows, f"SELECT {len(rows)}"
+        return None
+
+    def _run_portal(self, portal: dict, project: str, user: str = "") -> None:
         """Execute a bound portal once and cache its result rows."""
         if "rows" in portal:
             return
-        rows = self.engine.execute_query(
-            project, portal["sql"], stringify=True,
-            timeout_seconds=self.query_timeout, max_rows=self.max_rows)
+        compat = self._compat_dispatch(portal["sql"], project, user)
+        if compat is not None:
+            rows, tag = compat
+            portal["tag"] = tag
+            portal["norows"] = rows is None
+            rows = rows or []
+        else:
+            rows = self.engine.execute_query(
+                project, portal["sql"], stringify=True,
+                timeout_seconds=self.query_timeout, max_rows=self.max_rows)
         portal["cols"] = list(rows[0].keys()) if rows else []
         portal["rows"] = rows
         portal["sent"] = 0
@@ -340,7 +484,8 @@ class PgWireServer:
             conn.sendall(_msg(b"D", payload))
 
     def _handle_extended(self, conn: socket.socket, t: bytes, body: bytes,
-                         project: str, stmts: dict, portals: dict) -> None:
+                         project: str, stmts: dict, portals: dict,
+                         user: str = "") -> None:
         """One Parse/Bind/Describe/Execute/Close message; raises
         _PgError to trigger skip-to-Sync."""
         if t == b"P":                                        # Parse
@@ -403,8 +548,11 @@ class PgWireServer:
             else:
                 if name not in portals:
                     raise _PgError("34000", f"unknown portal {name!r}")
-                self._run_portal(portals[name], project)
-                self._row_description(conn, portals[name]["cols"])
+                self._run_portal(portals[name], project, user)
+                if portals[name].get("norows"):
+                    conn.sendall(_msg(b"n", b""))            # NoData
+                else:
+                    self._row_description(conn, portals[name]["cols"])
         elif t == b"E":                                      # Execute
             i = body.index(b"\x00")
             name = body[:i].decode()
@@ -412,13 +560,15 @@ class PgWireServer:
             if name not in portals:
                 raise _PgError("34000", f"unknown portal {name!r}")
             p = portals[name]
-            self._run_portal(p, project)
+            self._run_portal(p, project, user)
             remaining = p["rows"][p["sent"]:]
             batch = remaining if limit <= 0 else remaining[:limit]
             self._send_rows(conn, p["cols"], batch)
             p["sent"] += len(batch)
             if limit > 0 and p["sent"] < len(p["rows"]):
                 conn.sendall(_msg(b"s", b""))                # PortalSuspended
+            elif p.get("norows"):
+                conn.sendall(_msg(b"C", _cstr(p["tag"])))    # SET/BEGIN/...
             else:
                 conn.sendall(_msg(b"C", _cstr(f"SELECT {p['sent']}")))
         elif t == b"C":                                      # Close
@@ -432,6 +582,8 @@ class PgWireServer:
         stmts: dict[str, dict] = {}
         portals: dict[str, dict] = {}
         skip_to_sync = False
+        with self._lock:
+            user = (self.sessions.get(session_id) or {}).get("user") or ""
         while True:
             t = self._recv_exact(conn, 1)
             (length,) = struct.unpack("!I", self._recv_exact(conn, 4))
@@ -451,7 +603,7 @@ class PgWireServer:
                         self.sessions[session_id]["queries"] += 1
                 try:
                     self._handle_extended(conn, t, body, project,
-                                          stmts, portals)
+                                          stmts, portals, user)
                 except _PgError as e:
                     self._error(conn, e.code, e.message)
                     skip_to_sync = True
@@ -473,12 +625,24 @@ class PgWireServer:
                 self._ready(conn)
                 continue
             try:
-                rows = self.engine.execute_query(
-                    project, sql, stringify=True,
-                    timeout_seconds=self.query_timeout,
-                    max_rows=self.max_rows)
+                compat = self._compat_dispatch(sql, project, user)
+                if compat is not None:
+                    rows, tag = compat
+                else:
+                    rows, tag = self.engine.execute_query(
+                        project, sql, stringify=True,
+                        timeout_seconds=self.query_timeout,
+                        max_rows=self.max_rows), None
+            except _PgError as e:
+                self._error(conn, e.code, e.message)
+                self._ready(conn)
+                continue
             except Exception as e:  # surfaced to the client, session lives
                 self._error(conn, "42601", str(e)[:500])
+                self._ready(conn)
+                continue
+            if rows is None:        # no-result command (SET/BEGIN/...)
+                conn.sendall(_msg(b"C", _cstr(tag)))
                 self._ready(conn)
                 continue
             # every column text-format (oid 25) — the reference stringifies
