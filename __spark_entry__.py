@@ -2145,9 +2145,12 @@ def q_range_join(spark, sf_dir):
     lineitem shipped within [o_orderdate, o_orderdate + 7 days) of a
     sampled order set — a pure interval containment join with NO equi key,
     the shape Spark would otherwise plan as BroadcastNestedLoop/cartesian
-    (DuckDB ships a dedicated IEJoin for it). Bucketed to 7-day cells so
-    each qualifying pair meets in exactly one hash bucket. Aggregated per
-    interval (count + decimal-exact qty sum)."""
+    (DuckDB ships a dedicated IEJoin for it). Bucket width derived from
+    the data (auto_bucket_width: the sqrt balance point between interval
+    replication and candidate density — width never changes results,
+    only the replication/selectivity trade); each qualifying pair meets
+    in exactly one hash bucket. Aggregated per interval (count +
+    decimal-exact qty sum)."""
     from keboola_storage_duckdb_spark.operators.rangejoin import (
         bucketed_range_join)
     li = _t(spark, sf_dir, "lineitem")
@@ -2160,7 +2163,7 @@ def q_range_join(spark, sf_dir):
             .select(F.col("o_orderkey").alias("iv_id"),
                     epoch_day("o_orderdate").alias("s"))
             .withColumn("e", F.col("s") + F.lit(7)))
-    pairs = bucketed_range_join(points, iv, "t", "s", "e", bucket=7)
+    pairs = bucketed_range_join(points, iv, "t", "s", "e")
     return (pairs.groupBy("iv_id")
                  .agg(F.count(F.lit(1)).alias("n_shipped"),
                       F.sum(F.col("l_quantity").cast("decimal(9,2)"))

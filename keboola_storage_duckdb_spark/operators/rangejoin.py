@@ -26,15 +26,71 @@ product.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_range_join"]
+__all__ = ["auto_bucket_width", "bucketed_range_join"]
+
+
+def auto_bucket_width(points: DataFrame, intervals: DataFrame,
+                      t_col: str, start_col: str, end_col: str) -> float:
+    """Derive a bucket width from the data instead of guessing
+    (VERDICT r6 #5). One tiny aggregation per side collects interval
+    count N + mean length L and point count P + domain span D. The two
+    O(w)-sensitive costs:
+
+    * interval replication rows ≈ N·(L/w + 1)         (grows as w shrinks)
+    * excess candidate pairs    ≈ λp·N·2w, λp = P/D   (beyond the
+      irreducible true-pair floor λp·N·L; grows as w grows)
+
+    Excess relative to the floor is 2w/L = 2/(k-1) for replication
+    factor k = L/w + 1: k=2 (w=L) pays 2x the floor in extra
+    candidates, k=5 pays 0.5x, and pushing k past ~6 buys almost
+    nothing more while replication (and the loss of a broadcastable
+    build side) keeps growing. CALIBRATED A/B at 10x (6M points x 15k
+    7-day intervals, NOTES r7): w = L/4 -> 7.7 s vs w = L -> 10.3 s vs
+    a density-only sqrt model's w = L/130 -> 12.4 s. So: w = L/4
+    (k ~= 5) whenever candidates matter, w = L (k = 2, minimum
+    replication) when the point density is so low that an interval
+    expects < 1 point (the floor is ~zero, replication is the only
+    cost). Clamped to the domain span. Falls back to 1.0 on
+    empty/degenerate inputs (the join result is empty there anyway).
+    The width NEVER affects results — the exact containment predicate
+    filters every bucket-mate — only the replication/selectivity
+    trade."""
+    # ONE probe job: union both sides with a tag and aggregate
+    # conditionally (two separate .agg().collect() calls would pay the
+    # per-job latency floor twice — measurable at interactive SF)
+    pu = points.select(F.lit(1).alias("side"),
+                       F.col(t_col).cast("double").alias("a"),
+                       F.lit(None).cast("double").alias("b"))
+    iu = intervals.select(F.lit(0).alias("side"),
+                          F.col(start_col).cast("double").alias("a"),
+                          F.col(end_col).cast("double").alias("b"))
+    valid = (F.col("side") == 0) & (F.col("b") > F.col("a"))
+    st = (pu.unionByName(iu)
+            .agg(F.count(F.when(F.col("side") == 1, True)).alias("np"),
+                 F.min(F.when(F.col("side") == 1, F.col("a"))).alias("mn"),
+                 F.max(F.when(F.col("side") == 1, F.col("a"))).alias("mx"),
+                 F.count(F.when(valid, True)).alias("ni"),
+                 F.sum(F.when(valid, F.col("b") - F.col("a")))
+                  .alias("sum_len"))
+            .collect()[0])
+    if not st.ni or not st.np or not st.sum_len or st.sum_len <= 0:
+        return 1.0
+    domain = max(float(st.mx) - float(st.mn), 1e-12)
+    mean_len = float(st.sum_len) / float(st.ni)
+    points_per_interval = float(st.np) / domain * mean_len
+    w = mean_len if points_per_interval < 1.0 else mean_len / 4.0
+    return min(max(w, 1e-12), domain)
 
 
 def bucketed_range_join(points: DataFrame, intervals: DataFrame,
                         t_col: str, start_col: str, end_col: str,
-                        bucket: float, keys: list[str] | None = None,
+                        bucket: float | None = None,
+                        keys: list[str] | None = None,
                         ) -> DataFrame:
     """Inner-join ``points`` to every interval containing them:
     ``start <= t < end`` (half-open), optionally ANDed with equality on
@@ -44,10 +100,15 @@ def bucketed_range_join(points: DataFrame, intervals: DataFrame,
 
     ``bucket`` trades expansion for selectivity: intervals explode into
     ``(end-start)/bucket + 1`` rows each, and every bucket-mate pair is
-    tested exactly once. Degenerate/inverted intervals (end <= start)
-    produce nothing, like the predicate itself.
+    tested exactly once. ``bucket=None`` (the default) derives the width
+    from the data via :func:`auto_bucket_width` — callers pass an
+    explicit width only to override the model. Degenerate/inverted
+    intervals (end <= start) produce nothing, like the predicate itself.
     """
     keys = keys or []
+    if bucket is None:
+        bucket = auto_bucket_width(points, intervals, t_col,
+                                   start_col, end_col)
     w = float(bucket)
     # Spark's sequence(a, b) DESCENDS when b < a — an inverted interval
     # would explode instead of vanishing; drop them like the predicate does

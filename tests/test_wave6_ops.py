@@ -545,6 +545,21 @@ def test_bucketed_range_join_matches_theta_join(spark):
                                                .collect()}
         assert gotk == naive_k, width
 
+    # AUTO width (bucket=None, VERDICT r6 #5): same exact result, and the
+    # derived width is sane — positive, within the point domain
+    from keboola_storage_duckdb_spark.operators.rangejoin import (
+        auto_bucket_width)
+    got = {(r.pid, r.iv) for r in
+           bucketed_range_join(pts, ivs, "t", "s", "e")
+           .select("pid", "iv").collect()}
+    assert got == naive
+    w = auto_bucket_width(pts, ivs, "t", "s", "e")
+    assert 0 < w <= 47.0
+    # degenerate inputs fall back instead of dividing by zero
+    empty_iv = ivs.filter("iv < 0")
+    assert auto_bucket_width(pts, empty_iv, "t", "s", "e") == 1.0
+    assert bucketed_range_join(pts, empty_iv, "t", "s", "e").count() == 0
+
 
 def test_hll_sketch_accuracy_and_mergeability(spark):
     """Raw HLL at m=4096: estimate within a few percent of the true
