@@ -180,8 +180,72 @@ class ColumnProfile:
     cardinality: str = ""
 
 
+def approx_distinct_counts(df: DataFrame, cols: list[str],
+                           b_bits: int = 12) -> dict[str, int]:
+    """Sketch-backed per-column distinct estimates in ONE pass — the
+    100 TB profile's distinct engine. Same raw-HLL register math as the
+    oracle-certified sketch (functions/sketch.py:hll_register_table) but
+    built from ``xxhash64`` instead of md5+hex-conv: each column hashes
+    to a long ON ITS NATIVE TYPE (no string cast), the long columns
+    unpivot via ``stack`` (a map-side Expand, never a shuffle of raw
+    rows), and one mergeable max-aggregation reduces everything to
+    ≤ cols × 2^b_bits register rows. The exact ``countDistinct`` twin
+    (profile_table's default) shuffles every distinct value; this
+    shuffles register maxima only — measured at 10× lineitem: 99.2 MB /
+    10.2 M records exact vs 3.2 MB / 241 k records sketch (31× fewer
+    bytes, and the sketch side is BOUNDED by cols × 2^b_bits while the
+    exact side grows with distinct-value volume — the difference between
+    a profile that fits executor memory at 100 TB and one that doesn't).
+    Wall time at local 10× is parity (shuffle is never the local
+    bottleneck; NOTES r7). Raw-HLL relative error at m = 4096 is
+    ~1.04/√m ≈ 1.6 %; the linear-counting branch below covers the n ≪ m
+    range where the raw estimator biases high. md5 is reserved for the
+    certified query path (hll_distinct) where DuckDB must reproduce the
+    registers bit-for-bit; xxhash64 stays JVM-native and ~2× cheaper
+    per value."""
+    import math
+
+    m = 1 << b_bits
+    n = len(cols)
+    # NULL-mask before hashing: xxhash64(NULL) yields the seed, which
+    # would count NULL as one extra distinct value; countDistinct skips
+    # NULLs, so the estimate must too.
+    pairs = ", ".join(
+        f"'{c}', IF(`{c}` IS NULL, NULL, xxhash64(`{c}`))" for c in cols)
+    stacked = df.selectExpr(f"stack({n}, {pairs}) AS (col__, h__)") \
+                .filter(F.col("h__").isNotNull())
+    reg = F.col("h__").bitwiseAND(F.lit(m - 1))
+    tail = F.expr(f"shiftrightunsigned(h__, {b_bits})") \
+            .bitwiseAND(F.lit((1 << 48) - 1))
+    rho = F.when(tail > 0, F.lit(49) - F.length(F.bin(tail)).cast("int")) \
+           .otherwise(F.lit(49))
+    regs = (stacked.select(F.col("col__"), reg.alias("register"),
+                           rho.alias("rho"))
+                   .groupBy("col__", "register")
+                   .agg(F.max("rho").alias("max_rho")))
+    rows = (regs.groupBy("col__")
+                .agg(F.count(F.lit(1)).alias("registers_used"),
+                     F.sum(F.expr(
+                         "shiftleft(cast(1 as bigint), 49 - max_rho)"))
+                      .alias("sum_scaled"))
+                .collect())
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numerator = alpha * m * m * float(2 ** 49)
+    out: dict[str, int] = {c: 0 for c in cols}   # all-NULL column → 0
+    for r in rows:
+        empty = m - r.registers_used
+        est = numerator / (r.sum_scaled + empty * float(2 ** 49))
+        # small-range correction (standard HLL linear counting): applied
+        # driver-side on the collected scalars
+        if est <= 2.5 * m and empty > 0:
+            est = m * math.log(m / empty)
+        out[r.col__] = int(round(est))
+    return out
+
+
 def profile_table(df: DataFrame, max_corr_cols: int = 10,
-                  corr_threshold: float = 0.3, top_corr: int = 20) -> dict:
+                  corr_threshold: float = 0.3, top_corr: int = 20,
+                  approx_distinct: bool = False) -> dict:
     """Full profile: per-column stats, pattern detection, correlations,
     quality score. Bounded passes over the data; only aggregate scalars are
     collected to the driver.
@@ -195,7 +259,13 @@ def profile_table(df: DataFrame, max_corr_cols: int = 10,
        deliberately NOT fused with job 1: Catalyst plans multi-distinct
        via Expand (rows × (n_cols+1)), which re-evaluates every other
        aggregate's guard on the duplicated rows; fused was 2.2× slower
-       than split at sf0.1 (A/B'd, 3 alternating reps);
+       than split at sf0.1 (A/B'd, 3 alternating reps).
+       ``approx_distinct=True`` (VERDICT r6 #6) swaps this job for the
+       mergeable-HLL sketch (:func:`approx_distinct_counts`): register
+       maxima cross the shuffle instead of every distinct value — the
+       right 100 TB profile mode; results carry
+       ``distinct_estimated: true``. Exact stays the default (and the
+       oracle-certified path);
     3. exact quantiles for EVERY numeric column — the ungrouped
        selection engine (all columns fused per scan, literal ranges, no
        joins) with its stats job skipped via job 1's counts/ranges:
@@ -236,9 +306,14 @@ def profile_table(df: DataFrame, max_corr_cols: int = 10,
     # 34% off the sequential profile wall at 10×)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(1) as pool:
-        fut_distinct = pool.submit(
-            lambda: df.agg(*[F.countDistinct(F.col(c)).alias(f"d__{c}")
-                             for c in df.columns]).collect()[0].asDict())
+        if approx_distinct:
+            fut_distinct = pool.submit(
+                lambda: {f"d__{c}": v for c, v in
+                         approx_distinct_counts(df, df.columns).items()})
+        else:
+            fut_distinct = pool.submit(
+                lambda: df.agg(*[F.countDistinct(F.col(c)).alias(f"d__{c}")
+                                 for c in df.columns]).collect()[0].asDict())
         row1 = df.agg(*exprs).collect()[0].asDict()
         total = row1["total__"]
 
@@ -340,7 +415,7 @@ def profile_table(df: DataFrame, max_corr_cols: int = 10,
             high_null_cols += 1
         columns.append(prof)
 
-    return {
+    out = {
         "row_count": total,
         "column_count": len(df.columns),
         "columns": columns,
@@ -351,6 +426,9 @@ def profile_table(df: DataFrame, max_corr_cols: int = 10,
             "outlier_columns": outlier_cols,
         },
     }
+    if approx_distinct:
+        out["distinct_estimated"] = True
+    return out
 
 
 # ---------------------------------------------------------------------------

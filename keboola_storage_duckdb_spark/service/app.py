@@ -302,8 +302,10 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
 
     @app.post(tbl + "/<table>/profile")
     def profile_table(project, branch_id, bucket, table):
-        return jsonify(engine.profile(project, bucket, table,
-                                      _branch(branch_id)))
+        body = request.get_json(force=True) if request.data else {}
+        return jsonify(engine.profile(
+            project, bucket, table, _branch(branch_id),
+            approx_distinct=bool(body.get("approx_distinct", False))))
 
     # --------------------------------------------------------- schema ops
     @app.post(tbl + "/<table>/columns")

@@ -281,6 +281,30 @@ def test_profile_table_shape(spark, sf_dir):
     assert isinstance(prof["correlations"], list)
 
 
+def test_profile_approx_distinct_within_hll_bounds(spark, sf_dir):
+    """VERDICT r6 #6: approx_distinct=True serves distinct counts from
+    the mergeable HLL sketch — every column's estimate lands within raw
+    HLL error bounds (~1.6 % at m=4096; assert 6 % headroom for n ≪ m
+    columns, where the estimator is near-exact) and the result is
+    flagged distinct_estimated."""
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "orders")
+    exact = P.profile_table(df)
+    approx = P.profile_table(df, approx_distinct=True)
+    assert approx.get("distinct_estimated") is True
+    assert "distinct_estimated" not in exact
+    ex = {c["name"]: c["distinct_count"] for c in exact["columns"]}
+    ap = {c["name"]: c["distinct_count"] for c in approx["columns"]}
+    assert set(ex) == set(ap)
+    for name, true_d in ex.items():
+        est = ap[name]
+        assert abs(est - true_d) <= max(0.06 * true_d, 2.0), (
+            name, true_d, est)
+    # non-distinct stats identical between modes
+    assert exact["row_count"] == approx["row_count"]
+
+
 def test_pattern_detection(spark):
     rows = [(f"user{i}@example.com", f"https://example.com/{i}", "10.0.0.%d" % i,
              "2025-01-31", "not-a-pattern") for i in range(20)]
