@@ -102,11 +102,19 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
     def metrics_endpoint():
         return Response(metrics.render(), mimetype="text/plain")
 
+    @app.get("/dashboard")
+    def dashboard():
+        # reference dashboard.html: static monitoring page over /metrics;
+        # self-contained (no CDN assets), polls every 5 s client-side
+        from .dashboard import DASHBOARD_HTML
+        return Response(DASHBOARD_HTML, mimetype="text/html")
+
     # ---------------------------------------------------------- middleware
     @app.before_request
     def _auth():
         # /s3 carries its own auth (SigV4 / presigned / api-key)
-        if not require_auth or request.path in ("/health", "/metrics") \
+        if not require_auth \
+                or request.path in ("/health", "/metrics", "/dashboard") \
                 or request.path.startswith("/s3/"):
             return None
         key = request.headers.get("X-API-Key")

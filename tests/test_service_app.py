@@ -257,12 +257,28 @@ def test_metrics_endpoint(client):
     assert "storage_uptime_seconds" in text
 
 
+def test_dashboard_page(client):
+    """Ops dashboard (reference dashboard.html): self-contained HTML served
+    at /dashboard — no external (CDN) assets, polls /metrics client-side."""
+    r = client.get("/dashboard")
+    assert r.status_code == 200
+    assert r.mimetype == "text/html"
+    html = r.data.decode()
+    assert "fetch(\"metrics\")" in html
+    assert "parseMetrics" in html
+    # offline container: the page must not reference external assets
+    assert "http://" not in html.replace("HTTP ", "")
+    assert "https://" not in html
+    assert "cdn" not in html.lower()
+
+
 def test_auth_required_mode(spark, tmp_path_factory):
     eng = StorageEngine(spark, str(tmp_path_factory.mktemp("wh_auth")))
     key = eng.create_api_key("ci")
     app = create_app(eng, require_auth=True)
     with app.test_client() as c:
         assert c.get("/health").status_code == 200          # health is open
+        assert c.get("/dashboard").status_code == 200       # monitoring page too
         assert c.get("/projects").status_code == 401        # no key
         assert c.get("/projects",
                      headers={"X-API-Key": "wrong"}).status_code == 401
