@@ -1014,6 +1014,17 @@ def q_asof_join(spark, sf_dir):
          / F.lit(1000000.0)).alias("gap_s"))
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al. 2022, suffix-array substring
+    dedup re-expressed distributed): maximal cross-document duplicated
+    runs of >= 8 whitespace tokens per document — the boilerplate-cutting
+    pass doc-level dedup can't do. Linear: window fingerprints (map-side),
+    one count-per-hash shuffle (never a pair join), per-doc island merge."""
+    from keboola_storage_duckdb_spark.functions.spans import duplicate_spans
+    return duplicate_spans(_t(spark, sf_dir, "documents"),
+                           "doc_id", "text", k=8, cross_doc=True)
+
+
 _ASOF_SQL = """
 WITH u AS (
   SELECT user_id AS k, ts AS t, 0 AS kind, event_id AS click_id, ts AS click_ts,
@@ -2253,7 +2264,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "hourly_rollup": q_hourly_rollup,
     "sessionize": q_sessionize,
-    "execute_query": q_execute_query,
+    "duplicate_spans": q_duplicate_spans,        # NEW r07 — in-window
     # rotated IN: never driver-certified before round 7
     "skew_agg": q_skew_agg,                      # A13 salted-agg variant
     "extract_parts": q_extract_parts,            # F3 date-part family
@@ -2279,6 +2290,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,          # token-stream packing
     "repetition_signals": q_repetition_signals,  # Gopher repetition rules
     "kmeans": q_kmeans,                          # rows-only iterative
+    "execute_query": q_execute_query,            # keeper parked 51+ (green r01-r06)
     # ---- tail (51+): driver-green in r01-r06 CORRECTNESS records ----
     "dedup_count_conflicts": q_dedup_count_conflicts,  # r06
     "string_stats": q_string_stats,              # r06
@@ -2563,4 +2575,9 @@ def oracle_sql() -> dict[str, str]:
         "video_features": _VIDEO_FEATURES_SQL,
         "pivot_counts": _PIVOT_SQL,
         "grouped_quantiles": _GROUPED_QUANTILES_SQL,
+        "duplicate_spans": __import__(
+            "keboola_storage_duckdb_spark.functions.spans", fromlist=["x"]
+        ).DUPLICATE_SPANS_SQL_TEMPLATE.format(
+            id_col="doc_id", text_col="text", table="documents", k=8,
+            dup_rule="COUNT(DISTINCT id) > 1"),
     }

@@ -1,0 +1,132 @@
+"""Substring-level exact deduplication: duplicated token spans.
+
+Doc-level dedup (operators/dedup.py, functions/dedup_ml.py) removes whole
+near-identical documents; the complementary operator an LLM training
+pipeline needs is SPAN-level: find every run of >= k consecutive tokens
+that also appears elsewhere in the corpus, so boilerplate (license
+headers, navigation chrome, templated intros) can be cut out of otherwise
+unique documents. This is the distributed re-expression of the
+suffix-array substring dedup of Lee et al., "Deduplicating Training Data
+Makes Language Models Better" (ACL 2022): a suffix array finds duplicated
+substrings >= k tokens on one machine; here every k-token window hashes
+to a fingerprint, duplicated fingerprints mark their positions, and
+overlapping/adjacent marked windows merge into maximal spans — the same
+spans the suffix array reports, k-token-aligned.
+
+Shape at 100 TB:
+  * window fingerprinting is a per-row map (``transform`` over token
+    positions + md5) — one output row per token, embarrassingly parallel;
+  * the duplicate test is ONE groupBy(hash) count with map-side partial
+    aggregation; unlike an inverted-index pair join a hash shared by a
+    million documents costs one aggregate row, never a pair explosion;
+  * marked positions re-join the corpus hash-partitioned (shuffle #2) and
+    the island merge windows over (doc, pos) — per-doc state only.
+Nothing is quadratic in corpus size or in duplicate multiplicity.
+
+md5 keeps the fingerprints engine-portable: the DuckDB oracle
+(``DUPLICATE_SPANS_SQL_TEMPLATE``) reproduces every window hash, island
+boundary, and span bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .util import par as _par
+
+__all__ = ["duplicate_spans", "DUPLICATE_SPANS_SQL_TEMPLATE"]
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 8, cross_doc: bool = True) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    A position ``p`` (0-based) in a document is *marked* when the k-token
+    window starting at ``p`` occurs more than once in the corpus —
+    anywhere if ``cross_doc=False``, in >= 2 distinct documents if
+    ``cross_doc=True`` (the training-data default: internal repetition is
+    repetition_signals' job, operators/..:text.py:330). Overlapping and
+    adjacent marked windows merge into maximal spans.
+
+    Returns ``(doc_id, span_start, span_end, span_tokens, n_windows)``
+    with token-index ranges [span_start, span_end) and ``n_windows`` =
+    marked windows merged into the span. Documents shorter than ``k``
+    tokens produce no rows (no window fits — mirrors the suffix-array
+    length threshold).
+    """
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.split(F.col(text_col), " ").alias("t"))
+              .filter(F.size("t") >= k)
+              .repartition(_par(df)))  # explode fan-out off 1-split inputs
+    # one fingerprint per window start; sequence() guarded ascending by
+    # the size filter above (Spark sequence() DESCENDS when stop < start)
+    wins = toks.select(
+        "id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, size(t) - {k}), "
+            f"i -> md5(array_join(slice(t, i + 1, {k}), ' ')))"
+        )).alias("pos", "h"))
+    # genuine multi-consumer cut point (dup-test agg AND the semi-join
+    # probe): without it Spark re-tokenizes and re-hashes the whole corpus
+    # per branch — no cross-branch CSE (NOTES). Lazy = cache-on-first-use.
+    wins = wins.localCheckpoint(eager=False)
+    dup = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.countDistinct("id").alias("docs"))
+    dup = dup.filter((F.col("docs") > 1) if cross_doc else (F.col("occ") > 1))
+    marked = wins.join(dup.select("h"), "h", "left_semi")
+
+    # gaps-and-islands: windows [pos, pos+k) merge while pos <= prev + k
+    # (overlap OR token-adjacency); island id = running count of breaks
+    w = Window.partitionBy("id").orderBy("pos")
+    marked = marked.withColumn(
+        "brk", F.when(F.col("pos") <= F.lag("pos").over(w) + k,
+                      F.lit(0)).otherwise(F.lit(1)))
+    marked = marked.withColumn(
+        "island", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (marked.groupBy("id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + k).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .select(F.col("id").alias("doc_id"),
+                    F.col("span_start").cast("int").alias("span_start"),
+                    F.col("span_end").cast("int").alias("span_end"),
+                    (F.col("span_end") - F.col("span_start"))
+                    .cast("int").alias("span_tokens"),
+                    F.col("n_windows")))
+
+
+# DuckDB twin: identical tokenization (str_split on ' '), window hashes
+# (1-based inclusive slicing t[i+1 : i+k] == 0-based window [i, i+k)),
+# duplicate rule, island merge, and output aliases. LAG() + SUM() OVER
+# reproduce the Spark islands; COUNT(*) stays BIGINT in both engines.
+DUPLICATE_SPANS_SQL_TEMPLATE = """
+WITH toks AS (
+    SELECT {id_col} AS id, str_split({text_col}, ' ') AS t
+    FROM {table} WHERE len(str_split({text_col}, ' ')) >= {k}),
+wins AS (
+    SELECT id, i AS pos,
+           md5(array_to_string(t[i + 1 : i + {k}], ' ')) AS h
+    FROM toks, unnest(generate_series(0, len(t) - {k})) AS u(i)),
+dup AS (
+    SELECT h FROM wins GROUP BY h HAVING {dup_rule}),
+marked AS (
+    SELECT id, pos FROM wins WHERE h IN (SELECT h FROM dup)),
+flagged AS (
+    SELECT id, pos,
+           CASE WHEN pos <= LAG(pos) OVER w + {k} THEN 0 ELSE 1 END AS brk
+    FROM marked WINDOW w AS (PARTITION BY id ORDER BY pos)),
+islands AS (
+    SELECT id, pos,
+           SUM(brk) OVER (PARTITION BY id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM flagged)
+SELECT id AS doc_id,
+       CAST(MIN(pos) AS INTEGER) AS span_start,
+       CAST(MAX(pos) + {k} AS INTEGER) AS span_end,
+       CAST(MAX(pos) + {k} - MIN(pos) AS INTEGER) AS span_tokens,
+       COUNT(*) AS n_windows
+FROM islands GROUP BY id, island"""

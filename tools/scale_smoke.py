@@ -83,7 +83,7 @@ def main() -> None:
                  "simhash_pairs", "grouped_quantiles", "image_features",
                  "audio_features", "video_features", "range_join",
                  "pack_sequences", "repetition_signals", "hll_distinct",
-                 "cm_heavy_hitters", "bottom_k_sample"]:
+                 "cm_heavy_hitters", "bottom_k_sample", "duplicate_spans"]:
         run(name, lambda name=name: Q[name](spark, DST))
 
     # Quadratic-output operators at 10×: the UNBLOCKED/UNCAPPED forms are the
