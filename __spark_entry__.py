@@ -1025,6 +1025,18 @@ def q_duplicate_spans(spark, sf_dir):
                            "doc_id", "text", k=8, cross_doc=True)
 
 
+def q_cut_spans(spark, sf_dir):
+    """Actionable substring dedup: every document rebuilt with its
+    cross-doc duplicated >= 8-token spans removed (Lee et al. 2022's cut
+    step). One hash join (spans aggregated per doc) + a higher-order
+    positional filter — docs without spans pass through a left join."""
+    from keboola_storage_duckdb_spark.functions.spans import (
+        cut_spans, duplicate_spans)
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, "doc_id", "text", k=8, cross_doc=True)
+    return cut_spans(docs, spans, "doc_id", "text")
+
+
 _ASOF_SQL = """
 WITH u AS (
   SELECT user_id AS k, ts AS t, 0 AS kind, event_id AS click_id, ts AS click_ts,
@@ -2322,11 +2334,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_lineitem_part": q_join_lineitem_part,  # r03-r05 window
     "top_terms": q_top_terms,                    # r03-r05 window
     "fingerprint_docs": q_fingerprint_docs,      # r03-r05 window
+    "cut_spans": q_cut_spans,                    # NEW r07 tail (operator
+                                                 # certified via slot-26 twin)
 }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
+
+
+def _spans_mod():
+    from keboola_storage_duckdb_spark.functions import spans
+    return spans
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2575,9 +2594,12 @@ def oracle_sql() -> dict[str, str]:
         "video_features": _VIDEO_FEATURES_SQL,
         "pivot_counts": _PIVOT_SQL,
         "grouped_quantiles": _GROUPED_QUANTILES_SQL,
-        "duplicate_spans": __import__(
-            "keboola_storage_duckdb_spark.functions.spans", fromlist=["x"]
-        ).DUPLICATE_SPANS_SQL_TEMPLATE.format(
+        "duplicate_spans": _spans_mod().DUPLICATE_SPANS_SQL_TEMPLATE.format(
             id_col="doc_id", text_col="text", table="documents", k=8,
             dup_rule="COUNT(DISTINCT id) > 1"),
+        "cut_spans": _spans_mod().CUT_SPANS_SQL_TEMPLATE.format(
+            spans_sql=_spans_mod().DUPLICATE_SPANS_SQL_TEMPLATE.format(
+                id_col="doc_id", text_col="text", table="documents", k=8,
+                dup_rule="COUNT(DISTINCT id) > 1"),
+            id_col="doc_id", text_col="text", table="documents"),
     }

@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 
 from .util import par as _par
 
-__all__ = ["duplicate_spans", "DUPLICATE_SPANS_SQL_TEMPLATE"]
+__all__ = ["duplicate_spans", "cut_spans",
+           "DUPLICATE_SPANS_SQL_TEMPLATE", "CUT_SPANS_SQL_TEMPLATE"]
 
 
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
@@ -98,6 +99,47 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                     F.col("n_windows")))
 
 
+def cut_spans(df: DataFrame, spans: DataFrame, id_col: str,
+              text_col: str) -> DataFrame:
+    """The actionable half of substring dedup: rebuild each document's
+    text with its duplicated spans REMOVED (Lee et al. cut the duplicated
+    substring from the training corpus; which single occurrence to keep —
+    if any — is a survivor-selection question like dedup_survivors',
+    orthogonal to the cut and left to the caller's span set).
+
+    ``spans`` is :func:`duplicate_spans` output (or any frame with
+    ``doc_id, span_start, span_end`` token ranges [start, end)). Returns
+    ``(doc_id, clean_text, kept_tokens, removed_tokens)``; documents with
+    no spans pass through intact (left join — never an inner-join drop).
+
+    Scale: spans aggregate per doc to a small struct array (a doc's span
+    list is bounded by its own token count), ONE hash join against the
+    corpus, then a per-row higher-order filter over token positions —
+    no shuffle beyond the join, no Python.
+    """
+    sp = (spans.groupBy(F.col("doc_id").alias("id"))
+               .agg(F.collect_list(
+                   F.struct(F.col("span_start").alias("s"),
+                            F.col("span_end").alias("e"))).alias("sp")))
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.split(F.col(text_col), " ").alias("t"))
+    joined = toks.join(sp, "id", "left")
+    # keep token i unless a span covers it; single-arg lambdas only
+    # (2-arg higher-order lambdas dispatch as (element, index) — NOTES)
+    kept = F.expr(
+        "CASE WHEN sp IS NULL THEN t ELSE "
+        "transform(filter(sequence(0, size(t) - 1), "
+        "  i -> NOT exists(sp, x -> x.s <= i AND i < x.e)), "
+        "  i -> element_at(t, i + 1)) END")
+    return (joined
+            .withColumn("kept", kept)
+            .select(F.col("id").alias("doc_id"),
+                    F.array_join("kept", " ").alias("clean_text"),
+                    F.size("kept").cast("int").alias("kept_tokens"),
+                    (F.size("t") - F.size("kept")).cast("int")
+                    .alias("removed_tokens")))
+
+
 # DuckDB twin: identical tokenization (str_split on ' '), window hashes
 # (1-based inclusive slicing t[i+1 : i+k] == 0-based window [i, i+k)),
 # duplicate rule, island merge, and output aliases. LAG() + SUM() OVER
@@ -130,3 +172,31 @@ SELECT id AS doc_id,
        CAST(MAX(pos) + {k} - MIN(pos) AS INTEGER) AS span_tokens,
        COUNT(*) AS n_windows
 FROM islands GROUP BY id, island"""
+
+
+# cut_spans twin: {spans_sql} is a full spans query (e.g. the template
+# above, formatted); nested lambdas replace Spark's exists() (DuckDB
+# rejects subqueries inside lambdas — len(list_filter(...)) = 0 is the
+# equivalent), t[i + 1] mirrors element_at's 1-based indexing.
+CUT_SPANS_SQL_TEMPLATE = """
+WITH spans AS ({spans_sql}),
+sp AS (SELECT doc_id AS id,
+              list(struct_pack(s := span_start, e := span_end)) AS sp
+       FROM spans GROUP BY doc_id),
+toks AS (SELECT {id_col} AS id, str_split({text_col}, ' ') AS t
+         FROM {table}),
+j AS (SELECT toks.id, t, sp.sp FROM toks LEFT JOIN sp ON sp.id = toks.id),
+k AS (SELECT id, t,
+             CASE WHEN sp IS NULL THEN t ELSE
+               list_transform(list_filter(generate_series(0, len(t) - 1),
+                   i -> len(list_filter(sp,
+                            x -> x.s <= i AND i < x.e)) = 0),
+                 i -> t[i + 1]) END AS kept
+      FROM j)
+SELECT id AS doc_id,
+       -- array_to_string([]) is NULL in DuckDB but '' via Spark's
+       -- array_join: coalesce pins the fully-cut-document case
+       COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+       CAST(len(kept) AS INTEGER) AS kept_tokens,
+       CAST(len(t) - len(kept) AS INTEGER) AS removed_tokens
+FROM k"""

@@ -132,3 +132,18 @@ def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_duplicate_spans_never_pair_joins(spark, sf_dir):
+    """Substring dedup must stay linear: the duplicate test is a
+    count-per-hash aggregate + semi-join — a pair self-join on the hash
+    (the suffix-array shortcut's naive translation) would square with
+    duplicate multiplicity. Also pin: no CartesianProduct, and the
+    positions re-partition by document for the island merge."""
+    df = E.q_duplicate_spans(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan            # marker join, not an inner pair join
+    facts = plan_facts(df)
+    assert "SortMergeJoin" not in facts["joins"], facts

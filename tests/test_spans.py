@@ -61,3 +61,34 @@ def test_adjacent_windows_merge(spark):
     got = _spans(spark, [(1, a), (2, f"z1 {a} z2")], k=4)
     full = {(1, 0, 8, 8, 5), (2, 1, 9, 8, 5)}
     assert got == full
+
+
+def test_cut_spans_removes_and_passes_through(spark):
+    from keboola_storage_duckdb_spark.functions.spans import cut_spans
+
+    shared = "a b c d e"
+    rows = [(1, f"x1 x2 {shared} x3 x4"),
+            (2, f"y1 {shared} y2 y3 y4"),
+            (3, "entirely unique words only here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicate_spans(df, "doc_id", "text", k=5)
+    out = {r.doc_id: r for r in
+           cut_spans(df, spans, "doc_id", "text").collect()}
+    assert out[1].clean_text == "x1 x2 x3 x4"
+    assert (out[1].kept_tokens, out[1].removed_tokens) == (4, 5)
+    assert out[2].clean_text == "y1 y2 y3 y4"
+    # doc without spans passes through byte-identical
+    assert out[3].clean_text == rows[2][1] and out[3].removed_tokens == 0
+
+
+def test_cut_spans_full_document(spark):
+    from keboola_storage_duckdb_spark.functions.spans import cut_spans
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    spans = duplicate_spans(df, "doc_id", "text", k=4)
+    out = {r.doc_id: r for r in
+           cut_spans(df, spans, "doc_id", "text").collect()}
+    for d in (1, 2):
+        assert out[d].clean_text == ""
+        assert (out[d].kept_tokens, out[d].removed_tokens) == (0, 10)
