@@ -1025,6 +1025,17 @@ def q_duplicate_spans(spark, sf_dir):
                            "doc_id", "text", k=8, cross_doc=True)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling with replacement (training-mixture
+    primitive: documents drawn per language proportional to size). All
+    integer arithmetic — 48-bit md5 draws mod the group's total weight —
+    so routing AND selection are engine-exact; the pick resolves via the
+    as-of union+window pattern, one shuffle."""
+    from keboola_storage_duckdb_spark.functions.sketch import weighted_sample
+    return weighted_sample(_t(spark, sf_dir, "documents"),
+                           "lang", "doc_id", "n_chars", k=6)
+
+
 def q_cut_spans(spark, sf_dir):
     """Actionable substring dedup: every document rebuilt with its
     cross-doc duplicated >= 8-token spans removed (Lee et al. 2022's cut
@@ -2336,6 +2347,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_docs": q_fingerprint_docs,      # r03-r05 window
     "cut_spans": q_cut_spans,                    # NEW r07 tail (operator
                                                  # certified via slot-26 twin)
+    "weighted_sample": q_weighted_sample,        # NEW r07 tail
 }
 
 
@@ -2597,6 +2609,11 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _spans_mod().DUPLICATE_SPANS_SQL_TEMPLATE.format(
             id_col="doc_id", text_col="text", table="documents", k=8,
             dup_rule="COUNT(DISTINCT id) > 1"),
+        "weighted_sample": __import__(
+            "keboola_storage_duckdb_spark.functions.sketch", fromlist=["x"]
+        ).WEIGHTED_SAMPLE_SQL_TEMPLATE.format(
+            group_col="lang", id_col="doc_id", weight_col="n_chars",
+            table="documents", k=6, seed="ws"),
         "cut_spans": _spans_mod().CUT_SPANS_SQL_TEMPLATE.format(
             spans_sql=_spans_mod().DUPLICATE_SPANS_SQL_TEMPLATE.format(
                 id_col="doc_id", text_col="text", table="documents", k=8,

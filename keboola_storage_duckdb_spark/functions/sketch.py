@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hll_register_table", "hll_estimate",
-           "cm_sketch_table", "cm_estimate", "bottom_k_sample"]
+           "cm_sketch_table", "cm_estimate", "bottom_k_sample",
+           "weighted_sample"]
 
 
 def hll_register_table(df: DataFrame, group_col: str, value_col: str,
@@ -150,3 +151,112 @@ def bottom_k_sample(df: DataFrame, group_col: str, id_col: str,
                               Window.partitionBy("g").orderBy("h")))
               .filter(F.col("sample_rank") <= k)
               .select("g", "id", "sample_rank"))
+
+
+def weighted_sample(df: DataFrame, group_col: str, id_col: str,
+                    weight_col: str, k: int = 8,
+                    seed: str = "ws") -> DataFrame:
+    """Deterministic weighted sampling WITH replacement per group —
+    ``k`` draws per group, each row selected with probability
+    proportional to its (positive integer) weight. The training-mixture
+    primitive: "sample documents per language proportional to token
+    count" is this with weight = token count.
+
+    Engine-exact by construction, no floats anywhere: rows order by
+    ``id_col`` (must be unique per group — document ids are) and carry
+    an exact integer cumulative weight; draw ``i`` maps the first 48
+    bits of ``md5(seed|group|i)`` into ``[0, W)`` by integer modulo
+    (bias ≤ W/2^48 — negligible, and identically present in both
+    engines); the selected row is the first with ``cum > u``, resolved
+    by a union + forward-looking window (the as-of pattern,
+    operators/asof.py) — never a per-draw scan.
+
+    Scale: ONE shuffle (the per-group cumulative-weight window; draws
+    are k rows per group, negligible). Groups run independently; a
+    single giant group serializes its window like any per-key scan —
+    at that shape use the two-phase exclusive-scan layout
+    (functions/packing.py) to compute ``cum`` instead.
+
+    Returns ``(group, draw, id, weight)``, exactly k rows per non-empty
+    group; reproducible run-to-run and engine-to-engine.
+    """
+    from pyspark.sql import Window
+
+    rows = (df.filter(F.col(id_col).isNotNull()
+                      & (F.col(weight_col) > 0))
+              .select(F.col(group_col).alias("g"),
+                      F.col(id_col).alias("id"),
+                      F.col(weight_col).cast("bigint").alias("w")))
+    cw = (Window.partitionBy("g").orderBy("id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rows = rows.withColumn("cum", F.sum("w").over(cw))
+    totals = rows.groupBy("g").agg(F.max("cum").alias("total_w"))
+    draws = (totals.select(
+        "g", "total_w",
+        F.explode(F.expr(f"sequence(1, {k})")).alias("draw")))
+    draws = draws.withColumn(
+        "u",
+        F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.lit(seed), F.col("g").cast("string"),
+            F.col("draw").cast("string"))), 1, 12), 16, 10)
+         .cast("bigint") % F.col("total_w"))
+
+    r = rows.select("g", F.col("cum").alias("ord"),
+                    F.lit(1).alias("is_row"), "id", "w",
+                    F.lit(None).cast("int").alias("draw"))
+    d = draws.select("g", F.col("u").alias("ord"),
+                     F.lit(0).alias("is_row"),
+                     F.lit(None).cast(rows.schema["id"].dataType)
+                      .alias("id"),
+                     F.lit(None).cast("bigint").alias("w"),
+                     F.col("draw").cast("int").alias("draw"))
+    # first row with cum > u: at ord ties a row (cum == u) must sort
+    # BEFORE the draw so it is excluded (strict >)
+    sel = Window.partitionBy("g") \
+                .orderBy(F.col("ord").asc(), F.col("is_row").desc()) \
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u = r.unionByName(d)
+    return (u.withColumn("sel_id", F.first("id", ignorenulls=True).over(sel))
+             .withColumn("sel_w", F.first("w", ignorenulls=True).over(sel))
+             .filter(F.col("is_row") == 0)
+             .select(F.col("g").alias("group"), "draw",
+                     F.col("sel_id").alias("id"),
+                     F.col("sel_w").alias("weight")))
+
+
+# DuckDB twin (engine-exact): same cumulative windows, the same
+# 48-bit md5 draw via CAST('0x' || hex AS BIGINT), IGNORE NULLS
+# forward window for the selection.
+WEIGHTED_SAMPLE_SQL_TEMPLATE = """
+WITH rows_w AS (
+    SELECT {group_col} AS g, {id_col} AS id,
+           CAST({weight_col} AS BIGINT) AS w,
+           SUM(CAST({weight_col} AS BIGINT)) OVER (
+               PARTITION BY {group_col} ORDER BY {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM {table}
+    WHERE {id_col} IS NOT NULL AND {weight_col} > 0),
+totals AS (SELECT g, MAX(cum) AS total_w FROM rows_w GROUP BY g),
+draws AS (
+    SELECT g, i AS draw,
+           CAST('0x' || substr(md5('{seed}' || '|' || CAST(g AS VARCHAR)
+                                   || '|' || CAST(i AS VARCHAR)), 1, 12)
+                AS BIGINT) % total_w AS u
+    FROM totals, unnest(generate_series(1, {k})) AS t(i)),
+u AS (
+    SELECT g, cum AS ord, 1 AS is_row, id, w,
+           CAST(NULL AS INTEGER) AS draw
+    FROM rows_w
+    UNION ALL
+    SELECT g, u AS ord, 0 AS is_row, NULL AS id, CAST(NULL AS BIGINT) AS w,
+           CAST(draw AS INTEGER) AS draw
+    FROM draws),
+sel AS (
+    SELECT g, draw, is_row,
+           FIRST_VALUE(id IGNORE NULLS) OVER w AS sel_id,
+           FIRST_VALUE(w IGNORE NULLS) OVER w AS sel_w
+    FROM u
+    WINDOW w AS (PARTITION BY g ORDER BY ord ASC, is_row DESC
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT g AS "group", draw, sel_id AS id, sel_w AS weight
+FROM sel WHERE is_row = 0"""

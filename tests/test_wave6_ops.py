@@ -665,3 +665,50 @@ def test_bottom_k_sample_mergeability(spark):
               bottom_k_sample(ha.unionByName(hb), "g", "id", k=5)
               .collect()}
     assert merged == whole
+
+
+def test_weighted_sample_deterministic_and_exact(spark):
+    """weighted_sample's integer-md5 draws are reproducible and match a
+    brute-force Python reimplementation row for row; k rows per group;
+    zero-weight rows never selected."""
+    import hashlib
+
+    from keboola_storage_duckdb_spark.functions.sketch import weighted_sample
+
+    rows = [("a", 1, 10), ("a", 2, 1), ("a", 3, 0),      # zero weight
+            ("b", 4, 5), ("b", 5, 5)]
+    df = spark.createDataFrame(rows, ["g", "id", "w"])
+    got = {(r.group, r.draw): (r.id, r.weight)
+           for r in weighted_sample(df, "g", "id", "w", k=4).collect()}
+    assert len(got) == 8        # 4 draws x 2 groups
+
+    # brute-force expectation
+    data = {"a": [(1, 10), (2, 1)], "b": [(4, 5), (5, 5)]}
+    for g, members in data.items():
+        total = sum(w for _, w in members)
+        cum, acc = [], 0
+        for i, w in members:                 # ordered by id
+            acc += w
+            cum.append((i, w, acc))
+        for d in range(1, 5):
+            u = int(hashlib.md5(f"ws|{g}|{d}".encode())
+                    .hexdigest()[:12], 16) % total
+            sel = next((i, w) for i, w, c in cum if c > u)
+            assert got[(g, d)] == sel, (g, d, u, got[(g, d)], sel)
+
+    # reproducible across invocations
+    again = {(r.group, r.draw): (r.id, r.weight)
+             for r in weighted_sample(df, "g", "id", "w", k=4).collect()}
+    assert got == again
+
+
+def test_weighted_sample_proportionality(spark):
+    """With a 99:1 weight split, the heavy row dominates the draws."""
+    from keboola_storage_duckdb_spark.functions.sketch import weighted_sample
+
+    df = spark.createDataFrame([("g", 1, 990), ("g", 2, 10)],
+                               ["grp", "id", "w"])
+    got = [r.id for r in
+           weighted_sample(df, "grp", "id", "w", k=64).collect()]
+    assert len(got) == 64
+    assert got.count(1) > 55    # E[heavy] = 63.4; md5 draws are fixed
