@@ -182,8 +182,15 @@ def weighted_sample(df: DataFrame, group_col: str, id_col: str,
     """
     from pyspark.sql import Window
 
+    # enforce the positive-INTEGER weight contract in-plan: fractional
+    # weights would diverge across engines (Spark's bigint cast
+    # truncates, DuckDB's rounds) and a 0<w<1 weight would cast to 0,
+    # producing duplicate cumulative values with nondeterministic ties —
+    # rows violating the contract are excluded on both sides identically
     rows = (df.filter(F.col(id_col).isNotNull()
-                      & (F.col(weight_col) > 0))
+                      & (F.col(weight_col) > 0)
+                      & (F.col(weight_col).cast("double")
+                         == F.floor(F.col(weight_col)).cast("double")))
               .select(F.col(group_col).alias("g"),
                       F.col(id_col).alias("id"),
                       F.col(weight_col).cast("bigint").alias("w")))
@@ -235,7 +242,9 @@ WITH rows_w AS (
                PARTITION BY {group_col} ORDER BY {id_col}
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
     FROM {table}
-    WHERE {id_col} IS NOT NULL AND {weight_col} > 0),
+    WHERE {id_col} IS NOT NULL AND {weight_col} > 0
+      AND CAST({weight_col} AS DOUBLE)
+          = CAST(FLOOR({weight_col}) AS DOUBLE)),
 totals AS (SELECT g, MAX(cum) AS total_w FROM rows_w GROUP BY g),
 draws AS (
     SELECT g, i AS draw,

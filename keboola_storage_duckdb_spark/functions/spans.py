@@ -121,8 +121,12 @@ def cut_spans(df: DataFrame, spans: DataFrame, id_col: str,
                .agg(F.collect_list(
                    F.struct(F.col("span_start").alias("s"),
                             F.col("span_end").alias("e"))).alias("sp")))
+    # NULL text normalizes to the empty doc on BOTH engines (split(NULL)
+    # is NULL; the oracle's empty-list array_to_string COALESCEs to '',
+    # so the Spark side must land on [] too, not NULL)
     toks = df.select(F.col(id_col).alias("id"),
-                     F.split(F.col(text_col), " ").alias("t"))
+                     F.coalesce(F.split(F.col(text_col), " "),
+                                F.array().cast("array<string>")).alias("t"))
     joined = toks.join(sp, "id", "left")
     # keep token i unless a span covers it; single-arg lambdas only
     # (2-arg higher-order lambdas dispatch as (element, index) — NOTES)
@@ -183,7 +187,9 @@ WITH spans AS ({spans_sql}),
 sp AS (SELECT doc_id AS id,
               list(struct_pack(s := span_start, e := span_end)) AS sp
        FROM spans GROUP BY doc_id),
-toks AS (SELECT {id_col} AS id, str_split({text_col}, ' ') AS t
+toks AS (SELECT {id_col} AS id,
+                COALESCE(str_split({text_col}, ' '),
+                         CAST([] AS VARCHAR[])) AS t
          FROM {table}),
 j AS (SELECT toks.id, t, sp.sp FROM toks LEFT JOIN sp ON sp.id = toks.id),
 k AS (SELECT id, t,

@@ -26,8 +26,6 @@ product.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -55,8 +53,11 @@ def auto_bucket_width(points: DataFrame, intervals: DataFrame,
     (k ~= 5) whenever candidates matter, w = L (k = 2, minimum
     replication) when the point density is so low that an interval
     expects < 1 point (the floor is ~zero, replication is the only
-    cost). Clamped to the domain span. Falls back to 1.0 on
-    empty/degenerate inputs (the join result is empty there anyway).
+    cost). Never clamped DOWN to the point-domain span: small w is the
+    explosive direction (len/w + 1 replication), while w larger than
+    the domain is harmless (everything lands in ~1 bucket). Falls back
+    to 1.0 on empty inputs (the join result is empty there anyway); a
+    degenerate all-points-at-one-instant domain takes the dense rule.
     The width NEVER affects results — the exact containment predicate
     filters every bucket-mate — only the replication/selectivity
     trade."""
@@ -71,7 +72,9 @@ def auto_bucket_width(points: DataFrame, intervals: DataFrame,
                           F.col(end_col).cast("double").alias("b"))
     valid = (F.col("side") == 0) & (F.col("b") > F.col("a"))
     st = (pu.unionByName(iu)
-            .agg(F.count(F.when(F.col("side") == 1, True)).alias("np"),
+            # count points with NON-NULL t (a): all-NULL t would leave
+            # mn/mx None below while np > 0 — a TypeError, not a width
+            .agg(F.count(F.when(F.col("side") == 1, F.col("a"))).alias("np"),
                  F.min(F.when(F.col("side") == 1, F.col("a"))).alias("mn"),
                  F.max(F.when(F.col("side") == 1, F.col("a"))).alias("mx"),
                  F.count(F.when(valid, True)).alias("ni"),
@@ -80,11 +83,14 @@ def auto_bucket_width(points: DataFrame, intervals: DataFrame,
             .collect()[0])
     if not st.ni or not st.np or not st.sum_len or st.sum_len <= 0:
         return 1.0
-    domain = max(float(st.mx) - float(st.mn), 1e-12)
     mean_len = float(st.sum_len) / float(st.ni)
-    points_per_interval = float(st.np) / domain * mean_len
+    domain = float(st.mx) - float(st.mn)
+    # degenerate domain (every point at one instant): any covering
+    # interval sees every point — candidates are intrinsic; dense rule
+    points_per_interval = (float("inf") if domain <= 0
+                           else float(st.np) / domain * mean_len)
     w = mean_len if points_per_interval < 1.0 else mean_len / 4.0
-    return min(max(w, 1e-12), domain)
+    return max(w, 1e-12)
 
 
 def bucketed_range_join(points: DataFrame, intervals: DataFrame,

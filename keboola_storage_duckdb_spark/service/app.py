@@ -59,8 +59,10 @@ def _wants_arrow(body: dict | None = None) -> bool:
     return bool(body) and body.get("format") == "arrow"
 
 
-def _arrow_response(data: bytes, schema: str, n: int,
+def _arrow_response(data, schema: str, n: int,
                     filename: str | None = None) -> Response:
+    """``data`` is the full IPC payload (bytes) or an iterator of IPC
+    chunks — Flask streams either."""
     # pyarrow renders schemas one field per line; headers are single-line
     headers = {"X-Arrow-Schema": schema.replace("\n", "; "),
                "X-Row-Count": str(n)}
@@ -417,11 +419,8 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
             # is honored as a real bound via the filter surface
             chunks, schema, n = engine.export_arrow(
                 project, bucket, table, _branch(branch_id), **filters)
-            headers = {"X-Arrow-Schema": schema.replace("\n", "; "),
-                       "X-Row-Count": str(n),
-                       "Content-Disposition":
-                           f"attachment; filename={table}.arrow"}
-            return Response(chunks, mimetype=ARROW_MIME, headers=headers)
+            return _arrow_response(chunks, schema, n,
+                                   filename=f"{table}.arrow")
         staging = os.path.join(engine.files.root, project, "export_tmp")
         out = engine.export_to_file(project, bucket, table, staging,
                                     file_format=fmt,

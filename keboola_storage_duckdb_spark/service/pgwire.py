@@ -413,8 +413,11 @@ class PgWireServer:
             return [{"current_database": project}], "SELECT 1"
         if re.fullmatch(r"select\s+(current_user|session_user|user)", low):
             return [{"current_user": user}], "SELECT 1"
-        if re.match(r"set\s+", low):
-            # accept-and-ignore session GUCs (extra_float_digits, ...)
+        if re.match(r"set\s+", low) \
+                and not re.match(r"set\s+spark\.", low):
+            # accept-and-ignore PG session GUCs (extra_float_digits,
+            # search_path, ...); `SET spark.*` stays a real Spark
+            # statement and falls through to the engine
             return None, "SET"
         if re.fullmatch(r"(begin|begin\s+transaction|start\s+transaction"
                         r"|begin\s+read\s+only)", low):
@@ -435,8 +438,9 @@ class PgWireServer:
             if name.replace(" ", "_") in _SHOW_PARAMS:
                 key = name.replace(" ", "_")
                 return [{key: _SHOW_PARAMS[key]}], "SHOW 1"
-            raise _PgError(
-                "42704", f'unrecognized configuration parameter "{name}"')
+            # not a PG GUC: fall through — Spark SQL has its own SHOW
+            # family (SHOW TABLES/VIEWS/DATABASES/FUNCTIONS) that worked
+            # over the wire before the probe layer existed
         if re.search(r"\bpg_(type|namespace|class|attribute)\b", low):
             self._ensure_pg_catalog_views()
             q = re.sub(r"\bpg_catalog\.", "", s, flags=re.I)

@@ -266,10 +266,17 @@ def test_client_startup_compat_probes(server):
     _c, _r, err = c.query("COMMIT")
     assert err is None
 
-    # unknown GUC is a clean PG error, not a Spark stack trace
+    # non-GUC SHOW falls through to Spark SQL (r7 review fix: the probe
+    # layer must not shadow SHOW TABLES/VIEWS, which worked pre-probes)
+    cols, rows, err = c.query("SHOW TABLES")
+    assert err is None
+    assert any("in_c_data_users" in " ".join(r) for r in rows), rows
+    # ... and SET spark.* reaches the engine instead of being no-opped
+    _c, _r, err = c.query("SET spark.sql.shuffle.partitions=32")
+    assert err is None
+    # unknown SHOW word is a clean error (now Spark's), session survives
     _c, _r, err = c.query("SHOW bogus_param")
-    assert err is not None and err.get("C") == "42704"
-    # and the session survives it
+    assert err is not None
     _c, rows, err = c.query("SELECT 1 AS one")
     assert err is None and rows == [["1"]]
     c.terminate()

@@ -712,3 +712,58 @@ def test_weighted_sample_proportionality(spark):
            weighted_sample(df, "grp", "id", "w", k=64).collect()]
     assert len(got) == 64
     assert got.count(1) > 55    # E[heavy] = 63.4; md5 draws are fixed
+
+
+def test_auto_bucket_width_degenerate_domains(spark):
+    """Round-7 review fixes: a single-instant point domain must NOT
+    collapse the width to ~0 (that explodes each interval into
+    len/width buckets — the exact scale-killer bucketing exists to
+    avoid), and all-NULL point timestamps fall back cleanly instead of
+    raising TypeError."""
+    from keboola_storage_duckdb_spark.operators.rangejoin import (
+        auto_bucket_width, bucketed_range_join)
+
+    ivs = spark.createDataFrame(
+        [(i, float(i * 10), float(i * 10 + 7)) for i in range(20)],
+        ["iv", "s", "e"])
+    one_t = spark.createDataFrame([(1, 55.0), (2, 55.0), (3, 55.0)],
+                                  ["pid", "t"])
+    w = auto_bucket_width(one_t, ivs, "t", "s", "e")
+    assert w >= 7.0 / 4.0 - 1e-9       # never clamped to the 0-span domain
+    got = {(r.pid, r.iv) for r in
+           bucketed_range_join(one_t, ivs, "t", "s", "e")
+           .select("pid", "iv").collect()}
+    assert got == {(p, 5) for p in (1, 2, 3)}   # interval [50, 57)
+
+    null_t = spark.createDataFrame(
+        [(1, None), (2, None)],
+        schema="pid int, t double")
+    assert auto_bucket_width(null_t, ivs, "t", "s", "e") == 1.0
+    assert bucketed_range_join(null_t, ivs, "t", "s", "e").count() == 0
+
+
+def test_weighted_sample_rejects_nonintegral_weights(spark):
+    """Fractional weights are excluded (truncate-vs-round cast divergence
+    across engines); integer-valued DOUBLEs pass."""
+    from keboola_storage_duckdb_spark.functions.sketch import weighted_sample
+
+    df = spark.createDataFrame(
+        [("g", 1, 5.0), ("g", 2, 1.6), ("g", 3, 0.4), ("g", 4, 3.0)],
+        ["grp", "id", "w"])
+    got = {r.id for r in weighted_sample(df, "grp", "id", "w", k=32).collect()}
+    assert got <= {1, 4}               # 2 (fractional) and 3 (<1) excluded
+    assert 1 in got                    # weight-5 row dominates draws
+
+
+def test_cut_spans_null_text_is_empty_doc(spark):
+    from keboola_storage_duckdb_spark.functions.spans import (
+        cut_spans, duplicate_spans)
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, None)],
+        schema="doc_id int, text string")
+    spans = duplicate_spans(df, "doc_id", "text", k=4)
+    out = {r.doc_id: r for r in
+           cut_spans(df, spans, "doc_id", "text").collect()}
+    assert out[3].clean_text == ""     # NULL text == empty doc, not NULL
+    assert (out[3].kept_tokens, out[3].removed_tokens) == (0, 0)
