@@ -1025,6 +1025,16 @@ def q_duplicate_spans(spark, sf_dir):
                            "doc_id", "text", k=8, cross_doc=True)
 
 
+def q_boilerplate_strings(spark, sf_dir):
+    """Boilerplate report: the 20 most-repeated cross-document 8-token
+    windows with occurrence/document counts — what duplicate_spans cuts,
+    surfaced as readable snippets. Same linear explode→groupBy shape;
+    deterministic (occurrences DESC, snippet ASC) top-20."""
+    from keboola_storage_duckdb_spark.functions.spans import boilerplate_ngrams
+    return boilerplate_ngrams(_t(spark, sf_dir, "documents"),
+                              "doc_id", "text", k=8, top_n=20)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling with replacement (training-mixture
     primitive: documents drawn per language proportional to size). All
@@ -2348,6 +2358,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cut_spans": q_cut_spans,                    # NEW r07 tail (operator
                                                  # certified via slot-26 twin)
     "weighted_sample": q_weighted_sample,        # NEW r07 tail
+    "boilerplate_strings": q_boilerplate_strings,  # NEW r07 tail
 }
 
 
@@ -2609,6 +2620,9 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _spans_mod().DUPLICATE_SPANS_SQL_TEMPLATE.format(
             id_col="doc_id", text_col="text", table="documents", k=8,
             dup_rule="COUNT(DISTINCT id) > 1"),
+        "boilerplate_strings": _spans_mod().BOILERPLATE_SQL_TEMPLATE.format(
+            id_col="doc_id", text_col="text", table="documents", k=8,
+            top_n=20),
         "weighted_sample": __import__(
             "keboola_storage_duckdb_spark.functions.sketch", fromlist=["x"]
         ).WEIGHTED_SAMPLE_SQL_TEMPLATE.format(

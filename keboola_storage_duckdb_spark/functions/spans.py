@@ -35,8 +35,9 @@ from pyspark.sql import functions as F
 
 from .util import par as _par
 
-__all__ = ["duplicate_spans", "cut_spans",
-           "DUPLICATE_SPANS_SQL_TEMPLATE", "CUT_SPANS_SQL_TEMPLATE"]
+__all__ = ["duplicate_spans", "cut_spans", "boilerplate_ngrams",
+           "DUPLICATE_SPANS_SQL_TEMPLATE", "CUT_SPANS_SQL_TEMPLATE",
+           "BOILERPLATE_SQL_TEMPLATE"]
 
 
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
@@ -142,6 +143,55 @@ def cut_spans(df: DataFrame, spans: DataFrame, id_col: str,
                     F.size("kept").cast("int").alias("kept_tokens"),
                     (F.size("t") - F.size("kept")).cast("int")
                     .alias("removed_tokens")))
+
+
+def boilerplate_ngrams(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 8, top_n: int = 20) -> DataFrame:
+    """The boilerplate REPORT: the most-repeated k-token windows
+    themselves (duplicate_spans tells you *where* duplication is; this
+    tells you *what* it is — license headers, navigation chrome,
+    templated intros — the strings a pipeline owner reads before
+    deciding what to cut). Returns the ``top_n`` windows by
+    ``(occurrences DESC, snippet ASC)`` as
+    ``(snippet, occurrences, n_docs)``, cross-document repeats only.
+
+    Same linear shape as duplicate_spans (explode windows → ONE groupBy
+    with map-side partials), aggregated on the window STRING so the
+    snippet survives to the report; the top-n is a single ordered limit
+    over ≤ distinct-window rows. Deterministic tie-break, no floats.
+    """
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.split(F.col(text_col), " ").alias("t"))
+              .filter(F.size("t") >= k)
+              .repartition(_par(df)))
+    wins = toks.select(
+        "id",
+        F.explode(F.expr(
+            f"transform(sequence(0, size(t) - {k}), "
+            f"i -> array_join(slice(t, i + 1, {k}), ' '))")).alias("w"))
+    return (wins.groupBy("w")
+                .agg(F.count(F.lit(1)).alias("occurrences"),
+                     F.countDistinct("id").alias("n_docs"))
+                .filter(F.col("n_docs") > 1)
+                .orderBy(F.col("occurrences").desc(), F.col("w").asc())
+                .limit(top_n)
+                .select(F.col("w").alias("snippet"),
+                        "occurrences", "n_docs"))
+
+
+BOILERPLATE_SQL_TEMPLATE = """
+WITH toks AS (
+    SELECT {id_col} AS id, str_split({text_col}, ' ') AS t
+    FROM {table} WHERE len(str_split({text_col}, ' ')) >= {k}),
+wins AS (
+    SELECT id, array_to_string(t[i + 1 : i + {k}], ' ') AS w
+    FROM toks, unnest(generate_series(0, len(t) - {k})) AS u(i)),
+agg AS (
+    SELECT w AS snippet, COUNT(*) AS occurrences,
+           COUNT(DISTINCT id) AS n_docs
+    FROM wins GROUP BY w HAVING COUNT(DISTINCT id) > 1)
+SELECT snippet, occurrences, n_docs
+FROM agg ORDER BY occurrences DESC, snippet ASC LIMIT {top_n}"""
 
 
 # DuckDB twin: identical tokenization (str_split on ' '), window hashes

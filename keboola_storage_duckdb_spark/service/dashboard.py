@@ -301,14 +301,42 @@ async function refresh() {
     barRows(document.getElementById("reqBars"), rows, "--seq-blue", fmt,
       r => `<b>${r.k}</b><br>${fmt(r.v)} requests`);
 
-    // avg latency by route (top 10 by avg, min 1 request)
+    // p95 per route interpolated from the cumulative histogram buckets
+    const hist = {};
+    for (const b of m["storage_http_request_seconds_hist_bucket"] || []) {
+      const k = b.labels.method + " " + b.labels.route;
+      (hist[k] = hist[k] || []).push(
+        {le: b.labels.le === "+Inf" ? Infinity : parseFloat(b.labels.le),
+         count: b.value});
+    }
+    function p95(buckets) {
+      const sorted = buckets.slice().sort((a, b) => a.le - b.le);
+      const total = sorted[sorted.length - 1]?.count || 0;
+      if (!total) return null;
+      const target = 0.95 * total;
+      let prev = {le: 0, count: 0};
+      for (const b of sorted) {
+        if (b.count >= target) {
+          if (b.le === Infinity) return prev.le;    // open-ended tail
+          const ratio = (target - prev.count) / (b.count - prev.count || 1);
+          return prev.le + ratio * (b.le - prev.le);
+        }
+        prev = b;
+      }
+      return sorted[sorted.length - 1]?.le;
+    }
+
+    // avg latency by route (top 10 by avg, min 1 request); p95 in tooltip
     let lat = lsum.map(r => {
       const k = r.labels.method + " " + r.labels.route;
-      return {k, v: cntBy[k] ? 1000 * r.value / cntBy[k] : 0, n: cntBy[k] || 0};
+      const q = hist[k] ? p95(hist[k]) : null;
+      return {k, v: cntBy[k] ? 1000 * r.value / cntBy[k] : 0,
+              n: cntBy[k] || 0, p95: q === null ? null : 1000 * q};
     }).filter(r => r.n > 0).sort((a, b) => b.v - a.v).slice(0, 10);
     barRows(document.getElementById("latBars"), lat, "--seq-orange",
       v => v.toFixed(1),
-      r => `<b>${r.k}</b><br>avg ${r.v.toFixed(1)} ms over ${fmt(r.n)} requests`);
+      r => `<b>${r.k}</b><br>avg ${r.v.toFixed(1)} ms over ${fmt(r.n)} requests`
+           + (r.p95 !== null ? `<br>p95 &le; ${r.p95.toFixed(1)} ms` : ""));
 
     // status chips: icon + label + count — state never reads by color alone
     const chips = document.getElementById("statusChips");

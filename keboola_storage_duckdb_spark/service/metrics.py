@@ -2,12 +2,17 @@
 src/middleware/metrics.py): request counters/latency by route + status,
 exposed at GET /metrics. Dependency-free (text exposition format 0.0.4 is
 a stable public spec); counters are process-local like the reference's
-default registry."""
+default registry. Latency is BOTH a summary (sum/count → averages) and a
+histogram (cumulative ``le`` buckets → client-side percentiles, the form
+the reference dashboard interpolates p95 from)."""
 
 from __future__ import annotations
 
 import threading
 import time
+
+# standard Prometheus latency buckets (seconds), cumulative; +Inf implicit
+BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
 
 
 class Metrics:
@@ -16,6 +21,7 @@ class Metrics:
         self._requests: dict[tuple[str, str, int], int] = {}
         self._latency_sum: dict[tuple[str, str], float] = {}
         self._latency_count: dict[tuple[str, str], int] = {}
+        self._buckets: dict[tuple[str, str], list[int]] = {}
         self.started_at = time.time()
 
     def observe(self, method: str, route: str, status: int,
@@ -26,6 +32,11 @@ class Metrics:
             lk = (method, route)
             self._latency_sum[lk] = self._latency_sum.get(lk, 0.0) + seconds
             self._latency_count[lk] = self._latency_count.get(lk, 0) + 1
+            b = self._buckets.setdefault(lk, [0] * (len(BUCKETS) + 1))
+            for i, le in enumerate(BUCKETS):
+                if seconds <= le:
+                    b[i] += 1
+            b[-1] += 1                                     # +Inf
 
     def render(self) -> str:
         out = [
@@ -48,6 +59,17 @@ class Metrics:
                 out.append(
                     f'storage_http_request_seconds_count{{method="{m}",'
                     f'route="{r}"}} {self._latency_count[(m, r)]}')
+            out += [
+                "# HELP storage_http_request_seconds_hist Request latency"
+                " histogram",
+                "# TYPE storage_http_request_seconds_hist histogram",
+            ]
+            for (m, r), cells in sorted(self._buckets.items()):
+                for le, n in zip(
+                        [str(b) for b in BUCKETS] + ["+Inf"], cells):
+                    out.append(
+                        f'storage_http_request_seconds_hist_bucket{{'
+                        f'method="{m}",route="{r}",le="{le}"}} {n}')
         out.append("# HELP storage_uptime_seconds Process uptime")
         out.append("# TYPE storage_uptime_seconds gauge")
         out.append(f"storage_uptime_seconds {time.time() - self.started_at:.3f}")

@@ -255,6 +255,16 @@ def test_metrics_endpoint(client):
     assert 'storage_http_requests_total{method="GET",route="/health"' in text
     assert "storage_http_request_seconds_sum" in text
     assert "storage_uptime_seconds" in text
+    # histogram buckets (r7): cumulative le series ending at +Inf, with
+    # the +Inf cell equal to the route's request count
+    assert 'storage_http_request_seconds_hist_bucket{method="GET",' \
+           'route="/health",le="0.005"}' in text
+    import re as _re
+    inf = _re.search(r'hist_bucket\{method="GET",route="/health",'
+                     r'le="\+Inf"\} (\d+)', text)
+    cnt = _re.search(r'seconds_count\{method="GET",route="/health"\} (\d+)',
+                     text)
+    assert inf and cnt and inf.group(1) == cnt.group(1), (inf, cnt)
 
 
 def test_dashboard_page(client):
