@@ -211,3 +211,60 @@ def stream_hll_registers(spark, source_dir: str, schema,
                           reg.alias("register"), rho.alias("rho"))
                   .groupBy("g", "register")
                   .agg(F.max("rho").alias("max_rho")))
+
+
+BOTTOM_K_OUT_SCHEMA = "g STRING, id BIGINT, h STRING, sample_rank INT"
+_BOTTOM_K_STATE_SCHEMA = "hs ARRAY<STRING>, ids ARRAY<BIGINT>"
+
+
+def stream_bottom_k(spark, source_dir: str, schema,
+                    group_col: str = "event_type",
+                    id_col: str = "user_id", k: int = 8) -> DataFrame:
+    """Streaming twin of the bottom-k uniform sample
+    (functions/sketch.py:bottom_k_sample): per group, keep the k rows
+    with the smallest ``md5(id)``. Bottom-k is MERGEABLE — the bottom-k
+    of (state ∪ batch) is the bottom-k of state's bottom-k plus the
+    batch — so GroupState carries exactly k (hash, id) pairs per group
+    REGARDLESS of stream length: the bounded-state property that makes
+    a uniform sample of an infinite stream possible at all (this is
+    reservoir sampling's job, done deterministically — same rows as the
+    batch operator over the same data, tested).
+
+    Emits the group's full current sample each micro-batch (update
+    mode), ranked by hash order like the batch twin.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        pairs = (list(zip(*state.get)) if state.exists else [])
+        seen = {h for h, _ in pairs}
+        for pdf in pdfs:
+            for h, i in zip(pdf["h"], pdf["id"]):
+                if h not in seen:          # distinct ids: md5 is 1:1 here
+                    pairs.append((h, int(i)))
+                    seen.add(h)
+        pairs.sort()
+        pairs = pairs[:k]
+        state.update(([h for h, _ in pairs], [i for _, i in pairs]))
+        yield pd.DataFrame({
+            "g": [key[0]] * len(pairs),
+            "id": [i for _, i in pairs],
+            "h": [h for h, _ in pairs],
+            "sample_rank": list(range(1, len(pairs) + 1)),
+        })
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    rows = (stream.filter(F.col(id_col).isNotNull())
+                  .select(F.col(group_col).cast("string").alias("g"),
+                          F.col(id_col).alias("id"),
+                          F.md5(F.col(id_col).cast("string")).alias("h")))
+    return (rows.groupBy("g")
+                .applyInPandasWithState(
+                    update,
+                    outputStructType=BOTTOM_K_OUT_SCHEMA,
+                    stateStructType=_BOTTOM_K_STATE_SCHEMA,
+                    outputMode="update",
+                    timeoutConf=GroupStateTimeout.NoTimeout))

@@ -767,3 +767,30 @@ def test_cut_spans_null_text_is_empty_doc(spark):
            cut_spans(df, spans, "doc_id", "text").collect()}
     assert out[3].clean_text == ""     # NULL text == empty doc, not NULL
     assert (out[3].kept_tokens, out[3].removed_tokens) == (0, 0)
+
+
+def test_stream_bottom_k_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming bottom-k sample: GroupState carries exactly k (hash, id)
+    pairs per group (bounded regardless of stream length) and the final
+    sample equals the batch operator over the same distinct rows."""
+    from keboola_storage_duckdb_spark.functions.sketch import bottom_k_sample
+    from keboola_storage_duckdb_spark.streaming.events import stream_bottom_k
+
+    ev = load_table(spark, sf_dir, "events").limit(4000)
+    src = str(tmp_path / "ev_bk")
+    # several files -> several micro-batch merges under availableNow
+    ev.repartition(4).write.parquet(src)
+    got = stream_bottom_k(spark, src, ev.schema,
+                          group_col="event_type", id_col="user_id", k=8)
+    q = (got.writeStream.format("memory").queryName("bk_test")
+            .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # update mode re-emits per batch: keep the LAST emission per group
+    stream_rows = {(r.g, r.sample_rank): r.id for r in spark.sql(
+        "select * from bk_test").collect()}
+
+    batch = bottom_k_sample(
+        spark.read.parquet(src).dropDuplicates(["event_type", "user_id"]),
+        "event_type", "user_id", k=8)
+    batch_rows = {(r.g, r.sample_rank): r.id for r in batch.collect()}
+    assert stream_rows == batch_rows
