@@ -70,6 +70,15 @@ class Metrics:
                     out.append(
                         f'storage_http_request_seconds_hist_bucket{{'
                         f'method="{m}",route="{r}",le="{le}"}} {n}')
+                # the exposition format requires _sum/_count with every
+                # histogram; same observations as the summary above
+                out.append(
+                    f'storage_http_request_seconds_hist_sum{{method="{m}",'
+                    f'route="{r}"}} {self._latency_sum[(m, r)]:.6f}')
+                out.append(
+                    f'storage_http_request_seconds_hist_count{{'
+                    f'method="{m}",route="{r}"}} '
+                    f'{self._latency_count[(m, r)]}')
         out.append("# HELP storage_uptime_seconds Process uptime")
         out.append("# TYPE storage_uptime_seconds gauge")
         out.append(f"storage_uptime_seconds {time.time() - self.started_at:.3f}")
