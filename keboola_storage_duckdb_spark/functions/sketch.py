@@ -34,6 +34,27 @@ __all__ = ["hll_register_table", "hll_estimate",
            "weighted_sample"]
 
 
+def hll_rho(tail: "F.Column") -> "F.Column":
+    """ρ = 49 - bit_length(48-bit tail), capped at 49 for a zero tail —
+    shared by the md5 sketch below and the profiler's xxhash64 variant
+    (operators/profile.py) so the register math can never drift between
+    them. bit_length via length(bin(x)): integer ops only, no log2."""
+    return F.when(tail > 0,
+                  F.lit(49) - F.length(F.bin(tail)).cast("int")) \
+            .otherwise(F.lit(49))
+
+
+# per-register exact dyadic contribution (bigint, order-free sum)
+HLL_SCALED_SUM_EXPR = "shiftleft(cast(1 as bigint), 49 - max_rho)"
+
+
+def hll_alpha_numerator(m: int) -> float:
+    """α_m·m²·2^49 — the raw-HLL estimate's numerator as one exact
+    double literal (denominator = Σ 2^(49-ρ) + empty·2^49)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(2 ** 49)
+
+
 def hll_register_table(df: DataFrame, group_col: str, value_col: str,
                        b_hex: int = 3) -> DataFrame:
     """(group, register, max ρ) — the mergeable sketch state.
@@ -41,10 +62,7 @@ def hll_register_table(df: DataFrame, group_col: str, value_col: str,
     h = F.md5(F.col(value_col).cast("string"))
     reg = F.conv(F.substring(h, 1, b_hex), 16, 10).cast("long")
     tail = F.conv(F.substring(h, b_hex + 1, 12), 16, 10).cast("bigint")
-    # ρ = 49 - bit_length(48-bit tail); bit_length via length(bin(x))
-    rho = F.when(tail > 0,
-                 F.lit(49) - F.length(F.bin(tail)).cast("int")) \
-           .otherwise(F.lit(49))
+    rho = hll_rho(tail)
     return (df.filter(F.col(value_col).isNotNull())
               .select(F.col(group_col).alias("g"), reg.alias("register"),
                       rho.alias("rho"))
@@ -59,8 +77,7 @@ def hll_estimate(df: DataFrame, group_col: str, value_col: str,
     the checksum (md5 over the lexicographically ordered register:ρ
     pairs) certifies the full sketch state across engines."""
     m = 16 ** b_hex
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    numerator = alpha * m * m * float(2 ** 49)      # one exact literal
+    numerator = hll_alpha_numerator(m)
     regs = hll_register_table(df, group_col, value_col, b_hex)
     est = (regs.groupBy("g")
                .agg(F.count(F.lit(1)).alias("registers_used"),
@@ -69,8 +86,7 @@ def hll_estimate(df: DataFrame, group_col: str, value_col: str,
                                     F.col("max_rho"))))))
                      .alias("register_checksum"),
                     # exact dyadic contributions, order-free bigint sum
-                    F.sum(F.expr(
-                        "shiftleft(cast(1 as bigint), 49 - max_rho)"))
+                    F.sum(F.expr(HLL_SCALED_SUM_EXPR))
                      .alias("sum_scaled")))
     return est.select(
         F.col("g").alias(group_col), "registers_used", "register_checksum",

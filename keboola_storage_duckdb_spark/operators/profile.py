@@ -141,13 +141,21 @@ def moments_from_power_sums(n: float, s1: float, s2: float | None,
 # mirroring reference src/database.py:5188-5341)
 # ---------------------------------------------------------------------------
 
-def cardinality_class(distinct: int, count: int) -> str:
+def cardinality_class(distinct: int, count: int,
+                      estimated: bool = False) -> str:
+    """``estimated=True`` (approx-distinct profile mode) widens the
+    'unique' test to ratio ≥ 0.95 — an HLL estimate essentially never
+    EQUALS the row count on a true key column (raw-HLL error ~1.6% at
+    m=4096; 0.95 is ≈3σ), so the exact equality test would misclassify
+    every primary key as merely 'high'."""
     if count == 0:
         return "constant"
     if distinct == count:
         return "unique"
     if distinct == 1:
         return "constant"
+    if estimated and distinct / count >= 0.95:
+        return "unique"
     ratio = distinct / count
     if ratio > 0.9:
         return "high"
@@ -202,35 +210,37 @@ def approx_distinct_counts(df: DataFrame, cols: list[str],
     range where the raw estimator biases high. md5 is reserved for the
     certified query path (hll_distinct) where DuckDB must reproduce the
     registers bit-for-bit; xxhash64 stays JVM-native and ~2× cheaper
-    per value."""
-    import math
+    per value. The register→estimate math (ρ, scaled sum, α numerator)
+    is SHARED with the certified sketch (functions/sketch.py) — only
+    the hash differs."""
+    from ..functions.sketch import (HLL_SCALED_SUM_EXPR,
+                                    hll_alpha_numerator, hll_rho)
 
     m = 1 << b_bits
     n = len(cols)
     # NULL-mask before hashing: xxhash64(NULL) yields the seed, which
     # would count NULL as one extra distinct value; countDistinct skips
-    # NULLs, so the estimate must too.
+    # NULLs, so the estimate must too. Column names are data (CSV import
+    # maps headers verbatim): escape quotes in the label literal, double
+    # backticks in the identifier.
     pairs = ", ".join(
-        f"'{c}', IF(`{c}` IS NULL, NULL, xxhash64(`{c}`))" for c in cols)
+        "'{lit}', IF(`{ident}` IS NULL, NULL, xxhash64(`{ident}`))".format(
+            lit=c.replace("'", "''"), ident=c.replace("`", "``"))
+        for c in cols)
     stacked = df.selectExpr(f"stack({n}, {pairs}) AS (col__, h__)") \
                 .filter(F.col("h__").isNotNull())
     reg = F.col("h__").bitwiseAND(F.lit(m - 1))
     tail = F.expr(f"shiftrightunsigned(h__, {b_bits})") \
             .bitwiseAND(F.lit((1 << 48) - 1))
-    rho = F.when(tail > 0, F.lit(49) - F.length(F.bin(tail)).cast("int")) \
-           .otherwise(F.lit(49))
     regs = (stacked.select(F.col("col__"), reg.alias("register"),
-                           rho.alias("rho"))
+                           hll_rho(tail).alias("rho"))
                    .groupBy("col__", "register")
                    .agg(F.max("rho").alias("max_rho")))
     rows = (regs.groupBy("col__")
                 .agg(F.count(F.lit(1)).alias("registers_used"),
-                     F.sum(F.expr(
-                         "shiftleft(cast(1 as bigint), 49 - max_rho)"))
-                      .alias("sum_scaled"))
+                     F.sum(F.expr(HLL_SCALED_SUM_EXPR)).alias("sum_scaled"))
                 .collect())
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    numerator = alpha * m * m * float(2 ** 49)
+    numerator = hll_alpha_numerator(m)
     out: dict[str, int] = {c: 0 for c in cols}   # all-NULL column → 0
     for r in rows:
         empty = m - r.registers_used
@@ -379,12 +389,17 @@ def profile_table(df: DataFrame, max_corr_cols: int = 10,
         nn = row1.get(f"nn__{c}", 0) or 0
         nulls = total - nn
         distinct = row2.get(f"d__{c}", 0) or 0
+        if approx_distinct:
+            # an HLL estimate may land above the non-null count; clamp so
+            # distinct_count/ratios stay internally consistent
+            distinct = min(distinct, nn)
         prof = {
             "name": c, "type": dtype_by_name[c], "count": total,
             "non_null_count": nn, "null_count": nulls,
             "null_ratio": (nulls / total) if total else 0.0,
             "distinct_count": distinct,
-            "cardinality": cardinality_class(distinct, nn),
+            "cardinality": cardinality_class(
+                distinct, nn, estimated=approx_distinct),
         }
         if c in num_cols:
             prof.update({

@@ -303,6 +303,31 @@ def test_profile_approx_distinct_within_hll_bounds(spark, sf_dir):
             name, true_d, est)
     # non-distinct stats identical between modes
     assert exact["row_count"] == approx["row_count"]
+    # r7 review fixes: a key column keeps its 'unique' class under
+    # estimation, the estimate never exceeds the non-null count, and
+    # cardinality classes agree with exact mode everywhere
+    exc = {c["name"]: c for c in exact["columns"]}
+    apc = {c["name"]: c for c in approx["columns"]}
+    assert exc["o_orderkey"]["cardinality"] == "unique"
+    assert apc["o_orderkey"]["cardinality"] == "unique"
+    order = ["constant", "very_low", "low", "medium", "high", "unique"]
+    for name, c in apc.items():
+        assert c["distinct_count"] <= c["non_null_count"], name
+        # estimation near a ratio boundary may flip to the ADJACENT
+        # class (o_custkey sits at ratio ~0.100); never further
+        drift = abs(order.index(c["cardinality"])
+                    - order.index(exc[name]["cardinality"]))
+        assert drift <= 1, (name, c["cardinality"], exc[name]["cardinality"])
+
+
+def test_approx_distinct_survives_hostile_column_names(spark):
+    """Column names are data (CSV headers map verbatim): quotes and
+    backticks must not break or inject into the stack() expression."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "y")],
+        ["it's", "a`b"])
+    got = P.approx_distinct_counts(df, df.columns)
+    assert got == {"it's": 3, "a`b": 2}
 
 
 def test_pattern_detection(spark):
