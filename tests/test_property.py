@@ -342,3 +342,66 @@ def test_grouped_quantile_engines_model(spark, rows, probs, bins, max_inbin):
                  max_inbin=max_inbin).collect()
         assert {r.g: list(r.qs) for r in out} == ref, fn.__name__
         assert {r.g: r.n for r in out} == nref, fn.__name__
+
+
+DOC_TEXTS = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=14)
+      .map(lambda toks: " ".join(toks)),
+    min_size=0, max_size=6)
+
+
+def _brute_spans(texts: list[str], k: int, cross_doc: bool):
+    """Plain-Python duplicate_spans model: window multiset → marked
+    positions → island merge (merge while pos <= prev + k)."""
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    wins: dict[str, list[tuple[int, int]]] = {}
+    for i, ts in toks.items():
+        if len(ts) < k:
+            continue
+        for p in range(len(ts) - k + 1):
+            wins.setdefault(" ".join(ts[p:p + k]), []).append((i, p))
+    expect = set()
+    for i, ts in toks.items():
+        marked = sorted(
+            p for w, occs in wins.items() for (d, p) in occs
+            if d == i and (len({dd for dd, _ in occs}) > 1 if cross_doc
+                           else len(occs) > 1))
+        if not marked:
+            continue
+        start, prev, n = marked[0], marked[0], 1
+        for p in marked[1:]:
+            if p <= prev + k:
+                prev, n = p, n + 1
+            else:
+                expect.add((i, start, prev + k, prev + k - start, n))
+                start, prev, n = p, p, 1
+        expect.add((i, start, prev + k, prev + k - start, n))
+    return expect
+
+
+@given(texts=DOC_TEXTS, k=st.integers(2, 4),
+       cross=st.booleans())
+@settings(**SETTINGS)
+def test_duplicate_spans_model(spark, texts, k, cross):
+    from keboola_storage_duckdb_spark.functions.spans import (
+        cut_spans, duplicate_spans)
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    spans = duplicate_spans(df, "doc_id", "text", k=k, cross_doc=cross)
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_windows)
+           for r in spans.collect()}
+    assert got == _brute_spans(texts, k, cross)
+
+    # cut model: drop tokens covered by any span; empty-doc normalization
+    covered = {}
+    for d, s, e, _, _ in got:
+        covered.setdefault(d, set()).update(range(s, e))
+    out = {r.doc_id: r for r in
+           cut_spans(df, spans, "doc_id", "text").collect()}
+    for i, t in enumerate(texts):
+        ts = t.split(" ")
+        keep = [tok for p, tok in enumerate(ts)
+                if p not in covered.get(i, set())]
+        assert out[i].clean_text == " ".join(keep), (i, texts)
+        assert out[i].removed_tokens == len(ts) - len(keep)
