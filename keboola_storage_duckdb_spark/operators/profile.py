@@ -222,10 +222,12 @@ def approx_distinct_counts(df: DataFrame, cols: list[str],
     # would count NULL as one extra distinct value; countDistinct skips
     # NULLs, so the estimate must too. Column names are data (CSV import
     # maps headers verbatim): escape quotes in the label literal, double
-    # backticks in the identifier.
+    # backticks in the identifier. Spark string literals also treat
+    # backslash as an escape — double it FIRST, then the quotes.
     pairs = ", ".join(
         "'{lit}', IF(`{ident}` IS NULL, NULL, xxhash64(`{ident}`))".format(
-            lit=c.replace("'", "''"), ident=c.replace("`", "``"))
+            lit=c.replace("\\", "\\\\").replace("'", "''"),
+            ident=c.replace("`", "``"))
         for c in cols)
     stacked = df.selectExpr(f"stack({n}, {pairs}) AS (col__, h__)") \
                 .filter(F.col("h__").isNotNull())

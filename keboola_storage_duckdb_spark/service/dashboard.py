@@ -310,6 +310,8 @@ async function refresh() {
          count: b.value});
     }
     function p95(buckets) {
+      // returns {v, open}: open=true means the quantile fell in the
+      // +Inf bucket — v is then a LOWER bound (p95 > v), not an upper
       const sorted = buckets.slice().sort((a, b) => a.le - b.le);
       const total = sorted[sorted.length - 1]?.count || 0;
       if (!total) return null;
@@ -317,13 +319,13 @@ async function refresh() {
       let prev = {le: 0, count: 0};
       for (const b of sorted) {
         if (b.count >= target) {
-          if (b.le === Infinity) return prev.le;    // open-ended tail
+          if (b.le === Infinity) return {v: prev.le, open: true};
           const ratio = (target - prev.count) / (b.count - prev.count || 1);
-          return prev.le + ratio * (b.le - prev.le);
+          return {v: prev.le + ratio * (b.le - prev.le), open: false};
         }
         prev = b;
       }
-      return sorted[sorted.length - 1]?.le;
+      return {v: sorted[sorted.length - 1]?.le, open: false};
     }
 
     // avg latency by route (top 10 by avg, min 1 request); p95 in tooltip
@@ -331,12 +333,14 @@ async function refresh() {
       const k = r.labels.method + " " + r.labels.route;
       const q = hist[k] ? p95(hist[k]) : null;
       return {k, v: cntBy[k] ? 1000 * r.value / cntBy[k] : 0,
-              n: cntBy[k] || 0, p95: q === null ? null : 1000 * q};
+              n: cntBy[k] || 0, p95: q};
     }).filter(r => r.n > 0).sort((a, b) => b.v - a.v).slice(0, 10);
     barRows(document.getElementById("latBars"), lat, "--seq-orange",
       v => v.toFixed(1),
       r => `<b>${r.k}</b><br>avg ${r.v.toFixed(1)} ms over ${fmt(r.n)} requests`
-           + (r.p95 !== null ? `<br>p95 &le; ${r.p95.toFixed(1)} ms` : ""));
+           + (r.p95 === null ? "" : r.p95.open
+              ? `<br>p95 &gt; ${(1000 * r.p95.v).toFixed(0)} ms (beyond the last bucket)`
+              : `<br>p95 &le; ${(1000 * r.p95.v).toFixed(1)} ms`));
 
     // status chips: icon + label + count — state never reads by color alone
     const chips = document.getElementById("statusChips");

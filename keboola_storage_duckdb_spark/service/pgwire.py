@@ -413,11 +413,12 @@ class PgWireServer:
             return [{"current_database": project}], "SELECT 1"
         if re.fullmatch(r"select\s+(current_user|session_user|user)", low):
             return [{"current_user": user}], "SELECT 1"
-        if re.match(r"set\s+", low) \
-                and not re.match(r"set\s+spark\.", low):
-            # accept-and-ignore PG session GUCs (extra_float_digits,
-            # search_path, ...); `SET spark.*` stays a real Spark
-            # statement and falls through to the engine
+        if re.match(r"set\s+", low):
+            # accept-and-ignore EVERY session SET (extra_float_digits,
+            # search_path, spark.* alike): the engine runs ONE shared
+            # SparkSession across all workspaces, so letting a wire
+            # client mutate runtime conf would leak into every other
+            # project's queries — the no-op is a safety property
             return None, "SET"
         if re.fullmatch(r"(begin|begin\s+transaction|start\s+transaction"
                         r"|begin\s+read\s+only)", low):
@@ -438,9 +439,18 @@ class PgWireServer:
             if name.replace(" ", "_") in _SHOW_PARAMS:
                 key = name.replace(" ", "_")
                 return [{key: _SHOW_PARAMS[key]}], "SHOW 1"
-            # not a PG GUC: fall through — Spark SQL has its own SHOW
-            # family (SHOW TABLES/VIEWS/DATABASES/FUNCTIONS) that worked
-            # over the wire before the probe layer existed
+            first = name.split()[0] if name.split() else ""
+            if first not in ("tables", "views", "databases", "schemas",
+                            "functions", "catalogs", "namespaces",
+                            "columns", "partitions", "tblproperties",
+                            "create"):
+                # GUC-shaped but unknown: the PG-standard error clients
+                # branch on — NOT a Spark parser dump
+                raise _PgError(
+                    "42704",
+                    f'unrecognized configuration parameter "{name}"')
+            # a real Spark SHOW statement (SHOW TABLES/VIEWS/...): fall
+            # through to the engine, as it worked pre-probe-layer
         if re.search(r"\bpg_(type|namespace|class|attribute)\b", low):
             self._ensure_pg_catalog_views()
             q = re.sub(r"\bpg_catalog\.", "", s, flags=re.I)

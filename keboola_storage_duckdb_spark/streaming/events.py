@@ -199,13 +199,14 @@ def stream_hll_registers(spark, source_dir: str, schema,
     """
     from pyspark.sql import functions as F
 
+    from ..functions.sketch import hll_rho
+
     stream = spark.readStream.schema(schema).parquet(source_dir)
     h = F.md5(F.col(value_col).cast("string"))
     reg = F.conv(F.substring(h, 1, b_hex), 16, 10).cast("long")
     tail = F.conv(F.substring(h, b_hex + 1, 12), 16, 10).cast("bigint")
-    rho = F.when(tail > 0,
-                 F.lit(49) - F.length(F.bin(tail)).cast("int")) \
-           .otherwise(F.lit(49))
+    rho = hll_rho(tail)   # SHARED with the batch sketch — registers must
+    #                       stay bit-identical across batch and stream
     return (stream.filter(F.col(value_col).isNotNull())
                   .select(F.col(group_col).alias("g"),
                           reg.alias("register"), rho.alias("rho"))
@@ -213,8 +214,6 @@ def stream_hll_registers(spark, source_dir: str, schema,
                   .agg(F.max("rho").alias("max_rho")))
 
 
-BOTTOM_K_OUT_SCHEMA = "g STRING, id BIGINT, h STRING, sample_rank INT"
-_BOTTOM_K_STATE_SCHEMA = "hs ARRAY<STRING>, ids ARRAY<BIGINT>"
 
 
 def stream_bottom_k(spark, source_dir: str, schema,
@@ -244,7 +243,8 @@ def stream_bottom_k(spark, source_dir: str, schema,
         for pdf in pdfs:
             for h, i in zip(pdf["h"], pdf["id"]):
                 if h not in seen:          # distinct ids: md5 is 1:1 here
-                    pairs.append((h, int(i)))
+                    # numpy scalar -> plain Python, preserving the type
+                    pairs.append((h, i.item() if hasattr(i, "item") else i))
                     seen.add(h)
         pairs.sort()
         pairs = pairs[:k]
@@ -261,10 +261,15 @@ def stream_bottom_k(spark, source_dir: str, schema,
                   .select(F.col(group_col).cast("string").alias("g"),
                           F.col(id_col).alias("id"),
                           F.md5(F.col(id_col).cast("string")).alias("h")))
+    # the id keeps its source type (BIGINT doc ids, STRING session ids,
+    # ...) — output and state schemas follow it, like the batch twin
+    idt = rows.schema["id"].dataType.simpleString()
     return (rows.groupBy("g")
                 .applyInPandasWithState(
                     update,
-                    outputStructType=BOTTOM_K_OUT_SCHEMA,
-                    stateStructType=_BOTTOM_K_STATE_SCHEMA,
+                    outputStructType=(
+                        f"g STRING, id {idt}, h STRING, sample_rank INT"),
+                    stateStructType=(
+                        f"hs ARRAY<STRING>, ids ARRAY<{idt}>"),
                     outputMode="update",
                     timeoutConf=GroupStateTimeout.NoTimeout))

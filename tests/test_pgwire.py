@@ -271,12 +271,13 @@ def test_client_startup_compat_probes(server):
     cols, rows, err = c.query("SHOW TABLES")
     assert err is None
     assert any("in_c_data_users" in " ".join(r) for r in rows), rows
-    # ... and SET spark.* reaches the engine instead of being no-opped
-    _c, _r, err = c.query("SET spark.sql.shuffle.partitions=32")
+    # SET is ALWAYS accept-and-ignore — one shared SparkSession serves
+    # every workspace, so a wire client must not mutate runtime conf
+    _c, _r, err = c.query("SET spark.sql.shuffle.partitions=1")
     assert err is None
-    # unknown SHOW word is a clean error (now Spark's), session survives
+    # unknown GUC-shaped SHOW keeps the PG-standard 42704 error
     _c, _r, err = c.query("SHOW bogus_param")
-    assert err is not None
+    assert err is not None and err.get("C") == "42704"
     _c, rows, err = c.query("SELECT 1 AS one")
     assert err is None and rows == [["1"]]
     c.terminate()

@@ -324,10 +324,10 @@ def test_approx_distinct_survives_hostile_column_names(spark):
     """Column names are data (CSV headers map verbatim): quotes and
     backticks must not break or inject into the stack() expression."""
     df = spark.createDataFrame(
-        [(1, "x"), (2, "y"), (3, "y")],
-        ["it's", "a`b"])
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "y", 2.0)],
+        ["it's", "a`b", "c\\d"])
     got = P.approx_distinct_counts(df, df.columns)
-    assert got == {"it's": 3, "a`b": 2}
+    assert got == {"it's": 3, "a`b": 2, "c\\d": 2}
 
 
 def test_pattern_detection(spark):

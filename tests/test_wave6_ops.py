@@ -794,3 +794,27 @@ def test_stream_bottom_k_matches_batch(spark, sf_dir, tmp_path):
         "event_type", "user_id", k=8)
     batch_rows = {(r.g, r.sample_rank): r.id for r in batch.collect()}
     assert stream_rows == batch_rows
+
+
+def test_stream_bottom_k_string_ids(spark, tmp_path):
+    """r7 review fix: the streaming reservoir follows the id column's
+    type like its batch twin — string ids must work."""
+    from keboola_storage_duckdb_spark.functions.sketch import bottom_k_sample
+    from keboola_storage_duckdb_spark.streaming.events import stream_bottom_k
+
+    df = spark.createDataFrame(
+        [("g1", f"sess-{i}") for i in range(20)]
+        + [("g2", f"sess-{i}") for i in range(5)],
+        "grp string, sid string")
+    src = str(tmp_path / "sid_src")
+    df.repartition(3).write.parquet(src)
+    got = stream_bottom_k(spark, src, df.schema,
+                          group_col="grp", id_col="sid", k=4)
+    q = (got.writeStream.format("memory").queryName("bk_sid")
+            .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream_rows = {(r.g, r.sample_rank): r.id for r in
+                   spark.sql("select * from bk_sid").collect()}
+    batch_rows = {(r.g, r.sample_rank): r.id for r in
+                  bottom_k_sample(df, "grp", "sid", k=4).collect()}
+    assert stream_rows == batch_rows
