@@ -1025,6 +1025,40 @@ def q_duplicate_spans(spark, sf_dir):
                            "doc_id", "text", k=8, cross_doc=True)
 
 
+def q_quality_verdict(spark, sf_dir):
+    """The composed filter stack: Gopher surface + repetition + language
+    rules folded to one keep/drop verdict per document with failed-rule
+    names logged (auditable drops — what a production corpus filter
+    emits). Three map-side rule frames, two 1:1 hash joins."""
+    from keboola_storage_duckdb_spark.functions.text import quality_verdict
+    return quality_verdict(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _quality_verdict_sql():
+    from keboola_storage_duckdb_spark.functions.text import QUALITY_RULES
+    src = {"ok_count": "g", "ok_mean_len": "g", "ok_symbol": "g",
+           "ok_alpha": "g", "ok_stop": "g", "ok_dup_lines": "r",
+           "ok_dup_line_chars": "r", "ok_top_bigram": "r",
+           "ok_lang": None}
+    cases = ",\n         ".join(
+        "CASE WHEN NOT {expr} THEN '{nm}' END".format(
+            expr=(f"{src[c]}.{c}" if src[c]
+                  else "(l.pred_lang <> 'und')"), nm=nm)
+        for nm, c in QUALITY_RULES)
+    conj = " AND ".join(
+        (f"{src[c]}.{c}" if src[c] else "(l.pred_lang <> 'und')")
+        for _, c in QUALITY_RULES)
+    return f"""
+WITH g AS ({_GOPHER_SQL}),
+r AS ({_REPETITION_SQL}),
+l AS ({_lang_id_sql()})
+SELECT g.doc_id,
+       l.pred_lang AS lang,
+       COALESCE({conj}, FALSE) AS keep,
+       list_filter([{cases}], x -> x IS NOT NULL) AS reasons
+FROM g JOIN r ON r.doc_id = g.doc_id JOIN l ON l.id = g.doc_id"""
+
+
 def q_boilerplate_strings(spark, sf_dir):
     """Boilerplate report: the 20 most-repeated cross-document 8-token
     windows with occurrence/document counts — what duplicate_spans cuts,
@@ -2359,6 +2393,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
                                                  # certified via slot-26 twin)
     "weighted_sample": q_weighted_sample,        # NEW r07 tail
     "boilerplate_strings": q_boilerplate_strings,  # NEW r07 tail
+    "quality_verdict": q_quality_verdict,        # NEW r07 tail
 }
 
 
@@ -2620,6 +2655,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _spans_mod().DUPLICATE_SPANS_SQL_TEMPLATE.format(
             id_col="doc_id", text_col="text", table="documents", k=8,
             dup_rule="COUNT(DISTINCT id) > 1"),
+        "quality_verdict": _quality_verdict_sql(),
         "boilerplate_strings": _spans_mod().BOILERPLATE_SQL_TEMPLATE.format(
             id_col="doc_id", text_col="text", table="documents", k=8,
             top_n=20),

@@ -274,3 +274,31 @@ def test_pack_token_stream_matches_global_window(spark, sf_dir):
     out = {r.doc_id: (r.start_token, r.n_tokens) for r in
            pack_token_stream(d2, "doc_id", "text", max_len=3).collect()}
     assert out == {1: (0, 2), 4: (2, 1)}
+
+
+def test_quality_verdict_reasons(spark):
+    """Composed filter stack: keep only when every rule passes; reasons
+    list the failed rules in QUALITY_RULES order."""
+    from keboola_storage_duckdb_spark.functions.text import (
+        QUALITY_RULES, quality_verdict)
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks back home with a friend to rest for a while "
+            "because the day was long and the sun was very warm "
+            "so they sat down by the river and talked about all "
+            "the small things that had happened in that strange week")
+    short = "too short"
+    symbols = "# " * 60
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           quality_verdict(df, "doc_id", "text").collect()}
+    assert out[1].keep is True and out[1].reasons == []
+    assert out[1].lang == "en"
+    assert out[2].keep is False and "word_count" in out[2].reasons
+    assert out[3].keep is False
+    assert {"symbol_ratio", "alpha_words"} <= set(out[3].reasons)
+    # reasons respect the declared rule order
+    order = [nm for nm, _ in QUALITY_RULES]
+    for r in out.values():
+        assert r.reasons == sorted(r.reasons, key=order.index)
