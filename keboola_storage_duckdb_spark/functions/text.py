@@ -129,16 +129,21 @@ def gopher_quality(docs: DataFrame, id_col: str, text_col: str,
 
     All thresholds are evaluated in INTEGER arithmetic (3·n ≤ Σlen ≤ 10·n,
     10·sym ≤ n, 5·alpha ≥ 4·n) so the oracle is bit-exact — no ratios, no
-    libm. A narrow whole-stage-codegen map: no shuffle, no UDF."""
-    toks = F.split(F.col(text_col), " ")
-    low = F.split(F.lower(F.col(text_col)), " ")
+    libm. A narrow whole-stage-codegen map: no shuffle, no UDF.
+
+    NULL text normalizes to '' on BOTH engines (like repetition_signals
+    and language_id): without it Spark's non-ANSI size(split(NULL)) = -1
+    diverges from DuckDB's len(NULL) = NULL in every rule."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(txt, " ")
+    low = F.split(F.lower(txt), " ")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("n_words"),
         F.aggregate(F.transform(toks, lambda w: F.length(w)),
                     F.lit(0), lambda acc, x: acc + x).alias("sum_len"),
-        (F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"#"), F.lit(0)))
-         + F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\.\.\."),
+        (F.size(F.regexp_extract_all(txt, F.lit(r"#"), F.lit(0)))
+         + F.size(F.regexp_extract_all(txt, F.lit(r"\.\.\."),
                                        F.lit(0)))).alias("n_sym"),
         F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
          .alias("n_alpha"),
@@ -158,17 +163,19 @@ def gopher_quality(docs: DataFrame, id_col: str, text_col: str,
 
 
 GOPHER_SQL_TEMPLATE = r"""
-WITH base AS (
-  SELECT {id_col} AS doc_id,
-         len(str_split({text_col}, ' ')) AS n_words,
-         list_sum(list_transform(str_split({text_col}, ' '), w -> length(w))) AS sum_len,
-         len(regexp_extract_all({text_col}, '#'))
-           + len(regexp_extract_all({text_col}, '\.\.\.')) AS n_sym,
-         len(list_filter(str_split({text_col}, ' '),
+WITH src AS (
+  SELECT {id_col} AS _id, COALESCE({text_col}, '') AS _txt FROM {table}
+), base AS (
+  SELECT _id AS doc_id,
+         len(str_split(_txt, ' ')) AS n_words,
+         list_sum(list_transform(str_split(_txt, ' '), w -> length(w))) AS sum_len,
+         len(regexp_extract_all(_txt, '#'))
+           + len(regexp_extract_all(_txt, '\.\.\.')) AS n_sym,
+         len(list_filter(str_split(_txt, ' '),
                          w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
-         len(list_filter(str_split(lower({text_col}), ' '),
+         len(list_filter(str_split(lower(_txt), ' '),
                          w -> w IN ({stopwords}))) AS n_stop
-  FROM {table}
+  FROM src
 ), rules AS (
   SELECT doc_id, n_words,
          n_words BETWEEN {min_words} AND {max_words} AS ok_count,

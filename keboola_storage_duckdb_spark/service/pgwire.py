@@ -413,12 +413,14 @@ class PgWireServer:
             return [{"current_database": project}], "SELECT 1"
         if re.fullmatch(r"select\s+(current_user|session_user|user)", low):
             return [{"current_user": user}], "SELECT 1"
-        if re.match(r"set\s+", low):
+        if re.fullmatch(r"set(\s+.*)?", low, flags=re.S):
             # accept-and-ignore EVERY session SET (extra_float_digits,
-            # search_path, spark.* alike): the engine runs ONE shared
-            # SparkSession across all workspaces, so letting a wire
-            # client mutate runtime conf would leak into every other
-            # project's queries — the no-op is a safety property
+            # search_path, spark.* alike — and bare `SET`, which Spark
+            # would answer with a full conf dump incl. credential confs):
+            # the engine runs ONE shared SparkSession across all
+            # workspaces, so letting a wire client mutate or read runtime
+            # conf would leak across projects — the no-op is a safety
+            # property
             return None, "SET"
         if re.fullmatch(r"(begin|begin\s+transaction|start\s+transaction"
                         r"|begin\s+read\s+only)", low):
@@ -440,10 +442,11 @@ class PgWireServer:
                 key = name.replace(" ", "_")
                 return [{key: _SHOW_PARAMS[key]}], "SHOW 1"
             first = name.split()[0] if name.split() else ""
-            if first not in ("tables", "views", "databases", "schemas",
-                            "functions", "catalogs", "namespaces",
-                            "columns", "partitions", "tblproperties",
-                            "create"):
+            if first not in ("tables", "table", "views", "databases",
+                            "schemas", "functions", "catalogs",
+                            "namespaces", "columns", "partitions",
+                            "tblproperties", "create", "current",
+                            "collations", "procedures"):
                 # GUC-shaped but unknown: the PG-standard error clients
                 # branch on — NOT a Spark parser dump
                 raise _PgError(

@@ -272,8 +272,20 @@ def test_client_startup_compat_probes(server):
     assert err is None
     assert any("in_c_data_users" in " ".join(r) for r in rows), rows
     # SET is ALWAYS accept-and-ignore — one shared SparkSession serves
-    # every workspace, so a wire client must not mutate runtime conf
+    # every workspace, so a wire client must not mutate runtime conf.
+    # Assert the conf actually did NOT change (err is None would also
+    # hold if the SET leaked through and poisoned the session).
+    spark_session = _eng.spark
+    before_conf = spark_session.conf.get("spark.sql.shuffle.partitions")
     _c, _r, err = c.query("SET spark.sql.shuffle.partitions=1")
+    assert err is None
+    assert spark_session.conf.get(
+        "spark.sql.shuffle.partitions") == before_conf
+    # ... and bare SET must not dump the shared session's conf
+    _c, rows, err = c.query("SET")
+    assert err is None and rows == []
+    # Spark SHOW statements with multi-word first tokens still pass
+    _c, _r, err = c.query("SHOW CURRENT NAMESPACE")
     assert err is None
     # unknown GUC-shaped SHOW keeps the PG-standard 42704 error
     _c, _r, err = c.query("SHOW bogus_param")

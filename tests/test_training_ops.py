@@ -302,3 +302,34 @@ def test_quality_verdict_reasons(spark):
     order = [nm for nm, _ in QUALITY_RULES]
     for r in out.values():
         assert r.reasons == sorted(r.reasons, key=order.index)
+
+
+def test_gopher_quality_null_text(spark):
+    """NULL text normalizes to the empty doc (r7 review: Spark's
+    non-ANSI size(split(NULL)) = -1 silently diverged from DuckDB's
+    len(NULL) = NULL in every rule — latent until a NULL text appears)."""
+    import duckdb
+
+    from keboola_storage_duckdb_spark.functions.text import (
+        GOPHER_SQL_TEMPLATE, GOPHER_STOPWORDS, gopher_quality)
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the and of to a in is was")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           gopher_quality(df, "doc_id", "text").collect()}
+    assert got[1].keep is False and got[1].n_words == 1   # [''] one token
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, NULL), "
+                "(2, 'the and of to a in is was')")
+    sql = GOPHER_SQL_TEMPLATE.format(
+        id_col="doc_id", text_col="text", table="documents",
+        min_words=50, max_words=100_000,
+        stopwords=", ".join(f"'{w}'" for w in GOPHER_STOPWORDS))
+    duck = {r[0]: r for r in con.execute(sql).fetchall()}
+    for d in (1, 2):
+        g = got[d]
+        assert duck[d] == (g.doc_id, g.n_words, g.ok_count, g.ok_mean_len,
+                           g.ok_symbol, g.ok_alpha, g.ok_stop, g.keep), d
