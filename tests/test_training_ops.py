@@ -333,3 +333,57 @@ def test_gopher_quality_null_text(spark):
         g = got[d]
         assert duck[d] == (g.doc_id, g.n_words, g.ok_count, g.ok_mean_len,
                            g.ok_symbol, g.ok_alpha, g.ok_stop, g.keep), d
+
+
+def test_corpus_pipeline_end_to_end(spark, sf_dir):
+    """The composed training-data pipeline a real user runs, chained
+    through the actual operators: quality filter (with reasons) →
+    substring-dedup cut → token chunking → deterministic per-language
+    sample. Pins that the stages COMPOSE: schemas line up, filters
+    propagate, and every stage's output feeds the next untouched."""
+    from pyspark.sql import functions as F
+
+    from keboola_storage_duckdb_spark.functions.sketch import weighted_sample
+    from keboola_storage_duckdb_spark.functions.spans import (
+        cut_spans, duplicate_spans)
+    from keboola_storage_duckdb_spark.functions.text import (
+        chunk_documents, quality_verdict)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    # 1. filter: keep survivors of the composed rule stack
+    verdict = quality_verdict(docs, "doc_id", "text")
+    kept = (docs.join(
+        verdict.filter("keep")
+               .select("doc_id", F.col("lang").alias("pred_lang")),
+        "doc_id"))
+    n_kept = kept.count()
+    assert 0 < n_kept < n_docs
+
+    # 2. dedup: cut cross-doc duplicated spans out of the survivors
+    spans = duplicate_spans(kept, "doc_id", "text", k=8)
+    clean = cut_spans(kept, spans, "doc_id", "text")
+    assert clean.count() == n_kept             # left join: no doc dropped
+    removed = clean.agg(F.sum("removed_tokens")).collect()[0][0]
+    assert removed > 0                         # fixture has near-dup docs
+
+    # 3. chunk the cleaned text into training windows
+    chunks = chunk_documents(
+        clean.filter("kept_tokens > 0"), "doc_id", "clean_text",
+        chunk_size=32, stride=24)
+    assert chunks.count() > 0
+
+    # 4. language-balanced deterministic sample of the survivors
+    weighted = kept.select("doc_id", "pred_lang",
+                           F.size(F.split("text", " ")).alias("w"))
+    sample = weighted_sample(weighted, "pred_lang", "doc_id", "w", k=4)
+    per_lang = {r.group: r.n for r in
+                sample.groupBy("group").agg(F.count("*").alias("n"))
+                      .collect()}
+    assert all(n == 4 for n in per_lang.values())
+    # sampled ids are survivors (weights came from the kept frame)
+    ids = {r.id for r in sample.collect()}
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert ids <= kept_ids
