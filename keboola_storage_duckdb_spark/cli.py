@@ -415,7 +415,9 @@ def cmd_tables_export(args):
 
 
 def cmd_tables_profile(args):
-    res = _client(args).post(f"{_tbl_base(args)}/{args.table}/profile")
+    res = _client(args).post(
+        f"{_tbl_base(args)}/{args.table}/profile",
+        {"approx_distinct": True} if args.approx else {})
     if args.json:
         print_json(res)
         return
@@ -598,7 +600,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--format", default="csv", choices=["csv", "parquet"])
     s.add_argument("--where")
     s.add_argument("--columns")
-    table_parser("profile", cmd_tables_profile)
+    s = table_parser("profile", cmd_tables_profile)
+    s.add_argument("--approx", action="store_true",
+                   help="sketch-backed distinct counts (HLL; the scale "
+                        "mode — exact is the default)")
     table_parser("delete", cmd_tables_delete)
     table_parser("history", cmd_tables_history)
     s = table_parser("vacuum", cmd_tables_vacuum)

@@ -102,6 +102,13 @@ def test_cli_end_to_end(server, tmp_path, capsys):
     assert rc == 0 and prof["row_count"] == 3
     assert any(c["name"] == "age" for c in prof["columns"])
 
+    # profile --approx: sketch-backed distinct mode flagged in the result
+    rc, out = run(server, "tables", "profile", "pc", "in_c_cli", "users",
+                  "--approx", capsys=capsys)
+    prof = json.loads(out)
+    assert rc == 0 and prof.get("distinct_estimated") is True
+    assert prof["row_count"] == 3
+
     # query passthrough
     rc, out = run(server, "query", "pc",
                   "SELECT COUNT(*) AS n FROM in_c_cli_users", capsys=capsys)
