@@ -1069,6 +1069,22 @@ def q_boilerplate_strings(spark, sf_dir):
                               "doc_id", "text", k=8, top_n=20)
 
 
+def q_decontaminate_cut(spark, sf_dir):
+    """Surgical span-level decontamination: corpus docs keep everything
+    EXCEPT runs of >= 6 tokens shared with the held-out set (doc_id % 10
+    stands in for the benchmark — wide enough to cross the fixture's
+    near-dup families) — the scalpel to decontaminate's doc-level axe.
+    Benchmark window hashes broadcast; corpus never shuffles for the
+    match."""
+    from keboola_storage_duckdb_spark.functions.spans import (
+        contamination_spans, cut_spans)
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where((F.col("doc_id") % 10) == 0)
+    corpus = docs.where((F.col("doc_id") % 10) != 0)
+    spans = contamination_spans(corpus, bench, "doc_id", "text", k=6)
+    return cut_spans(corpus, spans, "doc_id", "text")
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling with replacement (training-mixture
     primitive: documents drawn per language proportional to size). All
@@ -2394,6 +2410,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,        # NEW r07 tail
     "boilerplate_strings": q_boilerplate_strings,  # NEW r07 tail
     "quality_verdict": q_quality_verdict,        # NEW r07 tail
+    "decontaminate_cut": q_decontaminate_cut,    # NEW r07 tail
 }
 
 
@@ -2656,6 +2673,16 @@ def oracle_sql() -> dict[str, str]:
             id_col="doc_id", text_col="text", table="documents", k=8,
             dup_rule="COUNT(DISTINCT id) > 1"),
         "quality_verdict": _quality_verdict_sql(),
+        "decontaminate_cut": _spans_mod().CUT_SPANS_SQL_TEMPLATE.format(
+            spans_sql=_spans_mod().CONTAMINATION_SPANS_SQL_TEMPLATE.format(
+                id_col="doc_id", text_col="text", k=6,
+                corpus="(SELECT * FROM documents WHERE doc_id % 10 <> 0)"
+                       " corpus_t",
+                bench="(SELECT * FROM documents WHERE doc_id % 10 = 0)"
+                      " bench_t"),
+            id_col="doc_id", text_col="text",
+            table="(SELECT * FROM documents WHERE doc_id % 10 <> 0)"
+                  " corpus_c"),
         "boilerplate_strings": _spans_mod().BOILERPLATE_SQL_TEMPLATE.format(
             id_col="doc_id", text_col="text", table="documents", k=8,
             top_n=20),

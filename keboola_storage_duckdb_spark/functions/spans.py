@@ -36,8 +36,10 @@ from pyspark.sql import functions as F
 from .util import par as _par
 
 __all__ = ["duplicate_spans", "cut_spans", "boilerplate_ngrams",
+           "contamination_spans",
            "DUPLICATE_SPANS_SQL_TEMPLATE", "CUT_SPANS_SQL_TEMPLATE",
-           "BOILERPLATE_SQL_TEMPLATE"]
+           "BOILERPLATE_SQL_TEMPLATE",
+           "CONTAMINATION_SPANS_SQL_TEMPLATE"]
 
 
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
@@ -57,18 +59,7 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     tokens produce no rows (no window fits — mirrors the suffix-array
     length threshold).
     """
-    toks = (df.select(F.col(id_col).alias("id"),
-                      F.split(F.col(text_col), " ").alias("t"))
-              .filter(F.size("t") >= k)
-              .repartition(_par(df)))  # explode fan-out off 1-split inputs
-    # one fingerprint per window start; sequence() guarded ascending by
-    # the size filter above (Spark sequence() DESCENDS when stop < start)
-    wins = toks.select(
-        "id",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, size(t) - {k}), "
-            f"i -> md5(array_join(slice(t, i + 1, {k}), ' ')))"
-        )).alias("pos", "h"))
+    wins = _window_fingerprints(df, id_col, text_col, k)
     # genuine multi-consumer cut point (dup-test agg AND the semi-join
     # probe): without it Spark re-tokenizes and re-hashes the whole corpus
     # per branch — no cross-branch CSE (NOTES). Lazy = cache-on-first-use.
@@ -78,9 +69,31 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
         F.countDistinct("id").alias("docs"))
     dup = dup.filter((F.col("docs") > 1) if cross_doc else (F.col("occ") > 1))
     marked = wins.join(dup.select("h"), "h", "left_semi")
+    return _merge_islands(marked, k)
 
-    # gaps-and-islands: windows [pos, pos+k) merge while pos <= prev + k
-    # (overlap OR token-adjacency); island id = running count of breaks
+
+def _window_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                         k: int) -> DataFrame:
+    """(id, pos, h): md5 fingerprint of every k-token window, one row per
+    start position. sequence() guarded ascending by the size filter
+    (Spark sequence() DESCENDS when stop < start)."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.split(F.col(text_col), " ").alias("t"))
+              .filter(F.size("t") >= k)
+              .repartition(_par(df)))  # explode fan-out off 1-split inputs
+    return toks.select(
+        "id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, size(t) - {k}), "
+            f"i -> md5(array_join(slice(t, i + 1, {k}), ' ')))"
+        )).alias("pos", "h"))
+
+
+def _merge_islands(marked: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands over marked window positions: windows [pos, pos+k)
+    merge while pos <= prev + k (overlap OR token-adjacency); island id =
+    running count of breaks. Shared by corpus-dedup and decontamination
+    spans so the merge semantics cannot drift."""
     w = Window.partitionBy("id").orderBy("pos")
     marked = marked.withColumn(
         "brk", F.when(F.col("pos") <= F.lag("pos").over(w) + k,
@@ -98,6 +111,29 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                     (F.col("span_end") - F.col("span_start"))
                     .cast("int").alias("span_tokens"),
                     F.col("n_windows")))
+
+
+def contamination_spans(docs: DataFrame, benchmark: DataFrame,
+                        id_col: str, text_col: str,
+                        k: int = 8) -> DataFrame:
+    """SPAN-level decontamination — the surgical complement of
+    dedup_ml.decontaminate's doc-level flag: positions of every k-token
+    window of the corpus that also appears ANYWHERE in the benchmark
+    set, merged to maximal spans (same output shape as
+    :func:`duplicate_spans`, so :func:`cut_spans` removes exactly the
+    overlapping text while keeping the rest of the document — instead of
+    dropping the whole doc for one shared sentence).
+
+    Scale: the benchmark's distinct window hashes are tiny next to a
+    100 TB corpus and BROADCAST to the probe (map-side semi-join — the
+    corpus token stream never shuffles for the match); only marked
+    positions shuffle, by doc, for the island merge.
+    """
+    dw = _window_fingerprints(docs, id_col, text_col, k)
+    bw = _window_fingerprints(benchmark, id_col, text_col, k) \
+        .select("h").distinct()
+    marked = dw.join(F.broadcast(bw), "h", "left_semi")
+    return _merge_islands(marked, k)
 
 
 def cut_spans(df: DataFrame, spans: DataFrame, id_col: str,
@@ -256,3 +292,41 @@ SELECT id AS doc_id,
        CAST(len(kept) AS INTEGER) AS kept_tokens,
        CAST(len(t) - len(kept) AS INTEGER) AS removed_tokens
 FROM k"""
+
+
+# decontamination twin: {corpus} / {bench} are table names or aliased
+# parenthesized subqueries; marked = corpus windows whose hash exists in
+# the benchmark's distinct window set, islands merged exactly like the
+# dedup template.
+CONTAMINATION_SPANS_SQL_TEMPLATE = """
+WITH ctoks AS (
+    SELECT {id_col} AS id, str_split({text_col}, ' ') AS t
+    FROM {corpus} WHERE len(str_split({text_col}, ' ')) >= {k}),
+cwins AS (
+    SELECT id, i AS pos,
+           md5(array_to_string(t[i + 1 : i + {k}], ' ')) AS h
+    FROM ctoks, unnest(generate_series(0, len(t) - {k})) AS u(i)),
+btoks AS (
+    SELECT str_split({text_col}, ' ') AS t
+    FROM {bench} WHERE len(str_split({text_col}, ' ')) >= {k}),
+bwins AS (
+    SELECT DISTINCT md5(array_to_string(t[i + 1 : i + {k}], ' ')) AS h
+    FROM btoks, unnest(generate_series(0, len(t) - {k})) AS u(i)),
+marked AS (
+    SELECT id, pos FROM cwins WHERE h IN (SELECT h FROM bwins)),
+flagged AS (
+    SELECT id, pos,
+           CASE WHEN pos <= LAG(pos) OVER w + {k} THEN 0 ELSE 1 END AS brk
+    FROM marked WINDOW w AS (PARTITION BY id ORDER BY pos)),
+islands AS (
+    SELECT id, pos,
+           SUM(brk) OVER (PARTITION BY id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM flagged)
+SELECT id AS doc_id,
+       CAST(MIN(pos) AS INTEGER) AS span_start,
+       CAST(MAX(pos) + {k} AS INTEGER) AS span_end,
+       CAST(MAX(pos) + {k} - MIN(pos) AS INTEGER) AS span_tokens,
+       COUNT(*) AS n_windows
+FROM islands GROUP BY id, island"""

@@ -92,3 +92,28 @@ def test_cut_spans_full_document(spark):
     for d in (1, 2):
         assert out[d].clean_text == ""
         assert (out[d].kept_tokens, out[d].removed_tokens) == (0, 10)
+
+
+def test_contamination_spans_cut(spark):
+    """Span-level decontamination: only the benchmark-overlapping run is
+    cut; the rest of the document survives (vs the doc-level flag that
+    would drop everything)."""
+    from keboola_storage_duckdb_spark.functions.spans import (
+        contamination_spans, cut_spans)
+
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two")],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "intro words then the secret eval answer is forty two and more"),
+         (2, "completely unrelated document text here")],
+        ["doc_id", "text"])
+    spans = contamination_spans(corpus, bench, "doc_id", "text", k=4)
+    got = {(r.doc_id, r.span_start, r.span_end) for r in spans.collect()}
+    # doc 1 tokens: the shared 7-token run spans positions 3..10
+    assert got == {(1, 3, 10)}
+    out = {r.doc_id: r for r in
+           cut_spans(corpus, spans, "doc_id", "text").collect()}
+    assert out[1].clean_text == "intro words then and more"
+    assert out[1].removed_tokens == 7
+    assert out[2].clean_text == corpus.collect()[1].text
