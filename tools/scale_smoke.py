@@ -83,7 +83,9 @@ def main() -> None:
                  "simhash_pairs", "grouped_quantiles", "image_features",
                  "audio_features", "video_features", "range_join",
                  "pack_sequences", "repetition_signals", "hll_distinct",
-                 "cm_heavy_hitters", "bottom_k_sample", "duplicate_spans"]:
+                 "cm_heavy_hitters", "bottom_k_sample", "duplicate_spans",
+                 "quality_verdict", "decontaminate_cut",
+                 "weighted_sample", "boilerplate_strings"]:
         run(name, lambda name=name: Q[name](spark, DST))
 
     # Quadratic-output operators at 10×: the UNBLOCKED/UNCAPPED forms are the
