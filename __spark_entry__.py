@@ -1069,6 +1069,20 @@ def q_boilerplate_strings(spark, sf_dir):
                               "doc_id", "text", k=8, top_n=20)
 
 
+def q_dedup_cut_keep_first(spark, sf_dir):
+    """Keep-one exact substring dedup end to end: duplicated >= 8-token
+    runs are cut from every occurrence EXCEPT the canonical (doc_id,
+    pos)-first — the corpus keeps exactly one copy of each repeated run
+    (the survivor policy the plain duplicate_spans audit view leaves to
+    the caller)."""
+    from keboola_storage_duckdb_spark.functions.spans import (
+        cut_spans, duplicate_spans)
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, "doc_id", "text", k=8,
+                            cross_doc=True, keep_first=True)
+    return cut_spans(docs, spans, "doc_id", "text")
+
+
 def q_decontaminate_cut(spark, sf_dir):
     """Surgical span-level decontamination: corpus docs keep everything
     EXCEPT runs of >= 6 tokens shared with the held-out set (doc_id % 10
@@ -2411,6 +2425,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_strings": q_boilerplate_strings,  # NEW r07 tail
     "quality_verdict": q_quality_verdict,        # NEW r07 tail
     "decontaminate_cut": q_decontaminate_cut,    # NEW r07 tail
+    "dedup_cut_keep_first": q_dedup_cut_keep_first,  # NEW r07 tail
 }
 
 
@@ -2673,6 +2688,12 @@ def oracle_sql() -> dict[str, str]:
             id_col="doc_id", text_col="text", table="documents", k=8,
             dup_rule="COUNT(DISTINCT id) > 1"),
         "quality_verdict": _quality_verdict_sql(),
+        "dedup_cut_keep_first": _spans_mod().CUT_SPANS_SQL_TEMPLATE.format(
+            spans_sql=_spans_mod()
+            .DUPLICATE_SPANS_KEEP_FIRST_SQL_TEMPLATE.format(
+                id_col="doc_id", text_col="text", table="documents", k=8,
+                dup_rule="COUNT(DISTINCT id) > 1"),
+            id_col="doc_id", text_col="text", table="documents"),
         "decontaminate_cut": _spans_mod().CUT_SPANS_SQL_TEMPLATE.format(
             spans_sql=_spans_mod().CONTAMINATION_SPANS_SQL_TEMPLATE.format(
                 id_col="doc_id", text_col="text", k=6,

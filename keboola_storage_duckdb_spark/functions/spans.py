@@ -39,11 +39,13 @@ __all__ = ["duplicate_spans", "cut_spans", "boilerplate_ngrams",
            "contamination_spans",
            "DUPLICATE_SPANS_SQL_TEMPLATE", "CUT_SPANS_SQL_TEMPLATE",
            "BOILERPLATE_SQL_TEMPLATE",
-           "CONTAMINATION_SPANS_SQL_TEMPLATE"]
+           "CONTAMINATION_SPANS_SQL_TEMPLATE",
+           "DUPLICATE_SPANS_KEEP_FIRST_SQL_TEMPLATE"]
 
 
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
-                    k: int = 8, cross_doc: bool = True) -> DataFrame:
+                    k: int = 8, cross_doc: bool = True,
+                    keep_first: bool = False) -> DataFrame:
     """Maximal duplicated token spans per document.
 
     A position ``p`` (0-based) in a document is *marked* when the k-token
@@ -52,6 +54,14 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     ``cross_doc=True`` (the training-data default: internal repetition is
     repetition_signals' job, operators/..:text.py:330). Overlapping and
     adjacent marked windows merge into maximal spans.
+
+    ``keep_first=True`` applies the SURVIVOR policy in-operator: the
+    canonical occurrence of each duplicated window — smallest
+    ``(doc_id, pos)`` — is NOT marked, so composing with
+    :func:`cut_spans` keeps exactly one copy of every duplicated run in
+    the corpus instead of deleting all of them (the keep-one exact
+    dedup a training pipeline usually wants; default False reports
+    every occurrence, the audit view).
 
     Returns ``(doc_id, span_start, span_end, span_tokens, n_windows)``
     with token-index ranges [span_start, span_end) and ``n_windows`` =
@@ -69,6 +79,12 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
         F.countDistinct("id").alias("docs"))
     dup = dup.filter((F.col("docs") > 1) if cross_doc else (F.col("occ") > 1))
     marked = wins.join(dup.select("h"), "h", "left_semi")
+    if keep_first:
+        # rank occurrences per hash; the (id, pos)-first survives. One
+        # extra shuffle by h — same key the dup test already groups on.
+        wo = Window.partitionBy("h").orderBy("id", "pos")
+        marked = (marked.withColumn("rn", F.row_number().over(wo))
+                        .filter(F.col("rn") >= 2).drop("rn"))
     return _merge_islands(marked, k)
 
 
@@ -262,6 +278,19 @@ SELECT id AS doc_id,
        CAST(MAX(pos) + {k} - MIN(pos) AS INTEGER) AS span_tokens,
        COUNT(*) AS n_windows
 FROM islands GROUP BY id, island"""
+
+# keep_first=True twin: identical except the canonical (id, pos)-first
+# occurrence of each duplicated window is excluded from `marked`.
+DUPLICATE_SPANS_KEEP_FIRST_SQL_TEMPLATE = DUPLICATE_SPANS_SQL_TEMPLATE.replace(
+    """marked AS (
+    SELECT id, pos FROM wins WHERE h IN (SELECT h FROM dup)),""",
+    """marked AS (
+    SELECT id, pos FROM (
+        SELECT id, pos,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY id, pos) AS rn
+        FROM wins WHERE h IN (SELECT h FROM dup)) ranked
+    WHERE rn >= 2),""")
+
 
 
 # cut_spans twin: {spans_sql} is a full spans query (e.g. the template

@@ -117,3 +117,22 @@ def test_contamination_spans_cut(spark):
     assert out[1].clean_text == "intro words then and more"
     assert out[1].removed_tokens == 7
     assert out[2].clean_text == corpus.collect()[1].text
+
+
+def test_keep_first_survivor_policy(spark):
+    """keep_first=True: the canonical (doc_id, pos)-first occurrence of
+    each duplicated run survives the cut; every other copy is removed —
+    the corpus keeps exactly one copy."""
+    from keboola_storage_duckdb_spark.functions.spans import cut_spans
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, text)], ["doc_id", "text"])
+    spans = duplicate_spans(df, "doc_id", "text", k=4, keep_first=True)
+    got = {r.doc_id for r in spans.collect()}
+    assert got == {2, 3}                  # doc 1 is canonical — untouched
+    out = {r.doc_id: r for r in
+           cut_spans(df, spans, "doc_id", "text").collect()}
+    assert out[1].clean_text == text and out[1].removed_tokens == 0
+    for d in (2, 3):
+        assert out[d].clean_text == "" and out[d].removed_tokens == 10
