@@ -1069,6 +1069,45 @@ def q_boilerplate_strings(spark, sf_dir):
                               "doc_id", "text", k=8, top_n=20)
 
 
+def q_dedup_rate(spark, sf_dir):
+    """Corpus duplication headline: total tokens, tokens inside
+    cross-doc duplicated >= 8-token spans, affected docs, and the
+    duplication ratio — the number an ops dashboard tracks to decide
+    when the dedup pass needs to run. One aggregate over the span frame
+    joined with one aggregate over the corpus; the ratio is a single
+    exact-int division (cross-engine bit-exact)."""
+    from keboola_storage_duckdb_spark.functions.spans import duplicate_spans
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, "doc_id", "text", k=8, cross_doc=True)
+    corpus = docs.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint")
+         .alias("total_tokens"))
+    dup = spans.agg(
+        F.countDistinct("doc_id").alias("affected_docs"),
+        F.coalesce(F.sum("span_tokens"), F.lit(0)).cast("bigint")
+         .alias("dup_tokens"))
+    return corpus.crossJoin(dup).select(
+        "total_docs", "total_tokens", "affected_docs", "dup_tokens",
+        (F.col("dup_tokens").cast("double")
+         / F.col("total_tokens").cast("double")).alias("dup_ratio"))
+
+
+_DEDUP_RATE_SQL_BODY = """
+WITH spans AS ({spans_sql}),
+corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+                  CAST(SUM(len(str_split(text, ' '))) AS BIGINT)
+                      AS total_tokens
+           FROM documents),
+dup AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS affected_docs,
+               CAST(COALESCE(SUM(span_tokens), 0) AS BIGINT) AS dup_tokens
+        FROM spans)
+SELECT total_docs, total_tokens, affected_docs, dup_tokens,
+       CAST(dup_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+           AS dup_ratio
+FROM corpus, dup"""
+
+
 def q_dedup_cut_keep_first(spark, sf_dir):
     """Keep-one exact substring dedup end to end: duplicated >= 8-token
     runs are cut from every occurrence EXCEPT the canonical (doc_id,
@@ -2426,6 +2465,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_verdict": q_quality_verdict,        # NEW r07 tail
     "decontaminate_cut": q_decontaminate_cut,    # NEW r07 tail
     "dedup_cut_keep_first": q_dedup_cut_keep_first,  # NEW r07 tail
+    "dedup_rate": q_dedup_rate,                  # NEW r07 tail
 }
 
 
@@ -2688,6 +2728,10 @@ def oracle_sql() -> dict[str, str]:
             id_col="doc_id", text_col="text", table="documents", k=8,
             dup_rule="COUNT(DISTINCT id) > 1"),
         "quality_verdict": _quality_verdict_sql(),
+        "dedup_rate": _DEDUP_RATE_SQL_BODY.format(
+            spans_sql=_spans_mod().DUPLICATE_SPANS_SQL_TEMPLATE.format(
+                id_col="doc_id", text_col="text", table="documents", k=8,
+                dup_rule="COUNT(DISTINCT id) > 1")),
         "dedup_cut_keep_first": _spans_mod().CUT_SPANS_SQL_TEMPLATE.format(
             spans_sql=_spans_mod()
             .DUPLICATE_SPANS_KEEP_FIRST_SQL_TEMPLATE.format(
