@@ -1673,6 +1673,55 @@ def q_kmeans(spark, sf_dir):
     return kmeans(emb, "vec_id", "embedding", k=4, max_iter=6)
 
 
+def q_kmeans_fixed(spark, sf_dir):
+    """Hash-checkable k-means contract (VERDICT r7 #5): the SAME Lloyd
+    engine as q_kmeans pinned to exactly 2 assignment rounds from the
+    md5-seeded init, which IS DuckDB-reproducible (the ann_ivf centroid
+    pattern: per-dim AVG + sequential list_sum distance folds, lower-
+    cluster tie-break on both engines). q_kmeans stays the convergence
+    serving path; this twin certifies the iteration arithmetic
+    bit-for-bit."""
+    from keboola_storage_duckdb_spark.functions.clustering import kmeans
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans(emb, "vec_id", "embedding", k=4, max_iter=2)
+    return out.select(F.col("id").alias("vec_id"), "cluster")
+
+
+_KMEANS_FIXED_SQL = """
+WITH seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+              - 1 AS INTEGER) AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 4),
+v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+d1 AS (SELECT vec_id, v, cluster,
+              list_sum(list_transform(generate_series(1, len(v)),
+                       i -> (v[i] - c[i]) * (v[i] - c[i]))) AS d
+       FROM v CROSS JOIN seeds),
+a1 AS (SELECT vec_id, v, cluster FROM d1
+       QUALIFY row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cluster ASC) = 1),
+m1 AS (SELECT cluster, dim, AVG(x) AS m
+       FROM (SELECT cluster,
+                    unnest(generate_series(1, len(v))) AS dim,
+                    unnest(v) AS x
+             FROM a1)
+       GROUP BY cluster, dim),
+c1 AS (SELECT cluster, list(m ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+cf AS (SELECT s.cluster, COALESCE(c1.c, s.c) AS c
+       FROM seeds s LEFT JOIN c1 USING (cluster)),
+d2 AS (SELECT vec_id, cluster,
+              list_sum(list_transform(generate_series(1, len(v)),
+                       i -> (v[i] - c[i]) * (v[i] - c[i]))) AS d
+       FROM v CROSS JOIN cf)
+SELECT vec_id, cluster FROM d2
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY d ASC, cluster ASC) = 1"""
+
+
 
 
 def q_ann_topk_fold(spark, sf_dir):
@@ -2352,9 +2401,9 @@ WITH t AS (
   FROM documents
 ), s AS (
   SELECT doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0) AS start_token
+                  0) AS BIGINT) AS start_token
   FROM t WHERE n_tokens > 0
 )
 SELECT doc_id, n_tokens, start_token,
@@ -2366,15 +2415,18 @@ FROM s"""
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- driver-certified window (slots 1-50) — ROUND-7 ROTATION ----
+    # ---- driver-certified window (slots 1-50) — ROUND-8 ROTATION ----
     # The driver certifies only the first 50 entries (NOTES; proven
-    # r01/r02). Rounds 1-6 certified 56 distinct queries; this round the
-    # 24 never-certified entries rotate INTO the window (VERDICT r6 #2)
-    # alongside 26 keepers, so by end of r7 every registry operator has a
-    # driver-green row in some CORRECTNESS_r*. Parked at 51+: 30 entries
-    # already green in r01-r06 records (rotation map in NOTES.md).
+    # r01/r02). This round (VERDICT r7 #3) the SEVEN never-certified r7
+    # tail ops rotate IN (cut_spans, weighted_sample, boilerplate_strings,
+    # quality_verdict, decontaminate_cut, dedup_cut_keep_first,
+    # dedup_rate) plus the NEW kmeans_fixed oracle twin; parked at 51+:
+    # eight r07-green keepers (skew_agg, extract_parts, pii_redact,
+    # string_funcs, session_window, moving_window, scalar_conditionals,
+    # array_funcs — rotation map in NOTES.md). After this round every
+    # registry operator has a driver-green row in some CORRECTNESS_r*.
     #
-    # keepers (certified r06, re-certified for continuity / touched code)
+    # keepers (certified r07, re-certified for continuity / touched code)
     "pricing_summary": q_pricing_summary,
     "preview_orders": q_preview_orders,
     "export_projection": q_export_projection,
@@ -2400,17 +2452,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "hourly_rollup": q_hourly_rollup,
     "sessionize": q_sessionize,
-    "duplicate_spans": q_duplicate_spans,        # NEW r07 — in-window
-    # rotated IN: never driver-certified before round 7
-    "skew_agg": q_skew_agg,                      # A13 salted-agg variant
-    "extract_parts": q_extract_parts,            # F3 date-part family
-    "pii_redact": q_pii_redact,                  # regex redaction map
-    "string_funcs": q_string_funcs,              # F1 string family
-    "session_window": q_session_window,          # native session_window
-    "moving_window": q_moving_window,            # RANGE-frame window
+    "duplicate_spans": q_duplicate_spans,        # certified r07
+    # rotated IN r08: never driver-certified before (VERDICT r7 #3)
+    "cut_spans": q_cut_spans,                    # span removal rebuild
+    "weighted_sample": q_weighted_sample,        # integer weighted draw
+    "boilerplate_strings": q_boilerplate_strings,  # top repeated windows
+    "quality_verdict": q_quality_verdict,        # composed filter stack
+    "decontaminate_cut": q_decontaminate_cut,    # span-level decontam
+    "dedup_cut_keep_first": q_dedup_cut_keep_first,  # keep-first cut
+    "dedup_rate": q_dedup_rate,                  # corpus dup headline
+    "kmeans_fixed": q_kmeans_fixed,              # NEW r08 oracle twin
     "grouped_quantiles": q_grouped_quantiles,    # grouped exact quantiles
-    "scalar_conditionals": q_scalar_conditionals,  # CASE/nullif/coalesce
-    "array_funcs": q_array_funcs,                # array/lambda family
     "dedup_survivors": q_dedup_survivors,        # survivor-select variant
     "minhash_estimate": q_minhash_estimate,      # minhash quality frame
     "near_dedup_keep": q_near_dedup_keep,        # dedup composition
@@ -2427,7 +2479,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,  # Gopher repetition rules
     "kmeans": q_kmeans,                          # rows-only iterative
     "execute_query": q_execute_query,            # keeper parked 51+ (green r01-r06)
-    # ---- tail (51+): driver-green in r01-r06 CORRECTNESS records ----
+    # ---- tail (51+): driver-green in r01-r07 CORRECTNESS records ----
+    # parked r08 (all certified green in CORRECTNESS_r07):
+    "skew_agg": q_skew_agg,                      # r07
+    "extract_parts": q_extract_parts,            # r07
+    "pii_redact": q_pii_redact,                  # r07
+    "string_funcs": q_string_funcs,              # r07
+    "session_window": q_session_window,          # r07
+    "moving_window": q_moving_window,            # r07
+    "scalar_conditionals": q_scalar_conditionals,  # r07
+    "array_funcs": q_array_funcs,                # r07
     "dedup_count_conflicts": q_dedup_count_conflicts,  # r06
     "string_stats": q_string_stats,              # r06
     "outlier_iqr": q_outlier_iqr,                # r06
@@ -2458,14 +2519,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_lineitem_part": q_join_lineitem_part,  # r03-r05 window
     "top_terms": q_top_terms,                    # r03-r05 window
     "fingerprint_docs": q_fingerprint_docs,      # r03-r05 window
-    "cut_spans": q_cut_spans,                    # NEW r07 tail (operator
-                                                 # certified via slot-26 twin)
-    "weighted_sample": q_weighted_sample,        # NEW r07 tail
-    "boilerplate_strings": q_boilerplate_strings,  # NEW r07 tail
-    "quality_verdict": q_quality_verdict,        # NEW r07 tail
-    "decontaminate_cut": q_decontaminate_cut,    # NEW r07 tail
-    "dedup_cut_keep_first": q_dedup_cut_keep_first,  # NEW r07 tail
-    "dedup_rate": q_dedup_rate,                  # NEW r07 tail
 }
 
 
@@ -2698,6 +2751,7 @@ def oracle_sql() -> dict[str, str]:
         "cm_heavy_hitters": _CM_SQL,
         "bottom_k_sample": _BOTTOM_K_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
+        "kmeans_fixed": _KMEANS_FIXED_SQL,
         "repetition_signals": _REPETITION_SQL,
         "top_terms": _TOP_TERMS_SQL,
         "rollup_agg": _ROLLUP_SQL,

@@ -34,6 +34,38 @@ def test_certification_window_is_full():
     assert not unbacked, unbacked
 
 
+def test_oracle_result_types_are_spark_representable():
+    """Oracle-exactness rule (VERDICT r7 #2): the driver's hash is
+    TYPE-sensitive, and DuckDB silently widens integer window/group SUMs
+    to HUGEINT (int128) — a type Spark cannot emit, so values match but
+    hashes don't (shipped twice: r01/r02 `sessionize`, r07
+    `pack_sequences`). Probe every oracle's result schema via DuckDB's
+    lazy relation types (no execution) and fail on any unsigned /
+    128-bit integer column. Fix is always `CAST(... AS BIGINT)` at the
+    point the SUM reaches the output."""
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+    banned = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT",
+              "UTINYINT")
+    offenders = []
+    for name, sql in E.oracle_sql().items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if any(b in t for b in banned):
+                offenders.append(f"{name}.{col}: {t}")
+    assert not offenders, (
+        "oracle columns with Spark-unrepresentable DuckDB types "
+        f"(CAST them AS BIGINT): {offenders}")
+
+
 def test_oracle_sql_mentions_no_forbidden_libm():
     """Oracle-exactness rule (README correctness discipline): no
     pow/exp/log in oracle SQL — libm differs across engines. sqrt and

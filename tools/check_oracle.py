@@ -84,6 +84,16 @@ def main():
                 failures.append(name)
             continue
         try:
+            rel = con.sql(sql)
+            # type audit (VERDICT r7 #2): the driver hash is TYPE-
+            # sensitive; DuckDB widens integer SUMs to HUGEINT, which
+            # Spark cannot emit — values equal, driver hash red. Catch
+            # it here where the value compare is blind to it.
+            bad_types = [
+                f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                if any(b in str(t).upper() for b in
+                       ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER",
+                        "USMALLINT", "UTINYINT"))]
             res = con.execute(sql)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
@@ -93,6 +103,10 @@ def main():
             continue
 
         problems = []
+        if bad_types:
+            problems.append(
+                f"oracle emits Spark-unrepresentable types {bad_types}"
+                " (CAST AS BIGINT)")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
