@@ -1079,10 +1079,14 @@ def q_dedup_rate(spark, sf_dir):
     from keboola_storage_duckdb_spark.functions.spans import duplicate_spans
     docs = _t(spark, sf_dir, "documents")
     spans = duplicate_spans(docs, "doc_id", "text", k=8, cross_doc=True)
+    # coalesce NULL text to '' on BOTH engines: Spark's size(split(NULL))
+    # is -1 (non-ANSI) while DuckDB's SUM skips NULLs — a latent
+    # cross-engine divergence if a NULL-text row ever appears (ADVICE r7;
+    # same class gopher_quality was fixed for).
     corpus = docs.agg(
         F.count(F.lit(1)).alias("total_docs"),
-        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint")
-         .alias("total_tokens"))
+        F.sum(F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")))
+         .cast("bigint").alias("total_tokens"))
     dup = spans.agg(
         F.countDistinct("doc_id").alias("affected_docs"),
         F.coalesce(F.sum("span_tokens"), F.lit(0)).cast("bigint")
@@ -1096,8 +1100,8 @@ def q_dedup_rate(spark, sf_dir):
 _DEDUP_RATE_SQL_BODY = """
 WITH spans AS ({spans_sql}),
 corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
-                  CAST(SUM(len(str_split(text, ' '))) AS BIGINT)
-                      AS total_tokens
+                  CAST(SUM(len(str_split(COALESCE(text, ''), ' ')))
+                       AS BIGINT) AS total_tokens
            FROM documents),
 dup AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS affected_docs,
                CAST(COALESCE(SUM(span_tokens), 0) AS BIGINT) AS dup_tokens

@@ -39,46 +39,53 @@ class Metrics:
             b[-1] += 1                                     # +Inf
 
     def render(self) -> str:
+        # snapshot under the lock, format outside it (ADVICE r7): a
+        # request observed mid-scrape must neither mutate a dict while
+        # it is iterated nor wait on the scrape's string formatting
+        with self._lock:
+            requests = dict(self._requests)
+            latency_sum = dict(self._latency_sum)
+            latency_count = dict(self._latency_count)
+            buckets = {k: list(v) for k, v in self._buckets.items()}
         out = [
             "# HELP storage_http_requests_total HTTP requests by route/status",
             "# TYPE storage_http_requests_total counter",
         ]
-        with self._lock:
-            for (m, r, s), n in sorted(self._requests.items()):
+        for (m, r, s), n in sorted(requests.items()):
+            out.append(
+                f'storage_http_requests_total{{method="{m}",'
+                f'route="{r}",status="{s}"}} {n}')
+        out += [
+            "# HELP storage_http_request_seconds Cumulative request latency",
+            "# TYPE storage_http_request_seconds summary",
+        ]
+        for (m, r), total in sorted(latency_sum.items()):
+            out.append(
+                f'storage_http_request_seconds_sum{{method="{m}",'
+                f'route="{r}"}} {total:.6f}')
+            out.append(
+                f'storage_http_request_seconds_count{{method="{m}",'
+                f'route="{r}"}} {latency_count[(m, r)]}')
+        out += [
+            "# HELP storage_http_request_seconds_hist Request latency"
+            " histogram",
+            "# TYPE storage_http_request_seconds_hist histogram",
+        ]
+        for (m, r), cells in sorted(buckets.items()):
+            for le, n in zip(
+                    [str(b) for b in BUCKETS] + ["+Inf"], cells):
                 out.append(
-                    f'storage_http_requests_total{{method="{m}",'
-                    f'route="{r}",status="{s}"}} {n}')
-            out += [
-                "# HELP storage_http_request_seconds Cumulative request latency",
-                "# TYPE storage_http_request_seconds summary",
-            ]
-            for (m, r), total in sorted(self._latency_sum.items()):
-                out.append(
-                    f'storage_http_request_seconds_sum{{method="{m}",'
-                    f'route="{r}"}} {total:.6f}')
-                out.append(
-                    f'storage_http_request_seconds_count{{method="{m}",'
-                    f'route="{r}"}} {self._latency_count[(m, r)]}')
-            out += [
-                "# HELP storage_http_request_seconds_hist Request latency"
-                " histogram",
-                "# TYPE storage_http_request_seconds_hist histogram",
-            ]
-            for (m, r), cells in sorted(self._buckets.items()):
-                for le, n in zip(
-                        [str(b) for b in BUCKETS] + ["+Inf"], cells):
-                    out.append(
-                        f'storage_http_request_seconds_hist_bucket{{'
-                        f'method="{m}",route="{r}",le="{le}"}} {n}')
-                # the exposition format requires _sum/_count with every
-                # histogram; same observations as the summary above
-                out.append(
-                    f'storage_http_request_seconds_hist_sum{{method="{m}",'
-                    f'route="{r}"}} {self._latency_sum[(m, r)]:.6f}')
-                out.append(
-                    f'storage_http_request_seconds_hist_count{{'
-                    f'method="{m}",route="{r}"}} '
-                    f'{self._latency_count[(m, r)]}')
+                    f'storage_http_request_seconds_hist_bucket{{'
+                    f'method="{m}",route="{r}",le="{le}"}} {n}')
+            # the exposition format requires _sum/_count with every
+            # histogram; same observations as the summary above
+            out.append(
+                f'storage_http_request_seconds_hist_sum{{method="{m}",'
+                f'route="{r}"}} {latency_sum[(m, r)]:.6f}')
+            out.append(
+                f'storage_http_request_seconds_hist_count{{'
+                f'method="{m}",route="{r}"}} '
+                f'{latency_count[(m, r)]}')
         out.append("# HELP storage_uptime_seconds Process uptime")
         out.append("# TYPE storage_uptime_seconds gauge")
         out.append(f"storage_uptime_seconds {time.time() - self.started_at:.3f}")

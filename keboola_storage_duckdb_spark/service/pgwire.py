@@ -19,9 +19,10 @@ Protocol subset:
     / ``current_user``, ``SHOW <param>`` (+ ``SHOW ALL``), no-op
     ``SET``/``BEGIN``/``COMMIT``/``ROLLBACK`` command tags, and minimal
     ``pg_catalog.pg_type`` / ``pg_namespace`` / ``pg_class`` /
-    ``pg_attribute`` lookups served from temp views (real WHERE clauses
-    work — the catalog tables are queried through Spark SQL after the
-    ``pg_catalog.`` prefix is stripped)
+    ``pg_attribute`` / ``pg_settings`` lookups served from
+    collision-proof ``__pgcat_*`` temp views (real WHERE clauses work —
+    catalog references are rewritten to the stub names outside string
+    literals, then run through Spark SQL)
   * StartupMessage (proto 3.0) → AuthenticationCleartextPassword →
     PasswordMessage → AuthenticationOk + ParameterStatus + BackendKeyData +
     ReadyForQuery
@@ -377,7 +378,12 @@ class PgWireServer:
     def _ensure_pg_catalog_views(self) -> None:
         """Register minimal pg_type/pg_namespace/pg_class/pg_attribute as
         Spark temp views (once per engine session) so catalog probes with
-        real WHERE clauses / joins run through the normal SQL path."""
+        real WHERE clauses / joins run through the normal SQL path. The
+        views live under collision-proof ``__pgcat_*`` names (ADVICE r7:
+        user views are named ``{bucket}_{table}``, so a bucket ``pg``
+        with a table ``type`` would collide with a bare ``pg_type``
+        view); incoming queries are rewritten to these names by
+        ``_rewrite_pg_catalog``."""
         if getattr(self.engine, "_pg_catalog_views", False):
             return
         spark = self.engine.spark
@@ -385,17 +391,45 @@ class PgWireServer:
             _PG_TYPE_ROWS,
             "oid int, typname string, typnamespace int, typtype string, "
             "typcategory string, typelem int, typarray int, typrelid int, "
-            "typbasetype int").createOrReplaceTempView("pg_type")
+            "typbasetype int").createOrReplaceTempView("__pgcat_type")
         spark.createDataFrame(
             _PG_NAMESPACE_ROWS,
-            "oid int, nspname string").createOrReplaceTempView("pg_namespace")
+            "oid int, nspname string").createOrReplaceTempView(
+            "__pgcat_namespace")
         spark.createDataFrame(
             [], "oid int, relname string, relnamespace int, relkind string"
-            ).createOrReplaceTempView("pg_class")
+            ).createOrReplaceTempView("__pgcat_class")
         spark.createDataFrame(
             [], "attrelid int, attname string, atttypid int, attnum int"
-            ).createOrReplaceTempView("pg_attribute")
+            ).createOrReplaceTempView("__pgcat_attribute")
+        # pg_settings (VERDICT r7 #6): psql's \dconfig and several ORMs
+        # SELECT from it; serve the same GUCs SHOW answers from
+        spark.createDataFrame(
+            [(k, v, "") for k, v in sorted(_SHOW_PARAMS.items())],
+            "name string, setting string, short_desc string"
+            ).createOrReplaceTempView("__pgcat_settings")
         self.engine._pg_catalog_views = True
+
+    @staticmethod
+    def _rewrite_pg_catalog(sql: str) -> tuple[str, bool]:
+        """Rewrite ``[pg_catalog.]pg_{type,namespace,class,attribute}``
+        identifier references to the ``__pgcat_*`` stub views and drop
+        remaining ``pg_catalog.`` qualifiers — OUTSIDE single-quoted
+        string literals only (ADVICE r7: the old blanket regex corrupted
+        literals containing the text 'pg_catalog.'). Returns the
+        rewritten SQL and whether any stub table was referenced."""
+        parts = re.split(r"('(?:[^']|'')*')", sql)
+        hit = False
+        for i in range(0, len(parts), 2):        # even slots = non-literal
+            new = re.sub(
+                r"\b(?:pg_catalog\.)?"
+                r"pg_(type|namespace|class|attribute|settings)\b",
+                r"__pgcat_\1", parts[i], flags=re.I)
+            if new != parts[i]:
+                hit = True
+                parts[i] = new
+            parts[i] = re.sub(r"\bpg_catalog\.", "", parts[i], flags=re.I)
+        return "".join(parts), hit
 
     def _compat_dispatch(self, sql: str, project: str, user: str):
         """Answer the startup probes every real PG client fires before its
@@ -454,9 +488,9 @@ class PgWireServer:
                     f'unrecognized configuration parameter "{name}"')
             # a real Spark SHOW statement (SHOW TABLES/VIEWS/...): fall
             # through to the engine, as it worked pre-probe-layer
-        if re.search(r"\bpg_(type|namespace|class|attribute)\b", low):
+        q, catalog_hit = self._rewrite_pg_catalog(s)
+        if catalog_hit:
             self._ensure_pg_catalog_views()
-            q = re.sub(r"\bpg_catalog\.", "", s, flags=re.I)
             rows = self.engine.execute_query(
                 project, q, stringify=True,
                 timeout_seconds=self.query_timeout, max_rows=self.max_rows)

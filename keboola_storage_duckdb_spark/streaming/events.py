@@ -230,7 +230,11 @@ def stream_bottom_k(spark, source_dir: str, schema,
     batch operator over the same data, tested).
 
     Emits the group's full current sample each micro-batch (update
-    mode), ranked by hash order like the batch twin.
+    mode), ranked by hash order like the batch twin. Duplicate rows
+    (same id repeated in a group) occupy one sample slot EACH, exactly
+    like the batch operator's row_number over the raw rows (ADVICE r7:
+    the previous hash-dedup state diverged from batch on repeats), so
+    state carries per-hash multiplicities capped at k total rows.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -238,22 +242,43 @@ def stream_bottom_k(spark, source_dir: str, schema,
     def update(key, pdfs, state: "GroupState"):
         import pandas as pd
 
-        pairs = (list(zip(*state.get)) if state.exists else [])
-        seen = {h for h, _ in pairs}
+        if state.exists:
+            hs, ids, cnts = state.get
+            agg = {h: [i, c] for h, i, c in zip(hs, ids, cnts)}
+        else:
+            agg = {}
         for pdf in pdfs:
             for h, i in zip(pdf["h"], pdf["id"]):
-                if h not in seen:          # distinct ids: md5 is 1:1 here
+                if h in agg:
+                    agg[h][1] += 1
+                else:
                     # numpy scalar -> plain Python, preserving the type
-                    pairs.append((h, i.item() if hasattr(i, "item") else i))
-                    seen.add(h)
-        pairs.sort()
-        pairs = pairs[:k]
-        state.update(([h for h, _ in pairs], [i for _, i in pairs]))
+                    agg[h] = [i.item() if hasattr(i, "item") else i, 1]
+        # expand to row level in hash order and keep the first k ROWS —
+        # the same cut the batch row_number filter makes inside a run of
+        # equal hashes; counts beyond the cap never matter again, so the
+        # re-compacted state stays <= k entries (bounded)
+        expanded = []
+        for h in sorted(agg):
+            i, c = agg[h]
+            take = min(c, k - len(expanded))
+            expanded.extend([(h, i)] * take)
+            if len(expanded) >= k:
+                break
+        compact: dict = {}
+        for h, i in expanded:
+            if h in compact:
+                compact[h][1] += 1
+            else:
+                compact[h] = [i, 1]
+        state.update(([h for h in compact],
+                      [v[0] for v in compact.values()],
+                      [v[1] for v in compact.values()]))
         yield pd.DataFrame({
-            "g": [key[0]] * len(pairs),
-            "id": [i for _, i in pairs],
-            "h": [h for h, _ in pairs],
-            "sample_rank": list(range(1, len(pairs) + 1)),
+            "g": [key[0]] * len(expanded),
+            "id": [i for _, i in expanded],
+            "h": [h for h, _ in expanded],
+            "sample_rank": list(range(1, len(expanded) + 1)),
         })
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
@@ -270,6 +295,7 @@ def stream_bottom_k(spark, source_dir: str, schema,
                     outputStructType=(
                         f"g STRING, id {idt}, h STRING, sample_rank INT"),
                     stateStructType=(
-                        f"hs ARRAY<STRING>, ids ARRAY<{idt}>"),
+                        f"hs ARRAY<STRING>, ids ARRAY<{idt}>, "
+                        f"counts ARRAY<INT>"),
                     outputMode="update",
                     timeoutConf=GroupStateTimeout.NoTimeout))

@@ -770,9 +770,10 @@ def test_cut_spans_null_text_is_empty_doc(spark):
 
 
 def test_stream_bottom_k_matches_batch(spark, sf_dir, tmp_path):
-    """Streaming bottom-k sample: GroupState carries exactly k (hash, id)
-    pairs per group (bounded regardless of stream length) and the final
-    sample equals the batch operator over the same distinct rows."""
+    """Streaming bottom-k sample: GroupState carries at most k sample
+    rows per group (bounded regardless of stream length) and the final
+    sample equals the batch operator over the SAME RAW rows — repeated
+    ids occupy one slot each on both sides (ADVICE r7 fix)."""
     from keboola_storage_duckdb_spark.functions.sketch import bottom_k_sample
     from keboola_storage_duckdb_spark.streaming.events import stream_bottom_k
 
@@ -789,11 +790,36 @@ def test_stream_bottom_k_matches_batch(spark, sf_dir, tmp_path):
     stream_rows = {(r.g, r.sample_rank): r.id for r in spark.sql(
         "select * from bk_test").collect()}
 
-    batch = bottom_k_sample(
-        spark.read.parquet(src).dropDuplicates(["event_type", "user_id"]),
-        "event_type", "user_id", k=8)
+    batch = bottom_k_sample(spark.read.parquet(src),
+                            "event_type", "user_id", k=8)
     batch_rows = {(r.g, r.sample_rank): r.id for r in batch.collect()}
     assert stream_rows == batch_rows
+
+
+def test_stream_bottom_k_duplicate_rows(spark, tmp_path):
+    """ADVICE r7: a repeated id must fill one sample slot PER occurrence
+    in the streaming reservoir, exactly like the batch row_number — even
+    when the occurrences arrive in different micro-batches."""
+    from keboola_storage_duckdb_spark.functions.sketch import bottom_k_sample
+    from keboola_storage_duckdb_spark.streaming.events import stream_bottom_k
+
+    rows = ([("g1", 7)] * 5 + [("g1", i) for i in range(20, 26)]
+            + [("g2", 3)] * 2)
+    df = spark.createDataFrame(rows, "grp string, uid bigint")
+    src = str(tmp_path / "dup_src")
+    df.repartition(3).write.parquet(src)   # repeats split across batches
+    got = stream_bottom_k(spark, src, df.schema,
+                          group_col="grp", id_col="uid", k=4)
+    q = (got.writeStream.format("memory").queryName("bk_dup")
+            .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream_rows = {(r.g, r.sample_rank): r.id for r in
+                   spark.sql("select * from bk_dup").collect()}
+    batch_rows = {(r.g, r.sample_rank): r.id for r in
+                  bottom_k_sample(df, "grp", "uid", k=4).collect()}
+    assert stream_rows == batch_rows
+    # g2 has 2 rows of one id -> both sampled; multiplicity preserved
+    assert [stream_rows[("g2", i)] for i in (1, 2)] == [3, 3]
 
 
 def test_stream_bottom_k_string_ids(spark, tmp_path):

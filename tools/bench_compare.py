@@ -33,7 +33,11 @@ def main() -> None:
 
         out = subprocess.run([sys.executable, "bench.py"], capture_output=True,
                              text=True, cwd="/root/repo")
-        bench = json.loads(out.stdout.strip().splitlines()[-1])["queries"]
+        head = json.loads(out.stdout.strip().splitlines()[-1])
+        # bench.py keeps stdout short (driver capture window); per-query
+        # timings live in the sidecar it names
+        bench = json.load(
+            open(os.path.join("/root/repo", head["detail_file"])))["queries"]
 
     con = duckdb.connect()
     for t in TABLES:
