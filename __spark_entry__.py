@@ -1153,6 +1153,44 @@ def q_weighted_sample(spark, sf_dir):
                            "lang", "doc_id", "n_chars", k=6)
 
 
+def q_quota_sample(spark, sf_dir):
+    """Per-group QUOTA sampling (NEW r8): the fixed-budget training-
+    mixture form — "this mixture takes 50 en docs, 20 de, all fr, no
+    zh" — deterministic bottom-k-by-md5 order per group, quota table
+    broadcast. Exercises over-quota (fr > group size → whole group),
+    explicit zero (zh) and absent group (es → no rows)."""
+    from keboola_storage_duckdb_spark.functions.sketch import quota_sample
+    return quota_sample(_t(spark, sf_dir, "documents"), "lang", "doc_id",
+                        {"en": 50, "de": 20, "fr": 100000, "zh": 0})
+
+
+_QUOTA_SAMPLE_SQL = """
+WITH q(g, quota) AS (VALUES ('de', 20), ('en', 50), ('fr', 100000),
+                            ('zh', 0)),
+ranked AS (
+    SELECT CAST(lang AS VARCHAR) AS g, doc_id AS id,
+           CAST(row_number() OVER (
+               PARTITION BY CAST(lang AS VARCHAR)
+               ORDER BY md5(CAST(doc_id AS VARCHAR))) AS INTEGER)
+               AS sample_rank
+    FROM documents WHERE doc_id IS NOT NULL)
+SELECT r.g, r.id, r.sample_rank, CAST(q.quota AS INTEGER) AS quota
+FROM ranked r JOIN q ON r.g = q.g
+WHERE r.sample_rank <= q.quota"""
+
+
+def q_ivf_recall(spark, sf_dir):
+    """ANN quality frame (NEW r8): recall@k of the IVF nprobe route
+    against the exact brute-force top-k, per query — the curve (FAISS's
+    headline metric) an ANN deployment tunes nprobe on. Both searches
+    are the certified operators; the comparison adds one semi-join and
+    a Q-row count."""
+    from keboola_storage_duckdb_spark.functions.similarity import ivf_recall
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_recall(emb, emb.filter(F.col("vec_id") < 10),
+                      "vec_id", "embedding", "label", k=5, nprobe=2)
+
+
 def q_cut_spans(spark, sf_dir):
     """Actionable substring dedup: every document rebuilt with its
     cross-doc duplicated >= 8-token spans removed (Lee et al. 2022's cut
@@ -2126,6 +2164,23 @@ SELECT query_id, neighbor_id, score, rank FROM (
 WHERE rank <= {k}"""
 
 
+def _ivf_recall_sql():
+    """Exact twin of q_ivf_recall: both searches are the already-exact
+    oracle shapes (_ANN_SQL, _ann_ivf_sql), compared with a LEFT JOIN on
+    (query, neighbor) and a per-query hit count; recall divides two
+    small exact integers."""
+    return f"""
+WITH exact AS ({_ANN_SQL}),
+ivf AS ({_ann_ivf_sql()})
+SELECT e.query_id,
+       CAST(COUNT(i.neighbor_id) AS INTEGER) AS n_hits,
+       CAST(COUNT(i.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS recall
+FROM exact e LEFT JOIN ivf i
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY e.query_id"""
+
+
 _COSINE_BLOCKED_SQL = f"""
 WITH v AS (SELECT vec_id, embedding, label,
                   {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
@@ -2523,6 +2578,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_lineitem_part": q_join_lineitem_part,  # r03-r05 window
     "top_terms": q_top_terms,                    # r03-r05 window
     "fingerprint_docs": q_fingerprint_docs,      # r03-r05 window
+    "quota_sample": q_quota_sample,              # NEW r08 tail
+    "ivf_recall": q_ivf_recall,                  # NEW r08 tail
 }
 
 
@@ -2756,6 +2813,8 @@ def oracle_sql() -> dict[str, str]:
         "bottom_k_sample": _BOTTOM_K_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "kmeans_fixed": _KMEANS_FIXED_SQL,
+        "quota_sample": _QUOTA_SAMPLE_SQL,
+        "ivf_recall": _ivf_recall_sql(),
         "repetition_signals": _REPETITION_SQL,
         "top_terms": _TOP_TERMS_SQL,
         "rollup_agg": _ROLLUP_SQL,

@@ -242,6 +242,41 @@ def ivf_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
                   .select("query_id", "neighbor_id", "score", "rank"))
 
 
+def ivf_recall(vectors: DataFrame, queries: DataFrame, id_col: str,
+               vec_col: str, label_col: str, k: int = 5,
+               nprobe: int = 2) -> DataFrame:
+    """Recall@k of the IVF route against the exact brute-force ranking —
+    the evaluation frame every ANN deployment needs before trading
+    nprobe for latency (FAISS reports exactly this curve). Per query:
+    how many of the true top-k the probed cells actually contained.
+
+    Both sides are the already-certified operators (``ivf_ann_topk``,
+    ``brute_force_topk``); the comparison is ONE left-semi join on
+    (query, neighbor) plus a per-query count — output is Q rows, so
+    every stage after the two searches is negligible. Recall divides
+    two small exact integers (IEEE-correctly-rounded on both engines).
+
+    Returns ``(query_id, n_hits, recall)``; mean recall over queries is
+    the caller's one-row agg away.
+    """
+    approx = ivf_ann_topk(vectors, queries, id_col, vec_col, label_col,
+                          k=k, nprobe=nprobe)
+    exact = brute_force_topk(vectors, queries, id_col, vec_col, k=k)
+    hits = (exact.join(approx.select("query_id", "neighbor_id"),
+                       ["query_id", "neighbor_id"], "left_semi")
+                 .groupBy("query_id")
+                 .agg(F.count(F.lit(1)).alias("n_hits")))
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    return (per_q.join(hits, "query_id", "left")
+                 .select("query_id",
+                         F.coalesce("n_hits", F.lit(0)).cast("int")
+                          .alias("n_hits"),
+                         (F.coalesce("n_hits", F.lit(0)).cast("double")
+                          / F.col("n_exact").cast("double"))
+                         .alias("recall")))
+
+
 def brute_force_topk_auto(vectors: DataFrame, queries: DataFrame,
                           id_col: str, vec_col: str, k: int = 5,
                           matmul_min_queries: int = 64) -> DataFrame:

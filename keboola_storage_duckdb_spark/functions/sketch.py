@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["hll_register_table", "hll_estimate",
            "cm_sketch_table", "cm_estimate", "bottom_k_sample",
-           "weighted_sample"]
+           "weighted_sample", "quota_sample"]
 
 
 def hll_rho(tail: "F.Column") -> "F.Column":
@@ -295,3 +295,101 @@ sel AS (
                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
 SELECT g AS "group", draw, sel_id AS id, sel_w AS weight
 FROM sel WHERE is_row = 0"""
+
+
+def quota_sample(df: DataFrame, group_col: str, id_col: str,
+                 quotas: dict[str, int],
+                 prefilter: bool = True) -> DataFrame:
+    """Per-group QUOTA sampling without replacement — the training-
+    mixture primitive stated as counts: "this mixture takes 40 docs of
+    source A, 25 of B, none of C" (weighted_sample answers the
+    with-replacement proportional form; this is the fixed-budget form a
+    curriculum/mixture spec compiles to, cf. the data-mixture tables in
+    Gopher/LLaMA-style training recipes).
+
+    Determinism comes from the bottom-k order: rows rank by ``md5(id)``
+    inside their group (reproducible run-to-run, engine-to-engine) and
+    each group keeps ``quotas[group]`` rows. Groups absent from
+    ``quotas`` yield no rows (explicit mixture = explicit zero); quotas
+    larger than the group return the whole group.
+
+    Scale path (``prefilter=True``): ranking a 100 TB group to keep 50
+    rows would shuffle the whole group into the rank window. md5 order
+    lets us PRE-FILTER instead: a row can only rank <= q if its 48-bit
+    hash prefix lands in the bottom ~(q/n) of the key space, so one
+    cheap map-side count per group sizes an integer threshold
+    (q + 6·sqrt(q) + 32 slack) and only ~quota-sized survivor sets
+    reach the shuffle — every dropped row provably sorts after every
+    survivor, so ranks are unchanged. The slack makes an undershoot
+    astronomically unlikely; an exactness GUARD still counts survivors
+    per group and falls back to the unfiltered rank if any group comes
+    up short, so the output is bit-identical to the naive form always.
+
+    Returns ``(g, id, sample_rank, quota)``.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    qmap = {str(g): int(n) for g, n in quotas.items()}
+    q = spark.createDataFrame(sorted(qmap.items()), "g string, quota int")
+    h = F.md5(F.col(id_col).cast("string"))
+    base = (df.filter(F.col(id_col).isNotNull())
+              .select(F.col(group_col).cast("string").alias("g"),
+                      F.col(id_col).alias("id"), h.alias("h")))
+
+    def ranked(rows: DataFrame) -> DataFrame:
+        w = Window.partitionBy("g").orderBy("h")
+        return (rows.withColumn("sample_rank", F.row_number().over(w))
+                    .join(F.broadcast(q), "g")
+                    .filter(F.col("sample_rank") <= F.col("quota"))
+                    .select("g", "id", "sample_rank", "quota"))
+
+    if not prefilter:
+        return ranked(base)
+
+    sizes = {r["g"]: r["n"] for r in
+             base.join(F.broadcast(q), "g")
+                 .groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    full, thresh = 1 << 48, {}
+    for g, quota in qmap.items():
+        n = sizes.get(g, 0)
+        if n == 0 or quota <= 0:
+            continue
+        if quota >= n:
+            thresh[g] = full - 1                 # keep the whole group
+        else:
+            slack = quota + 6 * int(quota ** 0.5) + 32
+            thresh[g] = min(full - 1, (slack * full) // n)
+    if not thresh:
+        return ranked(base.filter(F.lit(False)))
+    tdf = F.broadcast(spark.createDataFrame(
+        [(g, t) for g, t in sorted(thresh.items())],
+        "g string, thresh long"))
+    u = F.conv(F.substring("h", 1, 12), 16, 10).cast("long")
+    survivors = (base.join(tdf, "g")
+                     .filter(u <= F.col("thresh"))
+                     .select("g", "id", "h")
+                     .localCheckpoint(eager=False))   # guard + rank reuse
+    counts = {r["g"]: r["n"] for r in
+              survivors.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+                       .collect()}
+    for g, t in thresh.items():
+        need = min(qmap[g], sizes.get(g, 0))
+        if counts.get(g, 0) < need:              # astronomically unlikely
+            return ranked(base)
+    return ranked(survivors)
+
+
+QUOTA_SAMPLE_SQL_TEMPLATE = """
+WITH q(g, quota) AS (VALUES {quota_values}),
+ranked AS (
+    SELECT CAST({group_col} AS VARCHAR) AS g, {id_col} AS id,
+           CAST(row_number() OVER (
+               PARTITION BY CAST({group_col} AS VARCHAR)
+               ORDER BY md5(CAST({id_col} AS VARCHAR))) AS INTEGER)
+               AS sample_rank
+    FROM {table} WHERE {id_col} IS NOT NULL)
+SELECT r.g, r.id, r.sample_rank, q.quota
+FROM ranked r JOIN q ON r.g = q.g
+WHERE r.sample_rank <= q.quota"""

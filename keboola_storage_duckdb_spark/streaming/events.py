@@ -299,3 +299,53 @@ def stream_bottom_k(spark, source_dir: str, schema,
                         f"counts ARRAY<INT>"),
                     outputMode="update",
                     timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_exact_dedup(spark, source_dir: str, schema,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Streaming twin of the exact-dedup survivor selection
+    (__spark_entry__.q_dedup_survivors / functions/text.fingerprint):
+    keyed by the content fingerprint ``md5(coalesce(text, ''))``,
+    GroupState carries ONE value — the smallest id seen so far — so
+    state is O(distinct contents) with O(1) per key regardless of how
+    often a content repeats across the stream. Each micro-batch emits
+    the key's current survivor (update mode); after the stream drains,
+    the last emission per fingerprint equals the batch operator's
+    min-id survivor over the same rows — the keep-first policy, stated
+    stream-tolerantly as keep-min so arrival order cannot matter.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        best = state.get[0] if state.exists else None
+        n_prev = state.get[1] if state.exists else 0
+        n = 0
+        for pdf in pdfs:
+            for i in pdf["id"]:
+                v = i.item() if hasattr(i, "item") else i
+                n += 1
+                if best is None or v < best:
+                    best = v
+        state.update((best, n_prev + n))
+        yield pd.DataFrame({
+            "fp": [key[0]], "survivor": [best],
+            "n_rows": [n_prev + n],
+        })
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    rows = stream.select(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
+        F.col(id_col).alias("id"))
+    idt = rows.schema["id"].dataType.simpleString()
+    return (rows.groupBy("fp")
+                .applyInPandasWithState(
+                    update,
+                    outputStructType=(
+                        f"fp STRING, survivor {idt}, n_rows LONG"),
+                    stateStructType=f"best {idt}, n LONG",
+                    outputMode="update",
+                    timeoutConf=GroupStateTimeout.NoTimeout))

@@ -6,7 +6,9 @@ can't provide: quadratic-output operators must degrade gracefully (the
 inverted-index Jaccard REQUIRES its stop-shingle cap here — Σdf² grows
 ~100×; LSH/prefix paths must stay near-linear).
 
-Usage: python tools/scale_smoke.py [replication_factor]
+Usage: python tools/scale_smoke.py [replication_factor] [query ...]
+(query names restrict the run — e.g. a 30× probe of just the newest
+operators; the service-path smoke is skipped when a filter is given.)
 Writes nothing outside /root/repo.
 """
 
@@ -21,6 +23,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 REPL = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+ONLY = set(sys.argv[2:])
 SRC = "/root/testdata/sf0.1"
 DST = "/root/repo/.tmp/scale_smoke"
 
@@ -85,25 +88,29 @@ def main() -> None:
                  "pack_sequences", "repetition_signals", "hll_distinct",
                  "cm_heavy_hitters", "bottom_k_sample", "duplicate_spans",
                  "quality_verdict", "decontaminate_cut",
-                 "weighted_sample", "boilerplate_strings"]:
+                 "weighted_sample", "boilerplate_strings", "dedup_rate",
+                 "cut_spans", "dedup_cut_keep_first", "kmeans_fixed"]:
+        if ONLY and name not in ONLY:
+            continue
         run(name, lambda name=name: Q[name](spark, DST))
 
     # Quadratic-output operators at 10×: the UNBLOCKED/UNCAPPED forms are the
     # documented non-scale paths (the fixture's dense vocabulary makes Σdf²
     # grow ~100×; 20k×20k cosine pairs likewise). Measure the scale forms:
     # stop-shingle-capped inverted index, and label-blocked cosine pairs.
-    docs = load_table(spark, DST, "documents")
-    run("ngram_jaccard_capped_df200",
-        lambda: ngram_jaccard_pairs(docs, "doc_id", "text", 0.8,
-                                    max_doc_freq=200, pack_ids=True))
-    from keboola_storage_duckdb_spark.functions.similarity import (
-        cosine_near_dup_pairs)
-    emb = load_table(spark, DST, "embeddings")
-    run("cosine_near_dup_blocked",
-        lambda: cosine_near_dup_pairs(emb, "vec_id", "embedding", 0.45,
-                                      block_col="label"))
+    if not ONLY:
+        docs = load_table(spark, DST, "documents")
+        run("ngram_jaccard_capped_df200",
+            lambda: ngram_jaccard_pairs(docs, "doc_id", "text", 0.8,
+                                        max_doc_freq=200, pack_ids=True))
+        from keboola_storage_duckdb_spark.functions.similarity import (
+            cosine_near_dup_pairs)
+        emb = load_table(spark, DST, "embeddings")
+        run("cosine_near_dup_blocked",
+            lambda: cosine_near_dup_pairs(emb, "vec_id", "embedding", 0.45,
+                                          block_col="label"))
 
-    timings["service"] = service_path(spark)
+        timings["service"] = service_path(spark)
 
     print(json.dumps({"replication": REPL, "timings": timings}, indent=2))
 
