@@ -402,6 +402,11 @@ class PgWireServer:
         spark.createDataFrame(
             [], "attrelid int, attname string, atttypid int, attnum int"
             ).createOrReplaceTempView("__pgcat_attribute")
+        # pg_proc: function-existence probes (e.g. ORM capability
+        # detection) — empty result, not a parse error
+        spark.createDataFrame(
+            [], "oid int, proname string, pronamespace int"
+            ).createOrReplaceTempView("__pgcat_proc")
         # pg_settings (VERDICT r7 #6): psql's \dconfig and several ORMs
         # SELECT from it; serve the same GUCs SHOW answers from
         spark.createDataFrame(
@@ -423,7 +428,7 @@ class PgWireServer:
         for i in range(0, len(parts), 2):        # even slots = non-literal
             new = re.sub(
                 r"\b(?:pg_catalog\.)?"
-                r"pg_(type|namespace|class|attribute|settings)\b",
+                r"pg_(type|namespace|class|attribute|settings|proc)\b",
                 r"__pgcat_\1", parts[i], flags=re.I)
             if new != parts[i]:
                 hit = True

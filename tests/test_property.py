@@ -405,3 +405,35 @@ def test_duplicate_spans_model(spark, texts, k, cross):
                 if p not in covered.get(i, set())]
         assert out[i].clean_text == " ".join(keep), (i, texts)
         assert out[i].removed_tokens == len(ts) - len(keep)
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 40)),
+                     min_size=0, max_size=25, unique_by=lambda t: t),
+       quotas=st.dictionaries(st.integers(0, 4), st.integers(0, 6),
+                              max_size=5))
+@settings(**SETTINGS)
+def test_quota_sample_matches_python_model(spark, rows, quotas):
+    """quota_sample (prefilter path) vs a brute-force Python model:
+    per group, the quota smallest md5(id) rows with ranks 1..n —
+    randomized group sizes, quotas (incl. 0 / over-size / absent)."""
+    import hashlib
+
+    from keboola_storage_duckdb_spark.functions.sketch import quota_sample
+
+    df = spark.createDataFrame(rows or [(99, -1)], "g int, id long")
+    if not rows:
+        df = df.filter(F.lit(False))
+    got = {(r.g, r.sample_rank): (r.id, r.quota)
+           for r in quota_sample(df, "g", "id",
+                                 {str(k): v for k, v in quotas.items()}
+                                 ).collect()}
+    want = {}
+    for g in {r[0] for r in rows}:
+        q = quotas.get(g)
+        if not q:
+            continue
+        members = sorted((hashlib.md5(str(i).encode()).hexdigest(), i)
+                         for gg, i in rows if gg == g)
+        for rank, (_, i) in enumerate(members[:q], 1):
+            want[(str(g), rank)] = (i, q)
+    assert got == want
