@@ -1153,6 +1153,30 @@ def q_weighted_sample(spark, sf_dir):
                            "lang", "doc_id", "n_chars", k=6)
 
 
+def q_corpus_shards(spark, sf_dir):
+    """Deterministic epoch shuffle + shard layout (NEW r8): reproducible
+    md5 order key, uniform 48-bit shard assignment, and the position
+    within each shard — computed with the SAME two-phase exclusive scan
+    as pack_sequences (per-shard row_number would serialize each shard
+    into one task), bit-identical to the oracle's single window."""
+    from keboola_storage_duckdb_spark.functions.packing import corpus_shards
+    return corpus_shards(_t(spark, sf_dir, "documents"), "doc_id",
+                         n_shards=8, seed="shard")
+
+
+_CORPUS_SHARDS_SQL = """
+WITH r AS (
+  SELECT doc_id,
+         md5('shard|' || CAST(doc_id AS VARCHAR)) AS h,
+         CAST(CAST('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)),
+                                  1, 12) AS BIGINT) % 8 AS INTEGER) AS shard
+  FROM documents WHERE doc_id IS NOT NULL)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h) - 1
+            AS BIGINT) AS pos
+FROM r"""
+
+
 def q_quota_sample(spark, sf_dir):
     """Per-group QUOTA sampling (NEW r8): the fixed-budget training-
     mixture form — "this mixture takes 50 en docs, 20 de, all fr, no
@@ -2579,6 +2603,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms": q_top_terms,                    # r03-r05 window
     "fingerprint_docs": q_fingerprint_docs,      # r03-r05 window
     "quota_sample": q_quota_sample,              # NEW r08 tail
+    "corpus_shards": q_corpus_shards,            # NEW r08 tail
     "ivf_recall": q_ivf_recall,                  # NEW r08 tail
 }
 
@@ -2814,6 +2839,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "kmeans_fixed": _KMEANS_FIXED_SQL,
         "quota_sample": _QUOTA_SAMPLE_SQL,
+        "corpus_shards": _CORPUS_SHARDS_SQL,
         "ivf_recall": _ivf_recall_sql(),
         "repetition_signals": _REPETITION_SQL,
         "top_terms": _TOP_TERMS_SQL,

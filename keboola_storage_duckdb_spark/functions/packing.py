@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from .text import BPE_REGEX
 
-__all__ = ["pack_token_stream"]
+__all__ = ["pack_token_stream", "corpus_shards"]
 
 
 def pack_token_stream(docs: DataFrame, id_col: str, text_col: str,
@@ -85,3 +85,55 @@ def pack_token_stream(docs: DataFrame, id_col: str, text_col: str,
                                 f"DIV {max_len}").alias("last_chunk")))
     return out.withColumn(
         "n_chunks", F.col("last_chunk") - F.col("first_chunk") + F.lit(1))
+
+
+def corpus_shards(docs: DataFrame, id_col: str, n_shards: int = 8,
+                  seed: str = "shard",
+                  partitions: int | None = None) -> DataFrame:
+    """Deterministic global shuffle + shard layout for a training run:
+    every row gets a reproducible pseudo-random order key
+    ``md5(seed|id)``, a uniform shard ``first-48-bits(key) % n_shards``,
+    and its 0-based position within the shard in key order — the
+    (shard, pos) layout a data loader streams from, with a new ``seed``
+    per epoch re-shuffling the corpus without any RNG state.
+
+    Scale: the naive per-shard ``row_number`` serializes each shard into
+    one task (n_shards is small — the whole corpus would sort in
+    n_shards tasks). Positions therefore come from the same TWO-PHASE
+    exclusive scan as ``pack_token_stream``: range-repartition by the
+    order key, per-(partition, shard) counts → driver-side exclusive
+    offsets (O(P·S) scalars, never row data), broadcast back + an
+    intra-partition rank. Bit-identical to the single-window form (the
+    DuckDB oracle) while staying partition-parallel.
+    """
+    spark = docs.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    rows = (docs.filter(F.col(id_col).isNotNull())
+                .select(F.col(id_col).alias("doc_id"), h.alias("h"))
+                .withColumn("shard",
+                            (F.conv(F.substring("h", 1, 12), 16, 10)
+                              .cast("long") % n_shards).cast("int")))
+
+    ranged = (rows.repartitionByRange(partitions, "h")
+                  .withColumn("pid", F.spark_partition_id())
+                  .localCheckpoint(eager=False))   # pin pid assignment
+
+    counts = ranged.groupBy("pid", "shard") \
+                   .agg(F.count(F.lit(1)).alias("n")).collect()
+    acc: dict[int, int] = {}
+    offsets = []
+    for r in sorted(counts, key=lambda r: (r.shard, r.pid)):
+        offsets.append((r.pid, r.shard, acc.get(r.shard, 0)))
+        acc[r.shard] = acc.get(r.shard, 0) + r.n
+    off = spark.createDataFrame(offsets or [(0, 0, 0)],
+                                "pid int, shard int, off long")
+
+    w = (Window.partitionBy("pid", "shard").orderBy("h")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    return (ranged.join(F.broadcast(off), ["pid", "shard"])
+                  .withColumn("pos", F.col("off")
+                              + F.coalesce(F.count(F.lit(1)).over(w),
+                                           F.lit(0)))
+                  .select("doc_id", "shard", "pos"))

@@ -111,6 +111,40 @@ def test_stream_exact_dedup_matches_batch_survivors(spark, sf_dir,
     assert final == expected
 
 
+def test_corpus_shards_layout_and_parallel_plan(spark, sf_dir):
+    """(shard, pos) is a dense 0..n_s-1 numbering per shard in global
+    md5 order; changing the seed reshuffles; and the plan never plans a
+    SinglePartition exchange (two-phase scan, like pack_sequences)."""
+    import hashlib
+
+    from keboola_storage_duckdb_spark.functions.packing import corpus_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_shards(docs, "doc_id", n_shards=4, seed="e1")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    rows = out.collect()
+    assert len(rows) == docs.count()
+
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    model = {}
+    for r in docs.select("doc_id").collect():
+        h = hashlib.md5(f"e1|{r.doc_id}".encode()).hexdigest()
+        model.setdefault(int(h[:12], 16) % 4, []).append((h, r.doc_id))
+    for shard, members in by_shard.items():
+        want = [d for _, d in sorted(model[shard])]
+        got = [r.doc_id for r in sorted(members, key=lambda r: r.pos)]
+        assert [r.pos for r in sorted(members, key=lambda r: r.pos)] \
+            == list(range(len(members)))
+        assert got == want
+    # a different seed produces a different order
+    other = corpus_shards(docs, "doc_id", n_shards=4, seed="e2")
+    assert {(r.doc_id, r.shard, r.pos) for r in other.collect()} \
+        != {(r.doc_id, r.shard, r.pos) for r in rows}
+
+
 def test_kmeans_fixed_agrees_with_duckdb_unrolled(spark, sf_dir, duck):
     """The 2-iteration Lloyd assignment is bit-identical to the unrolled
     DuckDB oracle (seed order, centroid means, argmin tie-breaks)."""

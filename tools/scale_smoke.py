@@ -89,7 +89,8 @@ def main() -> None:
                  "cm_heavy_hitters", "bottom_k_sample", "duplicate_spans",
                  "quality_verdict", "decontaminate_cut",
                  "weighted_sample", "boilerplate_strings", "dedup_rate",
-                 "cut_spans", "dedup_cut_keep_first", "kmeans_fixed"]:
+                 "cut_spans", "dedup_cut_keep_first", "kmeans_fixed",
+                 "quota_sample", "ivf_recall", "corpus_shards"]:
         if ONLY and name not in ONLY:
             continue
         run(name, lambda name=name: Q[name](spark, DST))
