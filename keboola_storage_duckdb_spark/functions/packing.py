@@ -36,6 +36,49 @@ from .text import BPE_REGEX
 __all__ = ["pack_token_stream", "corpus_shards"]
 
 
+def _exclusive_scan(rows: DataFrame, order_col: str,
+                    group_cols: list[str], weight_col: str,
+                    off_schema: str, partitions: int,
+                    out_col: str) -> DataFrame:
+    """Shared two-phase exclusive prefix scan: ``out_col`` = the sum of
+    ``weight_col`` over all rows strictly before this one in
+    ``order_col`` order within its ``group_cols`` group (global when
+    empty) — bit-identical to the single-partition window while every
+    stage stays partition-parallel.
+
+    1. range-repartition by the order key so partition *p* holds a
+       contiguous key range and pids increase with the key (pinned by a
+       lazy localCheckpoint);
+    2. per-(pid, group) totals -> driver-side exclusive offsets (O(P·G)
+       scalars — AQE-class metadata, never row data);
+    3. broadcast offsets back + an intra-partition running window.
+    """
+    spark = rows.sparkSession
+    ranged = (rows.repartitionByRange(partitions, order_col)
+                  .withColumn("pid", F.spark_partition_id())
+                  .localCheckpoint(eager=False))   # pin pid assignment
+
+    totals = ranged.groupBy("pid", *group_cols) \
+                   .agg(F.sum(weight_col).alias("t")).collect()
+    acc: dict[tuple, int] = {}
+    offsets = []
+    for r in sorted(totals,
+                    key=lambda r: (tuple(r[g] for g in group_cols),
+                                   r["pid"])):
+        gk = tuple(r[g] for g in group_cols)
+        offsets.append((r["pid"], *gk, acc.get(gk, 0)))
+        acc[gk] = acc.get(gk, 0) + r["t"]
+    off = spark.createDataFrame(offsets, off_schema)
+
+    w = (Window.partitionBy("pid", *group_cols).orderBy(order_col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    return (ranged.join(F.broadcast(off), ["pid", *group_cols])
+                  .withColumn(out_col,
+                              F.col("off") + F.coalesce(
+                                  F.sum(weight_col).over(w), F.lit(0)))
+                  .drop("pid", "off"))
+
+
 def pack_token_stream(docs: DataFrame, id_col: str, text_col: str,
                       max_len: int = 2048,
                       partitions: int | None = None) -> DataFrame:
@@ -56,33 +99,12 @@ def pack_token_stream(docs: DataFrame, id_col: str, text_col: str,
                  .cast("long").alias("n_tokens"))
                 .filter(F.col("n_tokens") > 0))
 
-    # phase 1: contiguous key ranges per partition, pid increasing with key
-    ranged = (toks.repartitionByRange(partitions, "doc_id")
-                  .withColumn("pid", F.spark_partition_id())
-                  .localCheckpoint(eager=False))   # pin pid assignment
-
-    # phase 2: P per-partition totals -> P exclusive prefix offsets
-    totals = sorted(ranged.groupBy("pid")
-                          .agg(F.sum("n_tokens").alias("t")).collect(),
-                    key=lambda r: r.pid)
-    offsets, acc = [], 0
-    for row in totals:
-        offsets.append((row.pid, acc))
-        acc += row.t
-    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
-
-    # phase 3: intra-partition exclusive cumsum + broadcast offset
-    w = (Window.partitionBy("pid").orderBy("doc_id")
-               .rowsBetween(Window.unboundedPreceding, -1))
-    out = (ranged.join(F.broadcast(off), "pid")
-                 .withColumn("start_token",
-                             F.col("off") + F.coalesce(
-                                 F.sum("n_tokens").over(w), F.lit(0)))
-                 .select("doc_id", "n_tokens", "start_token",
-                         F.expr(f"start_token DIV {max_len}")
-                          .alias("first_chunk"),
-                         F.expr(f"(start_token + n_tokens - 1) "
-                                f"DIV {max_len}").alias("last_chunk")))
+    out = _exclusive_scan(toks, "doc_id", [], "n_tokens",
+                          "pid int, off long", partitions, "start_token") \
+        .select("doc_id", "n_tokens", "start_token",
+                F.expr(f"start_token DIV {max_len}").alias("first_chunk"),
+                F.expr(f"(start_token + n_tokens - 1) DIV {max_len}")
+                 .alias("last_chunk"))
     return out.withColumn(
         "n_chunks", F.col("last_chunk") - F.col("first_chunk") + F.lit(1))
 
@@ -116,24 +138,8 @@ def corpus_shards(docs: DataFrame, id_col: str, n_shards: int = 8,
                             (F.conv(F.substring("h", 1, 12), 16, 10)
                               .cast("long") % n_shards).cast("int")))
 
-    ranged = (rows.repartitionByRange(partitions, "h")
-                  .withColumn("pid", F.spark_partition_id())
-                  .localCheckpoint(eager=False))   # pin pid assignment
-
-    counts = ranged.groupBy("pid", "shard") \
-                   .agg(F.count(F.lit(1)).alias("n")).collect()
-    acc: dict[int, int] = {}
-    offsets = []
-    for r in sorted(counts, key=lambda r: (r.shard, r.pid)):
-        offsets.append((r.pid, r.shard, acc.get(r.shard, 0)))
-        acc[r.shard] = acc.get(r.shard, 0) + r.n
-    off = spark.createDataFrame(offsets or [(0, 0, 0)],
-                                "pid int, shard int, off long")
-
-    w = (Window.partitionBy("pid", "shard").orderBy("h")
-               .rowsBetween(Window.unboundedPreceding, -1))
-    return (ranged.join(F.broadcast(off), ["pid", "shard"])
-                  .withColumn("pos", F.col("off")
-                              + F.coalesce(F.count(F.lit(1)).over(w),
-                                           F.lit(0)))
-                  .select("doc_id", "shard", "pos"))
+    rows = rows.withColumn("one", F.lit(1).cast("long"))
+    return _exclusive_scan(rows, "h", ["shard"], "one",
+                           "pid int, shard int, off long", partitions,
+                           "pos") \
+        .select("doc_id", "shard", "pos")

@@ -261,7 +261,11 @@ def ivf_recall(vectors: DataFrame, queries: DataFrame, id_col: str,
     """
     approx = ivf_ann_topk(vectors, queries, id_col, vec_col, label_col,
                           k=k, nprobe=nprobe)
-    exact = brute_force_topk(vectors, queries, id_col, vec_col, k=k)
+    # genuine multi-consumer cut point (hits + per_q): without it Spark
+    # re-runs the full Q x N exact search once per branch (no
+    # cross-branch CSE — the duplicate_spans lesson, NOTES r7)
+    exact = brute_force_topk(vectors, queries, id_col, vec_col, k=k) \
+        .localCheckpoint(eager=False)
     hits = (exact.join(approx.select("query_id", "neighbor_id"),
                        ["query_id", "neighbor_id"], "left_semi")
                  .groupBy("query_id")

@@ -337,9 +337,13 @@ def stream_exact_dedup(spark, source_dir: str, schema,
         })
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
-    rows = stream.select(
+    # null ids are skipped like the batch twin's min() would skip them
+    # (review fix: a None/NaN id would otherwise crash or poison the
+    # running min in state)
+    rows = (stream.filter(F.col(id_col).isNotNull())
+                  .select(
         F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
-        F.col(id_col).alias("id"))
+        F.col(id_col).alias("id")))
     idt = rows.schema["id"].dataType.simpleString()
     return (rows.groupBy("fp")
                 .applyInPandasWithState(
