@@ -1203,6 +1203,39 @@ FROM ranked r JOIN q ON r.g = q.g
 WHERE r.sample_rank <= q.quota"""
 
 
+def q_token_quota_sample(spark, sf_dir):
+    """Token-budget mixture sampling (NEW r8): greedy hash-order prefix
+    per group until the stated token budget is reached — the
+    "N tokens of source X" form a training recipe states. The exclusive
+    running sum is CAST to BIGINT on both engines (the HUGEINT oracle
+    class the r8 type audit now guards)."""
+    from keboola_storage_duckdb_spark.functions.sketch import (
+        token_quota_sample)
+    return token_quota_sample(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", "n_chars",
+        {"en": 20000, "de": 5000, "zh": 100000000, "es": 0})
+
+
+_TOKEN_QUOTA_SQL = """
+WITH b(g, budget) AS (VALUES ('de', CAST(5000 AS BIGINT)),
+                             ('en', CAST(20000 AS BIGINT)),
+                             ('es', CAST(0 AS BIGINT)),
+                             ('zh', CAST(100000000 AS BIGINT))),
+r AS (SELECT CAST(lang AS VARCHAR) AS g, doc_id AS id,
+             CAST(n_chars AS BIGINT) AS weight,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE doc_id IS NOT NULL),
+c AS (SELECT g, id, weight,
+             CAST(COALESCE(SUM(weight) OVER (
+                 PARTITION BY g ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS cum_before
+      FROM r)
+SELECT c.g, c.id, c.weight, c.cum_before
+FROM c JOIN b ON c.g = b.g
+WHERE c.cum_before < b.budget"""
+
+
 def q_ivf_recall(spark, sf_dir):
     """ANN quality frame (NEW r8): recall@k of the IVF nprobe route
     against the exact brute-force top-k, per query — the curve (FAISS's
@@ -2604,6 +2637,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_docs": q_fingerprint_docs,      # r03-r05 window
     "quota_sample": q_quota_sample,              # NEW r08 tail
     "corpus_shards": q_corpus_shards,            # NEW r08 tail
+    "token_quota_sample": q_token_quota_sample,  # NEW r08 tail
     "ivf_recall": q_ivf_recall,                  # NEW r08 tail
 }
 
@@ -2840,6 +2874,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_fixed": _KMEANS_FIXED_SQL,
         "quota_sample": _QUOTA_SAMPLE_SQL,
         "corpus_shards": _CORPUS_SHARDS_SQL,
+        "token_quota_sample": _TOKEN_QUOTA_SQL,
         "ivf_recall": _ivf_recall_sql(),
         "repetition_signals": _REPETITION_SQL,
         "top_terms": _TOP_TERMS_SQL,

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["hll_register_table", "hll_estimate",
            "cm_sketch_table", "cm_estimate", "bottom_k_sample",
-           "weighted_sample", "quota_sample"]
+           "weighted_sample", "quota_sample", "token_quota_sample"]
 
 
 def hll_rho(tail: "F.Column") -> "F.Column":
@@ -393,3 +393,46 @@ ranked AS (
 SELECT r.g, r.id, r.sample_rank, q.quota
 FROM ranked r JOIN q ON r.g = q.g
 WHERE r.sample_rank <= q.quota"""
+
+
+def token_quota_sample(df: DataFrame, group_col: str, id_col: str,
+                       weight_col: str,
+                       budgets: dict[str, int]) -> DataFrame:
+    """Per-group TOKEN-budget sampling — the mixture form training
+    recipes actually state ("2B tokens of code, 500M of forum text"):
+    rows are taken in deterministic ``md5(id)`` order per group until
+    the group's budget is exhausted. A row is kept when the cumulative
+    weight of the rows BEFORE it is still under budget, so the prefix
+    always reaches (and may slightly overshoot by part of one document)
+    the budget — the greedy rule every token-budget sampler uses.
+
+    Same determinism story as quota_sample (engine-portable hash order,
+    no RNG); one per-group running-sum window is the only shuffle. The
+    hash-threshold prefilter does NOT apply here (eligibility depends
+    on the weight prefix sum, not the row's own hash rank), so a group
+    vastly larger than its budget pays a full rank — at that shape,
+    bound the scan with quota_sample on an estimated doc count first,
+    then trim by token budget.
+
+    Returns ``(g, id, weight, cum_before)``.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    bmap = {str(g): int(n) for g, n in budgets.items()}
+    b = F.broadcast(spark.createDataFrame(sorted(bmap.items()),
+                                          "g string, budget long"))
+    h = F.md5(F.col(id_col).cast("string"))
+    w = (Window.partitionBy("g").orderBy("h")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    rows = (df.filter(F.col(id_col).isNotNull())
+              .select(F.col(group_col).cast("string").alias("g"),
+                      F.col(id_col).alias("id"),
+                      F.col(weight_col).cast("long").alias("weight"),
+                      h.alias("h")))
+    return (rows.withColumn("cum_before",
+                            F.coalesce(F.sum("weight").over(w), F.lit(0))
+                             .cast("long"))
+                .join(b, "g")
+                .filter(F.col("cum_before") < F.col("budget"))
+                .select("g", "id", "weight", "cum_before"))

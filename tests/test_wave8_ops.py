@@ -111,6 +111,41 @@ def test_stream_exact_dedup_matches_batch_survivors(spark, sf_dir,
     assert final == expected
 
 
+def test_token_quota_sample_greedy_prefix(spark, sf_dir):
+    """Kept rows are exactly the greedy hash-order prefix whose
+    exclusive cumulative weight stays under budget — verified against a
+    Python model; zero budget and huge budget behave."""
+    import hashlib
+
+    from keboola_storage_duckdb_spark.functions.sketch import (
+        token_quota_sample)
+
+    docs = load_table(spark, sf_dir, "documents")
+    budgets = {"en": 3000, "de": 1, "zh": 10**9, "es": 0}
+    got = {(r.g, r.id): (r.weight, r.cum_before) for r in
+           token_quota_sample(docs, "lang", "doc_id", "n_chars",
+                              budgets).collect()}
+
+    rows = docs.select("lang", "doc_id", "n_chars").collect()
+    want = {}
+    for g in {r.lang for r in rows}:
+        if g not in budgets:
+            continue
+        members = sorted(
+            (hashlib.md5(str(r.doc_id).encode()).hexdigest(),
+             r.doc_id, r.n_chars) for r in rows if r.lang == g)
+        cum = 0
+        for _, did, w in members:
+            if cum < budgets[g]:
+                want[(g, did)] = (w, cum)
+            cum += w
+    assert got == want
+    # de budget 1 keeps exactly the first doc; zh huge keeps the group
+    assert sum(1 for (g, _) in got if g == "de") == 1
+    assert sum(1 for (g, _) in got if g == "zh") \
+        == sum(1 for r in rows if r.lang == "zh")
+
+
 def test_corpus_shards_layout_and_parallel_plan(spark, sf_dir):
     """(shard, pos) is a dense 0..n_s-1 numbering per shard in global
     md5 order; changing the seed reshuffles; and the plan never plans a
