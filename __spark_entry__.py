@@ -616,6 +616,30 @@ def q_minhash_lsh(spark, sf_dir):
                              n_hashes=12, band_size=4, threshold=0.8)
 
 
+def q_minhash_dedup_keep(spark, sf_dir):
+    """End-to-end MinHash dedup (NEW r8): detect (LSH candidates +
+    exact-Jaccard verify) → cluster (connected components) → select
+    (keep the min-id member; singletons keep themselves) — the same
+    detect→cluster→select frame near_dedup_keep certifies for
+    embeddings, here over the text MinHash family, so a pipeline can
+    drop textual near-dups with one join."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        minhash_lsh_pairs)
+    from keboola_storage_duckdb_spark.functions.graph import (
+        connected_components)
+    docs = _t(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(docs, "doc_id", "text",
+                              n_hashes=12, band_size=4, threshold=0.8)
+    cc = connected_components(edges.select("id_a", "id_b")) \
+        .withColumnRenamed("id", "doc_id")
+    return (docs.select("doc_id").join(cc, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("cluster", F.col("doc_id"))
+                         .alias("cluster"),
+                        (F.coalesce("cluster", F.col("doc_id"))
+                         == F.col("doc_id")).alias("keep")))
+
+
 def q_simhash_pairs(spark, sf_dir):
     """32-bit SimHash near-dup pairs, Hamming ≤ 3, pigeonhole-blocked."""
     from keboola_storage_duckdb_spark.functions.dedup_ml import simhash_pairs
@@ -2021,6 +2045,22 @@ JOIN sizes sb ON sb.id = id_b
 WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {threshold}"""
 
 
+def _minhash_dedup_keep_sql():
+    """Exact twin of q_minhash_dedup_keep: the certified MinHash pair
+    SQL as the edge set, the dedup_clusters recursive reachability
+    closure, and the near_dedup_keep keep-frame join."""
+    return f"""
+WITH RECURSIVE p AS ({_minhash_sql()}),
+ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+r AS (SELECT DISTINCT a AS id, a AS lab FROM ed
+      UNION
+      SELECT ed.b AS id, r.lab FROM r JOIN ed ON ed.a = r.id),
+cc AS (SELECT id, MIN(lab) AS cluster FROM r GROUP BY id)
+SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster,
+       COALESCE(cc.cluster, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN cc ON cc.id = d.doc_id"""
+
+
 _NGRAM_JACCARD_SQL = """
 WITH toks AS (SELECT doc_id AS id, str_split(text, ' ') AS t FROM documents),
 sh AS (SELECT DISTINCT id,
@@ -2638,6 +2678,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quota_sample": q_quota_sample,              # NEW r08 tail
     "corpus_shards": q_corpus_shards,            # NEW r08 tail
     "token_quota_sample": q_token_quota_sample,  # NEW r08 tail
+    "minhash_dedup_keep": q_minhash_dedup_keep,  # NEW r08 tail
     "ivf_recall": q_ivf_recall,                  # NEW r08 tail
 }
 
@@ -2875,6 +2916,7 @@ def oracle_sql() -> dict[str, str]:
         "quota_sample": _QUOTA_SAMPLE_SQL,
         "corpus_shards": _CORPUS_SHARDS_SQL,
         "token_quota_sample": _TOKEN_QUOTA_SQL,
+        "minhash_dedup_keep": _minhash_dedup_keep_sql(),
         "ivf_recall": _ivf_recall_sql(),
         "repetition_signals": _REPETITION_SQL,
         "top_terms": _TOP_TERMS_SQL,
