@@ -1369,6 +1369,102 @@ class StorageEngine:
         self._log("snapshot_restore", table=table, snapshot=snapshot_id)
         return {"row_count": rows}
 
+    def snapshot_diff(self, project: str, bucket: str, table: str,
+                      snapshot_id: str, other_snapshot_id: str | None = None,
+                      sample_limit: int = 100) -> dict:
+        """Beyond-parity: what changed between a snapshot and the live
+        table (or between two snapshots — ``other_snapshot_id`` is the
+        "new" side). The reference stops at create/list/restore/delete;
+        an operator deciding WHETHER to restore needs the diff first.
+
+        With a primary key: one full-outer join on the PK comparing an
+        md5 row fingerprint over the non-PK, non-system columns
+        (``_``-prefixed columns like ``_timestamp`` are load metadata,
+        not content — the same exclusion imports apply,
+        reference src/grpc/handlers/import_export.py:300-312) —
+        added / removed / changed / unchanged counts plus a bounded key
+        sample per category. Without a PK: a multiset diff of full-row
+        fingerprints (added/removed only — "changed" is undefined
+        without identity). Both shapes are one shuffle on the join key
+        and return O(1) counts + O(sample_limit) rows to the driver.
+        """
+        from pyspark.sql import functions as F
+
+        sd = self.catalog.snapshot_dir(project, bucket, table)
+        path = os.path.join(sd, snapshot_id)
+        if not os.path.isdir(path):
+            raise NotFoundError(f"snapshot {snapshot_id} not found")
+        with open(path + ".schema.json") as f:
+            sidecar = json.load(f)
+        old = self.spark.read.parquet(path)
+        if other_snapshot_id is not None:
+            path2 = os.path.join(sd, other_snapshot_id)
+            if not os.path.isdir(path2):
+                raise NotFoundError(
+                    f"snapshot {other_snapshot_id} not found")
+            new = self.spark.read.parquet(path2)
+        else:
+            new = self.read_table(project, bucket, table)
+        pk = sidecar.get("primary_key") or []
+
+        def fingerprint(df, cols):
+            parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                     for c in cols]
+            return F.md5(F.concat_ws("\x01", *parts)) if parts \
+                else F.lit("")
+
+        if pk:
+            data_cols = [c for c in new.columns
+                         if c not in pk and not c.startswith("_")
+                         and c in old.columns]
+            o = old.select(*pk, fingerprint(old, data_cols).alias("_fp_o"))
+            n = new.select(*pk, fingerprint(new, data_cols).alias("_fp_n"))
+            j = o.join(n, pk, "full_outer").select(
+                *pk,
+                F.when(F.col("_fp_o").isNull(), F.lit("added"))
+                 .when(F.col("_fp_n").isNull(), F.lit("removed"))
+                 .when(F.col("_fp_o") != F.col("_fp_n"),
+                       F.lit("changed"))
+                 .otherwise(F.lit("unchanged")).alias("status"))
+            counts = {r["status"]: r["n"] for r in
+                      j.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+                       .collect()}
+            samples = {
+                s: [{c: r[c] for c in pk} for r in
+                    j.filter(F.col("status") == s).orderBy(*pk)
+                     .limit(sample_limit).collect()]
+                for s in ("added", "removed", "changed")}
+            out = {"mode": "primary_key", "primary_key": pk,
+                   "added": counts.get("added", 0),
+                   "removed": counts.get("removed", 0),
+                   "changed": counts.get("changed", 0),
+                   "unchanged": counts.get("unchanged", 0),
+                   "samples": samples}
+        else:
+            cols = [c for c in new.columns
+                    if not c.startswith("_") and c in old.columns]
+            o = (old.groupBy(fingerprint(old, cols).alias("fp"))
+                    .agg(F.count(F.lit(1)).alias("n_o")))
+            n = (new.groupBy(fingerprint(new, cols).alias("fp"))
+                    .agg(F.count(F.lit(1)).alias("n_n")))
+            j = (o.join(n, "fp", "full_outer")
+                  .select(F.coalesce("n_o", F.lit(0)).alias("n_o"),
+                          F.coalesce("n_n", F.lit(0)).alias("n_n")))
+            agg = j.agg(
+                F.sum(F.greatest(F.col("n_n") - F.col("n_o"), F.lit(0)))
+                 .alias("added"),
+                F.sum(F.greatest(F.col("n_o") - F.col("n_n"), F.lit(0)))
+                 .alias("removed"),
+                F.sum(F.least("n_o", "n_n")).alias("unchanged")).collect()[0]
+            out = {"mode": "rowset",
+                   "added": int(agg["added"] or 0),
+                   "removed": int(agg["removed"] or 0),
+                   "changed": 0,
+                   "unchanged": int(agg["unchanged"] or 0)}
+        self._log("snapshot_diff", table=table, snapshot=snapshot_id,
+                  other=other_snapshot_id)
+        return out
+
     # ------------------------------------------------------------ branches
     def create_branch(self, project: str, branch: str) -> None:
         """CreateDevBranch: empty branch dir; tables CoW on first write

@@ -514,6 +514,14 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
         return jsonify(engine.snapshot_restore(
             project, body["bucket"], body["table"], snapshot_id))
 
+    @app.post(snaps + "/<snapshot_id>/diff")
+    def snapshot_diff(project, branch_id, snapshot_id):
+        body = request.get_json(force=True)
+        return jsonify(engine.snapshot_diff(
+            project, body["bucket"], body["table"], snapshot_id,
+            other_snapshot_id=body.get("other_snapshot_id"),
+            sample_limit=int(body.get("sample_limit", 100))))
+
     @app.delete(snaps + "/<snapshot_id>")
     def snapshot_delete(project, branch_id, snapshot_id):
         engine.snapshot_delete(project, request.args["bucket"],

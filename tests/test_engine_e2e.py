@@ -452,3 +452,57 @@ def test_import_create_mode_and_import_as_null(engine, csv_path, tmp_path):
             engine.read_table("p1", "in_c_data", "users_nulls").collect()}
     assert rows[7].name is None and rows[7].age is None
     assert rows[8].name == "Hank" and rows[8].age == 44
+
+
+def test_snapshot_diff_pk_and_rowset(engine, tmp_path):
+    """Beyond-parity snapshot diff: PK mode classifies added / removed /
+    changed / unchanged by row fingerprint (system columns excluded);
+    rowset mode (no PK) reports multiset added/removed; and diffing two
+    snapshots works."""
+    import pandas as pd
+
+    p = str(tmp_path / "d1.csv")
+    pd.DataFrame({"id": [1, 2, 3], "name": ["a", "b", "c"]}).to_csv(
+        p, index=False)
+    cols = [{"name": "id", "type": "INTEGER"},
+            {"name": "name", "type": "VARCHAR"}]
+    engine.create_table("p1", "in_c_data", "diff_t", cols,
+                        primary_key=["id"])
+    engine.import_file("p1", "in_c_data", "diff_t", p, file_format="csv")
+    snap1 = engine.snapshot_create("p1", "in_c_data", "diff_t", "s1")
+
+    p2 = str(tmp_path / "d2.csv")
+    # 1 unchanged, 2 changed, 3 removed (full load), 4 added
+    pd.DataFrame({"id": [1, 2, 4], "name": ["a", "B", "d"]}).to_csv(
+        p2, index=False)
+    engine.import_file("p1", "in_c_data", "diff_t", p2, file_format="csv")
+
+    d = engine.snapshot_diff("p1", "in_c_data", "diff_t",
+                             snap1["snapshot_id"])
+    assert (d["mode"], d["added"], d["removed"], d["changed"],
+            d["unchanged"]) == ("primary_key", 1, 1, 1, 1)
+    assert d["samples"]["added"] == [{"id": 4}]
+    assert d["samples"]["removed"] == [{"id": 3}]
+    assert d["samples"]["changed"] == [{"id": 2}]
+
+    # snapshot-to-snapshot: diff s1 -> s2 equals the live diff above
+    snap2 = engine.snapshot_create("p1", "in_c_data", "diff_t", "s2")
+    d2 = engine.snapshot_diff("p1", "in_c_data", "diff_t",
+                              snap1["snapshot_id"],
+                              other_snapshot_id=snap2["snapshot_id"])
+    assert {k: d2[k] for k in ("added", "removed", "changed",
+                               "unchanged")} \
+        == {k: d[k] for k in ("added", "removed", "changed", "unchanged")}
+
+    # rowset mode: same data, no PK -> multiset counts only
+    engine.create_table("p1", "in_c_data", "diff_np", cols)
+    engine.import_file("p1", "in_c_data", "diff_np", p, file_format="csv")
+    s = engine.snapshot_create("p1", "in_c_data", "diff_np", "s1")
+    engine.import_file("p1", "in_c_data", "diff_np", p2,
+                       file_format="csv")
+    dn = engine.snapshot_diff("p1", "in_c_data", "diff_np",
+                              s["snapshot_id"])
+    assert (dn["mode"], dn["added"], dn["removed"], dn["unchanged"]) \
+        == ("rowset", 2, 2, 1)
+    engine.drop_table("p1", "in_c_data", "diff_t")
+    engine.drop_table("p1", "in_c_data", "diff_np")

@@ -125,6 +125,13 @@ def test_snapshot_restore_delete_and_row_delete(client):
                       data=json.dumps({"where": "age > 26"}),
                       content_type="application/json")
     assert r.get_json()["rows_remaining"] == 1  # only Bobby (26) survives
+    # the diff endpoint explains what the restore would bring back
+    d = _post(client,
+              f"/projects/p1/branches/default/snapshots"
+              f"/{snap['snapshot_id']}/diff",
+              {"bucket": "in_c_data", "table": "users"}).get_json()
+    assert d["mode"] == "primary_key"
+    assert d["removed"] == 3 and d["added"] == 0 and d["unchanged"] == 1
     rest = _post(client,
                  f"/projects/p1/branches/default/snapshots/{snap['snapshot_id']}/restore",
                  {"bucket": "in_c_data", "table": "users"})
