@@ -616,6 +616,16 @@ def q_minhash_lsh(spark, sf_dir):
                              n_hashes=12, band_size=4, threshold=0.8)
 
 
+def q_encoding_quality(spark, sf_dir):
+    """Mojibake/encoding-damage filter (NEW r8): U+FFFD tombstones, raw
+    control bytes, non-ASCII ratio — counts via length-minus-replaced
+    narrow maps, keep rule all-integer. The C4 cleanup rule the quality
+    stack was missing."""
+    from keboola_storage_duckdb_spark.functions.text import encoding_quality
+    return encoding_quality(_t(spark, sf_dir, "documents"),
+                            "doc_id", "text")
+
+
 def q_minhash_dedup_keep(spark, sf_dir):
     """End-to-end MinHash dedup (NEW r8): detect (LSH candidates +
     exact-Jaccard verify) → cluster (connected components) → select
@@ -2679,6 +2689,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_shards": q_corpus_shards,            # NEW r08 tail
     "token_quota_sample": q_token_quota_sample,  # NEW r08 tail
     "minhash_dedup_keep": q_minhash_dedup_keep,  # NEW r08 tail
+    "encoding_quality": q_encoding_quality,      # NEW r08 tail
     "ivf_recall": q_ivf_recall,                  # NEW r08 tail
 }
 
@@ -2917,6 +2928,11 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shards": _CORPUS_SHARDS_SQL,
         "token_quota_sample": _TOKEN_QUOTA_SQL,
         "minhash_dedup_keep": _minhash_dedup_keep_sql(),
+        "encoding_quality": __import__(
+            "keboola_storage_duckdb_spark.functions.text",
+            fromlist=["ENCODING_QUALITY_SQL_TEMPLATE"]
+        ).ENCODING_QUALITY_SQL_TEMPLATE.format(
+            id_col="doc_id", text_col="text", table="documents"),
         "ivf_recall": _ivf_recall_sql(),
         "repetition_signals": _REPETITION_SQL,
         "top_terms": _TOP_TERMS_SQL,

@@ -464,3 +464,66 @@ def quality_verdict(docs: DataFrame, id_col: str, text_col: str,
     return j.select("doc_id", "lang",
                     F.coalesce(keep, F.lit(False)).alias("keep"),
                     reasons.alias("reasons"))
+
+
+# shared by the Spark op and its DuckDB twin: RE2- and Java-identical
+# classes (two-digit \xNN and \x{FFFD} parse the same in both engines)
+ENCODING_CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+ENCODING_REPLACEMENT_RE = r"\x{FFFD}"
+ENCODING_NON_ASCII_RE = r"[^\x00-\x7f]"
+
+
+def encoding_quality(docs: DataFrame, id_col: str,
+                     text_col: str) -> DataFrame:
+    """Mojibake / encoding-damage filter (the C4 cleanup rule: drop
+    pages containing U+FFFD replacement characters — the tombstone a
+    lossy decode leaves — or raw control bytes; cap the non-ASCII
+    ratio so binary-ish content masquerading as text is caught).
+
+    All counts come from ``length(text) - length(regexp_replace(...))``
+    — a narrow per-row map, no shuffle, no UDF — and the keep rule is
+    ALL-INTEGER (``2·n_non_ascii <= n_chars`` instead of a float ratio)
+    so the DuckDB twin is bit-exact. BMP-only caveat: supplementary-
+    plane characters count as 2 on the JVM (UTF-16 units) vs 1 in
+    DuckDB; real mojibake (FFFD, control bytes) is BMP, so the rule
+    itself is engine-stable.
+
+    Returns ``(doc_id, n_chars, n_replacement, n_control, n_non_ascii,
+    keep)``.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def count_of(pattern: str) -> F.Column:
+        return (F.length(t) - F.length(F.regexp_replace(t, pattern, ""))) \
+            .cast("long")
+
+    n_chars = F.length(t).cast("long")
+    n_repl = count_of(ENCODING_REPLACEMENT_RE)
+    n_ctrl = count_of(ENCODING_CONTROL_RE)
+    n_na = count_of(ENCODING_NON_ASCII_RE)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        n_na.alias("n_non_ascii"),
+        ((n_repl == 0) & (n_ctrl == 0)
+         & (F.lit(2) * n_na <= n_chars)).alias("keep"))
+
+
+ENCODING_QUALITY_SQL_TEMPLATE = """
+SELECT {id_col} AS doc_id,
+       CAST(length(t) AS BIGINT) AS n_chars,
+       CAST(length(t) - length(regexp_replace(t, '\\x{{FFFD}}', '', 'g'))
+            AS BIGINT) AS n_replacement,
+       CAST(length(t) - length(regexp_replace(t,
+            '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'))
+            AS BIGINT) AS n_control,
+       CAST(length(t) - length(regexp_replace(t, '[^\\x00-\\x7f]', '', 'g'))
+            AS BIGINT) AS n_non_ascii,
+       (length(t) - length(regexp_replace(t, '\\x{{FFFD}}', '', 'g')) = 0
+        AND length(t) - length(regexp_replace(t,
+             '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')) = 0
+        AND 2 * (length(t) - length(regexp_replace(t, '[^\\x00-\\x7f]',
+             '', 'g'))) <= length(t)) AS keep
+FROM (SELECT {id_col}, COALESCE({text_col}, '') AS t FROM {table})"""

@@ -180,6 +180,46 @@ def test_corpus_shards_layout_and_parallel_plan(spark, sf_dir):
         != {(r.doc_id, r.shard, r.pos) for r in rows}
 
 
+def test_encoding_quality_crafted_mojibake(spark):
+    """The fixtures are all-ASCII, so exercise the rule on crafted
+    damage: U+FFFD tombstones, control bytes, heavy non-ASCII — and
+    pin cross-engine exactness on those strings via the SQL twin."""
+    import duckdb
+
+    from keboola_storage_duckdb_spark.functions.text import (
+        ENCODING_QUALITY_SQL_TEMPLATE, encoding_quality)
+
+    rows = [
+        (1, "clean ascii text"),
+        (2, "bad � tombstone"),
+        (3, "ctrl\x01byte"),
+        (4, "naïve café résumé"),          # some non-ASCII, under half
+        (5, "ありがとうございます"),          # all non-ASCII
+        (6, None),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_chars, r.n_replacement, r.n_control,
+                      r.n_non_ascii, r.keep)
+           for r in encoding_quality(df, "doc_id", "text").collect()}
+    assert got[1] == (16, 0, 0, 0, True)
+    assert got[2][1] == 1 and got[2][4] is False
+    assert got[3][2] == 1 and got[3][4] is False
+    assert got[4][3] == 4 and got[4][4] is True
+    assert got[5][4] is False               # all non-ASCII fails ratio
+    assert got[6] == (0, 0, 0, 0, True)     # NULL == empty == keep
+    assert got[7] == (0, 0, 0, 0, True)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {r[0]: tuple(r[1:]) for r in con.execute(
+        ENCODING_QUALITY_SQL_TEMPLATE.format(
+            id_col="doc_id", text_col="text",
+            table="documents")).fetchall()}
+    assert got == want
+
+
 def test_kmeans_fixed_agrees_with_duckdb_unrolled(spark, sf_dir, duck):
     """The 2-iteration Lloyd assignment is bit-identical to the unrolled
     DuckDB oracle (seed order, centroid means, argmin tie-breaks)."""
