@@ -2586,11 +2586,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r01/r02). This round (VERDICT r7 #3) the SEVEN never-certified r7
     # tail ops rotate IN (cut_spans, weighted_sample, boilerplate_strings,
     # quality_verdict, decontaminate_cut, dedup_cut_keep_first,
-    # dedup_rate) plus the NEW kmeans_fixed oracle twin; parked at 51+:
-    # eight r07-green keepers (skew_agg, extract_parts, pii_redact,
-    # string_funcs, session_window, moving_window, scalar_conditionals,
-    # array_funcs — rotation map in NOTES.md). After this round every
-    # registry operator has a driver-green row in some CORRECTNESS_r*.
+    # dedup_rate) plus the SEVEN new r8 ops (kmeans_fixed, quota_sample,
+    # token_quota_sample, corpus_shards, ivf_recall, minhash_dedup_keep,
+    # encoding_quality). Parked at 51+: fourteen r07-green keepers
+    # (skew_agg, extract_parts, pii_redact, string_funcs, session_window,
+    # moving_window, scalar_conditionals, array_funcs, dedup_survivors,
+    # minhash_estimate, ngram_jaccard_inverted, ann_topk_fold,
+    # image_features, audio_features — rotation map in NOTES.md). After
+    # this round every registry operator has a driver-green row in some
+    # CORRECTNESS_r*.
     #
     # keepers (certified r07, re-certified for continuity / touched code)
     "pricing_summary": q_pricing_summary,
@@ -2629,13 +2633,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_rate": q_dedup_rate,                  # corpus dup headline
     "kmeans_fixed": q_kmeans_fixed,              # NEW r08 oracle twin
     "grouped_quantiles": q_grouped_quantiles,    # grouped exact quantiles
-    "dedup_survivors": q_dedup_survivors,        # survivor-select variant
-    "minhash_estimate": q_minhash_estimate,      # minhash quality frame
+    "quota_sample": q_quota_sample,              # NEW r08: doc-count mixture
+    "token_quota_sample": q_token_quota_sample,  # NEW r08: token budget
+    "corpus_shards": q_corpus_shards,            # NEW r08: epoch shuffle
+    "ivf_recall": q_ivf_recall,                  # NEW r08: ANN recall frame
+    "minhash_dedup_keep": q_minhash_dedup_keep,  # NEW r08: text dedup e2e
+    "encoding_quality": q_encoding_quality,      # NEW r08: mojibake filter
     "near_dedup_keep": q_near_dedup_keep,        # dedup composition
-    "ngram_jaccard_inverted": q_ngram_jaccard_inverted,  # equivalence twin
-    "ann_topk_fold": q_ann_topk_fold,            # bit-parity JVM fold
-    "image_features": q_image_features,          # REAL PPM/PGM/BMP decode
-    "audio_features": q_audio_features,          # REAL WAV decode
     "video_features": q_video_features,          # REAL Y4M decode
     "range_join": q_range_join,                  # bucketed interval join
     "hll_distinct": q_hll_distinct,              # mergeable HLL sketch
@@ -2685,12 +2689,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_lineitem_part": q_join_lineitem_part,  # r03-r05 window
     "top_terms": q_top_terms,                    # r03-r05 window
     "fingerprint_docs": q_fingerprint_docs,      # r03-r05 window
-    "quota_sample": q_quota_sample,              # NEW r08 tail
-    "corpus_shards": q_corpus_shards,            # NEW r08 tail
-    "token_quota_sample": q_token_quota_sample,  # NEW r08 tail
-    "minhash_dedup_keep": q_minhash_dedup_keep,  # NEW r08 tail
-    "encoding_quality": q_encoding_quality,      # NEW r08 tail
-    "ivf_recall": q_ivf_recall,                  # NEW r08 tail
+    "dedup_survivors": q_dedup_survivors,        # parked r08 (green r07)
+    "minhash_estimate": q_minhash_estimate,      # parked r08 (green r07)
+    "ngram_jaccard_inverted": q_ngram_jaccard_inverted,  # parked r08 (green r07)
+    "ann_topk_fold": q_ann_topk_fold,            # parked r08 (green r07)
+    "image_features": q_image_features,          # parked r08 (green r07)
+    "audio_features": q_audio_features,          # parked r08 (green r07)
 }
 
 
