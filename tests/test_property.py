@@ -437,3 +437,42 @@ def test_quota_sample_matches_python_model(spark, rows, quotas):
         for rank, (_, i) in enumerate(members[:q], 1):
             want[(str(g), rank)] = (i, q)
     assert got == want
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 40),
+                               st.integers(0, 9)),
+                     min_size=0, max_size=25,
+                     unique_by=lambda t: (t[0], t[1])),
+       budgets=st.dictionaries(st.integers(0, 4), st.integers(0, 30),
+                               max_size=5))
+@settings(**SETTINGS)
+def test_token_quota_sample_matches_python_model(spark, rows, budgets):
+    """token_quota_sample vs brute force: the greedy hash-order prefix
+    whose EXCLUSIVE cumulative weight stays under budget — randomized
+    weights (incl. zero-weight rows) and budgets (incl. zero)."""
+    import hashlib
+
+    from keboola_storage_duckdb_spark.functions.sketch import (
+        token_quota_sample)
+
+    df = spark.createDataFrame(rows or [(99, -1, 0)],
+                               "g int, id long, w int")
+    if not rows:
+        df = df.filter(F.lit(False))
+    got = {(r.g, r.id): (r.weight, r.cum_before)
+           for r in token_quota_sample(
+               df, "g", "id", "w",
+               {str(k): v for k, v in budgets.items()}).collect()}
+    want = {}
+    for g in {r[0] for r in rows}:
+        b = budgets.get(g)
+        if b is None:
+            continue
+        members = sorted((hashlib.md5(str(i).encode()).hexdigest(), i, w)
+                         for gg, i, w in rows if gg == g)
+        cum = 0
+        for _, i, w in members:
+            if cum < b:
+                want[(str(g), i)] = (w, cum)
+            cum += w
+    assert got == want
