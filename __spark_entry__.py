@@ -616,6 +616,66 @@ def q_minhash_lsh(spark, sf_dir):
                              n_hashes=12, band_size=4, threshold=0.8)
 
 
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter cross-epoch dedup frame (NEW r8): build the
+    mergeable bitset sketch over the 'previous epoch' split's content
+    fingerprints (doc_id % 10 = 0), probe EVERY document, and emit
+    predicted vs actual membership with the false-positive flag — the
+    one-sided-error contract a pipeline audits before trusting a Bloom
+    pre-filter. Filter = 64 BIGINT words (broadcast); probing is a
+    narrow map + tiny join."""
+    from keboola_storage_duckdb_spark.functions.sketch import (
+        bloom_probe, bloom_table)
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    built = (docs.filter(F.col("doc_id") % 10 == 0)
+                 .select(fp.alias("fp")).distinct()
+                 .localCheckpoint(eager=False))   # filter + actual join
+    filt = bloom_table(built, "fp", n_words=64, k=4)
+    dfp = docs.select("doc_id", fp.alias("fp")) \
+              .localCheckpoint(eager=False)       # probe + actual join
+    probed = bloom_probe(filt, dfp.select("fp").distinct(), "fp",
+                         n_words=64, k=4)
+    return (dfp.join(built.withColumn("actual", F.lit(True)), "fp", "left")
+               .join(probed.withColumnRenamed("item", "fp"), "fp")
+               .select("doc_id",
+                       F.col("bloom_member").alias("predicted"),
+                       F.coalesce("actual", F.lit(False)).alias("actual"),
+                       (F.col("bloom_member")
+                        & ~F.coalesce("actual", F.lit(False)))
+                       .alias("false_positive")))
+
+
+_BLOOM_SQL = """
+WITH built AS (SELECT DISTINCT md5(COALESCE(text, '')) AS fp
+               FROM documents WHERE doc_id % 10 = 0),
+bpos AS (SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || fp),
+                                    1, 8) AS BIGINT) % 2048 AS pos
+         FROM built CROSS JOIN (SELECT unnest(range(4)) AS i)),
+bits AS (SELECT pos // 32 AS word,
+                bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))
+                    AS bits
+         FROM bpos GROUP BY 1),
+docs AS (SELECT doc_id, md5(COALESCE(text, '')) AS fp FROM documents),
+probes AS (SELECT d.doc_id, d.fp,
+                  CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|'
+                                          || d.fp), 1, 8) AS BIGINT)
+                      % 2048 AS pos
+           FROM docs d CROSS JOIN (SELECT unnest(range(4)) AS i)),
+pred AS (SELECT doc_id,
+                bool_and((COALESCE(b.bits, 0)
+                          & (CAST(1 AS BIGINT)
+                             << CAST(p.pos % 32 AS INTEGER))) <> 0)
+                    AS predicted
+         FROM probes p LEFT JOIN bits b ON b.word = p.pos // 32
+         GROUP BY doc_id)
+SELECT d.doc_id, pred.predicted,
+       (d.fp IN (SELECT fp FROM built)) AS actual,
+       pred.predicted AND NOT (d.fp IN (SELECT fp FROM built))
+           AS false_positive
+FROM docs d JOIN pred USING (doc_id)"""
+
+
 def q_encoding_quality(spark, sf_dir):
     """Mojibake/encoding-damage filter (NEW r8): U+FFFD tombstones, raw
     control bytes, non-ASCII ratio — counts via length-minus-replaced
@@ -2695,6 +2755,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_fold": q_ann_topk_fold,            # parked r08 (green r07)
     "image_features": q_image_features,          # parked r08 (green r07)
     "audio_features": q_audio_features,          # parked r08 (green r07)
+    "bloom_membership": q_bloom_membership,      # NEW r08 tail
 }
 
 
@@ -2932,6 +2993,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shards": _CORPUS_SHARDS_SQL,
         "token_quota_sample": _TOKEN_QUOTA_SQL,
         "minhash_dedup_keep": _minhash_dedup_keep_sql(),
+        "bloom_membership": _BLOOM_SQL,
         "encoding_quality": __import__(
             "keboola_storage_duckdb_spark.functions.text",
             fromlist=["ENCODING_QUALITY_SQL_TEMPLATE"]

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["hll_register_table", "hll_estimate",
            "cm_sketch_table", "cm_estimate", "bottom_k_sample",
-           "weighted_sample", "quota_sample", "token_quota_sample"]
+           "weighted_sample", "quota_sample", "token_quota_sample",
+           "bloom_table", "bloom_probe"]
 
 
 def hll_rho(tail: "F.Column") -> "F.Column":
@@ -436,3 +437,64 @@ def token_quota_sample(df: DataFrame, group_col: str, id_col: str,
                 .join(b, "g")
                 .filter(F.col("cum_before") < F.col("budget"))
                 .select("g", "id", "weight", "cum_before"))
+
+
+def _bloom_positions(value: "F.Column", k: int, m_bits: int) -> list:
+    """k md5-derived bit positions for a value — seeded like the
+    Count-Min buckets (``md5(seed | '|' | value)``) so DuckDB
+    reproduces every position exactly."""
+    return [
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{i}|"), value.cast("string"))), 1, 8),
+            16, 10).cast("long") % m_bits)
+        for i in range(k)]
+
+
+def bloom_table(df: DataFrame, value_col: str, n_words: int = 64,
+                k: int = 4) -> DataFrame:
+    """Mergeable Bloom-filter sketch ``(word, bits)`` — the third
+    portable sketch next to HLL (distincts) and Count-Min
+    (frequencies): set membership with one-sided error, the
+    "have we already trained on this content" primitive for
+    cross-epoch / cross-dataset dedup where storing every fingerprint
+    is too big but a bitset is not.
+
+    Bits live 32-per-BIGINT-word (bit 63 is unportable: DuckDB raises
+    on ``1 << 63`` where the JVM wraps), so m = 32·n_words bits.
+    Merging filters = per-word ``bit_or`` — map-side combinable, union
+    across datasets by the same aggregate, never larger than n_words
+    rows. Probing never false-negatives; false-positive rate is the
+    classic (1 - e^{-kn/m})^k, tunable via n_words.
+    """
+    m_bits = 32 * n_words
+    pos = _bloom_positions(F.col(value_col), k, m_bits)
+    return (df.filter(F.col(value_col).isNotNull())
+              .select(F.explode(F.array(*pos)).alias("pos"))
+              .select(F.expr("pos DIV 32").alias("word"),
+                      F.expr("shiftleft(CAST(1 AS BIGINT), "
+                             "CAST(pos % 32 AS INT))").alias("mask"))
+              .groupBy("word")
+              .agg(F.bit_or("mask").alias("bits")))
+
+
+def bloom_probe(filter_df: DataFrame, items: DataFrame, item_col: str,
+                n_words: int = 64, k: int = 4) -> DataFrame:
+    """Probe the Bloom filter for every row of ``items``: predicted
+    membership = all k probed bits set (missing words = unset). The
+    filter is n_words rows → broadcast; probing is a narrow map + one
+    tiny join, no shuffle of the probed corpus. Returns
+    ``(item, bloom_member)``."""
+    m_bits = 32 * n_words
+    pos = _bloom_positions(F.col(item_col), k, m_bits)
+    probes = (items.filter(F.col(item_col).isNotNull())
+                   .select(F.col(item_col).alias("item"),
+                           F.explode(F.array(*pos)).alias("pos"))
+                   .select("item", F.expr("pos DIV 32").alias("word"),
+                           F.expr("shiftleft(CAST(1 AS BIGINT), "
+                                  "CAST(pos % 32 AS INT))").alias("mask")))
+    return (probes.join(F.broadcast(filter_df), "word", "left")
+                  .withColumn("hit",
+                              (F.coalesce(F.col("bits"), F.lit(0))
+                               .bitwiseAND(F.col("mask"))) != 0)
+                  .groupBy("item")
+                  .agg(F.min("hit").alias("bloom_member")))

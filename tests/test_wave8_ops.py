@@ -180,6 +180,40 @@ def test_corpus_shards_layout_and_parallel_plan(spark, sf_dir):
         != {(r.doc_id, r.shard, r.pos) for r in rows}
 
 
+def test_bloom_filter_one_sided_error(spark):
+    """Members are NEVER missed (no false negatives) at any filter
+    size; an undersized filter (1 word = 32 bits for 60 values)
+    produces false positives — the documented one-sided contract.
+    Merging two filters by bit_or equals building over the union."""
+    from keboola_storage_duckdb_spark.functions.sketch import (
+        bloom_probe, bloom_table)
+
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(60)],
+                                 "s string")
+    inside = vals.filter(F.col("s").isin([f"v{i}" for i in range(30)]))
+    for n_words in (1, 64):
+        filt = bloom_table(inside, "s", n_words=n_words, k=3)
+        got = {r.item: r.bloom_member
+               for r in bloom_probe(filt, vals, "s",
+                                    n_words=n_words, k=3).collect()}
+        assert all(got[f"v{i}"] for i in range(30))     # no false negs
+        fps = sum(1 for i in range(30, 60) if got[f"v{i}"])
+        if n_words == 1:
+            assert fps > 0      # 32 bits for 30 values must collide
+        else:
+            assert fps <= 3     # 2048 bits: fp rate ~ (kn/m)^k, tiny
+
+    # mergeability: bit_or of two partial filters == filter of union
+    a = bloom_table(vals.filter(F.col("s") < "v3"), "s", 64, 3)
+    b = bloom_table(vals.filter(F.col("s") >= "v3"), "s", 64, 3)
+    merged = {r.word: r.bits for r in
+              a.unionByName(b).groupBy("word")
+               .agg(F.bit_or("bits").alias("bits")).collect()}
+    whole = {r.word: r.bits for r in
+             bloom_table(vals, "s", 64, 3).collect()}
+    assert merged == whole
+
+
 def test_encoding_quality_crafted_mojibake(spark):
     """The fixtures are all-ASCII, so exercise the rule on crafted
     damage: U+FFFD tombstones, control bytes, heavy non-ASCII — and
