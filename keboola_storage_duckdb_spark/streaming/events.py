@@ -353,3 +353,31 @@ def stream_exact_dedup(spark, source_dir: str, schema,
                     stateStructType=f"best {idt}, n LONG",
                     outputMode="update",
                     timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_cm_sketch(spark, source_dir: str, schema,
+                     value_col: str = "event_type", depth: int = 4,
+                     width: int = 256) -> DataFrame:
+    """Streaming twin of the Count-Min sketch
+    (functions/sketch.py:cm_sketch_table): counters are plain additive
+    SUMs, so the sketch IS a built-in streaming aggregation — state is
+    bounded at depth x width rows regardless of stream length or item
+    cardinality (the whole point of CM at 100 TB/day ingest), and the
+    counters equal the batch sketch over the same rows (tested).
+    Bucket derivation shares the batch op's seeded-md5 form so batch
+    and stream sketches merge by addition."""
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    entries = [F.struct(
+        F.lit(i).alias("row"),
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{i}|"),
+                           F.col(value_col).cast("string"))), 1, 8),
+            16, 10).cast("long") % width).alias("bucket"))
+        for i in range(depth)]
+    return (stream.filter(F.col(value_col).isNotNull())
+                  .select(F.explode(F.array(*entries)).alias("e"))
+                  .groupBy(F.col("e.row").alias("row"),
+                           F.col("e.bucket").alias("bucket"))
+                  .agg(F.count(F.lit(1)).alias("cnt")))

@@ -263,3 +263,28 @@ def test_kmeans_fixed_agrees_with_duckdb_unrolled(spark, sf_dir, duck):
            for r in E.queries()["kmeans_fixed"](spark, sf_dir).collect()}
     want = dict(duck.execute(E.oracle_sql()["kmeans_fixed"]).fetchall())
     assert got == want
+
+
+def test_stream_cm_sketch_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming Count-Min counters after the stream drains equal
+    the batch sketch over the same rows (complete mode; state bounded
+    at depth x width cells)."""
+    from keboola_storage_duckdb_spark.functions.sketch import (
+        cm_sketch_table)
+    from keboola_storage_duckdb_spark.streaming.events import (
+        stream_cm_sketch)
+
+    ev = load_table(spark, sf_dir, "events").limit(3000)
+    src = str(tmp_path / "cm_src")
+    ev.repartition(3).write.parquet(src)
+    got = stream_cm_sketch(spark, src, ev.schema,
+                           value_col="event_type", depth=4, width=64)
+    q = (got.writeStream.format("memory").queryName("cm_test")
+            .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream_cells = {(r.row, r.bucket): r.cnt for r in
+                    spark.sql("select * from cm_test").collect()}
+    batch_cells = {(r.row, r.bucket): r.cnt for r in
+                   cm_sketch_table(spark.read.parquet(src), "event_type",
+                                   depth=4, width=64).collect()}
+    assert stream_cells == batch_cells
