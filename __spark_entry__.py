@@ -1236,6 +1236,19 @@ def q_decontaminate_cut(spark, sf_dir):
     return cut_spans(corpus, spans, "doc_id", "text")
 
 
+def q_leakage_report(spark, sf_dir):
+    """Per-benchmark-doc contamination report (NEW r8): the fraction of
+    each held-out doc's 6-token windows that appear anywhere in the
+    corpus — the 'x% of the eval set leaked' number papers publish.
+    Shares the window-fingerprint machinery with contamination_spans so
+    the cut and the report can never disagree."""
+    from keboola_storage_duckdb_spark.functions.spans import leakage_report
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where((F.col("doc_id") % 10) == 0)
+    corpus = docs.where((F.col("doc_id") % 10) != 0)
+    return leakage_report(bench, corpus, "doc_id", "text", k=6)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling with replacement (training-mixture
     primitive: documents drawn per language proportional to size). All
@@ -2758,6 +2771,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_features": q_image_features,          # parked r08 (green r07)
     "audio_features": q_audio_features,          # parked r08 (green r07)
     "video_features": q_video_features,          # parked r08 (green r07)
+    "leakage_report": q_leakage_report,          # NEW r08 tail
 }
 
 
@@ -3052,6 +3066,12 @@ def oracle_sql() -> dict[str, str]:
             id_col="doc_id", text_col="text",
             table="(SELECT * FROM documents WHERE doc_id % 10 <> 0)"
                   " corpus_c"),
+        "leakage_report": _spans_mod().LEAKAGE_REPORT_SQL_TEMPLATE.format(
+            id_col="doc_id", text_col="text", k=6,
+            corpus="(SELECT * FROM documents WHERE doc_id % 10 <> 0)"
+                   " corpus_t",
+            bench="(SELECT * FROM documents WHERE doc_id % 10 = 0)"
+                  " bench_t"),
         "boilerplate_strings": _spans_mod().BOILERPLATE_SQL_TEMPLATE.format(
             id_col="doc_id", text_col="text", table="documents", k=8,
             top_n=20),

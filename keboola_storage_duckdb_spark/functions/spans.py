@@ -36,11 +36,12 @@ from pyspark.sql import functions as F
 from .util import par as _par
 
 __all__ = ["duplicate_spans", "cut_spans", "boilerplate_ngrams",
-           "contamination_spans",
+           "contamination_spans", "leakage_report",
            "DUPLICATE_SPANS_SQL_TEMPLATE", "CUT_SPANS_SQL_TEMPLATE",
            "BOILERPLATE_SQL_TEMPLATE",
            "CONTAMINATION_SPANS_SQL_TEMPLATE",
-           "DUPLICATE_SPANS_KEEP_FIRST_SQL_TEMPLATE"]
+           "DUPLICATE_SPANS_KEEP_FIRST_SQL_TEMPLATE",
+           "LEAKAGE_REPORT_SQL_TEMPLATE"]
 
 
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
@@ -359,3 +360,79 @@ SELECT id AS doc_id,
        CAST(MAX(pos) + {k} - MIN(pos) AS INTEGER) AS span_tokens,
        COUNT(*) AS n_windows
 FROM islands GROUP BY id, island"""
+
+
+def leakage_report(benchmark: DataFrame, corpus: DataFrame,
+                   id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """Per-BENCHMARK-doc contamination report — the number papers
+    actually publish ("x% of the eval set appears in the training
+    corpus"): for every benchmark document, how many of its k-token
+    windows occur anywhere in the corpus, and the leaked fraction.
+    The reverse perspective of :func:`contamination_spans` (which marks
+    the CORPUS side for cutting); both share the window-fingerprint
+    machinery so the two reports can never disagree about what a match
+    is.
+
+    Scale: benchmark window hashes are tiny next to a 100 TB corpus
+    and BROADCAST into a map-side semi-join that filters the corpus
+    window stream down to matched hashes only (never the corpus
+    shuffling wholesale); the distinct matched-hash set — bounded by
+    the benchmark's own window count — broadcasts back to mark the
+    benchmark windows. Benchmark docs shorter than k tokens report
+    zero windows and fraction 0.0.
+
+    Returns ``(doc_id, n_windows, n_leaked, leak_fraction)``.
+    """
+    bw = _window_fingerprints(benchmark, id_col, text_col, k) \
+        .localCheckpoint(eager=False)     # hash set + per-doc counts
+    bh = bw.select("h").distinct()
+    matched = (_window_fingerprints(corpus, id_col, text_col, k)
+               .join(F.broadcast(bh), "h", "left_semi")
+               .select("h").distinct())
+    leaked = (bw.join(F.broadcast(matched.withColumn(
+                  "m", F.lit(1))), "h", "left")
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("n_windows"),
+                     F.count("m").alias("n_leaked")))
+    return (benchmark.select(F.col(id_col).alias("id")).distinct()
+            .join(leaked, "id", "left")
+            .select(F.col("id").alias("doc_id"),
+                    F.coalesce("n_windows", F.lit(0)).cast("long")
+                     .alias("n_windows"),
+                    F.coalesce("n_leaked", F.lit(0)).cast("long")
+                     .alias("n_leaked"),
+                    F.when(F.coalesce("n_windows", F.lit(0)) == 0,
+                           F.lit(0.0))
+                     .otherwise(F.col("n_leaked").cast("double")
+                                / F.col("n_windows").cast("double"))
+                     .alias("leak_fraction")))
+
+
+LEAKAGE_REPORT_SQL_TEMPLATE = """
+WITH btoks AS (
+    SELECT {id_col} AS id, str_split({text_col}, ' ') AS t
+    FROM {bench} WHERE len(str_split({text_col}, ' ')) >= {k}),
+bwins AS (
+    SELECT id, md5(array_to_string(t[i + 1 : i + {k}], ' ')) AS h
+    FROM btoks, unnest(generate_series(0, len(t) - {k})) AS u(i)),
+ctoks AS (
+    SELECT str_split({text_col}, ' ') AS t
+    FROM {corpus} WHERE len(str_split({text_col}, ' ')) >= {k}),
+matched AS (
+    SELECT DISTINCT md5(array_to_string(t[i + 1 : i + {k}], ' ')) AS h
+    FROM ctoks, unnest(generate_series(0, len(t) - {k})) AS u(i)
+    WHERE md5(array_to_string(t[i + 1 : i + {k}], ' '))
+          IN (SELECT h FROM bwins)),
+leaked AS (
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(*) FILTER (WHERE h IN (SELECT h FROM matched))
+                AS BIGINT) AS n_leaked
+    FROM bwins GROUP BY id)
+SELECT b.id AS doc_id,
+       COALESCE(l.n_windows, 0) AS n_windows,
+       COALESCE(l.n_leaked, 0) AS n_leaked,
+       CASE WHEN COALESCE(l.n_windows, 0) = 0 THEN 0.0
+            ELSE CAST(l.n_leaked AS DOUBLE) / CAST(l.n_windows AS DOUBLE)
+       END AS leak_fraction
+FROM (SELECT DISTINCT {id_col} AS id FROM {bench}) b
+LEFT JOIN leaked l ON l.id = b.id"""
