@@ -626,7 +626,8 @@ def q_bloom_membership(spark, sf_dir):
     narrow map + tiny join."""
     from keboola_storage_duckdb_spark.functions.sketch import (
         bloom_probe, bloom_table)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id").isNotNull())
     fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
     built = (docs.filter(F.col("doc_id") % 10 == 0)
                  .select(fp.alias("fp")).distinct()
@@ -648,7 +649,8 @@ def q_bloom_membership(spark, sf_dir):
 
 _BLOOM_SQL = """
 WITH built AS (SELECT DISTINCT md5(COALESCE(text, '')) AS fp
-               FROM documents WHERE doc_id % 10 = 0),
+               FROM documents
+               WHERE doc_id IS NOT NULL AND doc_id % 10 = 0),
 bpos AS (SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || fp),
                                     1, 8) AS BIGINT) % 2048 AS pos
          FROM built CROSS JOIN (SELECT unnest(range(4)) AS i)),
@@ -656,7 +658,8 @@ bits AS (SELECT pos // 32 AS word,
                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))
                     AS bits
          FROM bpos GROUP BY 1),
-docs AS (SELECT doc_id, md5(COALESCE(text, '')) AS fp FROM documents),
+docs AS (SELECT doc_id, md5(COALESCE(text, '')) AS fp
+         FROM documents WHERE doc_id IS NOT NULL),
 probes AS (SELECT d.doc_id, d.fp,
                   CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|'
                                           || d.fp), 1, 8) AS BIGINT)
@@ -2659,7 +2662,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r01/r02). This round (VERDICT r7 #3) the SEVEN never-certified r7
     # tail ops rotate IN (cut_spans, weighted_sample, boilerplate_strings,
     # quality_verdict, decontaminate_cut, dedup_cut_keep_first,
-    # dedup_rate) plus the SEVEN new r8 ops (kmeans_fixed, quota_sample,
+    # dedup_rate) plus the EIGHT new r8 ops (kmeans_fixed, quota_sample,
     # token_quota_sample, corpus_shards, ivf_recall, minhash_dedup_keep,
     # encoding_quality, bloom_membership). Parked at 51+: fifteen
     # r07-green keepers

@@ -1408,24 +1408,45 @@ class StorageEngine:
         pk = sidecar.get("primary_key") or []
 
         def fingerprint(df, cols):
-            parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                     for c in cols]
-            return F.md5(F.concat_ws("\x01", *parts)) if parts \
-                else F.lit("")
+            # to_json over a struct: NULL, empty string and separator-
+            # lookalike values all serialize distinctly (a concat_ws
+            # fingerprint cannot tell NULL from a literal NUL byte, or
+            # ('a\x01b','c') from ('a','b\x01c'))
+            if not cols:
+                return F.lit("")
+            return F.md5(F.to_json(
+                F.struct(*[F.col(c) for c in cols]),
+                {"ignoreNullFields": "false"}))
 
         if pk:
+            import functools
+            import operator as _op
+
             data_cols = [c for c in new.columns
                          if c not in pk and not c.startswith("_")
                          and c in old.columns]
-            o = old.select(*pk, fingerprint(old, data_cols).alias("_fp_o"))
-            n = new.select(*pk, fingerprint(new, data_cols).alias("_fp_n"))
-            j = o.join(n, pk, "full_outer").select(
-                *pk,
+            o = old.select(*[F.col(c).alias(f"_o_{c}") for c in pk],
+                           fingerprint(old, data_cols).alias("_fp_o"))
+            n = new.select(*[F.col(c).alias(f"_n_{c}") for c in pk],
+                           fingerprint(new, data_cols).alias("_fp_n"))
+            # null-safe equality: a NULL PK value matches itself (a
+            # plain join would double-count the row as added+removed)
+            cond = functools.reduce(
+                _op.and_,
+                [o[f"_o_{c}"].eqNullSafe(n[f"_n_{c}"]) for c in pk])
+            # fingerprints are never NULL (md5 of a struct json / ''),
+            # so a NULL _fp marks the side that has no row
+            j = o.join(n, cond, "full_outer").select(
+                *[F.coalesce(f"_o_{c}", f"_n_{c}").alias(c) for c in pk],
                 F.when(F.col("_fp_o").isNull(), F.lit("added"))
                  .when(F.col("_fp_n").isNull(), F.lit("removed"))
                  .when(F.col("_fp_o") != F.col("_fp_n"),
                        F.lit("changed"))
                  .otherwise(F.lit("unchanged")).alias("status"))
+            # counts + three sample scans consume j: cut the plan once
+            # instead of re-running the scans and the full-outer
+            # shuffle per action
+            j = j.localCheckpoint(eager=False)
             counts = {r["status"]: r["n"] for r in
                       j.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
                        .collect()}

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 __all__ = ["hll_register_table", "hll_estimate",
            "cm_sketch_table", "cm_estimate", "bottom_k_sample",
            "weighted_sample", "quota_sample", "token_quota_sample",
-           "bloom_table", "bloom_probe"]
+           "bloom_table", "bloom_probe", "cm_bucket_entries"]
 
 
 def hll_rho(tail: "F.Column") -> "F.Column":
@@ -98,6 +98,20 @@ def hll_estimate(df: DataFrame, group_col: str, value_col: str,
         .alias("hll_estimate"))
 
 
+def cm_bucket_entries(value_col: str, depth: int, width: int) -> list:
+    """The seeded-md5 (row, bucket) probe structs shared by the batch
+    sketch, the point-query probe AND the streaming twin — one
+    definition so batch/stream sketches stay mergeable by addition (a
+    drifted copy would silently break the merge guarantee)."""
+    return [F.struct(
+        F.lit(i).alias("row"),
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{i}|"),
+                           F.col(value_col).cast("string"))), 1, 8),
+            16, 10).cast("long") % width).alias("bucket"))
+        for i in range(depth)]
+
+
 def cm_sketch_table(df: DataFrame, value_col: str,
                     depth: int = 4, width: int = 256) -> DataFrame:
     """Count-Min sketch counters ``(row, bucket, cnt)`` — the mergeable
@@ -107,13 +121,7 @@ def cm_sketch_table(df: DataFrame, value_col: str,
     from seeded md5 (``md5(seed | '|' | value)``) so DuckDB reproduces
     every counter exactly — the estimate is deterministic, not just
     approximately right."""
-    entries = [F.struct(
-        F.lit(i).alias("row"),
-        (F.conv(F.substring(
-            F.md5(F.concat(F.lit(f"{i}|"),
-                           F.col(value_col).cast("string"))), 1, 8),
-            16, 10).cast("long") % width).alias("bucket"))
-        for i in range(depth)]
+    entries = cm_bucket_entries(value_col, depth, width)
     return (df.filter(F.col(value_col).isNotNull())
               .select(F.explode(F.array(*entries)).alias("e"))
               .groupBy(F.col("e.row").alias("row"),
@@ -129,14 +137,10 @@ def cm_estimate(df: DataFrame, value_col: str, items: DataFrame,
     true frequency — collisions only ever ADD). Returns
     ``(item, cm_estimate)``."""
     sk = cm_sketch_table(df, value_col, depth, width)
-    probes = items.select(F.col(item_col).alias("item"), F.explode(F.array(
-        *[F.struct(
-            F.lit(i).alias("row"),
-            (F.conv(F.substring(
-                F.md5(F.concat(F.lit(f"{i}|"),
-                               F.col(item_col).cast("string"))), 1, 8),
-                16, 10).cast("long") % width).alias("bucket"))
-          for i in range(depth)])).alias("e")) \
+    probes = items.select(
+        F.col(item_col).alias("item"),
+        F.explode(F.array(*cm_bucket_entries(item_col, depth, width)))
+         .alias("e")) \
         .select("item", F.col("e.row").alias("row"),
                 F.col("e.bucket").alias("bucket"))
     return (probes.join(sk, ["row", "bucket"], "left")

@@ -483,10 +483,9 @@ def encoding_quality(docs: DataFrame, id_col: str,
     All counts come from ``length(text) - length(regexp_replace(...))``
     — a narrow per-row map, no shuffle, no UDF — and the keep rule is
     ALL-INTEGER (``2·n_non_ascii <= n_chars`` instead of a float ratio)
-    so the DuckDB twin is bit-exact. BMP-only caveat: supplementary-
-    plane characters count as 2 on the JVM (UTF-16 units) vs 1 in
-    DuckDB; real mojibake (FFFD, control bytes) is BMP, so the rule
-    itself is engine-stable.
+    so the DuckDB twin is bit-exact (both engines' length() and regex
+    iterate CODE POINTS — verified on supplementary-plane input: an
+    emoji counts 1 on both sides).
 
     Returns ``(doc_id, n_chars, n_replacement, n_control, n_non_ascii,
     keep)``.

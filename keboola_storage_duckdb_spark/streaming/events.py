@@ -368,14 +368,10 @@ def stream_cm_sketch(spark, source_dir: str, schema,
     and stream sketches merge by addition."""
     from pyspark.sql import functions as F
 
+    from ..functions.sketch import cm_bucket_entries
+
     stream = spark.readStream.schema(schema).parquet(source_dir)
-    entries = [F.struct(
-        F.lit(i).alias("row"),
-        (F.conv(F.substring(
-            F.md5(F.concat(F.lit(f"{i}|"),
-                           F.col(value_col).cast("string"))), 1, 8),
-            16, 10).cast("long") % width).alias("bucket"))
-        for i in range(depth)]
+    entries = cm_bucket_entries(value_col, depth, width)
     return (stream.filter(F.col(value_col).isNotNull())
                   .select(F.explode(F.array(*entries)).alias("e"))
                   .groupBy(F.col("e.row").alias("row"),

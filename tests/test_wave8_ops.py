@@ -281,7 +281,7 @@ def test_stream_cm_sketch_equals_batch(spark, sf_dir, tmp_path):
                            value_col="event_type", depth=4, width=64)
     q = (got.writeStream.format("memory").queryName("cm_test")
             .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "stream did not drain in time"
     stream_cells = {(r.row, r.bucket): r.cnt for r in
                     spark.sql("select * from cm_test").collect()}
     batch_cells = {(r.row, r.bucket): r.cnt for r in
