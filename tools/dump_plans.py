@@ -86,6 +86,22 @@ SHOWCASE = {
         "(broadcast queries / broadcast routed probes); the comparison "
         "adds one (query, neighbor) join and a Q-row aggregate — "
         "evaluation costs no more than the searches themselves."),
+    "leakage_report": (
+        "Benchmark leakage: benchmark window hashes BROADCAST into a "
+        "map-side semi-join over the corpus window stream (the corpus "
+        "never shuffles wholesale); the matched-hash set — bounded by "
+        "the benchmark's own window count — broadcasts back to mark "
+        "the benchmark windows."),
+    "bloom_membership": (
+        "Bloom cross-epoch dedup: the filter is 64 BIGINT words built "
+        "by a map-side-combinable bit_or aggregate and BROADCAST to "
+        "the probe; probing is a narrow map + tiny join — no corpus "
+        "shuffle anywhere."),
+    "corpus_shards": (
+        "Epoch shuffle: positions come from the shared two-phase "
+        "exclusive scan (range partition + driver offsets + "
+        "intra-partition rank) — no SinglePartition exchange, no "
+        "per-shard single-task sort."),
 }
 
 
