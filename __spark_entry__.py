@@ -2664,13 +2664,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # quality_verdict, decontaminate_cut, dedup_cut_keep_first,
     # dedup_rate) plus the EIGHT new r8 ops (kmeans_fixed, quota_sample,
     # token_quota_sample, corpus_shards, ivf_recall, minhash_dedup_keep,
-    # encoding_quality, bloom_membership). Parked at 51+: fifteen
-    # r07-green keepers
+    # encoding_quality, bloom_membership, leakage_report — every new op
+    # certifies THIS round). Parked at 51+: sixteen r07-green keepers
     # (skew_agg, extract_parts, pii_redact, string_funcs, session_window,
     # moving_window, scalar_conditionals, array_funcs, dedup_survivors,
     # minhash_estimate, ngram_jaccard_inverted, ann_topk_fold,
-    # image_features, audio_features, video_features — rotation map in
-    # NOTES.md). After
+    # image_features, audio_features, video_features, near_dedup_keep —
+    # rotation map in NOTES.md). After
     # this round every registry operator has a driver-green row in some
     # CORRECTNESS_r*.
     #
@@ -2717,7 +2717,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_recall": q_ivf_recall,                  # NEW r08: ANN recall frame
     "minhash_dedup_keep": q_minhash_dedup_keep,  # NEW r08: text dedup e2e
     "encoding_quality": q_encoding_quality,      # NEW r08: mojibake filter
-    "near_dedup_keep": q_near_dedup_keep,        # dedup composition
+    "leakage_report": q_leakage_report,          # NEW r08: leakage frame
     "bloom_membership": q_bloom_membership,      # NEW r08: bloom sketch
     "range_join": q_range_join,                  # bucketed interval join
     "hll_distinct": q_hll_distinct,              # mergeable HLL sketch
@@ -2774,7 +2774,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_features": q_image_features,          # parked r08 (green r07)
     "audio_features": q_audio_features,          # parked r08 (green r07)
     "video_features": q_video_features,          # parked r08 (green r07)
-    "leakage_report": q_leakage_report,          # NEW r08 tail
+    "near_dedup_keep": q_near_dedup_keep,        # parked r08 (green r07)
 }
 
 
