@@ -616,6 +616,40 @@ def q_minhash_lsh(spark, sf_dir):
                              n_hashes=12, band_size=4, threshold=0.8)
 
 
+def q_ann_filtered(spark, sf_dir):
+    """Predicate-filtered vector search (NEW r8): exact top-k cosine
+    among candidates matching a metadata predicate (label in a set) —
+    the filtered-ANN shape every vector store serves ("nearest docs
+    WHERE lang = 'en'"). Pre-filtering composes with the certified
+    brute-force kernel; at 100 TB the predicate prunes label-partitioned
+    parquet BEFORE any dot product (same layout note as ann_ivf)."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        brute_force_topk)
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = emb.filter(F.col("label").isin(1, 3, 5, 7))
+    return brute_force_topk(cand, emb.filter(F.col("vec_id") < 10),
+                            "vec_id", "embedding", k=5)
+
+
+def _ann_filtered_sql(k=5):
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                  {_DOT_SQL.format(a='embedding', b='embedding')} AS qn
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+             {_DOT_SQL.format(a='embedding', b='embedding')} AS cn
+      FROM embeddings WHERE label IN (1, 3, 5, 7)),
+scored AS (SELECT q.query_id, c.neighbor_id,
+                  ROUND({_DOT_SQL.format(a='q.qv', b='c.cv')}
+                        / (sqrt(q.qn) * sqrt(c.cn)), 6) AS score
+           FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored)
+WHERE rank <= {k}"""
+
+
 def q_bloom_membership(spark, sf_dir):
     """Bloom-filter cross-epoch dedup frame (NEW r8): build the
     mergeable bitset sketch over the 'previous epoch' split's content
@@ -2775,6 +2809,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,          # parked r08 (green r07)
     "video_features": q_video_features,          # parked r08 (green r07)
     "near_dedup_keep": q_near_dedup_keep,        # parked r08 (green r07)
+    "ann_filtered": q_ann_filtered,              # NEW r08 tail
 }
 
 
@@ -3013,6 +3048,7 @@ def oracle_sql() -> dict[str, str]:
         "token_quota_sample": _TOKEN_QUOTA_SQL,
         "minhash_dedup_keep": _minhash_dedup_keep_sql(),
         "bloom_membership": _BLOOM_SQL,
+        "ann_filtered": _ann_filtered_sql(),
         "encoding_quality": __import__(
             "keboola_storage_duckdb_spark.functions.text",
             fromlist=["ENCODING_QUALITY_SQL_TEMPLATE"]
