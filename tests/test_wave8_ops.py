@@ -288,3 +288,42 @@ def test_stream_cm_sketch_equals_batch(spark, sf_dir, tmp_path):
                    cm_sketch_table(spark.read.parquet(src), "event_type",
                                    depth=4, width=64).collect()}
     assert stream_cells == batch_cells
+
+
+def test_r8_ops_on_empty_inputs(spark):
+    """Driver-resilience edges: every r8 operator returns an empty (or
+    well-defined) frame on empty input instead of crashing — the
+    two-phase scans exercise their empty-offsets path, the bloom probe
+    its missing-filter path, leakage its empty-benchmark path."""
+    from keboola_storage_duckdb_spark.functions.packing import (
+        corpus_shards, pack_token_stream)
+    from keboola_storage_duckdb_spark.functions.sketch import (
+        bloom_probe, bloom_table, quota_sample, token_quota_sample)
+    from keboola_storage_duckdb_spark.functions.spans import leakage_report
+    from keboola_storage_duckdb_spark.functions.text import encoding_quality
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", 22)],
+        "doc_id long, text string, lang string, n_chars int")
+    empty = docs.filter(F.lit(False))
+
+    assert corpus_shards(empty, "doc_id").count() == 0
+    assert pack_token_stream(empty, "doc_id", "text").count() == 0
+    assert quota_sample(empty, "lang", "doc_id", {"en": 5}).count() == 0
+    assert quota_sample(docs, "lang", "doc_id", {}).count() == 0
+    assert token_quota_sample(empty, "lang", "doc_id", "n_chars",
+                              {"en": 5}).count() == 0
+    assert encoding_quality(empty, "doc_id", "text").count() == 0
+
+    # empty benchmark: no rows (nothing to report on); empty corpus:
+    # every benchmark doc reports zero leakage
+    assert leakage_report(empty, docs, "doc_id", "text", k=2).count() == 0
+    r = leakage_report(docs, empty, "doc_id", "text", k=2).collect()
+    assert len(r) == 1 and r[0].n_leaked == 0 \
+        and r[0].leak_fraction == 0.0 and r[0].n_windows == 3
+
+    # empty bloom build: filter has no rows, every probe is a miss
+    filt = bloom_table(empty.select(F.col("text").alias("s")), "s")
+    probed = bloom_probe(filt, docs.select(F.col("text").alias("s")),
+                         "s").collect()
+    assert len(probed) == 1 and probed[0].bloom_member is False
