@@ -327,3 +327,62 @@ def test_r8_ops_on_empty_inputs(spark):
     probed = bloom_probe(filt, docs.select(F.col("text").alias("s")),
                          "s").collect()
     assert len(probed) == 1 and probed[0].bloom_member is False
+
+
+def test_training_pipeline_end_to_end(spark, sf_dir):
+    """The full pretraining data pipeline, composed from the registry
+    operators the way a user would chain them: quality filter -> exact
+    span dedup (keep-first cut) -> span decontamination -> token-stream
+    packing -> epoch shard layout. Asserts the conservation invariants
+    each stage owes the next (no doc invented or silently dropped,
+    token counts only shrink under cuts, the packed stream is gapless,
+    shards partition the survivors)."""
+    from keboola_storage_duckdb_spark.functions.packing import (
+        corpus_shards, pack_token_stream)
+    from keboola_storage_duckdb_spark.functions.spans import (
+        contamination_spans, cut_spans, duplicate_spans)
+    from keboola_storage_duckdb_spark.functions.text import quality_verdict
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    # 1. quality gate: keep decisions cover every doc exactly once
+    verdict = quality_verdict(docs, "doc_id", "text")
+    assert verdict.count() == n_docs
+    kept = (docs.join(verdict.filter("keep").select("doc_id"), "doc_id"))
+    n_kept = kept.count()
+    assert 0 < n_kept < n_docs
+
+    # 2. substring dedup with the keep-first survivor policy
+    spans = duplicate_spans(kept, "doc_id", "text", k=8, cross_doc=True,
+                            keep_first=True)
+    deduped = cut_spans(kept, spans, "doc_id", "text")
+    assert deduped.count() == n_kept            # cut, never dropped
+    tok = deduped.filter(F.col("kept_tokens") < F.col("kept_tokens")
+                         + F.col("removed_tokens"))
+    assert tok.count() == spans.select("doc_id").distinct().count()
+
+    # 3. span decontamination against a held-out split
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    clean_in = deduped.select("doc_id",
+                              F.col("clean_text").alias("text"))
+    cspans = contamination_spans(clean_in, bench, "doc_id", "text", k=6)
+    clean = cut_spans(clean_in, cspans, "doc_id", "text")
+    assert clean.count() == n_kept
+
+    # 4. pack the surviving token stream into 512-token contexts
+    packed = pack_token_stream(
+        clean.select("doc_id", F.col("clean_text").alias("text")),
+        "doc_id", "text", max_len=512)
+    rows = sorted(packed.collect(), key=lambda r: r.start_token)
+    pos = 0
+    for r in rows:                               # gapless exclusive scan
+        assert r.start_token == pos
+        pos += r.n_tokens
+    assert rows and pos == sum(r.n_tokens for r in rows)
+
+    # 5. epoch shard layout partitions exactly the packed docs
+    shards = corpus_shards(packed, "doc_id", n_shards=4, seed="ep0")
+    assert shards.count() == packed.count()
+    assert (shards.groupBy("shard", "pos").count()
+                  .filter("count > 1").count()) == 0
