@@ -2698,8 +2698,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # quality_verdict, decontaminate_cut, dedup_cut_keep_first,
     # dedup_rate) plus the EIGHT new r8 ops (kmeans_fixed, quota_sample,
     # token_quota_sample, corpus_shards, ivf_recall, minhash_dedup_keep,
-    # encoding_quality, bloom_membership, leakage_report — every new op
-    # certifies THIS round). Parked at 51+: sixteen r07-green keepers
+    # encoding_quality, bloom_membership, leakage_report, ann_filtered —
+    # every new op certifies THIS round, and every slot is oracle-backed:
+    # kmeans (the one rows-only entry) is parked because kmeans_fixed
+    # (slot 34) hash-certifies the same Lloyd arithmetic. Parked at 51+:
+    # sixteen r07-green keepers
     # (skew_agg, extract_parts, pii_redact, string_funcs, session_window,
     # moving_window, scalar_conditionals, array_funcs, dedup_survivors,
     # minhash_estimate, ngram_jaccard_inverted, ann_topk_fold,
@@ -2759,7 +2762,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bottom_k_sample": q_bottom_k_sample,        # mergeable exact-size sample
     "pack_sequences": q_pack_sequences,          # token-stream packing
     "repetition_signals": q_repetition_signals,  # Gopher repetition rules
-    "kmeans": q_kmeans,                          # rows-only iterative
+    "ann_filtered": q_ann_filtered,              # NEW r08: filtered ANN
     "execute_query": q_execute_query,            # keeper parked 51+ (green r01-r06)
     # ---- tail (51+): driver-green in r01-r07 CORRECTNESS records ----
     # parked r08 (all certified green in CORRECTNESS_r07):
@@ -2809,7 +2812,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,          # parked r08 (green r07)
     "video_features": q_video_features,          # parked r08 (green r07)
     "near_dedup_keep": q_near_dedup_keep,        # parked r08 (green r07)
-    "ann_filtered": q_ann_filtered,              # NEW r08 tail
+    "kmeans": q_kmeans,                          # rows-only iterative; its
+    # arithmetic is hash-certified via kmeans_fixed (slot 34); parking it
+    # makes the 50-slot window all-oracle-backed
 }
 
 
