@@ -1160,9 +1160,17 @@ def q_quality_verdict(spark, sf_dir):
     """The composed filter stack: Gopher surface + repetition + language
     rules folded to one keep/drop verdict per document with failed-rule
     names logged (auditable drops — what a production corpus filter
-    emits). Three map-side rule frames, two 1:1 hash joins."""
+    emits). Three map-side rule frames, two 1:1 hash joins.
+
+    Certification shape: the operator emits ``reasons: array<string>``,
+    but the driver's pandas row canonicalizer cannot sort list columns
+    (r08 red — ``TypeError: unhashable type: 'list'``), so the registry
+    entry joins it to one comma-separated string. Spark ``array_join([])``
+    is ``''`` while DuckDB ``array_to_string([])`` is NULL — the oracle
+    COALESCEs to match (the r7 cut_spans gotcha)."""
     from keboola_storage_duckdb_spark.functions.text import quality_verdict
-    return quality_verdict(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    out = quality_verdict(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.withColumn("reasons", F.array_join("reasons", ","))
 
 
 def _quality_verdict_sql():
@@ -1186,7 +1194,8 @@ l AS ({_lang_id_sql()})
 SELECT g.doc_id,
        l.pred_lang AS lang,
        COALESCE({conj}, FALSE) AS keep,
-       list_filter([{cases}], x -> x IS NOT NULL) AS reasons
+       COALESCE(array_to_string(
+           list_filter([{cases}], x -> x IS NOT NULL), ','), '') AS reasons
 FROM g JOIN r ON r.doc_id = g.doc_id JOIN l ON l.id = g.doc_id"""
 
 

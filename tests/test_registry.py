@@ -66,6 +66,43 @@ def test_oracle_result_types_are_spark_representable():
         f"(CAST them AS BIGINT): {offenders}")
 
 
+def test_certified_oracle_outputs_no_complex_types():
+    """Oracle-exactness rule (VERDICT r8 #2): the driver's pandas row
+    canonicalizer sorts rows across all columns and dies on unhashable
+    cells — `TypeError: unhashable type: 'list'` was the r08
+    `quality_verdict` red, the THIRD hash-class (after HUGEINT and
+    ns-timestamps) the local tuple-sort gate structurally cannot see
+    (Python tuples compare lists fine). Ban ARRAY/MAP/STRUCT output
+    columns in the certification window (slots 1-50): `array_join` /
+    `to_json` them on BOTH sides instead. Parked (51+) entries may keep
+    complex outputs — they are never driver-hashed — but must be
+    flattened before any rotation into the window."""
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+    window = set(list(E.queries())[:50])
+    oracles = E.oracle_sql()
+    offenders = []
+    for name in window:
+        sql = oracles.get(name)
+        if sql is None:          # rows-only: no hash, no canon sort
+            continue
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ)
+            if "[]" in t or t.upper().startswith(("MAP(", "STRUCT(")):
+                offenders.append(f"{name}.{col}: {t}")
+    assert not offenders, (
+        "certified oracle columns with complex types the driver canon "
+        f"cannot sort (array_join/to_json them on both sides): {offenders}")
+
+
 def test_oracle_sql_mentions_no_forbidden_libm():
     """Oracle-exactness rule (README correctness discipline): no
     pow/exp/log in oracle SQL — libm differs across engines. sqrt and

@@ -65,12 +65,29 @@ def main():
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    certified = set(list(qs)[:50])
     failures = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
         try:
             sdf = fn(spark, SF_DIR)
+            # complex-type audit (VERDICT r8 #2): the driver's pandas row
+            # canonicalizer cannot sort ARRAY/MAP/STRUCT cells
+            # (unhashable list — the r08 quality_verdict red). The local
+            # tuple-sort compares lists fine, so this class is invisible
+            # to the value check; ban the types outright in the
+            # certification window (array_join / to_json them).
+            from pyspark.sql.types import ArrayType, MapType, StructType
+            complex_cols = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+            if complex_cols and name in certified:
+                print(f"FAIL {name}: certified entry emits complex-typed "
+                      f"columns the driver canon cannot sort: {complex_cols}")
+                failures.append(name)
+                continue
             srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
         except Exception as ex:
@@ -94,6 +111,12 @@ def main():
                 if any(b in str(t).upper() for b in
                        ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER",
                         "USMALLINT", "UTINYINT"))]
+            if name in certified:
+                # driver canon cannot sort list/map/struct cells (r08)
+                bad_types += [
+                    f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                    if "[]" in str(t)
+                    or str(t).upper().startswith(("MAP(", "STRUCT("))]
             res = con.execute(sql)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
