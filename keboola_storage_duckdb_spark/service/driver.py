@@ -42,6 +42,54 @@ def _create_mode(v):
     return None
 
 
+_WHERE_OPS = {0: "eq", 1: "ne", 2: "gt", 3: "ge", 4: "lt", 5: "le"}
+_DATA_TYPES = {0: None, 1: "INTEGER", 2: "DOUBLE", 3: "BIGINT", 4: "REAL",
+               5: "DECIMAL", 6: "TIMESTAMP"}
+
+
+def _dedup_type(v) -> str:
+    """proto ImportOptions.DedupType: 0=UPDATE_DUPLICATES,
+    1=INSERT_DUPLICATES, 2=FAIL_ON_DUPLICATES (enum number, enum name, or
+    the engine's snake_case string)."""
+    if v in (1, "1", "INSERT_DUPLICATES", "insert_duplicates"):
+        return "insert_duplicates"
+    if v in (2, "2", "FAIL_ON_DUPLICATES", "fail_on_duplicates"):
+        return "fail_on_duplicates"
+    return "update_duplicates"
+
+
+def _table_ref(t: dict) -> tuple:
+    """proto ImportExportShared.Table / SourceTableMapping → engine
+    (project, bucket, table): ``path`` carries [projectId, bucketName]."""
+    path = t.get("path") or []
+    if len(path) < 2:
+        raise KeyError("table path must be [projectId, bucketName]")
+    return (path[0], path[1], t["tableName"])
+
+
+def _where_filters_column(filters):
+    """proto TableWhereFilter list → one conjunctive Spark Column (the
+    grammar ANDs filters). Accepts enum numbers or names for operator and
+    dataType; the column key is the proto's ``columnsName`` or the bridge
+    JSON's ``column``."""
+    if not filters:
+        return None
+    from ..operators.filters import combine_where, typed_where
+    cols = []
+    for f in filters:
+        op = f.get("operator", "eq")
+        if isinstance(op, int) or (isinstance(op, str) and op.isdigit()):
+            op = _WHERE_OPS.get(int(op), op)
+        dt = f.get("dataType")
+        if isinstance(dt, int) or (isinstance(dt, str) and dt.isdigit()):
+            dt = _DATA_TYPES.get(int(dt))
+        elif dt == "STRING":
+            dt = None
+        cols.append(typed_where(f.get("column") or f["columnsName"],
+                                op, f.get("values", []), dt))
+    return combine_where(cols)
+
+
 def _handlers(engine) -> dict:
     """Command type → callable(payload) → result dict. Payload field names
     follow the reference's driver JSON (projectId/bucketName/tableName…)."""
@@ -98,6 +146,23 @@ def _handlers(engine) -> dict:
             import_strategy=_strategy(c.get("importStrategy")),
             import_as_null=c.get("importAsNull", ()),
             create_mode=_create_mode(c.get("createMode"))),
+        # proto/table.proto TableImportFromTableCommand (SURVEY §2.5 W8):
+        # copy between workspace/storage tables — source mapping carries
+        # path+tableName, seconds (_timestamp recency), whereFilters,
+        # limit, columnMappings; importOptions carries importType (0=FULL
+        # replaces, 1=INCREMENTAL merges) and dedupType.
+        "TableImportFromTableCommand": lambda c: engine.import_from_table(
+            _table_ref(c["source"]), _table_ref(c["destination"]),
+            column_mappings={m["sourceColumnName"]: m["destinationColumnName"]
+                             for m in c["source"].get("columnMappings", [])}
+                            or None,
+            where=_where_filters_column(c["source"].get("whereFilters")),
+            seconds=c["source"].get("seconds") or None,
+            limit=c["source"].get("limit") or None,
+            dedup_mode=_dedup_type(
+                c.get("importOptions", {}).get("dedupType")),
+            incremental=c.get("importOptions", {}).get("importType")
+                        in (1, "1", "INCREMENTAL", "incremental")),
         "TableExportToFileCommand": lambda c: engine.export_to_file(
             c["projectId"], c["bucketName"], c["tableName"], c["path"],
             file_format=c.get("format", "csv"),

@@ -35,8 +35,9 @@ def test_command_catalog(rig):
     _eng, c = rig
     cmds = c.get("/driver/commands").get_json()
     assert "TableImportFromFileCommand" in cmds
+    assert "TableImportFromTableCommand" in cmds
     assert "ExecuteQueryCommand" in cmds
-    assert len(cmds) == 35  # the reference's full command set
+    assert len(cmds) == 36  # the reference's full command set
 
 
 def test_lifecycle_via_commands(rig, tmp_path):
@@ -136,6 +137,63 @@ def test_admin_only_commands_require_admin_key(spark, tmp_path_factory):
                       "bucketName": "in_c_m"},
                   headers={"X-API-Key": member})
         assert r.status_code == 200
+
+
+def test_import_from_table_command(rig, tmp_path):
+    """proto/table.proto TableImportFromTableCommand over the bridge
+    (SURVEY §2.5 W8): nested source mapping with whereFilters (enum
+    numbers), columnMappings, limit; importOptions importType
+    INCREMENTAL vs FULL."""
+    _eng, c = rig
+    for cmd in (
+        {"type": "CreateBucketCommand", "projectId": "pd",
+         "bucketName": "in_c_ift"},
+        {"type": "CreateTableCommand", "projectId": "pd",
+         "bucketName": "in_c_ift", "tableName": "src",
+         "columns": USERS_COLUMNS, "primaryKey": ["id"]},
+        {"type": "CreateTableCommand", "projectId": "pd",
+         "bucketName": "in_c_ift", "tableName": "dst",
+         "columns": [{"name": "id", "type": "INTEGER", "nullable": False},
+                     {"name": "label", "type": "VARCHAR", "nullable": True}],
+         "primaryKey": ["id"]},
+    ):
+        assert _exec(c, cmd).status_code == 200
+    csv = tmp_path / "s.csv"
+    csv.write_text("id,name\n1,Ann\n2,Ben\n3,Cyd\n")
+    r = _exec(c, {"type": "TableImportFromFileCommand", "projectId": "pd",
+                  "bucketName": "in_c_ift", "tableName": "src",
+                  "path": str(csv), "format": "csv"})
+    assert r.get_json()["result"]["rows_after"] == 3
+    # incremental import with a gt-filter (proto enum numbers) and a
+    # src→dst column rename
+    r = _exec(c, {
+        "type": "TableImportFromTableCommand",
+        "source": {"path": ["pd", "in_c_ift"], "tableName": "src",
+                   "whereFilters": [{"columnsName": "id", "operator": 2,
+                                     "values": ["1"], "dataType": 1}],
+                   "columnMappings": [
+                       {"sourceColumnName": "id",
+                        "destinationColumnName": "id"},
+                       {"sourceColumnName": "name",
+                        "destinationColumnName": "label"}]},
+        "destination": {"path": ["pd", "in_c_ift"], "tableName": "dst"},
+        "importOptions": {"importType": 1, "dedupType": 0}})
+    assert r.status_code == 200, r.get_json()
+    assert r.get_json()["result"]["rows_after"] == 2  # ids 2, 3
+    # FULL (importType 0, the proto default) replaces; limit caps rows
+    r = _exec(c, {
+        "type": "TableImportFromTableCommand",
+        "source": {"path": ["pd", "in_c_ift"], "tableName": "src",
+                   "limit": 1,
+                   "columnMappings": [
+                       {"sourceColumnName": "id",
+                        "destinationColumnName": "id"},
+                       {"sourceColumnName": "name",
+                        "destinationColumnName": "label"}]},
+        "destination": {"path": ["pd", "in_c_ift"], "tableName": "dst"},
+        "importOptions": {"importType": 0}})
+    assert r.status_code == 200, r.get_json()
+    assert r.get_json()["result"]["rows_after"] == 1
 
 
 def test_workspace_commands(rig):
