@@ -452,18 +452,21 @@ def q_quantiles(spark, sf_dir):
     percentile; NOT percentile_approx). Rounded to 6 dp — the two engines'
     interpolation expressions may differ in the last ulp.
 
-    Served by the bounded-memory two-pass selection
-    (operators/quantiles.py): histogram bin-count scan → in-bin exact
-    selection, never buffering a whole column in one aggregation buffer
-    (the built-in percentile() does, which OOMs at 100 TB). The order
-    statistics are bit-identical to percentile(); interpolation + rounding
-    happen in Spark expressions so engine arithmetic is unchanged."""
+    Served by the density-guarded auto route (operators/quantiles.py,
+    VERDICT r8 #5 — same pattern as grouped_quantiles_auto): a count
+    probe sends small inputs to native percentile() (one codegen agg)
+    and big ones to the bounded-memory two-pass selection — histogram
+    bin-count scan → in-bin exact selection, never buffering a whole
+    column in one aggregation buffer (the built-in percentile() does,
+    which OOMs at 100 TB). The two engines are bit-identical (same order
+    statistics, same interpolation expression), so the route can never
+    change a result."""
     from keboola_storage_duckdb_spark.operators.quantiles import (
-        exact_quantiles)
+        exact_quantiles_auto)
     li = _t(spark, sf_dir, "lineitem")
     probs = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    qs = exact_quantiles(li, cols, probs)
+    qs = exact_quantiles_auto(li, cols, probs)
     rows = [(c, float(p), v) for c in cols for p, v in zip(probs, qs[c])]
     df = spark.createDataFrame(rows, "col string, p double, v0 double")
     return df.select("col", "p", F.round("v0", 6).alias("v"))
@@ -483,13 +486,14 @@ def _quantiles_sql():
 def q_outlier_iqr(spark, sf_dir):
     """A7: IQR outlier count — quantile pass + bounded count pass (the
     reference computes bounds in Python between two queries,
-    src/database.py:5372-5386). The quantile pass uses the bounded-memory
-    two-pass selection (operators/quantiles.py), mirroring the reference's
-    two-query shape instead of a whole-column aggregation buffer."""
+    src/database.py:5372-5386). The quantile pass uses the density-guarded
+    auto route (native percentile small / bounded two-pass selection big),
+    mirroring the reference's two-query shape instead of an unconditional
+    whole-column aggregation buffer."""
     from keboola_storage_duckdb_spark.operators.quantiles import (
-        exact_quantiles)
+        exact_quantiles_auto)
     li = _t(spark, sf_dir, "lineitem")
-    qs = exact_quantiles(li, ["l_extendedprice"], [0.25, 0.75])
+    qs = exact_quantiles_auto(li, ["l_extendedprice"], [0.25, 0.75])
     q25, q75 = qs["l_extendedprice"]
     b = spark.createDataFrame([(q25, q75)], "q25 double, q75 double") \
              .select("q25", "q75",

@@ -84,6 +84,22 @@ def test_grouped_quantile_engines_empty_input(spark):
         assert out.count() == 0, fn.__name__
 
 
+def test_exact_quantiles_auto_all_null_and_empty(spark):
+    """Both auto routes must agree on the degenerate shapes: an all-NULL
+    column yields per-prob Nones on either engine (native percentile's
+    NULL array is normalized), and empty input likewise."""
+    from keboola_storage_duckdb_spark.operators.quantiles import (
+        exact_quantiles_auto)
+
+    allnull = spark.createDataFrame([(None,), (None,)], "x double")
+    empty = spark.createDataFrame([], "x double")
+    for df in (allnull, empty):
+        for max_rows in (0, 4_000_000):
+            out = exact_quantiles_auto(df, ["x"], [0.25, 0.75],
+                                       max_rows=max_rows)
+            assert out["x"] == [None, None], (df, max_rows)
+
+
 def test_pack_token_stream_empty_input(spark):
     from keboola_storage_duckdb_spark.functions.packing import (
         pack_token_stream)
