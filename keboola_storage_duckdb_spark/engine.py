@@ -1348,6 +1348,19 @@ class StorageEngine:
             pass
         self._log("snapshot_delete", table=table, snapshot=snapshot_id)
 
+    @staticmethod
+    def _read_snapshot_sidecar(path: str, snapshot_id: str) -> dict:
+        """A snapshot dir whose schema sidecar is missing or corrupt must
+        surface as a clean NotFoundError (HTTP 404), not a raw
+        FileNotFoundError/JSONDecodeError → 500 (ADVICE r8)."""
+        try:
+            with open(path + ".schema.json") as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError) as ex:
+            raise NotFoundError(
+                f"snapshot {snapshot_id} has no readable schema sidecar "
+                f"({type(ex).__name__})") from ex
+
     def snapshot_restore(self, project: str, bucket: str, table: str,
                          snapshot_id: str) -> dict:
         """S4: CREATE OR REPLACE from snapshot parquet, PK re-applied from
@@ -1356,8 +1369,7 @@ class StorageEngine:
         path = os.path.join(sd, snapshot_id)
         if not os.path.isdir(path):
             raise NotFoundError(f"snapshot {snapshot_id} not found")
-        with open(path + ".schema.json") as f:
-            sidecar = json.load(f)
+        sidecar = self._read_snapshot_sidecar(path, snapshot_id)
         meta = TableMeta(columns=sidecar["columns"],
                          primary_key=sidecar.get("primary_key", []),
                          created_at=time.time())
@@ -1387,6 +1399,11 @@ class StorageEngine:
         fingerprints (added/removed only — "changed" is undefined
         without identity). Both shapes are one shuffle on the join key
         and return O(1) counts + O(sample_limit) rows to the driver.
+
+        ``schema_drift`` lists non-system columns present on only one
+        side; fingerprints cover the common columns only, so a drifted
+        column's values never flip a row to "changed" — the drift field
+        is how that shows up.
         """
         from pyspark.sql import functions as F
 
@@ -1394,8 +1411,7 @@ class StorageEngine:
         path = os.path.join(sd, snapshot_id)
         if not os.path.isdir(path):
             raise NotFoundError(f"snapshot {snapshot_id} not found")
-        with open(path + ".schema.json") as f:
-            sidecar = json.load(f)
+        sidecar = self._read_snapshot_sidecar(path, snapshot_id)
         old = self.spark.read.parquet(path)
         if other_snapshot_id is not None:
             path2 = os.path.join(sd, other_snapshot_id)
@@ -1406,6 +1422,18 @@ class StorageEngine:
         else:
             new = self.read_table(project, bucket, table)
         pk = sidecar.get("primary_key") or []
+        # fingerprints cover only columns present on BOTH sides, so rows
+        # differing solely in an added/dropped column count as
+        # "unchanged" — surface the drift explicitly instead of hiding
+        # it (ADVICE r8)
+        drift = {
+            "only_in_old": [c for c in old.columns
+                            if c not in new.columns
+                            and not c.startswith("_")],
+            "only_in_new": [c for c in new.columns
+                            if c not in old.columns
+                            and not c.startswith("_")],
+        }
 
         def fingerprint(df, cols):
             # to_json over a struct: NULL, empty string and separator-
@@ -1456,6 +1484,7 @@ class StorageEngine:
                      .limit(sample_limit).collect()]
                 for s in ("added", "removed", "changed")}
             out = {"mode": "primary_key", "primary_key": pk,
+                   "schema_drift": drift,
                    "added": counts.get("added", 0),
                    "removed": counts.get("removed", 0),
                    "changed": counts.get("changed", 0),
@@ -1477,7 +1506,7 @@ class StorageEngine:
                 F.sum(F.greatest(F.col("n_o") - F.col("n_n"), F.lit(0)))
                  .alias("removed"),
                 F.sum(F.least("n_o", "n_n")).alias("unchanged")).collect()[0]
-            out = {"mode": "rowset",
+            out = {"mode": "rowset", "schema_drift": drift,
                    "added": int(agg["added"] or 0),
                    "removed": int(agg["removed"] or 0),
                    "changed": 0,

@@ -415,26 +415,48 @@ class PgWireServer:
             ).createOrReplaceTempView("__pgcat_settings")
         self.engine._pg_catalog_views = True
 
-    @staticmethod
-    def _rewrite_pg_catalog(sql: str) -> tuple[str, bool]:
+    # quoted regions the catalog rewrite must never touch (ADVICE r8 —
+    # the old split handled only plain '...'): standard literals (''
+    # doubling), E'...' (backslash escapes \' legal), dollar-quoted
+    # bodies ($$..$$ / $tag$..$tag$; the empty-alternative tag group
+    # always participates so the backreference matches), and
+    # double-quoted identifiers ("" doubling) — a column/table the user
+    # QUOTED as "pg_type" is their identifier, not the catalog
+    # (unquoted FROM pg_type still rewrites).
+    _PG_QUOTED_RE = re.compile(
+        r"(?s)\$(?P<tag>[A-Za-z_]\w*|)\$.*?\$(?P=tag)\$"
+        r"|[eE]'(?:[^'\\]|\\.|'')*'"
+        r"|'(?:[^']|'')*'"
+        r'|"(?:[^"]|"")*"')
+
+    @classmethod
+    def _rewrite_pg_catalog(cls, sql: str) -> tuple[str, bool]:
         """Rewrite ``[pg_catalog.]pg_{type,namespace,class,attribute}``
         identifier references to the ``__pgcat_*`` stub views and drop
-        remaining ``pg_catalog.`` qualifiers — OUTSIDE single-quoted
-        string literals only (ADVICE r7: the old blanket regex corrupted
-        literals containing the text 'pg_catalog.'). Returns the
+        remaining ``pg_catalog.`` qualifiers — outside every quoted
+        region (see ``_PG_QUOTED_RE``; ADVICE r7/r8: a blanket regex
+        corrupted literals containing 'pg_catalog.'). Returns the
         rewritten SQL and whether any stub table was referenced."""
-        parts = re.split(r"('(?:[^']|'')*')", sql)
         hit = False
-        for i in range(0, len(parts), 2):        # even slots = non-literal
+        out = []
+        pos = 0
+
+        def _fix(seg: str) -> str:
+            nonlocal hit
             new = re.sub(
                 r"\b(?:pg_catalog\.)?"
                 r"pg_(type|namespace|class|attribute|settings|proc)\b",
-                r"__pgcat_\1", parts[i], flags=re.I)
-            if new != parts[i]:
+                r"__pgcat_\1", seg, flags=re.I)
+            if new != seg:
                 hit = True
-                parts[i] = new
-            parts[i] = re.sub(r"\bpg_catalog\.", "", parts[i], flags=re.I)
-        return "".join(parts), hit
+            return re.sub(r"\bpg_catalog\.", "", new, flags=re.I)
+
+        for m in cls._PG_QUOTED_RE.finditer(sql):
+            out.append(_fix(sql[pos:m.start()]))
+            out.append(m.group(0))
+            pos = m.end()
+        out.append(_fix(sql[pos:]))
+        return "".join(out), hit
 
     def _compat_dispatch(self, sql: str, project: str, user: str):
         """Answer the startup probes every real PG client fires before its

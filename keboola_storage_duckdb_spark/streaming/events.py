@@ -235,6 +235,13 @@ def stream_bottom_k(spark, source_dir: str, schema,
     like the batch operator's row_number over the raw rows (ADVICE r7:
     the previous hash-dedup state diverged from batch on repeats), so
     state carries per-hash multiplicities capped at k total rows.
+
+    CHECKPOINT COMPATIBILITY (ADVICE r8): the r8 multiplicity fix grew
+    ``stateStructType`` from 2 arrays to 3 (``counts`` added). A query
+    restarted from a checkpoint written by the 2-array version fails on
+    the incompatible state schema — discard the old checkpoint directory
+    and re-run from the source (the operator is deterministic over the
+    same files, so the sample is reproduced). See MIGRATION.md.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

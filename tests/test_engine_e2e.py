@@ -484,6 +484,31 @@ def test_snapshot_diff_pk_and_rowset(engine, tmp_path):
     assert d["samples"]["added"] == [{"id": 4}]
     assert d["samples"]["removed"] == [{"id": 3}]
     assert d["samples"]["changed"] == [{"id": 2}]
+    assert d["schema_drift"] == {"only_in_old": [], "only_in_new": []}
+
+    # schema drift is reported, not silently folded into "unchanged"
+    # (ADVICE r8): a column added after the snapshot shows up in
+    # only_in_new while the common-column fingerprints stay comparable
+    engine.add_column("p1", "in_c_data", "diff_t",
+                      {"name": "extra", "type": "VARCHAR"})
+    dd = engine.snapshot_diff("p1", "in_c_data", "diff_t",
+                              snap1["snapshot_id"])
+    assert dd["schema_drift"] == {"only_in_old": [],
+                                  "only_in_new": ["extra"]}
+    engine.drop_column("p1", "in_c_data", "diff_t", "extra")
+
+    # missing/corrupt sidecar -> clean NotFoundError, not a raw IO error
+    sd = engine.catalog.snapshot_dir("p1", "in_c_data", "diff_t")
+    sidecar = os.path.join(sd, snap1["snapshot_id"] + ".schema.json")
+    saved = open(sidecar).read()
+    try:
+        os.remove(sidecar)
+        with pytest.raises(NotFoundError):
+            engine.snapshot_diff("p1", "in_c_data", "diff_t",
+                                 snap1["snapshot_id"])
+    finally:
+        with open(sidecar, "w") as f:
+            f.write(saved)
 
     # snapshot-to-snapshot: diff s1 -> s2 equals the live diff above
     snap2 = engine.snapshot_create("p1", "in_c_data", "diff_t", "s2")

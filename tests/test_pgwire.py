@@ -321,6 +321,33 @@ def test_pg_catalog_rewrite_is_literal_safe(server):
     c.terminate()
 
 
+def test_pg_catalog_rewrite_skips_all_quoted_regions():
+    """ADVICE r8: beyond plain '...', the rewrite must also leave
+    dollar-quoted strings, E'...' strings (backslash escapes), and
+    double-quoted identifiers untouched — only unquoted identifier
+    positions rewrite."""
+    from keboola_storage_duckdb_spark.service.pgwire import PgWireServer
+
+    rw = PgWireServer._rewrite_pg_catalog
+    # dollar-quoted (anonymous + tagged) bodies survive verbatim
+    sql, hit = rw("SELECT $$pg_type in body$$ AS a, "
+                  "$tag$pg_catalog.pg_class$tag$ AS b FROM pg_type")
+    assert "$$pg_type in body$$" in sql
+    assert "$tag$pg_catalog.pg_class$tag$" in sql
+    assert sql.endswith("FROM __pgcat_type") and hit
+    # E'...' with an escaped quote before catalog-looking text
+    sql, hit = rw(r"SELECT E'it\'s pg_type' AS s FROM pg_namespace")
+    assert r"E'it\'s pg_type'" in sql
+    assert "FROM __pgcat_namespace" in sql and hit
+    # double-quoted identifiers are the user's names, not the catalog
+    sql, hit = rw('SELECT "pg_type" FROM "pg_catalog.pg_class"')
+    assert sql == 'SELECT "pg_type" FROM "pg_catalog.pg_class"'
+    assert not hit
+    # standard literal with '' doubling still safe
+    sql, hit = rw("SELECT 'it''s pg_type' FROM pg_proc")
+    assert "'it''s pg_type'" in sql and "__pgcat_proc" in sql and hit
+
+
 def test_pg_catalog_views_do_not_shadow_user_tables(server):
     """ADVICE r7: the catalog stubs live under __pgcat_* names, so a
     user bucket 'pg' with table 'type' (view name pg_type) is NOT
