@@ -1405,6 +1405,35 @@ def q_ivf_recall(spark, sf_dir):
                       "vec_id", "embedding", "label", k=5, nprobe=2)
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (NEW r9, VERDICT r8 #8): codebooks = 4
+    subspaces × 8 centroids learned by 2 fixed md5-seeded Lloyd rounds
+    (the kmeans_fixed contract per subspace), vectors compressed to 4
+    codes (64 float32 dims → 4 bytes, a 64× memory cut — the standard
+    billion-scale ANN story; Jégou et al. 2011), queries ranked by
+    asymmetric distance to the codebook reconstruction. The DuckDB twin
+    re-derives training, encoding AND ranking exactly (sequential list
+    folds, per-dim AVG, lower-code tie-breaks — unrolled like
+    kmeans_fixed)."""
+    from keboola_storage_duckdb_spark.functions.similarity import pq_ann_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_ann_topk(emb, emb.filter(F.col("vec_id") < 10),
+                       "vec_id", "embedding", m=4, ksub=8, dim=64,
+                       iters=2, k=5)
+
+
+def q_pq_recall(spark, sf_dir):
+    """PQ compression-quality frame (NEW r9): recall@k of the PQ ADC
+    ranking against the exact squared-L2 top-k — what you check before
+    trading code bytes for recall (ivf_recall's twin for the
+    compression axis)."""
+    from keboola_storage_duckdb_spark.functions.similarity import pq_recall
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_recall(emb, emb.filter(F.col("vec_id") < 10),
+                     "vec_id", "embedding", m=4, ksub=8, dim=64,
+                     iters=2, k=5)
+
+
 def q_cut_spans(spark, sf_dir):
     """Actionable substring dedup: every document rebuilt with its
     cross-doc duplicated >= 8-token spans removed (Lee et al. 2022's cut
@@ -2411,6 +2440,113 @@ FROM exact e LEFT JOIN ivf i
 GROUP BY e.query_id"""
 
 
+def _pq_chain_sql(m=4, ksub=8, sub=16, rounds=2):
+    """Shared PQ CTE chain (v → seeds → cb0 → Lloyd rounds → enc →
+    recon): the DuckDB re-derivation of similarity.pq_train_codebooks +
+    pq_encode. Mirrors _KMEANS_FIXED_SQL per subspace: md5-ordered
+    seeds, sequential list_sum distance folds, per-dim AVG
+    re-estimation with COALESCE fallback for empty codes, lower-code
+    tie-break — all bit-reproducible against the Spark side."""
+    parts = [f"""v AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+              - 1 AS INTEGER) AS code,
+         v AS sv
+  FROM v
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+          <= {ksub}),
+cb0 AS (SELECT sub, code,
+               list_transform(generate_series(1, {sub}),
+                              i -> sv[sub * {sub} + i]) AS c
+        FROM seeds CROSS JOIN subs)"""]
+    prev = "cb0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""d{r} AS (
+  SELECT v.vec_id, v.v, p.sub, p.code,
+         list_sum(list_transform(generate_series(1, {sub}),
+           i -> (v.v[p.sub * {sub} + i] - p.c[i])
+              * (v.v[p.sub * {sub} + i] - p.c[i]))) AS d
+  FROM v CROSS JOIN {prev} p),
+a{r} AS (SELECT vec_id, v, sub, code FROM d{r}
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY d ASC, code ASC) = 1),
+m{r} AS (SELECT sub, code, dim, AVG(x) AS mu FROM (
+           SELECT sub, code,
+                  unnest(generate_series(1, {sub})) AS dim,
+                  unnest(list_transform(generate_series(1, {sub}),
+                         i -> v[sub * {sub} + i])) AS x
+           FROM a{r})
+  GROUP BY sub, code, dim),
+c{r} AS (SELECT sub, code, list(mu ORDER BY dim) AS c
+  FROM m{r} GROUP BY sub, code),
+cb{r} AS (SELECT p.sub, p.code, COALESCE(c{r}.c, p.c) AS c
+  FROM {prev} p LEFT JOIN c{r} USING (sub, code))""")
+        prev = f"cb{r}"
+    parts.append(f"""encd AS (
+  SELECT v.vec_id, p.sub, p.code,
+         list_sum(list_transform(generate_series(1, {sub}),
+           i -> (v.v[p.sub * {sub} + i] - p.c[i])
+              * (v.v[p.sub * {sub} + i] - p.c[i]))) AS d
+  FROM v CROSS JOIN {prev} p),
+enc AS (SELECT vec_id, sub, code FROM encd
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY d ASC, code ASC) = 1),
+recon AS (SELECT enc.vec_id, flatten(list(p.c ORDER BY sub)) AS rv
+          FROM enc JOIN {prev} p USING (sub, code)
+          GROUP BY enc.vec_id),
+qpq AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+adpq AS (
+  SELECT qpq.query_id, r.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(generate_series(1, {m * sub}),
+               i -> (qpq.qv[i] - r.rv[i]) * (qpq.qv[i] - r.rv[i]))), 6)
+             AS adist
+  FROM recon r CROSS JOIN qpq
+  WHERE r.vec_id <> qpq.query_id),
+pqtop AS (
+  SELECT query_id, neighbor_id, adist, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY adist ASC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM adpq)
+  WHERE rank <= 5)""")
+    return ",\n".join(parts)
+
+
+def _ann_pq_sql():
+    return f"""
+WITH {_pq_chain_sql()}
+SELECT query_id, neighbor_id, adist, rank FROM pqtop"""
+
+
+def _pq_recall_sql():
+    """PQ recall oracle: the shared PQ chain plus the exact squared-L2
+    top-k (round-6 distance, id tie-break — exact twin of
+    similarity.exact_l2_topk), compared like _ivf_recall_sql."""
+    return f"""
+WITH {_pq_chain_sql()},
+l2 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qpq.query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+              PARTITION BY qpq.query_id
+              ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
+                        i -> (qpq.qv[i] - c.v[i]) * (qpq.qv[i] - c.v[i]))), 6)
+                       ASC, c.vec_id ASC) AS INTEGER) AS rank
+    FROM v c CROSS JOIN qpq
+    WHERE c.vec_id <> qpq.query_id)
+  WHERE rank <= 5)
+SELECT e.query_id,
+       CAST(COUNT(p.neighbor_id) AS INTEGER) AS n_hits,
+       CAST(COUNT(p.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS recall
+FROM l2 e LEFT JOIN pqtop p
+  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+GROUP BY e.query_id"""
+
+
 _COSINE_BLOCKED_SQL = f"""
 WITH v AS (SELECT vec_id, embedding, label,
                   {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
@@ -2731,9 +2867,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "typed_where": q_typed_where,
     "change_interval": q_change_interval,
     "fulltext": q_fulltext,
-    "ref_filter_in": q_ref_filter_in,
+    # r09 rotation: ann_pq + pq_recall take the slots of ref_filter_in /
+    # join_cust_orders_nation (both green r01-r08; their operators stay
+    # sibling-certified: ref_filter_not_in r03-05, join_lineitem_part
+    # r03-05 + set_ops/e2e) — parked at 51+
+    "ann_pq": q_ann_pq,                          # NEW r09: PQ compression ANN
     "empty_to_null": q_empty_to_null,
-    "join_cust_orders_nation": q_join_cust_orders_nation,
+    "pq_recall": q_pq_recall,                    # NEW r09: PQ recall frame
     "upsert_update_duplicates": q_upsert_update_duplicates,
     "upsert_do_nothing": q_upsert_do_nothing,
     "delete_rows": q_delete_rows,
@@ -2812,6 +2952,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,          # r06
     "pivot_counts": q_pivot_counts,              # r06
     "cosine_near_dup": q_cosine_near_dup,        # r03-r05 window
+    "ref_filter_in": q_ref_filter_in,            # parked r09 (green r01-r08)
+    "join_cust_orders_nation": q_join_cust_orders_nation,  # parked r09 (green r01-r08)
     "hash_sample": q_hash_sample,                # r03-r05 window
     "ref_filter_not_in": q_ref_filter_not_in,    # r03-r05 window
     "join_lineitem_part": q_join_lineitem_part,  # r03-r05 window
@@ -3073,6 +3215,8 @@ def oracle_sql() -> dict[str, str]:
         ).ENCODING_QUALITY_SQL_TEMPLATE.format(
             id_col="doc_id", text_col="text", table="documents"),
         "ivf_recall": _ivf_recall_sql(),
+        "ann_pq": _ann_pq_sql(),
+        "pq_recall": _pq_recall_sql(),
         "repetition_signals": _REPETITION_SQL,
         "top_terms": _TOP_TERMS_SQL,
         "rollup_agg": _ROLLUP_SQL,

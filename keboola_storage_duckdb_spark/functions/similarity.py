@@ -281,6 +281,229 @@ def ivf_recall(vectors: DataFrame, queries: DataFrame, id_col: str,
                          .alias("recall")))
 
 
+def _subslice(vec_col: str, j: int, sub: int) -> str:
+    """SQL text for subvector j (1-based slice of ``sub`` dims)."""
+    return f"slice({vec_col}, {j * sub + 1}, {sub})"
+
+
+def _subdist2(vec_col: str, j: int, sub: int,
+              centroid: list[float]) -> F.Column:
+    """Squared L2 between subvector j and a literal centroid — the same
+    sequential zip_with/aggregate fold as clustering._dist2, so DuckDB's
+    list_sum(list_transform(...)) reproduces it bit-for-bit."""
+    arr = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in centroid) + ")"
+    return F.expr(
+        f"aggregate(zip_with({_subslice(vec_col, j, sub)}, {arr}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _pq_assign_cols(vec_col: str, cb: list[list[list[float]]],
+                    sub: int) -> list[F.Column]:
+    """One argmin column per subspace: code_j = index of the nearest
+    codebook-j centroid (ties break toward the lower code, like
+    clustering.kmeans).
+
+    NOT a when-chain: the kmeans-style fold rebuilds the running best
+    inside every comparison, so the expression tree (and the codegen'd
+    work) grows 2^ksub — at ksub=8 that measured 34 s to train on 2 000
+    vectors. ``array_min`` over (dist, code) structs is linear: struct
+    ordering compares dist first, then code, which IS the
+    lower-code-on-tie rule, and each distance fold appears exactly
+    once."""
+    out = []
+    for j, book in enumerate(cb):
+        amin = F.array_min(F.array(*[
+            F.struct(_subdist2(vec_col, j, sub, c).alias("d"),
+                     F.lit(cidx).alias("c"))
+            for cidx, c in enumerate(book)]))
+        out.append(amin["c"].alias(f"code_{j}"))
+    return out
+
+
+def pq_train_codebooks(vectors: DataFrame, id_col: str, vec_col: str,
+                       m: int = 4, ksub: int = 8, dim: int = 64,
+                       iters: int = 2) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, public): split
+    each ``dim``-vector into ``m`` contiguous subvectors and learn a
+    ``ksub``-centroid k-means codebook PER subspace. Returns
+    ``cb[j][c][i]`` as plain Python floats (m × ksub × dim/m doubles —
+    tiny, broadcast-able).
+
+    Deterministic and engine-portable, exactly like clustering.kmeans:
+    seeds are the ``ksub`` vectors with the smallest ``md5(id)`` (their
+    j-th subvectors seed codebook j), each Lloyd round is one
+    assignment map (argmin over ksub sequential folds, lower-code
+    tie-break) + one (sub, code, dim)-keyed mean, and a code that loses
+    all members keeps its previous centroid — so a fixed-``iters`` run
+    is reproducible in DuckDB SQL (the kmeans_fixed pattern, one oracle
+    per round).
+
+    Scale: training touches each vector ``iters`` times with narrow
+    maps; only m·ksub·dim/m doubles ever reach the driver per round."""
+    sub = dim // m
+    base = vectors.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("v"))
+    seeds = (base.withColumn("h", F.md5(F.col("id").cast("string")))
+                 .orderBy("h").limit(ksub).select("v").collect())
+    cb = [[[float(x) for x in r.v[j * sub:(j + 1) * sub]] for r in seeds]
+          for j in range(m)]
+    for _ in range(iters):
+        codes = base.select(
+            "v", *_pq_assign_cols("v", cb, sub))
+        means = (codes.select(
+                    F.array(*[F.col(f"code_{j}") for j in range(m)])
+                     .alias("codes"),
+                    F.posexplode("v").alias("pdim", "x"))
+                 .select(
+                    F.floor(F.col("pdim") / sub).cast("int").alias("sub"),
+                    F.element_at(
+                        "codes",
+                        F.floor(F.col("pdim") / sub).cast("int") + 1)
+                     .alias("code"),
+                    (F.col("pdim") % sub).alias("dim"),
+                    F.col("x").cast("double").alias("x"))
+                 .groupBy("sub", "code", "dim")
+                 .agg(F.avg("x").alias("mu"))
+                 .collect())
+        new = [[list(cb[j][c]) for c in range(ksub)] for j in range(m)]
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r.sub, r.code), {})[r.dim] = r.mu
+        for (j, c), dm in got.items():
+            for i, mu in dm.items():
+                new[j][c][i] = mu
+        cb = new
+    return cb
+
+
+def pq_encode(vectors: DataFrame, id_col: str, vec_col: str,
+              cb: list[list[list[float]]]) -> DataFrame:
+    """(id, code_0..code_{m-1}) — each vector compressed to m small
+    integer codes (m bytes at ksub ≤ 256): 64 float32 dims → 4 bytes,
+    a 64× memory cut. The argmin is an in-plan narrow map; no shuffle."""
+    sub = len(cb[0][0])
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        *_pq_assign_cols(vec_col, cb, sub))
+
+
+def pq_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
+                vec_col: str, m: int = 4, ksub: int = 8, dim: int = 64,
+                iters: int = 2, k: int = 5,
+                cb: list[list[list[float]]] | None = None) -> DataFrame:
+    """PQ asymmetric-distance top-k (the FAISS IVFPQ fine-ranking stage,
+    public): queries stay full precision; every corpus vector is ranked
+    by its distance to the query THROUGH its reconstruction from the m
+    codebook centroids. Returns (query_id, neighbor_id, adist, rank),
+    adist = round(‖q − reconstruct(codes)‖², 6), rank ties toward the
+    lower neighbor id.
+
+    100 TB story: the scan side carries only the m-byte codes + the
+    broadcast codebooks (m·ksub·dim/m doubles) — the raw vectors never
+    stream through the ranking, which is what makes billion-scale ANN
+    fit in memory. A production kernel precomputes the per-query LUT
+    (m × ksub subdistances, then adist = m table lookups + adds); here
+    the distance is ONE sequential 64-dim fold against the concatenated
+    reconstruction so the DuckDB oracle reproduces every bit (the LUT
+    form sums m partials in engine-dependent order — same values, not
+    the same last ulp).
+
+    Recall < 1 by construction (quantization error); ``pq_recall`` is
+    the evaluation frame against the exact ranking."""
+    from pyspark.sql import Window
+
+    if cb is None:
+        cb = pq_train_codebooks(vectors, id_col, vec_col, m=m, ksub=ksub,
+                                dim=dim, iters=iters)
+    sub = dim // m
+    codes = pq_encode(vectors, id_col, vec_col, cb) \
+        .withColumnRenamed("id", "neighbor_id")
+    # literal codebook: CB[j+1][c+1] = centroid (sub doubles)
+    cb_sql = "array(" + ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
+            for c in book) + ")"
+        for book in cb) + ")"
+    recon = F.concat(*[
+        F.expr(f"element_at(element_at({cb_sql}, {j + 1}), code_{j} + 1)")
+        for j in range(m)])
+    enc = codes.select("neighbor_id", recon.alias("rv")) \
+               .repartition(_par(vectors))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    adist = F.expr(
+        "aggregate(zip_with(qv, rv, (x, y) -> "
+        "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    scored = (enc.crossJoin(F.broadcast(q))
+                 .filter(F.col("neighbor_id") != F.col("query_id"))
+                 .withColumn("adist", F.round(adist, 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "adist", "rank"))
+
+
+def exact_l2_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
+                  vec_col: str, k: int = 5) -> DataFrame:
+    """Exact squared-L2 top-k — the ground truth ``pq_ann_topk``
+    approximates (PQ quantizes L2 geometry; comparing it against the
+    cosine ranking would conflate metric choice with quantization
+    error). Same broadcast-queries shape as brute_force_topk."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    c = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("cv")) \
+               .repartition(_par(vectors))
+    d = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    scored = (c.crossJoin(F.broadcast(q))
+               .filter(F.col("neighbor_id") != F.col("query_id"))
+               .withColumn("dist", F.round(d, 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "dist", "rank"))
+
+
+def pq_recall(vectors: DataFrame, queries: DataFrame, id_col: str,
+              vec_col: str, m: int = 4, ksub: int = 8, dim: int = 64,
+              iters: int = 2, k: int = 5) -> DataFrame:
+    """Recall@k of the PQ ADC ranking against the exact L2 top-k — the
+    compression-quality curve (same shape as ``ivf_recall``: FAISS
+    reports exactly this before trading code size for recall).
+
+    Returns (query_id, n_hits, recall). The exact frame is lazily
+    localCheckpointed — it feeds both the hit semi-join and the
+    per-query denominator (the ivf_recall / duplicate_spans lesson:
+    without the cut the Q×N exact search runs twice)."""
+    approx = pq_ann_topk(vectors, queries, id_col, vec_col, m=m,
+                         ksub=ksub, dim=dim, iters=iters, k=k)
+    exact = exact_l2_topk(vectors, queries, id_col, vec_col, k=k) \
+        .localCheckpoint(eager=False)
+    hits = (exact.join(approx.select("query_id", "neighbor_id"),
+                       ["query_id", "neighbor_id"], "left_semi")
+                 .groupBy("query_id")
+                 .agg(F.count(F.lit(1)).alias("n_hits")))
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    return (per_q.join(hits, "query_id", "left")
+                 .select("query_id",
+                         F.coalesce("n_hits", F.lit(0)).cast("int")
+                          .alias("n_hits"),
+                         (F.coalesce("n_hits", F.lit(0)).cast("double")
+                          / F.col("n_exact").cast("double"))
+                         .alias("recall")))
+
+
 def brute_force_topk_auto(vectors: DataFrame, queries: DataFrame,
                           id_col: str, vec_col: str, k: int = 5,
                           matmul_min_queries: int = 64) -> DataFrame:
