@@ -281,44 +281,46 @@ def ivf_recall(vectors: DataFrame, queries: DataFrame, id_col: str,
                          .alias("recall")))
 
 
-def _subslice(vec_col: str, j: int, sub: int) -> str:
-    """SQL text for subvector j (1-based slice of ``sub`` dims)."""
-    return f"slice({vec_col}, {j * sub + 1}, {sub})"
+def _cb_literal_sql(cb: list[list[list[float]]]) -> str:
+    """The full codebook as ONE nested literal array — CB[j+1][c+1] is
+    centroid c of subspace j (``sub`` doubles). ``repr`` round-trips the
+    exact double, CAST is exact, so the constant is bit-identical to the
+    trained floats on both engines."""
+    return "array(" + ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
+            for c in book) + ")"
+        for book in cb) + ")"
 
 
-def _subdist2(vec_col: str, j: int, sub: int,
-              centroid: list[float]) -> F.Column:
-    """Squared L2 between subvector j and a literal centroid — the same
-    sequential zip_with/aggregate fold as clustering._dist2, so DuckDB's
-    list_sum(list_transform(...)) reproduces it bit-for-bit."""
-    arr = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in centroid) + ")"
+def _pq_codes_expr(vec_col: str, cb: list[list[list[float]]],
+                   sub: int) -> F.Column:
+    """``codes`` column (array<int>, length m): codes[j] = index of the
+    nearest codebook-j centroid for subvector j, ties toward the lower
+    code (clustering.kmeans rule).
+
+    Shape lessons (both measured on 2 000 × 64-float vectors):
+    - NOT a when-chain: the kmeans-style fold rebuilds the running best
+      inside every comparison, so the expression tree grows 2^ksub — at
+      ksub=8 that was 34 s. ``array_min`` over (dist, code) structs is
+      linear: struct ordering compares dist first then code, which IS
+      the lower-code-on-tie rule.
+    - ONE ``F.expr`` for ALL m × ksub distances, not m·ksub separate
+      parses: building 32 literal-array folds through py4j cost ~1.8 s
+      of driver time PER Lloyd round (execution itself was 0.3 s). A
+      single transform(sequence(...)) over one codebook literal parses
+      once; the per-element arithmetic (sequential zip_with/aggregate
+      fold, exactly clustering._dist2) is unchanged, so the DuckDB
+      oracle still reproduces every bit."""
+    m, ksub = len(cb), len(cb[0])
     return F.expr(
-        f"aggregate(zip_with({_subslice(vec_col, j, sub)}, {arr}, "
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"array_min(transform(sequence(0, {ksub - 1}), c -> "
+        f"struct(aggregate(zip_with(slice({vec_col}, j * {sub} + 1, {sub}), "
+        f"element_at(element_at({_cb_literal_sql(cb)}, j + 1), c + 1), "
         "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-
-
-def _pq_assign_cols(vec_col: str, cb: list[list[list[float]]],
-                    sub: int) -> list[F.Column]:
-    """One argmin column per subspace: code_j = index of the nearest
-    codebook-j centroid (ties break toward the lower code, like
-    clustering.kmeans).
-
-    NOT a when-chain: the kmeans-style fold rebuilds the running best
-    inside every comparison, so the expression tree (and the codegen'd
-    work) grows 2^ksub — at ksub=8 that measured 34 s to train on 2 000
-    vectors. ``array_min`` over (dist, code) structs is linear: struct
-    ordering compares dist first, then code, which IS the
-    lower-code-on-tie rule, and each distance fold appears exactly
-    once."""
-    out = []
-    for j, book in enumerate(cb):
-        amin = F.array_min(F.array(*[
-            F.struct(_subdist2(vec_col, j, sub, c).alias("d"),
-                     F.lit(cidx).alias("c"))
-            for cidx, c in enumerate(book)]))
-        out.append(amin["c"].alias(f"code_{j}"))
-    return out
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d, c AS c))).c)"
+    ).alias("codes")
 
 
 def pq_train_codebooks(vectors: DataFrame, id_col: str, vec_col: str,
@@ -349,11 +351,9 @@ def pq_train_codebooks(vectors: DataFrame, id_col: str, vec_col: str,
     cb = [[[float(x) for x in r.v[j * sub:(j + 1) * sub]] for r in seeds]
           for j in range(m)]
     for _ in range(iters):
-        codes = base.select(
-            "v", *_pq_assign_cols("v", cb, sub))
+        codes = base.select("v", _pq_codes_expr("v", cb, sub))
         means = (codes.select(
-                    F.array(*[F.col(f"code_{j}") for j in range(m)])
-                     .alias("codes"),
+                    "codes",
                     F.posexplode("v").alias("pdim", "x"))
                  .select(
                     F.floor(F.col("pdim") / sub).cast("int").alias("sub"),
@@ -385,7 +385,9 @@ def pq_encode(vectors: DataFrame, id_col: str, vec_col: str,
     sub = len(cb[0][0])
     return vectors.select(
         F.col(id_col).alias("id"),
-        *_pq_assign_cols(vec_col, cb, sub))
+        _pq_codes_expr(vec_col, cb, sub)
+    ).select("id", *[F.col("codes")[j].alias(f"code_{j}")
+                     for j in range(len(cb))])
 
 
 def pq_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
@@ -417,19 +419,16 @@ def pq_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
         cb = pq_train_codebooks(vectors, id_col, vec_col, m=m, ksub=ksub,
                                 dim=dim, iters=iters)
     sub = dim // m
-    codes = pq_encode(vectors, id_col, vec_col, cb) \
-        .withColumnRenamed("id", "neighbor_id")
-    # literal codebook: CB[j+1][c+1] = centroid (sub doubles)
-    cb_sql = "array(" + ",".join(
-        "array(" + ",".join(
-            "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
-            for c in book) + ")"
-        for book in cb) + ")"
-    recon = F.concat(*[
-        F.expr(f"element_at(element_at({cb_sql}, {j + 1}), code_{j} + 1)")
-        for j in range(m)])
-    enc = codes.select("neighbor_id", recon.alias("rv")) \
-               .repartition(_par(vectors))
+    # reconstruct rv = concat of the m looked-up centroids (flatten of a
+    # j-ordered transform == concat in subspace order, DuckDB's
+    # flatten(list(c ORDER BY sub))); one parse, one codebook literal
+    enc = (vectors.select(F.col(id_col).alias("neighbor_id"),
+                          _pq_codes_expr(vec_col, cb, sub))
+                  .select("neighbor_id", F.expr(
+                      f"flatten(transform(sequence(0, {m - 1}), j -> "
+                      f"element_at(element_at({_cb_literal_sql(cb)}, j + 1), "
+                      "element_at(codes, j + 1) + 1)))").alias("rv"))
+                  .repartition(_par(vectors)))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
     adist = F.expr(
