@@ -46,6 +46,10 @@ from .operators import filters as KF
 from .operators.profile import profile_table
 
 TIMESTAMP_COL = "_timestamp"  # system column (reference import_export.py:300-312)
+# Engine-managed columns a table carries beyond the user's schema — the
+# set snapshot_diff treats as non-data (a USER column merely named with a
+# leading underscore is still data; ADVICE r9).
+SYSTEM_COLS = frozenset({TIMESTAMP_COL})
 
 # Arrow IPC wire format (reference ADR-011,
 # docs/adr/011-apache-arrow-integration.md:113)
@@ -1391,8 +1395,9 @@ class StorageEngine:
 
         With a primary key: one full-outer join on the PK comparing an
         md5 row fingerprint over the non-PK, non-system columns
-        (``_``-prefixed columns like ``_timestamp`` are load metadata,
-        not content — the same exclusion imports apply,
+        (the engine-managed ``SYSTEM_COLS`` set — just ``_timestamp`` —
+        is load metadata, not content; a user column that merely starts
+        with ``_`` is still content, ADVICE r9; system exclusion mirrors
         reference src/grpc/handlers/import_export.py:300-312) —
         added / removed / changed / unchanged counts plus a bounded key
         sample per category. Without a PK: a multiset diff of full-row
@@ -1429,10 +1434,10 @@ class StorageEngine:
         drift = {
             "only_in_old": [c for c in old.columns
                             if c not in new.columns
-                            and not c.startswith("_")],
+                            and c not in SYSTEM_COLS],
             "only_in_new": [c for c in new.columns
                             if c not in old.columns
-                            and not c.startswith("_")],
+                            and c not in SYSTEM_COLS],
         }
 
         def fingerprint(df, cols):
@@ -1451,7 +1456,7 @@ class StorageEngine:
             import operator as _op
 
             data_cols = [c for c in new.columns
-                         if c not in pk and not c.startswith("_")
+                         if c not in pk and c not in SYSTEM_COLS
                          and c in old.columns]
             o = old.select(*[F.col(c).alias(f"_o_{c}") for c in pk],
                            fingerprint(old, data_cols).alias("_fp_o"))
@@ -1492,7 +1497,7 @@ class StorageEngine:
                    "samples": samples}
         else:
             cols = [c for c in new.columns
-                    if not c.startswith("_") and c in old.columns]
+                    if c not in SYSTEM_COLS and c in old.columns]
             o = (old.groupBy(fingerprint(old, cols).alias("fp"))
                     .agg(F.count(F.lit(1)).alias("n_o")))
             n = (new.groupBy(fingerprint(new, cols).alias("fp"))

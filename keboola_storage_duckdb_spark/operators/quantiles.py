@@ -887,7 +887,13 @@ def exact_quantiles_auto(df: DataFrame, cols: list[str], probs: list[float],
     interpolation bit-exactly (property-tested incl. the equal-keys
     edge), so the route choice can never change a result. When
     ``precomputed_stats`` (``{col: (n, nan, min, max)}``) is supplied the
-    probe job is skipped — the caller already scanned."""
+    probe job is skipped — the caller already scanned. NOTE (ADVICE r9):
+    the two probes measure slightly different n — ``df.count()`` counts
+    all rows, the stats path takes the max per-column NON-NULL count (the
+    only cardinality the stats carry; re-counting would re-add the job
+    the parameter exists to skip). A mostly-NULL input near the crossover
+    can therefore route differently depending on how stats were supplied
+    — latency-only, never a result change."""
     if not cols:
         return {}
     if precomputed_stats is not None:

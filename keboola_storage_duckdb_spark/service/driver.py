@@ -58,6 +58,22 @@ def _dedup_type(v) -> str:
     return "update_duplicates"
 
 
+def _import_type_incremental(v) -> bool:
+    """proto ImportOptions.ImportType → the engine's ``incremental`` flag.
+    Only 0/FULL (truncate-and-replace) and 1/INCREMENTAL (merge) are
+    implemented; 2/VIEW and 3/CLONE are explicitly rejected — silently
+    mapping them to FULL would clobber the destination table for a client
+    that asked for a view/clone (ADVICE r9)."""
+    if v in (None, 0, "0", "FULL", "full"):
+        return False
+    if v in (1, "1", "INCREMENTAL", "incremental"):
+        return True
+    from ..catalog.catalog import CatalogError
+    raise CatalogError(
+        f"unsupported importType {v!r}: only FULL(0) and INCREMENTAL(1) "
+        "are implemented (VIEW/CLONE are not)")
+
+
 def _table_ref(t: dict) -> tuple:
     """proto ImportExportShared.Table / SourceTableMapping → engine
     (project, bucket, table): ``path`` carries [projectId, bucketName]."""
@@ -161,8 +177,8 @@ def _handlers(engine) -> dict:
             limit=c["source"].get("limit") or None,
             dedup_mode=_dedup_type(
                 c.get("importOptions", {}).get("dedupType")),
-            incremental=c.get("importOptions", {}).get("importType")
-                        in (1, "1", "INCREMENTAL", "incremental")),
+            incremental=_import_type_incremental(
+                c.get("importOptions", {}).get("importType"))),
         "TableExportToFileCommand": lambda c: engine.export_to_file(
             c["projectId"], c["bucketName"], c["tableName"], c["path"],
             file_format=c.get("format", "csv"),

@@ -417,17 +417,24 @@ class PgWireServer:
 
     # quoted regions the catalog rewrite must never touch (ADVICE r8 —
     # the old split handled only plain '...'): standard literals (''
-    # doubling), E'...' (backslash escapes \' legal), dollar-quoted
-    # bodies ($$..$$ / $tag$..$tag$; the empty-alternative tag group
-    # always participates so the backreference matches), and
-    # double-quoted identifiers ("" doubling) — a column/table the user
-    # QUOTED as "pg_type" is their identifier, not the catalog
-    # (unquoted FROM pg_type still rewrites).
+    # doubling), E'...' (backslash escapes \' legal; the lookbehind
+    # keeps a keyword-adjacent quote like LIKE'a' lexing as a plain
+    # literal — ADVICE r9), dollar-quoted bodies ($$..$$ /
+    # $tag$..$tag$; the empty-alternative tag group always participates
+    # so the backreference matches), and double-quoted identifiers (""
+    # doubling) — a column/table the user QUOTED as "pg_type" is their
+    # identifier, not the catalog (unquoted FROM pg_type still
+    # rewrites), EXCEPT when the quoted name is part of an explicitly
+    # qualified catalog reference like "pg_catalog"."pg_type" (ADVICE
+    # r9: some drivers/ORMs emit exactly that during introspection).
     _PG_QUOTED_RE = re.compile(
         r"(?s)\$(?P<tag>[A-Za-z_]\w*|)\$.*?\$(?P=tag)\$"
-        r"|[eE]'(?:[^'\\]|\\.|'')*'"
+        r"|(?<![\w\"'])[eE]'(?:[^'\\]|\\.|'')*'"
         r"|'(?:[^']|'')*'"
         r'|"(?:[^"]|"")*"')
+
+    _PGCAT_TABLES = ("type", "namespace", "class", "attribute",
+                     "settings", "proc")
 
     @classmethod
     def _rewrite_pg_catalog(cls, sql: str) -> tuple[str, bool]:
@@ -435,12 +442,75 @@ class PgWireServer:
         identifier references to the ``__pgcat_*`` stub views and drop
         remaining ``pg_catalog.`` qualifiers — outside every quoted
         region (see ``_PG_QUOTED_RE``; ADVICE r7/r8: a blanket regex
-        corrupted literals containing 'pg_catalog.'). Returns the
-        rewritten SQL and whether any stub table was referenced."""
+        corrupted literals containing 'pg_catalog.'). Quoted identifiers
+        are left alone UNLESS they form a qualified catalog reference
+        ("pg_catalog"."pg_type" / pg_catalog."pg_type" /
+        "pg_catalog".pg_type — ADVICE r9). Returns the rewritten SQL and
+        whether any stub table was referenced."""
         hit = False
-        out = []
-        pos = 0
 
+        def _unq(t: str) -> str | None:
+            # inner value of a double-quoted identifier, else None
+            if len(t) >= 2 and t[0] == '"' and t[-1] == '"':
+                return t[1:-1].replace('""', '"')
+            return None
+
+        # split into alternating unquoted segments / quoted regions
+        parts: list[tuple[bool, str]] = []
+        pos = 0
+        for m in cls._PG_QUOTED_RE.finditer(sql):
+            parts.append((False, sql[pos:m.start()]))
+            parts.append((True, m.group(0)))
+            pos = m.end()
+        parts.append((False, sql[pos:]))
+
+        # pass 1: resolve EXPLICITLY QUALIFIED quoted catalog refs into
+        # plain stub-view text (they become unquoted segments for pass 2)
+        cat = {f"pg_{t}": t for t in cls._PGCAT_TABLES}
+        res: list[tuple[bool, str]] = []
+        i = 0
+        while i < len(parts):
+            quoted, text = parts[i]
+            v = _unq(text) if quoted else None
+            if v is not None and v.lower() == "pg_catalog" \
+                    and i + 1 < len(parts) and not parts[i + 1][0]:
+                seg = parts[i + 1][1]
+                mdot = re.match(r"\s*\.\s*", seg)
+                if mdot:
+                    rest = seg[mdot.end():]
+                    um = re.match(
+                        r"pg_(" + "|".join(cls._PGCAT_TABLES) + r")\b",
+                        rest, flags=re.I)
+                    if um:  # "pg_catalog".pg_type
+                        res.append((False, "__pgcat_"
+                                    + um.group(1).lower()
+                                    + rest[um.end():]))
+                        hit = True
+                        i += 2
+                        continue
+                    if not rest and i + 2 < len(parts) and parts[i + 2][0]:
+                        v2 = _unq(parts[i + 2][1])
+                        if v2 is not None and v2.lower() in cat:
+                            # "pg_catalog"."pg_type"
+                            res.append((False,
+                                        "__pgcat_" + cat[v2.lower()]))
+                            hit = True
+                            i += 3
+                            continue
+            if v is not None and v.lower() in cat and res \
+                    and not res[-1][0]:
+                mq = re.search(r"\bpg_catalog\s*\.\s*$", res[-1][1],
+                               flags=re.I)
+                if mq:  # pg_catalog."pg_type"
+                    res[-1] = (False, res[-1][1][:mq.start()])
+                    res.append((False, "__pgcat_" + cat[v.lower()]))
+                    hit = True
+                    i += 1
+                    continue
+            res.append((quoted, text))
+            i += 1
+
+        # pass 2: rewrite unquoted references, drop bare qualifiers
         def _fix(seg: str) -> str:
             nonlocal hit
             new = re.sub(
@@ -451,12 +521,7 @@ class PgWireServer:
                 hit = True
             return re.sub(r"\bpg_catalog\.", "", new, flags=re.I)
 
-        for m in cls._PG_QUOTED_RE.finditer(sql):
-            out.append(_fix(sql[pos:m.start()]))
-            out.append(m.group(0))
-            pos = m.end()
-        out.append(_fix(sql[pos:]))
-        return "".join(out), hit
+        return "".join(t if q else _fix(t) for q, t in res), hit
 
     def _compat_dispatch(self, sql: str, project: str, user: str):
         """Answer the startup probes every real PG client fires before its

@@ -194,6 +194,22 @@ def test_import_from_table_command(rig, tmp_path):
         "importOptions": {"importType": 0}})
     assert r.status_code == 200, r.get_json()
     assert r.get_json()["result"]["rows_after"] == 1
+    # VIEW(2)/CLONE(3) are NOT implemented — they must be rejected, not
+    # silently mapped to a destructive FULL replace (ADVICE r9)
+    for bad in (2, 3, "VIEW", "CLONE", 99):
+        r = _exec(c, {
+            "type": "TableImportFromTableCommand",
+            "source": {"path": ["pd", "in_c_ift"], "tableName": "src"},
+            "destination": {"path": ["pd", "in_c_ift"],
+                            "tableName": "dst"},
+            "importOptions": {"importType": bad}})
+        assert r.status_code == 400, (bad, r.get_json())
+        assert "importType" in r.get_json()["message"]
+    # the rejection left the destination untouched (still 1 row from the
+    # FULL import above)
+    r = _exec(c, {"type": "PreviewTableCommand", "projectId": "pd",
+                  "bucketName": "in_c_ift", "tableName": "dst"})
+    assert len(r.get_json()["result"]["rows"]) == 1
 
 
 def test_workspace_commands(rig):

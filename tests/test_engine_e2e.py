@@ -497,6 +497,17 @@ def test_snapshot_diff_pk_and_rowset(engine, tmp_path):
                                   "only_in_new": ["extra"]}
     engine.drop_column("p1", "in_c_data", "diff_t", "extra")
 
+    # a USER column that merely starts with '_' is data, not a system
+    # column — it must surface as drift too (ADVICE r9; only the
+    # engine-managed SYSTEM_COLS set is excluded)
+    engine.add_column("p1", "in_c_data", "diff_t",
+                      {"name": "_note", "type": "VARCHAR"})
+    du = engine.snapshot_diff("p1", "in_c_data", "diff_t",
+                              snap1["snapshot_id"])
+    assert du["schema_drift"] == {"only_in_old": [],
+                                  "only_in_new": ["_note"]}
+    engine.drop_column("p1", "in_c_data", "diff_t", "_note")
+
     # missing/corrupt sidecar -> clean NotFoundError, not a raw IO error
     sd = engine.catalog.snapshot_dir("p1", "in_c_data", "diff_t")
     sidecar = os.path.join(sd, snap1["snapshot_id"] + ".schema.json")

@@ -348,6 +348,51 @@ def test_pg_catalog_rewrite_skips_all_quoted_regions():
     assert "'it''s pg_type'" in sql and "__pgcat_proc" in sql and hit
 
 
+def test_pg_catalog_rewrite_qualified_quoted_refs():
+    """ADVICE r9: explicitly qualified quoted catalog references —
+    "pg_catalog"."pg_type", pg_catalog."pg_type", "pg_catalog".pg_type
+    (emitted by some drivers/ORMs during introspection) — rewrite to the
+    stub views; a BARE quoted "pg_type" stays the user's identifier."""
+    from keboola_storage_duckdb_spark.service.pgwire import PgWireServer
+
+    rw = PgWireServer._rewrite_pg_catalog
+    sql, hit = rw('SELECT * FROM "pg_catalog"."pg_type"')
+    assert sql == "SELECT * FROM __pgcat_type" and hit
+    sql, hit = rw('SELECT * FROM pg_catalog."pg_class" c')
+    assert sql == "SELECT * FROM __pgcat_class c" and hit
+    sql, hit = rw('SELECT * FROM "pg_catalog".pg_namespace')
+    assert sql == "SELECT * FROM __pgcat_namespace" and hit
+    sql, hit = rw('SELECT * FROM "pg_catalog" . "pg_settings"')
+    assert sql == "SELECT * FROM __pgcat_settings" and hit
+    # bare quoted identifiers remain the user's names
+    sql, hit = rw('SELECT "pg_type" FROM "pg_type"')
+    assert sql == 'SELECT "pg_type" FROM "pg_type"' and not hit
+    # "pg_catalog" qualifying a NON-catalog name: untouched
+    sql, hit = rw('SELECT * FROM "pg_catalog"."user_table"')
+    assert sql == 'SELECT * FROM "pg_catalog"."user_table"' and not hit
+    # inside literals nothing rewrites
+    sql, hit = rw("SELECT '\"pg_catalog\".\"pg_type\"' AS s FROM t")
+    assert '"pg_catalog"."pg_type"' in sql and not hit
+
+
+def test_pg_estring_requires_nonword_boundary():
+    """ADVICE r9: a token ending in e/E abutting a quote (LIKE'a\\'')
+    must lex as a PLAIN literal (standard_conforming_strings), not an
+    E-string — otherwise the backslash-escape rule mis-scopes the quoted
+    region and catalog text can leak across the boundary."""
+    from keboola_storage_duckdb_spark.service.pgwire import PgWireServer
+
+    rw = PgWireServer._rewrite_pg_catalog
+    # LIKE'a\' is literal a\ (backslash NOT an escape), then pg_type
+    # sits OUTSIDE the literal and must rewrite
+    sql, hit = rw("SELECT x FROM t WHERE x LIKE'a\\' AND y = pg_type.oid "
+                  "AND z = '' -- '")
+    assert "__pgcat_type" in sql and hit
+    # a genuine E-string still honors backslash escapes
+    sql, hit = rw(r"SELECT E'a\' pg_type' FROM pg_class")
+    assert r"E'a\' pg_type'" in sql and "__pgcat_class" in sql and hit
+
+
 def test_pg_catalog_views_do_not_shadow_user_tables(server):
     """ADVICE r7: the catalog stubs live under __pgcat_* names, so a
     user bucket 'pg' with table 'type' (view name pg_type) is NOT

@@ -90,7 +90,8 @@ def main() -> None:
                  "quality_verdict", "decontaminate_cut",
                  "weighted_sample", "boilerplate_strings", "dedup_rate",
                  "cut_spans", "dedup_cut_keep_first", "kmeans_fixed",
-                 "quota_sample", "ivf_recall", "corpus_shards"]:
+                 "quota_sample", "ivf_recall", "corpus_shards",
+                 "ann_pq", "pq_recall"]:
         if ONLY and name not in ONLY:
             continue
         run(name, lambda name=name: Q[name](spark, DST))
