@@ -516,3 +516,45 @@ def minhash_estimate_pairs(docs: DataFrame, id_col: str, text_col: str,
                          .alias("est_jaccard")))
     exact = _verify_pairs_with_arrays(cands, arr, threshold=0.0)
     return est.join(exact, ["id_a", "id_b"])
+
+
+def dedup_safe_split(docs: DataFrame, id_col: str, edges: DataFrame,
+                     train: int = 8, val: int = 1, test: int = 1,
+                     seed: str = "split") -> DataFrame:
+    """Dedup-aware train/val/test split (the leakage-safe split every
+    training pipeline needs): the split bucket hashes the near-duplicate
+    CLUSTER id — the connected-component label of the pair graph — not
+    the document id, so two near-duplicates can NEVER straddle splits (a
+    doc-id hash split leaks ~dup_rate of eval into train; Lee et al.
+    2022 §6 measures exactly this inflation).
+
+    ``edges`` is any certified detector's pair frame (``id_a``/``id_b``
+    from minhash_lsh_pairs / simhash_pairs / cosine_near_dup_pairs), so
+    the operator composes two already-exact stages with ONE left join
+    plus integer hash thresholds. Buckets: md5("{seed}|" + cluster) mod
+    (train+val+test) — deterministic, engine-portable (md5-only hashing
+    invariant), and proportional in expectation to train:val:test.
+
+    Returns (doc_id renamed to ``id_col``, cluster, split) with split ∈
+    {'train','val','test'} — singleton docs are their own cluster via
+    COALESCE, same as the keep-frame operators.
+
+    Scale: components over near-dup graphs converge in a few rounds
+    (functions/graph.py notes); everything after is one broadcast-able
+    join (clusters ≪ docs) and a narrow md5 map — no extra shuffle
+    beyond the detector's own."""
+    from .graph import connected_components
+
+    n_buckets = train + val + test
+    cc = connected_components(edges.select("id_a", "id_b")) \
+        .withColumnRenamed("id", id_col)
+    cluster = F.coalesce(F.col("cluster"), F.col(id_col))
+    bucket = (F.conv(F.substring(
+                  F.md5(F.concat(F.lit(seed + "|"),
+                                 cluster.cast("string"))), 1, 8), 16, 10)
+               .cast("bigint") % n_buckets)
+    return (docs.select(id_col).join(cc, id_col, "left")
+                .select(id_col, cluster.alias("cluster"),
+                        F.when(bucket < train, "train")
+                         .when(bucket < train + val, "val")
+                         .otherwise("test").alias("split")))

@@ -445,6 +445,179 @@ def pq_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
                   .select("query_id", "neighbor_id", "adist", "rank"))
 
 
+def pq_ann_topk_lut(vectors: DataFrame, queries: DataFrame, id_col: str,
+                    vec_col: str, m: int = 4, ksub: int = 8, dim: int = 64,
+                    iters: int = 2, k: int = 5,
+                    cb: list[list[list[float]]] | None = None,
+                    max_queries: int = 65_536) -> DataFrame:
+    """ADC **LUT-form** twin of :func:`pq_ann_topk` (VERDICT r9 #1b) —
+    the production PQ ranking kernel: per query the m × ksub subspace
+    distances are precomputed ONCE into a lookup table, so ranking a
+    corpus vector costs ``m`` array lookups + ``m−1`` adds instead of a
+    ``dim``-element zip_with fold (~dim/m× less ranking arithmetic per
+    (query, vector) pair; the fold form exists because it shares one
+    sequential sum with the oracle — ``similarity.pq_ann_topk``
+    docstring).
+
+    Bit-exact anyway: each LUT cell is a sequential IEEE-double sum over
+    its ``sub`` components (driver-side Python floats — the same fold
+    order as both engines' list aggregates), and the final adist adds
+    the m cells IN SUBSPACE ORDER on both sides (Spark: left-assoc
+    ``+`` chain; DuckDB: ``list_sum(list(sd ORDER BY sub))``) — so this
+    twin gets its own exact oracle rather than the usual
+    rows-only grading of LUT kernels (whose partial-sum order is
+    engine-dependent).
+
+    100 TB story: the scan side carries ONLY the m int codes (the raw
+    vectors never stream through ranking); the LUT is Q·m·ksub doubles
+    broadcast with the queries — bounded by ``max_queries`` exactly
+    like the other broadcast-query kernels."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if cb is None:
+        cb = pq_train_codebooks(vectors, id_col, vec_col, m=m, ksub=ksub,
+                                dim=dim, iters=iters)
+    sub = dim // m
+    spark = vectors.sparkSession
+    q_rows = (queries.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).alias("qv"))
+                     .limit(max_queries + 1).collect())
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_ann_topk_lut: query side exceeds {max_queries} rows; "
+            "the per-query LUT is driver-built — batch the queries or "
+            "raise max_queries explicitly.")
+
+    def _sd(qv, j: int, c: int) -> float:
+        # sequential double fold — the exact order of aggregate()/
+        # list_sum() on the engines
+        t = 0.0
+        for i in range(sub):
+            d = float(qv[j * sub + i]) - cb[j][c][i]
+            t += d * d
+        return t
+
+    id_type = dict(zip(queries.schema.names,
+                       [f.dataType for f in queries.schema.fields]))[id_col]
+    lut_schema = T.StructType([
+        T.StructField("query_id", id_type),
+        T.StructField("lut", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    qlut = spark.createDataFrame(
+        [(r.query_id, [[_sd(r.qv, j, c) for c in range(ksub)]
+                       for j in range(m)]) for r in q_rows],
+        lut_schema)
+    enc = (vectors.select(F.col(id_col).alias("neighbor_id"),
+                          _pq_codes_expr(vec_col, cb, sub))
+                  .repartition(_par(vectors)))
+    terms = [F.element_at(F.col("lut")[j], F.col("codes")[j] + F.lit(1))
+             for j in range(m)]
+    adist = terms[0]
+    for t in terms[1:]:
+        adist = adist + t
+    scored = (enc.crossJoin(F.broadcast(qlut))
+                 .filter(F.col("neighbor_id") != F.col("query_id"))
+                 .withColumn("adist", F.round(adist, 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "adist", "rank"))
+
+
+def ivfpq_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
+                   vec_col: str, label_col: str, m: int = 4, ksub: int = 8,
+                   dim: int = 64, iters: int = 2, k: int = 5,
+                   nprobe: int = 2,
+                   cb: list[list[list[float]]] | None = None) -> DataFrame:
+    """Composed IVF + PQ search (VERDICT r9 #2) — the actual
+    billion-scale ANN layout (FAISS IVFPQ, Jégou et al. 2011): queries
+    route to their ``nprobe`` nearest coarse centroids (the certified
+    :func:`ivf_ann_topk` router), and inside the probed inverted lists
+    candidates are ranked by asymmetric distance through their PQ
+    reconstruction (the certified :func:`pq_ann_topk` kernel).
+
+    At 100 TB this is multiplicative: routing prunes the scan to
+    ~nprobe/C of the corpus (lists are the on-disk partition key, so
+    the skip happens at the parquet scan), and the surviving lists are
+    ranked from m-byte codes + broadcast codebooks — the raw vectors
+    never stream through search at all. Recall < 1 from BOTH effects;
+    :func:`ivfpq_recall` is the evaluation frame.
+
+    Ranking uses the bit-exact sequential fold over the reconstruction
+    (the oracle-shared form); compose with the LUT kernel of
+    :func:`pq_ann_topk_lut` when trading exactness-of-oracle for
+    ranking arithmetic."""
+    from pyspark.sql import Window
+
+    if cb is None:
+        cb = pq_train_codebooks(vectors, id_col, vec_col, m=m, ksub=ksub,
+                                dim=dim, iters=iters)
+    sub = dim // m
+    cents = ivf_centroids(vectors, id_col, vec_col, label_col)
+    q = with_norm(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("qv")), "qv", "qn")
+    qc = (q.crossJoin(F.broadcast(with_norm(cents, "centroid", "cn")))
+           .withColumn("cscore", cosine_expr("qv", "centroid", "qn", "cn")))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(),
+                                                F.col("label").asc())
+    routed = (qc.withColumn("rt", F.row_number().over(wr))
+                .filter(F.col("rt") <= nprobe)
+                .select("query_id", "qv", "label"))
+    # probed lists only: codes → reconstruction, label kept for the
+    # route join (same single-parse expressions as pq_ann_topk)
+    enc = (vectors.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(label_col).alias("label"),
+                          _pq_codes_expr(vec_col, cb, sub))
+                  .select("neighbor_id", "label", F.expr(
+                      f"flatten(transform(sequence(0, {m - 1}), j -> "
+                      f"element_at(element_at({_cb_literal_sql(cb)}, j + 1), "
+                      "element_at(codes, j + 1) + 1)))").alias("rv"))
+                  .repartition(_par(vectors)))
+    adist = F.expr(
+        "aggregate(zip_with(qv, rv, (x, y) -> "
+        "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    scored = (enc.join(F.broadcast(routed), "label")
+                 .filter(F.col("neighbor_id") != F.col("query_id"))
+                 .withColumn("adist", F.round(adist, 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "adist", "rank"))
+
+
+def ivfpq_recall(vectors: DataFrame, queries: DataFrame, id_col: str,
+                 vec_col: str, label_col: str, m: int = 4, ksub: int = 8,
+                 dim: int = 64, iters: int = 2, k: int = 5,
+                 nprobe: int = 2) -> DataFrame:
+    """Recall@k of the composed IVFPQ search against the exact
+    squared-L2 top-k — the end-to-end quality curve (routing misses AND
+    quantization error together; ``ivf_recall``/``pq_recall`` isolate
+    each axis). Same comparison shape: semi-join + per-query counts
+    over a lazily localCheckpointed exact side."""
+    approx = ivfpq_ann_topk(vectors, queries, id_col, vec_col, label_col,
+                            m=m, ksub=ksub, dim=dim, iters=iters, k=k,
+                            nprobe=nprobe)
+    exact = exact_l2_topk(vectors, queries, id_col, vec_col, k=k) \
+        .localCheckpoint(eager=False)
+    hits = (exact.join(approx.select("query_id", "neighbor_id"),
+                       ["query_id", "neighbor_id"], "left_semi")
+                 .groupBy("query_id")
+                 .agg(F.count(F.lit(1)).alias("n_hits")))
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    return (per_q.join(hits, "query_id", "left")
+                 .select("query_id",
+                         F.coalesce("n_hits", F.lit(0)).cast("int")
+                          .alias("n_hits"),
+                         (F.coalesce("n_hits", F.lit(0)).cast("double")
+                          / F.col("n_exact").cast("double"))
+                         .alias("recall")))
+
+
 def exact_l2_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
                   vec_col: str, k: int = 5) -> DataFrame:
     """Exact squared-L2 top-k — the ground truth ``pq_ann_topk``

@@ -1,0 +1,179 @@
+"""Round-10 operators: LUT-form ADC ranking, composed IVFPQ search +
+recall frame, and the dedup-aware (leakage-safe) train/val/test split.
+
+Reference parity note: the reference has none of these — they are part of
+the training-pipeline surface (SURVEY.md §2.14); public contracts are
+Jégou et al. 2011 / FAISS IVFPQ and Lee et al. 2022 §6 (dedup-aware
+splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from keboola_storage_duckdb_spark.sources.tables import load_table
+
+
+def test_lut_ranking_equals_fold_ranking(spark, sf_dir):
+    """The LUT kernel is algebraically the same ADC distance as the
+    fold kernel (different summation grouping only): identical
+    (query, neighbor, rank) triples, adist equal to round-6 (both are
+    certified against their own exact oracles; this pins the twins to
+    EACH OTHER)."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        pq_ann_topk, pq_ann_topk_lut, pq_train_codebooks)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cb = pq_train_codebooks(emb, "vec_id", "embedding",
+                            m=4, ksub=8, dim=64, iters=2)
+    fold = {(r.query_id, r.neighbor_id): (r.rank, r.adist) for r in
+            pq_ann_topk(emb, q, "vec_id", "embedding", k=5,
+                        cb=cb).collect()}
+    lut = {(r.query_id, r.neighbor_id): (r.rank, r.adist) for r in
+           pq_ann_topk_lut(emb, q, "vec_id", "embedding", k=5,
+                           cb=cb).collect()}
+    assert set(fold) == set(lut)
+    for key, (rank_f, ad_f) in fold.items():
+        rank_l, ad_l = lut[key]
+        assert rank_f == rank_l
+        assert abs(ad_f - ad_l) < 1e-9
+
+
+def test_lut_query_cap_raises(spark, sf_dir):
+    """The driver-built LUT is bounded: past max_queries the kernel
+    refuses instead of collecting an unbounded query side."""
+    import pytest
+
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        pq_ann_topk_lut)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_ann_topk_lut(emb, emb, "vec_id", "embedding", max_queries=3)
+
+
+def test_ivfpq_full_probe_equals_pq(spark, sf_dir):
+    """With nprobe >= #labels the routing prunes nothing, so the
+    composed search must return EXACTLY the PQ ranking (same fold
+    expression over the same reconstruction) — isolating the routing
+    as the only source of divergence."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        ivfpq_ann_topk, pq_ann_topk, pq_train_codebooks)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    n_labels = emb.select("label").distinct().count()
+    cb = pq_train_codebooks(emb, "vec_id", "embedding",
+                            m=4, ksub=8, dim=64, iters=2)
+    pq = sorted((r.query_id, r.neighbor_id, r.rank, r.adist) for r in
+                pq_ann_topk(emb, q, "vec_id", "embedding", k=5,
+                            cb=cb).collect())
+    ivfpq = sorted((r.query_id, r.neighbor_id, r.rank, r.adist) for r in
+                   ivfpq_ann_topk(emb, q, "vec_id", "embedding", "label",
+                                  k=5, nprobe=n_labels, cb=cb).collect())
+    assert pq == ivfpq
+
+
+def test_ivfpq_prunes_to_probed_labels(spark, sf_dir):
+    """nprobe=1: every returned neighbor lives in the single probed
+    label of its query — the scan really is pruned to the inverted
+    list (the partition-skip contract at 100 TB)."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        ivfpq_ann_topk, pq_train_codebooks)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cb = pq_train_codebooks(emb, "vec_id", "embedding",
+                            m=4, ksub=8, dim=64, iters=2)
+    res = ivfpq_ann_topk(emb, q, "vec_id", "embedding", "label",
+                         k=5, nprobe=1, cb=cb)
+    labels = dict(emb.select("vec_id", "label").collect())
+    per_q: dict = {}
+    for r in res.collect():
+        per_q.setdefault(r.query_id, set()).add(labels[r.neighbor_id])
+    for qid, ls in per_q.items():
+        assert len(ls) == 1, (qid, ls)
+
+
+def test_ivfpq_recall_bounds(spark, sf_dir):
+    """Composed recall: one row per query, recall = n_hits/k in [0,1]."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        ivfpq_recall)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    rows = ivfpq_recall(emb, q, "vec_id", "embedding", "label",
+                        k=5, nprobe=2).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert abs(r.recall - r.n_hits / 5) < 1e-15
+
+
+def test_dedup_safe_split_never_straddles(spark):
+    """The leakage planted by construction: two near-identical docs
+    whose DOC-ID hash buckets differ (a doc-id split WOULD separate
+    them) must land in ONE split because the bucket hashes the cluster
+    id; and split is constant within every cluster."""
+    import hashlib
+
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        dedup_safe_split, minhash_lsh_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again while the band plays on %s")
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(f"split|{i}".encode()).hexdigest()[:8],
+                   16) % 10
+
+    # pick a near-dup pair whose DOC-ID buckets fall in different
+    # splits (train vs test) — the leakage case a doc-id split permits
+    pair = None
+    for a in range(1000, 1100):
+        for b in range(a + 1, a + 50):
+            if bucket(a) < 8 and bucket(b) == 9:
+                pair = (a, b)
+                break
+        if pair:
+            break
+    assert pair is not None
+    a, b = pair
+    rows = [(a, base % "x"), (b, base % "y")] + \
+           [(i, f"unique filler document number {i} with its own words "
+             f"entirely {i * 7} distinct {i * 13}") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = minhash_lsh_pairs(docs, "doc_id", "text",
+                              n_hashes=12, band_size=4, threshold=0.8)
+    out = dedup_safe_split(docs, "doc_id", edges,
+                           train=8, val=1, test=1, seed="split")
+    got = {r.doc_id: (r.cluster, r.split) for r in out.collect()}
+    assert len(got) == 52
+    # the planted pair clustered together and shares ONE split
+    assert got[a][0] == got[b][0] == a
+    assert got[a][1] == got[b][1]
+    # invariant: split is a function of cluster
+    by_cluster: dict = {}
+    for doc, (cl, sp) in got.items():
+        by_cluster.setdefault(cl, set()).add(sp)
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+
+def test_dedup_safe_split_proportions(spark, sf_dir):
+    """On the fixture corpus the 8/1/1 buckets come out roughly
+    80/10/10 (md5 uniformity), with all three splits present."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        dedup_safe_split, minhash_lsh_pairs)
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(docs, "doc_id", "text",
+                              n_hashes=12, band_size=4, threshold=0.8)
+    out = dedup_safe_split(docs, "doc_id", edges)
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    n = sum(counts.values())
+    assert n == docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.6 < counts["train"] / n < 0.95
