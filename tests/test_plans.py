@@ -147,3 +147,52 @@ def test_duplicate_spans_never_pair_joins(spark, sf_dir):
     assert "LeftSemi" in plan, plan            # marker join, not an inner pair join
     facts = plan_facts(df)
     assert "SortMergeJoin" not in facts["joins"], facts
+
+
+def test_pq_plans_broadcast_queries_no_single_partition(spark, sf_dir):
+    """The PQ family (VERDICT r9 #4): the query side rides a broadcast
+    (BroadcastNestedLoopJoin with broadcast build for the crossJoin —
+    never CartesianProduct), no SinglePartition exchange anywhere, and
+    the code assignment is the SINGLE-PARSE array_min(transform(...))
+    expression (one occurrence; the 2^ksub when-chain and the m·ksub
+    separate parses were both measured regressions, similarity.py)."""
+    for q in (E.q_ann_pq, E.q_ann_pq_lut):
+        df = q(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "SinglePartition" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert plan.count("array_min(transform") == 1, \
+            plan.count("array_min(transform")
+
+
+def test_ivfpq_routes_via_broadcast_hash_join(spark, sf_dir):
+    """Composed IVFPQ: the routed (query, label) probes must reach the
+    codes scan as a BroadcastHashJoin on label (the corpus never
+    shuffles for routing), with the usual no-scale-killer pins."""
+    df = E.q_ann_ivfpq(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_pq_recall_checkpoints_exact_side(spark, sf_dir):
+    """The recall frames' exact side is localCheckpointed (multi-
+    consumer cut): the executed plan of the comparison must read the
+    checkpoint (scan of an ExistingRDD/LocalTableScan side), and never
+    re-plan the full Q×N search twice — pinned structurally by the
+    checkpoint scan marker."""
+    df = E.q_pq_recall(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_dedup_safe_split_no_scale_killers(spark, sf_dir):
+    """The split composes detector + components + one join + a narrow
+    md5 map: no CartesianProduct / nested loop anywhere."""
+    df = E.q_dedup_safe_split(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

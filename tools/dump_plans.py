@@ -102,6 +102,31 @@ SHOWCASE = {
         "exclusive scan (range partition + driver offsets + "
         "intra-partition rank) — no SinglePartition exchange, no "
         "per-shard single-task sort."),
+    "ann_pq": (
+        "Product-quantization ANN: training collects only O(m·ksub·sub) "
+        "centroid means per Lloyd round; encoding + reconstruction are "
+        "ONE single-parse transform over a broadcast codebook literal "
+        "(narrow map, no shuffle); ranking streams codes past the "
+        "BROADCAST queries — the raw vectors never shuffle."),
+    "pq_recall": (
+        "PQ quality frame: the exact-L2 side is localCheckpointed so "
+        "the Q×N search runs once for both the hit semi-join and the "
+        "per-query denominator; every post-search stage is O(Q) rows."),
+    "ann_pq_lut": (
+        "LUT-form ADC: the scan side carries ONLY the m codes; the "
+        "per-query m×ksub subdistance table rides the broadcast — "
+        "ranking is m lookups + m−1 adds per pair, no 64-dim fold, "
+        "no shuffle of anything vector-sized."),
+    "ann_ivfpq": (
+        "Composed IVFPQ: centroids broadcast for routing, routed "
+        "(query, label) probes broadcast into the codes scan — the "
+        "corpus never shuffles; ranking touches only the probed "
+        "lists' reconstructions."),
+    "dedup_safe_split": (
+        "Leakage-safe split: the detector's LSH candidate join is the "
+        "only heavy stage; components converge in a few bounded-lineage "
+        "rounds, and the split is a narrow md5 map over the cluster id "
+        "joined back once."),
 }
 
 
