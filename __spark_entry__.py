@@ -751,6 +751,32 @@ def q_minhash_dedup_keep(spark, sf_dir):
                          == F.col("doc_id")).alias("keep")))
 
 
+def q_token_length_profile(spark, sf_dir):
+    """Per-source sequence-length profile (NEW r10): grouped equal-width
+    histogram of whitespace token counts per lang + token mass per bin
+    (clamped edge bins — a profile drops nothing). The
+    context-length-fit / per-source-skew check before packing."""
+    from keboola_storage_duckdb_spark.functions.text import (
+        token_length_profile)
+    docs = _t(spark, sf_dir, "documents")
+    return token_length_profile(docs, "text", "lang",
+                                lo=0.0, hi=100.0, bins=10)
+
+
+_TOKEN_LENGTH_PROFILE_SQL = """
+SELECT lang, bucket,
+       0.0 + bucket * 10.0 AS lo,
+       0.0 + (bucket + 1) * 10.0 AS hi,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM (SELECT lang, len(str_split(text, ' ')) AS n,
+             CAST(LEAST(GREATEST(
+                 FLOOR((len(str_split(text, ' ')) - 0.0) / 10.0), 0), 9)
+                 AS INTEGER) AS bucket
+      FROM documents)
+GROUP BY lang, bucket"""
+
+
 def q_dedup_safe_split(spark, sf_dir):
     """Dedup-aware train/val/test split (NEW r10, VERDICT r9 #7): the
     split bucket hashes the near-dup CLUSTER id (minhash_dedup_keep's
@@ -1489,6 +1515,20 @@ def q_ivfpq_recall(spark, sf_dir):
     return ivfpq_recall(emb, emb.filter(F.col("vec_id") < 10),
                         "vec_id", "embedding", "label", m=4, ksub=8,
                         dim=64, iters=2, k=5, nprobe=2)
+
+
+def q_ivfpq_rerank(spark, sf_dir):
+    """Two-stage retrieval (NEW r10): IVFPQ shortlist (20 candidates
+    from codes alone inside probed lists) → exact squared-L2 re-rank of
+    ONLY those Q·20 rows back against raw vectors — FAISS's refine
+    pattern, the standard serving layout (recovers most quantization
+    loss while raw-vector I/O stays Q·shortlist point lookups)."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        ivfpq_rerank_topk)
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_rerank_topk(emb, emb.filter(F.col("vec_id") < 10),
+                             "vec_id", "embedding", "label", m=4, ksub=8,
+                             dim=64, iters=2, k=5, nprobe=2, shortlist=20)
 
 
 def q_cut_spans(spark, sf_dir):
@@ -2697,6 +2737,27 @@ WITH {_ivfpq_core_sql(k=k, nprobe=nprobe)}
 SELECT query_id, neighbor_id, adist, rank FROM itop"""
 
 
+def _ivfpq_rerank_sql(k=5, nprobe=2, shortlist=20):
+    """Exact twin of q_ivfpq_rerank: the composed IVFPQ core with
+    k=shortlist, then an exact squared-L2 re-rank over only the
+    shortlisted (query, neighbor) pairs — the itop CTE joins back to
+    the double-cast vector list ``v`` (same fold as exact_l2_topk)."""
+    return f"""
+WITH {_ivfpq_core_sql(k=shortlist, nprobe=nprobe)},
+rr AS (SELECT t.query_id, t.neighbor_id,
+              ROUND(list_sum(list_transform(generate_series(1, 64),
+                    i -> (qpq.qv[i] - c.v[i]) * (qpq.qv[i] - c.v[i]))), 6)
+                  AS dist
+       FROM itop t
+       JOIN v c ON c.vec_id = t.neighbor_id
+       JOIN qpq ON qpq.query_id = t.query_id)
+SELECT query_id, neighbor_id, dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM rr)
+WHERE rank <= {k}"""
+
+
 def _ivfpq_recall_sql(k=5, nprobe=2):
     """Exact twin of q_ivfpq_recall: IVFPQ top-k vs the exact
     squared-L2 top-k (the _pq_recall_sql ground truth), compared like
@@ -3018,11 +3079,13 @@ FROM s"""
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver-certified window (slots 1-50) ----
     # r10 rotation (VERDICT r9 #8: rotate only the genuinely new):
-    # ann_pq_lut, ann_ivfpq, ivfpq_recall, dedup_safe_split take the
-    # slots of fulltext / empty_to_null / histogram / set_ops (all four
-    # green r01-r09, parked at 51+ with their operators still
-    # sibling-exercised: filters via typed_where/change_interval,
-    # profile aggs via table_profile/quantiles).
+    # ann_pq_lut, ann_ivfpq, ivfpq_recall, dedup_safe_split,
+    # ivfpq_rerank take the slots of fulltext / empty_to_null /
+    # histogram / set_ops / preview_orders (all five green r01-r09,
+    # parked at 51+ with their operators still sibling-exercised:
+    # filters via typed_where/change_interval, profile aggs via
+    # table_profile/quantiles, LIMIT preview via export_projection +
+    # engine tests).
     # ---- earlier rotations (r8/r9 notes) ----
     # The driver certifies only the first 50 entries (NOTES; proven
     # r01/r02). This round (VERDICT r7 #3) the SEVEN never-certified r7
@@ -3045,7 +3108,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #
     # keepers (certified r07, re-certified for continuity / touched code)
     "pricing_summary": q_pricing_summary,
-    "preview_orders": q_preview_orders,
+    "ivfpq_rerank": q_ivfpq_rerank,              # NEW r10: two-stage retrieval
     "export_projection": q_export_projection,
     "typed_where": q_typed_where,
     "change_interval": q_change_interval,
@@ -3071,7 +3134,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "ann_topk": q_ann_topk,
-    "hourly_rollup": q_hourly_rollup,
+    "token_length_profile": q_token_length_profile,  # NEW r10: length profile
     "sessionize": q_sessionize,
     "duplicate_spans": q_duplicate_spans,        # certified r07
     # rotated IN r08: never driver-certified before (VERDICT r7 #3)
@@ -3106,6 +3169,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "empty_to_null": q_empty_to_null,            # r09
     "histogram": q_histogram,                    # r09
     "set_ops": q_set_ops,                        # r09
+    "preview_orders": q_preview_orders,          # r09; O1/O2 sibling-covered
+    #   by export_projection + engine preview tests
+    "hourly_rollup": q_hourly_rollup,            # r09; time-bucket agg
+    #   sibling-covered by rollup_agg/moving_window/session_window
     # parked r08 (all certified green in CORRECTNESS_r07):
     "skew_agg": q_skew_agg,                      # r07
     "extract_parts": q_extract_parts,            # r07
@@ -3408,7 +3475,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_lut": _ann_pq_lut_sql(),
         "ann_ivfpq": _ann_ivfpq_sql(),
         "ivfpq_recall": _ivfpq_recall_sql(),
+        "ivfpq_rerank": _ivfpq_rerank_sql(),
         "dedup_safe_split": _dedup_safe_split_sql(),
+        "token_length_profile": _TOKEN_LENGTH_PROFILE_SQL,
         "repetition_signals": _REPETITION_SQL,
         "top_terms": _TOP_TERMS_SQL,
         "rollup_agg": _ROLLUP_SQL,

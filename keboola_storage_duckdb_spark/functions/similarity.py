@@ -618,6 +618,50 @@ def ivfpq_recall(vectors: DataFrame, queries: DataFrame, id_col: str,
                          .alias("recall")))
 
 
+def ivfpq_rerank_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
+                      vec_col: str, label_col: str, m: int = 4,
+                      ksub: int = 8, dim: int = 64, iters: int = 2,
+                      k: int = 5, nprobe: int = 2, shortlist: int = 20,
+                      cb: list[list[list[float]]] | None = None) -> DataFrame:
+    """Two-stage retrieval (FAISS's refine / IndexRefineFlat pattern,
+    public): the composed IVFPQ search produces a ``shortlist`` of
+    candidates per query from codes alone, then ONLY those Q·shortlist
+    rows join back to the raw vectors for an exact squared-L2 re-rank
+    to top-k — the standard serving layout that recovers most of the
+    quantization loss while touching raw vectors for a vanishing
+    fraction of the corpus.
+
+    100 TB story: stage 1 never reads raw vectors (codes + broadcast
+    codebooks inside probed lists); stage 2 is a point-lookup join of
+    Q·shortlist ids against the id-partitioned vector table — the only
+    full-precision I/O in the whole search. Returns
+    (query_id, neighbor_id, dist, rank) with the exact_l2_topk contract
+    (round-6 dist, lower-id tie-break)."""
+    from pyspark.sql import Window
+
+    short = ivfpq_ann_topk(vectors, queries, id_col, vec_col, label_col,
+                           m=m, ksub=ksub, dim=dim, iters=iters,
+                           k=shortlist, nprobe=nprobe, cb=cb)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    cand = (short.select("query_id", "neighbor_id")
+                 .join(vectors.select(F.col(id_col).alias("neighbor_id"),
+                                      F.col(vec_col).alias("cv")),
+                       "neighbor_id")
+                 .join(F.broadcast(q), "query_id"))
+    d = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
+                                               F.col("neighbor_id").asc())
+    return (cand.withColumn("dist", F.round(d, 6))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "dist", "rank"))
+
+
 def exact_l2_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
                   vec_col: str, k: int = 5) -> DataFrame:
     """Exact squared-L2 top-k — the ground truth ``pq_ann_topk``

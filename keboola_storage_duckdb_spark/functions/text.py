@@ -57,6 +57,36 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def token_length_profile(df: DataFrame, text_col: str, group_col: str,
+                         lo: float = 0.0, hi: float = 100.0,
+                         bins: int = 10) -> DataFrame:
+    """Per-source sequence-length distribution: equal-width histogram of
+    whitespace token counts per ``group_col`` (lang / source / shard) plus
+    the token mass per bin — the first thing a packing/training setup
+    checks (context-length fit, truncation exposure, per-source length
+    skew). Out-of-range lengths CLAMP into the edge bins (a profile must
+    not drop documents; the declared-bounds ``histogram`` operator filters
+    instead — different contract, same bin rule).
+
+    Returns (group_col, bucket, lo, hi, n_docs, n_tokens), one shuffle on
+    (group, bucket) with map-side partials — the grouped-histogram shape
+    that holds at any corpus size."""
+    w = (hi - lo) / bins
+    n = F.size(F.split(F.col(text_col), " "))
+    bucket = (F.least(F.greatest(F.floor((n - F.lit(lo)) / F.lit(w)),
+                                 F.lit(0)),
+                      F.lit(bins - 1)).cast("int"))
+    return (df.select(F.col(group_col), n.alias("n"),
+                      bucket.alias("bucket"))
+              .groupBy(group_col, "bucket")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("n").cast("bigint").alias("n_tokens"))
+              .withColumn("lo", F.lit(lo) + F.col("bucket") * F.lit(w))
+              .withColumn("hi", F.lit(lo) + (F.col("bucket") + 1) * F.lit(w))
+              .select(group_col, "bucket", "lo", "hi",
+                      "n_docs", "n_tokens"))
+
+
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,
                     chunk_size: int = 32, stride: int = 24) -> DataFrame:
     """Fixed-size overlapping token-window chunks — the standard shape a

@@ -177,3 +177,90 @@ def test_dedup_safe_split_proportions(spark, sf_dir):
     assert n == docs.count()
     assert set(counts) == {"train", "val", "test"}
     assert 0.6 < counts["train"] / n < 0.95
+
+
+def test_ivfpq_rerank_equals_exact_when_nothing_pruned(spark, sf_dir):
+    """shortlist >= corpus and nprobe >= #labels: the two-stage search
+    must return EXACTLY the exact-L2 top-k (stage 1 prunes nothing,
+    stage 2 IS the exact ranking)."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        exact_l2_topk, ivfpq_rerank_topk, pq_train_codebooks)
+
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .filter(F.col("vec_id") < 60)
+    q = emb.filter(F.col("vec_id") < 3)
+    n_labels = emb.select("label").distinct().count()
+    cb = pq_train_codebooks(emb, "vec_id", "embedding",
+                            m=4, ksub=8, dim=64, iters=1)
+    exact = sorted((r.query_id, r.neighbor_id, r.rank, r.dist) for r in
+                   exact_l2_topk(emb, q, "vec_id", "embedding",
+                                 k=4).collect())
+    rr = sorted((r.query_id, r.neighbor_id, r.rank, r.dist) for r in
+                ivfpq_rerank_topk(emb, q, "vec_id", "embedding", "label",
+                                  k=4, nprobe=n_labels, shortlist=100,
+                                  cb=cb).collect())
+    assert exact == rr
+
+
+def test_ivfpq_rerank_contract_and_subset(spark, sf_dir):
+    """Ranking contract (dense 1..k, no self, dist non-decreasing) and
+    stage-2 results are a subset of the stage-1 shortlist."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        ivfpq_ann_topk, ivfpq_rerank_topk, pq_train_codebooks)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cb = pq_train_codebooks(emb, "vec_id", "embedding",
+                            m=4, ksub=8, dim=64, iters=2)
+    short = {(r.query_id, r.neighbor_id) for r in
+             ivfpq_ann_topk(emb, q, "vec_id", "embedding", "label",
+                            k=20, nprobe=2, cb=cb).collect()}
+    rows = ivfpq_rerank_topk(emb, q, "vec_id", "embedding", "label",
+                             k=5, nprobe=2, shortlist=20, cb=cb).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert (r.query_id, r.neighbor_id) in short
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a.dist <= b.dist for a, b in zip(rs, rs[1:]))
+
+
+def test_token_length_profile_clamps_and_masses(spark):
+    """Crafted lengths: bins are [0,10) [10,20)...; out-of-range lengths
+    clamp into edge bins; n_tokens sums the true counts (not the
+    clamped bin label)."""
+    from keboola_storage_duckdb_spark.functions.text import (
+        token_length_profile)
+
+    rows = [("en", "a " * 4 + "b"),        # 5 tokens  -> bucket 0
+            ("en", "a " * 14 + "b"),       # 15 tokens -> bucket 1
+            ("de", "a " * 150 + "b"),      # 151 tokens -> clamp bucket 9
+            ("de", "x")]                   # 1 token   -> bucket 0
+    docs = spark.createDataFrame(rows, "lang string, text string")
+    got = {(r.lang, r.bucket): (r.lo, r.hi, r.n_docs, r.n_tokens) for r in
+           token_length_profile(docs, "text", "lang",
+                                lo=0.0, hi=100.0, bins=10).collect()}
+    assert got[("en", 0)] == (0.0, 10.0, 1, 5)
+    assert got[("en", 1)] == (10.0, 20.0, 1, 15)
+    assert got[("de", 9)] == (90.0, 100.0, 1, 151)   # clamped, true mass
+    assert got[("de", 0)] == (0.0, 10.0, 1, 1)
+    assert len(got) == 4
+
+
+def test_token_length_profile_totals(spark, sf_dir):
+    """Nothing dropped: Σ n_docs == corpus size; Σ n_tokens == the
+    corpus ws-token total (the clamp-not-filter contract)."""
+    from keboola_storage_duckdb_spark.functions.text import (
+        token_length_profile)
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = token_length_profile(docs, "text", "lang")
+    agg = prof.agg(F.sum("n_docs").alias("d"),
+                   F.sum("n_tokens").alias("t")).collect()[0]
+    truth = docs.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")).collect()[0]
+    assert agg.d == truth.d and agg.t == truth.t
