@@ -1504,6 +1504,20 @@ def q_ann_ivfpq(spark, sf_dir):
                           dim=64, iters=2, k=5, nprobe=2)
 
 
+def q_ann_ivfpq_residual(spark, sf_dir):
+    """Residual IVFPQ (NEW r10) — the actual FAISS construction: PQ
+    codebooks trained on v − centroid(list) residuals, queries
+    re-expressed per probed list before ADC ranking. Same code budget,
+    finer quantization (residuals concentrate near 0); same plan shape
+    as ann_ivfpq."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        ivfpq_residual_topk)
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(emb, emb.filter(F.col("vec_id") < 10),
+                               "vec_id", "embedding", "label", m=4,
+                               ksub=8, dim=64, iters=2, k=5, nprobe=2)
+
+
 def q_ivfpq_recall(spark, sf_dir):
     """End-to-end IVFPQ quality frame (NEW r10): recall@k of the
     composed search against the exact squared-L2 top-k — routing
@@ -2569,16 +2583,20 @@ FROM exact e LEFT JOIN ivf i
 GROUP BY e.query_id"""
 
 
-def _pq_chain_sql(m=4, ksub=8, sub=16, rounds=2):
+def _pq_chain_sql(m=4, ksub=8, sub=16, rounds=2, v_cte=None):
     """Shared PQ CTE chain (v → seeds → cb0 → Lloyd rounds → enc →
     recon): the DuckDB re-derivation of similarity.pq_train_codebooks +
     pq_encode. Mirrors _KMEANS_FIXED_SQL per subspace: md5-ordered
     seeds, sequential list_sum distance folds, per-dim AVG
     re-estimation with COALESCE fallback for empty codes, lower-code
-    tie-break — all bit-reproducible against the Spark side."""
-    parts = [f"""v AS (SELECT vec_id,
+    tie-break — all bit-reproducible against the Spark side.
+
+    ``v_cte`` overrides the input frame (must define ``v(vec_id, v)``
+    with v a 64-double list) — the residual-IVFPQ oracle trains the
+    same chain on ``embedding − centroid(label)`` (r10)."""
+    parts = [(v_cte or """v AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings),
+      FROM embeddings)""") + f""",
 subs AS (SELECT unnest(generate_series(0, {m - 1})) AS sub),
 seeds AS (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
@@ -2735,6 +2753,52 @@ def _ann_ivfpq_sql(k=5, nprobe=2):
     return f"""
 WITH {_ivfpq_core_sql(k=k, nprobe=nprobe)}
 SELECT query_id, neighbor_id, adist, rank FROM itop"""
+
+
+# NB: plain 65536.0 / 0.5 literals are DECIMAL in DuckDB (decimal
+# arithmetic would truncate the grid values) — every constant is CAST
+# to DOUBLE so both engines run the identical IEEE op chain.
+_RESIDUAL_V_CTE = """v AS (
+  SELECT e.vec_id,
+         list_transform(generate_series(1, 64),
+                        i -> floor((CAST(e.embedding[i] AS DOUBLE)
+                                    - c.centroid[i])
+                                   * CAST(65536 AS DOUBLE)
+                                   + CAST(0.5 AS DOUBLE))
+                             / CAST(65536 AS DOUBLE)) AS v
+  FROM embeddings e JOIN cents c ON c.label = e.label)"""
+
+
+def _ivfpq_residual_sql(k=5, nprobe=2):
+    """Exact twin of q_ann_ivfpq_residual (NEW r10): the routing block
+    first (it defines cents), then the SAME PQ chain trained on the
+    residual ``v`` CTE, then per-probed-list query residuals and the
+    ADC fold. Every piece is a certified shape with only the input
+    frame swapped."""
+    return f"""
+WITH {_ivf_routing_ctes(nprobe)},
+{_pq_chain_sql(v_cte=_RESIDUAL_V_CTE)},
+rl AS (SELECT r.vec_id, r.rv AS rr, e.label
+       FROM recon r JOIN embeddings e USING (vec_id)),
+qres AS (SELECT ro.query_id, ro.label,
+                list_transform(generate_series(1, 64),
+                               i -> floor((CAST(ro.qv[i] AS DOUBLE)
+                                           - c.centroid[i])
+                                          * CAST(65536 AS DOUBLE)
+                                          + CAST(0.5 AS DOUBLE))
+                                    / CAST(65536 AS DOUBLE)) AS qr
+         FROM routed ro JOIN cents c USING (label)),
+rsc AS (SELECT qres.query_id, rl.vec_id AS neighbor_id,
+               ROUND(list_sum(list_transform(generate_series(1, 64),
+                     i -> (qres.qr[i] - rl.rr[i])
+                        * (qres.qr[i] - rl.rr[i]))), 6) AS adist
+        FROM rl JOIN qres USING (label)
+        WHERE rl.vec_id <> qres.query_id)
+SELECT query_id, neighbor_id, adist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adist ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM rsc)
+WHERE rank <= {k}"""
 
 
 def _ivfpq_rerank_sql(k=5, nprobe=2, shortlist=20):
@@ -3111,7 +3175,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_rerank": q_ivfpq_rerank,              # NEW r10: two-stage retrieval
     "export_projection": q_export_projection,
     "typed_where": q_typed_where,
-    "change_interval": q_change_interval,
+    "ann_ivfpq_residual": q_ann_ivfpq_residual,  # NEW r10: residual IVFPQ
     "ann_pq_lut": q_ann_pq_lut,                  # NEW r10: LUT-form ADC
     # r09 rotation: ann_pq + pq_recall take the slots of ref_filter_in /
     # join_cust_orders_nation (both green r01-r08; their operators stay
@@ -3173,6 +3237,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   by export_projection + engine preview tests
     "hourly_rollup": q_hourly_rollup,            # r09; time-bucket agg
     #   sibling-covered by rollup_agg/moving_window/session_window
+    "change_interval": q_change_interval,        # r09; P4 interval filter
     # parked r08 (all certified green in CORRECTNESS_r07):
     "skew_agg": q_skew_agg,                      # r07
     "extract_parts": q_extract_parts,            # r07
@@ -3476,6 +3541,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq": _ann_ivfpq_sql(),
         "ivfpq_recall": _ivfpq_recall_sql(),
         "ivfpq_rerank": _ivfpq_rerank_sql(),
+        "ann_ivfpq_residual": _ivfpq_residual_sql(),
         "dedup_safe_split": _dedup_safe_split_sql(),
         "token_length_profile": _TOKEN_LENGTH_PROFILE_SQL,
         "repetition_signals": _REPETITION_SQL,

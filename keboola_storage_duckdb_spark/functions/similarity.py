@@ -618,6 +618,97 @@ def ivfpq_recall(vectors: DataFrame, queries: DataFrame, id_col: str,
                          .alias("recall")))
 
 
+def ivfpq_residual_topk(vectors: DataFrame, queries: DataFrame,
+                        id_col: str, vec_col: str, label_col: str,
+                        m: int = 4, ksub: int = 8, dim: int = 64,
+                        iters: int = 2, k: int = 5,
+                        nprobe: int = 2) -> DataFrame:
+    """RESIDUAL IVFPQ — the actual FAISS IVFPQ construction (Jégou et
+    al. 2011 §III): PQ codebooks are trained on RESIDUALS
+    ``v − centroid(list(v))``, not raw vectors, and each query is
+    re-expressed per probed list as ``q − centroid(list)`` before ADC
+    ranking. Residuals concentrate around 0 with far less variance
+    than raw vectors, so the same m×ksub code budget quantizes much
+    finer — the reason FAISS encodes residuals by default.
+
+    Everything reuses certified shapes: per-label centroids
+    (ivf_centroids), cosine routing (ivf_ann_topk), the PQ training
+    chain (pq_train_codebooks — here fed the residual frame), and the
+    sequential ADC fold. The DuckDB twin re-derives the whole thing
+    with the residual ``v`` CTE swapped into the shared chain.
+
+    Residuals are GRID-QUANTIZED to 2^-16 (floor(d·65536 + 0.5)/65536,
+    a single identical op chain on both engines): raw residuals carry
+    full 53-bit mantissas, so the Lloyd per-dim AVG would sum
+    order-dependently across engines (the repo's exact-sum discipline,
+    README "Correctness discipline") — on the grid every sum is an
+    exact scaled integer for any corpus below 2^34 rows/cell. The
+    1.5e-5 per-component quantization is orders of magnitude below the
+    ksub=8 PQ error itself (and real FAISS stores residuals as
+    float32 ≈ the same ballpark of rounding).
+
+    100 TB story: residual computation is a broadcast join against C
+    centroids (narrow map); training/encoding touch each vector the
+    same bounded number of times as plain PQ; search cost is identical
+    to ivfpq_ann_topk — better recall at the same bytes and the same
+    plan shape."""
+    from pyspark.sql import Window
+
+    sub = dim // m
+    cents = ivf_centroids(vectors, id_col, vec_col, label_col) \
+        .localCheckpoint(eager=False)  # 3 consumers: residuals, routing,
+    # query residuals — without the cut the centroid agg re-runs per branch
+    # every constant CAST to DOUBLE: a bare 65536.0 / 0.5 literal is
+    # DECIMAL in BOTH engines' SQL dialects, and decimal division
+    # truncates the grid values (caught bit-comparing the frames)
+    resid_expr = F.expr(
+        f"zip_with({vec_col}, centroid, (x, c) -> "
+        "floor((CAST(x AS DOUBLE) - c) * CAST(65536 AS DOUBLE) "
+        "+ CAST(0.5 AS DOUBLE)) / CAST(65536 AS DOUBLE))")
+    resid = (vectors.join(
+                 F.broadcast(cents.withColumnRenamed("label", label_col)),
+                 label_col)
+                    .select(F.col(id_col),
+                            F.col(label_col).alias("label"),
+                            resid_expr.alias("resv")))
+    cb = pq_train_codebooks(resid, id_col, "resv", m=m, ksub=ksub,
+                            dim=dim, iters=iters)
+    enc = (resid.select(F.col(id_col).alias("neighbor_id"),
+                        F.col("label"),
+                        _pq_codes_expr("resv", cb, sub))
+                .select("neighbor_id", "label", F.expr(
+                    f"flatten(transform(sequence(0, {m - 1}), j -> "
+                    f"element_at(element_at({_cb_literal_sql(cb)}, j + 1), "
+                    "element_at(codes, j + 1) + 1)))").alias("rr"))
+                .repartition(_par(vectors)))
+    q = with_norm(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("qv")), "qv", "qn")
+    qc = (q.crossJoin(F.broadcast(with_norm(cents, "centroid", "cn")))
+           .withColumn("cscore", cosine_expr("qv", "centroid", "qn", "cn")))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(),
+                                                F.col("label").asc())
+    routed = (qc.withColumn("rt", F.row_number().over(wr))
+                .filter(F.col("rt") <= nprobe)
+                .select("query_id", "qv", "label"))
+    qres = (routed.join(F.broadcast(cents), "label")
+                  .select("query_id", "label", F.expr(
+                      "zip_with(qv, centroid, (x, c) -> "
+                      "floor((CAST(x AS DOUBLE) - c) "
+                      "* CAST(65536 AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
+                      "/ CAST(65536 AS DOUBLE))").alias("qr")))
+    adist = F.expr(
+        "aggregate(zip_with(qr, rr, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    scored = (enc.join(F.broadcast(qres), "label")
+                 .filter(F.col("neighbor_id") != F.col("query_id"))
+                 .withColumn("adist", F.round(adist, 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "adist", "rank"))
+
+
 def ivfpq_rerank_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
                       vec_col: str, label_col: str, m: int = 4,
                       ksub: int = 8, dim: int = 64, iters: int = 2,
