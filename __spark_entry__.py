@@ -1545,6 +1545,20 @@ def q_ivfpq_rerank(spark, sf_dir):
                              dim=64, iters=2, k=5, nprobe=2, shortlist=20)
 
 
+def q_ivfpq_rerank_recall(spark, sf_dir):
+    """Refine-stage value frame (NEW r10): recall@k of the two-stage
+    search vs exact L2, next to ivfpq_recall — rerank recall ≥ ivfpq
+    recall pointwise whenever shortlist ≥ k (any true top-k member the
+    codes ranked anywhere in the shortlist is recovered)."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        ivfpq_rerank_recall)
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_rerank_recall(emb, emb.filter(F.col("vec_id") < 10),
+                               "vec_id", "embedding", "label", m=4,
+                               ksub=8, dim=64, iters=2, k=5, nprobe=2,
+                               shortlist=20)
+
+
 def q_cut_spans(spark, sf_dir):
     """Actionable substring dedup: every document rebuilt with its
     cross-doc duplicated >= 8-token spans removed (Lee et al. 2022's cut
@@ -2801,25 +2815,57 @@ SELECT query_id, neighbor_id, adist, rank FROM (
 WHERE rank <= {k}"""
 
 
-def _ivfpq_rerank_sql(k=5, nprobe=2, shortlist=20):
-    """Exact twin of q_ivfpq_rerank: the composed IVFPQ core with
-    k=shortlist, then an exact squared-L2 re-rank over only the
-    shortlisted (query, neighbor) pairs — the itop CTE joins back to
-    the double-cast vector list ``v`` (same fold as exact_l2_topk)."""
-    return f"""
-WITH {_ivfpq_core_sql(k=shortlist, nprobe=nprobe)},
+def _ivfpq_rerank_core_sql(k=5, nprobe=2, shortlist=20):
+    """CTEs through ``rtop``: the composed IVFPQ core with k=shortlist,
+    then an exact squared-L2 re-rank over only the shortlisted
+    (query, neighbor) pairs — the itop CTE joins back to the
+    double-cast vector list ``v`` (same fold as exact_l2_topk)."""
+    return f"""{_ivfpq_core_sql(k=shortlist, nprobe=nprobe)},
 rr AS (SELECT t.query_id, t.neighbor_id,
               ROUND(list_sum(list_transform(generate_series(1, 64),
                     i -> (qpq.qv[i] - c.v[i]) * (qpq.qv[i] - c.v[i]))), 6)
                   AS dist
        FROM itop t
        JOIN v c ON c.vec_id = t.neighbor_id
-       JOIN qpq ON qpq.query_id = t.query_id)
-SELECT query_id, neighbor_id, dist, rank FROM (
-  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
-  FROM rr)
-WHERE rank <= {k}"""
+       JOIN qpq ON qpq.query_id = t.query_id),
+rtop AS (SELECT query_id, neighbor_id, dist, rank FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY dist ASC, neighbor_id ASC) AS INTEGER)
+                     AS rank
+           FROM rr)
+         WHERE rank <= {k})"""
+
+
+def _ivfpq_rerank_sql(k=5, nprobe=2, shortlist=20):
+    """Exact twin of q_ivfpq_rerank."""
+    return f"""
+WITH {_ivfpq_rerank_core_sql(k=k, nprobe=nprobe, shortlist=shortlist)}
+SELECT query_id, neighbor_id, dist, rank FROM rtop"""
+
+
+def _ivfpq_rerank_recall_sql(k=5, nprobe=2, shortlist=20):
+    """Exact twin of q_ivfpq_rerank_recall: the rerank core vs the
+    exact squared-L2 top-k, compared like _ivfpq_recall_sql."""
+    return f"""
+WITH {_ivfpq_rerank_core_sql(k=k, nprobe=nprobe, shortlist=shortlist)},
+l2 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qpq.query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+              PARTITION BY qpq.query_id
+              ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
+                        i -> (qpq.qv[i] - c.v[i]) * (qpq.qv[i] - c.v[i]))), 6)
+                       ASC, c.vec_id ASC) AS INTEGER) AS rank
+    FROM v c CROSS JOIN qpq
+    WHERE c.vec_id <> qpq.query_id)
+  WHERE rank <= {k})
+SELECT e.query_id,
+       CAST(COUNT(p.neighbor_id) AS INTEGER) AS n_hits,
+       CAST(COUNT(p.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS recall
+FROM l2 e LEFT JOIN rtop p
+  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+GROUP BY e.query_id"""
 
 
 def _ivfpq_recall_sql(k=5, nprobe=2):
@@ -3174,7 +3220,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "ivfpq_rerank": q_ivfpq_rerank,              # NEW r10: two-stage retrieval
     "export_projection": q_export_projection,
-    "typed_where": q_typed_where,
+    "ivfpq_rerank_recall": q_ivfpq_rerank_recall,  # NEW r10: refine value
     "ann_ivfpq_residual": q_ann_ivfpq_residual,  # NEW r10: residual IVFPQ
     "ann_pq_lut": q_ann_pq_lut,                  # NEW r10: LUT-form ADC
     # r09 rotation: ann_pq + pq_recall take the slots of ref_filter_in /
@@ -3238,6 +3284,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_rollup": q_hourly_rollup,            # r09; time-bucket agg
     #   sibling-covered by rollup_agg/moving_window/session_window
     "change_interval": q_change_interval,        # r09; P4 interval filter
+    "typed_where": q_typed_where,                # r09; P3 grammar also
+    #   exercised by delete_rows/import_from_table where-filters
     # parked r08 (all certified green in CORRECTNESS_r07):
     "skew_agg": q_skew_agg,                      # r07
     "extract_parts": q_extract_parts,            # r07
@@ -3541,6 +3589,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq": _ann_ivfpq_sql(),
         "ivfpq_recall": _ivfpq_recall_sql(),
         "ivfpq_rerank": _ivfpq_rerank_sql(),
+        "ivfpq_rerank_recall": _ivfpq_rerank_recall_sql(),
         "ann_ivfpq_residual": _ivfpq_residual_sql(),
         "dedup_safe_split": _dedup_safe_split_sql(),
         "token_length_profile": _TOKEN_LENGTH_PROFILE_SQL,

@@ -242,6 +242,28 @@ def ivf_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
                   .select("query_id", "neighbor_id", "score", "rank"))
 
 
+def _recall_frame(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """(query_id, n_hits, recall) of an approximate (query, neighbor)
+    frame against the exact one. The exact side is lazily
+    localCheckpointed — it feeds both the hit semi-join and the
+    per-query denominator (without the cut the Q×N exact search runs
+    once per branch; the ivf_recall / duplicate_spans lesson)."""
+    exact = exact.localCheckpoint(eager=False)
+    hits = (exact.join(approx.select("query_id", "neighbor_id"),
+                       ["query_id", "neighbor_id"], "left_semi")
+                 .groupBy("query_id")
+                 .agg(F.count(F.lit(1)).alias("n_hits")))
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    return (per_q.join(hits, "query_id", "left")
+                 .select("query_id",
+                         F.coalesce("n_hits", F.lit(0)).cast("int")
+                          .alias("n_hits"),
+                         (F.coalesce("n_hits", F.lit(0)).cast("double")
+                          / F.col("n_exact").cast("double"))
+                         .alias("recall")))
+
+
 def ivf_recall(vectors: DataFrame, queries: DataFrame, id_col: str,
                vec_col: str, label_col: str, k: int = 5,
                nprobe: int = 2) -> DataFrame:
@@ -261,24 +283,8 @@ def ivf_recall(vectors: DataFrame, queries: DataFrame, id_col: str,
     """
     approx = ivf_ann_topk(vectors, queries, id_col, vec_col, label_col,
                           k=k, nprobe=nprobe)
-    # genuine multi-consumer cut point (hits + per_q): without it Spark
-    # re-runs the full Q x N exact search once per branch (no
-    # cross-branch CSE — the duplicate_spans lesson, NOTES r7)
-    exact = brute_force_topk(vectors, queries, id_col, vec_col, k=k) \
-        .localCheckpoint(eager=False)
-    hits = (exact.join(approx.select("query_id", "neighbor_id"),
-                       ["query_id", "neighbor_id"], "left_semi")
-                 .groupBy("query_id")
-                 .agg(F.count(F.lit(1)).alias("n_hits")))
-    per_q = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact"))
-    return (per_q.join(hits, "query_id", "left")
-                 .select("query_id",
-                         F.coalesce("n_hits", F.lit(0)).cast("int")
-                          .alias("n_hits"),
-                         (F.coalesce("n_hits", F.lit(0)).cast("double")
-                          / F.col("n_exact").cast("double"))
-                         .alias("recall")))
+    exact = brute_force_topk(vectors, queries, id_col, vec_col, k=k)
+    return _recall_frame(approx, exact)
 
 
 def _cb_literal_sql(cb: list[list[list[float]]]) -> str:
@@ -601,21 +607,8 @@ def ivfpq_recall(vectors: DataFrame, queries: DataFrame, id_col: str,
     approx = ivfpq_ann_topk(vectors, queries, id_col, vec_col, label_col,
                             m=m, ksub=ksub, dim=dim, iters=iters, k=k,
                             nprobe=nprobe)
-    exact = exact_l2_topk(vectors, queries, id_col, vec_col, k=k) \
-        .localCheckpoint(eager=False)
-    hits = (exact.join(approx.select("query_id", "neighbor_id"),
-                       ["query_id", "neighbor_id"], "left_semi")
-                 .groupBy("query_id")
-                 .agg(F.count(F.lit(1)).alias("n_hits")))
-    per_q = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact"))
-    return (per_q.join(hits, "query_id", "left")
-                 .select("query_id",
-                         F.coalesce("n_hits", F.lit(0)).cast("int")
-                          .alias("n_hits"),
-                         (F.coalesce("n_hits", F.lit(0)).cast("double")
-                          / F.col("n_exact").cast("double"))
-                         .alias("recall")))
+    exact = exact_l2_topk(vectors, queries, id_col, vec_col, k=k)
+    return _recall_frame(approx, exact)
 
 
 def ivfpq_residual_topk(vectors: DataFrame, queries: DataFrame,
@@ -794,21 +787,27 @@ def pq_recall(vectors: DataFrame, queries: DataFrame, id_col: str,
     without the cut the Q×N exact search runs twice)."""
     approx = pq_ann_topk(vectors, queries, id_col, vec_col, m=m,
                          ksub=ksub, dim=dim, iters=iters, k=k)
-    exact = exact_l2_topk(vectors, queries, id_col, vec_col, k=k) \
-        .localCheckpoint(eager=False)
-    hits = (exact.join(approx.select("query_id", "neighbor_id"),
-                       ["query_id", "neighbor_id"], "left_semi")
-                 .groupBy("query_id")
-                 .agg(F.count(F.lit(1)).alias("n_hits")))
-    per_q = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact"))
-    return (per_q.join(hits, "query_id", "left")
-                 .select("query_id",
-                         F.coalesce("n_hits", F.lit(0)).cast("int")
-                          .alias("n_hits"),
-                         (F.coalesce("n_hits", F.lit(0)).cast("double")
-                          / F.col("n_exact").cast("double"))
-                         .alias("recall")))
+    exact = exact_l2_topk(vectors, queries, id_col, vec_col, k=k)
+    return _recall_frame(approx, exact)
+
+
+def ivfpq_rerank_recall(vectors: DataFrame, queries: DataFrame,
+                        id_col: str, vec_col: str, label_col: str,
+                        m: int = 4, ksub: int = 8, dim: int = 64,
+                        iters: int = 2, k: int = 5, nprobe: int = 2,
+                        shortlist: int = 20) -> DataFrame:
+    """Recall@k of the TWO-STAGE search (IVFPQ shortlist + exact
+    re-rank) against the exact squared-L2 top-k — next to
+    ``ivfpq_recall`` this quantifies exactly what the refine stage
+    buys: any exact top-k member the codes ranked anywhere inside the
+    shortlist is recovered, so rerank recall ≥ ivfpq recall pointwise
+    whenever shortlist ≥ k (the standard FAISS refine curve)."""
+    approx = ivfpq_rerank_topk(vectors, queries, id_col, vec_col,
+                               label_col, m=m, ksub=ksub, dim=dim,
+                               iters=iters, k=k, nprobe=nprobe,
+                               shortlist=shortlist)
+    exact = exact_l2_topk(vectors, queries, id_col, vec_col, k=k)
+    return _recall_frame(approx, exact)
 
 
 def brute_force_topk_auto(vectors: DataFrame, queries: DataFrame,

@@ -328,3 +328,25 @@ def test_residual_grid_is_engine_portable(spark):
         # adist is a sum of squares of grid-multiple differences,
         # rounded to 6 — finite, non-negative
         assert r.adist >= 0.0
+
+
+def test_rerank_recall_dominates_ivfpq_recall(spark, sf_dir):
+    """The refine guarantee: with shortlist >= k, any true top-k member
+    the codes ranked anywhere inside the shortlist is recovered by the
+    exact re-rank, so rerank recall >= plain IVFPQ recall PER QUERY
+    (at most k-1 shortlist members can truly beat a true top-k
+    member)."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        ivfpq_recall, ivfpq_rerank_recall)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    plain = {r.query_id: r.recall for r in
+             ivfpq_recall(emb, q, "vec_id", "embedding", "label",
+                          k=5, nprobe=2).collect()}
+    rerank = {r.query_id: r.recall for r in
+              ivfpq_rerank_recall(emb, q, "vec_id", "embedding", "label",
+                                  k=5, nprobe=2, shortlist=20).collect()}
+    assert set(plain) == set(rerank)
+    for qid in plain:
+        assert rerank[qid] >= plain[qid], (qid, rerank[qid], plain[qid])

@@ -91,7 +91,9 @@ def main() -> None:
                  "weighted_sample", "boilerplate_strings", "dedup_rate",
                  "cut_spans", "dedup_cut_keep_first", "kmeans_fixed",
                  "quota_sample", "ivf_recall", "corpus_shards",
-                 "ann_pq", "pq_recall"]:
+                 "ann_pq", "pq_recall", "ann_pq_lut", "ann_ivfpq",
+                 "ann_ivfpq_residual", "ivfpq_rerank", "ivfpq_recall",
+                 "dedup_safe_split", "token_length_profile"]:
         if ONLY and name not in ONLY:
             continue
         run(name, lambda name=name: Q[name](spark, DST))
