@@ -127,6 +127,17 @@ SHOWCASE = {
         "only heavy stage; components converge in a few bounded-lineage "
         "rounds, and the split is a narrow md5 map over the cluster id "
         "joined back once."),
+    "ivfpq_rerank": (
+        "Two-stage retrieval: stage 1 never touches raw vectors (codes "
+        "+ broadcast codebooks in probed lists); stage 2 joins only "
+        "Q·shortlist ids back to full precision — the sole raw-vector "
+        "I/O in the search."),
+    "ann_ivfpq_residual": (
+        "Residual IVFPQ: centroids broadcast into a narrow residual "
+        "map; the grid-quantized residual frame is lazily "
+        "localCheckpointed (training materializes it 3+ times — the "
+        "cut halved wall time), routing and ADC ranking keep the "
+        "certified broadcast shapes."),
 }
 
 
