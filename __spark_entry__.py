@@ -1545,6 +1545,28 @@ def q_ivfpq_rerank(spark, sf_dir):
                              dim=64, iters=2, k=5, nprobe=2, shortlist=20)
 
 
+def q_ann_sq8(spark, sf_dir):
+    """Scalar-quantized ANN (NEW r10, FAISS SQ8): per-dim [min,max]
+    grid, 64 uint8 codes/vector (4× cut), asymmetric L2 vs the
+    reconstruction — the near-exact middle rung of the
+    exact(256B)/SQ8(64B)/PQ(4B) storage ladder."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        sq8_ann_topk)
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq8_ann_topk(emb, emb.filter(F.col("vec_id") < 10),
+                        "vec_id", "embedding", dim=64, k=5)
+
+
+def q_sq8_recall(spark, sf_dir):
+    """SQ8 quality frame (NEW r10): recall@k vs exact L2 — completes
+    the quality-vs-bytes ladder next to pq_recall/ivfpq_recall."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        sq8_recall)
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq8_recall(emb, emb.filter(F.col("vec_id") < 10),
+                      "vec_id", "embedding", dim=64, k=5)
+
+
 def q_ivfpq_rerank_recall(spark, sf_dir):
     """Refine-stage value frame (NEW r10): recall@k of the two-stage
     search vs exact L2, next to ivfpq_recall — rerank recall ≥ ivfpq
@@ -2868,6 +2890,76 @@ FROM l2 e LEFT JOIN rtop p
 GROUP BY e.query_id"""
 
 
+def _sq8_core_sql(k=5):
+    """CTEs through ``sqtop``: per-dim MIN/MAX (order-free — exact on
+    any engine), scale = (hi−lo)/255, clamp-floor encode +
+    reconstruction, asymmetric L2 rank. Twin of similarity.sq8_*; all
+    constants CAST to DOUBLE (decimal-literal lesson)."""
+    return f"""v AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+mm AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM (
+         SELECT unnest(generate_series(1, 64)) AS dim,
+                unnest(list_transform(generate_series(1, 64),
+                                      i -> v[i])) AS x
+         FROM v) GROUP BY dim),
+sdim AS (SELECT dim, lo, (hi - lo) / CAST(255 AS DOUBLE) AS sc FROM mm),
+rvt AS (SELECT v.vec_id, sdim.dim,
+               CASE WHEN sdim.sc = CAST(0 AS DOUBLE) THEN sdim.lo
+                    ELSE sdim.lo
+                       + LEAST(GREATEST(floor((v.v[sdim.dim] - sdim.lo)
+                                              / sdim.sc
+                                              + CAST(0.5 AS DOUBLE)),
+                                        CAST(0 AS DOUBLE)),
+                               CAST(255 AS DOUBLE)) * sdim.sc
+               END AS rvi
+        FROM v CROSS JOIN sdim),
+rv AS (SELECT vec_id, list(rvi ORDER BY dim) AS rv
+       FROM rvt GROUP BY vec_id),
+qsq AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+ssc AS (SELECT qsq.query_id, r.vec_id AS neighbor_id,
+               ROUND(list_sum(list_transform(generate_series(1, 64),
+                     i -> (qsq.qv[i] - r.rv[i])
+                        * (qsq.qv[i] - r.rv[i]))), 6) AS adist
+        FROM rv r CROSS JOIN qsq
+        WHERE r.vec_id <> qsq.query_id),
+sqtop AS (SELECT query_id, neighbor_id, adist, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY adist ASC, neighbor_id ASC) AS INTEGER)
+                      AS rank
+            FROM ssc)
+          WHERE rank <= {k})"""
+
+
+def _ann_sq8_sql(k=5):
+    return f"""
+WITH {_sq8_core_sql(k=k)}
+SELECT query_id, neighbor_id, adist, rank FROM sqtop"""
+
+
+def _sq8_recall_sql(k=5):
+    return f"""
+WITH {_sq8_core_sql(k=k)},
+l2 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qsq.query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+              PARTITION BY qsq.query_id
+              ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
+                        i -> (qsq.qv[i] - c.v[i]) * (qsq.qv[i] - c.v[i]))), 6)
+                       ASC, c.vec_id ASC) AS INTEGER) AS rank
+    FROM v c CROSS JOIN qsq
+    WHERE c.vec_id <> qsq.query_id)
+  WHERE rank <= {k})
+SELECT e.query_id,
+       CAST(COUNT(p.neighbor_id) AS INTEGER) AS n_hits,
+       CAST(COUNT(p.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS recall
+FROM l2 e LEFT JOIN sqtop p
+  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+GROUP BY e.query_id"""
+
+
 def _ivfpq_recall_sql(k=5, nprobe=2):
     """Exact twin of q_ivfpq_recall: IVFPQ top-k vs the exact
     squared-L2 top-k (the _pq_recall_sql ground truth), compared like
@@ -3231,10 +3323,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq": q_ann_ivfpq,                    # NEW r10: composed IVFPQ
     "pq_recall": q_pq_recall,                    # NEW r09: PQ recall frame
     "upsert_update_duplicates": q_upsert_update_duplicates,
-    "upsert_do_nothing": q_upsert_do_nothing,
+    "ann_sq8": q_ann_sq8,                        # NEW r10: scalar quantizer
     "delete_rows": q_delete_rows,
     "import_from_table": q_import_from_table,
-    "distinct_counts": q_distinct_counts,
+    "sq8_recall": q_sq8_recall,                  # NEW r10: SQ8 quality
     "corr_pairs": q_corr_pairs,
     "numeric_moments": q_numeric_moments,
     "quantiles": q_quantiles,
@@ -3286,6 +3378,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "change_interval": q_change_interval,        # r09; P4 interval filter
     "typed_where": q_typed_where,                # r09; P3 grammar also
     #   exercised by delete_rows/import_from_table where-filters
+    "upsert_do_nothing": q_upsert_do_nothing,    # r09; W4 sibling-covered
+    #   by upsert_update_duplicates + dedup tests
+    "distinct_counts": q_distinct_counts,        # r09; A2 sibling-covered
+    #   by table_profile/hll_distinct
     # parked r08 (all certified green in CORRECTNESS_r07):
     "skew_agg": q_skew_agg,                      # r07
     "extract_parts": q_extract_parts,            # r07
@@ -3590,6 +3686,8 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_recall": _ivfpq_recall_sql(),
         "ivfpq_rerank": _ivfpq_rerank_sql(),
         "ivfpq_rerank_recall": _ivfpq_rerank_recall_sql(),
+        "ann_sq8": _ann_sq8_sql(),
+        "sq8_recall": _sq8_recall_sql(),
         "ann_ivfpq_residual": _ivfpq_residual_sql(),
         "dedup_safe_split": _dedup_safe_split_sql(),
         "token_length_profile": _TOKEN_LENGTH_PROFILE_SQL,

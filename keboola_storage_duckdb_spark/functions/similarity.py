@@ -815,6 +815,118 @@ def ivfpq_rerank_recall(vectors: DataFrame, queries: DataFrame,
     return _recall_frame(approx, exact)
 
 
+def sq8_train(vectors: DataFrame, vec_col: str,
+              dim: int = 64) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus — the SQ8 scalar
+    quantizer's training state (FAISS IndexScalarQuantizer QT_8bit,
+    public). O(dim) doubles reach the driver; min/max are order-free
+    so the values are bit-identical on any engine or partitioning."""
+    comps = vectors.select(
+        F.posexplode(F.expr(
+            f"transform({vec_col}, x -> CAST(x AS DOUBLE))"))
+         .alias("dim", "x"))
+    rows = (comps.groupBy("dim")
+                 .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+                 .collect())
+    lo = [0.0] * dim
+    hi = [0.0] * dim
+    for r in rows:
+        lo[r.dim] = r.lo
+        hi[r.dim] = r.hi
+    return lo, hi
+
+
+def _sq8_rv_expr(vec_col: str, lo: list[float], hi: list[float]) -> F.Column:
+    """Encode-then-reconstruct in ONE single-parse expression:
+    code_i = clamp(floor((x_i − lo_i)/s_i + 0.5), 0, 255) with
+    s_i = (hi_i − lo_i)/255, reconstruction lo_i + code_i·s_i; a
+    constant dimension (s_i = 0) reconstructs lo_i. Every constant is
+    an exact repr literal CAST to DOUBLE (the decimal-literal lesson),
+    so both engines run the identical IEEE chain."""
+    dim = len(lo)
+    lo_sql = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in lo) + ")"
+    s_sql = "array(" + ",".join(
+        f"CAST({(h - l) / 255.0!r} AS DOUBLE)" for l, h in zip(lo, hi)) + ")"
+    return F.expr(
+        f"transform(sequence(1, {dim}), i -> IF("
+        f"element_at({s_sql}, i) = CAST(0 AS DOUBLE), "
+        f"element_at({lo_sql}, i), "
+        f"element_at({lo_sql}, i) + "
+        f"least(greatest(floor((CAST(element_at({vec_col}, i) AS DOUBLE) "
+        f"- element_at({lo_sql}, i)) / element_at({s_sql}, i) "
+        "+ CAST(0.5 AS DOUBLE)), CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) "
+        f"* element_at({s_sql}, i)))").alias("rv")
+
+
+def sq8_encode(vectors: DataFrame, id_col: str, vec_col: str,
+               dim: int = 64,
+               trained: tuple[list[float], list[float]] | None = None
+               ) -> DataFrame:
+    """(id, codes array<int>): each vector as dim uint8 codes — 64
+    float32 dims → 64 bytes (4× cut; the middle point of the
+    exact(256B) / SQ8(64B) / PQ(4B) storage ladder). Narrow map, no
+    shuffle."""
+    lo, hi = trained or sq8_train(vectors, vec_col, dim)
+    lo_sql = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in lo) + ")"
+    s_sql = "array(" + ",".join(
+        f"CAST({(h - l) / 255.0!r} AS DOUBLE)" for l, h in zip(lo, hi)) + ")"
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform(sequence(1, {dim}), i -> CAST(IF("
+            f"element_at({s_sql}, i) = CAST(0 AS DOUBLE), "
+            "CAST(0 AS DOUBLE), "
+            f"least(greatest(floor((CAST(element_at({vec_col}, i) AS DOUBLE) "
+            f"- element_at({lo_sql}, i)) / element_at({s_sql}, i) "
+            "+ CAST(0.5 AS DOUBLE)), CAST(0 AS DOUBLE)), "
+            "CAST(255 AS DOUBLE))) AS INT))").alias("codes"))
+
+
+def sq8_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
+                 vec_col: str, dim: int = 64, k: int = 5,
+                 trained: tuple[list[float], list[float]] | None = None
+                 ) -> DataFrame:
+    """Scalar-quantized ANN (FAISS SQ8): corpus vectors live as dim
+    uint8 codes on a per-dimension [min, max] grid; queries stay full
+    precision and rank by squared-L2 to the RECONSTRUCTION (asymmetric,
+    like pq_ann_topk). 4× memory cut with near-exact recall (grid step
+    = range/255 per dim), the standard first stop before PQ's harsher
+    64× cut. Training = one O(dim) min/max agg; encode+reconstruct is
+    a single-parse narrow map; ranking streams reconstructions past
+    broadcast queries. Returns (query_id, neighbor_id, adist, rank)."""
+    from pyspark.sql import Window
+
+    lo, hi = trained or sq8_train(vectors, vec_col, dim)
+    enc = (vectors.select(F.col(id_col).alias("neighbor_id"),
+                          _sq8_rv_expr(vec_col, lo, hi))
+                  .repartition(_par(vectors)))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    adist = F.expr(
+        "aggregate(zip_with(qv, rv, (x, y) -> "
+        "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    scored = (enc.crossJoin(F.broadcast(q))
+                 .filter(F.col("neighbor_id") != F.col("query_id"))
+                 .withColumn("adist", F.round(adist, 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "adist", "rank"))
+
+
+def sq8_recall(vectors: DataFrame, queries: DataFrame, id_col: str,
+               vec_col: str, dim: int = 64, k: int = 5) -> DataFrame:
+    """Recall@k of the SQ8 ranking vs exact squared-L2 — completes the
+    quality-vs-bytes ladder next to pq_recall (4 B) and the exact
+    baseline (256 B): the frame you read before choosing a
+    quantization level."""
+    approx = sq8_ann_topk(vectors, queries, id_col, vec_col, dim=dim, k=k)
+    exact = exact_l2_topk(vectors, queries, id_col, vec_col, k=k)
+    return _recall_frame(approx, exact)
+
+
 def brute_force_topk_auto(vectors: DataFrame, queries: DataFrame,
                           id_col: str, vec_col: str, k: int = 5,
                           matmul_min_queries: int = 64) -> DataFrame:

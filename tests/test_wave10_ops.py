@@ -350,3 +350,50 @@ def test_rerank_recall_dominates_ivfpq_recall(spark, sf_dir):
     assert set(plain) == set(rerank)
     for qid in plain:
         assert rerank[qid] >= plain[qid], (qid, rerank[qid], plain[qid])
+
+
+def test_sq8_codes_shape_and_range(spark, sf_dir):
+    """Every vector gets dim uint8 codes in [0, 255]; constant
+    dimensions (scale 0) encode to 0."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        sq8_encode)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = sq8_encode(emb, "vec_id", "embedding")
+    assert enc.columns == ["id", "codes"]
+    row = enc.selectExpr(
+        "min(array_min(codes)) AS lo", "max(array_max(codes)) AS hi",
+        "min(size(codes)) AS n").collect()[0]
+    assert row.lo >= 0 and row.hi <= 255 and row.n == 64
+    assert enc.count() == emb.count()
+
+
+def test_sq8_near_exact_and_dominates_pq(spark, sf_dir):
+    """The storage ladder's quality ordering on the fixture: SQ8
+    (64 B/vector, grid step = range/255) is near-exact (mean recall
+    >= 0.9) and far above PQ's 4-byte codes."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        pq_recall, sq8_recall)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    sq = (sq8_recall(emb, q, "vec_id", "embedding")
+          .agg(F.avg("recall")).collect()[0][0])
+    pq = (pq_recall(emb, q, "vec_id", "embedding")
+          .agg(F.avg("recall")).collect()[0][0])
+    assert sq >= 0.9, sq
+    assert sq >= pq, (sq, pq)
+
+
+def test_sq8_constant_dimension_reconstructs_min(spark):
+    """A constant dimension has zero scale: codes 0, reconstruction =
+    the constant — no 0/0 NaN anywhere in the ranking."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        sq8_ann_topk)
+
+    rows = [(i, [3.5] + [float(i + j) for j in range(3)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = sq8_ann_topk(df, df.filter(F.col("vec_id") < 2),
+                       "vec_id", "embedding", dim=4, k=3).collect()
+    assert len(out) == 6
+    assert all(r.adist >= 0 and r.adist == r.adist for r in out)  # no NaN
