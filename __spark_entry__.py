@@ -1403,6 +1403,43 @@ FROM ranked r JOIN q ON r.g = q.g
 WHERE r.sample_rank <= q.quota"""
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """√-temperature mixture (NEW r10): quotas = ⌊budget·√n_g / Σ√n⌋
+    derived from the observed per-group counts (the count^α
+    multilingual-rebalance recipe, α pinned at 0.5 — sqrt is the one
+    power that is correctly rounded on every engine), drawn with the
+    certified bottom-k quota sampler. Σ√n is a sequential fold in
+    group-key order on BOTH engines (list_sum over an ordered list —
+    never a window SUM, whose segment-tree order differs)."""
+    from keboola_storage_duckdb_spark.functions.sketch import (
+        temperature_mixture)
+    return temperature_mixture(_t(spark, sf_dir, "documents"),
+                               "lang", "doc_id", budget=200)
+
+
+_TEMPERATURE_MIXTURE_SQL = """
+WITH counts AS (
+  SELECT CAST(lang AS VARCHAR) AS g, COUNT(*) AS n
+  FROM documents
+  WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+  GROUP BY 1),
+w AS (SELECT g, sqrt(CAST(n AS DOUBLE)) AS w FROM counts),
+tot AS (SELECT list_sum(list(w ORDER BY g)) AS t FROM w),
+q AS (SELECT g, CAST(FLOOR(CAST(200 AS DOUBLE) * w.w / tot.t)
+                AS INTEGER) AS quota
+      FROM w CROSS JOIN tot),
+ranked AS (
+  SELECT CAST(lang AS VARCHAR) AS g, doc_id AS id,
+         CAST(row_number() OVER (
+             PARTITION BY CAST(lang AS VARCHAR)
+             ORDER BY md5(CAST(doc_id AS VARCHAR))) AS INTEGER)
+             AS sample_rank
+  FROM documents WHERE doc_id IS NOT NULL)
+SELECT r.g, r.id, r.sample_rank, q.quota
+FROM ranked r JOIN q ON r.g = q.g
+WHERE r.sample_rank <= q.quota"""
+
+
 def q_token_quota_sample(spark, sf_dir):
     """Token-budget mixture sampling (NEW r8): greedy hash-order prefix
     per group until the stated token budget is reached — the
@@ -3281,13 +3318,14 @@ FROM s"""
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver-certified window (slots 1-50) ----
     # r10 rotation (VERDICT r9 #8: rotate only the genuinely new):
-    # ann_pq_lut, ann_ivfpq, ivfpq_recall, dedup_safe_split,
-    # ivfpq_rerank take the slots of fulltext / empty_to_null /
-    # histogram / set_ops / preview_orders (all five green r01-r09,
-    # parked at 51+ with their operators still sibling-exercised:
-    # filters via typed_where/change_interval, profile aggs via
-    # table_profile/quantiles, LIMIT preview via export_projection +
-    # engine tests).
+    # TEN new ops (ann_pq_lut, ann_ivfpq, ivfpq_recall,
+    # dedup_safe_split, ivfpq_rerank, ivfpq_rerank_recall,
+    # ann_ivfpq_residual, token_length_profile, ann_sq8, sq8_recall)
+    # take the slots of fulltext / empty_to_null / histogram / set_ops
+    # / preview_orders / hourly_rollup / change_interval / typed_where
+    # / upsert_do_nothing / distinct_counts (all ten green r01-r09,
+    # parked at 51+ with their operators still sibling-exercised —
+    # see the per-entry comments in the tail).
     # ---- earlier rotations (r8/r9 notes) ----
     # The driver certifies only the first 50 entries (NOTES; proven
     # r01/r02). This round (VERDICT r7 #3) the SEVEN never-certified r7
@@ -3327,7 +3365,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delete_rows": q_delete_rows,
     "import_from_table": q_import_from_table,
     "sq8_recall": q_sq8_recall,                  # NEW r10: SQ8 quality
-    "corr_pairs": q_corr_pairs,
+    "temperature_mixture": q_temperature_mixture,  # NEW r10: √-temp mix
     "numeric_moments": q_numeric_moments,
     "quantiles": q_quantiles,
     "ivfpq_recall": q_ivfpq_recall,              # NEW r10: e2e IVFPQ quality
@@ -3382,6 +3420,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   by upsert_update_duplicates + dedup tests
     "distinct_counts": q_distinct_counts,        # r09; A2 sibling-covered
     #   by table_profile/hll_distinct
+    "corr_pairs": q_corr_pairs,                  # r09; J4/A10 correlations
+    #   also fused inside table_profile
     # parked r08 (all certified green in CORRECTNESS_r07):
     "skew_agg": q_skew_agg,                      # r07
     "extract_parts": q_extract_parts,            # r07
@@ -3668,6 +3708,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "kmeans_fixed": _KMEANS_FIXED_SQL,
         "quota_sample": _QUOTA_SAMPLE_SQL,
+        "temperature_mixture": _TEMPERATURE_MIXTURE_SQL,
         "corpus_shards": _CORPUS_SHARDS_SQL,
         "token_quota_sample": _TOKEN_QUOTA_SQL,
         "minhash_dedup_keep": _minhash_dedup_keep_sql(),

@@ -502,3 +502,45 @@ def bloom_probe(filter_df: DataFrame, items: DataFrame, item_col: str,
                                .bitwiseAND(F.col("mask"))) != 0)
                   .groupBy("item")
                   .agg(F.min("hit").alias("bloom_member")))
+
+
+def temperature_quotas(df: DataFrame, group_col: str, id_col: str,
+                       budget: int) -> dict[str, int]:
+    """√-temperature mixture quotas: quota_g = ⌊budget · √n_g / Σ√n⌋ —
+    the up-weight-the-tail mixture rule (count^α reweighting with
+    α = 0.5, the multilingual-balance recipe of mBERT/XLM-style
+    training mixes; α is PINNED at 0.5 because √ is the one power the
+    cross-engine exact-arithmetic discipline permits — sqrt is
+    correctly rounded everywhere, pow/exp/log are libm).
+
+    Deterministic and engine-portable: per-group counts are exact
+    integers; Σ√n is a SEQUENTIAL left-fold in group-key order (the
+    same value DuckDB's running window SUM produces at its last row);
+    the final ⌊·⌋ is one identical IEEE chain. O(groups) rows reach
+    the driver."""
+    import math
+
+    rows = (df.filter(F.col(group_col).isNotNull()
+                      & F.col(id_col).isNotNull())
+              .groupBy(F.col(group_col).cast("string").alias("g"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .collect())
+    counts = sorted((r.g, r.n) for r in rows)
+    total = 0.0
+    for _, n in counts:
+        total += math.sqrt(float(n))
+    return {g: int(math.floor(budget * math.sqrt(float(n)) / total))
+            for g, n in counts}
+
+
+def temperature_mixture(df: DataFrame, group_col: str, id_col: str,
+                        budget: int, prefilter: bool = True) -> DataFrame:
+    """Temperature-balanced mixture sample: derive √-temperature quotas
+    from the observed per-group counts, then draw them with the
+    certified deterministic bottom-k sampler (:func:`quota_sample`) —
+    the one-call form of "rebalance this multilingual corpus into a
+    budget-sized training mix". Same (g, id, sample_rank, quota)
+    contract and the same hash-threshold prefilter scale path."""
+    quotas = temperature_quotas(df, group_col, id_col, budget)
+    return quota_sample(df, group_col, id_col, quotas,
+                        prefilter=prefilter)

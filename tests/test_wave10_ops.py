@@ -397,3 +397,42 @@ def test_sq8_constant_dimension_reconstructs_min(spark):
                        "vec_id", "embedding", dim=4, k=3).collect()
     assert len(out) == 6
     assert all(r.adist >= 0 and r.adist == r.adist for r in out)  # no NaN
+
+
+def test_temperature_quotas_model(spark):
+    """The quota rule against a hand-computed model: groups 100/25/1
+    docs, budget 60 -> weights 10/5/1, T=16 -> quotas 37/18/3; the
+    sample honors them and a group never exceeds its size."""
+    import math
+
+    from keboola_storage_duckdb_spark.functions.sketch import (
+        temperature_mixture, temperature_quotas)
+
+    rows = ([("a", i) for i in range(100)] + [("b", i + 100)
+            for i in range(25)] + [("c", 999)])
+    df = spark.createDataFrame(rows, "src string, id long")
+    quotas = temperature_quotas(df, "src", "id", budget=60)
+    t = math.sqrt(100.0) + math.sqrt(25.0) + math.sqrt(1.0)
+    assert quotas == {"a": int(60 * 10 / t), "b": int(60 * 5 / t),
+                      "c": int(60 * 1 / t)}
+    assert quotas == {"a": 37, "b": 18, "c": 3}
+    out = temperature_mixture(df, "src", "id", budget=60).collect()
+    got = {}
+    for r in out:
+        got[r.g] = got.get(r.g, 0) + 1
+        assert r.sample_rank <= r.quota
+    assert got == {"a": 37, "b": 18, "c": 1}  # c capped at group size
+
+
+def test_temperature_mixture_deterministic(spark, sf_dir):
+    """Same input -> bit-identical sample (md5 order, exact quota
+    arithmetic)."""
+    from keboola_storage_duckdb_spark.functions.sketch import (
+        temperature_mixture)
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, temperature_mixture(
+        docs, "lang", "doc_id", budget=200).collect()))
+    b = sorted(map(tuple, temperature_mixture(
+        docs, "lang", "doc_id", budget=200).collect()))
+    assert a == b and a
