@@ -763,16 +763,25 @@ def q_token_length_profile(spark, sf_dir):
                                 lo=0.0, hi=100.0, bins=10)
 
 
-_TOKEN_LENGTH_PROFILE_SQL = """
+def _token_length_profile_sql(lo=0.0, hi=100.0, bins=10):
+    """Generated from the SAME (lo, hi, bins) params as the Spark side,
+    every constant CAST to DOUBLE (ADVICE r10: bare 0.0/10.0 literals
+    are DECIMAL-typed in DuckDB — exact at these constants but a silent
+    divergence if the params ever go non-integral; the decimal-literal
+    gotcha in NOTES)."""
+    w = (hi - lo) / bins
+    lo_c = f"CAST({lo!r} AS DOUBLE)"
+    w_c = f"CAST({w!r} AS DOUBLE)"
+    return f"""
 SELECT lang, bucket,
-       0.0 + bucket * 10.0 AS lo,
-       0.0 + (bucket + 1) * 10.0 AS hi,
+       {lo_c} + bucket * {w_c} AS lo,
+       {lo_c} + (bucket + 1) * {w_c} AS hi,
        COUNT(*) AS n_docs,
        CAST(SUM(n) AS BIGINT) AS n_tokens
 FROM (SELECT lang, len(str_split(text, ' ')) AS n,
              CAST(LEAST(GREATEST(
-                 FLOOR((len(str_split(text, ' ')) - 0.0) / 10.0), 0), 9)
-                 AS INTEGER) AS bucket
+                 FLOOR((len(str_split(text, ' ')) - {lo_c}) / {w_c}),
+                 0), {bins - 1}) AS INTEGER) AS bucket
       FROM documents)
 GROUP BY lang, bucket"""
 
@@ -3731,7 +3740,7 @@ def oracle_sql() -> dict[str, str]:
         "sq8_recall": _sq8_recall_sql(),
         "ann_ivfpq_residual": _ivfpq_residual_sql(),
         "dedup_safe_split": _dedup_safe_split_sql(),
-        "token_length_profile": _TOKEN_LENGTH_PROFILE_SQL,
+        "token_length_profile": _token_length_profile_sql(),
         "repetition_signals": _REPETITION_SQL,
         "top_terms": _TOP_TERMS_SQL,
         "rollup_agg": _ROLLUP_SQL,

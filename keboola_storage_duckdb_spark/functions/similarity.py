@@ -444,7 +444,7 @@ def pq_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
     scored = (enc.crossJoin(F.broadcast(q))
                  .filter(F.col("neighbor_id") != F.col("query_id"))
                  .withColumn("adist", F.round(adist, 6)))
-    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc_nulls_last(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
@@ -525,7 +525,7 @@ def pq_ann_topk_lut(vectors: DataFrame, queries: DataFrame, id_col: str,
     scored = (enc.crossJoin(F.broadcast(qlut))
                  .filter(F.col("neighbor_id") != F.col("query_id"))
                  .withColumn("adist", F.round(adist, 6)))
-    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc_nulls_last(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
@@ -588,7 +588,7 @@ def ivfpq_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
     scored = (enc.join(F.broadcast(routed), "label")
                  .filter(F.col("neighbor_id") != F.col("query_id"))
                  .withColumn("adist", F.round(adist, 6)))
-    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc_nulls_last(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
@@ -700,7 +700,7 @@ def ivfpq_residual_topk(vectors: DataFrame, queries: DataFrame,
     scored = (enc.join(F.broadcast(qres), "label")
                  .filter(F.col("neighbor_id") != F.col("query_id"))
                  .withColumn("adist", F.round(adist, 6)))
-    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc_nulls_last(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
@@ -733,17 +733,22 @@ def ivfpq_rerank_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
                            k=shortlist, nprobe=nprobe, cb=cb)
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
-    cand = (short.select("query_id", "neighbor_id")
-                 .join(vectors.select(F.col(id_col).alias("neighbor_id"),
-                                      F.col(vec_col).alias("cv")),
-                       "neighbor_id")
-                 .join(F.broadcast(q), "query_id"))
+    # The Q·shortlist candidate set is tiny — broadcast IT so the raw
+    # vector table streams through a BroadcastHashJoin point lookup
+    # (ADVICE r10: without the hint Spark may shuffle the whole corpus
+    # for the re-rank; plan pinned by test_rerank_stage2_point_lookup).
+    cand = (vectors.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("cv"))
+                   .join(F.broadcast(short.select("query_id",
+                                                  "neighbor_id")),
+                         "neighbor_id")
+                   .join(F.broadcast(q), "query_id"))
     d = F.expr(
         "aggregate(zip_with(qv, cv, (x, y) -> "
         "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
         "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
         "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc_nulls_last(),
                                                F.col("neighbor_id").asc())
     return (cand.withColumn("dist", F.round(d, 6))
                 .withColumn("rank", F.row_number().over(w))
@@ -772,7 +777,7 @@ def exact_l2_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
     scored = (c.crossJoin(F.broadcast(q))
                .filter(F.col("neighbor_id") != F.col("query_id"))
                .withColumn("dist", F.round(d, 6)))
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc_nulls_last(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
@@ -909,7 +914,7 @@ def sq8_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,
     scored = (enc.crossJoin(F.broadcast(q))
                  .filter(F.col("neighbor_id") != F.col("query_id"))
                  .withColumn("adist", F.round(adist, 6)))
-    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc_nulls_last(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)

@@ -177,6 +177,19 @@ def test_ivfpq_routes_via_broadcast_hash_join(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
 
 
+def test_rerank_stage2_point_lookup(spark, sf_dir):
+    """Two-stage retrieval (ADVICE r10): the exact re-rank must join the
+    tiny Q·shortlist candidate set against the raw vectors as a
+    BroadcastHashJoin point lookup — never a SortMergeJoin that shuffles
+    the whole corpus for Q·20 rows."""
+    df = E.q_ivfpq_rerank(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
 def test_pq_recall_checkpoints_exact_side(spark, sf_dir):
     """The recall frames' exact side is localCheckpointed (multi-
     consumer cut): the executed plan of the comparison must read the
