@@ -1627,6 +1627,144 @@ def q_ivfpq_rerank_recall(spark, sf_dir):
                                shortlist=20)
 
 
+_ANN_INDEX_DIR = None
+
+
+def _ann_index_dir():
+    """Persisted-index root (under the gitignored warehouse dir)."""
+    global _ANN_INDEX_DIR
+    if _ANN_INDEX_DIR is None:
+        import os
+        _ANN_INDEX_DIR = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "spark-warehouse", "ann_index")
+    return _ANN_INDEX_DIR
+
+
+def q_ann_pq_indexed(spark, sf_dir):
+    """Persisted-index PQ search (NEW r11, VERDICT r10 #1 — the FAISS
+    train/add/search split): codebooks + codes live as warehouse
+    artifacts built ONCE per (source, params) fingerprint
+    (ann_index.ensure_pq_index); this query is the warm serving path —
+    pure ADC ranking over the stored m-byte codes, no retraining.
+    Training is deterministic, so the persisted chain is bit-identical
+    to the inline one and the SAME DuckDB chain oracle certifies it
+    (plus a pytest pinning build-then-search == train-inline)."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        ensure_pq_index, pq_index_search)
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ensure_pq_index(
+        spark, emb, os.path.join(sf_dir, "embeddings.parquet"),
+        "vec_id", "embedding", _ann_index_dir())
+    return pq_index_search(spark, idx, emb.filter(F.col("vec_id") < 10),
+                           "vec_id", "embedding", k=5)
+
+
+def q_ann_ivfpq_indexed(spark, sf_dir):
+    """Persisted-index IVFPQ search (NEW r11): the codes table is
+    PARTITIONED BY the IVF label on disk (the posting-list layout — at
+    100 TB routing prunes parquet partitions at the scan), centroids
+    ride in the index metadata, and search = stored-centroid routing +
+    ADC over the stored codes. Same arithmetic as the certified
+    ann_ivfpq, same oracle."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        ensure_pq_index, pq_index_search)
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ensure_pq_index(
+        spark, emb, os.path.join(sf_dir, "embeddings.parquet"),
+        "vec_id", "embedding", _ann_index_dir(), label_col="label")
+    return pq_index_search(spark, idx, emb.filter(F.col("vec_id") < 10),
+                           "vec_id", "embedding", k=5, nprobe=2)
+
+
+def q_ann_index_add(spark, sf_dir):
+    """Incremental index add (NEW r11, VERDICT r10 #2 — FAISS
+    ``Index.add``): codebooks train on the BASE corpus only
+    (vec_id % 10 <> 9), the held-out delta is encoded against those
+    FROZEN codebooks and appended to the codes table, search covers the
+    union — the epoch-update shape a 100 TB corpus needs (no retrain,
+    no rewrite of existing postings). The oracle re-derives exactly
+    that: the shared PQ chain with training restricted to the base
+    predicate while encoding covers every row
+    (_pq_chain_sql(train_pred=...))."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        _write_meta, pq_index_add, pq_index_build, pq_index_load,
+        pq_index_search, _source_fingerprint)
+    emb = _t(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = _source_fingerprint(src, ("vec_id", "embedding", None, 4, 8, 64,
+                                   2, "add:vec_id%10<>9"))
+    path = os.path.join(_ann_index_dir(), fp)
+    try:
+        idx = pq_index_load(spark, path)
+        fresh = idx.meta.get("fingerprint") != fp
+    except OSError:
+        fresh = True
+    if fresh:
+        # build on base (fingerprint withheld → a crash mid-add can
+        # never be mistaken for the complete added index), add the
+        # delta against the frozen codebooks, then mark complete
+        idx = pq_index_build(emb.filter(F.col("vec_id") % 10 != 9),
+                             "vec_id", "embedding", path)
+        pq_index_add(spark, path, emb.filter(F.col("vec_id") % 10 == 9),
+                     "vec_id", "embedding")
+        idx.meta["fingerprint"] = fp
+        _write_meta(path, idx.meta)
+    else:
+        idx = pq_index_load(spark, path)
+    return pq_index_search(spark, idx, emb.filter(F.col("vec_id") < 10),
+                           "vec_id", "embedding", k=5)
+
+
+def q_ann_index_merge(spark, sf_dir):
+    """Shard merge (NEW r11, FAISS ``IndexShards`` / ``merge_from``):
+    codebooks train ONCE on the full corpus, each half-shard encodes
+    and persists independently (the per-partition build a 100 TB corpus
+    runs), and the merged index unions the postings — merge moves only
+    m-byte codes, never raw vectors, and is associative. Search over
+    the merge == plain PQ search over the whole corpus, so the
+    UNCHANGED ann_pq oracle certifies the merge end-to-end."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        _write_meta, ensure_pq_index, pq_index_build, pq_index_load,
+        pq_index_merge, pq_index_search, _source_fingerprint)
+    emb = _t(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    # shared codebooks: the same full-corpus index ann_pq_indexed uses
+    full = ensure_pq_index(spark, emb, src, "vec_id", "embedding",
+                           _ann_index_dir())
+    fp = _source_fingerprint(src, ("vec_id", "embedding", None, 4, 8, 64,
+                                   2, "merge:vec_id%2"))
+    path = os.path.join(_ann_index_dir(), fp)
+    try:
+        merged = pq_index_load(spark, path)
+        fresh = merged.meta.get("fingerprint") != fp
+    except OSError:
+        fresh = True
+    if fresh:
+        sa, sb = path + ".shard_a", path + ".shard_b"
+        pq_index_build(emb.filter(F.col("vec_id") % 2 == 0), "vec_id",
+                       "embedding", sa, cb=full.cb)
+        pq_index_build(emb.filter(F.col("vec_id") % 2 == 1), "vec_id",
+                       "embedding", sb, cb=full.cb)
+        merged = pq_index_merge(spark, sa, sb, path)
+        merged.meta["fingerprint"] = fp
+        _write_meta(path, merged.meta)
+        import shutil
+        shutil.rmtree(sa, ignore_errors=True)
+        shutil.rmtree(sb, ignore_errors=True)
+    return pq_index_search(spark, merged,
+                           emb.filter(F.col("vec_id") < 10),
+                           "vec_id", "embedding", k=5)
+
+
 def q_cut_spans(spark, sf_dir):
     """Actionable substring dedup: every document rebuilt with its
     cross-doc duplicated >= 8-token spans removed (Lee et al. 2022's cut
@@ -2665,7 +2803,8 @@ FROM exact e LEFT JOIN ivf i
 GROUP BY e.query_id"""
 
 
-def _pq_chain_sql(m=4, ksub=8, sub=16, rounds=2, v_cte=None):
+def _pq_chain_sql(m=4, ksub=8, sub=16, rounds=2, v_cte=None,
+                  train_pred=None):
     """Shared PQ CTE chain (v → seeds → cb0 → Lloyd rounds → enc →
     recon): the DuckDB re-derivation of similarity.pq_train_codebooks +
     pq_encode. Mirrors _KMEANS_FIXED_SQL per subspace: md5-ordered
@@ -2675,7 +2814,17 @@ def _pq_chain_sql(m=4, ksub=8, sub=16, rounds=2, v_cte=None):
 
     ``v_cte`` overrides the input frame (must define ``v(vec_id, v)``
     with v a 64-double list) — the residual-IVFPQ oracle trains the
-    same chain on ``embedding − centroid(label)`` (r10)."""
+    same chain on ``embedding − centroid(label)`` (r10).
+
+    ``train_pred`` (NEW r11, the index-add oracle): a predicate on
+    ``vec_id`` restricting SEEDS and the Lloyd rounds to the base
+    corpus while ENCODING still covers every row — exactly the FAISS
+    train-on-base / add-the-rest lifecycle the persisted index runs.
+    None emits the byte-identical full-corpus chain the r9/r10 oracles
+    certified."""
+    tv = "v" if train_pred is None else \
+        f"(SELECT * FROM v WHERE {train_pred}) v"
+    seed_where = "" if train_pred is None else f"\n  WHERE {train_pred}"
     parts = [(v_cte or """v AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings)""") + f""",
@@ -2684,7 +2833,7 @@ seeds AS (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
               - 1 AS INTEGER) AS code,
          v AS sv
-  FROM v
+  FROM v{seed_where}
   QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
           <= {ksub}),
 cb0 AS (SELECT sub, code,
@@ -2698,7 +2847,7 @@ cb0 AS (SELECT sub, code,
          list_sum(list_transform(generate_series(1, {sub}),
            i -> (v.v[p.sub * {sub} + i] - p.c[i])
               * (v.v[p.sub * {sub} + i] - p.c[i]))) AS d
-  FROM v CROSS JOIN {prev} p),
+  FROM {tv} CROSS JOIN {prev} p),
 a{r} AS (SELECT vec_id, v, sub, code FROM d{r}
   QUALIFY row_number() OVER (PARTITION BY vec_id, sub
                              ORDER BY d ASC, code ASC) = 1),
@@ -2747,6 +2896,16 @@ pqtop AS (
 def _ann_pq_sql():
     return f"""
 WITH {_pq_chain_sql()}
+SELECT query_id, neighbor_id, adist, rank FROM pqtop"""
+
+
+def _ann_index_add_sql():
+    """Index-add oracle (NEW r11): the shared PQ chain with TRAINING
+    (seeds + Lloyd rounds) restricted to the base corpus while encoding
+    and ranking cover every row — the exact train-on-base /
+    add-the-rest lifecycle q_ann_index_add persists."""
+    return f"""
+WITH {_pq_chain_sql(train_pred="vec_id % 10 <> 9")}
 SELECT query_id, neighbor_id, adist, rank FROM pqtop"""
 
 
@@ -3357,6 +3516,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #
     # keepers (certified r07, re-certified for continuity / touched code)
     "pricing_summary": q_pricing_summary,
+    # r11 rotation: the persisted-index lifecycle (VERDICT r10 #1/#2)
+    # takes the slots of cut_spans / weighted_sample /
+    # boilerplate_strings / dedup_cut_keep_first (all green r08-r10,
+    # operators still sibling-exercised — see tail comments)
+    "ann_pq_indexed": q_ann_pq_indexed,          # NEW r11: persisted PQ
+    "ann_ivfpq_indexed": q_ann_ivfpq_indexed,    # NEW r11: persisted IVFPQ
+    "ann_index_add": q_ann_index_add,            # NEW r11: incremental add
+    "ann_index_merge": q_ann_index_merge,        # NEW r11: shard merge
     "ivfpq_rerank": q_ivfpq_rerank,              # NEW r10: two-stage retrieval
     "export_projection": q_export_projection,
     "ivfpq_rerank_recall": q_ivfpq_rerank_recall,  # NEW r10: refine value
@@ -3387,12 +3554,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "duplicate_spans": q_duplicate_spans,        # certified r07
     # rotated IN r08: never driver-certified before (VERDICT r7 #3)
-    "cut_spans": q_cut_spans,                    # span removal rebuild
-    "weighted_sample": q_weighted_sample,        # integer weighted draw
-    "boilerplate_strings": q_boilerplate_strings,  # top repeated windows
     "quality_verdict": q_quality_verdict,        # composed filter stack
     "decontaminate_cut": q_decontaminate_cut,    # span-level decontam
-    "dedup_cut_keep_first": q_dedup_cut_keep_first,  # keep-first cut
     "dedup_rate": q_dedup_rate,                  # corpus dup headline
     "kmeans_fixed": q_kmeans_fixed,              # NEW r08 oracle twin
     "grouped_quantiles": q_grouped_quantiles,    # grouped exact quantiles
@@ -3413,6 +3576,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_filtered": q_ann_filtered,              # NEW r08: filtered ANN
     "execute_query": q_execute_query,            # keeper parked 51+ (green r01-r06)
     # ---- tail (51+): driver-green in r01-r09 CORRECTNESS records ----
+    "cut_spans": q_cut_spans,                    # parked r11 (green r08-r10)
+    "weighted_sample": q_weighted_sample,        # parked r11 (green r08-r10)
+    "boilerplate_strings": q_boilerplate_strings,  # parked r11 (green r08-r10)
+    "dedup_cut_keep_first": q_dedup_cut_keep_first,  # parked r11 (green r08-r10)
     # parked r10 (all green r01-r09):
     "fulltext": q_fulltext,                      # r09
     "empty_to_null": q_empty_to_null,            # r09
@@ -3730,6 +3897,13 @@ def oracle_sql() -> dict[str, str]:
             id_col="doc_id", text_col="text", table="documents"),
         "ivf_recall": _ivf_recall_sql(),
         "ann_pq": _ann_pq_sql(),
+        # persisted-index lifecycle (NEW r11): training is deterministic,
+        # so the warm persisted path shares the inline chain oracles;
+        # add trains on the base predicate only; merge == plain PQ
+        "ann_pq_indexed": _ann_pq_sql(),
+        "ann_ivfpq_indexed": _ann_ivfpq_sql(),
+        "ann_index_add": _ann_index_add_sql(),
+        "ann_index_merge": _ann_pq_sql(),
         "pq_recall": _pq_recall_sql(),
         "ann_pq_lut": _ann_pq_lut_sql(),
         "ann_ivfpq": _ann_ivfpq_sql(),

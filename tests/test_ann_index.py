@@ -1,0 +1,138 @@
+"""Persisted ANN index lifecycle (VERDICT r10 #1/#2): build/add/merge/
+search against the in-line certified kernels, plus plan-shape pins —
+search must never read raw vectors or retrain."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from keboola_storage_duckdb_spark.functions import ann_index as AI
+from keboola_storage_duckdb_spark.functions.similarity import (
+    ivfpq_ann_topk, pq_ann_topk)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 10)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_build_then_search_equals_inline(spark, emb, queries, tmp_path):
+    """The persisted path must be bit-identical to the train-inline
+    kernel (same deterministic training, codes round-trip as ints,
+    codebooks round-trip exactly through JSON)."""
+    idx = AI.pq_index_build(emb, "vec_id", "embedding",
+                            str(tmp_path / "pq"))
+    got = _rows(AI.pq_index_search(spark, idx, queries, "vec_id",
+                                   "embedding", k=5))
+    want = _rows(pq_ann_topk(emb, queries, "vec_id", "embedding", k=5))
+    assert got == want and len(got) == 50
+
+
+def test_ivfpq_build_then_search_equals_inline(spark, emb, queries,
+                                               tmp_path):
+    idx = AI.pq_index_build(emb, "vec_id", "embedding",
+                            str(tmp_path / "ivfpq"), label_col="label")
+    got = _rows(AI.pq_index_search(spark, idx, queries, "vec_id",
+                                   "embedding", k=5, nprobe=2))
+    want = _rows(ivfpq_ann_topk(emb, queries, "vec_id", "embedding",
+                                "label", k=5, nprobe=2))
+    assert got == want and len(got) == 50
+
+
+def test_add_then_search_equals_rebuild_same_cb(spark, emb, queries,
+                                                tmp_path):
+    """FAISS Index.add semantics: encoding is per-row deterministic
+    given frozen codebooks, so append-then-search == encode-everything
+    search with the same codebooks."""
+    base = emb.filter(F.col("vec_id") % 10 != 9)
+    delta = emb.filter(F.col("vec_id") % 10 == 9)
+    p = str(tmp_path / "pq_add")
+    idx = AI.pq_index_build(base, "vec_id", "embedding", p)
+    AI.pq_index_add(spark, p, delta, "vec_id", "embedding")
+    got = _rows(AI.pq_index_search(spark, p, queries, "vec_id",
+                                   "embedding", k=5))
+    want = _rows(pq_ann_topk(emb, queries, "vec_id", "embedding", k=5,
+                             cb=idx.cb))
+    assert got == want and len(got) == 50
+
+
+def test_merge_equals_full_and_rejects_foreign_codebooks(spark, emb,
+                                                         queries,
+                                                         tmp_path):
+    full = AI.pq_index_build(emb, "vec_id", "embedding",
+                             str(tmp_path / "full"))
+    sa, sb = str(tmp_path / "sa"), str(tmp_path / "sb")
+    AI.pq_index_build(emb.filter(F.col("vec_id") % 2 == 0), "vec_id",
+                      "embedding", sa, cb=full.cb)
+    AI.pq_index_build(emb.filter(F.col("vec_id") % 2 == 1), "vec_id",
+                      "embedding", sb, cb=full.cb)
+    AI.pq_index_merge(spark, sa, sb, str(tmp_path / "merged"))
+    got = _rows(AI.pq_index_search(spark, str(tmp_path / "merged"),
+                                   queries, "vec_id", "embedding", k=5))
+    want = _rows(AI.pq_index_search(spark, full, queries, "vec_id",
+                                    "embedding", k=5))
+    assert got == want
+    # shards must share ONE trained codebook — a shard trained on its
+    # own half has different codebooks and must be rejected
+    AI.pq_index_build(emb.filter(F.col("vec_id") % 2 == 1), "vec_id",
+                      "embedding", str(tmp_path / "sb_own"))
+    with pytest.raises(ValueError, match="share one trained codebook"):
+        AI.pq_index_merge(spark, sa, str(tmp_path / "sb_own"),
+                          str(tmp_path / "bad"))
+
+
+def test_ensure_reuses_warm_index(spark, emb, sf_dir, tmp_path):
+    """Second ensure call must NOT rebuild (the warm serving path):
+    the codes table's files are untouched."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    AI.ensure_pq_index(spark, emb, src, "vec_id", "embedding",
+                       str(tmp_path))
+    codes_dir = None
+    for d in os.listdir(tmp_path):
+        codes_dir = os.path.join(tmp_path, d, "codes")
+    before = sorted(os.listdir(codes_dir))
+    mtimes = {f: os.stat(os.path.join(codes_dir, f)).st_mtime_ns
+              for f in before}
+    AI.ensure_pq_index(spark, emb, src, "vec_id", "embedding",
+                       str(tmp_path))
+    after = sorted(os.listdir(codes_dir))
+    assert after == before
+    assert all(os.stat(os.path.join(codes_dir, f)).st_mtime_ns
+               == mtimes[f] for f in after)
+    # different params → different fingerprint → a second index dir
+    AI.ensure_pq_index(spark, emb, src, "vec_id", "embedding",
+                       str(tmp_path), m=8, ksub=4)
+    assert len(os.listdir(tmp_path)) == 2
+
+
+def test_search_plan_reads_codes_only(spark, emb, queries, tmp_path):
+    """Scale pins: the search scan must read the codes table (m ints),
+    never the raw embedding column; routing joins broadcast; no
+    CartesianProduct / SinglePartition."""
+    idx = AI.pq_index_build(emb, "vec_id", "embedding",
+                            str(tmp_path / "ivfpq"), label_col="label")
+    df = AI.pq_index_search(spark, idx, queries, "vec_id", "embedding",
+                            k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the streamed corpus side scans the persisted codes table; every
+    # scan of the raw embeddings parquet must carry the vec_id < 10
+    # QUERY pushdown — i.e. no full-corpus raw-vector scan anywhere
+    assert "codes" in plan, plan
+    for line in plan.splitlines():
+        if "FileScan" in line and "embeddings.parquet" in line:
+            assert "vec_id" in line and "< 10" in line, line
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
