@@ -3483,6 +3483,63 @@ SELECT doc_id, n_tokens, start_token,
 FROM s"""
 
 
+def q_epoch_plan(spark, sf_dir):
+    """End-to-end training-epoch frame (NEW r11, VERDICT r10 #5):
+    √-temperature mixture (which docs this epoch trains on) →
+    deterministic md5 shuffle + shard (where they live, re-shuffled per
+    epoch by the seed alone) → per-shard token-stream packing (which
+    max_len sequence slots they fill) — the one composed artifact a
+    data loader consumes. All three stages are the certified
+    primitives; the oracle composes their SQL verbatim."""
+    from keboola_storage_duckdb_spark.functions.packing import epoch_plan
+    return epoch_plan(_t(spark, sf_dir, "documents"), "lang", "doc_id",
+                      "text", budget=200, n_shards=4, max_len=2048,
+                      seed="epoch")
+
+
+_EPOCH_PLAN_SQL = r"""
+WITH counts AS (
+  SELECT CAST(lang AS VARCHAR) AS g, COUNT(*) AS n
+  FROM documents
+  WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+  GROUP BY 1),
+w AS (SELECT g, sqrt(CAST(n AS DOUBLE)) AS w FROM counts),
+tot AS (SELECT list_sum(list(w ORDER BY g)) AS t FROM w),
+q AS (SELECT g, CAST(FLOOR(CAST(200 AS DOUBLE) * w.w / tot.t)
+                AS INTEGER) AS quota
+      FROM w CROSS JOIN tot),
+ranked AS (
+  SELECT CAST(lang AS VARCHAR) AS g, doc_id AS id,
+         CAST(row_number() OVER (
+             PARTITION BY CAST(lang AS VARCHAR)
+             ORDER BY md5(CAST(doc_id AS VARCHAR))) AS INTEGER)
+             AS sample_rank
+  FROM documents WHERE doc_id IS NOT NULL),
+keep AS (SELECT r.g, r.id FROM ranked r JOIN q ON r.g = q.g
+         WHERE r.sample_rank <= q.quota),
+t AS (
+  SELECT d.doc_id, k.g,
+         CAST(len(regexp_extract_all(d.text,
+              '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens,
+         md5('epoch|' || CAST(d.doc_id AS VARCHAR)) AS h,
+         CAST(CAST('0x' || substr(md5('epoch|' ||
+                   CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 4
+              AS INTEGER) AS shard
+  FROM documents d JOIN keep k ON d.doc_id = k.id),
+s AS (
+  SELECT doc_id, g, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS start_token
+  FROM t WHERE n_tokens > 0)
+SELECT doc_id, g, shard, n_tokens, start_token,
+       start_token // 2048 AS first_chunk,
+       (start_token + n_tokens - 1) // 2048 AS last_chunk,
+       (start_token + n_tokens - 1) // 2048 - start_token // 2048 + 1
+         AS n_chunks
+FROM s"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver-certified window (slots 1-50) ----
     # r10 rotation (VERDICT r9 #8: rotate only the genuinely new):
@@ -3524,6 +3581,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_indexed": q_ann_ivfpq_indexed,    # NEW r11: persisted IVFPQ
     "ann_index_add": q_ann_index_add,            # NEW r11: incremental add
     "ann_index_merge": q_ann_index_merge,        # NEW r11: shard merge
+    "epoch_plan": q_epoch_plan,                  # NEW r11: epoch composition
     "ivfpq_rerank": q_ivfpq_rerank,              # NEW r10: two-stage retrieval
     "export_projection": q_export_projection,
     "ivfpq_rerank_recall": q_ivfpq_rerank_recall,  # NEW r10: refine value
@@ -3556,7 +3614,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotated IN r08: never driver-certified before (VERDICT r7 #3)
     "quality_verdict": q_quality_verdict,        # composed filter stack
     "decontaminate_cut": q_decontaminate_cut,    # span-level decontam
-    "dedup_rate": q_dedup_rate,                  # corpus dup headline
     "kmeans_fixed": q_kmeans_fixed,              # NEW r08 oracle twin
     "grouped_quantiles": q_grouped_quantiles,    # grouped exact quantiles
     "quota_sample": q_quota_sample,              # NEW r08: doc-count mixture
@@ -3576,6 +3633,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_filtered": q_ann_filtered,              # NEW r08: filtered ANN
     "execute_query": q_execute_query,            # keeper parked 51+ (green r01-r06)
     # ---- tail (51+): driver-green in r01-r09 CORRECTNESS records ----
+    "dedup_rate": q_dedup_rate,                  # parked r11 (green r08-r10)
     "cut_spans": q_cut_spans,                    # parked r11 (green r08-r10)
     "weighted_sample": q_weighted_sample,        # parked r11 (green r08-r10)
     "boilerplate_strings": q_boilerplate_strings,  # parked r11 (green r08-r10)
@@ -3904,6 +3962,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_indexed": _ann_ivfpq_sql(),
         "ann_index_add": _ann_index_add_sql(),
         "ann_index_merge": _ann_pq_sql(),
+        "epoch_plan": _EPOCH_PLAN_SQL,
         "pq_recall": _pq_recall_sql(),
         "ann_pq_lut": _ann_pq_lut_sql(),
         "ann_ivfpq": _ann_ivfpq_sql(),

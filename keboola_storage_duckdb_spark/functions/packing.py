@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from .text import BPE_REGEX
 
-__all__ = ["pack_token_stream", "corpus_shards"]
+__all__ = ["pack_token_stream", "corpus_shards", "epoch_plan"]
 
 
 def _exclusive_scan(rows: DataFrame, order_col: str,
@@ -107,6 +107,73 @@ def pack_token_stream(docs: DataFrame, id_col: str, text_col: str,
                  .alias("last_chunk"))
     return out.withColumn(
         "n_chunks", F.col("last_chunk") - F.col("first_chunk") + F.lit(1))
+
+
+def epoch_plan(docs: DataFrame, group_col: str, id_col: str,
+               text_col: str, budget: int = 200, n_shards: int = 4,
+               max_len: int = 2048, seed: str = "epoch",
+               partitions: int | None = None) -> DataFrame:
+    """One training EPOCH, end to end (VERDICT r10 #5): compose the
+    three certified mixture/layout primitives into the frame a data
+    loader actually consumes —
+
+    1. **mixture** — √-temperature quotas from the observed per-group
+       counts, drawn with the deterministic bottom-k quota sampler
+       (``sketch.temperature_mixture``): which documents this epoch
+       trains on;
+    2. **shuffle + shard** — reproducible ``md5(seed|id)`` order key and
+       uniform 48-bit shard assignment (``corpus_shards``' rule): where
+       each kept document lives on disk, re-shuffled per epoch by the
+       seed alone;
+    3. **pack** — each kept document's span in its shard's concatenated
+       token stream and the ``max_len`` context windows it fills
+       (``pack_token_stream``'s two-phase exclusive scan, here grouped
+       PER SHARD): which sequence slots it occupies.
+
+    Returns ``(doc_id, g, shard, n_tokens, start_token, first_chunk,
+    last_chunk, n_chunks)`` — totals-preserving: every kept document
+    with ≥1 token lands in exactly one shard at exactly one token
+    offset, and within a shard the spans tile ``[0, Σ n_tokens)`` with
+    no gap or overlap (pinned by pytest).
+
+    Scale shape: the keep-set is quota-bounded → broadcast semi-join
+    against the corpus (the corpus never shuffles for selection);
+    tokenize/shard are narrow maps; the only shuffle is the range
+    repartition inside the per-(shard) exclusive scan — the same
+    two-phase decomposition as ``pack_token_stream``, never a
+    single-partition window. The oracle re-derives the full
+    mixture→shard→pack chain in one SQL composition."""
+    from .sketch import temperature_mixture
+
+    spark = docs.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    keep = temperature_mixture(docs, group_col, id_col, budget) \
+        .select(F.col("id").alias(id_col), "g")
+    kept = docs.select(F.col(id_col), F.col(text_col).alias("_text")) \
+               .join(F.broadcast(keep), id_col)
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    rows = (kept.select(
+                F.col(id_col).alias("doc_id"), "g",
+                F.size(F.regexp_extract_all(F.col("_text"),
+                                            F.lit(BPE_REGEX), F.lit(0)))
+                 .cast("long").alias("n_tokens"),
+                h.alias("h"))
+                .withColumn("shard",
+                            (F.conv(F.substring("h", 1, 12), 16, 10)
+                              .cast("long") % n_shards).cast("int"))
+                .filter(F.col("n_tokens") > 0))
+    out = _exclusive_scan(rows, "h", ["shard"], "n_tokens",
+                          "pid int, shard int, off long", partitions,
+                          "start_token")
+    return (out.select(
+                "doc_id", "g", "shard", "n_tokens", "start_token",
+                F.expr(f"start_token DIV {max_len}").alias("first_chunk"),
+                F.expr(f"(start_token + n_tokens - 1) DIV {max_len}")
+                 .alias("last_chunk"))
+               .withColumn("n_chunks",
+                           F.col("last_chunk") - F.col("first_chunk")
+                           + F.lit(1)))
 
 
 def corpus_shards(docs: DataFrame, id_col: str, n_shards: int = 8,

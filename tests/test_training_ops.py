@@ -387,3 +387,36 @@ def test_corpus_pipeline_end_to_end(spark, sf_dir):
     ids = {r.id for r in sample.collect()}
     kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
     assert ids <= kept_ids
+
+
+def test_epoch_plan_totals_preserving(spark, sf_dir):
+    """Every mixture-kept document with >=1 token lands in exactly one
+    shard at exactly one offset; within each shard the spans tile
+    [0, sum(n_tokens)) with no gap or overlap; chunk ids follow the
+    max_len arithmetic; and the kept set IS the certified
+    temperature_mixture draw."""
+    from keboola_storage_duckdb_spark.functions.packing import epoch_plan
+    from keboola_storage_duckdb_spark.functions.sketch import (
+        temperature_mixture)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = epoch_plan(docs, "lang", "doc_id", "text", budget=200,
+                     n_shards=4, max_len=64, seed="epoch").collect()
+    kept = {r["id"] for r in
+            temperature_mixture(docs, "lang", "doc_id", 200).collect()}
+    assert {r.doc_id for r in out} <= kept
+    assert len({r.doc_id for r in out}) == len(out)  # one slot per doc
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+        assert r.first_chunk == r.start_token // 64
+        assert r.last_chunk == (r.start_token + r.n_tokens - 1) // 64
+        assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+    assert set(by_shard) <= {0, 1, 2, 3} and len(by_shard) > 1
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.start_token)
+        pos = 0
+        for r in rows:  # perfect tiling: no gap, no overlap
+            assert r.start_token == pos, (shard, r)
+            pos += r.n_tokens
