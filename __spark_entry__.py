@@ -1765,6 +1765,48 @@ def q_ann_index_merge(spark, sf_dir):
                            "vec_id", "embedding", k=5)
 
 
+def q_ann_pq_indexed_lut(spark, sf_dir):
+    """Production PQ serving path, end to end (NEW r11): the persisted
+    index (codebooks trained once, codes stored) searched with the
+    LUT-form ADC kernel (per-query m×ksub subdistance table, ranking =
+    m lookups + m−1 adds) — no per-query work but the ranking itself.
+    Bit-exact like the inline LUT twin (subspace-order cell sums), so
+    the UNCHANGED ann_pq_lut oracle certifies it."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        ensure_pq_index, pq_index_search_lut)
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ensure_pq_index(
+        spark, emb, os.path.join(sf_dir, "embeddings.parquet"),
+        "vec_id", "embedding", _ann_index_dir())
+    return pq_index_search_lut(spark, idx,
+                               emb.filter(F.col("vec_id") < 10),
+                               "vec_id", "embedding", k=5)
+
+
+def q_ivfpq_rerank_indexed(spark, sf_dir):
+    """Two-stage retrieval over the PERSISTED index (NEW r11): stage-1
+    shortlist from the stored label-partitioned codes (routing via the
+    stored centroids, zero raw-vector I/O), stage-2 exact re-rank of
+    only the Q·shortlist point lookups — the complete FAISS serving
+    layout (IndexIVFPQ + refine) with every training artifact read from
+    the warehouse. Same arithmetic as the certified ivfpq_rerank, same
+    oracle."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        ensure_pq_index, pq_index_rerank)
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ensure_pq_index(
+        spark, emb, os.path.join(sf_dir, "embeddings.parquet"),
+        "vec_id", "embedding", _ann_index_dir(), label_col="label")
+    return pq_index_rerank(spark, idx, emb,
+                           emb.filter(F.col("vec_id") < 10),
+                           "vec_id", "embedding", k=5, nprobe=2,
+                           shortlist=20)
+
+
 def q_cut_spans(spark, sf_dir):
     """Actionable substring dedup: every document rebuilt with its
     cross-doc duplicated >= 8-token spans removed (Lee et al. 2022's cut
@@ -3582,6 +3624,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_add": q_ann_index_add,            # NEW r11: incremental add
     "ann_index_merge": q_ann_index_merge,        # NEW r11: shard merge
     "epoch_plan": q_epoch_plan,                  # NEW r11: epoch composition
+    "ann_pq_indexed_lut": q_ann_pq_indexed_lut,  # NEW r11: LUT serving path
+    "ivfpq_rerank_indexed": q_ivfpq_rerank_indexed,  # NEW r11: persisted refine
     "ivfpq_rerank": q_ivfpq_rerank,              # NEW r10: two-stage retrieval
     "export_projection": q_export_projection,
     "ivfpq_rerank_recall": q_ivfpq_rerank_recall,  # NEW r10: refine value
@@ -3612,8 +3656,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "duplicate_spans": q_duplicate_spans,        # certified r07
     # rotated IN r08: never driver-certified before (VERDICT r7 #3)
-    "quality_verdict": q_quality_verdict,        # composed filter stack
-    "decontaminate_cut": q_decontaminate_cut,    # span-level decontam
     "kmeans_fixed": q_kmeans_fixed,              # NEW r08 oracle twin
     "grouped_quantiles": q_grouped_quantiles,    # grouped exact quantiles
     "quota_sample": q_quota_sample,              # NEW r08: doc-count mixture
@@ -3633,6 +3675,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_filtered": q_ann_filtered,              # NEW r08: filtered ANN
     "execute_query": q_execute_query,            # keeper parked 51+ (green r01-r06)
     # ---- tail (51+): driver-green in r01-r09 CORRECTNESS records ----
+    "quality_verdict": q_quality_verdict,        # parked r11 (green r08-r10)
+    "decontaminate_cut": q_decontaminate_cut,    # parked r11 (green r08-r10)
     "dedup_rate": q_dedup_rate,                  # parked r11 (green r08-r10)
     "cut_spans": q_cut_spans,                    # parked r11 (green r08-r10)
     "weighted_sample": q_weighted_sample,        # parked r11 (green r08-r10)
@@ -3963,6 +4007,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_index_add": _ann_index_add_sql(),
         "ann_index_merge": _ann_pq_sql(),
         "epoch_plan": _EPOCH_PLAN_SQL,
+        "ann_pq_indexed_lut": _ann_pq_lut_sql(),
+        "ivfpq_rerank_indexed": _ivfpq_rerank_sql(),
         "pq_recall": _pq_recall_sql(),
         "ann_pq_lut": _ann_pq_lut_sql(),
         "ann_ivfpq": _ann_ivfpq_sql(),

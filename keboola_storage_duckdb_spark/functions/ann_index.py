@@ -53,7 +53,8 @@ from .util import par as _par
 
 __all__ = [
     "PQIndex", "pq_index_build", "pq_index_load", "pq_index_add",
-    "pq_index_merge", "pq_index_search", "ensure_pq_index",
+    "pq_index_merge", "pq_index_search", "pq_index_search_lut",
+    "pq_index_rerank", "ensure_pq_index",
 ]
 
 _META = "meta.json"
@@ -275,6 +276,112 @@ def pq_index_search(spark: SparkSession, index: PQIndex | str,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select("query_id", "neighbor_id", "adist", "rank"))
+
+
+def pq_index_search_lut(spark: SparkSession, index: PQIndex | str,
+                        queries: DataFrame, id_col: str, vec_col: str,
+                        k: int = 5,
+                        max_queries: int = 65_536) -> DataFrame:
+    """LUT-form search over the persisted index — the production PQ
+    serving kernel end to end: codebooks are already trained and codes
+    already stored (no per-query work but the ranking itself), and each
+    query precomputes its m×ksub subdistance table ONCE so ranking a
+    stored vector costs m lookups + m−1 adds (the
+    ``similarity.pq_ann_topk_lut`` kernel, dim/m× less arithmetic than
+    the reconstruction fold).
+
+    Bit-exact like the inline LUT twin: every LUT cell is a sequential
+    driver-side IEEE fold and adist adds the m cells in subspace order
+    on both engines — the UNCHANGED ann_pq_lut oracle certifies this
+    path. Query count bounded by ``max_queries`` (the LUT is Q·m·ksub
+    broadcast doubles)."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if isinstance(index, str):
+        index = pq_index_load(spark, index)
+    cb, m, sub = index.cb, index.m, index.sub
+    ksub = index.meta["ksub"]
+    q_rows = (queries.select(F.col(id_col).alias("query_id"),
+                             F.col(vec_col).alias("qv"))
+                     .limit(max_queries + 1).collect())
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_index_search_lut: query side exceeds {max_queries} "
+            "rows; the per-query LUT is driver-built — batch the "
+            "queries or raise max_queries explicitly.")
+
+    def _sd(qv, j: int, c: int) -> float:
+        # sequential double fold — the exact order of aggregate()/
+        # list_sum() on the engines (similarity.pq_ann_topk_lut)
+        t = 0.0
+        for i in range(sub):
+            d = float(qv[j * sub + i]) - cb[j][c][i]
+            t += d * d
+        return t
+
+    id_type = dict(zip(queries.schema.names,
+                       [f.dataType for f in queries.schema.fields]))[id_col]
+    lut_schema = T.StructType([
+        T.StructField("query_id", id_type),
+        T.StructField("lut", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    qlut = spark.createDataFrame(
+        [(r.query_id, [[_sd(r.qv, j, c) for c in range(ksub)]
+                       for j in range(m)]) for r in q_rows],
+        lut_schema)
+    codes = index.codes(spark)
+    enc = (codes.select(F.col("id").alias("neighbor_id"), "codes")
+                .repartition(_par(codes)))
+    terms = [F.element_at(F.col("lut")[j], F.col("codes")[j] + F.lit(1))
+             for j in range(m)]
+    adist = terms[0]
+    for t in terms[1:]:
+        adist = adist + t
+    scored = (enc.crossJoin(F.broadcast(qlut))
+                 .filter(F.col("neighbor_id") != F.col("query_id"))
+                 .withColumn("adist", F.round(adist, 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc_nulls_last(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "adist", "rank"))
+
+
+def pq_index_rerank(spark: SparkSession, index: PQIndex | str,
+                    vectors: DataFrame, queries: DataFrame, id_col: str,
+                    vec_col: str, k: int = 5, nprobe: int = 2,
+                    shortlist: int = 20) -> DataFrame:
+    """Two-stage retrieval over the persisted index (FAISS refine on an
+    on-disk IVFPQ): stage 1 shortlists from the stored codes inside the
+    probed lists (no raw-vector I/O), stage 2 re-ranks ONLY the
+    Q·shortlist candidates by exact squared-L2 against the raw vector
+    table — broadcast as a point lookup. Identical arithmetic to the
+    certified ``similarity.ivfpq_rerank_topk``, so its oracle certifies
+    this path; returns (query_id, neighbor_id, dist, rank)."""
+    from pyspark.sql import Window
+
+    short = pq_index_search(spark, index, queries, id_col, vec_col,
+                            k=shortlist, nprobe=nprobe)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    cand = (vectors.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("cv"))
+                   .join(F.broadcast(short.select("query_id",
+                                                  "neighbor_id")),
+                         "neighbor_id")
+                   .join(F.broadcast(q), "query_id"))
+    d = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc_nulls_last(), F.col("neighbor_id").asc())
+    return (cand.withColumn("dist", F.round(d, 6))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "dist", "rank"))
 
 
 def _source_fingerprint(src_path: str, params: tuple) -> str:

@@ -136,3 +136,38 @@ def test_search_plan_reads_codes_only(spark, emb, queries, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_lut_search_equals_inline_lut(spark, emb, queries, tmp_path):
+    """The persisted LUT serving path must be bit-identical to the
+    train-inline LUT kernel (same codebooks, same subspace-order cell
+    sums)."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        pq_ann_topk_lut)
+
+    idx = AI.pq_index_build(emb, "vec_id", "embedding",
+                            str(tmp_path / "pq"))
+    got = _rows(AI.pq_index_search_lut(spark, idx, queries, "vec_id",
+                                       "embedding", k=5))
+    want = _rows(pq_ann_topk_lut(emb, queries, "vec_id", "embedding",
+                                 k=5))
+    assert got == want and len(got) == 50
+    # and the LUT form agrees with the fold form row-for-row (ranking
+    # identity — different arithmetic order, same round-6 values)
+    fold = _rows(AI.pq_index_search(spark, idx, queries, "vec_id",
+                                    "embedding", k=5))
+    assert got == fold
+
+
+def test_indexed_rerank_equals_inline(spark, emb, queries, tmp_path):
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        ivfpq_rerank_topk)
+
+    idx = AI.pq_index_build(emb, "vec_id", "embedding",
+                            str(tmp_path / "ivfpq"), label_col="label")
+    got = _rows(AI.pq_index_rerank(spark, idx, emb, queries, "vec_id",
+                                   "embedding", k=5, nprobe=2,
+                                   shortlist=20))
+    want = _rows(ivfpq_rerank_topk(emb, queries, "vec_id", "embedding",
+                                   "label", k=5, nprobe=2, shortlist=20))
+    assert got == want and len(got) == 50
