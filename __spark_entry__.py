@@ -3582,6 +3582,53 @@ SELECT doc_id, g, shard, n_tokens, start_token,
 FROM s"""
 
 
+def q_padding_waste(spark, sf_dir):
+    """Pad-vs-pack decision frame (NEW r11): per source, what the
+    one-doc-per-sequence (pad + truncate) discipline costs against the
+    concat-and-split packing floor at max_len=64 — trained-position
+    fill ratios, truncated and padded token counts. Pure integer
+    aggregation + exact divisions; one grouped agg."""
+    from keboola_storage_duckdb_spark.functions.packing import (
+        padding_waste)
+    return padding_waste(_t(spark, sf_dir, "documents"), "lang",
+                         "doc_id", "text", max_len=64)
+
+
+_PADDING_WASTE_SQL = r"""
+WITH f AS (
+  SELECT CAST(lang AS VARCHAR) AS g,
+         CAST(len(regexp_extract_all(text,
+              '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n
+  FROM documents WHERE doc_id IS NOT NULL),
+a AS (
+  SELECT g, COUNT(*) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS n_tokens,
+         CAST(SUM(GREATEST(n - 64, 0)) AS BIGINT) AS trunc_tokens,
+         CAST(SUM(64 - LEAST(n, 64)) AS BIGINT) AS pad_tokens,
+         CAST(SUM(LEAST(n, 64)) AS BIGINT) AS kept_tokens
+  FROM f WHERE n > 0 GROUP BY g)
+SELECT g, n_docs, n_tokens, trunc_tokens, pad_tokens,
+       CAST((n_tokens + 63) // 64 AS BIGINT) AS packed_seqs,
+       CAST(kept_tokens AS DOUBLE) / CAST(n_docs * 64 AS DOUBLE)
+           AS pad_fill,
+       CAST(n_tokens AS DOUBLE)
+           / CAST(((n_tokens + 63) // 64) * 64 AS DOUBLE) AS packed_fill
+FROM a"""
+
+
+def q_bfd_pack(spark, sf_dir):
+    """Best-fit-decreasing no-split packing (NEW r11, VERDICT r10 #6):
+    per md5-shard, BFD bins vs the ⌈Σ/L⌉ lower bound and the next-fit
+    streaming baseline — what the no-split constraint costs next to
+    pack_sequences' zero-waste split stream. Bin packing is inherently
+    sequential → deterministic Arrow applyInPandas per shard;
+    rows-only grading (iterative, like kmeans) with the invariants
+    pinned by pytest."""
+    from keboola_storage_duckdb_spark.functions.packing import bfd_pack
+    return bfd_pack(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                    max_len=64, n_shards=8, seed="bfd")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver-certified window (slots 1-50) ----
     # r10 rotation (VERDICT r9 #8: rotate only the genuinely new):
@@ -3626,6 +3673,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_plan": q_epoch_plan,                  # NEW r11: epoch composition
     "ann_pq_indexed_lut": q_ann_pq_indexed_lut,  # NEW r11: LUT serving path
     "ivfpq_rerank_indexed": q_ivfpq_rerank_indexed,  # NEW r11: persisted refine
+    "padding_waste": q_padding_waste,            # NEW r11: pad-vs-pack frame
+    "bfd_pack": q_bfd_pack,                      # NEW r11: rows-only BFD
     "ivfpq_rerank": q_ivfpq_rerank,              # NEW r10: two-stage retrieval
     "export_projection": q_export_projection,
     "ivfpq_rerank_recall": q_ivfpq_rerank_recall,  # NEW r10: refine value
@@ -3656,8 +3705,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "duplicate_spans": q_duplicate_spans,        # certified r07
     # rotated IN r08: never driver-certified before (VERDICT r7 #3)
-    "kmeans_fixed": q_kmeans_fixed,              # NEW r08 oracle twin
-    "grouped_quantiles": q_grouped_quantiles,    # grouped exact quantiles
     "quota_sample": q_quota_sample,              # NEW r08: doc-count mixture
     "token_quota_sample": q_token_quota_sample,  # NEW r08: token budget
     "corpus_shards": q_corpus_shards,            # NEW r08: epoch shuffle
@@ -3675,6 +3722,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_filtered": q_ann_filtered,              # NEW r08: filtered ANN
     "execute_query": q_execute_query,            # keeper parked 51+ (green r01-r06)
     # ---- tail (51+): driver-green in r01-r09 CORRECTNESS records ----
+    "kmeans_fixed": q_kmeans_fixed,              # parked r11 (green r08-r10)
+    "grouped_quantiles": q_grouped_quantiles,    # parked r11 (green r08-r10)
     "quality_verdict": q_quality_verdict,        # parked r11 (green r08-r10)
     "decontaminate_cut": q_decontaminate_cut,    # parked r11 (green r08-r10)
     "dedup_rate": q_dedup_rate,                  # parked r11 (green r08-r10)
@@ -4009,6 +4058,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_plan": _EPOCH_PLAN_SQL,
         "ann_pq_indexed_lut": _ann_pq_lut_sql(),
         "ivfpq_rerank_indexed": _ivfpq_rerank_sql(),
+        "padding_waste": _PADDING_WASTE_SQL,
         "pq_recall": _pq_recall_sql(),
         "ann_pq_lut": _ann_pq_lut_sql(),
         "ann_ivfpq": _ann_ivfpq_sql(),

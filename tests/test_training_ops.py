@@ -420,3 +420,54 @@ def test_epoch_plan_totals_preserving(spark, sf_dir):
         for r in rows:  # perfect tiling: no gap, no overlap
             assert r.start_token == pos, (shard, r)
             pos += r.n_tokens
+
+
+def test_bfd_pack_invariants(spark, sf_dir):
+    """BFD frame invariants: per shard, bins_used sits in
+    [lower_bound, next_fit_bins], wastage is exactly the bin-capacity
+    remainder, the fill ratio matches, and the whole frame is
+    deterministic across runs. Oversize docs clip to capacity (so no
+    single doc can exceed a bin)."""
+    from keboola_storage_duckdb_spark.functions.packing import bfd_pack
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = {r.shard: r for r in
+           bfd_pack(docs, "doc_id", "text", max_len=64,
+                    n_shards=8).collect()}
+    assert len(out) == 8
+    for r in out.values():
+        assert r.lower_bound <= r.bins_used <= r.next_fit_bins, r
+        assert r.wastage_tokens == r.bins_used * 64 - r.n_tokens, r
+        assert abs(r.fill_ratio - r.n_tokens / (r.bins_used * 64.0)) \
+            < 1e-12
+        assert r.n_docs > 0 and r.n_tokens > 0
+    again = {r.shard: r for r in
+             bfd_pack(docs, "doc_id", "text", max_len=64,
+                      n_shards=8).collect()}
+    assert {k: tuple(v) for k, v in out.items()} \
+        == {k: tuple(v) for k, v in again.items()}
+    # totals preserved across the shard partition: every >=1-token doc
+    # counted exactly once
+    from pyspark.sql import functions as F
+    from keboola_storage_duckdb_spark.functions.text import BPE_REGEX
+    n_docs = docs.filter(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX),
+                                    F.lit(0))) > 0).count()
+    assert sum(r.n_docs for r in out.values()) == n_docs
+
+
+def test_padding_waste_identities(spark, sf_dir):
+    """kept + trunc == total tokens; pad + kept == docs*L; packed_seqs
+    is the ceil lower bound."""
+    from keboola_storage_duckdb_spark.functions.packing import (
+        padding_waste)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for r in padding_waste(docs, "lang", "doc_id", "text",
+                           max_len=64).collect():
+        assert r.trunc_tokens + (r.n_docs * 64 - r.pad_tokens) \
+            == r.n_tokens
+        assert r.packed_seqs == (r.n_tokens + 63) // 64
+        assert 0 < r.pad_fill <= 1 and 0 < r.packed_fill <= 1
