@@ -3582,6 +3582,69 @@ SELECT doc_id, g, shard, n_tokens, start_token,
 FROM s"""
 
 
+def q_pq_distortion(spark, sf_dir):
+    """Index-quality frame (NEW r11): per-list quantization distortion
+    of the persisted IVFPQ index (mean squared reconstruction error —
+    FAISS's stat for 'which lists the code budget represents poorly').
+    Per-vector distortion is the certified sequential fold rounded to 6
+    decimals; per-list sums go through DECIMAL (the exact-sum
+    discipline), so the full train→encode→reconstruct→aggregate chain
+    hash-matches."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        ensure_pq_index, pq_index_distortion)
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ensure_pq_index(
+        spark, emb, os.path.join(sf_dir, "embeddings.parquet"),
+        "vec_id", "embedding", _ann_index_dir(), label_col="label")
+    return pq_index_distortion(spark, idx, emb, "vec_id", "embedding",
+                               "label")
+
+
+def _pq_distortion_sql():
+    return f"""
+WITH {_pq_chain_sql()},
+pd AS (SELECT r.vec_id, e.label,
+              ROUND(list_sum(list_transform(generate_series(1, 64),
+                    i -> (v.v[i] - r.rv[i]) * (v.v[i] - r.rv[i]))), 6)
+                  AS d
+       FROM recon r JOIN v USING (vec_id)
+       JOIN embeddings e USING (vec_id))
+SELECT label, COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS sum_distortion,
+       CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean_distortion
+FROM pd GROUP BY label"""
+
+
+def q_ivf_imbalance(spark, sf_dir):
+    """IVF posting-list balance (NEW r11): FAISS's imbalance factor
+    C·Σnᵢ²/N² over the persisted index's lists (1.0 = balanced; k×
+    means probes cost k× the balanced average) + list-size extremes —
+    the re-train-the-quantizer signal. All-integer sums, one double
+    division; reads only the codes table's label column."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        ensure_pq_index, ivf_list_stats)
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ensure_pq_index(
+        spark, emb, os.path.join(sf_dir, "embeddings.parquet"),
+        "vec_id", "embedding", _ann_index_dir(), label_col="label")
+    return ivf_list_stats(spark, idx)
+
+
+_IVF_IMBALANCE_SQL = """
+WITH per AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+SELECT COUNT(*) AS n_lists, CAST(SUM(n) AS BIGINT) AS n_vectors,
+       CAST(MAX(n) AS BIGINT) AS max_list,
+       CAST(MIN(n) AS BIGINT) AS min_list,
+       CAST(COUNT(*) * SUM(n * n) AS DOUBLE)
+           / CAST(SUM(n) * SUM(n) AS DOUBLE) AS imbalance
+FROM per"""
+
+
 def q_padding_waste(spark, sf_dir):
     """Pad-vs-pack decision frame (NEW r11): per source, what the
     one-doc-per-sequence (pad + truncate) discipline costs against the
@@ -3675,6 +3738,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_rerank_indexed": q_ivfpq_rerank_indexed,  # NEW r11: persisted refine
     "padding_waste": q_padding_waste,            # NEW r11: pad-vs-pack frame
     "bfd_pack": q_bfd_pack,                      # NEW r11: rows-only BFD
+    "pq_distortion": q_pq_distortion,            # NEW r11: index quality
+    "ivf_imbalance": q_ivf_imbalance,            # NEW r11: list balance
     "ivfpq_rerank": q_ivfpq_rerank,              # NEW r10: two-stage retrieval
     "export_projection": q_export_projection,
     "ivfpq_rerank_recall": q_ivfpq_rerank_recall,  # NEW r10: refine value
@@ -3705,8 +3770,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "duplicate_spans": q_duplicate_spans,        # certified r07
     # rotated IN r08: never driver-certified before (VERDICT r7 #3)
-    "quota_sample": q_quota_sample,              # NEW r08: doc-count mixture
-    "token_quota_sample": q_token_quota_sample,  # NEW r08: token budget
     "corpus_shards": q_corpus_shards,            # NEW r08: epoch shuffle
     "ivf_recall": q_ivf_recall,                  # NEW r08: ANN recall frame
     "minhash_dedup_keep": q_minhash_dedup_keep,  # NEW r08: text dedup e2e
@@ -3722,6 +3785,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_filtered": q_ann_filtered,              # NEW r08: filtered ANN
     "execute_query": q_execute_query,            # keeper parked 51+ (green r01-r06)
     # ---- tail (51+): driver-green in r01-r09 CORRECTNESS records ----
+    "quota_sample": q_quota_sample,              # parked r11 (green r08-r10)
+    "token_quota_sample": q_token_quota_sample,  # parked r11 (green r08-r10)
     "kmeans_fixed": q_kmeans_fixed,              # parked r11 (green r08-r10)
     "grouped_quantiles": q_grouped_quantiles,    # parked r11 (green r08-r10)
     "quality_verdict": q_quality_verdict,        # parked r11 (green r08-r10)
@@ -4059,6 +4124,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_indexed_lut": _ann_pq_lut_sql(),
         "ivfpq_rerank_indexed": _ivfpq_rerank_sql(),
         "padding_waste": _PADDING_WASTE_SQL,
+        "pq_distortion": _pq_distortion_sql(),
+        "ivf_imbalance": _IVF_IMBALANCE_SQL,
         "pq_recall": _pq_recall_sql(),
         "ann_pq_lut": _ann_pq_lut_sql(),
         "ann_ivfpq": _ann_ivfpq_sql(),

@@ -421,3 +421,72 @@ def ensure_pq_index(spark: SparkSession, vectors: DataFrame,
     return pq_index_build(vectors, id_col, vec_col, path,
                           label_col=label_col, m=m, ksub=ksub, dim=dim,
                           iters=iters, fingerprint=fp)
+
+
+def pq_index_distortion(spark: SparkSession, index: PQIndex | str,
+                        vectors: DataFrame, id_col: str, vec_col: str,
+                        label_col: str) -> DataFrame:
+    """Per-list quantization distortion of a persisted index — FAISS's
+    index-quality stat (mean ‖v − reconstruct(codes)‖² per inverted
+    list): which lists the m-byte budget represents poorly, read before
+    trading code size for recall or re-training.
+
+    Exact-sum discipline: the per-vector distortion is the certified
+    sequential 64-dim fold (identical to the ADC ranking arithmetic),
+    rounded to 6 decimals, then summed as DECIMAL per label — the
+    cross-engine exact-sum pattern (doubles sum order-dependently;
+    6-decimal fixed-point sums don't). ``mean_distortion`` divides two
+    exact values. One hash join (codes × raw vectors on id) + one
+    grouped agg."""
+    if isinstance(index, str):
+        index = pq_index_load(spark, index)
+    cb, m = index.cb, index.m
+    codes = index.codes(spark)
+    recon = F.expr(
+        f"flatten(transform(sequence(0, {m - 1}), j -> "
+        f"element_at(element_at({_cb_literal_sql(cb)}, j + 1), "
+        "element_at(codes, j + 1) + 1)))").alias("rv")
+    raw = vectors.select(F.col(id_col).alias("id"),
+                         F.col(label_col).alias("label"),
+                         F.col(vec_col).alias("v"))
+    joined = codes.select("id", recon).join(raw, "id")
+    dist = F.expr(
+        "aggregate(zip_with(v, rv, (x, y) -> "
+        "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    per = joined.select("label",
+                        F.round(dist, 6).alias("d"))
+    return (per.groupBy("label")
+               .agg(F.count(F.lit(1)).alias("n_vectors"),
+                    F.sum(F.col("d").cast("decimal(28,6)"))
+                     .cast("double").alias("sum_distortion"))
+               .select("label", "n_vectors", "sum_distortion",
+                       (F.col("sum_distortion")
+                        / F.col("n_vectors").cast("double"))
+                       .alias("mean_distortion")))
+
+
+def ivf_list_stats(spark: SparkSession, index: PQIndex | str) -> DataFrame:
+    """Posting-list balance of a persisted IVF index — FAISS's
+    imbalance factor ``C · Σ nᵢ² / N²`` (1.0 = perfectly balanced;
+    k× means probes cost k× the balanced average): the one number that
+    says whether the coarse quantizer needs re-training before the
+    nprobe/latency trade holds at scale. All-integer sums (exact on
+    any engine) + one double division; reads only the codes table's
+    label column (partition metadata at 100 TB)."""
+    if isinstance(index, str):
+        index = pq_index_load(spark, index)
+    if not index.meta["label_col"]:
+        raise ValueError("ivf_list_stats: index has no IVF labels")
+    codes = index.codes(spark)
+    per = codes.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return (per.agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum("n").alias("n_vectors"),
+        F.max("n").alias("max_list"),
+        F.min("n").alias("min_list"),
+        F.sum(F.col("n") * F.col("n")).alias("sumsq"))
+        .select("n_lists", "n_vectors", "max_list", "min_list",
+                ((F.col("n_lists") * F.col("sumsq")).cast("double")
+                 / (F.col("n_vectors") * F.col("n_vectors"))
+                 .cast("double")).alias("imbalance")))

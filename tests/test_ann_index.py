@@ -171,3 +171,26 @@ def test_indexed_rerank_equals_inline(spark, emb, queries, tmp_path):
     want = _rows(ivfpq_rerank_topk(emb, queries, "vec_id", "embedding",
                                    "label", k=5, nprobe=2, shortlist=20))
     assert got == want and len(got) == 50
+
+
+def test_index_quality_frames(spark, emb, tmp_path):
+    """Distortion: positive per list, totals match the corpus, and mean
+    = sum/n. Imbalance: >= 1 by Cauchy-Schwarz (== 1 iff perfectly
+    balanced lists), extremes bracket the mean list size."""
+    idx = AI.pq_index_build(emb, "vec_id", "embedding",
+                            str(tmp_path / "ivfpq"), label_col="label")
+    dist = AI.pq_index_distortion(spark, idx, emb, "vec_id",
+                                  "embedding", "label").collect()
+    assert sum(r.n_vectors for r in dist) == emb.count()
+    for r in dist:
+        assert r.sum_distortion > 0
+        assert abs(r.mean_distortion - r.sum_distortion / r.n_vectors) \
+            < 1e-12
+    st = AI.ivf_list_stats(spark, idx).collect()[0]
+    assert st.imbalance >= 1.0
+    assert st.min_list <= st.n_vectors / st.n_lists <= st.max_list
+    assert st.n_vectors == emb.count()
+    # a PQ-only index has no lists to report on
+    AI.pq_index_build(emb, "vec_id", "embedding", str(tmp_path / "pq"))
+    with pytest.raises(ValueError, match="no IVF labels"):
+        AI.ivf_list_stats(spark, str(tmp_path / "pq"))
