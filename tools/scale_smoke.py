@@ -65,8 +65,11 @@ def main() -> None:
     spark = get_spark(app_name="scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
-    build(spark)
-    timings = {"build": round(time.perf_counter() - t0, 1)}
+    if os.environ.get("SCALE_SMOKE_REUSE") and os.path.isdir(DST):
+        timings = {"build": "reused"}
+    else:
+        build(spark)
+        timings = {"build": round(time.perf_counter() - t0, 1)}
 
     def run(name, fn):
         # Time construction + collect as ONE region: eager operators (the
@@ -93,7 +96,11 @@ def main() -> None:
                  "quota_sample", "ivf_recall", "corpus_shards",
                  "ann_pq", "pq_recall", "ann_pq_lut", "ann_ivfpq",
                  "ann_ivfpq_residual", "ivfpq_rerank", "ivfpq_recall",
-                 "dedup_safe_split", "token_length_profile"]:
+                 "dedup_safe_split", "token_length_profile",
+                 "ann_pq_indexed", "ann_ivfpq_indexed", "ann_pq_indexed_lut",
+                 "ann_index_add", "ann_index_merge", "ivfpq_rerank_indexed",
+                 "pq_distortion", "ivf_imbalance", "epoch_plan",
+                 "padding_waste", "bfd_pack"]:
         if ONLY and name not in ONLY:
             continue
         run(name, lambda name=name: Q[name](spark, DST))
