@@ -3737,7 +3737,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_indexed_lut": q_ann_pq_indexed_lut,  # NEW r11: LUT serving path
     "ivfpq_rerank_indexed": q_ivfpq_rerank_indexed,  # NEW r11: persisted refine
     "padding_waste": q_padding_waste,            # NEW r11: pad-vs-pack frame
-    "bfd_pack": q_bfd_pack,                      # NEW r11: rows-only BFD
+    # r12 rotation: bfd_pack (rows-only — the r11 window burned slot 10
+    # on a query the driver can only row-count) parks at 51+ per the
+    # kmeans precedent; grouped_quantiles (oracle-backed, green
+    # r08-r10) takes the slot so the window returns to 50/50 hash-green.
+    "grouped_quantiles": q_grouped_quantiles,    # promoted r12 (green r08-r10)
     "pq_distortion": q_pq_distortion,            # NEW r11: index quality
     "ivf_imbalance": q_ivf_imbalance,            # NEW r11: list balance
     "ivfpq_rerank": q_ivfpq_rerank,              # NEW r10: two-stage retrieval
@@ -3788,7 +3792,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quota_sample": q_quota_sample,              # parked r11 (green r08-r10)
     "token_quota_sample": q_token_quota_sample,  # parked r11 (green r08-r10)
     "kmeans_fixed": q_kmeans_fixed,              # parked r11 (green r08-r10)
-    "grouped_quantiles": q_grouped_quantiles,    # parked r11 (green r08-r10)
+    "bfd_pack": q_bfd_pack,                      # parked r12: rows-only BFD;
+    # its capacity/exactly-once/bin-count invariants are pytest-pinned
+    # (tests/test_packing.py) — the kmeans precedent
     "quality_verdict": q_quality_verdict,        # parked r11 (green r08-r10)
     "decontaminate_cut": q_decontaminate_cut,    # parked r11 (green r08-r10)
     "dedup_rate": q_dedup_rate,                  # parked r11 (green r08-r10)

@@ -256,6 +256,68 @@ def padding_waste(docs: DataFrame, group_col: str, id_col: str,
         .alias("packed_fill"))
 
 
+def _bfd_remaining(sizes, cap: int) -> list[int]:
+    """Best-fit-decreasing core: place each size (descending) into the
+    tightest open bin that fits, else open a new one; return the sorted
+    remaining-capacity list (len == bins used).
+
+    Replaces the naive O(docs x bins) linear scan (VERDICT r11 #3).
+    Which bin wins an equal-capacity tie cannot change the MULTISET of
+    remaining capacities (equal-rem bins are interchangeable), so only
+    the capacity multiset needs tracking — and capacities live in the
+    bounded domain [0, cap], so a Fenwick tree of bin-counts per
+    capacity answers "tightest rem >= size" in O(log cap): O(n log cap)
+    total, independent of the bin count (a sorted list + insort is
+    O(bins) memmove per doc — still quadratic when bins ~ docs/2).
+    Output-identical to the index-tie-break scan — pinned by
+    ``tests/test_training_ops.py::test_bfd_bisect_equals_naive``.
+    """
+    # Fenwick over positions 1..cap+1 (position r+1 <-> remaining r),
+    # storing the COUNT of open bins at each remaining capacity.
+    n_pos = cap + 1
+    tree = [0] * (n_pos + 1)
+    counts = [0] * n_pos
+    log = n_pos.bit_length()
+
+    def _add(r: int, d: int) -> None:
+        counts[r] += d
+        i = r + 1
+        while i <= n_pos:
+            tree[i] += d
+            i += i & (-i)
+
+    def _prefix(r: int) -> int:        # bins with remaining <= r
+        i = r + 1
+        s = 0
+        while i > 0:
+            s += tree[i]
+            i -= i & (-i)
+        return s
+
+    def _kth(k: int) -> int:           # remaining value of k-th bin
+        pos = 0
+        bit = 1 << log
+        while bit:
+            nxt = pos + bit
+            if nxt <= n_pos and tree[nxt] < k:
+                pos = nxt
+                k -= tree[nxt]
+            bit >>= 1
+        return pos                     # position pos+1 <-> remaining pos
+
+    n_open = 0
+    for size in sorted((int(s) for s in sizes), reverse=True):
+        k = (0 if size == 0 else _prefix(size - 1)) + 1
+        if k > n_open:                 # no bin with remaining >= size
+            _add(cap - size, 1)
+            n_open += 1
+        else:                          # tightest fit >= size
+            rem = _kth(k)
+            _add(rem, -1)
+            _add(rem - size, 1)
+    return [r for r in range(n_pos) for _ in range(counts[r])]
+
+
 def bfd_pack(docs: DataFrame, id_col: str, text_col: str,
              max_len: int = 2048, n_shards: int = 8,
              seed: str = "bfd") -> DataFrame:
@@ -297,26 +359,15 @@ def bfd_pack(docs: DataFrame, id_col: str, text_col: str,
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         cap = max_len
         sizes = pdf["n_tokens"].clip(upper=cap).astype("int64")
-        # BFD: largest first (doc_id tie-break), tightest bin that fits
-        order = sorted(zip(sizes, pdf["doc_id"]),
-                       key=lambda t: (-t[0], t[1]))
-        remaining: list[int] = []
-        for size, _ in order:
-            best, best_rem = -1, cap + 1
-            for i, rem in enumerate(remaining):
-                if size <= rem < best_rem:
-                    best, best_rem = i, rem
-            if best < 0:
-                remaining.append(cap - size)
-            else:
-                remaining[best] -= size
+        remaining = _bfd_remaining(sizes.to_numpy(), cap)
         # next-fit baseline: stream in hash order, open on overflow
         nf_bins, nf_rem = 0, 0
-        for size in pdf.sort_values("h")["n_tokens"].clip(upper=cap):
+        for size in (pdf.sort_values("h")["n_tokens"]
+                        .clip(upper=cap).to_numpy()):
             if size > nf_rem:
                 nf_bins += 1
                 nf_rem = cap
-            nf_rem -= size
+            nf_rem -= int(size)
         total = int(sizes.sum())
         bins = len(remaining)
         return pd.DataFrame([{

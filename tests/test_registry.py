@@ -10,7 +10,7 @@ import __spark_entry__ as E
 
 # deliberately rows-only (iterative / no SQL-expressible shape); anything
 # else missing an oracle is a registry bug
-ROWS_ONLY = {"kmeans"}
+ROWS_ONLY = {"kmeans", "bfd_pack"}
 
 
 def test_every_query_has_an_oracle_twin():
