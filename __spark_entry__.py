@@ -1807,6 +1807,29 @@ def q_ivfpq_rerank_indexed(spark, sf_dir):
                            shortlist=20)
 
 
+def q_ann_filtered_indexed(spark, sf_dir):
+    """Filtered search over the PERSISTED index (NEW r12, VERDICT r11
+    #7): the most common production retrieval query — "nearest docs
+    WHERE label IN (...)" — served from stored artifacts: the allowed
+    label set prunes the label-partitioned codes table AT THE SCAN
+    (static partition filter, same pruning pin as the nprobe route
+    set), then the certified ADC kernel ranks only what remains. No
+    retraining, no raw-vector I/O. Training never reads labels, so the
+    oracle is the UNCHANGED full-corpus PQ chain with the candidate
+    predicate applied at ranking (_pq_chain_sql(cand_pred=...))."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        ensure_pq_index, pq_index_search)
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ensure_pq_index(
+        spark, emb, os.path.join(sf_dir, "embeddings.parquet"),
+        "vec_id", "embedding", _ann_index_dir(), label_col="label")
+    return pq_index_search(spark, idx, emb.filter(F.col("vec_id") < 10),
+                           "vec_id", "embedding", k=5,
+                           filter_labels=[1, 3, 5, 7])
+
+
 def q_cut_spans(spark, sf_dir):
     """Actionable substring dedup: every document rebuilt with its
     cross-doc duplicated >= 8-token spans removed (Lee et al. 2022's cut
@@ -2846,7 +2869,7 @@ GROUP BY e.query_id"""
 
 
 def _pq_chain_sql(m=4, ksub=8, sub=16, rounds=2, v_cte=None,
-                  train_pred=None):
+                  train_pred=None, cand_pred=None):
     """Shared PQ CTE chain (v → seeds → cb0 → Lloyd rounds → enc →
     recon): the DuckDB re-derivation of similarity.pq_train_codebooks +
     pq_encode. Mirrors _KMEANS_FIXED_SQL per subspace: md5-ordered
@@ -2863,10 +2886,19 @@ def _pq_chain_sql(m=4, ksub=8, sub=16, rounds=2, v_cte=None,
     corpus while ENCODING still covers every row — exactly the FAISS
     train-on-base / add-the-rest lifecycle the persisted index runs.
     None emits the byte-identical full-corpus chain the r9/r10 oracles
-    certified."""
+    certified.
+
+    ``cand_pred`` (NEW r12, the filtered-ANN oracle): a predicate on
+    the ``embeddings`` row (aliased ``e``) restricting the CANDIDATE
+    set at ranking — training and encoding stay full-corpus, exactly
+    the persisted-index filter_labels search (prune lists, rank what
+    remains)."""
     tv = "v" if train_pred is None else \
         f"(SELECT * FROM v WHERE {train_pred}) v"
     seed_where = "" if train_pred is None else f"\n  WHERE {train_pred}"
+    cand_join = "" if cand_pred is None else \
+        "\n  JOIN embeddings e ON e.vec_id = r.vec_id"
+    cand_where = "" if cand_pred is None else f" AND ({cand_pred})"
     parts = [(v_cte or """v AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings)""") + f""",
@@ -2923,8 +2955,8 @@ adpq AS (
          ROUND(list_sum(list_transform(generate_series(1, {m * sub}),
                i -> (qpq.qv[i] - r.rv[i]) * (qpq.qv[i] - r.rv[i]))), 6)
              AS adist
-  FROM recon r CROSS JOIN qpq
-  WHERE r.vec_id <> qpq.query_id),
+  FROM recon r{cand_join} CROSS JOIN qpq
+  WHERE r.vec_id <> qpq.query_id{cand_where}),
 pqtop AS (
   SELECT query_id, neighbor_id, adist, rank FROM (
     SELECT *, CAST(row_number() OVER (
@@ -3766,7 +3798,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles": q_quantiles,
     "ivfpq_recall": q_ivfpq_recall,              # NEW r10: e2e IVFPQ quality
     "dedup_safe_split": q_dedup_safe_split,      # NEW r10: leakage-safe split
-    "dedup_exact": q_dedup_exact,
+    # r12 rotation: ann_filtered_indexed (the filtered serving query,
+    # VERDICT r11 #7) takes dedup_exact's slot — dedup_exact green
+    # r06-r11, its operator sibling-exercised by the dedup suite and
+    # the upsert paths; parked at 51+.
+    "ann_filtered_indexed": q_ann_filtered_indexed,  # NEW r12
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "ann_topk": q_ann_topk,
@@ -3794,7 +3830,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_fixed": q_kmeans_fixed,              # parked r11 (green r08-r10)
     "bfd_pack": q_bfd_pack,                      # parked r12: rows-only BFD;
     # its capacity/exactly-once/bin-count invariants are pytest-pinned
-    # (tests/test_packing.py) — the kmeans precedent
+    # (tests/test_training_ops.py) — the kmeans precedent
+    "dedup_exact": q_dedup_exact,                # parked r12 (green r06-r11)
     "quality_verdict": q_quality_verdict,        # parked r11 (green r08-r10)
     "decontaminate_cut": q_decontaminate_cut,    # parked r11 (green r08-r10)
     "dedup_rate": q_dedup_rate,                  # parked r11 (green r08-r10)
@@ -4123,6 +4160,11 @@ def oracle_sql() -> dict[str, str]:
         # so the warm persisted path shares the inline chain oracles;
         # add trains on the base predicate only; merge == plain PQ
         "ann_pq_indexed": _ann_pq_sql(),
+        # filtered serving path: full-corpus training (labels never
+        # reach training), candidate predicate applied at ranking
+        "ann_filtered_indexed": f"""
+WITH {_pq_chain_sql(cand_pred="e.label IN (1, 3, 5, 7)")}
+SELECT query_id, neighbor_id, adist, rank FROM pqtop""",
         "ann_ivfpq_indexed": _ann_ivfpq_sql(),
         "ann_index_add": _ann_index_add_sql(),
         "ann_index_merge": _ann_pq_sql(),

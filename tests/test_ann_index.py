@@ -194,3 +194,101 @@ def test_index_quality_frames(spark, emb, tmp_path):
     AI.pq_index_build(emb, "vec_id", "embedding", str(tmp_path / "pq"))
     with pytest.raises(ValueError, match="no IVF labels"):
         AI.ivf_list_stats(spark, str(tmp_path / "pq"))
+
+
+def test_merge_rejects_overlapping_shards(spark, emb, tmp_path):
+    """Shard id sets must be disjoint (ADVICE r11): overlap would union
+    into duplicate postings and rank the same neighbor twice."""
+    full = AI.pq_index_build(emb, "vec_id", "embedding",
+                             str(tmp_path / "ov_full"))
+    sa, sb = str(tmp_path / "ov_a"), str(tmp_path / "ov_b")
+    AI.pq_index_build(emb.filter(F.col("vec_id") % 2 == 0), "vec_id",
+                      "embedding", sa, cb=full.cb)
+    AI.pq_index_build(emb.filter(F.col("vec_id") % 3 == 0), "vec_id",
+                      "embedding", sb, cb=full.cb)  # overlaps at % 6 == 0
+    with pytest.raises(ValueError, match="share vector ids"):
+        AI.pq_index_merge(spark, sa, sb, str(tmp_path / "ov_out"))
+
+
+def test_compact_shrinks_files_search_unchanged(spark, emb, queries,
+                                                tmp_path):
+    """Index compaction (VERDICT r11 #5): repeated adds accumulate
+    small parquet files; compaction coalesces lists past max_files,
+    atomically, with search results byte-unchanged."""
+    base = emb.filter(F.col("vec_id") % 10 == 0)
+    p = str(tmp_path / "cmp")
+    AI.pq_index_build(base, "vec_id", "embedding", p, label_col="label")
+    for rem in range(1, 10):    # nine appends -> many files per list
+        AI.pq_index_add(spark, p, emb.filter(F.col("vec_id") % 10 == rem),
+                        "vec_id", "embedding")
+    before = _rows(AI.pq_index_search(spark, p, queries, "vec_id",
+                                      "embedding", k=5, nprobe=2))
+    codes_dir = os.path.join(p, "codes")
+    leaf = sorted(n for n in os.listdir(codes_dir)
+                  if n.startswith("label="))[0]
+    n_before = len([f for f in os.listdir(os.path.join(codes_dir, leaf))
+                    if f.endswith(".parquet")])
+    assert n_before > 4     # the add path really did fragment
+    report = AI.pq_index_compact(spark, p, max_files=4)
+    assert report, "no list was compacted"
+    for leaf_name, (nb, na) in report.items():
+        assert na < nb and na >= 1, report
+    n_after = len([f for f in os.listdir(os.path.join(codes_dir, leaf))
+                   if f.endswith(".parquet")])
+    assert n_after <= 4
+    # no stray staging/old dirs inside the codes table (partition
+    # discovery must stay clean)
+    assert all(n.startswith(("label=", "_", "."))
+               for n in os.listdir(codes_dir)), os.listdir(codes_dir)
+    after = _rows(AI.pq_index_search(spark, p, queries, "vec_id",
+                                     "embedding", k=5, nprobe=2))
+    assert after == before
+    # idempotent: a second compaction finds nothing to do
+    assert AI.pq_index_compact(spark, p, max_files=4) == {}
+
+
+def test_compact_unlabeled_codes_table(spark, emb, queries, tmp_path):
+    p = str(tmp_path / "cmp_flat")
+    AI.pq_index_build(emb.filter(F.col("vec_id") % 2 == 0), "vec_id",
+                      "embedding", p)
+    for _ in range(6):
+        AI.pq_index_add(spark, p,
+                        emb.filter(F.col("vec_id") % 97 == 1).limit(5),
+                        "vec_id", "embedding")
+    # NOTE: duplicate adds above are fine for the file-count mechanics
+    # being tested; search correctness is covered by the labeled test
+    codes_dir = os.path.join(p, "codes")
+    n_before = len([f for f in os.listdir(codes_dir)
+                    if f.endswith(".parquet")])
+    assert n_before > 4
+    report = AI.pq_index_compact(spark, p, max_files=4)
+    assert report and "codes" in report
+    n_after = len([f for f in os.listdir(codes_dir)
+                   if f.endswith(".parquet")])
+    assert n_after <= 4
+
+
+def test_filtered_search_equals_prefiltered_inline(spark, emb, queries,
+                                                   tmp_path):
+    """filter_labels (VERDICT r11 #7): search restricted to allowed
+    inverted lists == the inline PQ kernel over the pre-filtered
+    corpus with the same codebooks (training unchanged — it never
+    reads labels)."""
+    idx = AI.pq_index_build(emb, "vec_id", "embedding",
+                            str(tmp_path / "filt"), label_col="label")
+    got = _rows(AI.pq_index_search(spark, idx, queries, "vec_id",
+                                   "embedding", k=5,
+                                   filter_labels=[1, 3, 5, 7]))
+    want = _rows(pq_ann_topk(
+        emb.filter(F.col("label").isin(1, 3, 5, 7)), queries,
+        "vec_id", "embedding", k=5, cb=idx.cb))
+    assert got == want and len(got) == 50
+    # filter + nprobe compose: routed lists ⊆ allowed lists
+    both = AI.pq_index_search(spark, idx, queries, "vec_id",
+                              "embedding", k=5, nprobe=2,
+                              filter_labels=[1, 3, 5, 7])
+    labels = {r["label"] for r in
+              idx.codes(spark).join(
+                  both.select(F.col("neighbor_id").alias("id")), "id")
+                 .select("label").distinct().collect()}
+    assert labels <= {1, 3, 5, 7}, labels
