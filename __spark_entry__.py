@@ -1704,7 +1704,9 @@ def q_ann_index_add(spark, sf_dir):
     try:
         idx = pq_index_load(spark, path)
         fresh = idx.meta.get("fingerprint") != fp
-    except OSError:
+    except (OSError, ValueError):
+        # ValueError covers a corrupt/truncated meta.json
+        # (json.JSONDecodeError) — rebuild, never crash (ADVICE r11)
         fresh = True
     if fresh:
         # build on base (fingerprint withheld → a crash mid-add can
@@ -1746,7 +1748,9 @@ def q_ann_index_merge(spark, sf_dir):
     try:
         merged = pq_index_load(spark, path)
         fresh = merged.meta.get("fingerprint") != fp
-    except OSError:
+    except (OSError, ValueError):
+        # ValueError covers a corrupt/truncated meta.json
+        # (json.JSONDecodeError) — rebuild, never crash (ADVICE r11)
         fresh = True
     if fresh:
         sa, sb = path + ".shard_a", path + ".shard_b"

@@ -547,10 +547,12 @@ def ensure_pq_index(spark: SparkSession, vectors: DataFrame,
     fp = _source_fingerprint(
         src_path, (id_col, vec_col, label_col, m, ksub, dim, iters))
     path = os.path.join(base_dir, fp)
-    if os.path.exists(os.path.join(path, _META)):
+    try:
         idx = pq_index_load(spark, path)
         if idx.meta.get("fingerprint") == fp:
             return idx
+    except (OSError, ValueError):
+        pass    # absent or corrupt/truncated meta.json -> rebuild
     built = pq_index_build(vectors, id_col, vec_col, path,
                            label_col=label_col, m=m, ksub=ksub, dim=dim,
                            iters=iters, fingerprint=fp)

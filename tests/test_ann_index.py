@@ -292,3 +292,17 @@ def test_filtered_search_equals_prefiltered_inline(spark, emb, queries,
                   both.select(F.col("neighbor_id").alias("id")), "id")
                  .select("label").distinct().collect()}
     assert labels <= {1, 3, 5, 7}, labels
+
+
+def test_corrupt_meta_falls_back_to_rebuild(spark, emb, sf_dir, tmp_path):
+    """A truncated/corrupt meta.json must read as 'rebuild', never
+    crash the serving query (ADVICE r11: json.JSONDecodeError is a
+    ValueError, not an OSError)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    base = str(tmp_path / "corrupt_base")
+    idx = AI.ensure_pq_index(spark, emb, src, "vec_id", "embedding", base)
+    with open(os.path.join(idx.path, "meta.json"), "w") as f:
+        f.write('{"m": 4, "ksub"')        # truncated mid-key
+    again = AI.ensure_pq_index(spark, emb, src, "vec_id", "embedding",
+                               base)
+    assert again.meta["cb"] == idx.meta["cb"]
