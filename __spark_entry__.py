@@ -1834,6 +1834,153 @@ def q_ann_filtered_indexed(spark, sf_dir):
                            filter_labels=[1, 3, 5, 7])
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with a TRAINED coarse quantizer (NEW r12): the real FAISS
+    IndexIVFFlat construction — Lloyd-train the routing centroids
+    (fixed-round md5-seeded kmeans, the certified kmeans_fixed
+    arithmetic at n_clusters=8), assign every vector to its inverted
+    list, route queries to nprobe nearest centroids by exact L2, rank
+    exact squared-L2 inside probed lists only. The repo's earlier
+    ann_ivf routes through the fixture's label column; this one trains
+    its own — completing quantizer-train / list-assign / route / rank
+    end-to-end. Oracle composes the kmeans chain + routing + ranking
+    in one SQL (clustering.py)."""
+    from keboola_storage_duckdb_spark.functions.clustering import (
+        ivf_kmeans_ann_topk)
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_kmeans_ann_topk(emb, emb.filter(F.col("vec_id") < 10),
+                               "vec_id", "embedding", k=5, n_clusters=8,
+                               rounds=2, nprobe=2)
+
+
+def _ivf_kmeans_sql(k=5, n_clusters=8, nprobe=2):
+    """The kmeans_fixed Lloyd chain (md5 seeds, sequential list_sum
+    folds, per-dim AVG + COALESCE fallback, lower-cluster tie-break)
+    generalized to n_clusters, composed with centroid routing and
+    exact in-list ranking."""
+    return f"""
+WITH seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+              - 1 AS INTEGER) AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+          <= {n_clusters}),
+v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+d1 AS (SELECT vec_id, v, cluster,
+              list_sum(list_transform(generate_series(1, len(v)),
+                       i -> (v[i] - c[i]) * (v[i] - c[i]))) AS d
+       FROM v CROSS JOIN seeds),
+a1 AS (SELECT vec_id, v, cluster FROM d1
+       QUALIFY row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cluster ASC) = 1),
+m1 AS (SELECT cluster, dim, AVG(x) AS m
+       FROM (SELECT cluster,
+                    unnest(generate_series(1, len(v))) AS dim,
+                    unnest(v) AS x
+             FROM a1)
+       GROUP BY cluster, dim),
+c1 AS (SELECT cluster, list(m ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+cf AS (SELECT s.cluster, COALESCE(c1.c, s.c) AS c
+       FROM seeds s LEFT JOIN c1 USING (cluster)),
+kasg AS (SELECT vec_id, v, cluster FROM (
+    SELECT vec_id, v, cluster,
+           list_sum(list_transform(generate_series(1, len(v)),
+                    i -> (v[i] - c[i]) * (v[i] - c[i]))) AS d
+    FROM v CROSS JOIN cf)
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d ASC, cluster ASC) = 1),
+kq AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+routed AS (SELECT query_id, qv, cluster FROM (
+    SELECT kq.query_id, kq.qv, cf.cluster,
+           list_sum(list_transform(generate_series(1, len(kq.qv)),
+                    i -> (kq.qv[i] - cf.c[i]) * (kq.qv[i] - cf.c[i])))
+               AS d
+    FROM kq CROSS JOIN cf)
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY d ASC, cluster ASC) <= {nprobe}),
+cand AS (
+  SELECT r.query_id, r.qv, g.vec_id AS neighbor_id, g.v
+  FROM routed r JOIN kasg g USING (cluster)
+  WHERE g.vec_id <> r.query_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_sum(list_transform(generate_series(1, len(qv)),
+               i -> (qv[i] - v[i]) * (qv[i] - v[i]))), 6) AS dist
+  FROM cand)
+SELECT query_id, neighbor_id, dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored)
+WHERE rank <= {k}"""
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order layout decision frame (NEW r12): the same orders rows
+    bucketed by the natural o_custkey sort AND by the Morton
+    interleave of (o_custkey, order-day), with per-bucket min/max
+    spans of both dimensions — the span fraction is exactly what a
+    point predicate cannot skip, so the frame reads directly as what
+    OPTIMIZE-ZORDER would buy at 100 TB (file-footer pruning on BOTH
+    predicate dimensions instead of one). Pure-integer key arithmetic
+    (scale, shift, interleave) — bit-identical oracle; the one double
+    division is of two exact ints. functions/layout.py."""
+    from keboola_storage_duckdb_spark.functions.layout import (
+        zorder_layout_frame)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).alias("o_days"))
+    return zorder_layout_frame(orders, "o_custkey", "o_days",
+                               n_buckets=64)
+
+
+_ZORDER_SQL = """
+WITH base AS (
+  SELECT CAST(o_custkey AS BIGINT) AS x,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+             AS y
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+lims AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+                MIN(y) AS ymin, MAX(y) AS ymax FROM base),
+scaled AS (
+  SELECT x, y,
+         (x - l.xmin) * CAST(65536 AS BIGINT) // (l.xmax - l.xmin + 1)
+             AS xb,
+         (y - l.ymin) * CAST(65536 AS BIGINT) // (l.ymax - l.ymin + 1)
+             AS yb
+  FROM base CROSS JOIN lims l),
+keyed AS (
+  SELECT x, y, xb,
+         CAST(list_sum(list_transform(range(0, 16), i ->
+               ((xb >> i) & CAST(1 AS BIGINT))
+                 * (CAST(1 AS BIGINT) << (2 * i))
+             + ((yb >> i) & CAST(1 AS BIGINT))
+                 * (CAST(1 AS BIGINT) << (2 * i + 1)))) AS BIGINT)
+             AS zkey
+  FROM scaled),
+per AS (
+  SELECT 'zorder' AS layout, zkey >> 26 AS bucket, x, y FROM keyed
+  UNION ALL
+  SELECT 'natural' AS layout, xb >> 10 AS bucket, x, y FROM keyed),
+agg AS (
+  SELECT layout, bucket, COUNT(*) AS n_rows,
+         MIN(x) AS x_min, MAX(x) AS x_max,
+         MIN(y) AS y_min, MAX(y) AS y_max
+  FROM per GROUP BY layout, bucket)
+SELECT layout, bucket, n_rows, x_min, x_max, y_min, y_max,
+       CAST(x_max - x_min + 1 AS DOUBLE)
+           / CAST((SELECT xmax - xmin + 1 FROM lims) AS DOUBLE)
+           AS x_span_frac,
+       CAST(y_max - y_min + 1 AS DOUBLE)
+           / CAST((SELECT ymax - ymin + 1 FROM lims) AS DOUBLE)
+           AS y_span_frac
+FROM agg"""
+
+
 def q_cut_spans(spark, sf_dir):
     """Actionable substring dedup: every document rebuilt with its
     cross-doc duplicated >= 8-token spans removed (Lee et al. 2022's cut
@@ -3808,8 +3955,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the upsert paths; parked at 51+.
     "ann_filtered_indexed": q_ann_filtered_indexed,  # NEW r12
     "ngram_jaccard": q_ngram_jaccard,
-    "minhash_lsh": q_minhash_lsh,
-    "ann_topk": q_ann_topk,
+    # r12 rotation: zorder_layout takes minhash_lsh's slot — minhash_lsh
+    # green r06-r11 and its operator family stays window-certified via
+    # minhash_dedup_keep (end-to-end minhash+LSH+verify); parked at 51+.
+    "zorder_layout": q_zorder_layout,            # NEW r12: Morton layout frame
+    # r12 rotation: ann_ivf_kmeans takes ann_topk's slot — ann_topk
+    # green r01-r11 and its oracle arithmetic stays pinned by the
+    # parked twin ann_topk_fold (same SQL) + plan tests; parked at 51+.
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,          # NEW r12: trained IVF
     "token_length_profile": q_token_length_profile,  # NEW r10: length profile
     "sessionize": q_sessionize,
     "duplicate_spans": q_duplicate_spans,        # certified r07
@@ -3836,6 +3989,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # its capacity/exactly-once/bin-count invariants are pytest-pinned
     # (tests/test_training_ops.py) — the kmeans precedent
     "dedup_exact": q_dedup_exact,                # parked r12 (green r06-r11)
+    "minhash_lsh": q_minhash_lsh,                # parked r12 (green r06-r11)
+    "ann_topk": q_ann_topk,                      # parked r12 (green r01-r11;
+    # oracle shared with parked ann_topk_fold)
     "quality_verdict": q_quality_verdict,        # parked r11 (green r08-r10)
     "decontaminate_cut": q_decontaminate_cut,    # parked r11 (green r08-r10)
     "dedup_rate": q_dedup_rate,                  # parked r11 (green r08-r10)
@@ -4163,6 +4319,8 @@ def oracle_sql() -> dict[str, str]:
         # persisted-index lifecycle (NEW r11): training is deterministic,
         # so the warm persisted path shares the inline chain oracles;
         # add trains on the base predicate only; merge == plain PQ
+        "zorder_layout": _ZORDER_SQL,
+        "ann_ivf_kmeans": _ivf_kmeans_sql(),
         "ann_pq_indexed": _ann_pq_sql(),
         # filtered serving path: full-corpus training (labels never
         # reach training), candidate predicate applied at ranking

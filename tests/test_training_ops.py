@@ -514,3 +514,100 @@ def test_padding_waste_identities(spark, sf_dir):
             == r.n_tokens
         assert r.packed_seqs == (r.n_tokens + 63) // 64
         assert 0 < r.pad_fill <= 1 and 0 < r.packed_fill <= 1
+
+
+def test_zorder_layout_skipping_gain(spark, sf_dir):
+    """Z-order frame invariants: buckets partition the rows (counts
+    sum to the table), span fractions are in (0, 1], and the POINT of
+    the layout — the Z-order buckets' mean span on the SECOND
+    dimension is far below the natural layout's (which cannot skip on
+    y at all: its per-bucket y span stays ~the full range), while
+    x-skipping stays useful."""
+    from keboola_storage_duckdb_spark.functions.layout import (
+        zorder_layout_frame)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).alias("d"))
+    rows = zorder_layout_frame(orders, "o_custkey", "d",
+                               n_buckets=64).collect()
+    n_total = orders.count()
+    by_layout = {}
+    for r in rows:
+        by_layout.setdefault(r.layout, []).append(r)
+        assert 0 < r.x_span_frac <= 1 and 0 < r.y_span_frac <= 1, r
+        assert r.x_min <= r.x_max and r.y_min <= r.y_max
+    for layout, rs in by_layout.items():
+        assert sum(r.n_rows for r in rs) == n_total, layout
+    mean = lambda rs, c: sum(getattr(r, c) for r in rs) / len(rs)
+    nat, zo = by_layout["natural"], by_layout["zorder"]
+    # natural sort on x: near-perfect x skipping, zero y skipping
+    assert mean(nat, "y_span_frac") > 0.9
+    # z-order: buys y skipping (each bucket spans a fraction of y)...
+    assert mean(zo, "y_span_frac") < 0.6 * mean(nat, "y_span_frac")
+    # ...without giving up x entirely (still far better than no sort)
+    assert mean(zo, "x_span_frac") < 0.5
+
+
+def test_zorder_key_is_morton_interleave(spark):
+    """The key expression is the exact Morton interleave: hand-check
+    small values (x bits at even positions, y at odd) with ranges
+    that make the 16-bit scaling the identity."""
+    from keboola_storage_duckdb_spark.functions.layout import (
+        zorder_key_expr)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "x long, y long")
+    got = {(r.x, r.y): r.z for r in df.select(
+        "x", "y", zorder_key_expr("x", "y", 0, 65535, 0, 65535)
+        .alias("z")).collect()}
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y, z)
+
+
+def test_ivf_kmeans_full_probe_equals_exact(spark, sf_dir):
+    """Trained-quantizer IVF (r12): probing EVERY trained list is a
+    no-op filter, so nprobe >= n_clusters must equal the exact
+    squared-L2 top-k row-for-row; nprobe=1 must return neighbors only
+    from each query's single probed list; and the plan must broadcast
+    the routed probes (no cartesian, no single-partition sort)."""
+    from keboola_storage_duckdb_spark.functions.clustering import (
+        ivf_kmeans_ann_topk, kmeans_fit)
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        exact_l2_topk)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    full = ivf_kmeans_ann_topk(emb, q, "vec_id", "embedding", k=5,
+                               n_clusters=4, rounds=2, nprobe=4)
+    exact = exact_l2_topk(emb, q, "vec_id", "embedding", k=5)
+    assert sorted(map(tuple, full.collect())) \
+        == sorted(map(tuple, exact.collect()))
+
+    one = ivf_kmeans_ann_topk(emb, q, "vec_id", "embedding", k=5,
+                              n_clusters=4, rounds=2, nprobe=1)
+    asg, _ = kmeans_fit(emb, "vec_id", "embedding", k=4, rounds=2)
+    cl = {r.id: r.cluster for r in asg.select("id", "cluster").collect()}
+    by_q = {}
+    for r in one.collect():
+        by_q.setdefault(r.query_id, set()).add(cl[r.neighbor_id])
+    for qid, labs in by_q.items():
+        assert len(labs) == 1, (qid, labs)   # one probed list only
+
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
