@@ -261,6 +261,33 @@ def pq_index_merge(spark: SparkSession, path_a: str, path_b: str,
     return PQIndex(out_path, a.meta)
 
 
+def stream_index_add(spark: SparkSession, path: str, source_dir: str,
+                     schema, id_col: str, vec_col: str,
+                     checkpoint_dir: str):
+    """Continuous index ingestion — Structured Streaming feeding
+    ``pq_index_add``: each micro-batch encodes its vectors against the
+    FROZEN stored codebooks and appends posting files; exactly-once
+    per batch rides the stream checkpoint (a replayed batch re-appends,
+    which the checkpoint prevents; encoding itself is deterministic so
+    the result is batch-equal regardless of micro-batch boundaries —
+    pinned by pytest). Start with ``trigger(availableNow=True)`` for
+    catch-up or unbounded for a live feed; pair with
+    ``pq_index_compact`` on a schedule — streaming appends are the
+    small-files source the compactor exists for.
+
+    Returns the started ``StreamingQuery``."""
+    stream = (spark.readStream.schema(schema).parquet(source_dir))
+
+    def _add_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pq_index_add(spark, path, batch_df, id_col, vec_col)
+
+    return (stream.writeStream.foreachBatch(_add_batch)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .trigger(availableNow=True).start())
+
+
 def _parquet_files(d: str) -> list[str]:
     try:
         return [n for n in os.listdir(d) if n.endswith(".parquet")]

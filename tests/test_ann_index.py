@@ -306,3 +306,34 @@ def test_corrupt_meta_falls_back_to_rebuild(spark, emb, sf_dir, tmp_path):
     again = AI.ensure_pq_index(spark, emb, src, "vec_id", "embedding",
                                base)
     assert again.meta["cb"] == idx.meta["cb"]
+
+
+def test_stream_index_add_equals_batch(spark, emb, queries, tmp_path):
+    """Streaming ingestion (r12): micro-batched encode-and-append
+    against frozen codebooks == one batch add == rebuild with the same
+    codebooks, regardless of micro-batch boundaries (encoding is
+    per-row deterministic)."""
+    base = emb.filter(F.col("vec_id") % 10 != 9)
+    delta = emb.filter(F.col("vec_id") % 10 == 9)
+    p = str(tmp_path / "stream_idx")
+    idx = AI.pq_index_build(base, "vec_id", "embedding", p)
+    src = str(tmp_path / "delta_src")
+    # several files -> several micro-batches with maxFilesPerTrigger=1
+    delta.repartition(3).write.parquet(src)
+    q = AI.stream_index_add(spark, p, src, delta.schema, "vec_id",
+                            "embedding", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = _rows(AI.pq_index_search(spark, p, queries, "vec_id",
+                                   "embedding", k=5))
+    want = _rows(pq_ann_topk(emb, queries, "vec_id", "embedding", k=5,
+                             cb=idx.cb))
+    assert got == want and len(got) == 50
+    # restart with the same checkpoint: nothing new -> no re-append
+    n_files = len([f for f in os.listdir(os.path.join(p, "codes"))
+                   if f.endswith(".parquet")])
+    q2 = AI.stream_index_add(spark, p, src, delta.schema, "vec_id",
+                             "embedding", str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    n_files2 = len([f for f in os.listdir(os.path.join(p, "codes"))
+                    if f.endswith(".parquet")])
+    assert n_files2 == n_files

@@ -100,7 +100,8 @@ def main() -> None:
                  "ann_pq_indexed", "ann_ivfpq_indexed", "ann_pq_indexed_lut",
                  "ann_index_add", "ann_index_merge", "ivfpq_rerank_indexed",
                  "pq_distortion", "ivf_imbalance", "epoch_plan",
-                 "padding_waste", "bfd_pack", "ann_filtered_indexed"]:
+                 "padding_waste", "bfd_pack", "ann_filtered_indexed",
+                 "zorder_layout", "ann_ivf_kmeans"]:
         if ONLY and name not in ONLY:
             continue
         run(name, lambda name=name: Q[name](spark, DST))
