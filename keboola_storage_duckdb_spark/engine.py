@@ -205,7 +205,12 @@ class StorageEngine:
                 data_dir = d
         elif version is not None:
             raise CatalogError("version= requires a versioned-format table")
-        return self.spark.read.schema(self._schema(meta)).parquet(data_dir)
+        df = self.spark.read.schema(self._schema(meta)).parquet(data_dir)
+        if meta.properties.get("hash_bucket_by") and "__bucket" in df.columns:
+            # the bucket id is internal layout state (PK-derived, always
+            # recomputable) — never part of the table's surface
+            df = df.drop("__bucket")
+        return df
 
     def table_info(self, project: str, bucket: str, table: str,
                    branch: str | None = None) -> dict:
@@ -221,11 +226,22 @@ class StorageEngine:
             "row_count": self.read_table(project, bucket, table, branch).count(),
         }
 
+    @staticmethod
+    def _bucket_expr(cols: list[str], n: int):
+        """Deterministic bucket id of the given columns: non-negative
+        xxhash64 mod n. PK-derived when ``cols ⊆ PK`` — then a key's
+        bucket never changes, which is what makes bucketed merges
+        touch only staged buckets."""
+        return F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
+                      F.lit(n)).cast("int")
+
     def optimize_table(self, project: str, bucket: str, table: str,
                        partition_by: list[str] | None = None,
                        target_files: int | None = None,
                        cluster_by: list[str] | None = None,
                        bloom_filter_columns: list[str] | None = None,
+                       hash_bucket_by: list[str] | None = None,
+                       n_hash_buckets: int = 16,
                        ) -> dict:
         """Compaction / re-layout (beyond-reference — the warehouse-health
         op a 100 TB deployment runs continuously): rewrite the table,
@@ -247,7 +263,20 @@ class StorageEngine:
         filters on the cluster columns then skip most row groups at the
         scan (the Z-order/liquid-clustering trade made with a single sort
         key order). Composable with ``partition_by`` (clustering applies
-        within each hive partition) and ``target_files``."""
+        within each hive partition) and ``target_files``.
+
+        ``hash_bucket_by`` (r12) lays the table out in ``n_hash_buckets``
+        hash buckets of the given columns (internal ``__bucket=k`` hive
+        dirs, hidden from reads). When the columns are the PK, every
+        incremental import/delete becomes a BUCKET-SCOPED merge: a key's
+        bucket never changes, so only the buckets of staged keys are
+        read, merged and swapped — at 100 TB an upsert of B buckets
+        costs O(B/n of the table), not a full-table join, and the
+        fail_on_duplicates precheck prunes the same way. The Spark-
+        native answer to bucketed tables without a metastore."""
+        if hash_bucket_by and partition_by:
+            raise CatalogError(
+                "hash_bucket_by and partition_by are exclusive layouts")
         with self.catalog.acquire(project, bucket, table):
             df = self.read_table(project, bucket, table)
             if partition_by:
@@ -263,7 +292,17 @@ class StorageEngine:
                         "partition columns must be non-null (and non-empty "
                         "for strings); hive layout cannot represent them")
             out = df
-            if cluster_by and target_files and not partition_by:
+            if hash_bucket_by:
+                missing = [c for c in hash_bucket_by if c not in df.columns]
+                if missing:
+                    raise CatalogError(
+                        f"hash_bucket_by columns not in table: {missing}")
+                out = (df.withColumn("__bucket",
+                                     self._bucket_expr(hash_bucket_by,
+                                                       n_hash_buckets))
+                         .repartition(int(n_hash_buckets),
+                                      "__bucket"))   # ~1 file per bucket
+            elif cluster_by and target_files and not partition_by:
                 # one shuffle: range-partition on the cluster key so files
                 # cover disjoint key ranges, then sort inside each file
                 out = df.repartitionByRange(target_files,
@@ -283,6 +322,8 @@ class StorageEngine:
             writer = out.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
+            elif hash_bucket_by:
+                writer = writer.partitionBy("__bucket")
             for c in (bloom_filter_columns or []):
                 writer = writer.option(f"parquet.bloom.filter.enabled#{c}",
                                        "true")
@@ -296,13 +337,20 @@ class StorageEngine:
             meta.properties["cluster_by"] = list(cluster_by or [])
             meta.properties["bloom_filter_columns"] = list(
                 bloom_filter_columns or [])
+            meta.properties["hash_bucket_by"] = list(hash_bucket_by or [])
+            meta.properties["n_hash_buckets"] = (
+                int(n_hash_buckets) if hash_bucket_by else None)
             self.catalog.write_meta(project, bucket, table, meta)
         self._log("optimize_table", project=project, bucket=bucket,
                   table=table, partition_by=partition_by or [],
-                  cluster_by=cluster_by or [])
+                  cluster_by=cluster_by or [],
+                  hash_bucket_by=hash_bucket_by or [])
         return {"partition_by": partition_by or [],
                 "cluster_by": cluster_by or [],
                 "bloom_filter_columns": bloom_filter_columns or [],
+                "hash_bucket_by": hash_bucket_by or [],
+                "n_hash_buckets": (int(n_hash_buckets)
+                                   if hash_bucket_by else None),
                 "target_files": target_files}
 
     # ---------------------------------------------- versioned-table extras
@@ -424,8 +472,11 @@ class StorageEngine:
         # selective-rewrite path and swap hive leaf dirs into a flat data
         # dir (ADVICE r6)
         meta = self.catalog.read_meta(project, bucket, table, branch)
-        if meta.properties.get("partition_by"):
+        if meta.properties.get("partition_by") \
+                or meta.properties.get("hash_bucket_by"):
             meta.properties["partition_by"] = []
+            meta.properties["hash_bucket_by"] = []
+            meta.properties["n_hash_buckets"] = None
             self.catalog.write_meta(project, bucket, table, meta, branch)
 
     _SAFE_PARTITION_VALUE = re.compile(r"^[A-Za-z0-9._\-]+$")
@@ -504,6 +555,96 @@ class StorageEngine:
             return False
         self._log("merge_partitioned", project=project, bucket=bucket,
                   table=table, partitions=len(aff_rows), mode=dedup_mode)
+        return True
+
+    def _merge_hash_bucketed(self, project: str, bucket: str, table: str,
+                             staged: DataFrame, meta: TableMeta,
+                             pk: list[str], dedup_mode: str,
+                             branch: str | None) -> bool:
+        """BUCKET-SCOPED MERGE for hash-bucketed tables
+        (``optimize_table(hash_bucket_by=PK)``): a key's bucket is a pure
+        function of the bucket columns, so for PK-conflict modes only
+        the buckets of STAGED keys can change — no old-homes scan at
+        all (the partitioned path must scan for re-staged keys' old
+        partitions; here old home == staged bucket by construction).
+        Reads, merges and swaps exactly those ``__bucket=k`` leaf dirs;
+        the rest of the table keeps its files byte-identical, and the
+        fail_on_duplicates precheck joins only the affected buckets.
+        Returns False (caller takes the generic path) for versioned
+        tables, non-bucketed layouts, or conflict modes whose bucket
+        columns are not PK-derived."""
+        props = meta.properties
+        cols = props.get("hash_bucket_by") or []
+        if not cols or self._versioned(meta):
+            return False
+        if any(c not in staged.columns for c in cols):
+            return False
+        conflict = pk and dedup_mode in ("update_duplicates", "do_nothing",
+                                         "fail_on_duplicates")
+        if conflict and not ({c.lower() for c in cols}
+                             <= {c.lower() for c in pk}):
+            return False        # bucket not PK-derived: old home may move
+        n = int(props.get("n_hash_buckets") or 16)
+        bexpr = self._bucket_expr(cols, n)
+        _, data_dir = self.catalog.resolve_table(project, bucket, table,
+                                                 branch)
+        raw = self.spark.read.parquet(data_dir)
+        if "__bucket" not in raw.columns:
+            return False        # layout not yet materialized
+        staged = staged.localCheckpoint(eager=False)  # consumed 2-3 times
+        aff_rows = sorted({(int(r[0]),) for r in
+                           staged.select(bexpr.alias("b"))
+                                 .distinct().collect()})
+        if not aff_rows:
+            return True
+        sub = (raw.filter(F.col("__bucket").isin([v for (v,) in aff_rows]))
+                  .drop("__bucket").select(*staged.columns))
+        if dedup_mode == "update_duplicates" and pk:
+            merged = KD.upsert_update_duplicates(sub, staged, pk)
+        elif dedup_mode == "do_nothing" and pk:
+            merged = KD.upsert_do_nothing(sub, staged, pk)
+        elif dedup_mode == "fail_on_duplicates" and pk:
+            KD.check_fail_on_duplicates(sub, staged, pk)
+            merged = sub.unionByName(staged)
+        else:
+            merged = sub.unionByName(staged)
+        merged = merged.withColumn("__bucket", bexpr)
+        if not self._rewrite_partitions(project, bucket, table, branch,
+                                        merged, aff_rows, ["__bucket"]):
+            return False
+        self._log("merge_hash_bucketed", project=project, bucket=bucket,
+                  table=table, buckets=len(aff_rows), mode=dedup_mode)
+        return True
+
+    def _delete_hash_bucketed(self, project: str, bucket: str, table: str,
+                              survivors: DataFrame, deleted: DataFrame,
+                              branch: str | None) -> bool:
+        """Bucket-scoped DELETE: the affected buckets come from the
+        DELETED rows' bucket ids (recomputed from row data — no
+        partition column needed on the frame); only those leaf dirs are
+        rewritten with their surviving rows."""
+        meta = self.catalog.read_meta(project, bucket, table, branch)
+        props = meta.properties
+        cols = props.get("hash_bucket_by") or []
+        if not cols or self._versioned(meta):
+            return False
+        if any(c not in deleted.columns for c in cols):
+            return False
+        n = int(props.get("n_hash_buckets") or 16)
+        bexpr = self._bucket_expr(cols, n)
+        aff_rows = sorted({(int(r[0]),) for r in
+                           deleted.select(bexpr.alias("b"))
+                                  .distinct().collect()})
+        if not aff_rows:
+            return True
+        merged = (survivors.withColumn("__bucket", bexpr)
+                           .filter(F.col("__bucket")
+                                   .isin([v for (v,) in aff_rows])))
+        if not self._rewrite_partitions(project, bucket, table, branch,
+                                        merged, aff_rows, ["__bucket"]):
+            return False
+        self._log("delete_hash_bucketed", project=project, bucket=bucket,
+                  table=table, buckets=len(aff_rows))
         return True
 
     @staticmethod
@@ -794,9 +935,12 @@ class StorageEngine:
             # rewrite would leave untouched partitions typed while the
             # meta goes VARCHAR.
             if (incremental and meta_migration is None
-                    and self._merge_partitioned(
-                        project, bucket, table, staged, meta, pk, dedup_mode,
-                        eff_branch)):
+                    and (self._merge_hash_bucketed(
+                             project, bucket, table, staged, meta, pk,
+                             dedup_mode, eff_branch)
+                         or self._merge_partitioned(
+                             project, bucket, table, staged, meta, pk,
+                             dedup_mode, eff_branch))):
                 pass
             else:
                 if not incremental:
@@ -1090,9 +1234,13 @@ class StorageEngine:
                         ref_filter["ref_column"])
                     deleted = (matched if cond is None
                                else df.filter(not_surv).unionByName(matched))
-            if deleted is not None and self._delete_partitioned(
-                    project, bucket, table, survivors, deleted,
-                    eff_branch):
+            if deleted is not None and (
+                    self._delete_hash_bucketed(
+                        project, bucket, table, survivors, deleted,
+                        eff_branch)
+                    or self._delete_partitioned(
+                        project, bucket, table, survivors, deleted,
+                        eff_branch)):
                 pass
             else:
                 self._write_table(project, bucket, table, survivors,
