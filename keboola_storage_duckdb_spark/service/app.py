@@ -293,7 +293,9 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
             partition_by=body.get("partition_by"),
             target_files=body.get("target_files"),
             cluster_by=body.get("cluster_by"),
-            bloom_filter_columns=body.get("bloom_filter_columns")))
+            bloom_filter_columns=body.get("bloom_filter_columns"),
+            hash_bucket_by=body.get("hash_bucket_by"),
+            n_hash_buckets=int(body.get("n_hash_buckets") or 16)))
 
     # Versioned-backend extras (backends/versioned.py): Delta-style
     # history / vacuum; preview?version=N time-travels a pinned commit.

@@ -219,6 +219,14 @@ def test_optimize_route(client):
     assert r.get_json()["target_files"] == 2
     prev = client.get(BASE + "/users/preview?order_by=id&limit=1").get_json()
     assert prev["rows"][0]["id"] == 1
+    # hash-bucketed layout through the API; __bucket stays internal
+    r = _post(client, BASE + "/users/optimize",
+              {"hash_bucket_by": ["id"], "n_hash_buckets": 4})
+    assert r.status_code == 200
+    assert r.get_json()["hash_bucket_by"] == ["id"]
+    prev = client.get(BASE + "/users/preview?order_by=id&limit=1").get_json()
+    assert prev["rows"][0]["id"] == 1
+    assert "__bucket" not in prev["rows"][0]
 
 
 def test_bucket_sharing_workflow(client):
