@@ -242,6 +242,7 @@ class StorageEngine:
                        bloom_filter_columns: list[str] | None = None,
                        hash_bucket_by: list[str] | None = None,
                        n_hash_buckets: int = 16,
+                       zorder_by: list[str] | None = None,
                        ) -> dict:
         """Compaction / re-layout (beyond-reference — the warehouse-health
         op a 100 TB deployment runs continuously): rewrite the table,
@@ -273,10 +274,22 @@ class StorageEngine:
         read, merged and swapped — at 100 TB an upsert of B buckets
         costs O(B/n of the table), not a full-table join, and the
         fail_on_duplicates precheck prunes the same way. The Spark-
-        native answer to bucketed tables without a metastore."""
-        if hash_bucket_by and partition_by:
+        native answer to bucketed tables without a metastore.
+
+        ``zorder_by`` (r12) sort-clusters on the Morton interleave of
+        exactly TWO integer-castable columns (OPTIMIZE ZORDER): files
+        cover disjoint Z-key ranges, so row-group min/max stats become
+        selective on BOTH dimensions (~1/√files span each) instead of
+        one — the multi-predicate data-skipping trade
+        ``functions/layout.zorder_layout_frame`` quantifies before
+        paying this rewrite. Exclusive with the other layouts."""
+        if sum(map(bool, (hash_bucket_by, partition_by, zorder_by))) > 1 \
+                or (zorder_by and cluster_by):
             raise CatalogError(
-                "hash_bucket_by and partition_by are exclusive layouts")
+                "partition_by / hash_bucket_by / zorder_by / "
+                "zorder_by+cluster_by are exclusive layouts")
+        if zorder_by and len(zorder_by) != 2:
+            raise CatalogError("zorder_by takes exactly two columns")
         with self.catalog.acquire(project, bucket, table):
             df = self.read_table(project, bucket, table)
             if partition_by:
@@ -292,7 +305,30 @@ class StorageEngine:
                         "partition columns must be non-null (and non-empty "
                         "for strings); hive layout cannot represent them")
             out = df
-            if hash_bucket_by:
+            if zorder_by:
+                from .functions.layout import zorder_key_expr
+                missing = [c for c in zorder_by if c not in df.columns]
+                if missing:
+                    raise CatalogError(
+                        f"zorder_by columns not in table: {missing}")
+                xc, yc = zorder_by
+                zb = df.select(F.col(xc).cast("long").alias("x"),
+                               F.col(yc).cast("long").alias("y"))
+                lims = zb.agg(F.min("x"), F.max("x"),
+                              F.min("y"), F.max("y")).collect()[0]
+                if any(v is None for v in lims):
+                    raise CatalogError(
+                        "zorder_by columns must be non-null int-castable")
+                zkey = zorder_key_expr(
+                    f"CAST(`{xc}` AS BIGINT)", f"CAST(`{yc}` AS BIGINT)",
+                    int(lims[0]), int(lims[1] - lims[0]),
+                    int(lims[2]), int(lims[3] - lims[2]))
+                nf = int(target_files or 16)
+                out = (df.withColumn("__zkey", zkey)
+                         .repartitionByRange(nf, "__zkey")
+                         .sortWithinPartitions("__zkey")
+                         .drop("__zkey"))
+            elif hash_bucket_by:
                 missing = [c for c in hash_bucket_by if c not in df.columns]
                 if missing:
                     raise CatalogError(
@@ -340,6 +376,7 @@ class StorageEngine:
             meta.properties["hash_bucket_by"] = list(hash_bucket_by or [])
             meta.properties["n_hash_buckets"] = (
                 int(n_hash_buckets) if hash_bucket_by else None)
+            meta.properties["zorder_by"] = list(zorder_by or [])
             self.catalog.write_meta(project, bucket, table, meta)
         self._log("optimize_table", project=project, bucket=bucket,
                   table=table, partition_by=partition_by or [],
@@ -351,6 +388,7 @@ class StorageEngine:
                 "hash_bucket_by": hash_bucket_by or [],
                 "n_hash_buckets": (int(n_hash_buckets)
                                    if hash_bucket_by else None),
+                "zorder_by": zorder_by or [],
                 "target_files": target_files}
 
     # ---------------------------------------------- versioned-table extras

@@ -295,7 +295,8 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
             cluster_by=body.get("cluster_by"),
             bloom_filter_columns=body.get("bloom_filter_columns"),
             hash_bucket_by=body.get("hash_bucket_by"),
-            n_hash_buckets=int(body.get("n_hash_buckets") or 16)))
+            n_hash_buckets=int(body.get("n_hash_buckets") or 16),
+            zorder_by=body.get("zorder_by")))
 
     # Versioned-backend extras (backends/versioned.py): Delta-style
     # history / vacuum; preview?version=N time-travels a pinned commit.

@@ -148,3 +148,57 @@ def test_full_load_resets_bucket_layout(eng, spark, tmp_path):
     got = {r.id for r in eng.read_table("p1", "in_c_main", "t")
            .select("id").collect()}
     assert got == {1, 2}
+
+
+def test_optimize_zorder_skips_on_both_dims(spark, tmp_path):
+    """OPTIMIZE ZORDER (r12): after the Morton rewrite, per-FILE min/max
+    spans are a small fraction of the full range on BOTH dimensions —
+    vs cluster_by one column where the second dimension's file spans
+    stay ~full. Rows intact, meta records the layout, and the decision
+    frame (zorder_layout_frame) predicted exactly this trade."""
+    import pyarrow.parquet as pq
+
+    eng = StorageEngine(spark, str(tmp_path / "whz"))
+    eng.create_project("p1")
+    eng.create_bucket("p1", "in_c_main")
+    eng.create_table("p1", "in_c_main", "tz", [
+        {"name": "x", "type": "INTEGER", "nullable": False},
+        {"name": "y", "type": "INTEGER", "nullable": False},
+    ])
+    csv = str(tmp_path / "z.csv")
+    with open(csv, "w") as f:
+        f.write("x,y\n")
+        for i in range(64):             # 64x64 grid: x and y independent
+            for j in range(64):
+                f.write(f"{i},{j}\n")
+    eng.import_file("p1", "in_c_main", "tz", csv)
+    out = eng.optimize_table("p1", "in_c_main", "tz",
+                             zorder_by=["x", "y"], target_files=16)
+    assert out["zorder_by"] == ["x", "y"]
+    df = eng.read_table("p1", "in_c_main", "tz")
+    assert df.count() == 64 * 64
+
+    data_dir = eng.catalog.data_dir("p1", "in_c_main", "tz")
+    spans = []
+    for e in sorted(os.listdir(data_dir)):
+        if not e.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(data_dir, e)).metadata
+        cols = {md.schema.column(c).name: c
+                for c in range(len(md.schema))}
+        sx = [md.row_group(i).column(cols["x"]).statistics
+              for i in range(md.num_row_groups)]
+        sy = [md.row_group(i).column(cols["y"]).statistics
+              for i in range(md.num_row_groups)]
+        spans.append((
+            (max(s.max for s in sx) - min(s.min for s in sx) + 1) / 64.0,
+            (max(s.max for s in sy) - min(s.min for s in sy) + 1) / 64.0))
+    assert len(spans) >= 8
+    mean_x = sum(s[0] for s in spans) / len(spans)
+    mean_y = sum(s[1] for s in spans) / len(spans)
+    # ~1/sqrt(16)=0.25 ideal each; allow slack for range-boundary files.
+    # The point: BOTH dims far below 1.0 (a single-column sort gives the
+    # unsorted dim ~1.0).
+    assert mean_x < 0.6 and mean_y < 0.6, (mean_x, mean_y)
+    meta = eng.catalog.read_meta("p1", "in_c_main", "tz")
+    assert meta.properties["zorder_by"] == ["x", "y"]
