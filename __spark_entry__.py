@@ -1853,13 +1853,13 @@ def q_ann_ivf_kmeans(spark, sf_dir):
                                rounds=2, nprobe=2)
 
 
-def _ivf_kmeans_sql(k=5, n_clusters=8, nprobe=2):
+def _ivf_kmeans_ctes(k=5, n_clusters=8, nprobe=2):
     """The kmeans_fixed Lloyd chain (md5 seeds, sequential list_sum
     folds, per-dim AVG + COALESCE fallback, lower-cluster tie-break)
     generalized to n_clusters, composed with centroid routing and
-    exact in-list ranking."""
-    return f"""
-WITH seeds AS (
+    exact in-list ranking; ends at ``ivfktop`` so the recall oracle
+    shares the chain verbatim."""
+    return f"""seeds AS (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
               - 1 AS INTEGER) AS cluster,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
@@ -1909,12 +1909,63 @@ scored AS (
   SELECT query_id, neighbor_id,
          ROUND(list_sum(list_transform(generate_series(1, len(qv)),
                i -> (qv[i] - v[i]) * (qv[i] - v[i]))), 6) AS dist
-  FROM cand)
-SELECT query_id, neighbor_id, dist, rank FROM (
-  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
-  FROM scored)
-WHERE rank <= {k}"""
+  FROM cand),
+ivfktop AS (
+  SELECT query_id, neighbor_id, dist, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored)
+  WHERE rank <= {k})"""
+
+
+def _ivf_kmeans_sql(k=5, n_clusters=8, nprobe=2):
+    return f"""
+WITH {_ivf_kmeans_ctes(k, n_clusters, nprobe)}
+SELECT query_id, neighbor_id, dist, rank FROM ivfktop"""
+
+
+def _ivf_kmeans_recall_sql(k=5, n_clusters=8, nprobe=2):
+    """Recall@k of the trained-quantizer IVF vs the exact squared-L2
+    ranking — the shared chain verbatim + the _pq_recall_sql comparison
+    shape (left-semi hit count / exact denominator, two exact ints)."""
+    return f"""
+WITH {_ivf_kmeans_ctes(k, n_clusters, nprobe)},
+l2 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT kq.query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+              PARTITION BY kq.query_id
+              ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
+                        i -> (kq.qv[i] - c.v[i]) * (kq.qv[i] - c.v[i]))), 6)
+                       ASC, c.vec_id ASC) AS INTEGER) AS rank
+    FROM v c CROSS JOIN kq
+    WHERE c.vec_id <> kq.query_id)
+  WHERE rank <= {k})
+SELECT e.query_id,
+       CAST(COUNT(p.neighbor_id) AS INTEGER) AS n_hits,
+       CAST(COUNT(p.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS recall
+FROM l2 e LEFT JOIN ivfktop p
+  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+GROUP BY e.query_id"""
+
+
+def q_ivf_kmeans_recall(spark, sf_dir):
+    """Recall@k frame for the trained-quantizer IVF (NEW r12): how many
+    of the true exact-L2 top-k the nprobe probed lists actually
+    contained — the tuning curve read before trading nprobe for
+    latency, completing the recall-frame family (ivf / pq / ivfpq /
+    rerank / sq8 all have one)."""
+    from keboola_storage_duckdb_spark.functions.clustering import (
+        ivf_kmeans_ann_topk)
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        _recall_frame, exact_l2_topk)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_kmeans_ann_topk(emb, q, "vec_id", "embedding", k=5,
+                                 n_clusters=8, rounds=2, nprobe=2)
+    exact = exact_l2_topk(emb, q, "vec_id", "embedding", k=5)
+    return _recall_frame(approx, exact)
 
 
 def q_zorder_layout(spark, sf_dir):
@@ -3968,7 +4019,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_spans": q_duplicate_spans,        # certified r07
     # rotated IN r08: never driver-certified before (VERDICT r7 #3)
     "corpus_shards": q_corpus_shards,            # NEW r08: epoch shuffle
-    "ivf_recall": q_ivf_recall,                  # NEW r08: ANN recall frame
+    # r12 rotation: ivf_kmeans_recall takes ivf_recall's slot — the
+    # recall-frame family stays window-certified (pq_recall,
+    # ivfpq_recall, ivfpq_rerank_recall, sq8_recall all in-window);
+    # ivf_recall green r08-r11, parked 51+.
+    "ivf_kmeans_recall": q_ivf_kmeans_recall,    # NEW r12: trained-IVF recall
     "minhash_dedup_keep": q_minhash_dedup_keep,  # NEW r08: text dedup e2e
     "encoding_quality": q_encoding_quality,      # NEW r08: mojibake filter
     "leakage_report": q_leakage_report,          # NEW r08: leakage frame
@@ -3992,6 +4047,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,                # parked r12 (green r06-r11)
     "ann_topk": q_ann_topk,                      # parked r12 (green r01-r11;
     # oracle shared with parked ann_topk_fold)
+    "ivf_recall": q_ivf_recall,                  # parked r12 (green r08-r11)
     "quality_verdict": q_quality_verdict,        # parked r11 (green r08-r10)
     "decontaminate_cut": q_decontaminate_cut,    # parked r11 (green r08-r10)
     "dedup_rate": q_dedup_rate,                  # parked r11 (green r08-r10)
@@ -4321,6 +4377,7 @@ def oracle_sql() -> dict[str, str]:
         # add trains on the base predicate only; merge == plain PQ
         "zorder_layout": _ZORDER_SQL,
         "ann_ivf_kmeans": _ivf_kmeans_sql(),
+        "ivf_kmeans_recall": _ivf_kmeans_recall_sql(),
         "ann_pq_indexed": _ann_pq_sql(),
         # filtered serving path: full-corpus training (labels never
         # reach training), candidate predicate applied at ranking

@@ -435,8 +435,8 @@ def pq_index_search(spark: SparkSession, index: PQIndex | str,
 
 def pq_index_search_lut(spark: SparkSession, index: PQIndex | str,
                         queries: DataFrame, id_col: str, vec_col: str,
-                        k: int = 5,
-                        max_queries: int = 65_536) -> DataFrame:
+                        k: int = 5, max_queries: int = 65_536,
+                        filter_labels: list | None = None) -> DataFrame:
     """LUT-form search over the persisted index — the production PQ
     serving kernel end to end: codebooks are already trained and codes
     already stored (no per-query work but the ranking itself), and each
@@ -449,7 +449,9 @@ def pq_index_search_lut(spark: SparkSession, index: PQIndex | str,
     driver-side IEEE fold and adist adds the m cells in subspace order
     on both engines — the UNCHANGED ann_pq_lut oracle certifies this
     path. Query count bounded by ``max_queries`` (the LUT is Q·m·ksub
-    broadcast doubles)."""
+    broadcast doubles). ``filter_labels`` restricts candidates to those
+    inverted lists before any lookup — static partition pruning on the
+    label-partitioned codes scan, same as ``pq_index_search``."""
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
@@ -486,6 +488,11 @@ def pq_index_search_lut(spark: SparkSession, index: PQIndex | str,
                        for j in range(m)]) for r in q_rows],
         lut_schema)
     codes = index.codes(spark)
+    if filter_labels is not None:
+        if not index.meta["label_col"]:
+            raise ValueError("pq_index_search_lut: filter_labels needs "
+                             "an index built with label_col")
+        codes = codes.filter(F.col("label").isin(list(filter_labels)))
     enc = (codes.select(F.col("id").alias("neighbor_id"), "codes")
                 .repartition(_par(codes)))
     terms = [F.element_at(F.col("lut")[j], F.col("codes")[j] + F.lit(1))

@@ -337,3 +337,20 @@ def test_stream_index_add_equals_batch(spark, emb, queries, tmp_path):
     n_files2 = len([f for f in os.listdir(os.path.join(p, "codes"))
                     if f.endswith(".parquet")])
     assert n_files2 == n_files
+
+
+def test_filtered_lut_search_equals_filtered_fold(spark, emb, queries,
+                                                  tmp_path):
+    """filter_labels on the LUT serving path == the reconstruction-fold
+    filtered search row-for-row (different arithmetic order, same
+    round-6 values — the certified LUT identity restricted to the
+    allowed lists)."""
+    idx = AI.pq_index_build(emb, "vec_id", "embedding",
+                            str(tmp_path / "flut"), label_col="label")
+    got = _rows(AI.pq_index_search_lut(spark, idx, queries, "vec_id",
+                                       "embedding", k=5,
+                                       filter_labels=[1, 3, 5, 7]))
+    want = _rows(AI.pq_index_search(spark, idx, queries, "vec_id",
+                                    "embedding", k=5,
+                                    filter_labels=[1, 3, 5, 7]))
+    assert got == want and len(got) == 50
