@@ -1853,45 +1853,58 @@ def q_ann_ivf_kmeans(spark, sf_dir):
                                rounds=2, nprobe=2)
 
 
-def _ivf_kmeans_ctes(k=5, n_clusters=8, nprobe=2):
-    """The kmeans_fixed Lloyd chain (md5 seeds, sequential list_sum
-    folds, per-dim AVG + COALESCE fallback, lower-cluster tie-break)
-    generalized to n_clusters, composed with centroid routing and
-    exact in-list ranking; ends at ``ivfktop`` so the recall oracle
-    shares the chain verbatim."""
-    return f"""seeds AS (
+def _kmeans_train_ctes(n_clusters=8, prefix="", emit_v=True):
+    """TRAINING half of the kmeans_fixed Lloyd chain (md5 seeds,
+    sequential list_sum folds, per-dim AVG + COALESCE fallback,
+    lower-cluster tie-break), generalized to n_clusters: ends at
+    ``{prefix}cf`` (trained centroids) and ``{prefix}kasg`` (final
+    assignments). ``prefix`` renames every CTE so the chain composes
+    with _pq_chain_sql (which also uses seeds/d1/a1/m1/c1 names);
+    ``emit_v=False`` skips the shared ``v`` CTE when a composed chain
+    already defines the identical one."""
+    p = prefix
+    v_cte = """v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+""" if emit_v else ""
+    return f"""{p}seeds AS (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
               - 1 AS INTEGER) AS cluster,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
   FROM embeddings
   QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
           <= {n_clusters}),
-v AS (SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings),
-d1 AS (SELECT vec_id, v, cluster,
+{v_cte}{p}d1 AS (SELECT vec_id, v, cluster,
               list_sum(list_transform(generate_series(1, len(v)),
                        i -> (v[i] - c[i]) * (v[i] - c[i]))) AS d
-       FROM v CROSS JOIN seeds),
-a1 AS (SELECT vec_id, v, cluster FROM d1
+       FROM v CROSS JOIN {p}seeds),
+{p}a1 AS (SELECT vec_id, v, cluster FROM {p}d1
        QUALIFY row_number() OVER (PARTITION BY vec_id
                                   ORDER BY d ASC, cluster ASC) = 1),
-m1 AS (SELECT cluster, dim, AVG(x) AS m
+{p}m1 AS (SELECT cluster, dim, AVG(x) AS m
        FROM (SELECT cluster,
                     unnest(generate_series(1, len(v))) AS dim,
                     unnest(v) AS x
-             FROM a1)
+             FROM {p}a1)
        GROUP BY cluster, dim),
-c1 AS (SELECT cluster, list(m ORDER BY dim) AS c FROM m1 GROUP BY cluster),
-cf AS (SELECT s.cluster, COALESCE(c1.c, s.c) AS c
-       FROM seeds s LEFT JOIN c1 USING (cluster)),
-kasg AS (SELECT vec_id, v, cluster FROM (
+{p}c1 AS (SELECT cluster, list(m ORDER BY dim) AS c FROM {p}m1
+       GROUP BY cluster),
+{p}cf AS (SELECT s.cluster, COALESCE({p}c1.c, s.c) AS c
+       FROM {p}seeds s LEFT JOIN {p}c1 USING (cluster)),
+{p}kasg AS (SELECT vec_id, v, cluster FROM (
     SELECT vec_id, v, cluster,
            list_sum(list_transform(generate_series(1, len(v)),
                     i -> (v[i] - c[i]) * (v[i] - c[i]))) AS d
-    FROM v CROSS JOIN cf)
+    FROM v CROSS JOIN {p}cf)
   QUALIFY row_number() OVER (PARTITION BY vec_id
-                             ORDER BY d ASC, cluster ASC) = 1),
+                             ORDER BY d ASC, cluster ASC) = 1)"""
+
+
+def _ivf_kmeans_ctes(k=5, n_clusters=8, nprobe=2):
+    """Trained-quantizer IVF: the kmeans training chain + centroid
+    routing + exact in-list ranking; ends at ``ivfktop`` so the recall
+    oracle shares the chain verbatim."""
+    return f"""{_kmeans_train_ctes(n_clusters)},
 kq AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
 routed AS (SELECT query_id, qv, cluster FROM (
     SELECT kq.query_id, kq.qv, cf.cluster,
@@ -1948,6 +1961,78 @@ SELECT e.query_id,
 FROM l2 e LEFT JOIN ivfktop p
   ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
 GROUP BY e.query_id"""
+
+
+def q_ann_ivfpq_kmeans_indexed(spark, sf_dir):
+    """The COMPLETE FAISS IndexIVFPQ, persisted (NEW r12): coarse
+    quantizer TRAINED by fixed-round k-means (not averaged from a given
+    label column), every vector assigned to its trained inverted list,
+    PQ codes stored label-partitioned, centroids + codebooks in the
+    index metadata with route_metric='l2' — search routes queries
+    through the trained centroids by the metric they were trained
+    under, prunes the codes partitions to the probed lists, and
+    ADC-ranks the stored codes. Oracle composes the full-corpus PQ
+    chain with the prefixed kmeans training chain (centroid routing +
+    reconstruction ranking) — every piece already certified alone."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        _source_fingerprint, pq_index_build, pq_index_load,
+        pq_index_search)
+    from keboola_storage_duckdb_spark.functions.clustering import (
+        kmeans_fit)
+    emb = _t(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = _source_fingerprint(src, ("vec_id", "embedding", 4, 8, 64, 2,
+                                   "ivfpq-kmeans:8x2"))
+    path = os.path.join(_ann_index_dir(), fp)
+    try:
+        idx = pq_index_load(spark, path)
+        fresh = idx.meta.get("fingerprint") != fp
+    except (OSError, ValueError):
+        fresh = True
+    if fresh:
+        labeled, cents = kmeans_fit(emb, "vec_id", "embedding", k=8,
+                                    rounds=2)
+        idx = pq_index_build(
+            labeled, "id", "v", path, label_col="cluster",
+            centroids=[[i, c] for i, c in enumerate(cents)],
+            route_metric="l2", fingerprint=fp)
+    return pq_index_search(spark, idx, emb.filter(F.col("vec_id") < 10),
+                           "vec_id", "embedding", k=5, nprobe=2)
+
+
+def _ivfpq_kmeans_sql(k=5, nprobe=2):
+    """Trained-quantizer IVFPQ oracle: full-corpus PQ chain (training
+    never reads lists) + the km_-prefixed kmeans training chain for
+    routing/assignment + ADC over the reconstructions inside probed
+    lists."""
+    return f"""
+WITH {_pq_chain_sql()},
+{_kmeans_train_ctes(8, prefix="km_", emit_v=False)},
+routedk AS (SELECT query_id, qv, cluster FROM (
+    SELECT qpq.query_id, qpq.qv, c.cluster,
+           list_sum(list_transform(generate_series(1, 64),
+                    i -> (qpq.qv[i] - c.c[i]) * (qpq.qv[i] - c.c[i])))
+               AS d
+    FROM qpq CROSS JOIN km_cf c)
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY d ASC, cluster ASC) <= {nprobe}),
+candk AS (
+  SELECT r.query_id, r.qv, g.vec_id AS neighbor_id
+  FROM routedk r JOIN km_kasg g USING (cluster)
+  WHERE g.vec_id <> r.query_id),
+adk AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+               i -> (c.qv[i] - rec.rv[i]) * (c.qv[i] - rec.rv[i]))), 6)
+             AS adist
+  FROM candk c JOIN recon rec ON rec.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, adist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adist ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM adk)
+WHERE rank <= {k}"""
 
 
 def q_ivf_kmeans_recall(spark, sf_dir):
@@ -4027,7 +4112,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_keep": q_minhash_dedup_keep,  # NEW r08: text dedup e2e
     "encoding_quality": q_encoding_quality,      # NEW r08: mojibake filter
     "leakage_report": q_leakage_report,          # NEW r08: leakage frame
-    "bloom_membership": q_bloom_membership,      # NEW r08: bloom sketch
+    # r12 rotation: ann_ivfpq_kmeans_indexed (the complete persisted
+    # IndexIVFPQ) takes bloom_membership's slot — bloom green r08-r11,
+    # the sketch family stays window-certified via hll_distinct +
+    # cm_heavy_hitters; parked 51+.
+    "ann_ivfpq_kmeans_indexed": q_ann_ivfpq_kmeans_indexed,  # NEW r12
     "range_join": q_range_join,                  # bucketed interval join
     "hll_distinct": q_hll_distinct,              # mergeable HLL sketch
     "cm_heavy_hitters": q_cm_heavy_hitters,      # count-min sketch
@@ -4048,6 +4137,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,                      # parked r12 (green r01-r11;
     # oracle shared with parked ann_topk_fold)
     "ivf_recall": q_ivf_recall,                  # parked r12 (green r08-r11)
+    "bloom_membership": q_bloom_membership,      # parked r12 (green r08-r11)
     "quality_verdict": q_quality_verdict,        # parked r11 (green r08-r10)
     "decontaminate_cut": q_decontaminate_cut,    # parked r11 (green r08-r10)
     "dedup_rate": q_dedup_rate,                  # parked r11 (green r08-r10)
@@ -4378,6 +4468,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _ZORDER_SQL,
         "ann_ivf_kmeans": _ivf_kmeans_sql(),
         "ivf_kmeans_recall": _ivf_kmeans_recall_sql(),
+        "ann_ivfpq_kmeans_indexed": _ivfpq_kmeans_sql(),
         "ann_pq_indexed": _ann_pq_sql(),
         # filtered serving path: full-corpus training (labels never
         # reach training), candidate predicate applied at ranking

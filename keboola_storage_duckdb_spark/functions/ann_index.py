@@ -150,10 +150,19 @@ def pq_index_build(vectors: DataFrame, id_col: str, vec_col: str,
                    path: str, label_col: str | None = None, m: int = 4,
                    ksub: int = 8, dim: int = 64, iters: int = 2,
                    cb: list[list[list[float]]] | None = None,
-                   fingerprint: str | None = None) -> PQIndex:
+                   fingerprint: str | None = None,
+                   centroids: list | None = None,
+                   route_metric: str = "cosine") -> PQIndex:
     """Train (unless ``cb`` is passed — the shard-build path trains once
     on the full corpus and shares) + add: persist codebooks, IVF
     centroids and the encoded codes table under ``path``.
+
+    ``centroids`` overrides the per-label mean centroids with an
+    explicitly TRAINED coarse quantizer (``[[label, vector], ...]`` —
+    e.g. ``clustering.kmeans_fit``'s output; the real FAISS IndexIVFPQ
+    trains its quantizer rather than averaging given labels), and
+    ``route_metric`` ("cosine" | "l2") records how search must rank
+    centroids — k-means centroids route by L2, matching training.
 
     The build is atomic: staged into ``path.staging`` and renamed, so a
     crashed build can never be mistaken for a complete index (the
@@ -169,14 +178,20 @@ def pq_index_build(vectors: DataFrame, id_col: str, vec_col: str,
     sel = [F.col(id_col).alias("id"), _pq_codes_expr(vec_col, cb, sub)]
     meta: dict = {"m": m, "ksub": ksub, "dim": dim, "iters": iters,
                   "cb": cb, "label_col": label_col, "centroids": None,
-                  "label_type": None, "fingerprint": fingerprint}
+                  "label_type": None, "fingerprint": fingerprint,
+                  "route_metric": route_metric}
     writer_cols = None
     if label_col is not None:
         sel.append(F.col(label_col).alias("label"))
-        cents = ivf_centroids(vectors, id_col, vec_col, label_col)
-        meta["centroids"] = sorted(
-            ([r["label"], [float(x) for x in r["centroid"]]]
-             for r in cents.collect()), key=lambda t: str(t[0]))
+        if centroids is not None:
+            meta["centroids"] = sorted(
+                ([lab, [float(x) for x in vec]] for lab, vec in centroids),
+                key=lambda t: str(t[0]))
+        else:
+            cents = ivf_centroids(vectors, id_col, vec_col, label_col)
+            meta["centroids"] = sorted(
+                ([r["label"], [float(x) for x in r["centroid"]]]
+                 for r in cents.collect()), key=lambda t: str(t[0]))
         meta["label_type"] = dict(
             zip(vectors.schema.names,
                 [f.dataType.simpleString()
@@ -234,8 +249,8 @@ def pq_index_merge(spark: SparkSession, path_a: str, path_b: str,
     a = pq_index_load(spark, path_a)
     b = pq_index_load(spark, path_b)
     for key in ("m", "ksub", "dim", "cb", "label_col", "centroids",
-                "label_type"):
-        if a.meta[key] != b.meta[key]:
+                "label_type", "route_metric"):
+        if a.meta.get(key) != b.meta.get(key):
             raise ValueError(
                 f"pq_index_merge: indexes disagree on {key} — shards "
                 "must share one trained codebook (train once, add per "
@@ -396,12 +411,25 @@ def pq_index_search(spark: SparkSession, index: PQIndex | str,
             # routing only over allowed lists — routed ⊆ filter set
             cents = cents.filter(
                 F.col("label").isin(list(filter_labels)))
-        qn = with_norm(q, "qv", "qn")
-        qc = (qn.crossJoin(F.broadcast(with_norm(cents, "centroid", "cn")))
-                .withColumn("cscore",
-                            cosine_expr("qv", "centroid", "qn", "cn")))
-        wr = Window.partitionBy("query_id").orderBy(
-            F.col("cscore").desc(), F.col("label").asc())
+        if index.meta.get("route_metric", "cosine") == "l2":
+            # trained (k-means) quantizer: rank centroids by squared L2
+            # ascending — the metric the quantizer was trained under
+            cd = F.expr(
+                "aggregate(zip_with(qv, centroid, (x, y) -> "
+                "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+            qc = (q.crossJoin(F.broadcast(cents))
+                   .withColumn("cscore", cd))
+            wr = Window.partitionBy("query_id").orderBy(
+                F.col("cscore").asc_nulls_last(), F.col("label").asc())
+        else:
+            qn = with_norm(q, "qv", "qn")
+            qc = (qn.crossJoin(F.broadcast(with_norm(cents, "centroid",
+                                                     "cn")))
+                    .withColumn("cscore",
+                                cosine_expr("qv", "centroid", "qn", "cn")))
+            wr = Window.partitionBy("query_id").orderBy(
+                F.col("cscore").desc(), F.col("label").asc())
         routed = (qc.withColumn("rt", F.row_number().over(wr))
                     .filter(F.col("rt") <= nprobe)
                     .select("query_id", "qv", "label")

