@@ -138,6 +138,38 @@ SHOWCASE = {
         "localCheckpointed (training materializes it 3+ times — the "
         "cut halved wall time), routing and ADC ranking keep the "
         "certified broadcast shapes."),
+    "ann_ivfpq_indexed": (
+        "Persisted IVFPQ serving path (r11/r12): codes scan carries "
+        "PartitionFilters: label IN (probed set) — the routed labels "
+        "are collected driver-side (≤ n_lists values) and pushed as a "
+        "STATIC partition filter, so nprobe search reads only the "
+        "probed posting-list directories; codebooks are one broadcast "
+        "literal, raw vectors never appear."),
+    "ann_filtered_indexed": (
+        "Filtered serving query (r12): the allowed label set prunes "
+        "the label-partitioned codes scan before any ADC work — "
+        "PartitionFilters on the scan, certified ranking on what "
+        "remains."),
+    "ann_ivf_kmeans": (
+        "Trained-quantizer IVF (r12): Lloyd training is 2 broadcast-"
+        "literal narrow maps + tiny (cluster, dim) mean aggs; lists "
+        "ride the assignment frame (no corpus re-join), routed probes "
+        "reach the lists as ONE BroadcastHashJoin."),
+    "ann_ivfpq_kmeans_indexed": (
+        "The complete persisted IndexIVFPQ (r12): k-means-trained "
+        "centroids route by L2 from index metadata, probed lists prune "
+        "the codes partitions at the scan, ADC ranks stored codes — "
+        "training, assignment and encoding all happened at build time."),
+    "zorder_layout": (
+        "Z-order decision frame (r12): one tiny min/max agg (collected "
+        "as literals), a narrow pure-integer Morton map, and two "
+        "grouped aggs with map-side partials — scan-bound at any "
+        "corpus size."),
+    "ivf_kmeans_recall": (
+        "Trained-IVF recall frame (r12): exact side localCheckpointed "
+        "(the _recall_frame cut), approximate side keeps the trained-"
+        "IVF broadcast shapes; comparison is one semi-join + Q-row "
+        "agg."),
 }
 
 
