@@ -1834,6 +1834,119 @@ def q_ann_filtered_indexed(spark, sf_dir):
                            filter_labels=[1, 3, 5, 7])
 
 
+def q_ann_index_delete(spark, sf_dir):
+    """Index delete (NEW r12 — FAISS ``remove_ids``, the last missing
+    lifecycle verb: train/add/merge/compact/search all shipped r11-r12):
+    build the label-partitioned index on the full corpus, then delete
+    the ``vec_id % 7 = 3`` slice — ONLY the posting lists containing
+    deleted ids are rewritten (per-leaf anti-join + atomic swap;
+    untouched lists keep their files byte-identical — pytest-pinned),
+    codebooks and centroids stay frozen exactly like FAISS. Search
+    after delete never returns a deleted id. Training saw the full
+    corpus and deletion only shrinks the candidate set, so the oracle
+    is the UNCHANGED full-corpus PQ chain with the survivors predicate
+    applied at ranking (_pq_chain_sql(cand_pred=...)) — the same
+    certification shape as the filtered search."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        _write_meta, pq_index_build, pq_index_delete, pq_index_load,
+        pq_index_search, _source_fingerprint)
+    emb = _t(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = _source_fingerprint(src, ("vec_id", "embedding", "label", 4, 8,
+                                   64, 2, "del:vec_id%7=3"))
+    path = os.path.join(_ann_index_dir(), fp)
+    try:
+        idx = pq_index_load(spark, path)
+        fresh = idx.meta.get("fingerprint") != fp
+    except (OSError, ValueError):
+        # ValueError covers a corrupt/truncated meta.json (ADVICE r11)
+        fresh = True
+    if fresh:
+        # fingerprint withheld until the delete lands: a crash mid-way
+        # can never be mistaken for the complete post-delete index
+        idx = pq_index_build(emb, "vec_id", "embedding", path,
+                             label_col="label")
+        pq_index_delete(spark, path,
+                        emb.filter(F.col("vec_id") % 7 == 3)
+                           .select("vec_id"), id_col="vec_id")
+        idx.meta["fingerprint"] = fp
+        _write_meta(path, idx.meta)
+    else:
+        idx = pq_index_load(spark, path)
+    return pq_index_search(spark, idx, emb.filter(F.col("vec_id") < 10),
+                           "vec_id", "embedding", k=5)
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (NEW r12): fuse the
+    exact dense ranking (brute-force cosine top-5) with the persisted
+    quantized-index ranking (PQ ADC top-5) purely on ranks —
+    1/(60+rank_a) + 1/(60+rank_b), missing side = 0 — the
+    SIGIR'09 RRF combiner production retrieval stacks use because it
+    needs NO score calibration across heterogeneous systems. Both
+    shortlists are certified kernels; the fuse is a full outer join on
+    the Q·k result surface (corpus-size-independent). Exact divisions
+    of exact integers summed in fixed order → bit-identical oracle."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        ensure_pq_index, pq_index_search)
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        brute_force_topk, rrf_fuse)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    dense = brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+    idx = ensure_pq_index(
+        spark, emb, os.path.join(sf_dir, "embeddings.parquet"),
+        "vec_id", "embedding", _ann_index_dir())
+    quant = pq_index_search(spark, idx, q, "vec_id", "embedding", k=5)
+    return rrf_fuse(dense, quant, k=5)
+
+
+def q_ivf_drift(spark, sf_dir):
+    """Coarse-quantizer drift (NEW r12): ``add``/``delete`` mutate
+    postings but never retrain (FAISS semantics), so the stored routing
+    centroids drift off their lists' true means as the corpus churns —
+    this frame measures per list the squared L2 between the STORED
+    centroid (build-time mean of the base corpus) and the CURRENT
+    member mean after the held-out ``vec_id % 10 = 9`` slice was added
+    against frozen codebooks. The re-train trigger that completes the
+    lifecycle governance next to pq_distortion and ivf_imbalance.
+    Oracle: per-(label, dim) AVGs (the certified kmeans-chain
+    discipline) for base vs full corpus, sequential dim-order fold,
+    round 6."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        _write_meta, ivf_centroid_drift, pq_index_add, pq_index_build,
+        pq_index_load, _source_fingerprint)
+    emb = _t(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = _source_fingerprint(src, ("vec_id", "embedding", "label", 4, 8,
+                                   64, 2, "drift:vec_id%10<>9"))
+    path = os.path.join(_ann_index_dir(), fp)
+    try:
+        idx = pq_index_load(spark, path)
+        fresh = idx.meta.get("fingerprint") != fp
+    except (OSError, ValueError):
+        fresh = True
+    if fresh:
+        idx = pq_index_build(emb.filter(F.col("vec_id") % 10 != 9),
+                             "vec_id", "embedding", path,
+                             label_col="label")
+        pq_index_add(spark, path,
+                     emb.filter(F.col("vec_id") % 10 == 9),
+                     "vec_id", "embedding")
+        idx.meta["fingerprint"] = fp
+        _write_meta(path, idx.meta)
+    else:
+        idx = pq_index_load(spark, path)
+    return ivf_centroid_drift(spark, idx, emb, "vec_id", "embedding",
+                              "label")
+
+
 def q_ann_ivf_kmeans(spark, sf_dir):
     """IVF with a TRAINED coarse quantizer (NEW r12): the real FAISS
     IndexIVFFlat construction — Lloyd-train the routing centroids
@@ -3270,6 +3383,82 @@ WITH {_pq_chain_sql(train_pred="vec_id % 10 <> 9")}
 SELECT query_id, neighbor_id, adist, rank FROM pqtop"""
 
 
+def _ann_index_delete_sql():
+    """Index-delete oracle (NEW r12, FAISS remove_ids): training saw
+    the FULL corpus (the index was built before the delete) and
+    deletion only removes candidates from the postings, so the oracle
+    is the unchanged full-corpus PQ chain with the survivors predicate
+    applied at ranking — the same certification shape as the filtered
+    search (_pq_chain_sql(cand_pred=...))."""
+    return f"""
+WITH {_pq_chain_sql(cand_pred="(e.vec_id % 7) <> 3")}
+SELECT query_id, neighbor_id, adist, rank FROM pqtop"""
+
+
+def _hybrid_rrf_sql():
+    """Hybrid-RRF oracle (NEW r12): the certified exact-cosine top-5
+    (the _ANN_SQL arithmetic as CTEs) full-outer-joined with the
+    certified PQ chain top-5 (pqtop), fused by
+    CAST(1 AS DOUBLE)/(60+rank) per system summed in fixed (dense,
+    quantized) order — correctly-rounded IEEE divisions of exact
+    integers, bit-identical on both engines (no-libm discipline)."""
+    dot = _DOT_SQL
+    return f"""
+WITH {_pq_chain_sql()},
+cq AS (SELECT vec_id AS query_id, embedding AS qv,
+              {dot.format(a='embedding', b='embedding')} AS qn
+       FROM embeddings WHERE vec_id < 10),
+cc AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+              {dot.format(a='embedding', b='embedding')} AS cn
+       FROM embeddings),
+cscored AS (SELECT query_id, neighbor_id,
+                   ROUND({dot.format(a='qv', b='cv')}
+                         / (sqrt(qn) * sqrt(cn)), 6) AS score
+            FROM cq CROSS JOIN cc
+            WHERE neighbor_id <> query_id),
+costop AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM cscored)
+  WHERE rank <= 5),
+fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+         COALESCE(CAST(1 AS DOUBLE) / (60 + a.rank), CAST(0 AS DOUBLE))
+       + COALESCE(CAST(1 AS DOUBLE) / (60 + b.rank), CAST(0 AS DOUBLE))
+           AS rrf_score
+  FROM costop a FULL OUTER JOIN pqtop b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id)
+SELECT query_id, neighbor_id, rrf_score, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY rrf_score DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM fused)
+WHERE rank <= 5"""
+
+
+_IVF_DRIFT_SQL = """
+WITH comp AS (
+  SELECT label, vec_id,
+         unnest(generate_series(1, 64)) AS dim,
+         unnest(list_transform(generate_series(1, 64),
+                i -> CAST(embedding[i] AS DOUBLE))) AS x
+  FROM embeddings),
+base AS (SELECT label, dim, AVG(x) AS bx FROM comp
+         WHERE vec_id % 10 <> 9 GROUP BY label, dim),
+cur AS (SELECT label, dim, AVG(x) AS cx FROM comp GROUP BY label, dim),
+n AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label),
+d AS (SELECT b.label,
+             list_sum(list((b.bx - c.cx) * (b.bx - c.cx)
+                           ORDER BY b.dim)) AS drift
+      FROM base b JOIN cur c ON b.label = c.label AND b.dim = c.dim
+      GROUP BY b.label)
+SELECT d.label, n.n_vectors, ROUND(d.drift, 6) AS drift
+FROM d JOIN n USING (label)"""
+
+
 def _pq_recall_sql():
     """PQ recall oracle: the shared PQ chain plus the exact squared-L2
     top-k (round-6 distance, id tie-break — exact twin of
@@ -4064,7 +4253,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_distortion": q_pq_distortion,            # NEW r11: index quality
     "ivf_imbalance": q_ivf_imbalance,            # NEW r11: list balance
     "ivfpq_rerank": q_ivfpq_rerank,              # NEW r10: two-stage retrieval
-    "export_projection": q_export_projection,
+    # r12 rotation (late): ann_index_delete takes export_projection's
+    # slot — export_projection green r01-r11, its projection/order/limit
+    # path stays exercised by preview_orders' oracle arithmetic and the
+    # engine e2e suite; parked 51+.
+    "ann_index_delete": q_ann_index_delete,      # NEW r12: FAISS remove_ids
     "ivfpq_rerank_recall": q_ivfpq_rerank_recall,  # NEW r10: refine value
     "ann_ivfpq_residual": q_ann_ivfpq_residual,  # NEW r10: residual IVFPQ
     "ann_pq_lut": q_ann_pq_lut,                  # NEW r10: LUT-form ADC
@@ -4100,8 +4293,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # parked twin ann_topk_fold (same SQL) + plan tests; parked at 51+.
     "ann_ivf_kmeans": q_ann_ivf_kmeans,          # NEW r12: trained IVF
     "token_length_profile": q_token_length_profile,  # NEW r10: length profile
-    "sessionize": q_sessionize,
-    "duplicate_spans": q_duplicate_spans,        # certified r07
+    # r12 rotation (late): hybrid_rrf takes sessionize's slot —
+    # sessionize green r01-r11 and pinned by the streaming batch-equal
+    # pytest; parked 51+.
+    "hybrid_rrf": q_hybrid_rrf,                  # NEW r12: RRF hybrid retrieval
+    # r12 rotation (late): ivf_drift takes duplicate_spans' slot —
+    # duplicate_spans green r07-r11, its span family stays
+    # window-certified via cut_spans' parked oracle + the spans pytest
+    # suite; parked 51+.
+    "ivf_drift": q_ivf_drift,                    # NEW r12: quantizer drift
     # rotated IN r08: never driver-certified before (VERDICT r7 #3)
     "corpus_shards": q_corpus_shards,            # NEW r08: epoch shuffle
     # r12 rotation: ivf_kmeans_recall takes ivf_recall's slot — the
@@ -4138,6 +4338,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle shared with parked ann_topk_fold)
     "ivf_recall": q_ivf_recall,                  # parked r12 (green r08-r11)
     "bloom_membership": q_bloom_membership,      # parked r12 (green r08-r11)
+    "export_projection": q_export_projection,    # parked r12 (green r01-r11)
+    "sessionize": q_sessionize,                  # parked r12 (green r01-r11;
+    # streaming batch-equal pytest keeps the operator pinned)
+    "duplicate_spans": q_duplicate_spans,        # parked r12 (green r07-r11)
     "quality_verdict": q_quality_verdict,        # parked r11 (green r08-r10)
     "decontaminate_cut": q_decontaminate_cut,    # parked r11 (green r08-r10)
     "dedup_rate": q_dedup_rate,                  # parked r11 (green r08-r10)
@@ -4478,6 +4682,9 @@ SELECT query_id, neighbor_id, adist, rank FROM pqtop""",
         "ann_ivfpq_indexed": _ann_ivfpq_sql(),
         "ann_index_add": _ann_index_add_sql(),
         "ann_index_merge": _ann_pq_sql(),
+        "ann_index_delete": _ann_index_delete_sql(),
+        "hybrid_rrf": _hybrid_rrf_sql(),
+        "ivf_drift": _IVF_DRIFT_SQL,
         "epoch_plan": _EPOCH_PLAN_SQL,
         "ann_pq_indexed_lut": _ann_pq_lut_sql(),
         "ivfpq_rerank_indexed": _ivfpq_rerank_sql(),

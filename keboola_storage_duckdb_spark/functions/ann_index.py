@@ -53,8 +53,9 @@ from .util import par as _par
 
 __all__ = [
     "PQIndex", "pq_index_build", "pq_index_load", "pq_index_add",
-    "pq_index_merge", "pq_index_search", "pq_index_search_lut",
-    "pq_index_rerank", "pq_index_compact", "ensure_pq_index",
+    "pq_index_merge", "pq_index_delete", "pq_index_search",
+    "pq_index_search_lut", "pq_index_rerank", "pq_index_compact",
+    "ensure_pq_index", "ivf_centroid_drift",
 ]
 
 _META = "meta.json"
@@ -274,6 +275,76 @@ def pq_index_merge(spark: SparkSession, path_a: str, path_b: str,
     _write_meta(staging, a.meta)
     _publish(staging, out_path)
     return PQIndex(out_path, a.meta)
+
+
+def pq_index_delete(spark: SparkSession, path: str, ids,
+                    id_col: str = "id") -> dict:
+    """FAISS ``remove_ids``: drop vectors from the postings WITHOUT
+    retraining — codebooks and centroids stay frozen (they are training
+    state, not per-vector state; ``ivf_centroid_drift`` measures when
+    staleness warrants a re-train). The codes table is rewritten
+    anti-joined against the delete set, and for a label-partitioned
+    index ONLY the posting lists that actually contain deleted ids are
+    rewritten (affected-leaf discovery is an id+label-column scan —
+    partition metadata next to the m-byte codes); untouched lists keep
+    their files byte-identical, so at 100 TB a targeted delete touches
+    a handful of partitions, never the corpus. Each leaf stages + swaps
+    atomically (the compaction discipline); a list emptied by the
+    delete is removed outright.
+
+    ``ids`` is a DataFrame (its ``id_col`` column, broadcast into the
+    anti joins) or a plain list (pushed as a literal NOT IN filter).
+    Deleting absent ids is a no-op. Returns ``{"deleted": n,
+    "leaves_rewritten": [...]}``."""
+    idx = pq_index_load(spark, path)
+    codes_dir = os.path.join(path, _CODES)
+    if isinstance(ids, DataFrame):
+        dset = F.broadcast(ids.select(F.col(id_col).alias("id"))
+                              .distinct())
+
+        def _keep(df: DataFrame) -> DataFrame:
+            return df.join(dset, "id", "left_anti")
+
+        def _hit(df: DataFrame) -> DataFrame:
+            return df.join(dset, "id", "left_semi")
+    else:
+        dlist = list(ids)
+
+        def _keep(df: DataFrame) -> DataFrame:
+            return df.filter(~F.col("id").isin(dlist))
+
+        def _hit(df: DataFrame) -> DataFrame:
+            return df.filter(F.col("id").isin(dlist))
+
+    report: dict = {"deleted": 0, "leaves_rewritten": []}
+    if idx.meta["label_col"]:
+        hits = (_hit(idx.codes(spark))
+                .groupBy("label").count().collect())
+        for r in sorted(hits, key=lambda r: str(r["label"])):
+            leaf = f"label={r['label']}"
+            d = os.path.join(codes_dir, leaf)
+            kept = _keep(spark.read.parquet(d))
+            if kept.isEmpty():                 # list emptied: drop it
+                gone = _make_staging(d + ".old", work_dir=path)
+                os.rmdir(gone)
+                os.replace(d, gone)
+                shutil.rmtree(gone, ignore_errors=True)
+            else:
+                staging = _make_staging(d, work_dir=path)
+                kept.write.mode("overwrite").parquet(staging)
+                _publish(staging, d, work_dir=path)
+            report["deleted"] += r["count"]
+            report["leaves_rewritten"].append(leaf)
+    else:
+        n = _hit(spark.read.parquet(codes_dir)).count()
+        if n:
+            staging = _make_staging(codes_dir, work_dir=path)
+            (_keep(spark.read.parquet(codes_dir))
+             .write.mode("overwrite").parquet(staging))
+            _publish(staging, codes_dir, work_dir=path)
+            report["deleted"] = n
+            report["leaves_rewritten"].append(_CODES)
+    return report
 
 
 def stream_index_add(spark: SparkSession, path: str, source_dir: str,
@@ -682,6 +753,49 @@ def pq_index_distortion(spark: SparkSession, index: PQIndex | str,
                        (F.col("sum_distortion")
                         / F.col("n_vectors").cast("double"))
                        .alias("mean_distortion")))
+
+
+def ivf_centroid_drift(spark: SparkSession, index: PQIndex | str,
+                       vectors: DataFrame, id_col: str, vec_col: str,
+                       label_col: str) -> DataFrame:
+    """Coarse-quantizer drift of a persisted IVF index — the governance
+    stat that closes the lifecycle loop: ``add``/``delete`` mutate the
+    posting lists but NEVER retrain (FAISS semantics — the quantizer is
+    training state), so after enough churn the stored routing centroids
+    no longer sit at their lists' true means and the nprobe/recall
+    trade silently degrades. This frame measures exactly that gap:
+    per list, the squared L2 between the STORED centroid (what routing
+    uses) and the CURRENT member mean (what retraining would produce).
+    Read it on a schedule; a drifted list is a re-train trigger, the
+    same way ``ivf_list_stats``'s imbalance is.
+
+    Exactness: current means are per-(label, dim) AVGs (the certified
+    kmeans-chain discipline — posexplode + avg, one tiny shuffle keyed
+    (label, dim)); the drift distance is the sequential zip_with fold
+    (dim order) rounded to 6 decimals — identical arithmetic on both
+    engines. Stored centroids come from index metadata (driver-side,
+    no scan). Output: (label, n_vectors, drift), n_vectors = live
+    members in the index's postings."""
+    from .similarity import ivf_centroids
+
+    if isinstance(index, str):
+        index = pq_index_load(spark, index)
+    if not index.meta["label_col"]:
+        raise ValueError("ivf_centroid_drift: index has no IVF labels")
+    live = index.codes(spark).select(F.col("id").alias(id_col))
+    members = vectors.join(live, id_col, "left_semi")
+    cur = ivf_centroids(members, id_col, vec_col, label_col)
+    counts = (index.codes(spark).groupBy("label")
+                   .agg(F.count(F.lit(1)).alias("n_vectors")))
+    stored = index.centroids(spark).withColumnRenamed("centroid", "sc")
+    d = F.expr(
+        "aggregate(zip_with(sc, centroid, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    return (cur.join(F.broadcast(stored), "label")
+               .join(F.broadcast(counts), "label")
+               .select("label", "n_vectors",
+                       F.round(d, 6).alias("drift"))
+               .orderBy("label"))
 
 
 def ivf_list_stats(spark: SparkSession, index: PQIndex | str) -> DataFrame:

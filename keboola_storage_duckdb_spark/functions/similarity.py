@@ -1020,3 +1020,40 @@ def brute_force_topk_pandas(vectors: DataFrame, queries: DataFrame,
                  .withColumn("rank", F.row_number().over(w))
                  .filter(F.col("rank") <= k)
                  .select("query_id", "neighbor_id", "score", "rank"))
+
+
+def rrf_fuse(ranking_a: DataFrame, ranking_b: DataFrame, k: int = 5,
+             c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of two
+    retrieval rankings — THE production hybrid-retrieval combiner: fuse
+    heterogeneous retrievers (dense exact, quantized-index approximate,
+    lexical) purely on ranks, no score calibration across systems
+    needed. ``rrf = 1/(c+rank_a) + 1/(c+rank_b)`` with a missing-system
+    term contributing 0.
+
+    Inputs are (query_id, neighbor_id, rank) frames (extra columns
+    ignored); rank is the 1-based position within the query. The fuse
+    is a full outer join on (query_id, neighbor_id) — both sides are
+    top-k shortlists (Q·k rows), so this is shuffle-light at any corpus
+    size: fusion cost scales with the RESULT surface, never the corpus.
+
+    Exactness: each term is one correctly-rounded IEEE division of
+    exact integers, summed in fixed (a, b) order — bit-identical on any
+    engine (the no-libm discipline: only + / on exact inputs). Ties in
+    rrf_score break on lower neighbor_id. Returns (query_id,
+    neighbor_id, rrf_score, rank) with rank ≤ k."""
+    from pyspark.sql import Window
+
+    a = ranking_a.select("query_id", "neighbor_id",
+                         F.col("rank").alias("rank_a"))
+    b = ranking_b.select("query_id", "neighbor_id",
+                         F.col("rank").alias("rank_b"))
+    fused = a.join(b, ["query_id", "neighbor_id"], "full_outer")
+    term = lambda r: F.coalesce(
+        F.lit(1.0) / (F.lit(c) + F.col(r)).cast("double"), F.lit(0.0))
+    scored = fused.withColumn("rrf_score", term("rank_a") + term("rank_b"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc_nulls_last(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "rrf_score", "rank"))

@@ -379,3 +379,117 @@ def test_trained_quantizer_ivfpq_full_probe_equals_pq(spark, emb,
     want = _rows(AI.pq_index_search(spark, flat, queries, "vec_id",
                                     "embedding", k=5))
     assert got == want and len(got) == 50
+
+
+def test_delete_equals_rebuild_without_deleted(spark, emb, queries,
+                                               tmp_path):
+    """FAISS remove_ids semantics: codes of survivors are untouched and
+    codebooks stay frozen, so delete-then-search == rebuild over the
+    survivor corpus with the SAME codebooks."""
+    path = str(tmp_path / "del")
+    full = AI.pq_index_build(emb, "vec_id", "embedding", path,
+                             label_col="label")
+    report = AI.pq_index_delete(
+        spark, path, emb.filter(F.col("vec_id") % 7 == 3)
+                        .select("vec_id"), id_col="vec_id")
+    assert report["deleted"] == emb.filter(
+        F.col("vec_id") % 7 == 3).count()
+    got = _rows(AI.pq_index_search(spark, path, queries, "vec_id",
+                                   "embedding", k=5))
+    want_idx = AI.pq_index_build(
+        emb.filter(F.col("vec_id") % 7 != 3), "vec_id", "embedding",
+        str(tmp_path / "ref"), label_col="label", cb=full.cb)
+    want = _rows(AI.pq_index_search(spark, want_idx, queries, "vec_id",
+                                    "embedding", k=5))
+    assert got == want and len(got) == 50
+    # nothing deleted may surface as a neighbor
+    bad = {r.neighbor_id for r in AI.pq_index_search(
+        spark, path, queries, "vec_id", "embedding", k=5).collect()
+        if r.neighbor_id % 7 == 3}
+    assert not bad
+
+
+def test_delete_rewrites_only_affected_leaves(spark, emb, tmp_path):
+    """Targeted delete: posting lists without a deleted id keep their
+    parquet files byte-identical (at 100 TB a delete touches a handful
+    of partitions, never the corpus)."""
+    path = str(tmp_path / "leafdel")
+    AI.pq_index_build(emb, "vec_id", "embedding", path,
+                      label_col="label")
+    codes = os.path.join(path, "codes")
+
+    def leaf_files(leaf):
+        d = os.path.join(codes, leaf)
+        return sorted((n, os.path.getsize(os.path.join(d, n)))
+                      for n in os.listdir(d) if n.endswith(".parquet"))
+
+    # ids confined to one label -> exactly one leaf rewritten
+    victims = [r.vec_id for r in emb.filter(F.col("label") == 2)
+                                    .select("vec_id").limit(3).collect()]
+    before = {leaf: leaf_files(leaf)
+              for leaf in os.listdir(codes) if leaf.startswith("label=")}
+    report = AI.pq_index_delete(spark, path, victims)
+    assert report["leaves_rewritten"] == ["label=2"]
+    assert report["deleted"] == 3
+    for leaf, files in before.items():
+        if leaf != "label=2":
+            assert leaf_files(leaf) == files, leaf
+    # absent ids are a no-op
+    report2 = AI.pq_index_delete(spark, path, [-1, -2])
+    assert report2 == {"deleted": 0, "leaves_rewritten": []}
+
+
+def test_delete_all_of_a_list_removes_the_leaf(spark, emb, tmp_path):
+    path = str(tmp_path / "emptyleaf")
+    AI.pq_index_build(emb, "vec_id", "embedding", path,
+                      label_col="label")
+    codes = os.path.join(path, "codes")
+    ids = [r.vec_id for r in emb.filter(F.col("label") == 5)
+                                .select("vec_id").collect()]
+    AI.pq_index_delete(spark, path, ids)
+    assert "label=5" not in os.listdir(codes)
+    labels = {r.label for r in AI.pq_index_load(spark, path)
+                               .codes(spark).select("label")
+                               .distinct().collect()}
+    assert 5 not in labels
+
+
+def test_rrf_fuse_arithmetic_and_missing_sides(spark):
+    """RRF pin: a doc ranked by both systems beats a single-system doc
+    of equal best rank; a missing side contributes exactly 0; score is
+    1/(60+ra) + 1/(60+rb)."""
+    from keboola_storage_duckdb_spark.functions.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id int, neighbor_id int, rank int")
+    b = spark.createDataFrame(
+        [(1, 10, 2), (1, 12, 1)], "query_id int, neighbor_id int, rank int")
+    rows = {r.neighbor_id: (r.rrf_score, r.rank)
+            for r in rrf_fuse(a, b, k=3).collect()}
+    assert rows[10][0] == 1.0 / 61 + 1.0 / 62      # both systems
+    assert rows[12][0] == 1.0 / 61                 # b only
+    assert rows[11][0] == 1.0 / 62                 # a only
+    assert rows[10][1] == 1                        # fused winner
+    assert rows[12][1] == 2 and rows[11][1] == 3   # 1/61 > 1/62
+
+
+def test_centroid_drift_zero_before_add_positive_after(spark, emb,
+                                                       tmp_path):
+    """Stored centroids ARE the build-time member means, so drift == 0
+    right after build; adding held-out vectors against frozen
+    centroids makes it strictly positive somewhere."""
+    base = emb.filter(F.col("vec_id") % 10 != 9)
+    path = str(tmp_path / "drift")
+    AI.pq_index_build(base, "vec_id", "embedding", path,
+                      label_col="label")
+    zero = AI.ivf_centroid_drift(spark, path, emb, "vec_id",
+                                 "embedding", "label").collect()
+    assert all(r.drift == 0.0 for r in zero)
+    AI.pq_index_add(spark, path, emb.filter(F.col("vec_id") % 10 == 9),
+                    "vec_id", "embedding")
+    after = AI.ivf_centroid_drift(spark, path, emb, "vec_id",
+                                  "embedding", "label").collect()
+    assert any(r.drift > 0.0 for r in after)
+    assert {r.label: r.n_vectors for r in after} == {
+        r.label: r.n for r in emb.groupBy(F.col("label"))
+                                 .agg(F.count("*").alias("n")).collect()}
