@@ -1603,6 +1603,29 @@ def q_ann_sq8(spark, sf_dir):
                         "vec_id", "embedding", dim=64, k=5)
 
 
+def q_ann_sq8_indexed(spark, sf_dir):
+    """Persisted SQ8 index (NEW r12): the middle rung of the
+    quality-vs-bytes ladder gets the same warehouse lifecycle as PQ —
+    per-dim [lo,hi] grid in meta.json, 64 uint8 codes/vector stored,
+    search = reconstruct (lo + code·s, exact repr literals) + the
+    certified asymmetric-L2 fold. The stored code equals the inline
+    clamp-floor value exactly, so the UNCHANGED ann_sq8 oracle
+    certifies this path (plus a build==inline pytest). The
+    code-agnostic lifecycle verbs (delete, compact) operate on it
+    unchanged."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        ensure_sq8_index, sq8_index_search)
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ensure_sq8_index(
+        spark, emb, os.path.join(sf_dir, "embeddings.parquet"),
+        "vec_id", "embedding", _ann_index_dir())
+    return sq8_index_search(spark, idx,
+                            emb.filter(F.col("vec_id") < 10),
+                            "vec_id", "embedding", k=5)
+
+
 def q_sq8_recall(spark, sf_dir):
     """SQ8 quality frame (NEW r10): recall@k vs exact L2 — completes
     the quality-vs-bytes ladder next to pq_recall/ivfpq_recall."""
@@ -4270,6 +4293,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_recall": q_pq_recall,                    # NEW r09: PQ recall frame
     "upsert_update_duplicates": q_upsert_update_duplicates,
     "ann_sq8": q_ann_sq8,                        # NEW r10: scalar quantizer
+    # r12 rotation (late): ann_sq8_indexed takes corpus_shards' slot —
+    # corpus_shards green r08-r11, its md5 shuffle/shard arithmetic
+    # stays window-certified inside epoch_plan's composed oracle;
+    # parked 51+.
+    "ann_sq8_indexed": q_ann_sq8_indexed,        # NEW r12: persisted SQ8
     "delete_rows": q_delete_rows,
     "import_from_table": q_import_from_table,
     "sq8_recall": q_sq8_recall,                  # NEW r10: SQ8 quality
@@ -4303,7 +4331,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # suite; parked 51+.
     "ivf_drift": q_ivf_drift,                    # NEW r12: quantizer drift
     # rotated IN r08: never driver-certified before (VERDICT r7 #3)
-    "corpus_shards": q_corpus_shards,            # NEW r08: epoch shuffle
     # r12 rotation: ivf_kmeans_recall takes ivf_recall's slot — the
     # recall-frame family stays window-certified (pq_recall,
     # ivfpq_recall, ivfpq_rerank_recall, sq8_recall all in-window);
@@ -4339,6 +4366,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_recall": q_ivf_recall,                  # parked r12 (green r08-r11)
     "bloom_membership": q_bloom_membership,      # parked r12 (green r08-r11)
     "export_projection": q_export_projection,    # parked r12 (green r01-r11)
+    "corpus_shards": q_corpus_shards,            # parked r12 (green r08-r11;
+    # md5 shuffle/shard arithmetic stays window-certified in epoch_plan)
     "sessionize": q_sessionize,                  # parked r12 (green r01-r11;
     # streaming batch-equal pytest keeps the operator pinned)
     "duplicate_spans": q_duplicate_spans,        # parked r12 (green r07-r11)
@@ -4698,6 +4727,7 @@ SELECT query_id, neighbor_id, adist, rank FROM pqtop""",
         "ivfpq_rerank": _ivfpq_rerank_sql(),
         "ivfpq_rerank_recall": _ivfpq_rerank_recall_sql(),
         "ann_sq8": _ann_sq8_sql(),
+        "ann_sq8_indexed": _ann_sq8_sql(),
         "sq8_recall": _sq8_recall_sql(),
         "ann_ivfpq_residual": _ivfpq_residual_sql(),
         "dedup_safe_split": _dedup_safe_split_sql(),

@@ -493,3 +493,48 @@ def test_centroid_drift_zero_before_add_positive_after(spark, emb,
     assert {r.label: r.n_vectors for r in after} == {
         r.label: r.n for r in emb.groupBy(F.col("label"))
                                  .agg(F.count("*").alias("n")).collect()}
+
+
+def test_sq8_build_then_search_equals_inline(spark, emb, queries,
+                                             tmp_path):
+    """Persisted SQ8 == inline sq8_ann_topk: the stored uint8 code is
+    exactly the inline clamp-floor value and lo + code*s reproduces the
+    inline reconstruction bit-for-bit."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        sq8_ann_topk)
+
+    idx = AI.sq8_index_build(emb, "vec_id", "embedding",
+                             str(tmp_path / "sq8"))
+    got = _rows(AI.sq8_index_search(spark, idx, queries, "vec_id",
+                                    "embedding", k=5))
+    want = _rows(sq8_ann_topk(emb, queries, "vec_id", "embedding", k=5))
+    assert got == want and len(got) == 50
+
+
+def test_code_agnostic_verbs_work_on_sq8_index(spark, emb, queries,
+                                               tmp_path):
+    """delete and compact only touch (id, codes) — they must operate on
+    an SQ8 index unchanged: delete-then-search == rebuild over the
+    survivor corpus with the SAME trained grid."""
+    path = str(tmp_path / "sq8del")
+    idx = AI.sq8_index_build(emb, "vec_id", "embedding", path)
+    report = AI.pq_index_delete(
+        spark, path, emb.filter(F.col("vec_id") % 7 == 3)
+                        .select("vec_id"), id_col="vec_id")
+    assert report["deleted"] > 0
+    AI.pq_index_compact(spark, path, max_files=0)
+    got = _rows(AI.sq8_index_search(spark, path, queries, "vec_id",
+                                    "embedding", k=5))
+    # survivors re-encoded against the SAME stored grid
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        sq8_encode)
+    ref = str(tmp_path / "sq8ref")
+    surv = emb.filter(F.col("vec_id") % 7 != 3)
+    os.makedirs(ref)
+    (sq8_encode(surv, "vec_id", "embedding",
+                trained=(idx.meta["lo"], idx.meta["hi"]))
+     .write.mode("overwrite").parquet(os.path.join(ref, "codes")))
+    AI._write_meta(ref, idx.meta)
+    want = _rows(AI.sq8_index_search(spark, ref, queries, "vec_id",
+                                     "embedding", k=5))
+    assert got == want and len(got) == 50

@@ -170,6 +170,15 @@ SHOWCASE = {
         "(the _recall_frame cut), approximate side keeps the trained-"
         "IVF broadcast shapes; comparison is one semi-join + Q-row "
         "agg."),
+    "hybrid_rrf": (
+        "RRF hybrid retrieval (r12): both shortlists keep their "
+        "certified plan shapes (dense broadcast fold, persisted-codes "
+        "ADC); the fuse is one join on the Q-times-k result surface — "
+        "corpus-size-independent, no score calibration."),
+    "ivf_drift": (
+        "Quantizer-drift frame (r12): live-member semi-join, one tiny "
+        "(label, dim) mean shuffle, stored centroids broadcast from "
+        "index metadata — scan-bound governance at any corpus size."),
 }
 
 

@@ -101,7 +101,9 @@ def main() -> None:
                  "ann_index_add", "ann_index_merge", "ivfpq_rerank_indexed",
                  "pq_distortion", "ivf_imbalance", "epoch_plan",
                  "padding_waste", "bfd_pack", "ann_filtered_indexed",
-                 "zorder_layout", "ann_ivf_kmeans"]:
+                 "zorder_layout", "ann_ivf_kmeans", "ivf_kmeans_recall",
+                 "ann_ivfpq_kmeans_indexed", "ann_index_delete",
+                 "hybrid_rrf", "ivf_drift", "ann_sq8_indexed"]:
         if ONLY and name not in ONLY:
             continue
         run(name, lambda name=name: Q[name](spark, DST))
