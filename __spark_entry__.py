@@ -1928,6 +1928,31 @@ def q_hybrid_rrf(spark, sf_dir):
     return rrf_fuse(dense, quant, k=5)
 
 
+def q_hybrid_recall(spark, sf_dir):
+    """Hybrid-retrieval quality frame (NEW r12): recall@5 of the
+    RRF-fused ranking against the exact dense top-5 — how much the
+    quantized system perturbs the exact ranking, read before tuning
+    the RRF constant. Composes three certified kernels (dense top-k,
+    persisted PQ search, rrf_fuse) with the standard recall
+    comparison; the oracle reuses the shared hybrid CTE chain."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        ensure_pq_index, pq_index_search)
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        _recall_frame, brute_force_topk, rrf_fuse)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    dense = brute_force_topk(emb, q, "vec_id", "embedding", k=5) \
+        .localCheckpoint(eager=False)   # feeds the fuse AND the truth
+    idx = ensure_pq_index(
+        spark, emb, os.path.join(sf_dir, "embeddings.parquet"),
+        "vec_id", "embedding", _ann_index_dir())
+    quant = pq_index_search(spark, idx, q, "vec_id", "embedding", k=5)
+    fused = rrf_fuse(dense, quant, k=5)
+    return _recall_frame(fused, dense)
+
+
 def q_ivf_drift(spark, sf_dir):
     """Coarse-quantizer drift (NEW r12): ``add``/``delete`` mutate
     postings but never retrain (FAISS semantics), so the stored routing
@@ -3418,16 +3443,18 @@ WITH {_pq_chain_sql(cand_pred="(e.vec_id % 7) <> 3")}
 SELECT query_id, neighbor_id, adist, rank FROM pqtop"""
 
 
-def _hybrid_rrf_sql():
-    """Hybrid-RRF oracle (NEW r12): the certified exact-cosine top-5
-    (the _ANN_SQL arithmetic as CTEs) full-outer-joined with the
-    certified PQ chain top-5 (pqtop), fused by
-    CAST(1 AS DOUBLE)/(60+rank) per system summed in fixed (dense,
-    quantized) order — correctly-rounded IEEE divisions of exact
-    integers, bit-identical on both engines (no-libm discipline)."""
+def _hybrid_core_sql():
+    """Shared hybrid-RRF CTE chain (NEW r12): the certified
+    exact-cosine top-5 (the _ANN_SQL arithmetic as CTEs, ending
+    ``costop``) full-outer-joined with the certified PQ chain top-5
+    (pqtop), fused by CAST(1 AS DOUBLE)/(60+rank) per system summed in
+    fixed (dense, quantized) order — correctly-rounded IEEE divisions
+    of exact integers, bit-identical on both engines (no-libm
+    discipline). Ends ``rrftop(query_id, neighbor_id, rrf_score,
+    rank)``; the recall oracle reuses ``costop`` as its ground
+    truth."""
     dot = _DOT_SQL
-    return f"""
-WITH {_pq_chain_sql()},
+    return f"""{_pq_chain_sql()},
 cq AS (SELECT vec_id AS query_id, embedding AS qv,
               {dot.format(a='embedding', b='embedding')} AS qn
        FROM embeddings WHERE vec_id < 10),
@@ -3453,13 +3480,36 @@ fused AS (
        + COALESCE(CAST(1 AS DOUBLE) / (60 + b.rank), CAST(0 AS DOUBLE))
            AS rrf_score
   FROM costop a FULL OUTER JOIN pqtop b
-    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id)
-SELECT query_id, neighbor_id, rrf_score, rank FROM (
-  SELECT *, CAST(row_number() OVER (
-               PARTITION BY query_id
-               ORDER BY rrf_score DESC, neighbor_id ASC) AS INTEGER) AS rank
-  FROM fused)
-WHERE rank <= 5"""
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+rrftop AS (
+  SELECT query_id, neighbor_id, rrf_score, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY rrf_score DESC, neighbor_id ASC) AS INTEGER)
+              AS rank
+    FROM fused)
+  WHERE rank <= 5)"""
+
+
+def _hybrid_rrf_sql():
+    return f"""
+WITH {_hybrid_core_sql()}
+SELECT query_id, neighbor_id, rrf_score, rank FROM rrftop"""
+
+
+def _hybrid_recall_sql():
+    """Recall of the fused ranking against the exact dense top-5 —
+    how much the quantized system perturbs the exact ranking (the
+    frame you read before tuning the RRF constant)."""
+    return f"""
+WITH {_hybrid_core_sql()}
+SELECT e.query_id,
+       CAST(COUNT(p.neighbor_id) AS INTEGER) AS n_hits,
+       CAST(COUNT(p.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS recall
+FROM costop e LEFT JOIN rrftop p
+  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+GROUP BY e.query_id"""
 
 
 _IVF_DRIFT_SQL = """
@@ -4320,7 +4370,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green r01-r11 and its oracle arithmetic stays pinned by the
     # parked twin ann_topk_fold (same SQL) + plan tests; parked at 51+.
     "ann_ivf_kmeans": q_ann_ivf_kmeans,          # NEW r12: trained IVF
-    "token_length_profile": q_token_length_profile,  # NEW r10: length profile
+    # r12 rotation (late): hybrid_recall takes token_length_profile's
+    # slot — token_length_profile green r10-r11, its integer-stats
+    # arithmetic stays window-certified inside padding_waste/epoch_plan;
+    # parked 51+.
+    "hybrid_recall": q_hybrid_recall,            # NEW r12: fusion quality
     # r12 rotation (late): hybrid_rrf takes sessionize's slot —
     # sessionize green r01-r11 and pinned by the streaming batch-equal
     # pytest; parked 51+.
@@ -4368,6 +4422,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "export_projection": q_export_projection,    # parked r12 (green r01-r11)
     "corpus_shards": q_corpus_shards,            # parked r12 (green r08-r11;
     # md5 shuffle/shard arithmetic stays window-certified in epoch_plan)
+    "token_length_profile": q_token_length_profile,  # parked r12
+    # (green r10-r11)
     "sessionize": q_sessionize,                  # parked r12 (green r01-r11;
     # streaming batch-equal pytest keeps the operator pinned)
     "duplicate_spans": q_duplicate_spans,        # parked r12 (green r07-r11)
@@ -4713,6 +4769,7 @@ SELECT query_id, neighbor_id, adist, rank FROM pqtop""",
         "ann_index_merge": _ann_pq_sql(),
         "ann_index_delete": _ann_index_delete_sql(),
         "hybrid_rrf": _hybrid_rrf_sql(),
+        "hybrid_recall": _hybrid_recall_sql(),
         "ivf_drift": _IVF_DRIFT_SQL,
         "epoch_plan": _EPOCH_PLAN_SQL,
         "ann_pq_indexed_lut": _ann_pq_lut_sql(),

@@ -350,7 +350,7 @@ def pq_index_delete(spark: SparkSession, path: str, ids,
 
 def stream_index_add(spark: SparkSession, path: str, source_dir: str,
                      schema, id_col: str, vec_col: str,
-                     checkpoint_dir: str):
+                     checkpoint_dir: str, dedupe: bool = False):
     """Continuous index ingestion — Structured Streaming feeding
     ``pq_index_add``: each micro-batch encodes its vectors against the
     FROZEN stored codebooks and appends posting files; exactly-once
@@ -362,12 +362,28 @@ def stream_index_add(spark: SparkSession, path: str, source_dir: str,
     ``pq_index_compact`` on a schedule — streaming appends are the
     small-files source the compactor exists for.
 
+    ``dedupe=True`` upgrades batch-level to RECORD-level exactly-once:
+    each batch anti-joins against the ids already in the postings (the
+    codes table's id column — m ints/row, never raw vectors), so a
+    source that re-delivers rows (an at-least-once feed, an upstream
+    backfill overlapping the live window) can never create duplicate
+    postings — the same duplicate FAISS's IndexIDMap forbids and
+    ``pq_index_merge`` raises on. Within one batch, one row per id is
+    kept (min-ordered drop, deterministic).
+
     Returns the started ``StreamingQuery``."""
     stream = (spark.readStream.schema(schema).parquet(source_dir))
 
     def _add_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if dedupe:
+            batch_df = batch_df.dropDuplicates([id_col])
+            existing = (spark.read.parquet(os.path.join(path, _CODES))
+                             .select(F.col("id").alias(id_col)))
+            batch_df = batch_df.join(existing, id_col, "left_anti")
+            if batch_df.isEmpty():
+                return
         pq_index_add(spark, path, batch_df, id_col, vec_col)
 
     return (stream.writeStream.foreachBatch(_add_batch)

@@ -538,3 +538,34 @@ def test_code_agnostic_verbs_work_on_sq8_index(spark, emb, queries,
     want = _rows(AI.sq8_index_search(spark, ref, queries, "vec_id",
                                      "embedding", k=5))
     assert got == want and len(got) == 50
+
+
+def test_stream_index_add_dedupe_survives_redelivery(spark, emb,
+                                                     queries, tmp_path):
+    """Record-level exactly-once (dedupe=True): an at-least-once source
+    that re-delivers rows already in the postings (fresh checkpoint =
+    the worst case: every batch replays) adds nothing twice — the
+    index equals the clean batch-add result."""
+    base = emb.filter(F.col("vec_id") % 10 != 9)
+    delta = emb.filter(F.col("vec_id") % 10 == 9)
+    p = str(tmp_path / "dedup_idx")
+    idx = AI.pq_index_build(base, "vec_id", "embedding", p)
+    src = str(tmp_path / "src")
+    delta.repartition(2).write.parquet(src)
+    q = AI.stream_index_add(spark, p, src, delta.schema, "vec_id",
+                            "embedding", str(tmp_path / "ck1"),
+                            dedupe=True)
+    q.awaitTermination(120)
+    n_rows = AI.pq_index_load(spark, p).codes(spark).count()
+    # redeliver EVERYTHING via a fresh checkpoint — without dedupe this
+    # would double the postings
+    q2 = AI.stream_index_add(spark, p, src, delta.schema, "vec_id",
+                             "embedding", str(tmp_path / "ck2"),
+                             dedupe=True)
+    q2.awaitTermination(120)
+    assert AI.pq_index_load(spark, p).codes(spark).count() == n_rows
+    got = _rows(AI.pq_index_search(spark, p, queries, "vec_id",
+                                   "embedding", k=5))
+    want = _rows(pq_ann_topk(emb, queries, "vec_id", "embedding", k=5,
+                             cb=idx.cb))
+    assert got == want and len(got) == 50
