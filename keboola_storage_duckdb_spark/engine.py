@@ -391,6 +391,196 @@ class StorageEngine:
                 "zorder_by": zorder_by or [],
                 "target_files": target_files}
 
+    # ---------------------------------------------- vector indexes (ANN)
+    # Beyond-reference: the persisted ANN index family
+    # (functions/ann_index.py — FAISS train/add/search lifecycle) exposed
+    # as first-class storage objects on a table's vector column, the way
+    # a production vector store attaches indexes to collections. Indexes
+    # live under warehouse/_indexes/<project>/<bucket>/<table>/<name>
+    # (outside the table's data dir — a table rewrite never clobbers
+    # them) and record the row count they were built from, so staleness
+    # after imports/deletes is visible in index_info.
+
+    _INDEX_NAME_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_-]{0,63}$")
+
+    def _index_path(self, project: str, bucket: str, table: str,
+                    name: str, must_exist: bool = False) -> str:
+        if not self._INDEX_NAME_RE.match(name or ""):
+            raise CatalogError(f"invalid index name: {name!r}")
+        p = os.path.join(self.catalog.warehouse, "_indexes", project,
+                         bucket, table, name)
+        if must_exist and not os.path.exists(os.path.join(p, "meta.json")):
+            raise NotFoundError(f"index {name} not found on {table}")
+        return p
+
+    def create_index(self, project: str, bucket: str, table: str,
+                     name: str, id_column: str, vector_column: str,
+                     kind: str = "pq", label_column: str | None = None,
+                     m: int = 4, ksub: int = 8, dim: int = 64) -> dict:
+        """Build a persisted ANN index over the table's vector column:
+        ``kind="pq"`` (optionally IVF-labeled by ``label_column`` —
+        posting lists as parquet partitions, nprobe routing at search)
+        or ``kind="sq8"`` (per-dim scalar grid, near-exact). The build
+        is atomic (staging swap) and runs under the table lock; main
+        branch only (indexes are serving artifacts, not CoW state)."""
+        from .functions import ann_index as AI
+
+        path = self._index_path(project, bucket, table, name)
+        if os.path.exists(path):
+            raise AlreadyExistsError(f"index {name} exists on {table}")
+        df = self.read_table(project, bucket, table)
+        need = [id_column, vector_column] + (
+            [label_column] if label_column else [])
+        missing = [c for c in need if c not in df.columns]
+        if missing:
+            raise CatalogError(f"columns not in table: {missing}")
+        with self.catalog.acquire(project, bucket, table):
+            rows = df.count()
+            if kind == "sq8":
+                if label_column:
+                    raise CatalogError(
+                        "sq8 indexes have no IVF labels — use kind=pq")
+                idx = AI.sq8_index_build(df, id_column, vector_column,
+                                         path, dim=dim)
+            elif kind == "pq":
+                idx = AI.pq_index_build(df, id_column, vector_column,
+                                        path, label_col=label_column,
+                                        m=m, ksub=ksub, dim=dim)
+            else:
+                raise CatalogError(f"unknown index kind: {kind!r} "
+                                   "(pq | sq8)")
+            idx.meta.update({"index_name": name,
+                             "index_kind": kind,
+                             "id_column": id_column,
+                             "vector_column": vector_column,
+                             "built_rows": rows,
+                             "built_at": time.time()})
+            AI._write_meta(path, idx.meta)
+        self._log("create_index", project=project, bucket=bucket,
+                  table=table, name=name, kind=kind)
+        return self.index_info(project, bucket, table, name)
+
+    def list_indexes(self, project: str, bucket: str,
+                     table: str) -> list[dict]:
+        root = os.path.join(self.catalog.warehouse, "_indexes", project,
+                            bucket, table)
+        try:
+            names = sorted(
+                n for n in os.listdir(root)
+                if os.path.exists(os.path.join(root, n, "meta.json")))
+        except OSError:
+            names = []
+        return [self.index_info(project, bucket, table, n) for n in names]
+
+    def index_info(self, project: str, bucket: str, table: str,
+                   name: str) -> dict:
+        """Metadata + live posting stats + staleness: an index built
+        from N rows over a table that now holds M ≠ N is flagged stale
+        (imports/deletes happened since; rebuild or add/delete through
+        the functions API)."""
+        from .functions import ann_index as AI
+
+        path = self._index_path(project, bucket, table, name,
+                                must_exist=True)
+        idx = AI.pq_index_load(self.spark, path)
+        n_vectors = idx.codes(self.spark).count()
+        current = self.read_table(project, bucket, table).count()
+        info = {"name": name,
+                "kind": idx.meta.get("index_kind",
+                                     idx.meta.get("kind", "pq")),
+                "id_column": idx.meta.get("id_column"),
+                "vector_column": idx.meta.get("vector_column"),
+                "label_column": idx.meta.get("label_col"),
+                "dim": idx.meta.get("dim"),
+                "n_vectors": n_vectors,
+                "built_rows": idx.meta.get("built_rows"),
+                "table_rows": current,
+                "stale": (idx.meta.get("built_rows") is not None
+                          and current != idx.meta.get("built_rows"))}
+        if idx.meta.get("label_col"):
+            r = AI.ivf_list_stats(self.spark, idx).collect()[0]
+            info["n_lists"] = r["n_lists"]
+            info["imbalance"] = r["imbalance"]
+        return info
+
+    def drop_index(self, project: str, bucket: str, table: str,
+                   name: str) -> dict:
+        path = self._index_path(project, bucket, table, name,
+                                must_exist=True)
+        with self.catalog.acquire(project, bucket, table):
+            shutil.rmtree(path, ignore_errors=True)
+        self._log("drop_index", project=project, bucket=bucket,
+                  table=table, name=name)
+        return {"dropped": name}
+
+    def compact_index(self, project: str, bucket: str, table: str,
+                      name: str, max_files: int = 4) -> dict:
+        from .functions import ann_index as AI
+
+        path = self._index_path(project, bucket, table, name,
+                                must_exist=True)
+        with self.catalog.acquire(project, bucket, table):
+            report = AI.pq_index_compact(self.spark, path,
+                                         max_files=max_files)
+        self._log("compact_index", project=project, bucket=bucket,
+                  table=table, name=name)
+        return {"compacted": {k: list(v) for k, v in report.items()}}
+
+    def search_index(self, project: str, bucket: str, table: str,
+                     name: str, queries: list, k: int = 5,
+                     nprobe: int | None = None,
+                     filter_labels: list | None = None,
+                     max_queries: int = 1024, max_k: int = 100) -> list[dict]:
+        """Serve top-k over a persisted index. ``queries`` is a JSON
+        list of ``{"id": ..., "vector": [...]}`` (API-edge shape —
+        bulk search goes through the functions API with a DataFrame).
+        PQ indexes accept ``nprobe`` (labeled only) and
+        ``filter_labels``; SQ8 takes neither. Query ids share the
+        corpus id space (kNN-of-a-member semantics: a corpus vector
+        never matches its own id) — searches for vectors OUTSIDE the
+        corpus should use ids not present in it, e.g. negative."""
+        from .functions import ann_index as AI
+
+        path = self._index_path(project, bucket, table, name,
+                                must_exist=True)
+        idx = AI.pq_index_load(self.spark, path)
+        if not queries:
+            raise CatalogError("queries must be a non-empty list")
+        if len(queries) > max_queries:
+            raise CatalogError(
+                f"query count {len(queries)} exceeds {max_queries} — "
+                "batch the requests or use the functions API")
+        k = int(k)
+        if not 1 <= k <= max_k:
+            raise CatalogError(f"k must be in [1, {max_k}]")
+        dim = idx.meta["dim"]
+        rows = []
+        for i, q in enumerate(queries):
+            try:
+                qid, vec = q["id"], list(q["vector"])
+            except (TypeError, KeyError):
+                raise CatalogError(
+                    "each query needs {'id': ..., 'vector': [...]}")
+            if len(vec) != dim:
+                raise CatalogError(
+                    f"query {i}: vector has {len(vec)} dims, index "
+                    f"expects {dim}")
+            rows.append((int(qid), [float(x) for x in vec]))
+        qdf = self.spark.createDataFrame(
+            rows, "query_id bigint, vector array<double>")
+        kind = idx.meta.get("index_kind", idx.meta.get("kind", "pq"))
+        if kind == "sq8":
+            if nprobe is not None or filter_labels is not None:
+                raise CatalogError(
+                    "nprobe/filter_labels need a labeled pq index")
+            out = AI.sq8_index_search(self.spark, idx, qdf, "query_id",
+                                      "vector", k=k)
+        else:
+            out = AI.pq_index_search(self.spark, idx, qdf, "query_id",
+                                     "vector", k=k, nprobe=nprobe,
+                                     filter_labels=filter_labels)
+        return [r.asDict() for r in out.collect()]
+
     # ---------------------------------------------- versioned-table extras
     def table_history(self, project: str, bucket: str, table: str,
                       branch: str | None = None) -> list[dict]:

@@ -285,6 +285,55 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
                               version=version, **filters)
         return jsonify({"rows": rows, "row_count": len(rows)})
 
+    # ---- vector indexes (beyond-reference: persisted ANN lifecycle as
+    # first-class storage objects on a table's vector column) ----
+    @app.post(tbl + "/<table>/indexes")
+    def create_index(project, branch_id, bucket, table):
+        body = request.get_json(force=True)
+        return jsonify(engine.create_index(
+            project, bucket, table,
+            name=body.get("name", ""),
+            id_column=body["id_column"],
+            vector_column=body["vector_column"],
+            kind=body.get("kind", "pq"),
+            label_column=body.get("label_column"),
+            m=int(body.get("m") or 4),
+            ksub=int(body.get("ksub") or 8),
+            dim=int(body.get("dim") or 64))), 201
+
+    @app.get(tbl + "/<table>/indexes")
+    def list_indexes(project, branch_id, bucket, table):
+        return jsonify({"indexes": engine.list_indexes(project, bucket,
+                                                       table)})
+
+    @app.get(tbl + "/<table>/indexes/<name>")
+    def index_info(project, branch_id, bucket, table, name):
+        return jsonify(engine.index_info(project, bucket, table, name))
+
+    @app.delete(tbl + "/<table>/indexes/<name>")
+    def drop_index(project, branch_id, bucket, table, name):
+        return jsonify(engine.drop_index(project, bucket, table, name))
+
+    @app.post(tbl + "/<table>/indexes/<name>/compact")
+    def compact_index(project, branch_id, bucket, table, name):
+        body = request.get_json(force=True) if request.data else {}
+        mf = body.get("max_files")          # 0 is a valid threshold
+        return jsonify(engine.compact_index(
+            project, bucket, table, name,
+            max_files=4 if mf is None else int(mf)))
+
+    @app.post(tbl + "/<table>/indexes/<name>/search")
+    def search_index(project, branch_id, bucket, table, name):
+        body = request.get_json(force=True)
+        results = engine.search_index(
+            project, bucket, table, name,
+            queries=body.get("queries"),
+            k=int(body.get("k") or 5),
+            nprobe=(int(body["nprobe"]) if body.get("nprobe") is not None
+                    else None),
+            filter_labels=body.get("filter_labels"))
+        return jsonify({"results": results, "n_results": len(results)})
+
     @app.post(tbl + "/<table>/optimize")
     def optimize_table(project, branch_id, bucket, table):
         body = request.get_json(force=True) if request.data else {}

@@ -1,0 +1,164 @@
+"""Vector indexes as first-class storage objects (beyond-reference —
+the persisted ANN lifecycle of functions/ann_index.py exposed over the
+REST surface): create a table holding an embedding column, build PQ and
+SQ8 indexes on it, search, inspect (stats + staleness after a delete),
+compact, drop. The search results are cross-checked against the
+functions-API kernels the oracle gate certifies."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from keboola_storage_duckdb_spark.engine import StorageEngine
+from keboola_storage_duckdb_spark.service.app import create_app
+
+BASE = "/projects/px/branches/default/buckets/in_c_vec/tables"
+TBL = BASE + "/emb"
+
+
+@pytest.fixture(scope="module")
+def ctx(spark, sf_dir, tmp_path_factory):
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    eng = StorageEngine(spark, str(tmp_path_factory.mktemp("wh_idx")))
+    app = create_app(eng)
+    app.config["TESTING"] = True
+    emb = load_table(spark, sf_dir, "embeddings")
+    with app.test_client() as c:
+        _post(c, "/projects", {"id": "px"})
+        _post(c, "/projects/px/branches/default/buckets",
+              {"name": "in_c_vec"})
+        cols = [{"name": "vec_id", "type": "BIGINT", "nullable": False},
+                {"name": "label", "type": "INTEGER", "nullable": True},
+                {"name": "embedding", "type": "FLOAT[]",
+                 "nullable": True}]
+        r = _post(c, BASE, {"name": "emb", "columns": cols})
+        assert r.status_code == 201, r.get_json()
+        src = str(tmp_path_factory.mktemp("src") / "emb.parquet")
+        emb.select("vec_id", "label", "embedding").write.parquet(src)
+        r = _post(c, TBL + "/import/file",
+                  {"path": src, "format": "parquet"})
+        assert r.status_code == 200, r.get_json()
+        yield c, eng, emb
+
+
+def _post(client, url, body=None, **kw):
+    return client.post(url, data=json.dumps(body or {}),
+                       content_type="application/json", **kw)
+
+
+def _query_rows(emb, n=3):
+    rows = (emb.filter(F.col("vec_id") < n)
+               .select("vec_id", "embedding").collect())
+    return [{"id": r.vec_id, "vector": [float(x) for x in r.embedding]}
+            for r in rows]
+
+
+def test_create_search_matches_functions_kernel(ctx):
+    c, eng, emb = ctx
+    r = _post(c, TBL + "/indexes",
+              {"name": "pq_main", "id_column": "vec_id",
+               "vector_column": "embedding"})
+    assert r.status_code == 201, r.get_json()
+    info = r.get_json()
+    assert info["kind"] == "pq" and not info["stale"]
+    assert info["n_vectors"] == info["built_rows"] > 0
+
+    qs = _query_rows(emb)
+    r = _post(c, TBL + "/indexes/pq_main/search",
+              {"queries": qs, "k": 5})
+    assert r.status_code == 200
+    got = {(x["query_id"], x["rank"]): x["neighbor_id"]
+           for x in r.get_json()["results"]}
+    assert len(got) == 5 * len(qs)
+    # cross-check against the certified functions kernel on the SAME
+    # stored artifacts
+    from keboola_storage_duckdb_spark.functions import ann_index as AI
+    idx = AI.pq_index_load(eng.spark, eng._index_path(
+        "px", "in_c_vec", "emb", "pq_main"))
+    spark = eng.spark
+    qdf = spark.createDataFrame(
+        [(q["id"], q["vector"]) for q in qs],
+        "query_id bigint, vector array<double>")
+    want = {(r.query_id, r.rank): r.neighbor_id
+            for r in AI.pq_index_search(spark, idx, qdf, "query_id",
+                                        "vector", k=5).collect()}
+    assert got == want
+
+
+def test_labeled_index_nprobe_and_filter(ctx):
+    c, eng, emb = ctx
+    r = _post(c, TBL + "/indexes",
+              {"name": "ivf", "id_column": "vec_id",
+               "vector_column": "embedding", "label_column": "label"})
+    assert r.status_code == 201, r.get_json()
+    info = r.get_json()
+    assert info["label_column"] == "label" and info["n_lists"] > 1
+    assert info["imbalance"] >= 1.0          # Cauchy-Schwarz lower bound
+    qs = _query_rows(emb, 2)
+    r = _post(c, TBL + "/indexes/ivf/search",
+              {"queries": qs, "k": 3, "nprobe": 2})
+    assert r.status_code == 200
+    assert len(r.get_json()["results"]) == 3 * len(qs)
+    r = _post(c, TBL + "/indexes/ivf/search",
+              {"queries": qs, "k": 3, "filter_labels": [1, 3]})
+    labs = {x["neighbor_id"] for x in r.get_json()["results"]}
+    allowed = {r.vec_id for r in emb.filter(
+        F.col("label").isin([1, 3])).select("vec_id").collect()}
+    assert labs <= allowed
+
+
+def test_sq8_index_and_validation(ctx):
+    c, eng, emb = ctx
+    r = _post(c, TBL + "/indexes",
+              {"name": "sq8", "id_column": "vec_id",
+               "vector_column": "embedding", "kind": "sq8"})
+    assert r.status_code == 201
+    qs = _query_rows(emb, 2)
+    assert _post(c, TBL + "/indexes/sq8/search",
+                 {"queries": qs, "k": 3}).status_code == 200
+    # sq8 takes no nprobe
+    assert _post(c, TBL + "/indexes/sq8/search",
+                 {"queries": qs, "k": 3, "nprobe": 2}).status_code == 400
+    # wrong dim rejected
+    assert _post(c, TBL + "/indexes/sq8/search",
+                 {"queries": [{"id": -1, "vector": [0.0] * 3}],
+                  "k": 3}).status_code == 400
+    # duplicate name rejected, bad columns rejected
+    assert _post(c, TBL + "/indexes",
+                 {"name": "sq8", "id_column": "vec_id",
+                  "vector_column": "embedding",
+                  "kind": "sq8"}).status_code == 409
+    assert _post(c, TBL + "/indexes",
+                 {"name": "bad", "id_column": "nope",
+                  "vector_column": "embedding"}).status_code == 400
+
+
+def test_listing_staleness_compact_drop(ctx):
+    c, eng, emb = ctx
+    names = {i["name"] for i in
+             c.get(TBL + "/indexes").get_json()["indexes"]}
+    assert {"pq_main", "ivf", "sq8"} <= names
+    # a table mutation flags every index stale
+    r = c.delete(TBL + "/rows",
+                 data=json.dumps({"where": "vec_id = 0"}),
+                 content_type="application/json")
+    assert r.status_code == 200, r.get_json()
+    info = c.get(TBL + "/indexes/pq_main").get_json()
+    assert info["stale"] and info["table_rows"] == info["built_rows"] - 1
+    # compact (threshold 0 forces a rewrite) leaves search results intact
+    before = _post(c, TBL + "/indexes/pq_main/search",
+                   {"queries": _query_rows(emb, 2), "k": 3}).get_json()
+    r = _post(c, TBL + "/indexes/pq_main/compact", {"max_files": 0})
+    assert r.status_code == 200 and r.get_json()["compacted"]
+    after = _post(c, TBL + "/indexes/pq_main/search",
+                  {"queries": _query_rows(emb, 2), "k": 3}).get_json()
+    assert before == after
+    # drop
+    assert c.delete(TBL + "/indexes/sq8").status_code == 200
+    assert c.get(TBL + "/indexes/sq8").status_code == 404
+    names = {i["name"] for i in
+             c.get(TBL + "/indexes").get_json()["indexes"]}
+    assert "sq8" not in names
