@@ -513,6 +513,57 @@ class StorageEngine:
                   table=table, name=name)
         return {"dropped": name}
 
+    def refresh_index(self, project: str, bucket: str, table: str,
+                      name: str) -> dict:
+        """Incrementally reconcile a stale index with its table — the
+        production sync after imports/deletes, WITHOUT retraining
+        (codebooks/grids are training state and stay frozen; FAISS
+        add/remove_ids semantics): rows in the table but not in the
+        postings are encoded and appended (``pq_index_add`` for PQ,
+        frozen-grid encode for SQ8), posted ids no longer in the table
+        are deleted (``pq_index_delete`` — only affected lists
+        rewritten). Both deltas are anti-joins on the id column; a
+        refresh of an in-sync index touches nothing. Re-stamps
+        built_rows so the staleness flag clears."""
+        from .functions import ann_index as AI
+
+        path = self._index_path(project, bucket, table, name,
+                                must_exist=True)
+        with self.catalog.acquire(project, bucket, table):
+            idx = AI.pq_index_load(self.spark, path)
+            id_col = idx.meta["id_column"]
+            vec_col = idx.meta["vector_column"]
+            df = self.read_table(project, bucket, table)
+            posted = idx.codes(self.spark).select(
+                F.col("id").alias(id_col))
+            new_rows = df.join(posted, id_col, "left_anti")
+            gone = posted.join(df.select(id_col), id_col, "left_anti")
+            added = 0
+            if not new_rows.isEmpty():
+                kind = idx.meta.get("index_kind",
+                                    idx.meta.get("kind", "pq"))
+                if kind == "sq8":
+                    from .functions.similarity import sq8_encode
+                    (sq8_encode(new_rows, id_col, vec_col,
+                                dim=idx.meta["dim"],
+                                trained=(idx.meta["lo"], idx.meta["hi"]))
+                     .write.mode("append")
+                     .parquet(os.path.join(path, "codes")))
+                else:
+                    AI.pq_index_add(self.spark, path, new_rows, id_col,
+                                    vec_col)
+                added = new_rows.count()
+            report = AI.pq_index_delete(
+                self.spark, path, gone.withColumnRenamed(id_col, "id"))
+            rows = df.count()
+            idx.meta["built_rows"] = rows
+            AI._write_meta(path, idx.meta)
+        self._log("refresh_index", project=project, bucket=bucket,
+                  table=table, name=name, added=added,
+                  deleted=report["deleted"])
+        return {"added": added, "deleted": report["deleted"],
+                "table_rows": rows, "stale": False}
+
     def compact_index(self, project: str, bucket: str, table: str,
                       name: str, max_files: int = 4) -> dict:
         from .functions import ann_index as AI

@@ -314,6 +314,10 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
     def drop_index(project, branch_id, bucket, table, name):
         return jsonify(engine.drop_index(project, bucket, table, name))
 
+    @app.post(tbl + "/<table>/indexes/<name>/refresh")
+    def refresh_index(project, branch_id, bucket, table, name):
+        return jsonify(engine.refresh_index(project, bucket, table, name))
+
     @app.post(tbl + "/<table>/indexes/<name>/compact")
     def compact_index(project, branch_id, bucket, table, name):
         body = request.get_json(force=True) if request.data else {}

@@ -162,3 +162,33 @@ def test_listing_staleness_compact_drop(ctx):
     names = {i["name"] for i in
              c.get(TBL + "/indexes").get_json()["indexes"]}
     assert "sq8" not in names
+
+
+def test_refresh_reconciles_without_retraining(ctx, spark):
+    """Incremental sync: after the vec_id=0 delete (previous test) the
+    index is stale; refresh removes the orphan posting and re-stamps —
+    WITHOUT touching codebooks — so search equals a rebuild over the
+    current table with the SAME codebooks. A second refresh is a
+    no-op."""
+    c, eng, emb = ctx
+    from keboola_storage_duckdb_spark.functions import ann_index as AI
+
+    path = eng._index_path("px", "in_c_vec", "emb", "pq_main")
+    cb_before = AI.pq_index_load(spark, path).cb
+    r = _post(c, TBL + "/indexes/pq_main/refresh")
+    assert r.status_code == 200
+    out = r.get_json()
+    assert out == {"added": 0, "deleted": 1,
+                   "table_rows": out["table_rows"], "stale": False}
+    info = c.get(TBL + "/indexes/pq_main").get_json()
+    assert not info["stale"] and info["n_vectors"] == info["table_rows"]
+    idx = AI.pq_index_load(spark, path)
+    assert idx.cb == cb_before                       # never retrained
+    # deleted id gone from results even as a forced near neighbor
+    qs = _query_rows(emb, 3)
+    res = _post(c, TBL + "/indexes/pq_main/search",
+                {"queries": qs, "k": 5}).get_json()["results"]
+    assert all(x["neighbor_id"] != 0 for x in res)
+    # no-op second refresh
+    r = _post(c, TBL + "/indexes/pq_main/refresh").get_json()
+    assert r["added"] == 0 and r["deleted"] == 0
