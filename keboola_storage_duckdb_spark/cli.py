@@ -454,6 +454,77 @@ def cmd_tables_optimize(args):
                 f"target_files={res['target_files'] or '-'}"))
 
 
+def cmd_indexes_create(args):
+    body = {"name": args.name, "id_column": args.id_column,
+            "vector_column": args.vector_column, "kind": args.kind,
+            "m": args.m, "ksub": args.ksub, "dim": args.dim}
+    if args.label_column:
+        body["label_column"] = args.label_column
+    res = _client(args).post(
+        f"{_tbl_base(args)}/{args.table}/indexes", body)
+    (print_json(res) if args.json
+     else print(f"Created index {res['name']} ({res['kind']}) over "
+                f"{res['n_vectors']:,} vectors"))
+
+
+def cmd_indexes_list(args):
+    res = _client(args).get(f"{_tbl_base(args)}/{args.table}/indexes")
+    if args.json:
+        print_json(res)
+        return
+    rows = [[i["name"], i["kind"], i.get("label_column") or "-",
+             i["n_vectors"], "stale" if i["stale"] else "fresh"]
+            for i in res["indexes"]]
+    print_table(["Name", "Kind", "Label", "Vectors", "State"], rows)
+
+
+def cmd_indexes_info(args):
+    res = _client(args).get(
+        f"{_tbl_base(args)}/{args.table}/indexes/{args.name}")
+    print_json(res)
+
+
+def cmd_indexes_search(args):
+    raw = args.queries
+    if not raw.lstrip().startswith(("[", "{")):       # a path, not JSON
+        raw = Path(raw).read_text()
+    queries = json.loads(raw)
+    body = {"queries": queries, "k": args.k}
+    if args.nprobe is not None:
+        body["nprobe"] = args.nprobe
+    if args.filter_labels:
+        body["filter_labels"] = json.loads(args.filter_labels)
+    res = _client(args).post(
+        f"{_tbl_base(args)}/{args.table}/indexes/{args.name}/search", body)
+    if args.json:
+        print_json(res)
+        return
+    rows = [[r["query_id"], r["rank"], r["neighbor_id"],
+             r.get("adist", r.get("dist"))] for r in res["results"]]
+    print_table(["Query", "Rank", "Neighbor", "Distance"], rows)
+
+
+def cmd_indexes_refresh(args):
+    res = _client(args).post(
+        f"{_tbl_base(args)}/{args.table}/indexes/{args.name}/refresh", {})
+    (print_json(res) if args.json
+     else print(f"Refreshed: +{res['added']} / -{res['deleted']} rows"))
+
+
+def cmd_indexes_compact(args):
+    res = _client(args).post(
+        f"{_tbl_base(args)}/{args.table}/indexes/{args.name}/compact",
+        {"max_files": args.max_files})
+    print_json(res) if args.json else print(
+        f"Compacted {len(res['compacted'])} posting lists")
+
+
+def cmd_indexes_drop(args):
+    res = _client(args).delete(
+        f"{_tbl_base(args)}/{args.table}/indexes/{args.name}")
+    print_json(res) if args.json else print(f"Dropped {res['dropped']}")
+
+
 def cmd_tables_history(args):
     res = _client(args).get(f"{_tbl_base(args)}/{args.table}/history")
     if args.json:
@@ -614,6 +685,43 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--cluster-by", help="comma-separated sort-cluster columns")
     s.add_argument("--bloom-filter", help="comma-separated bloom-filter columns")
     s.add_argument("--target-files", type=int)
+
+    g = sub.add_parser("indexes").add_subparsers(dest="cmd", required=True)
+
+    def index_parser(name, fn, with_name=True):
+        s = g.add_parser(name)
+        s.add_argument("project")
+        s.add_argument("bucket")
+        s.add_argument("table")
+        if with_name:
+            s.add_argument("name")
+        s.add_argument("--branch", "-b", default="default")
+        s.set_defaults(fn=fn)
+        return s
+
+    s = index_parser("create", cmd_indexes_create)
+    s.add_argument("--id-column", required=True)
+    s.add_argument("--vector-column", required=True)
+    s.add_argument("--kind", default="pq", choices=["pq", "sq8"])
+    s.add_argument("--label-column",
+                   help="IVF label column (pq only): posting lists as "
+                        "parquet partitions, nprobe routing at search")
+    s.add_argument("--m", type=int, default=4)
+    s.add_argument("--ksub", type=int, default=8)
+    s.add_argument("--dim", type=int, default=64)
+    index_parser("list", cmd_indexes_list, with_name=False)
+    index_parser("info", cmd_indexes_info)
+    s = index_parser("search", cmd_indexes_search)
+    s.add_argument("--queries", required=True,
+                   help="JSON file or inline JSON: "
+                        '[{"id": ..., "vector": [...]}, ...]')
+    s.add_argument("--k", type=int, default=5)
+    s.add_argument("--nprobe", type=int)
+    s.add_argument("--filter-labels", help="JSON list of allowed labels")
+    index_parser("refresh", cmd_indexes_refresh)
+    s = index_parser("compact", cmd_indexes_compact)
+    s.add_argument("--max-files", type=int, default=4)
+    index_parser("drop", cmd_indexes_drop)
 
     g = sub.add_parser("files").add_subparsers(dest="cmd", required=True)
     s = g.add_parser("list")

@@ -216,3 +216,71 @@ def test_cli_config_roundtrip(tmp_path, monkeypatch, capsys):
     finally:
         monkeypatch.undo()
         importlib.reload(cli)
+
+
+def test_cli_index_lifecycle(server, spark, sf_dir, tmp_path, capsys):
+    """indexes create/list/info/search/refresh/compact/drop over the
+    real HTTP server, on a table holding the embeddings fixture."""
+    from pyspark.sql import functions as F
+
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rc, _ = run(server, "projects", "create", "pidx", capsys=capsys)
+    assert rc == 0
+    rc, _ = run(server, "buckets", "create", "pidx", "in_c_v",
+                capsys=capsys)
+    assert rc == 0
+    cols = json.dumps([
+        {"name": "vec_id", "type": "BIGINT", "nullable": False},
+        {"name": "label", "type": "INTEGER", "nullable": True},
+        {"name": "embedding", "type": "FLOAT[]", "nullable": True}])
+    rc, _ = run(server, "tables", "create", "pidx", "in_c_v", "emb",
+                "--columns", cols, capsys=capsys)
+    assert rc == 0
+    src = str(tmp_path / "emb.parquet")
+    emb.select("vec_id", "label", "embedding").coalesce(1) \
+       .write.parquet(src)
+    import glob
+    part = glob.glob(src + "/part-*.parquet")[0]
+    rc, _ = run(server, "tables", "import", "pidx", "in_c_v", "emb",
+                part, "--format", "parquet", capsys=capsys)
+    assert rc == 0
+
+    rc, out = run(server, "indexes", "create", "pidx", "in_c_v", "emb",
+                  "main", "--id-column", "vec_id",
+                  "--vector-column", "embedding",
+                  "--label-column", "label", capsys=capsys)
+    assert rc == 0, out
+    info = json.loads(out)
+    assert info["kind"] == "pq" and not info["stale"]
+
+    rc, out = run(server, "indexes", "list", "pidx", "in_c_v", "emb",
+                  capsys=capsys)
+    assert rc == 0 and [i["name"] for i in
+                        json.loads(out)["indexes"]] == ["main"]
+
+    q = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0]
+    queries = json.dumps(
+        [{"id": 1, "vector": [float(x) for x in q.embedding]}])
+    rc, out = run(server, "indexes", "search", "pidx", "in_c_v", "emb",
+                  "main", "--queries", queries, "--k", "3",
+                  "--nprobe", "2", capsys=capsys)
+    assert rc == 0, out
+    res = json.loads(out)["results"]
+    assert len(res) == 3 and all(r["neighbor_id"] != 1 for r in res)
+
+    rc, out = run(server, "indexes", "refresh", "pidx", "in_c_v", "emb",
+                  "main", capsys=capsys)
+    assert rc == 0 and json.loads(out)["added"] == 0
+
+    rc, out = run(server, "indexes", "compact", "pidx", "in_c_v", "emb",
+                  "main", "--max-files", "0", capsys=capsys)
+    assert rc == 0 and json.loads(out)["compacted"]
+
+    rc, out = run(server, "indexes", "drop", "pidx", "in_c_v", "emb",
+                  "main", capsys=capsys)
+    assert rc == 0 and json.loads(out)["dropped"] == "main"
+    rc, out = run(server, "indexes", "list", "pidx", "in_c_v", "emb",
+                  capsys=capsys)
+    assert json.loads(out)["indexes"] == []
