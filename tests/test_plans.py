@@ -229,3 +229,22 @@ def test_indexed_nprobe_search_prunes_codes_partitions(spark, sf_dir):
                for s in scans), scans
     assert "CartesianProduct" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_sq8_indexed_search_reads_codes_only(spark, sf_dir):
+    """Persisted SQ8 serving path: the only file scan is the stored
+    codes table (dim uint8 ints per vector) — the raw embeddings
+    parquet never appears in the plan (queries are a broadcast
+    literal-side input), and ranking stays a broadcast, not a shuffle
+    of the corpus."""
+    df = E.q_ann_sq8_indexed(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scans, plan
+    corpus_scans = [s for s in scans if "ann_index" not in s]
+    # the query side (vec_id < 10) may scan the source; the CORPUS side
+    # must come from the stored codes
+    assert all("LessThan(vec_id,10)" in s or "vec_id" in s
+               for s in corpus_scans), corpus_scans
+    assert any("ann_index" in s for s in scans), scans
+    assert "CartesianProduct" not in plan, plan
