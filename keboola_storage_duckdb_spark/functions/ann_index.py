@@ -18,6 +18,16 @@ kernels at them:
 * ``pq_index_merge``  — union two per-shard indexes that share codebooks
   (FAISS ``IndexShards`` / ``merge_from``): postings are mergeable, the
   epoch-update shape a 100 TB corpus needs (build per shard, merge).
+* ``pq_index_delete`` — FAISS ``remove_ids``: anti-join rewrite of ONLY
+  the posting lists containing deleted ids; codebooks/centroids frozen.
+* ``pq_index_compact`` / ``stream_index_add`` / ``ivf_centroid_drift``
+  — small-file compaction, Structured-Streaming ingestion (optionally
+  record-level exactly-once via ``dedupe=True``), and the
+  quantizer-drift re-train trigger: the governance loop around the
+  mutating verbs.
+* ``sq8_index_build`` / ``sq8_index_search`` — the SQ8 rung of the
+  quality-vs-bytes ladder persisted with the same discipline; the
+  code-agnostic verbs (delete/compact) operate on it unchanged.
 * ``pq_index_search`` — the certified ADC ranking (sequential
   reconstruction fold, round-6, lower-id tie-break) reading ONLY the
   stored codes + broadcast codebooks; with ``nprobe`` set it routes
@@ -295,7 +305,10 @@ def pq_index_delete(spark: SparkSession, path: str, ids,
 
     ``ids`` is a DataFrame (its ``id_col`` column, broadcast into the
     anti joins) or a plain list (pushed as a literal NOT IN filter).
-    Deleting absent ids is a no-op. Returns ``{"deleted": n,
+    Deleting absent ids is a no-op. The delete set rides a broadcast —
+    this is the TARGETED-delete shape (GDPR erasure, retention sweeps,
+    reconcile deltas); a corpus-scale removal is a rebuild over the
+    survivor set, not a delete. Returns ``{"deleted": n,
     "leaves_rewritten": [...]}``."""
     idx = pq_index_load(spark, path)
     codes_dir = os.path.join(path, _CODES)
