@@ -484,3 +484,69 @@ def test_token_quota_sample_matches_python_model(spark, rows, budgets):
                 want[(str(g), i)] = (w, cum)
             cum += w
     assert got == want
+
+
+@given(a=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)),
+                  min_size=0, max_size=15),
+       b=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)),
+                  min_size=0, max_size=15),
+       k=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_rrf_fuse_matches_python_model(spark, a, b, k):
+    """Model: per (query, doc), rrf = 1/(60+rank_a) + 1/(60+rank_b)
+    with a missing system contributing 0; final top-k per query ranked
+    (score desc, doc asc). Input lists are (query, doc) pairs ranked by
+    list position within each query."""
+    from keboola_storage_duckdb_spark.functions.similarity import rrf_fuse
+
+    def ranked(pairs):
+        seen, out = set(), {}
+        for q, d in pairs:
+            if (q, d) in seen:
+                continue
+            seen.add((q, d))
+            out[(q, d)] = sum(1 for (q2, _) in out if q2 == q) + 1
+        return out
+
+    ra, rb = ranked(a), ranked(b)
+    scores = {}
+    for (q, d), r in ra.items():
+        scores[(q, d)] = scores.get((q, d), 0.0) + 1.0 / (60 + r)
+    for (q, d), r in rb.items():
+        scores[(q, d)] = scores.get((q, d), 0.0) + 1.0 / (60 + r)
+    expect = {}
+    for q in {q for q, _ in scores}:
+        docs = sorted(((d, s) for (q2, d), s in scores.items() if q2 == q),
+                      key=lambda t: (-t[1], t[0]))
+        for i, (d, s) in enumerate(docs[:k], 1):
+            expect[(q, d)] = (s, i)
+
+    def df(r):
+        rows = [(q, d, rank) for (q, d), rank in r.items()]
+        return spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, rank int")
+
+    got = {(r.query_id, r.neighbor_id): (r.rrf_score, r.rank)
+           for r in rrf_fuse(df(ra), df(rb), k=k).collect()}
+    assert got == expect
+
+
+@given(ids=st.lists(st.integers(0, 30), min_size=0, max_size=10))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_index_delete_model(spark, sf_dir, tmp_path_factory, ids):
+    """Model: postings after delete == original ids minus the delete
+    set, for any subset (present, absent, duplicated ids)."""
+    from keboola_storage_duckdb_spark.functions import ann_index as AI
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(40)
+    path = str(tmp_path_factory.mktemp("pdel") / "idx")
+    AI.pq_index_build(emb, "vec_id", "embedding", path,
+                      label_col="label")
+    before = {r.id for r in AI.pq_index_load(spark, path)
+                            .codes(spark).select("id").collect()}
+    AI.pq_index_delete(spark, path, ids)
+    after = {r.id for r in AI.pq_index_load(spark, path)
+                           .codes(spark).select("id").collect()}
+    assert after == before - set(ids)
