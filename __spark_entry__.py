@@ -1603,6 +1603,29 @@ def q_ann_sq8(spark, sf_dir):
                         "vec_id", "embedding", dim=64, k=5)
 
 
+def q_ann_residual_indexed(spark, sf_dir):
+    """Persisted RESIDUAL IVFPQ (NEW r12): the last inline kernel gets
+    its persisted twin — every retrieval kernel in the repo now exists
+    in both forms. Codebooks trained on grid-quantized per-list
+    residuals and residual codes stored at build time; search routes,
+    re-expresses each query as its per-list residual from the STORED
+    centroids, and runs the certified ADC fold over the stored codes —
+    the arithmetic is byte-identical to the inline ivfpq_residual_topk
+    (centroids and codebooks round-trip exactly through JSON), so the
+    UNCHANGED ann_ivfpq_residual oracle certifies this path."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        ensure_pq_index, pq_index_search)
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ensure_pq_index(
+        spark, emb, os.path.join(sf_dir, "embeddings.parquet"),
+        "vec_id", "embedding", _ann_index_dir(), label_col="label",
+        residual=True)
+    return pq_index_search(spark, idx, emb.filter(F.col("vec_id") < 10),
+                           "vec_id", "embedding", k=5, nprobe=2)
+
+
 def q_ann_sq8_indexed(spark, sf_dir):
     """Persisted SQ8 index (NEW r12): the middle rung of the
     quality-vs-bytes ladder gets the same warehouse lifecycle as PQ —
@@ -4361,7 +4384,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r06-r11, its operator sibling-exercised by the dedup suite and
     # the upsert paths; parked at 51+.
     "ann_filtered_indexed": q_ann_filtered_indexed,  # NEW r12
-    "ngram_jaccard": q_ngram_jaccard,
+    # r12 rotation (late): ann_residual_indexed takes ngram_jaccard's
+    # slot — ngram_jaccard green r01-r11, set-similarity stays
+    # window-certified via minhash_dedup_keep (e2e) and the PPJoin
+    # kernel's plan pins; parked 51+.
+    "ann_residual_indexed": q_ann_residual_indexed,  # NEW r12
     # r12 rotation: zorder_layout takes minhash_lsh's slot — minhash_lsh
     # green r06-r11 and its operator family stays window-certified via
     # minhash_dedup_keep (end-to-end minhash+LSH+verify); parked at 51+.
@@ -4424,6 +4451,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # md5 shuffle/shard arithmetic stays window-certified in epoch_plan)
     "token_length_profile": q_token_length_profile,  # parked r12
     # (green r10-r11)
+    "ngram_jaccard": q_ngram_jaccard,            # parked r12 (green r01-r11)
     "sessionize": q_sessionize,                  # parked r12 (green r01-r11;
     # streaming batch-equal pytest keeps the operator pinned)
     "duplicate_spans": q_duplicate_spans,        # parked r12 (green r07-r11)
@@ -4787,6 +4815,7 @@ SELECT query_id, neighbor_id, adist, rank FROM pqtop""",
         "ann_sq8_indexed": _ann_sq8_sql(),
         "sq8_recall": _sq8_recall_sql(),
         "ann_ivfpq_residual": _ivfpq_residual_sql(),
+        "ann_residual_indexed": _ivfpq_residual_sql(),
         "dedup_safe_split": _dedup_safe_split_sql(),
         "token_length_profile": _token_length_profile_sql(),
         "repetition_signals": _REPETITION_SQL,

@@ -158,13 +158,37 @@ def _publish(staging: str, path: str, work_dir: str | None = None) -> None:
         shutil.rmtree(old, ignore_errors=True)
 
 
+_RESID_GRID = ("zip_with({v}, centroid, (x, c) -> "
+               "floor((CAST(x AS DOUBLE) - c) * CAST(65536 AS DOUBLE) "
+               "+ CAST(0.5 AS DOUBLE)) / CAST(65536 AS DOUBLE))")
+# grid-quantized residual v − centroid(list(v)) — the exact expression
+# similarity.ivfpq_residual_topk certifies (every constant CAST to
+# DOUBLE: a bare literal is DECIMAL in SQL and truncates the grid)
+
+
+def _residual_frame(vectors: DataFrame, cents: DataFrame, id_col: str,
+                    vec_col: str, label_col: str) -> DataFrame:
+    """(id, label, resv): each vector re-expressed as its grid-quantized
+    residual against its list's centroid — one broadcast join + narrow
+    map, the frame residual training/encoding consume repeatedly
+    (lazily checkpointed at the call sites that re-read it)."""
+    return (vectors.join(
+                F.broadcast(cents.withColumnRenamed("label", label_col)),
+                label_col)
+                   .select(F.col(id_col),
+                           F.col(label_col).alias("label"),
+                           F.expr(_RESID_GRID.format(v=vec_col))
+                            .alias("resv")))
+
+
 def pq_index_build(vectors: DataFrame, id_col: str, vec_col: str,
                    path: str, label_col: str | None = None, m: int = 4,
                    ksub: int = 8, dim: int = 64, iters: int = 2,
                    cb: list[list[list[float]]] | None = None,
                    fingerprint: str | None = None,
                    centroids: list | None = None,
-                   route_metric: str = "cosine") -> PQIndex:
+                   route_metric: str = "cosine",
+                   residual: bool = False) -> PQIndex:
     """Train (unless ``cb`` is passed — the shard-build path trains once
     on the full corpus and shares) + add: persist codebooks, IVF
     centroids and the encoded codes table under ``path``.
@@ -176,25 +200,30 @@ def pq_index_build(vectors: DataFrame, id_col: str, vec_col: str,
     ``route_metric`` ("cosine" | "l2") records how search must rank
     centroids — k-means centroids route by L2, matching training.
 
+    ``residual=True`` builds the RESIDUAL IVFPQ (Jégou et al. 2011
+    §III, FAISS's default IVFPQ construction): codebooks train on the
+    grid-quantized residuals ``v − centroid(list(v))`` and the codes
+    encode residuals — same bytes, much finer quantization (the
+    ``similarity.ivfpq_residual_topk`` arithmetic persisted). Requires
+    ``label_col``; search then re-expresses each query per probed list.
+
     The build is atomic: staged into ``path.staging`` and renamed, so a
     crashed build can never be mistaken for a complete index (the
     engine's staging-swap discipline). Codes are ``partitionBy(label)``
     when an IVF label exists — at 100 TB the probed lists are parquet
     partitions and routing skips the rest at the scan."""
+    if residual and label_col is None:
+        raise ValueError("residual=True needs label_col (residuals are "
+                         "per-list)")
     staging = _make_staging(path)
 
-    if cb is None:
-        cb = pq_train_codebooks(vectors, id_col, vec_col, m=m, ksub=ksub,
-                                dim=dim, iters=iters)
     sub = dim // m
-    sel = [F.col(id_col).alias("id"), _pq_codes_expr(vec_col, cb, sub)]
     meta: dict = {"m": m, "ksub": ksub, "dim": dim, "iters": iters,
-                  "cb": cb, "label_col": label_col, "centroids": None,
+                  "cb": None, "label_col": label_col, "centroids": None,
                   "label_type": None, "fingerprint": fingerprint,
-                  "route_metric": route_metric}
+                  "route_metric": route_metric, "residual": residual}
     writer_cols = None
     if label_col is not None:
-        sel.append(F.col(label_col).alias("label"))
         if centroids is not None:
             meta["centroids"] = sorted(
                 ([lab, [float(x) for x in vec]] for lab, vec in centroids),
@@ -209,7 +238,21 @@ def pq_index_build(vectors: DataFrame, id_col: str, vec_col: str,
                 [f.dataType.simpleString()
                  for f in vectors.schema.fields]))[label_col]
         writer_cols = ["label"]
-    codes = vectors.select(*sel)
+    if residual:
+        cents_df = PQIndex(path, meta).centroids(vectors.sparkSession)
+        src = _residual_frame(vectors, cents_df, id_col, vec_col,
+                              label_col).localCheckpoint(eager=False)
+        enc_col, enc_label = "resv", "label"
+    else:
+        src, enc_col, enc_label = vectors, vec_col, label_col
+    if cb is None:
+        cb = pq_train_codebooks(src, id_col, enc_col, m=m, ksub=ksub,
+                                dim=dim, iters=iters)
+    meta["cb"] = cb
+    sel = [F.col(id_col).alias("id"), _pq_codes_expr(enc_col, cb, sub)]
+    if label_col is not None:
+        sel.append(F.col(enc_label).alias("label"))
+    codes = src.select(*sel)
     w = codes.write.mode("overwrite")
     if writer_cols:
         w = w.partitionBy(*writer_cols)
@@ -233,13 +276,20 @@ def pq_index_add(spark: SparkSession, path: str, new_vectors: DataFrame,
     100 TB this is the incremental-epoch shape (no rewrite of existing
     postings)."""
     idx = pq_index_load(spark, path)
+    src, enc_col, lab = new_vectors, vec_col, idx.meta["label_col"]
+    if idx.meta.get("residual"):
+        # encode the residual vs the FROZEN stored centroids — the
+        # residual twin of frozen-codebook encoding
+        src = _residual_frame(new_vectors, idx.centroids(spark), id_col,
+                              vec_col, lab)
+        enc_col, lab = "resv", "label"
     sel = [F.col(id_col).alias("id"),
-           _pq_codes_expr(vec_col, idx.cb, idx.sub)]
+           _pq_codes_expr(enc_col, idx.cb, idx.sub)]
     w_cols = None
     if idx.meta["label_col"]:
-        sel.append(F.col(idx.meta["label_col"]).alias("label"))
+        sel.append(F.col(lab).alias("label"))
         w_cols = ["label"]
-    w = new_vectors.select(*sel).write.mode("append")
+    w = src.select(*sel).write.mode("append")
     if w_cols:
         w = w.partitionBy(*w_cols)
     w.parquet(os.path.join(path, _CODES))
@@ -487,6 +537,9 @@ def pq_index_search(spark: SparkSession, index: PQIndex | str,
     if isinstance(index, str):
         index = pq_index_load(spark, index)
     cb, m = index.cb, index.m
+    if index.meta.get("residual") and nprobe is None:
+        raise ValueError("pq_index_search: a residual index ranks in "
+                         "residual space per probed list — pass nprobe")
     codes = index.codes(spark)
     if filter_labels is not None:
         if not index.meta["label_col"]:
@@ -533,9 +586,18 @@ def pq_index_search(spark: SparkSession, index: PQIndex | str,
                 F.col("cscore").desc(), F.col("label").asc())
         routed = (qc.withColumn("rt", F.row_number().over(wr))
                     .filter(F.col("rt") <= nprobe)
-                    .select("query_id", "qv", "label")
-                    .localCheckpoint(eager=False))  # routed twice: labels
-        #                                           # collect + probe join
+                    .select("query_id", "qv", "label"))
+        if index.meta.get("residual"):
+            # per probed list, re-express the query as its grid-quantized
+            # residual against that list's centroid (the inline
+            # ivfpq_residual_topk arithmetic) — downstream ADC then runs
+            # in residual space unchanged
+            routed = (routed.join(F.broadcast(cents), "label")
+                            .select("query_id", "label",
+                                    F.expr(_RESID_GRID.format(v="qv"))
+                                     .alias("qv")))
+        routed = routed.localCheckpoint(eager=False)    # routed twice:
+        #                               # labels collect + probe join
         # Static pruning (VERDICT r11 #4): the probed label set is at
         # most n_lists distinct values — collect it and push label IN
         # onto the partitioned codes scan, so nprobe search READS only
@@ -586,6 +648,11 @@ def pq_index_search_lut(spark: SparkSession, index: PQIndex | str,
 
     if isinstance(index, str):
         index = pq_index_load(spark, index)
+    if index.meta.get("residual"):
+        raise ValueError("pq_index_search_lut: LUT cells are query-vs-"
+                         "codebook subdistances in RAW space — a "
+                         "residual index needs per-list query residuals "
+                         "(use pq_index_search with nprobe)")
     cb, m, sub = index.cb, index.m, index.sub
     ksub = index.meta["ksub"]
     q_rows = (queries.select(F.col(id_col).alias("query_id"),
@@ -700,7 +767,7 @@ def ensure_pq_index(spark: SparkSession, vectors: DataFrame,
                     src_path: str, id_col: str, vec_col: str,
                     base_dir: str, label_col: str | None = None,
                     m: int = 4, ksub: int = 8, dim: int = 64,
-                    iters: int = 2) -> PQIndex:
+                    iters: int = 2, residual: bool = False) -> PQIndex:
     """Idempotent build-or-reuse: the index lives at
     ``base_dir/<fingerprint>``; if a complete index with the matching
     fingerprint exists it is reused (pure search, no retrain — the warm
@@ -708,7 +775,8 @@ def ensure_pq_index(spark: SparkSession, vectors: DataFrame,
     indexes are pruned by age (ADVICE r11: one fingerprinted dir per
     (source, params) forever is unbounded growth)."""
     fp = _source_fingerprint(
-        src_path, (id_col, vec_col, label_col, m, ksub, dim, iters))
+        src_path, (id_col, vec_col, label_col, m, ksub, dim, iters)
+        + (("residual",) if residual else ()))
     path = os.path.join(base_dir, fp)
     try:
         idx = pq_index_load(spark, path)
@@ -718,7 +786,8 @@ def ensure_pq_index(spark: SparkSession, vectors: DataFrame,
         pass    # absent or corrupt/truncated meta.json -> rebuild
     built = pq_index_build(vectors, id_col, vec_col, path,
                            label_col=label_col, m=m, ksub=ksub, dim=dim,
-                           iters=iters, fingerprint=fp)
+                           iters=iters, fingerprint=fp,
+                           residual=residual)
     # keep must exceed the live working set: ~9 param variants per SF
     # × 3 test SFs share one base_dir; a cap below that evicts a WARM
     # sibling index and the next serving query silently pays a full

@@ -569,3 +569,53 @@ def test_stream_index_add_dedupe_survives_redelivery(spark, emb,
     want = _rows(pq_ann_topk(emb, queries, "vec_id", "embedding", k=5,
                              cb=idx.cb))
     assert got == want and len(got) == 50
+
+
+def test_residual_build_then_search_equals_inline(spark, emb, queries,
+                                                  tmp_path):
+    """Persisted residual IVFPQ == inline ivfpq_residual_topk: the grid
+    residuals, Lloyd training and per-list query re-expression are all
+    deterministic and centroids/codebooks round-trip exactly through
+    JSON."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        ivfpq_residual_topk)
+
+    idx = AI.pq_index_build(emb, "vec_id", "embedding",
+                            str(tmp_path / "res"), label_col="label",
+                            residual=True)
+    got = _rows(AI.pq_index_search(spark, idx, queries, "vec_id",
+                                   "embedding", k=5, nprobe=2))
+    want = _rows(ivfpq_residual_topk(emb, queries, "vec_id",
+                                     "embedding", "label", k=5,
+                                     nprobe=2))
+    assert got == want and len(got) == 50
+    # residual ADC is per-probed-list — unrouted search must refuse
+    with pytest.raises(ValueError, match="residual"):
+        AI.pq_index_search(spark, idx, queries, "vec_id", "embedding",
+                           k=5)
+    # the raw-space LUT kernel must refuse too
+    with pytest.raises(ValueError, match="residual"):
+        AI.pq_index_search_lut(spark, idx, queries, "vec_id",
+                               "embedding", k=5)
+
+
+def test_residual_add_equals_rebuild_same_artifacts(spark, emb, queries,
+                                                    tmp_path):
+    """Frozen-artifact residual add: new vectors encode their residuals
+    against the STORED centroids and codebooks, so add-then-search ==
+    rebuild with the same centroids + codebooks."""
+    base = emb.filter(F.col("vec_id") % 10 != 9)
+    delta = emb.filter(F.col("vec_id") % 10 == 9)
+    p = str(tmp_path / "resadd")
+    idx = AI.pq_index_build(base, "vec_id", "embedding", p,
+                            label_col="label", residual=True)
+    AI.pq_index_add(spark, p, delta, "vec_id", "embedding")
+    got = _rows(AI.pq_index_search(spark, p, queries, "vec_id",
+                                   "embedding", k=5, nprobe=2))
+    ref = AI.pq_index_build(
+        emb, "vec_id", "embedding", str(tmp_path / "resref"),
+        label_col="label", residual=True, cb=idx.cb,
+        centroids=[(l, v) for l, v in idx.meta["centroids"]])
+    want = _rows(AI.pq_index_search(spark, ref, queries, "vec_id",
+                                    "embedding", k=5, nprobe=2))
+    assert got == want and len(got) == 50
