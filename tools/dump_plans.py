@@ -179,6 +179,12 @@ SHOWCASE = {
         "Quantizer-drift frame (r12): live-member semi-join, one tiny "
         "(label, dim) mean shuffle, stored centroids broadcast from "
         "index metadata — scan-bound governance at any corpus size."),
+    "ann_residual_indexed": (
+        "Persisted residual IVFPQ (r12): routing + per-list query "
+        "residuals are broadcast-side work; the probed label set "
+        "prunes the codes partitions at the scan exactly like the "
+        "raw-space twin — residual encoding changes the arithmetic, "
+        "not the plan shape."),
 }
 
 
