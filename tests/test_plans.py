@@ -248,3 +248,19 @@ def test_sq8_indexed_search_reads_codes_only(spark, sf_dir):
                for s in corpus_scans), corpus_scans
     assert any("ann_index" in s for s in scans), scans
     assert "CartesianProduct" not in plan, plan
+
+
+def test_residual_indexed_search_prunes_codes_partitions(spark, sf_dir):
+    """Residual encoding must not change the scan shape: the probed
+    label set still prunes the label-partitioned codes table statically
+    (PartitionFilters), and the per-list query residual stays on the
+    broadcast side."""
+    df = E.q_ann_residual_indexed(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    scans = [l for l in plan.splitlines()
+             if "FileScan" in l and "ann_index" in l]
+    assert scans, plan
+    assert any(re.search(r"PartitionFilters: \[.*label.* IN \(", s)
+               for s in scans), scans
+    assert "CartesianProduct" not in plan, plan
