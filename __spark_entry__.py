@@ -1603,6 +1603,41 @@ def q_ann_sq8(spark, sf_dir):
                         "vec_id", "embedding", dim=64, k=5)
 
 
+def q_minhash_dedup_incremental(spark, sf_dir):
+    """Incremental dedup against a PERSISTED MinHash-LSH index (NEW
+    r12): the build-once/serve-incremental split for TEXT near-dup —
+    the corpus (doc_id % 10 <> 9) is shingled/banded ONCE into stored
+    bucket + shingle-set artifacts, and deduping the daily delta
+    (doc_id % 10 = 9) costs shingling the delta, one (band, bucket)
+    join, and candidate-bounded exact-Jaccard verification. At 100 TB
+    the corpus is never re-shingled per delta. The md5 permutations are
+    parameter-determined (frozen-codebook property), so the oracle is
+    the certified MinHash chain over ALL docs with the pair condition
+    restricted to (indexed, new) — _minhash_sql(pair_cond=...)."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        _source_fingerprint)
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        minhash_index_build, minhash_index_load, minhash_index_query)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    delta = docs.filter(F.col("doc_id") % 10 == 9)
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = _source_fingerprint(src, ("minhash_lsh", "doc_id", "text", 12,
+                                   4, "corpus:doc_id%10<>9"))
+    path = os.path.join(_ann_index_dir(), fp)
+    try:
+        fresh = minhash_index_load(spark, path).get("fingerprint") != fp
+    except (OSError, ValueError):
+        fresh = True
+    if fresh:
+        minhash_index_build(corpus, "doc_id", "text", path,
+                            fingerprint=fp)
+    return minhash_index_query(spark, path, delta, "doc_id", "text",
+                               threshold=0.8)
+
+
 def q_ann_residual_indexed(spark, sf_dir):
     """Persisted RESIDUAL IVFPQ (NEW r12): the last inline kernel gets
     its persisted twin — every retrieval kernel in the repo now exists
@@ -3041,7 +3076,8 @@ SELECT id,
 FROM h"""
 
 
-def _minhash_sql(n_hashes=12, band_size=4, threshold=0.8):
+def _minhash_sql(n_hashes=12, band_size=4, threshold=0.8,
+                 pair_cond="a.id < b.id"):
     mins = ", ".join(
         f"min(CASE WHEN seed = {s} THEN h END) AS mh{s}" for s in range(n_hashes))
     bands = "\nUNION ALL\n".join(
@@ -3060,10 +3096,12 @@ sig AS (SELECT id, {mins} FROM hashed GROUP BY id),
 buckets AS ({bands}),
 cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
           FROM buckets a JOIN buckets b
-            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND {pair_cond}),
 sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
 common AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+            AND {pair_cond}
            JOIN cands c ON c.id_a = a.id AND c.id_b = b.id
            GROUP BY 1, 2)
 SELECT id_a, id_b,
@@ -4372,7 +4410,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # parked 51+.
     "ann_sq8_indexed": q_ann_sq8_indexed,        # NEW r12: persisted SQ8
     "delete_rows": q_delete_rows,
-    "import_from_table": q_import_from_table,
+    # r12 rotation (late): minhash_dedup_incremental takes
+    # import_from_table's slot — import_from_table green r11, its
+    # mapping/where/limit path stays exercised end-to-end by the engine
+    # and driver-bridge suites; parked 51+.
+    "minhash_dedup_incremental": q_minhash_dedup_incremental,  # NEW r12
     "sq8_recall": q_sq8_recall,                  # NEW r10: SQ8 quality
     "temperature_mixture": q_temperature_mixture,  # NEW r10: √-temp mix
     "numeric_moments": q_numeric_moments,
@@ -4452,6 +4494,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_length_profile": q_token_length_profile,  # parked r12
     # (green r10-r11)
     "ngram_jaccard": q_ngram_jaccard,            # parked r12 (green r01-r11)
+    "import_from_table": q_import_from_table,    # parked r12 (green r11)
     "sessionize": q_sessionize,                  # parked r12 (green r01-r11;
     # streaming batch-equal pytest keeps the operator pinned)
     "duplicate_spans": q_duplicate_spans,        # parked r12 (green r07-r11)
@@ -4816,6 +4859,8 @@ SELECT query_id, neighbor_id, adist, rank FROM pqtop""",
         "sq8_recall": _sq8_recall_sql(),
         "ann_ivfpq_residual": _ivfpq_residual_sql(),
         "ann_residual_indexed": _ivfpq_residual_sql(),
+        "minhash_dedup_incremental": _minhash_sql(
+            pair_cond="(a.id % 10) <> 9 AND (b.id % 10) = 9"),
         "dedup_safe_split": _dedup_safe_split_sql(),
         "token_length_profile": _token_length_profile_sql(),
         "repetition_signals": _REPETITION_SQL,

@@ -558,3 +558,105 @@ def dedup_safe_split(docs: DataFrame, id_col: str, edges: DataFrame,
                         F.when(bucket < train, "train")
                          .when(bucket < train + val, "val")
                          .otherwise("test").alias("split")))
+
+
+# --------------------------------------------------------------------------
+# Persisted MinHash-LSH dedup index — the build-once / serve-incremental
+# split for TEXT near-dup, mirroring ann_index's FAISS lifecycle: at 100 TB
+# nobody re-shingles the corpus to dedup a daily delta. The index stores the
+# LSH bucket table (the banded signatures) and the per-doc shingle sets (the
+# verification state); querying a delta costs shingling the DELTA plus a
+# bucket join and candidate-bounded exact-Jaccard verification — never a
+# corpus x corpus (or even corpus-rescan) pass.
+
+def _minhash_index_meta(n_hashes: int, band_size: int,
+                        fingerprint: str | None) -> dict:
+    return {"kind": "minhash_lsh", "n_hashes": n_hashes,
+            "band_size": band_size, "fingerprint": fingerprint}
+
+
+def minhash_index_build(docs: DataFrame, id_col: str, text_col: str,
+                        path: str, n_hashes: int = 12,
+                        band_size: int = 4,
+                        fingerprint: str | None = None) -> dict:
+    """Build the persisted dedup index: ``path/buckets`` (id, band,
+    bucket — the LSH candidate-generation state) and ``path/shingles``
+    (id, shs — the exact-verification state), atomic staging swap
+    (ann_index discipline). The md5-seeded minwise permutations are
+    parameter-determined, so a delta encoded later with the same params
+    buckets identically — the frozen-codebook property of this index."""
+    import os
+
+    from .ann_index import _make_staging, _publish, _write_meta
+
+    staging = _make_staging(path)
+    arr = shingle_arrays(docs, id_col, text_col).localCheckpoint(
+        eager=False)                        # feeds both artifact writes
+    arr.write.mode("overwrite").parquet(os.path.join(staging, "shingles"))
+    bb = minhash_band_buckets(docs, id_col, text_col, n_hashes,
+                              band_size, _arr=arr)
+    bb.write.mode("overwrite").parquet(os.path.join(staging, "buckets"))
+    meta = _minhash_index_meta(n_hashes, band_size, fingerprint)
+    _write_meta(staging, meta)
+    _publish(staging, path)
+    return meta
+
+
+def minhash_index_load(spark, path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("kind") != "minhash_lsh":
+        raise ValueError(f"{path} is not a minhash_lsh index")
+    return meta
+
+
+def minhash_index_add(spark, path: str, new_docs: DataFrame,
+                      id_col: str, text_col: str) -> None:
+    """Append a delta to the index under the FROZEN hash params —
+    add-then-query == rebuild (pytest-pinned), no rewrite of existing
+    state."""
+    import os
+
+    meta = minhash_index_load(spark, path)
+    arr = shingle_arrays(new_docs, id_col, text_col).localCheckpoint(
+        eager=False)
+    arr.write.mode("append").parquet(os.path.join(path, "shingles"))
+    (minhash_band_buckets(new_docs, id_col, text_col, meta["n_hashes"],
+                          meta["band_size"], _arr=arr)
+     .write.mode("append").parquet(os.path.join(path, "buckets")))
+
+
+def minhash_index_query(spark, path: str, new_docs: DataFrame,
+                        id_col: str, text_col: str,
+                        threshold: float = 0.8) -> DataFrame:
+    """Incremental near-dup check: which INDEXED docs does each new doc
+    near-duplicate? The delta is shingled and banded with the stored
+    params; candidates come from one (band, bucket) join against the
+    stored bucket table; exact Jaccard verifies only the candidates
+    (stored shingle sets ∪ delta shingle sets). Returns (id_a = indexed
+    id, id_b = new id, jaccard ≥ threshold). Cost scales with the delta
+    and the true near-dup count — the corpus is touched only through
+    its (tiny) bucket rows and the candidate docs' shingle arrays.
+    Precondition: delta ids are not already indexed (the same
+    disjointness discipline pq_index_merge enforces)."""
+    import os
+
+    meta = minhash_index_load(spark, path)
+    arr_new = shingle_arrays(new_docs, id_col, text_col).localCheckpoint(
+        eager=False)                        # feeds banding AND verify
+    bb_new = minhash_band_buckets(new_docs, id_col, text_col,
+                                  meta["n_hashes"], meta["band_size"],
+                                  _arr=arr_new)
+    stored = spark.read.parquet(os.path.join(path, "buckets"))
+    cands = (stored.select(F.col("id").alias("id_a"), "band", "bucket")
+                   .join(bb_new.select(F.col("id").alias("id_b"),
+                                       "band", "bucket"),
+                         ["band", "bucket"])
+                   .filter(F.col("id_a") != F.col("id_b"))
+                   .select("id_a", "id_b").distinct())
+    arr_all = (spark.read.parquet(os.path.join(path, "shingles"))
+                    .unionByName(arr_new))
+    return _verify_pairs_with_arrays(cands, arr_all, threshold)

@@ -54,3 +54,45 @@ def test_exact_dedup(spark):
     out = KD.exact_dedup(df.withColumn("rk", df.id * 10), subset=["val"],
                          keep_order_col="rk")
     assert out.count() == 2
+
+
+def test_minhash_index_incremental_equals_restricted_full(spark, sf_dir,
+                                                          tmp_path):
+    """Persisted MinHash index: querying the delta against the stored
+    corpus artifacts == the full inline LSH pipeline over corpus ∪
+    delta restricted to (corpus, delta) pairs (the md5 permutations are
+    parameter-determined, so split computation changes nothing).
+    add-then-query == rebuild-then-query."""
+    from pyspark.sql import functions as F
+
+    from keboola_storage_duckdb_spark.functions import dedup_ml as DM
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    delta = docs.filter(F.col("doc_id") % 10 == 9)
+    p = str(tmp_path / "mh_idx")
+    DM.minhash_index_build(corpus, "doc_id", "text", p)
+    got = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+           DM.minhash_index_query(spark, p, delta, "doc_id", "text",
+                                  0.8).collect()}
+    full = DM.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    want = set()
+    for r in full.collect():
+        a, b, j = r.id_a, r.id_b, round(r.jaccard, 9)
+        # orient as (corpus id, delta id) — the index query's frame
+        if a % 10 != 9 and b % 10 == 9:
+            want.add((a, b, j))
+        elif b % 10 != 9 and a % 10 == 9:
+            want.add((b, a, j))
+    assert got == want and got
+    # incremental add under frozen params == rebuild
+    half_a = corpus.filter(F.col("doc_id") % 2 == 0)
+    half_b = corpus.filter(F.col("doc_id") % 2 == 1)
+    p2 = str(tmp_path / "mh_add")
+    DM.minhash_index_build(half_a, "doc_id", "text", p2)
+    DM.minhash_index_add(spark, p2, half_b, "doc_id", "text")
+    got2 = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+            DM.minhash_index_query(spark, p2, delta, "doc_id", "text",
+                                   0.8).collect()}
+    assert got2 == want
