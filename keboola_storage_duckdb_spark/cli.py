@@ -456,15 +456,34 @@ def cmd_tables_optimize(args):
 
 def cmd_indexes_create(args):
     body = {"name": args.name, "id_column": args.id_column,
-            "vector_column": args.vector_column, "kind": args.kind,
-            "m": args.m, "ksub": args.ksub, "dim": args.dim}
+            "kind": args.kind, "m": args.m, "ksub": args.ksub,
+            "dim": args.dim}
+    if args.vector_column:
+        body["vector_column"] = args.vector_column
+    if args.text_column:
+        body["text_column"] = args.text_column
     if args.label_column:
         body["label_column"] = args.label_column
     res = _client(args).post(
         f"{_tbl_base(args)}/{args.table}/indexes", body)
     (print_json(res) if args.json
      else print(f"Created index {res['name']} ({res['kind']}) over "
-                f"{res['n_vectors']:,} vectors"))
+                f"{res['n_vectors']:,} rows"))
+
+
+def cmd_indexes_dedup(args):
+    raw = args.documents
+    if not raw.lstrip().startswith(("[", "{")):       # a path, not JSON
+        raw = Path(raw).read_text()
+    body = {"documents": json.loads(raw), "threshold": args.threshold}
+    res = _client(args).post(
+        f"{_tbl_base(args)}/{args.table}/indexes/{args.name}/dedup", body)
+    if args.json:
+        print_json(res)
+        return
+    rows = [[h["id"], h["duplicate_of"], round(h["jaccard"], 4)]
+            for h in res["hits"]]
+    print_table(["Doc", "Duplicate of", "Jaccard"], rows)
 
 
 def cmd_indexes_list(args):
@@ -701,8 +720,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = index_parser("create", cmd_indexes_create)
     s.add_argument("--id-column", required=True)
-    s.add_argument("--vector-column", required=True)
-    s.add_argument("--kind", default="pq", choices=["pq", "sq8"])
+    s.add_argument("--vector-column")
+    s.add_argument("--text-column",
+                   help="text column for kind=minhash (dedup index)")
+    s.add_argument("--kind", default="pq",
+                   choices=["pq", "sq8", "minhash"])
     s.add_argument("--label-column",
                    help="IVF label column (pq only): posting lists as "
                         "parquet partitions, nprobe routing at search")
@@ -718,6 +740,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--k", type=int, default=5)
     s.add_argument("--nprobe", type=int)
     s.add_argument("--filter-labels", help="JSON list of allowed labels")
+    s = index_parser("dedup", cmd_indexes_dedup)
+    s.add_argument("--documents", required=True,
+                   help="JSON file or inline JSON: "
+                        '[{"id": ..., "text": "..."}, ...]')
+    s.add_argument("--threshold", type=float, default=0.8)
     index_parser("refresh", cmd_indexes_refresh)
     s = index_parser("compact", cmd_indexes_compact)
     s.add_argument("--max-files", type=int, default=4)

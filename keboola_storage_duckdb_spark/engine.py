@@ -414,22 +414,33 @@ class StorageEngine:
         return p
 
     def create_index(self, project: str, bucket: str, table: str,
-                     name: str, id_column: str, vector_column: str,
+                     name: str, id_column: str,
+                     vector_column: str | None = None,
                      kind: str = "pq", label_column: str | None = None,
-                     m: int = 4, ksub: int = 8, dim: int = 64) -> dict:
-        """Build a persisted ANN index over the table's vector column:
-        ``kind="pq"`` (optionally IVF-labeled by ``label_column`` —
-        posting lists as parquet partitions, nprobe routing at search)
-        or ``kind="sq8"`` (per-dim scalar grid, near-exact). The build
-        is atomic (staging swap) and runs under the table lock; main
-        branch only (indexes are serving artifacts, not CoW state)."""
+                     m: int = 4, ksub: int = 8, dim: int = 64,
+                     text_column: str | None = None,
+                     n_hashes: int = 12, band_size: int = 4) -> dict:
+        """Build a persisted index over a table column: ``kind="pq"``
+        (ANN over ``vector_column``, optionally IVF-labeled by
+        ``label_column`` — posting lists as parquet partitions, nprobe
+        routing at search), ``kind="sq8"`` (per-dim scalar grid,
+        near-exact), or ``kind="minhash"`` (near-dup DEDUP index over
+        ``text_column`` — stored LSH buckets + shingle sets; query via
+        ``dedup_check``). The build is atomic (staging swap) and runs
+        under the table lock; main branch only (indexes are serving
+        artifacts, not CoW state)."""
         from .functions import ann_index as AI
 
         path = self._index_path(project, bucket, table, name)
         if os.path.exists(path):
             raise AlreadyExistsError(f"index {name} exists on {table}")
         df = self.read_table(project, bucket, table)
-        need = [id_column, vector_column] + (
+        data_col = text_column if kind == "minhash" else vector_column
+        if data_col is None:
+            raise CatalogError(
+                "text_column is required for kind=minhash" if
+                kind == "minhash" else "vector_column is required")
+        need = [id_column, data_col] + (
             [label_column] if label_column else [])
         missing = [c for c in need if c not in df.columns]
         if missing:
@@ -440,22 +451,30 @@ class StorageEngine:
                 if label_column:
                     raise CatalogError(
                         "sq8 indexes have no IVF labels — use kind=pq")
-                idx = AI.sq8_index_build(df, id_column, vector_column,
-                                         path, dim=dim)
+                meta = AI.sq8_index_build(df, id_column, vector_column,
+                                          path, dim=dim).meta
             elif kind == "pq":
-                idx = AI.pq_index_build(df, id_column, vector_column,
-                                        path, label_col=label_column,
-                                        m=m, ksub=ksub, dim=dim)
+                meta = AI.pq_index_build(df, id_column, vector_column,
+                                         path, label_col=label_column,
+                                         m=m, ksub=ksub, dim=dim).meta
+            elif kind == "minhash":
+                from .functions import dedup_ml as DM
+                if label_column:
+                    raise CatalogError("minhash indexes have no labels")
+                meta = DM.minhash_index_build(
+                    df, id_column, text_column, path,
+                    n_hashes=n_hashes, band_size=band_size)
             else:
                 raise CatalogError(f"unknown index kind: {kind!r} "
-                                   "(pq | sq8)")
-            idx.meta.update({"index_name": name,
-                             "index_kind": kind,
-                             "id_column": id_column,
-                             "vector_column": vector_column,
-                             "built_rows": rows,
-                             "built_at": time.time()})
-            AI._write_meta(path, idx.meta)
+                                   "(pq | sq8 | minhash)")
+            meta.update({"index_name": name,
+                         "index_kind": kind,
+                         "id_column": id_column,
+                         "vector_column": vector_column,
+                         "text_column": text_column,
+                         "built_rows": rows,
+                         "built_at": time.time()})
+            AI._write_meta(path, meta)
         self._log("create_index", project=project, bucket=bucket,
                   table=table, name=name, kind=kind)
         return self.index_info(project, bucket, table, name)
@@ -483,16 +502,21 @@ class StorageEngine:
         path = self._index_path(project, bucket, table, name,
                                 must_exist=True)
         idx = AI.pq_index_load(self.spark, path)
-        n_vectors = idx.codes(self.spark).count()
+        kind = idx.meta.get("index_kind", idx.meta.get("kind", "pq"))
+        if kind == "minhash":
+            n_rows = self.spark.read.parquet(
+                os.path.join(path, "shingles")).count()
+        else:
+            n_rows = idx.codes(self.spark).count()
         current = self.read_table(project, bucket, table).count()
         info = {"name": name,
-                "kind": idx.meta.get("index_kind",
-                                     idx.meta.get("kind", "pq")),
+                "kind": kind,
                 "id_column": idx.meta.get("id_column"),
                 "vector_column": idx.meta.get("vector_column"),
+                "text_column": idx.meta.get("text_column"),
                 "label_column": idx.meta.get("label_col"),
                 "dim": idx.meta.get("dim"),
-                "n_vectors": n_vectors,
+                "n_vectors": n_rows,
                 "built_rows": idx.meta.get("built_rows"),
                 "table_rows": current,
                 "stale": (idx.meta.get("built_rows") is not None
@@ -531,6 +555,10 @@ class StorageEngine:
                                 must_exist=True)
         with self.catalog.acquire(project, bucket, table):
             idx = AI.pq_index_load(self.spark, path)
+            if idx.meta.get("index_kind") == "minhash":
+                return self._refresh_minhash_index(project, bucket,
+                                                   table, name, path,
+                                                   idx.meta)
             id_col = idx.meta["id_column"]
             vec_col = idx.meta["vector_column"]
             df = self.read_table(project, bucket, table)
@@ -564,6 +592,88 @@ class StorageEngine:
         return {"added": added, "deleted": report["deleted"],
                 "table_rows": rows, "stale": False}
 
+    def _refresh_minhash_index(self, project: str, bucket: str,
+                               table: str, name: str, path: str,
+                               meta: dict) -> dict:
+        """Minhash-kind refresh (caller holds the table lock): new rows
+        shingle/band against the FROZEN permutations and append; rows
+        gone from the table rewrite both artifact tables filtered
+        (atomic staging swap each — dedup state has no per-list layout
+        to scope the rewrite to)."""
+        from .functions import ann_index as AI
+        from .functions import dedup_ml as DM
+
+        id_col, text_col = meta["id_column"], meta["text_column"]
+        df = self.read_table(project, bucket, table)
+        sh_dir = os.path.join(path, "shingles")
+        posted = (self.spark.read.parquet(sh_dir)
+                      .select(F.col("id").alias(id_col)))
+        new_rows = df.join(posted, id_col, "left_anti")
+        # EAGER checkpoint: the gone-set plan reads the shingles files,
+        # and the second artifact rewrite below consumes it AFTER the
+        # first swap deleted those files — materialize it first
+        gone = (posted.join(df.select(id_col), id_col, "left_anti")
+                      .localCheckpoint())
+        added = 0
+        if not new_rows.isEmpty():
+            DM.minhash_index_add(self.spark, path, new_rows, id_col,
+                                 text_col)
+            added = new_rows.count()
+        deleted = gone.count()
+        if deleted:
+            keep = F.broadcast(gone.withColumnRenamed(id_col, "id"))
+            for art in ("shingles", "buckets"):
+                d = os.path.join(path, art)
+                staging = AI._make_staging(d, work_dir=path)
+                (self.spark.read.parquet(d).join(keep, "id", "left_anti")
+                     .write.mode("overwrite").parquet(staging))
+                AI._publish(staging, d, work_dir=path)
+                self.spark.catalog.refreshByPath(d)
+        rows = df.count()
+        meta["built_rows"] = rows
+        AI._write_meta(path, meta)
+        self._log("refresh_index", project=project, bucket=bucket,
+                  table=table, name=name, added=added, deleted=deleted)
+        return {"added": added, "deleted": deleted,
+                "table_rows": rows, "stale": False}
+
+    def dedup_check(self, project: str, bucket: str, table: str,
+                    name: str, documents: list, threshold: float = 0.8,
+                    max_documents: int = 1024) -> list[dict]:
+        """Ingestion-time near-dup check against a minhash index: for
+        each submitted ``{"id": ..., "text": ...}``, which INDEXED docs
+        it near-duplicates (exact Jaccard ≥ threshold on word-bigram
+        shingle sets, LSH-candidate-bounded). Submitted ids share the
+        corpus id space — use ids not present in it (e.g. negative)
+        for external documents."""
+        from .functions import ann_index as AI
+        from .functions import dedup_ml as DM
+
+        path = self._index_path(project, bucket, table, name,
+                                must_exist=True)
+        meta = AI.pq_index_load(self.spark, path).meta
+        if meta.get("index_kind") != "minhash":
+            raise CatalogError(
+                "dedup_check needs a minhash index — this one is "
+                f"{meta.get('index_kind', 'pq')!r}")
+        if not documents:
+            raise CatalogError("documents must be a non-empty list")
+        if len(documents) > max_documents:
+            raise CatalogError(
+                f"document count {len(documents)} exceeds "
+                f"{max_documents} — batch the requests")
+        try:
+            rows = [(int(d["id"]), str(d["text"])) for d in documents]
+        except (TypeError, KeyError):
+            raise CatalogError(
+                "each document needs {'id': ..., 'text': ...}")
+        ddf = self.spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = DM.minhash_index_query(self.spark, path, ddf, "doc_id",
+                                     "text", threshold=float(threshold))
+        return [{"id": r.id_b, "duplicate_of": r.id_a,
+                 "jaccard": r.jaccard}
+                for r in out.collect()]
+
     def compact_index(self, project: str, bucket: str, table: str,
                       name: str, max_files: int = 4) -> dict:
         from .functions import ann_index as AI
@@ -571,6 +681,11 @@ class StorageEngine:
         path = self._index_path(project, bucket, table, name,
                                 must_exist=True)
         with self.catalog.acquire(project, bucket, table):
+            if AI.pq_index_load(self.spark, path).meta.get(
+                    "index_kind") == "minhash":
+                raise CatalogError(
+                    "compact targets the posting-list layout of vector "
+                    "indexes; rebuild or refresh a minhash index")
             report = AI.pq_index_compact(self.spark, path,
                                          max_files=max_files)
         self._log("compact_index", project=project, bucket=bucket,
@@ -595,6 +710,9 @@ class StorageEngine:
         path = self._index_path(project, bucket, table, name,
                                 must_exist=True)
         idx = AI.pq_index_load(self.spark, path)
+        if idx.meta.get("index_kind") == "minhash":
+            raise CatalogError("a minhash index answers dedup_check, "
+                               "not vector search")
         if not queries:
             raise CatalogError("queries must be a non-empty list")
         if len(queries) > max_queries:

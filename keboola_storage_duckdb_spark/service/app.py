@@ -294,12 +294,15 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
             project, bucket, table,
             name=body.get("name", ""),
             id_column=body["id_column"],
-            vector_column=body["vector_column"],
+            vector_column=body.get("vector_column"),
             kind=body.get("kind", "pq"),
             label_column=body.get("label_column"),
             m=int(body.get("m") or 4),
             ksub=int(body.get("ksub") or 8),
-            dim=int(body.get("dim") or 64))), 201
+            dim=int(body.get("dim") or 64),
+            text_column=body.get("text_column"),
+            n_hashes=int(body.get("n_hashes") or 12),
+            band_size=int(body.get("band_size") or 4))), 201
 
     @app.get(tbl + "/<table>/indexes")
     def list_indexes(project, branch_id, bucket, table):
@@ -313,6 +316,15 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
     @app.delete(tbl + "/<table>/indexes/<name>")
     def drop_index(project, branch_id, bucket, table, name):
         return jsonify(engine.drop_index(project, bucket, table, name))
+
+    @app.post(tbl + "/<table>/indexes/<name>/dedup")
+    def dedup_check(project, branch_id, bucket, table, name):
+        body = request.get_json(force=True)
+        hits = engine.dedup_check(
+            project, bucket, table, name,
+            documents=body.get("documents"),
+            threshold=float(body.get("threshold") or 0.8))
+        return jsonify({"hits": hits, "n_hits": len(hits)})
 
     @app.post(tbl + "/<table>/indexes/<name>/refresh")
     def refresh_index(project, branch_id, bucket, table, name):

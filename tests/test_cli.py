@@ -284,3 +284,34 @@ def test_cli_index_lifecycle(server, spark, sf_dir, tmp_path, capsys):
     rc, out = run(server, "indexes", "list", "pidx", "in_c_v", "emb",
                   capsys=capsys)
     assert json.loads(out)["indexes"] == []
+
+
+def test_cli_dedup_index(server, spark, tmp_path, capsys):
+    run(server, "projects", "create", "pdd", capsys=capsys)
+    run(server, "buckets", "create", "pdd", "in_c_d", capsys=capsys)
+    cols = json.dumps([
+        {"name": "doc_id", "type": "BIGINT", "nullable": False},
+        {"name": "text", "type": "VARCHAR", "nullable": True}])
+    run(server, "tables", "create", "pdd", "in_c_d", "docs",
+        "--columns", cols, capsys=capsys)
+    src = str(tmp_path / "d.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "totally different words describing another topic here")],
+        "doc_id bigint, text string").coalesce(1).write.parquet(src)
+    import glob
+    part = glob.glob(src + "/part-*.parquet")[0]
+    rc, _ = run(server, "tables", "import", "pdd", "in_c_d", "docs",
+                part, "--format", "parquet", capsys=capsys)
+    assert rc == 0
+    rc, out = run(server, "indexes", "create", "pdd", "in_c_d", "docs",
+                  "dd", "--kind", "minhash", "--id-column", "doc_id",
+                  "--text-column", "text", capsys=capsys)
+    assert rc == 0, out and json.loads(out)["kind"] == "minhash"
+    docs = json.dumps([{"id": -1, "text":
+                        "alpha beta gamma delta epsilon zeta eta theta"}])
+    rc, out = run(server, "indexes", "dedup", "pdd", "in_c_d", "docs",
+                  "dd", "--documents", docs, capsys=capsys)
+    assert rc == 0
+    hits = json.loads(out)["hits"]
+    assert hits and hits[0]["duplicate_of"] == 1

@@ -192,3 +192,75 @@ def test_refresh_reconciles_without_retraining(ctx, spark):
     # no-op second refresh
     r = _post(c, TBL + "/indexes/pq_main/refresh").get_json()
     assert r["added"] == 0 and r["deleted"] == 0
+
+
+DOCS_BASE = "/projects/px/branches/default/buckets/in_c_vec/tables"
+DTBL = DOCS_BASE + "/docs"
+
+
+def test_minhash_dedup_index_over_rest(ctx, spark, tmp_path):
+    """Dedup indexes as storage objects: create a minhash index on a
+    text column, run the ingestion-time dedup_check, refresh after a
+    table mutation, and hit the kind-validation walls."""
+    c, eng, _ = ctx
+    cols = [{"name": "doc_id", "type": "BIGINT", "nullable": False},
+            {"name": "text", "type": "VARCHAR", "nullable": True}]
+    r = _post(c, DOCS_BASE, {"name": "docs", "columns": cols})
+    assert r.status_code == 201, r.get_json()
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog every morning"),
+        (2, "the quick brown fox jumps over the lazy dog every evening"),
+        (3, "completely different content about storage engines and parquet"),
+        (4, "yet another unrelated document mentioning spark and duckdb"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(texts, "doc_id bigint, text string") \
+         .coalesce(1).write.parquet(src)
+    r = _post(c, DTBL + "/import/file", {"path": src, "format": "parquet"})
+    assert r.status_code == 200, r.get_json()
+
+    r = _post(c, DTBL + "/indexes",
+              {"name": "dd", "kind": "minhash", "id_column": "doc_id",
+               "text_column": "text"})
+    assert r.status_code == 201, r.get_json()
+    info = r.get_json()
+    assert info["kind"] == "minhash" and info["n_vectors"] == 4
+
+    # an exact copy of doc 1 must hit with jaccard 1.0
+    r = _post(c, DTBL + "/indexes/dd/dedup",
+              {"documents": [{"id": -1, "text": texts[0][1]},
+                             {"id": -2, "text": "nothing like anything "
+                                                "indexed here at all"}]})
+    assert r.status_code == 200, r.get_json()
+    hits = r.get_json()["hits"]
+    assert {h["id"] for h in hits} == {-1}
+    assert any(h["duplicate_of"] == 1 and h["jaccard"] == 1.0
+               for h in hits)
+
+    # kind walls: vector search on a dedup index / dedup on a vector
+    # index / compact on a dedup index
+    assert _post(c, DTBL + "/indexes/dd/search",
+                 {"queries": [{"id": -1, "vector": [0.0] * 64}],
+                  "k": 3}).status_code == 400
+    r = _post(c, TBL + "/indexes",
+              {"name": "pqx", "id_column": "vec_id",
+               "vector_column": "embedding"})
+    assert r.status_code == 201, r.get_json()
+    assert _post(c, TBL + "/indexes/pqx/dedup",
+                 {"documents": [{"id": -1, "text": "x y"}]}
+                 ).status_code == 400
+    assert _post(c, DTBL + "/indexes/dd/compact", {}).status_code == 400
+
+    # refresh reconciles a table mutation (delete doc 4)
+    r = c.delete(DTBL + "/rows",
+                 data=json.dumps({"where": "doc_id = 4"}),
+                 content_type="application/json")
+    assert r.status_code == 200
+    info = c.get(DTBL + "/indexes/dd").get_json()
+    assert info["stale"]
+    r = _post(c, DTBL + "/indexes/dd/refresh")
+    assert r.status_code == 200
+    assert r.get_json() == {"added": 0, "deleted": 1, "table_rows": 3,
+                            "stale": False}
+    info = c.get(DTBL + "/indexes/dd").get_json()
+    assert not info["stale"] and info["n_vectors"] == 3

@@ -104,7 +104,8 @@ def main() -> None:
                  "zorder_layout", "ann_ivf_kmeans", "ivf_kmeans_recall",
                  "ann_ivfpq_kmeans_indexed", "ann_index_delete",
                  "hybrid_rrf", "ivf_drift", "ann_sq8_indexed",
-                 "ann_residual_indexed", "hybrid_recall"]:
+                 "ann_residual_indexed", "hybrid_recall",
+                 "minhash_dedup_incremental"]:
         if ONLY and name not in ONLY:
             continue
         run(name, lambda name=name: Q[name](spark, DST))
