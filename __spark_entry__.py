@@ -1638,6 +1638,29 @@ def q_minhash_dedup_incremental(spark, sf_dir):
                                threshold=0.8)
 
 
+def q_ann_ivfpq_indexed_lut(spark, sf_dir):
+    """THE production IVFPQ serving shape (NEW r12): coarse-quantizer
+    routing + partition-pruned codes scan + LUT-form ADC, all from
+    stored artifacts — the scan reads nprobe/n_lists of the index AND
+    ranking costs m lookups + m−1 adds per survivor (at 2M vectors the
+    routed-reconstruction kernel measures 5.2 s and the full-scan LUT
+    3.4 s; this composes both cuts). Each query ranks only within its
+    OWN probed lists. Oracle composes the certified routing block with
+    the certified LUT ranking restricted to the routed (query, label)
+    pairs."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        ensure_pq_index, pq_index_search_lut)
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ensure_pq_index(
+        spark, emb, os.path.join(sf_dir, "embeddings.parquet"),
+        "vec_id", "embedding", _ann_index_dir(), label_col="label")
+    return pq_index_search_lut(spark, idx,
+                               emb.filter(F.col("vec_id") < 10),
+                               "vec_id", "embedding", k=5, nprobe=2)
+
+
 def q_ann_residual_indexed(spark, sf_dir):
     """Persisted RESIDUAL IVFPQ (NEW r12): the last inline kernel gets
     its persisted twin — every retrieval kernel in the repo now exists
@@ -3646,6 +3669,37 @@ SELECT query_id, neighbor_id, adist, rank FROM (
 WHERE rank <= {k}"""
 
 
+def _ann_ivfpq_lut_sql(m=4, ksub=8, sub=16, k=5, nprobe=2):
+    """Exact twin of q_ann_ivfpq_indexed_lut (NEW r12): the certified
+    routing block restricts the certified LUT ranking to each query's
+    OWN probed lists — candidate rows join through (query_id, label)
+    routed pairs, adist stays the m subspace cells summed in subspace
+    order (the ann_pq_lut discipline)."""
+    return f"""
+WITH {_pq_chain_sql(m=m, ksub=ksub, sub=sub)},
+{_ivf_routing_ctes(nprobe)},
+el AS (SELECT e.vec_id, e.sub, e.code, d.label
+       FROM enc e JOIN embeddings d USING (vec_id)),
+lutq AS (SELECT qpq.query_id, p.sub, p.code,
+                list_sum(list_transform(generate_series(1, {sub}),
+                  i -> (qpq.qv[p.sub * {sub} + i] - p.c[i])
+                     * (qpq.qv[p.sub * {sub} + i] - p.c[i]))) AS sd
+         FROM qpq CROSS JOIN cb2 p),
+lsc AS (SELECT ro.query_id, el.vec_id AS neighbor_id,
+               ROUND(list_sum(list(l.sd ORDER BY l.sub)), 6) AS adist
+        FROM el
+        JOIN routed ro ON ro.label = el.label
+        JOIN lutq l ON l.query_id = ro.query_id
+                   AND l.sub = el.sub AND l.code = el.code
+        WHERE el.vec_id <> ro.query_id
+        GROUP BY ro.query_id, el.vec_id)
+SELECT query_id, neighbor_id, adist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adist ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM lsc)
+WHERE rank <= {k}"""
+
+
 def _ivfpq_core_sql(k=5, nprobe=2):
     """Shared IVFPQ CTE tail: the PQ chain (training/encode/recon) +
     the certified IVF routing block + ADC ranking restricted to the
@@ -4460,7 +4514,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ivf_recall green r08-r11, parked 51+.
     "ivf_kmeans_recall": q_ivf_kmeans_recall,    # NEW r12: trained-IVF recall
     "minhash_dedup_keep": q_minhash_dedup_keep,  # NEW r08: text dedup e2e
-    "encoding_quality": q_encoding_quality,      # NEW r08: mojibake filter
+    # r12 rotation (late): ann_ivfpq_indexed_lut (the composed
+    # production serving kernel) takes encoding_quality's slot —
+    # encoding_quality green r08-r11, its mojibake rules pinned by the
+    # text pytest suite; parked 51+.
+    "ann_ivfpq_indexed_lut": q_ann_ivfpq_indexed_lut,  # NEW r12
     "leakage_report": q_leakage_report,          # NEW r08: leakage frame
     # r12 rotation: ann_ivfpq_kmeans_indexed (the complete persisted
     # IndexIVFPQ) takes bloom_membership's slot — bloom green r08-r11,
@@ -4495,6 +4553,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (green r10-r11)
     "ngram_jaccard": q_ngram_jaccard,            # parked r12 (green r01-r11)
     "import_from_table": q_import_from_table,    # parked r12 (green r11)
+    "encoding_quality": q_encoding_quality,      # parked r12 (green r08-r11)
     "sessionize": q_sessionize,                  # parked r12 (green r01-r11;
     # streaming batch-equal pytest keeps the operator pinned)
     "duplicate_spans": q_duplicate_spans,        # parked r12 (green r07-r11)
@@ -4859,6 +4918,7 @@ SELECT query_id, neighbor_id, adist, rank FROM pqtop""",
         "sq8_recall": _sq8_recall_sql(),
         "ann_ivfpq_residual": _ivfpq_residual_sql(),
         "ann_residual_indexed": _ivfpq_residual_sql(),
+        "ann_ivfpq_indexed_lut": _ann_ivfpq_lut_sql(),
         "minhash_dedup_incremental": _minhash_sql(
             pair_cond="(a.id % 10) <> 9 AND (b.id % 10) = 9"),
         "dedup_safe_split": _dedup_safe_split_sql(),

@@ -507,6 +507,46 @@ def pq_index_compact(spark: SparkSession, path: str,
     return report
 
 
+def _routed_frame(spark: SparkSession, index: PQIndex, q: DataFrame,
+                  nprobe: int, filter_labels: list | None):
+    """Coarse-quantizer routing shared by the reconstruction and LUT
+    search kernels: rank the stored centroids per query under the
+    index's route_metric (cosine for mean centroids, squared L2 for a
+    k-means-trained quantizer) and keep the nprobe best. Returns
+    (cents, routed) with routed = (query_id, qv, label)."""
+    from pyspark.sql import Window
+
+    if not index.meta["label_col"]:
+        raise ValueError("nprobe routing needs an index built with "
+                         "label_col")
+    cents = index.centroids(spark)
+    if filter_labels is not None:
+        # routing only over allowed lists — routed ⊆ filter set
+        cents = cents.filter(F.col("label").isin(list(filter_labels)))
+    if index.meta.get("route_metric", "cosine") == "l2":
+        # trained (k-means) quantizer: rank centroids by squared L2
+        # ascending — the metric the quantizer was trained under
+        cd = F.expr(
+            "aggregate(zip_with(qv, centroid, (x, y) -> "
+            "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+        qc = q.crossJoin(F.broadcast(cents)).withColumn("cscore", cd)
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("cscore").asc_nulls_last(), F.col("label").asc())
+    else:
+        qn = with_norm(q, "qv", "qn")
+        qc = (qn.crossJoin(F.broadcast(with_norm(cents, "centroid",
+                                                 "cn")))
+                .withColumn("cscore",
+                            cosine_expr("qv", "centroid", "qn", "cn")))
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("cscore").desc(), F.col("label").asc())
+    routed = (qc.withColumn("rt", F.row_number().over(wr))
+                .filter(F.col("rt") <= nprobe)
+                .select("query_id", "qv", "label"))
+    return cents, routed
+
+
 def pq_index_search(spark: SparkSession, index: PQIndex | str,
                     queries: DataFrame, id_col: str, vec_col: str,
                     k: int = 5, nprobe: int | None = None,
@@ -557,36 +597,8 @@ def pq_index_search(spark: SparkSession, index: PQIndex | str,
                     .repartition(_par(codes)))
         cand = enc.crossJoin(F.broadcast(q))
     else:
-        if not index.meta["label_col"]:
-            raise ValueError("pq_index_search: nprobe routing needs an "
-                             "index built with label_col")
-        cents = index.centroids(spark)
-        if filter_labels is not None:
-            # routing only over allowed lists — routed ⊆ filter set
-            cents = cents.filter(
-                F.col("label").isin(list(filter_labels)))
-        if index.meta.get("route_metric", "cosine") == "l2":
-            # trained (k-means) quantizer: rank centroids by squared L2
-            # ascending — the metric the quantizer was trained under
-            cd = F.expr(
-                "aggregate(zip_with(qv, centroid, (x, y) -> "
-                "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-            qc = (q.crossJoin(F.broadcast(cents))
-                   .withColumn("cscore", cd))
-            wr = Window.partitionBy("query_id").orderBy(
-                F.col("cscore").asc_nulls_last(), F.col("label").asc())
-        else:
-            qn = with_norm(q, "qv", "qn")
-            qc = (qn.crossJoin(F.broadcast(with_norm(cents, "centroid",
-                                                     "cn")))
-                    .withColumn("cscore",
-                                cosine_expr("qv", "centroid", "qn", "cn")))
-            wr = Window.partitionBy("query_id").orderBy(
-                F.col("cscore").desc(), F.col("label").asc())
-        routed = (qc.withColumn("rt", F.row_number().over(wr))
-                    .filter(F.col("rt") <= nprobe)
-                    .select("query_id", "qv", "label"))
+        cents, routed = _routed_frame(spark, index, q, nprobe,
+                                      filter_labels)
         if index.meta.get("residual"):
             # per probed list, re-express the query as its grid-quantized
             # residual against that list's centroid (the inline
@@ -627,7 +639,8 @@ def pq_index_search(spark: SparkSession, index: PQIndex | str,
 def pq_index_search_lut(spark: SparkSession, index: PQIndex | str,
                         queries: DataFrame, id_col: str, vec_col: str,
                         k: int = 5, max_queries: int = 65_536,
-                        filter_labels: list | None = None) -> DataFrame:
+                        filter_labels: list | None = None,
+                        nprobe: int | None = None) -> DataFrame:
     """LUT-form search over the persisted index — the production PQ
     serving kernel end to end: codebooks are already trained and codes
     already stored (no per-query work but the ranking itself), and each
@@ -642,7 +655,15 @@ def pq_index_search_lut(spark: SparkSession, index: PQIndex | str,
     path. Query count bounded by ``max_queries`` (the LUT is Q·m·ksub
     broadcast doubles). ``filter_labels`` restricts candidates to those
     inverted lists before any lookup — static partition pruning on the
-    label-partitioned codes scan, same as ``pq_index_search``."""
+    label-partitioned codes scan, same as ``pq_index_search``.
+
+    ``nprobe`` composes the coarse-quantizer routing with the LUT
+    kernel — THE production IVFPQ serving shape: the probed label set
+    prunes the codes partitions at the scan (read nprobe/n_lists of the
+    index) AND ranking costs m lookups + m−1 adds per survivor (at 2M
+    vectors: routed-reconstruction 5.2 s, full-scan LUT 3.4 s, routed
+    LUT reads 2/10 and ranks with 1/16th the arithmetic). Each query
+    ranks only within its OWN probed lists."""
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
@@ -689,16 +710,40 @@ def pq_index_search_lut(spark: SparkSession, index: PQIndex | str,
             raise ValueError("pq_index_search_lut: filter_labels needs "
                              "an index built with label_col")
         codes = codes.filter(F.col("label").isin(list(filter_labels)))
-    enc = (codes.select(F.col("id").alias("neighbor_id"), "codes")
-                .repartition(_par(codes)))
     terms = [F.element_at(F.col("lut")[j], F.col("codes")[j] + F.lit(1))
              for j in range(m)]
     adist = terms[0]
     for t in terms[1:]:
         adist = adist + t
-    scored = (enc.crossJoin(F.broadcast(qlut))
-                 .filter(F.col("neighbor_id") != F.col("query_id"))
-                 .withColumn("adist", F.round(adist, 6)))
+    if nprobe is not None:
+        q = spark.createDataFrame(
+            [(r.query_id, r.qv) for r in q_rows],
+            T.StructType([T.StructField("query_id", id_type),
+                          T.StructField("qv", T.ArrayType(
+                              T.DoubleType()))]))
+        _, routed = _routed_frame(spark, index, q, nprobe,
+                                  filter_labels)
+        routed = (routed.select("query_id", "label")
+                        .localCheckpoint(eager=False))  # labels collect
+        #                                               # + probe join
+        probed = sorted(
+            {r["label"] for r in routed.select("label").distinct()
+                                       .collect()})
+        enc = (codes.filter(F.col("label").isin(probed))
+                    .select(F.col("id").alias("neighbor_id"), "label",
+                            "codes")
+                    .repartition(_par(codes)))
+        # each query ranks only within its OWN probed lists: the routed
+        # (query_id, label) frame keys the candidate join, the LUT rides
+        # a second broadcast keyed by query_id
+        cand = (enc.join(F.broadcast(routed), "label")
+                   .join(F.broadcast(qlut), "query_id"))
+    else:
+        enc = (codes.select(F.col("id").alias("neighbor_id"), "codes")
+                    .repartition(_par(codes)))
+        cand = enc.crossJoin(F.broadcast(qlut))
+    scored = (cand.filter(F.col("neighbor_id") != F.col("query_id"))
+                  .withColumn("adist", F.round(adist, 6)))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc_nulls_last(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

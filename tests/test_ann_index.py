@@ -619,3 +619,35 @@ def test_residual_add_equals_rebuild_same_artifacts(spark, emb, queries,
     want = _rows(AI.pq_index_search(spark, ref, queries, "vec_id",
                                     "embedding", k=5, nprobe=2))
     assert got == want and len(got) == 50
+
+
+def test_routed_lut_ranks_within_own_probed_lists(spark, emb, queries,
+                                                  tmp_path):
+    """Routed LUT search (the composed production serving kernel): each
+    query's result equals the LUT kernel restricted to that query's OWN
+    probed lists (same arithmetic, per-query candidate set), and
+    neighbors come only from probed lists."""
+    idx = AI.pq_index_build(emb, "vec_id", "embedding",
+                            str(tmp_path / "rl"), label_col="label")
+    got = AI.pq_index_search_lut(spark, idx, queries, "vec_id",
+                                 "embedding", k=5, nprobe=2).collect()
+    assert len(got) == 50
+    _, routed = AI._routed_frame(
+        spark, idx, queries.select(F.col("vec_id").alias("query_id"),
+                                   F.col("embedding").alias("qv")),
+        2, None)
+    probed = {}
+    for r in routed.collect():
+        probed.setdefault(r.query_id, set()).add(r.label)
+    labels = {r.vec_id: r.label
+              for r in emb.select("vec_id", "label").collect()}
+    for r in got:
+        assert labels[r.neighbor_id] in probed[r.query_id]
+    # per-query equivalence with the filter_labels form (2 spot queries)
+    for qid in [0, 7]:
+        one = queries.filter(F.col("vec_id") == qid)
+        want = sorted(tuple(x) for x in AI.pq_index_search_lut(
+            spark, idx, one, "vec_id", "embedding", k=5,
+            filter_labels=sorted(probed[qid])).collect())
+        have = sorted(tuple(x) for x in got if x.query_id == qid)
+        assert have == want
