@@ -185,6 +185,18 @@ SHOWCASE = {
         "prunes the codes partitions at the scan exactly like the "
         "raw-space twin — residual encoding changes the arithmetic, "
         "not the plan shape."),
+    "ann_ivfpq_indexed_lut": (
+        "The composed production serving kernel (r12): the probed "
+        "label set prunes the codes partitions at the scan AND "
+        "ranking is m LUT lookups per survivor — candidates join "
+        "through the broadcast routed (query, label) pairs, so each "
+        "query ranks only its own lists."),
+    "minhash_dedup_incremental": (
+        "Incremental dedup vs the persisted MinHash index (r12): the "
+        "delta shingles/bands map-side, candidates come from one "
+        "(band, bucket) join against the stored buckets, and exact "
+        "Jaccard verifies only the candidates — corpus cost is its "
+        "bucket rows, never a re-shingle."),
 }
 
 

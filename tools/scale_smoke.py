@@ -105,7 +105,7 @@ def main() -> None:
                  "ann_ivfpq_kmeans_indexed", "ann_index_delete",
                  "hybrid_rrf", "ivf_drift", "ann_sq8_indexed",
                  "ann_residual_indexed", "hybrid_recall",
-                 "minhash_dedup_incremental"]:
+                 "minhash_dedup_incremental", "ann_ivfpq_indexed_lut"]:
         if ONLY and name not in ONLY:
             continue
         run(name, lambda name=name: Q[name](spark, DST))
