@@ -284,10 +284,15 @@ class StorageEngine:
         ``functions/layout.zorder_layout_frame`` quantifies before
         paying this rewrite. Exclusive with the other layouts."""
         if sum(map(bool, (hash_bucket_by, partition_by, zorder_by))) > 1 \
-                or (zorder_by and cluster_by):
+                or (cluster_by and (zorder_by or hash_bucket_by)):
+            # hash_bucket_by+cluster_by included (ADVICE r12): the elif
+            # chain never range-partitions on the cluster key under a
+            # bucket layout, so accepting it would record a clustering
+            # in meta.properties the files don't have
             raise CatalogError(
                 "partition_by / hash_bucket_by / zorder_by / "
-                "zorder_by+cluster_by are exclusive layouts")
+                "cluster_by+{zorder_by,hash_bucket_by} are exclusive "
+                "layouts")
         if zorder_by and len(zorder_by) != 2:
             raise CatalogError("zorder_by takes exactly two columns")
         with self.catalog.acquire(project, bucket, table):
@@ -565,9 +570,18 @@ class StorageEngine:
             posted = idx.codes(self.spark).select(
                 F.col("id").alias(id_col))
             new_rows = df.join(posted, id_col, "left_anti")
-            gone = posted.join(df.select(id_col), id_col, "left_anti")
-            added = 0
-            if not new_rows.isEmpty():
+            # EAGER checkpoint (ADVICE r12 high): the gone-set plan reads
+            # the index's own codes parquet, and pq_index_delete rewrites
+            # those files per-leaf — a lazy frame re-evaluated after the
+            # first leaf swap reads already-deleted files
+            # (FAILED_READ_FILE when deleted ids span >=2 posting lists).
+            # Same hazard _refresh_minhash_index already guards against.
+            gone = (posted.join(df.select(id_col), id_col, "left_anti")
+                          .localCheckpoint())
+            # count BEFORE the append for the same reason: new_rows'
+            # plan anti-joins against the codes scan the add mutates
+            added = new_rows.count()
+            if added:
                 kind = idx.meta.get("index_kind",
                                     idx.meta.get("kind", "pq"))
                 if kind == "sq8":
@@ -580,7 +594,6 @@ class StorageEngine:
                 else:
                     AI.pq_index_add(self.spark, path, new_rows, id_col,
                                     vec_col)
-                added = new_rows.count()
             report = AI.pq_index_delete(
                 self.spark, path, gone.withColumnRenamed(id_col, "id"))
             rows = df.count()
@@ -664,7 +677,8 @@ class StorageEngine:
                 f"{max_documents} — batch the requests")
         try:
             rows = [(int(d["id"]), str(d["text"])) for d in documents]
-        except (TypeError, KeyError):
+        except (TypeError, KeyError, ValueError):
+            # ValueError too: int('abc') must be a 400, not a 500
             raise CatalogError(
                 "each document needs {'id': ..., 'text': ...}")
         ddf = self.spark.createDataFrame(rows, "doc_id bigint, text string")
@@ -734,20 +748,30 @@ class StorageEngine:
                 raise CatalogError(
                     f"query {i}: vector has {len(vec)} dims, index "
                     f"expects {dim}")
-            rows.append((int(qid), [float(x) for x in vec]))
+            try:
+                rows.append((int(qid), [float(x) for x in vec]))
+            except (TypeError, ValueError):
+                raise CatalogError(
+                    f"query {i}: id must be an integer and vector "
+                    "entries numeric")
         qdf = self.spark.createDataFrame(
             rows, "query_id bigint, vector array<double>")
         kind = idx.meta.get("index_kind", idx.meta.get("kind", "pq"))
-        if kind == "sq8":
-            if nprobe is not None or filter_labels is not None:
-                raise CatalogError(
-                    "nprobe/filter_labels need a labeled pq index")
-            out = AI.sq8_index_search(self.spark, idx, qdf, "query_id",
-                                      "vector", k=k)
-        else:
-            out = AI.pq_index_search(self.spark, idx, qdf, "query_id",
-                                     "vector", k=k, nprobe=nprobe,
-                                     filter_labels=filter_labels)
+        try:
+            if kind == "sq8":
+                if nprobe is not None or filter_labels is not None:
+                    raise CatalogError(
+                        "nprobe/filter_labels need a labeled pq index")
+                out = AI.sq8_index_search(self.spark, idx, qdf,
+                                          "query_id", "vector", k=k)
+            else:
+                out = AI.pq_index_search(self.spark, idx, qdf, "query_id",
+                                         "vector", k=k, nprobe=nprobe,
+                                         filter_labels=filter_labels)
+        except ValueError as e:
+            # functions-layer contract violations (e.g. a residual index
+            # searched without nprobe) are caller errors: 400, not 500
+            raise CatalogError(str(e))
         return [r.asDict() for r in out.collect()]
 
     # ---------------------------------------------- versioned-table extras

@@ -338,6 +338,51 @@ def pq_index_merge(spark: SparkSession, path_a: str, path_b: str,
     return PQIndex(out_path, a.meta)
 
 
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_partition_value(name: str) -> str:
+    """Invert Spark/Hive partition-path escaping (%XX hex sequences —
+    cf. Spark's ExternalCatalogUtils.unescapePathName): the on-disk dir
+    ``label=a%3Db`` holds partition value ``a=b``. Lets us map DECODED
+    label values (what a codes scan returns) back onto the dirs Spark
+    actually wrote, instead of interpolating the raw value into a path
+    (ADVICE r12 medium: that breaks on '=', ':', '%', null, ...)."""
+    out = []
+    i, n = 0, len(name)
+    while i < n:
+        if name[i] == "%" and i + 3 <= n:
+            try:
+                out.append(chr(int(name[i + 1:i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(name[i])
+        i += 1
+    return "".join(out)
+
+
+def _label_leaf_dirs(codes_dir: str) -> dict:
+    """Map decoded label value (string form) -> on-disk ``label=...``
+    dir name, enumerated the way ``pq_index_compact`` does. Null labels
+    land under Hive's default-partition dir and map from ``None``."""
+    leaves: dict = {}
+    try:
+        names = sorted(os.listdir(codes_dir))
+    except OSError:
+        return leaves
+    for n in names:
+        if not n.startswith("label=") or not os.path.isdir(
+                os.path.join(codes_dir, n)):
+            continue
+        raw = n[len("label="):]
+        key = (None if raw == _HIVE_DEFAULT_PARTITION
+               else _unescape_partition_value(raw))
+        leaves[key] = n
+    return leaves
+
+
 def pq_index_delete(spark: SparkSession, path: str, ids,
                     id_col: str = "id") -> dict:
     """FAISS ``remove_ids``: drop vectors from the postings WITHOUT
@@ -384,8 +429,14 @@ def pq_index_delete(spark: SparkSession, path: str, ids,
     if idx.meta["label_col"]:
         hits = (_hit(idx.codes(spark))
                 .groupBy("label").count().collect())
+        # map DECODED label values to the hive-escaped dirs Spark wrote
+        # ('=' -> %3D, null -> __HIVE_DEFAULT_PARTITION__, ...): raw
+        # f"label={value}" interpolation misses those leaves
+        leaf_dirs = _label_leaf_dirs(codes_dir)
         for r in sorted(hits, key=lambda r: str(r["label"])):
-            leaf = f"label={r['label']}"
+            label = r["label"]
+            key = None if label is None else str(label)
+            leaf = leaf_dirs.get(key, f"label={label}")
             d = os.path.join(codes_dir, leaf)
             kept = _keep(spark.read.parquet(d))
             if kept.isEmpty():                 # list emptied: drop it
@@ -413,15 +464,19 @@ def pq_index_delete(spark: SparkSession, path: str, ids,
 
 def stream_index_add(spark: SparkSession, path: str, source_dir: str,
                      schema, id_col: str, vec_col: str,
-                     checkpoint_dir: str, dedupe: bool = False):
+                     checkpoint_dir: str, dedupe: bool = False,
+                     trigger: dict | None = None):
     """Continuous index ingestion — Structured Streaming feeding
     ``pq_index_add``: each micro-batch encodes its vectors against the
     FROZEN stored codebooks and appends posting files; exactly-once
     per batch rides the stream checkpoint (a replayed batch re-appends,
     which the checkpoint prevents; encoding itself is deterministic so
     the result is batch-equal regardless of micro-batch boundaries —
-    pinned by pytest). Start with ``trigger(availableNow=True)`` for
-    catch-up or unbounded for a live feed; pair with
+    pinned by pytest). ``trigger`` is passed straight to
+    ``writeStream.trigger(**trigger)`` — default
+    ``{"availableNow": True}`` for catch-up; pass e.g.
+    ``{"processingTime": "10 seconds"}`` for an unbounded live feed.
+    Pair with
     ``pq_index_compact`` on a schedule — streaming appends are the
     small-files source the compactor exists for.
 
@@ -449,9 +504,11 @@ def stream_index_add(spark: SparkSession, path: str, source_dir: str,
                 return
         pq_index_add(spark, path, batch_df, id_col, vec_col)
 
-    return (stream.writeStream.foreachBatch(_add_batch)
-                  .option("checkpointLocation", checkpoint_dir)
-                  .trigger(availableNow=True).start())
+    writer = (stream.writeStream.foreachBatch(_add_batch)
+                    .option("checkpointLocation", checkpoint_dir)
+                    .trigger(**(trigger if trigger is not None
+                                else {"availableNow": True})))
+    return writer.start()
 
 
 def _parquet_files(d: str) -> list[str]:

@@ -337,6 +337,13 @@ def test_stream_index_add_equals_batch(spark, emb, queries, tmp_path):
     n_files2 = len([f for f in os.listdir(os.path.join(p, "codes"))
                     if f.endswith(".parquet")])
     assert n_files2 == n_files
+    # ADVICE r12 (low): a live feed needs a non-availableNow trigger —
+    # the parameter must reach writeStream (unbounded, so stop() it)
+    q3 = AI.stream_index_add(spark, p, src, delta.schema, "vec_id",
+                             "embedding", str(tmp_path / "ckpt"),
+                             trigger={"processingTime": "1 hour"})
+    assert q3.isActive
+    q3.stop()
 
 
 def test_filtered_lut_search_equals_filtered_fold(spark, emb, queries,
@@ -651,3 +658,41 @@ def test_routed_lut_ranks_within_own_probed_lists(spark, emb, queries,
             filter_labels=sorted(probed[qid])).collect())
         have = sorted(tuple(x) for x in got if x.query_id == qid)
         assert have == want
+
+
+def test_delete_hive_escaped_string_labels(spark, emb, tmp_path):
+    """ADVICE r12 (medium): Spark hive-escapes special characters in
+    partition dir names ('=' -> %3D, ':' -> %3A), so the delete's leaf
+    paths must come from the on-disk listing, not raw f"label={value}"
+    interpolation — which read a nonexistent path and blew up."""
+    labeled = emb.withColumn(
+        "slabel",
+        F.element_at(F.array(F.lit("a=b"), F.lit("x:y"), F.lit("plain")),
+                     (F.col("vec_id") % 3 + 1).cast("int")))
+    path = str(tmp_path / "escdel")
+    AI.pq_index_build(labeled, "vec_id", "embedding", path,
+                      label_col="slabel")
+    codes = os.path.join(path, "codes")
+    # the dirs really are escaped on disk — the precondition of the bug
+    leaves = sorted(n for n in os.listdir(codes) if n.startswith("label="))
+    assert "label=a%3Db" in leaves and "label=x%3Ay" in leaves
+    total = emb.count()
+    # victims span BOTH escaped leaves
+    victims = [r.vec_id for r in
+               labeled.filter(F.col("slabel").isin("a=b", "x:y"))
+                      .select("vec_id", "slabel")
+                      .orderBy("slabel", "vec_id").collect()]
+    victims = victims[:3] + victims[-3:]          # 3 per escaped leaf
+    report = AI.pq_index_delete(spark, path, victims)
+    assert report["deleted"] == 6
+    assert sorted(report["leaves_rewritten"]) == ["label=a%3Db",
+                                                  "label=x%3Ay"]
+    kept = AI.pq_index_load(spark, path).codes(spark)
+    assert kept.count() == total - 6
+    assert kept.filter(F.col("id").isin(victims)).count() == 0
+    # emptying an escaped leaf drops the escaped dir, not a phantom one
+    rest = [r.vec_id for r in
+            labeled.filter(F.col("slabel") == "a=b")
+                   .select("vec_id").collect()]
+    AI.pq_index_delete(spark, path, rest)
+    assert "label=a%3Db" not in os.listdir(codes)

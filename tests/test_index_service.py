@@ -264,3 +264,36 @@ def test_minhash_dedup_index_over_rest(ctx, spark, tmp_path):
                             "stale": False}
     info = c.get(DTBL + "/indexes/dd").get_json()
     assert not info["stale"] and info["n_vectors"] == 3
+
+
+def test_refresh_delete_spanning_multiple_leaves(ctx, spark):
+    """ADVICE r12 (high): refresh_index used to hand pq_index_delete a
+    LAZY gone-frame whose plan read the index's own codes parquet; once
+    the first posting list was swapped, the next leaf's rewrite re-read
+    already-deleted files (FAILED_READ_FILE) whenever the deleted ids
+    spanned >= 2 lists. Repro: delete rows across several labels on the
+    LABELED ivf index, then refresh — must reconcile cleanly."""
+    c, eng, emb = ctx
+    # pick one id per label from 3 distinct labels (all still live)
+    victims = [r.vid for r in
+               (emb.filter((F.col("vec_id") > 0) & (F.col("label") < 3))
+                   .groupBy("label").agg(F.min("vec_id").alias("vid"))
+                   .collect())]
+    assert len(victims) >= 2
+    in_list = ", ".join(str(v) for v in victims)
+    r = c.delete(TBL + "/rows",
+                 data=json.dumps({"where": f"vec_id IN ({in_list})"}),
+                 content_type="application/json")
+    assert r.status_code == 200, r.get_json()
+    # ivf still carries vec_id=0 from the earlier mutation too
+    r = _post(c, TBL + "/indexes/ivf/refresh")
+    assert r.status_code == 200, r.get_json()
+    out = r.get_json()
+    assert out["deleted"] == len(victims) + 1 and out["added"] == 0
+    assert not c.get(TBL + "/indexes/ivf").get_json()["stale"]
+    # none of the deleted ids may surface from any probed list
+    qs = _query_rows(emb, 4)
+    res = _post(c, TBL + "/indexes/ivf/search",
+                {"queries": qs, "k": 5, "nprobe": 3}).get_json()["results"]
+    gone = set(victims) | {0}
+    assert all(x["neighbor_id"] not in gone for x in res)
