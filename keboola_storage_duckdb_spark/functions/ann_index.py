@@ -57,8 +57,9 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .similarity import (_cb_literal_sql, _pq_codes_expr, cosine_expr,
-                         ivf_centroids, pq_train_codebooks, with_norm)
+from .similarity import (_cb_attach, _pq_codes_expr, _pq_reconstruct_sql,
+                         cosine_expr, ivf_centroids, pq_train_codebooks,
+                         with_norm)
 from .util import par as _par
 
 __all__ = [
@@ -249,7 +250,9 @@ def pq_index_build(vectors: DataFrame, id_col: str, vec_col: str,
         cb = pq_train_codebooks(src, id_col, enc_col, m=m, ksub=ksub,
                                 dim=dim, iters=iters)
     meta["cb"] = cb
-    sel = [F.col(id_col).alias("id"), _pq_codes_expr(enc_col, cb, sub)]
+    src, cb_sql, _ = _cb_attach(src, cb)
+    sel = [F.col(id_col).alias("id"),
+           _pq_codes_expr(enc_col, cb, sub, cb_sql)]
     if label_col is not None:
         sel.append(F.col(enc_label).alias("label"))
     codes = src.select(*sel)
@@ -283,8 +286,9 @@ def pq_index_add(spark: SparkSession, path: str, new_vectors: DataFrame,
         src = _residual_frame(new_vectors, idx.centroids(spark), id_col,
                               vec_col, lab)
         enc_col, lab = "resv", "label"
+    src, cb_sql, _ = _cb_attach(src, idx.cb)
     sel = [F.col(id_col).alias("id"),
-           _pq_codes_expr(enc_col, idx.cb, idx.sub)]
+           _pq_codes_expr(enc_col, idx.cb, idx.sub, cb_sql)]
     w_cols = None
     if idx.meta["label_col"]:
         sel.append(F.col(lab).alias("label"))
@@ -643,15 +647,13 @@ def pq_index_search(spark: SparkSession, index: PQIndex | str,
             raise ValueError("pq_index_search: filter_labels needs an "
                              "index built with label_col")
         codes = codes.filter(F.col("label").isin(list(filter_labels)))
-    recon = F.expr(
-        f"flatten(transform(sequence(0, {m - 1}), j -> "
-        f"element_at(element_at({_cb_literal_sql(cb)}, j + 1), "
-        "element_at(codes, j + 1) + 1)))").alias("rv")
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
     if nprobe is None:
-        enc = (codes.select(F.col("id").alias("neighbor_id"), recon)
-                    .repartition(_par(codes)))
+        csrc, cb_sql, _ = _cb_attach(codes, cb)
+        recon = F.expr(_pq_reconstruct_sql(cb_sql, m)).alias("rv")
+        enc = (csrc.select(F.col("id").alias("neighbor_id"), recon)
+                   .repartition(_par(codes)))
         cand = enc.crossJoin(F.broadcast(q))
     else:
         cents, routed = _routed_frame(spark, index, q, nprobe,
@@ -675,10 +677,14 @@ def pq_index_search(spark: SparkSession, index: PQIndex | str,
         probed = sorted(
             {r["label"] for r in routed.select("label").distinct()
                                        .collect()})
-        enc = (codes.filter(F.col("label").isin(probed))
-                    .select(F.col("id").alias("neighbor_id"), "label",
-                            recon)
-                    .repartition(_par(codes)))
+        # attach AFTER the probed filter so the static partition-pruning
+        # predicate sits directly on the codes scan, not above the join
+        csrc, cb_sql, _ = _cb_attach(
+            codes.filter(F.col("label").isin(probed)), cb)
+        recon = F.expr(_pq_reconstruct_sql(cb_sql, m)).alias("rv")
+        enc = (csrc.select(F.col("id").alias("neighbor_id"), "label",
+                           recon)
+                   .repartition(_par(codes)))
         cand = enc.join(F.broadcast(routed), "label")
     adist = F.expr(
         "aggregate(zip_with(qv, rv, (x, y) -> "
@@ -935,11 +941,8 @@ def pq_index_distortion(spark: SparkSession, index: PQIndex | str,
     if isinstance(index, str):
         index = pq_index_load(spark, index)
     cb, m = index.cb, index.m
-    codes = index.codes(spark)
-    recon = F.expr(
-        f"flatten(transform(sequence(0, {m - 1}), j -> "
-        f"element_at(element_at({_cb_literal_sql(cb)}, j + 1), "
-        "element_at(codes, j + 1) + 1)))").alias("rv")
+    codes, cb_sql, _ = _cb_attach(index.codes(spark), cb)
+    recon = F.expr(_pq_reconstruct_sql(cb_sql, m)).alias("rv")
     raw = vectors.select(F.col(id_col).alias("id"),
                          F.col(label_col).alias("label"),
                          F.col(vec_col).alias("v"))

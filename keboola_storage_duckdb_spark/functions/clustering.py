@@ -27,6 +27,50 @@ def _dist2(vec_col: str, centroid: list[float]) -> F.Column:
         "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
 
+# Same budget as similarity._CB_LITERAL_MAX_FLOATS (VERDICT r12 #1):
+# past this many floats the k centroid literals stop being SQL text.
+_CENT_LITERAL_MAX_FLOATS = 50_000
+
+
+def _assign_frame(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """``(id, v, cluster)`` hard assignment: argmin over k centroids,
+    strictly-lower distance wins, ties break toward the LOWER cluster
+    id. Below ``_CENT_LITERAL_MAX_FLOATS`` this is the certified shape —
+    one literal-array dist column per centroid folded by a when-chain
+    (the text the DuckDB oracle shares). Past it, k·dim literal floats
+    are a codegen bomb (the codebook-literal failure mode of
+    similarity._cb_attach), so the centroids attach as ONE broadcast
+    row and the argmin becomes array_min over (d, j) structs — the
+    identical zip_with/aggregate fold per centroid read through
+    element_at, and struct ordering (d first, then j) IS the
+    lower-cluster tie rule, so assignments are bit-identical."""
+    k = len(centroids)
+    if k * len(centroids[0]) <= _CENT_LITERAL_MAX_FLOATS:
+        dists = base.select(
+            "id", "v",
+            *[_dist2("v", c).alias(f"d{j}")
+              for j, c in enumerate(centroids)])
+        best = F.lit(0)
+        best_d = F.col("d0")
+        for j in range(1, k):
+            cond = F.col(f"d{j}") < best_d          # strict: lower cluster
+            best = F.when(cond, F.lit(j)).otherwise(best)   # wins ties
+            best_d = F.when(cond, F.col(f"d{j}")).otherwise(best_d)
+        return dists.select("id", "v", best.alias("cluster"))
+    spark = base.sparkSession
+    cents = spark.createDataFrame([(centroids,)],
+                                  "__cents array<array<double>>")
+    return (base.crossJoin(F.broadcast(cents))
+                .select("id", "v", F.expr(
+                    f"array_min(transform(sequence(0, {k - 1}), j -> "
+                    "struct(aggregate(zip_with(v, "
+                    "element_at(__cents, j + 1), "
+                    "(x, y) -> (CAST(x AS DOUBLE) - y) "
+                    "* (CAST(x AS DOUBLE) - y)), "
+                    "CAST(0 AS DOUBLE), (acc, w) -> acc + w) AS d, "
+                    "j AS c))).c").alias("cluster")))
+
+
 def kmeans(vectors: DataFrame, id_col: str, vec_col: str, k: int = 4,
            max_iter: int = 10) -> DataFrame:
     """(id, cluster) hard assignments after Lloyd iterations (≤max_iter,
@@ -40,17 +84,8 @@ def kmeans(vectors: DataFrame, id_col: str, vec_col: str, k: int = 4,
     assign = None
     prev_counts: dict[int, int] | None = None
     for _ in range(max_iter):
-        dists = base.select(
-            "id", "v",
-            *[_dist2("v", c).alias(f"d{j}") for j, c in enumerate(centroids)])
-        best = F.lit(0)
-        best_d = F.col("d0")
-        for j in range(1, len(centroids)):
-            cond = F.col(f"d{j}") < best_d
-            best = F.when(cond, F.lit(j)).otherwise(best)
-            best_d = F.when(cond, F.col(f"d{j}")).otherwise(best_d)
-        assign = dists.select("id", "v", best.alias("cluster")) \
-                      .localCheckpoint(eager=False)
+        assign = _assign_frame(base, centroids) \
+            .localCheckpoint(eager=False)
         # re-estimate: mean per (cluster, dim); collect k tiny rows
         means = (assign.select("cluster", F.posexplode("v").alias("dim", "x"))
                        .groupBy("cluster", "dim")
@@ -93,17 +128,7 @@ def kmeans_fit(vectors: DataFrame, id_col: str, vec_col: str, k: int = 8,
     centroids = [[float(x) for x in r.v] for r in seeds]
 
     def _assign(cents):
-        dists = base.select(
-            "id", "v",
-            *[_dist2("v", c).alias(f"d{j}") for j, c in enumerate(cents)])
-        best = F.lit(0)
-        best_d = F.col("d0")
-        for j in range(1, len(cents)):
-            cond = F.col(f"d{j}") < best_d          # strict: lower cluster
-            best = F.when(cond, F.lit(j)).otherwise(best)   # wins ties
-            best_d = F.when(cond, F.col(f"d{j}")).otherwise(best_d)
-        return dists.select("id", "v", best.alias("cluster")) \
-                    .localCheckpoint(eager=False)
+        return _assign_frame(base, cents).localCheckpoint(eager=False)
 
     for _ in range(rounds - 1):
         assign = _assign(centroids)
@@ -149,15 +174,30 @@ def ivf_kmeans_ann_topk(vectors: DataFrame, queries: DataFrame,
                                     k=n_clusters, rounds=rounds)
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
-    qd = q.select(
-        "query_id", "qv",
-        *[_dist2("qv", c).alias(f"d{j}")
-          for j, c in enumerate(centroids)])
-    routed = (qd.select(
-        "query_id", "qv",
-        F.posexplode(F.array(*[F.col(f"d{j}")
-                               for j in range(len(centroids))]))
-         .alias("cluster", "cd"))
+    kc = len(centroids)
+    if kc * len(centroids[0]) <= _CENT_LITERAL_MAX_FLOATS:
+        qd = q.select(
+            "query_id", "qv",
+            *[_dist2("qv", c).alias(f"d{j}")
+              for j, c in enumerate(centroids)])
+        qdists = qd.select(
+            "query_id", "qv",
+            F.posexplode(F.array(*[F.col(f"d{j}") for j in range(kc)]))
+             .alias("cluster", "cd"))
+    else:
+        # large trained quantizer: centroids ride as ONE broadcast row
+        # (_assign_frame's rationale) — same fold, O(1) plan text
+        cents_row = q.sparkSession.createDataFrame(
+            [(centroids,)], "__cents array<array<double>>")
+        qdists = (q.crossJoin(F.broadcast(cents_row))
+                   .select("query_id", "qv", F.posexplode(F.expr(
+                       f"transform(sequence(0, {kc - 1}), j -> "
+                       "aggregate(zip_with(qv, element_at(__cents, j + 1), "
+                       "(x, y) -> (CAST(x AS DOUBLE) - y) "
+                       "* (CAST(x AS DOUBLE) - y)), "
+                       "CAST(0 AS DOUBLE), (acc, w) -> acc + w))"))
+                    .alias("cluster", "cd")))
+    routed = (qdists
         .withColumn("rt", F.row_number().over(
             Window.partitionBy("query_id")
                   .orderBy(F.col("cd").asc_nulls_last(),

@@ -1,0 +1,136 @@
+"""Broadcast-codebook delivery (VERDICT r12 #1): past
+similarity._CB_LITERAL_MAX_FLOATS the PQ codebooks / k-means centroids
+ship as ONE broadcast data row instead of an inline SQL literal — the
+literal form costs O(m·ksub·dsub) generated SQL text (3-19 s cold Janino
+at fixture sizes, unbounded at FAISS-realistic m=64/ksub=256/dim>=512).
+These tests force the broadcast path (threshold -> 0) and pin (a) result
+bit-equality against the default literal path for every kernel family,
+(b) the plan-text guarantee: no codebook float ever appears in the plan.
+
+Reference parity: the reference never embeds data in plans — its query
+layer passes parameters out-of-band (src/grpc/handlers/query.py:95-161).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from keboola_storage_duckdb_spark.functions import ann_index as AI
+from keboola_storage_duckdb_spark.functions import clustering as C
+from keboola_storage_duckdb_spark.functions import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 8)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _force_broadcast(monkeypatch):
+    monkeypatch.setattr(S, "_CB_LITERAL_MAX_FLOATS", 0)
+    monkeypatch.setattr(C, "_CENT_LITERAL_MAX_FLOATS", 0)
+
+
+def test_pq_ann_topk_broadcast_equals_literal(emb, queries, monkeypatch):
+    want = _rows(S.pq_ann_topk(emb, queries, "vec_id", "embedding", k=5))
+    _force_broadcast(monkeypatch)
+    got = _rows(S.pq_ann_topk(emb, queries, "vec_id", "embedding", k=5))
+    assert got == want and len(got) == 40
+
+
+def test_lut_and_encode_broadcast_equal_literal(emb, queries, monkeypatch):
+    cb = S.pq_train_codebooks(emb, "vec_id", "embedding")
+    want_lut = _rows(S.pq_ann_topk_lut(emb, queries, "vec_id",
+                                       "embedding", k=5, cb=cb))
+    want_enc = _rows(S.pq_encode(emb, "vec_id", "embedding", cb))
+    _force_broadcast(monkeypatch)
+    # training itself must reproduce the same codebooks on the data path
+    assert S.pq_train_codebooks(emb, "vec_id", "embedding") == cb
+    assert _rows(S.pq_ann_topk_lut(emb, queries, "vec_id", "embedding",
+                                   k=5, cb=cb)) == want_lut
+    assert _rows(S.pq_encode(emb, "vec_id", "embedding", cb)) == want_enc
+
+
+def test_ivfpq_and_residual_broadcast_equal_literal(emb, queries,
+                                                    monkeypatch):
+    want_ivf = _rows(S.ivfpq_ann_topk(emb, queries, "vec_id", "embedding",
+                                      "label", k=5, nprobe=2))
+    want_res = _rows(S.ivfpq_residual_topk(emb, queries, "vec_id",
+                                           "embedding", "label", k=5,
+                                           nprobe=2))
+    _force_broadcast(monkeypatch)
+    assert _rows(S.ivfpq_ann_topk(emb, queries, "vec_id", "embedding",
+                                  "label", k=5, nprobe=2)) == want_ivf
+    assert _rows(S.ivfpq_residual_topk(emb, queries, "vec_id", "embedding",
+                                       "label", k=5,
+                                       nprobe=2)) == want_res
+
+
+def test_persisted_index_broadcast_equals_literal(spark, emb, queries,
+                                                  tmp_path, monkeypatch):
+    """build + search + distortion on the persisted path, both modes."""
+    lit = AI.pq_index_build(emb, "vec_id", "embedding",
+                            str(tmp_path / "lit"), label_col="label")
+    want = _rows(AI.pq_index_search(spark, lit, queries, "vec_id",
+                                    "embedding", k=5, nprobe=2))
+    want_full = _rows(AI.pq_index_search(spark, lit, queries, "vec_id",
+                                         "embedding", k=5))
+    want_dist = _rows(AI.pq_index_distortion(spark, lit, emb, "vec_id",
+                                             "embedding", "label"))
+    _force_broadcast(monkeypatch)
+    bc = AI.pq_index_build(emb, "vec_id", "embedding",
+                           str(tmp_path / "bc"), label_col="label")
+    assert bc.cb == lit.cb                      # same trained floats
+    assert _rows(AI.pq_index_search(spark, bc, queries, "vec_id",
+                                    "embedding", k=5, nprobe=2)) == want
+    assert _rows(AI.pq_index_search(spark, bc, queries, "vec_id",
+                                    "embedding", k=5)) == want_full
+    assert _rows(AI.pq_index_distortion(spark, bc, emb, "vec_id",
+                                        "embedding", "label")) == want_dist
+
+
+def test_kmeans_broadcast_equals_literal(emb, queries, monkeypatch):
+    want_fit = _rows(C.kmeans(emb, "vec_id", "embedding", k=4, max_iter=3))
+    want_ivf = _rows(C.ivf_kmeans_ann_topk(emb, queries, "vec_id",
+                                           "embedding", k=5, n_clusters=4,
+                                           rounds=2, nprobe=2))
+    _force_broadcast(monkeypatch)
+    assert _rows(C.kmeans(emb, "vec_id", "embedding", k=4,
+                          max_iter=3)) == want_fit
+    assert _rows(C.ivf_kmeans_ann_topk(emb, queries, "vec_id", "embedding",
+                                       k=5, n_clusters=4, rounds=2,
+                                       nprobe=2)) == want_ivf
+
+
+def test_plan_carries_no_codebook_floats_past_threshold(emb, queries,
+                                                        monkeypatch):
+    """The scale guarantee itself: above the threshold NO trained float
+    reaches the SQL text — the plan stays O(1) in codebook size."""
+    cb = S.pq_train_codebooks(emb, "vec_id", "embedding")
+    markers = [repr(cb[j][c][i]) for j in (0, len(cb) - 1)
+               for c in (0, len(cb[0]) - 1) for i in (0, -1)]
+    df_lit = S.pq_ann_topk(emb, queries, "vec_id", "embedding", k=5, cb=cb)
+    plan_lit = df_lit._jdf.queryExecution().analyzed().toString()
+    assert any(mk in plan_lit for mk in markers)   # literal path inlines
+    _force_broadcast(monkeypatch)
+    df_bc = S.pq_ann_topk(emb, queries, "vec_id", "embedding", k=5, cb=cb)
+    plan_bc = df_bc._jdf.queryExecution().analyzed().toString()
+    assert all(mk not in plan_bc for mk in markers)
+    # persisted serving path too
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        idx = AI.pq_index_build(emb, "vec_id", "embedding", d + "/ix",
+                                label_col="label", cb=cb)
+        sdf = AI.pq_index_search(df_bc.sparkSession, idx, queries,
+                                 "vec_id", "embedding", k=5, nprobe=2)
+        plan_s = sdf._jdf.queryExecution().analyzed().toString()
+        assert all(mk not in plan_s for mk in markers)
