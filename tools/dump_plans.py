@@ -37,11 +37,6 @@ SHOWCASE = {
         "inverted index with length + positional candidate pruning, then "
         "int64 array_intersect verification — the Σ df(s)² pair product of "
         "a plain inverted join is never materialized."),
-    "ngram_jaccard_inverted": (
-        "Plain inverted-index self-join variant: shuffle-free shingle-set "
-        "build (array_distinct + explode), explicit repartition to 2× cores "
-        "before the quadratic-output join, packed-long pair-key "
-        "aggregation."),
     "minhash_lsh": (
         "Banded signature join for candidates; verification joins whole "
         "shingle arrays (array_intersect) — cost tracks candidates, not "
