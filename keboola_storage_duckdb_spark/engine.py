@@ -497,11 +497,17 @@ class StorageEngine:
         return [self.index_info(project, bucket, table, n) for n in names]
 
     def index_info(self, project: str, bucket: str, table: str,
-                   name: str) -> dict:
+                   name: str, recommend: bool = False) -> dict:
         """Metadata + live posting stats + staleness: an index built
         from N rows over a table that now holds M ≠ N is flagged stale
         (imports/deletes happened since; rebuild or add/delete through
-        the functions API)."""
+        the functions API).
+
+        ``recommend=True`` (r13, VERDICT r12 #5) additionally composes
+        the three governance signals (imbalance, centroid drift,
+        quantization distortion) into a ``recommendation`` verdict for
+        labeled PQ indexes — the scheduled read that decides when churn
+        warrants a re-train (add/delete/refresh never retrain)."""
         from .functions import ann_index as AI
 
         path = self._index_path(project, bucket, table, name,
@@ -513,7 +519,8 @@ class StorageEngine:
                 os.path.join(path, "shingles")).count()
         else:
             n_rows = idx.codes(self.spark).count()
-        current = self.read_table(project, bucket, table).count()
+        tbl_df = self.read_table(project, bucket, table)
+        current = tbl_df.count()
         info = {"name": name,
                 "kind": kind,
                 "id_column": idx.meta.get("id_column"),
@@ -530,6 +537,10 @@ class StorageEngine:
             r = AI.ivf_list_stats(self.spark, idx).collect()[0]
             info["n_lists"] = r["n_lists"]
             info["imbalance"] = r["imbalance"]
+            if recommend and kind == "pq":
+                info["recommendation"] = AI.rebuild_recommendation(
+                    self.spark, idx, tbl_df, idx.meta["id_column"],
+                    idx.meta["vector_column"], idx.meta["label_col"])
         return info
 
     def drop_index(self, project: str, bucket: str, table: str,

@@ -311,7 +311,12 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
 
     @app.get(tbl + "/<table>/indexes/<name>")
     def index_info(project, branch_id, bucket, table, name):
-        return jsonify(engine.index_info(project, bucket, table, name))
+        # ?recommend=1 composes drift/imbalance/distortion into the
+        # re-train verdict (costs one codes x vectors join; opt-in so
+        # plain metadata reads stay cheap)
+        rec = request.args.get("recommend", "").lower() in ("1", "true")
+        return jsonify(engine.index_info(project, bucket, table, name,
+                                         recommend=rec))
 
     @app.delete(tbl + "/<table>/indexes/<name>")
     def drop_index(project, branch_id, bucket, table, name):

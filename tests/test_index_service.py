@@ -297,3 +297,70 @@ def test_refresh_delete_spanning_multiple_leaves(ctx, spark):
                 {"queries": qs, "k": 5, "nprobe": 3}).get_json()["results"]
     gone = set(victims) | {0}
     assert all(x["neighbor_id"] not in gone for x in res)
+
+
+GTBL = BASE + "/gov"
+
+
+def test_rebuild_recommendation_flips_on_churn(ctx, spark, tmp_path_factory):
+    """Index governance (VERDICT r12 #5): the drift/imbalance/distortion
+    signals compose into ONE recommend_rebuild verdict on the index-info
+    surface. Fresh build -> False (stored centroids ARE the member
+    means). Then churn: most of list 0's members are deleted and
+    replaced by rows filed under label 0 but POSITIONED in cluster 1's
+    region (the data-migrated-under-a-frozen-quantizer scenario) — the
+    stored centroid now describes members that left, drift exceeds the
+    list's own quantization error, and the flag flips."""
+    import numpy as np
+
+    from helpers_clustered import clustered_rows
+    c, eng, _ = ctx
+    cols = [{"name": "vec_id", "type": "BIGINT", "nullable": False},
+            {"name": "label", "type": "INTEGER", "nullable": True},
+            {"name": "embedding", "type": "FLOAT[]", "nullable": True}]
+    assert _post(c, BASE, {"name": "gov", "columns": cols}).status_code == 201
+    rows = clustered_rows(800, k=8)
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<double>")
+    src = str(tmp_path_factory.mktemp("gov") / "gov.parquet")
+    df.write.parquet(src)
+    assert _post(c, GTBL + "/import/file",
+                 {"path": src, "format": "parquet"}).status_code == 200
+    r = _post(c, GTBL + "/indexes",
+              {"name": "g", "id_column": "vec_id",
+               "vector_column": "embedding", "label_column": "label"})
+    assert r.status_code == 201, r.get_json()
+    # fresh: centroids == member means -> no drift, balanced lists
+    info = c.get(GTBL + "/indexes/g?recommend=1").get_json()
+    rec = info["recommendation"]
+    assert rec["recommend_rebuild"] is False and rec["reasons"] == []
+    assert rec["signals"]["drifted_lists"] == []
+    # plain metadata read stays cheap: no recommendation key
+    assert "recommendation" not in c.get(GTBL + "/indexes/g").get_json()
+    # churn list 0: drop 90 of its 100 members...
+    r = c.delete(GTBL + "/rows",
+                 data=json.dumps(
+                     {"where": "label = 0 AND vec_id >= 80"}),
+                 content_type="application/json")
+    assert r.status_code == 200, r.get_json()
+    # ...and file 90 cluster-1-positioned rows under label 0
+    churn = clustered_rows(90, k=8, id_offset=10_000,
+                           cluster_of=lambda i: 1,
+                           label_of=lambda i: 0)
+    cdf = spark.createDataFrame(
+        churn, "vec_id bigint, label int, embedding array<double>")
+    csrc = str(tmp_path_factory.mktemp("gov2") / "churn.parquet")
+    cdf.write.parquet(csrc)
+    assert _post(c, GTBL + "/import/file",
+                 {"path": csrc, "format": "parquet",
+                  "import_options": {"incremental": True}}
+                 ).status_code == 200
+    r = _post(c, GTBL + "/indexes/g/refresh")
+    assert r.status_code == 200, r.get_json()
+    out = r.get_json()
+    assert out["added"] == 90 and out["deleted"] == 90
+    info = c.get(GTBL + "/indexes/g?recommend=1").get_json()
+    rec = info["recommendation"]
+    assert rec["recommend_rebuild"] is True, rec
+    assert 0 in rec["signals"]["drifted_lists"], rec
+    assert any("drifted" in s for s in rec["reasons"])

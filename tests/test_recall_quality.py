@@ -21,41 +21,20 @@ Pinned: the byte-budget ladder ordering exact(1.0) >= SQ8 >= residual-PQ
 >= PQ, a routing floor of 1.0, and a rich-codebook residual floor —
 exactly the failures no hash-oracle can see."""
 
-import hashlib
-
-import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from helpers_clustered import clustered_rows
 from keboola_storage_duckdb_spark.functions import similarity as S
 
 K, DIM, N, SIG = 8, 64, 2000, 0.6
 
 
-def _uniforms(seed: str, n: int) -> np.ndarray:
-    """n md5-deterministic uniforms in [0, 1) — the repo's no-RNG rule."""
-    out = np.empty(n)
-    for i in range(0, n, 4):
-        h = hashlib.md5(f"{seed}:{i // 4}".encode()).digest()
-        for j in range(min(4, n - i)):
-            out[i + j] = int.from_bytes(h[j * 4:(j + 1) * 4], "big") / 2**32
-    return out
-
-
 @pytest.fixture(scope="module")
 def clustered(spark):
-    centers = np.array([_uniforms(f"c{c}", DIM) * 20.0 - 10.0
-                        for c in range(K)])
-    rows = []
-    for vid in range(N):
-        c = vid % K
-        # Irwin-Hall(12) - 6 ~ N(0, 1), deterministic from md5 bytes
-        g = (_uniforms(f"p{vid}", DIM * 12).reshape(DIM, 12).sum(axis=1)
-             - 6.0)
-        v = centers[c] + SIG * g
-        rows.append((vid, c, [float(x) for x in v]))
     emb = spark.createDataFrame(
-        rows, "vec_id bigint, label int, embedding array<double>").cache()
+        clustered_rows(N, K, DIM, SIG),
+        "vec_id bigint, label int, embedding array<double>").cache()
     emb.count()
     yield emb
     emb.unpersist()
