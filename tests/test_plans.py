@@ -187,7 +187,14 @@ def test_rerank_stage2_point_lookup(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert "SinglePartition" not in plan, plan
+    # r13: the persisted path injects a runtime bloom filter whose BUILD
+    # side aggregates the tiny query set to one partition — benign O(Q).
+    # The pin's intent stands: no CORPUS work on a single partition, so
+    # SinglePartition exchanges are allowed only for the bloom build.
+    if "Exchange SinglePartition" in plan:
+        assert "bloom_filter_agg" in plan, plan
+        assert plan.count("Exchange SinglePartition") \
+            == plan.count("partial_bloom_filter_agg"), plan
 
 
 def test_pq_recall_checkpoints_exact_side(spark, sf_dir):
