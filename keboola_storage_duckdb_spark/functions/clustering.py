@@ -168,10 +168,23 @@ def ivf_kmeans_ann_topk(vectors: DataFrame, queries: DataFrame,
     probes. At 100 TB the assignment is written
     ``partitionBy(cluster)`` once and probes prune partitions — the
     same posting-list layout ``ann_index`` persists."""
-    from pyspark.sql import Window
-
     labeled, centroids = kmeans_fit(vectors, id_col, vec_col,
                                     k=n_clusters, rounds=rounds)
+    return ivf_kmeans_search(labeled, centroids, queries, id_col,
+                             vec_col, k=k, nprobe=nprobe)
+
+
+def ivf_kmeans_search(labeled: DataFrame, centroids: list[list[float]],
+                      queries: DataFrame, id_col: str, vec_col: str,
+                      k: int = 5, nprobe: int = 2) -> DataFrame:
+    """Serve path of :func:`ivf_kmeans_ann_topk` given TRAINED state —
+    ``labeled`` = (id, v, cluster) assignments and the k centroids. The
+    inline kernel trains then calls this; the persisted-artifact twin
+    (r13) reads assignments from a stored kmeans-quantizer index's codes
+    table and centroids from its metadata, skipping the Lloyd rounds —
+    training is deterministic, so results (and oracles) are identical."""
+    from pyspark.sql import Window
+
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
     kc = len(centroids)
