@@ -81,16 +81,38 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 def lsh_bucket(vectors: DataFrame, id_col: str, vec_col: str,
                n_planes: int = 8, dim: int = 64) -> DataFrame:
     """Random-hyperplane LSH signature: bucket = Σ 2^p · [dot(v, r_p) > 0].
-    Cosine-similar vectors collide with probability (1 - θ/π)^planes."""
-    sig = F.lit(0).cast("bigint")
-    for p in range(n_planes):
-        plane = _hyperplane(dim, p)
-        arr = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in plane) + ")"
-        dot = F.expr(DOT.format(a=vec_col, b=arr))
-        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(0)
-    return vectors.select(F.col(id_col).alias("id"),
-                          F.col(vec_col).alias("vec"),
-                          sig.alias("bucket"))
+    Cosine-similar vectors collide with probability (1 - θ/π)^planes.
+
+    Plane delivery follows the codebook rule (_cb_attach): below
+    _CB_LITERAL_MAX_FLOATS the n_planes·dim doubles inline as exact SQL
+    literals (the oracle-shared text); past it they ride as one
+    broadcast row — same fold order, O(1) plan text."""
+    if n_planes * dim <= _CB_LITERAL_MAX_FLOATS:
+        sig = F.lit(0).cast("bigint")
+        for p in range(n_planes):
+            plane = _hyperplane(dim, p)
+            arr = ("array("
+                   + ",".join(f"CAST({x!r} AS DOUBLE)" for x in plane)
+                   + ")")
+            dot = F.expr(DOT.format(a=vec_col, b=arr))
+            sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(0)
+        return vectors.select(F.col(id_col).alias("id"),
+                              F.col(vec_col).alias("vec"),
+                              sig.alias("bucket"))
+    planes = [_hyperplane(dim, p) for p in range(n_planes)]
+    row = vectors.sparkSession.createDataFrame(
+        [(planes,)], "__planes array<array<double>>")
+    # identical per-plane sequential dot fold read through element_at;
+    # the 2^p weights fold into one aggregate over the plane index
+    sig = F.expr(
+        f"aggregate(sequence(0, {n_planes - 1}), CAST(0 AS BIGINT), "
+        "(acc, p) -> acc + IF("
+        + DOT.format(a=vec_col, b="element_at(__planes, p + 1)")
+        + " > 0, shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))")
+    return (vectors.crossJoin(F.broadcast(row))
+                   .select(F.col(id_col).alias("id"),
+                           F.col(vec_col).alias("vec"),
+                           sig.alias("bucket")))
 
 
 def lsh_ann_topk(vectors: DataFrame, queries: DataFrame, id_col: str,

@@ -134,3 +134,15 @@ def test_plan_carries_no_codebook_floats_past_threshold(emb, queries,
                                  "vec_id", "embedding", k=5, nprobe=2)
         plan_s = sdf._jdf.queryExecution().analyzed().toString()
         assert all(mk not in plan_s for mk in markers)
+
+
+def test_lsh_planes_broadcast_equals_literal(emb, queries, monkeypatch):
+    """LSH hyperplanes follow the same delivery rule: past the threshold
+    they ride as one broadcast row; buckets and top-k are bit-equal."""
+    want_b = _rows(S.lsh_bucket(emb, "vec_id", "embedding"))
+    want_k = _rows(S.lsh_ann_topk(emb, queries, "vec_id", "embedding",
+                                  k=5))
+    _force_broadcast(monkeypatch)
+    assert _rows(S.lsh_bucket(emb, "vec_id", "embedding")) == want_b
+    assert _rows(S.lsh_ann_topk(emb, queries, "vec_id", "embedding",
+                                k=5)) == want_k
