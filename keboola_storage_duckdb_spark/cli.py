@@ -498,8 +498,11 @@ def cmd_indexes_list(args):
 
 
 def cmd_indexes_info(args):
+    # --recommend composes drift/imbalance/distortion into the
+    # recommend_rebuild verdict (one codes x vectors join server-side)
+    qs = "?recommend=1" if getattr(args, "recommend", False) else ""
     res = _client(args).get(
-        f"{_tbl_base(args)}/{args.table}/indexes/{args.name}")
+        f"{_tbl_base(args)}/{args.table}/indexes/{args.name}{qs}")
     print_json(res)
 
 
@@ -732,7 +735,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--ksub", type=int, default=8)
     s.add_argument("--dim", type=int, default=64)
     index_parser("list", cmd_indexes_list, with_name=False)
-    index_parser("info", cmd_indexes_info)
+    s = index_parser("info", cmd_indexes_info)
+    s.add_argument("--recommend", action="store_true",
+                   help="include the composed re-train verdict "
+                        "(imbalance + drift + distortion)")
     s = index_parser("search", cmd_indexes_search)
     s.add_argument("--queries", required=True,
                    help="JSON file or inline JSON: "

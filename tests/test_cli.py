@@ -274,6 +274,16 @@ def test_cli_index_lifecycle(server, spark, sf_dir, tmp_path, capsys):
                   "main", capsys=capsys)
     assert rc == 0 and json.loads(out)["added"] == 0
 
+    # --recommend includes the composed re-train verdict (r13)
+    rc, out = run(server, "indexes", "info", "pidx", "in_c_v", "emb",
+                  "main", "--recommend", capsys=capsys)
+    assert rc == 0, out
+    rec = json.loads(out)["recommendation"]
+    assert rec["recommend_rebuild"] is False and "signals" in rec
+    rc, out = run(server, "indexes", "info", "pidx", "in_c_v", "emb",
+                  "main", capsys=capsys)
+    assert rc == 0 and "recommendation" not in json.loads(out)
+
     rc, out = run(server, "indexes", "compact", "pidx", "in_c_v", "emb",
                   "main", "--max-files", "0", capsys=capsys)
     assert rc == 0 and json.loads(out)["compacted"]
