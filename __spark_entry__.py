@@ -1505,7 +1505,14 @@ def q_ann_pq(spark, sf_dir):
     asymmetric distance to the codebook reconstruction. The DuckDB twin
     re-derives training, encoding AND ranking exactly (sequential list
     folds, per-dim AVG, lower-code tie-breaks — unrolled like
-    kmeans_fixed)."""
+    kmeans_fixed).
+
+    Deliberately INLINE (r13): with every recall/search frame now
+    serving from persisted artifacts, ann_pq (+ ann_pq_lut) are the two
+    queries that keep the Spark-side TRAINING chain itself
+    window-certified every round (the persisted twins only re-certify
+    training on a cold fingerprint); ann_pq_indexed is the warm serving
+    twin of this exact kernel."""
     from keboola_storage_duckdb_spark.functions.similarity import pq_ann_topk
     emb = _t(spark, sf_dir, "embeddings")
     return pq_ann_topk(emb, emb.filter(F.col("vec_id") < 10),
