@@ -696,3 +696,17 @@ def test_delete_hive_escaped_string_labels(spark, emb, tmp_path):
                    .select("vec_id").collect()]
     AI.pq_index_delete(spark, path, rest)
     assert "label=a%3Db" not in os.listdir(codes)
+
+
+def test_unescape_partition_value_cases():
+    """Hive %XX unescaping: known pairs plus malformed-sequence
+    passthrough (a literal '%' not followed by two hex digits must
+    survive verbatim, never raise)."""
+    u = AI._unescape_partition_value
+    assert u("a%3Db") == "a=b"
+    assert u("x%3Ay") == "x:y"
+    assert u("%25") == "%"
+    assert u("plain") == "plain"
+    assert u("100%") == "100%"          # trailing % — malformed, kept
+    assert u("%zz") == "%zz"            # non-hex — malformed, kept
+    assert u("a%0Ab") == "a\nb"
