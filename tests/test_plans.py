@@ -271,3 +271,25 @@ def test_residual_indexed_search_prunes_codes_partitions(spark, sf_dir):
     assert any(re.search(r"PartitionFilters: \[.*label.* IN \(", s)
                for s in scans), scans
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cosine_near_dup_unblocked_is_crossjoin_free(spark, sf_dir):
+    """VERDICT r13 #1: the unblocked cosine threshold join must never
+    plan a corpus×corpus cross join. The exact two-stage shape is
+    pinned: candidate generation is an Arrow mapInPandas over the
+    vectors scan (the O(N²) dots run as BLAS there), and the exact
+    verify joins the candidate stream against the broadcast corpus as
+    BroadcastHashJoins — no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere, for the pair query and both of its consumers
+    (near_dedup_keep, dedup_clusters)."""
+    for q in (E.q_cosine_near_dup, E.q_near_dedup_keep,
+              E.q_dedup_clusters):
+        df = q(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+    # pin the stage shape on the pair query itself
+    df = E.q_cosine_near_dup(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -611,3 +611,66 @@ def test_ivf_kmeans_full_probe_equals_exact(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_cosine_near_dup_exact_join_matches_crossjoin_reference(spark):
+    """The r14 two-stage unblocked path (BLAS candidate superset + exact
+    JVM verify) must be row-identical to the legacy corpus×corpus cross
+    join it replaced — including the edge cases the kernel special-cases:
+    null id, null vector, mixed-length vectors (JVM zip_with null-pads →
+    null score → dropped), a pair exactly AT the threshold, and one just
+    below it (the candidate slack must not leak sub-threshold pairs)."""
+    from pyspark.sql import types as T
+
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        cosine_expr, cosine_near_dup_pairs, with_norm)
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),        # exact dup of 1 → score 1.0
+        (3, [1.0, 1.0, 0.0]),        # cos vs 1/2 = 0.707107
+        (4, [0.0, 1.0, 0.0]),        # orthogonal to 1/2
+        (5, [3.0, 4.0, 0.0]),        # cos vs 1 = 0.6 exactly (threshold hit)
+        (6, None),                   # null vector — never pairs
+        (None, [1.0, 0.0, 0.0]),     # null id — never pairs
+        (7, [1.0, 0.0]),             # shorter vector — null-padded vs dim-3
+        (8, [1.0, 0.0]),             # pairs only with 7 (same length)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = cosine_near_dup_pairs(df, "vec_id", "embedding", threshold=0.6)
+
+    v = with_norm(df.select(F.col("vec_id").alias("id"),
+                            F.col("embedding").alias("v")), "v", "n2")
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("n2").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("n2").alias("nb"))
+    ref = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("score",
+                        F.round(cosine_expr("va", "vb", "na", "nb"), 6))
+            .filter(F.col("score") >= 0.6)
+            .select("id_a", "id_b", "score"))
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows == sorted(map(tuple, ref.collect()))
+    # the known pairs: dup (1,2)=1.0, threshold-exact (1,5)=(2,5)=0.6,
+    # (3,5)=0.989949▸, (1,3)=(2,3)=0.707107, same-length-2 pair (7,8)=1.0
+    ids = {(r[0], r[1]) for r in got_rows}
+    assert (1, 2) in ids and (1, 5) in ids and (2, 5) in ids
+    assert (7, 8) in ids
+    assert all(6 not in p and None not in p for p in ids)
+
+
+def test_cosine_near_dup_unblocked_gate_still_raises(spark):
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        cosine_near_dup_pairs)
+
+    df = spark.range(12).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="unblocked"):
+        cosine_near_dup_pairs(df, "vec_id", "embedding", 0.9,
+                              unblocked_limit=10).collect()
