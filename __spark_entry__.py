@@ -806,10 +806,26 @@ def q_dedup_safe_split(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """32-bit SimHash near-dup pairs, Hamming ≤ 3, pigeonhole-blocked."""
+    """32-bit SimHash near-dup pairs, Hamming ≤ 3, pigeonhole-blocked.
+    Comparison baseline (output = the raw pair frame, which scales with
+    near-dup density — 77M rows at sf1 on the replicated fixture); the
+    pipeline-shaped form is q_simhash_dedup_keep."""
     from keboola_storage_duckdb_spark.functions.dedup_ml import simhash_pairs
     docs = _t(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_simhash_dedup_keep(spark, sf_dir):
+    """End-to-end SimHash dedup (NEW r14, VERDICT r13 #2): detect
+    (pigeonhole byte-block candidates + exact Hamming verify) → cluster
+    (connected components) → select (min-id keeper; unpaired docs keep
+    themselves) — the survivor frame a pipeline consumes, one row per
+    document, mirroring minhash_dedup_keep / near_dedup_keep. Output
+    scales with the corpus, never the pair count."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        simhash_dedup_keep)
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup_keep(docs, "doc_id", "text", max_hamming=3)
 
 
 def q_token_counts(spark, sf_dir):
@@ -3319,6 +3335,21 @@ FROM pairs
 WHERE bit_count(xor(sha, shb)) <= 3"""
 
 
+# Exact twin of q_simhash_dedup_keep: the certified SimHash pair SQL as
+# the edge set, the recursive reachability closure (same shape as
+# _minhash_dedup_keep_sql / _dedup_clusters_sql), and the keep-frame join.
+_SIMHASH_DEDUP_KEEP_SQL = f"""
+WITH RECURSIVE p AS ({_SIMHASH_SQL}),
+ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+r AS (SELECT DISTINCT a AS id, a AS lab FROM ed
+      UNION
+      SELECT ed.b AS id, r.lab FROM r JOIN ed ON ed.a = r.id),
+cc AS (SELECT id, MIN(lab) AS cluster FROM r GROUP BY id)
+SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster,
+       COALESCE(cc.cluster, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN cc ON cc.id = d.doc_id"""
+
+
 _TOKEN_COUNTS_SQL = r"""
 SELECT doc_id AS id,
        len(str_split(text, ' ')) AS ws_tokens,
@@ -4645,9 +4676,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bottom_k_sample": q_bottom_k_sample,        # mergeable exact-size sample
     "pack_sequences": q_pack_sequences,          # token-stream packing
     "repetition_signals": q_repetition_signals,  # Gopher repetition rules
-    "ann_filtered": q_ann_filtered,              # NEW r08: filtered ANN
+    # r14 rotation: simhash_dedup_keep (the survivor form, VERDICT r13
+    # #2) takes ann_filtered's slot — ann_filtered green r08-r13 and its
+    # filtered-ANN arithmetic stays window-certified via
+    # ann_filtered_indexed (the persisted serving twin); parked 51+.
+    "simhash_dedup_keep": q_simhash_dedup_keep,  # NEW r14: survivor form
     "execute_query": q_execute_query,            # keeper parked 51+ (green r01-r06)
     # ---- tail (51+): driver-green in r01-r09 CORRECTNESS records ----
+    "ann_filtered": q_ann_filtered,              # parked r14 (green r08-r13;
+    # filtered-ANN arithmetic window-certified via ann_filtered_indexed)
     "quota_sample": q_quota_sample,              # parked r11 (green r08-r10)
     "token_quota_sample": q_token_quota_sample,  # parked r11 (green r08-r10)
     "kmeans_fixed": q_kmeans_fixed,              # parked r11 (green r08-r10)
@@ -4951,6 +4988,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_lsh": _minhash_sql(),
         "simhash_pairs": _SIMHASH_SQL,
+        "simhash_dedup_keep": _SIMHASH_DEDUP_KEEP_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

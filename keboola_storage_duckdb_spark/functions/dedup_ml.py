@@ -527,6 +527,37 @@ def minhash_estimate_pairs(docs: DataFrame, id_col: str, text_col: str,
     return est.join(exact, ["id_a", "id_b"])
 
 
+def simhash_dedup_keep(docs: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """End-to-end SimHash dedup (VERDICT r13 #2): detect (pigeonhole
+    byte-block candidates + exact Hamming verify — ``simhash_pairs``) →
+    cluster (connected components over the pair graph) → select (keep
+    the min-id member per cluster; unpaired docs keep themselves).
+
+    This is the SURVIVOR form a pipeline actually consumes — one row per
+    document with (cluster, keep) — mirroring ``minhash_dedup_keep`` and
+    the embedding-side ``near_dedup_keep``: output scales with the CORPUS,
+    never with the near-dup pair count (the raw ``simhash_pairs`` frame is
+    77M rows at sf1 on the replicated fixture; this frame stays at N).
+
+    Scale: the detector is 4 equality joins on (byte-index, byte-value)
+    blocks — any pair within Hamming ≤ 3 of a 32-bit signature must agree
+    on ≥ 1 of its 4 bytes — and components over near-dup graphs converge
+    in a few label-propagation rounds (functions/graph.py); the keep
+    frame is one broadcast-able left join (clusters ≪ docs).
+
+    Returns (``id_col``, cluster, keep)."""
+    from .graph import connected_components
+
+    edges = simhash_pairs(docs, id_col, text_col, max_hamming=max_hamming)
+    cc = connected_components(edges.select("id_a", "id_b")) \
+        .withColumnRenamed("id", id_col)
+    cluster = F.coalesce(F.col("cluster"), F.col(id_col))
+    return (docs.select(id_col).join(cc, id_col, "left")
+                .select(id_col, cluster.alias("cluster"),
+                        (cluster == F.col(id_col)).alias("keep")))
+
+
 def dedup_safe_split(docs: DataFrame, id_col: str, edges: DataFrame,
                      train: int = 8, val: int = 1, test: int = 1,
                      seed: str = "split") -> DataFrame:

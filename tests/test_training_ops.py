@@ -674,3 +674,29 @@ def test_cosine_near_dup_unblocked_gate_still_raises(spark):
     with pytest.raises(ValueError, match="unblocked"):
         cosine_near_dup_pairs(df, "vec_id", "embedding", 0.9,
                               unblocked_limit=10).collect()
+
+
+def test_simhash_dedup_keep_survivor_semantics(docs):
+    """The survivor form must keep exactly one doc per SimHash cluster
+    (the min id), mark the rest keep=False, give singletons their own
+    cluster, and stay row-per-document regardless of pair density."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        simhash_dedup_keep, simhash_pairs)
+
+    keep = {r.doc_id: (r.cluster, r.keep)
+            for r in simhash_dedup_keep(docs, "doc_id", "text").collect()}
+    assert len(keep) == docs.count()           # one row per document
+    # exact dup (0, 3) must share a cluster rooted at the min id, with
+    # only the root kept
+    assert keep[0] == (0, True)
+    assert keep[3][0] == 0 and keep[3][1] is False
+    # every pair the detector emits must land in one cluster
+    for r in simhash_pairs(docs, "doc_id", "text").collect():
+        assert keep[r.id_a][0] == keep[r.id_b][0], (r, keep)
+    # keep = (doc is its cluster's min id) for every doc
+    import collections
+    members = collections.defaultdict(list)
+    for d, (c, _) in keep.items():
+        members[c].append(d)
+    for d, (c, k) in keep.items():
+        assert k is (d == min(members[c])), (d, c, k)
