@@ -2334,6 +2334,31 @@ class StorageEngine:
         self._views_names[key] = views
         return views
 
+    def register_workspace_views(self, workspace: str) -> list[str]:
+        """Workspace-local objects as temp views by BARE name — the
+        reference's workspace SQL runs inside the workspace DuckDB
+        database, so tables created there (CTAS loads, COPY FROM STDIN)
+        resolve unqualified (src/pgwire_server.py:107-152 attaches the
+        project as schemas ON TOP of the workspace db). Registered before
+        project views, so a name collision resolves to the PROJECT table
+        (the read contract wins). Not cached: workspace objects mutate
+        outside the catalog generation counter and a workspace holds few
+        objects."""
+        d = self.catalog.workspace_dir(workspace)
+        views = []
+        if not os.path.isdir(d):
+            return views
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if name.startswith("_") or not os.path.isdir(p):
+                continue
+            try:
+                self.spark.read.parquet(p).createOrReplaceTempView(name)
+            except Exception:
+                continue  # half-written / non-table dir: skip, don't fail auth'd SQL
+            views.append(name)
+        return views
+
     def execute_query_arrow(self, project: str, sql: str,
                             branch: str | None = None,
                             timeout_seconds: float | None = None,
@@ -2379,7 +2404,8 @@ class StorageEngine:
                       branch: str | None = None,
                       timeout_seconds: float | None = None,
                       stringify: bool = False,
-                      max_rows: int | None = 100_000) -> list[dict]:
+                      max_rows: int | None = 100_000,
+                      workspace: str | None = None) -> list[dict]:
         """Q1 ExecuteQuery (reference src/grpc/handlers/query.py:95-161):
         register views, run SQL, optionally stringify values like the
         reference's protobuf marshaling. Statement timeout enforced by a
@@ -2388,7 +2414,11 @@ class StorageEngine:
         ``max_rows`` caps the driver-side collect (the reference stringifies
         unbounded result sets into one protobuf — a driver OOM at scale);
         results are truncated to the cap, recorded in the ops log. Pass
-        ``max_rows=None`` to explicitly opt into an unbounded collect."""
+        ``max_rows=None`` to explicitly opt into an unbounded collect.
+        ``workspace`` additionally registers that workspace's local objects
+        as bare-name views (the PG-wire session contract)."""
+        if workspace:
+            self.register_workspace_views(workspace)
         self.register_project_views(project, branch)
         sc = self.spark.sparkContext
         group = f"exec-{uuid.uuid4().hex[:8]}"

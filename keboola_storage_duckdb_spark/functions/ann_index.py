@@ -100,9 +100,22 @@ class PQIndex:
         return self.meta["dim"] // self.meta["m"]
 
     def codes(self, spark: SparkSession) -> DataFrame:
-        df = spark.read.parquet(os.path.join(self.path, _CODES))
+        codes_dir = os.path.join(self.path, _CODES)
         cols = ["id", "codes"] + (["label"] if self.meta["label_col"]
                                   else [])
+        # an index emptied by deletes has no posting files left to infer
+        # a schema from (every leaf dir was dropped) — it is still a
+        # valid index (codebooks frozen, n=0), so serve the declared
+        # empty frame instead of an UNABLE_TO_INFER_SCHEMA crash
+        if not any(not e.startswith((".", "_"))
+                   for e in (os.listdir(codes_dir)
+                             if os.path.isdir(codes_dir) else [])):
+            lt = self.meta.get("label_type", "string")
+            it = self.meta.get("id_type", "bigint")
+            schema = (f"id {it}, codes array<int>"
+                      + (f", label {lt}" if self.meta["label_col"] else ""))
+            return spark.createDataFrame([], schema).select(*cols)
+        df = spark.read.parquet(codes_dir)
         # partition columns come back appended and string-typed; restore
         # the declared label dtype so the route join matches the corpus
         if self.meta["label_col"]:
@@ -222,7 +235,11 @@ def pq_index_build(vectors: DataFrame, id_col: str, vec_col: str,
     meta: dict = {"m": m, "ksub": ksub, "dim": dim, "iters": iters,
                   "cb": None, "label_col": label_col, "centroids": None,
                   "label_type": None, "fingerprint": fingerprint,
-                  "route_metric": route_metric, "residual": residual}
+                  "route_metric": route_metric, "residual": residual,
+                  "id_type": dict(
+                      zip(vectors.schema.names,
+                          [f.dataType.simpleString()
+                           for f in vectors.schema.fields]))[id_col]}
     writer_cols = None
     if label_col is not None:
         if centroids is not None:
@@ -431,16 +448,25 @@ def pq_index_delete(spark: SparkSession, path: str, ids,
 
     report: dict = {"deleted": 0, "leaves_rewritten": []}
     if idx.meta["label_col"]:
+        # label_s is SPARK's string rendering of the label — the value
+        # the hive partition dir encodes. Python str() diverges for
+        # non-int/string labels (bool True -> 'True' vs dir 'true',
+        # timestamp formatting, ...; ADVICE r13), so the lookup key must
+        # come from the engine that wrote the dirs.
         hits = (_hit(idx.codes(spark))
-                .groupBy("label").count().collect())
+                .groupBy("label")
+                .agg(F.count(F.lit(1)).alias("count"),
+                     F.first(F.col("label").cast("string"))
+                      .alias("label_s"))
+                .collect())
         # map DECODED label values to the hive-escaped dirs Spark wrote
         # ('=' -> %3D, null -> __HIVE_DEFAULT_PARTITION__, ...): raw
         # f"label={value}" interpolation misses those leaves
         leaf_dirs = _label_leaf_dirs(codes_dir)
         for r in sorted(hits, key=lambda r: str(r["label"])):
             label = r["label"]
-            key = None if label is None else str(label)
-            leaf = leaf_dirs.get(key, f"label={label}")
+            key = None if label is None else r["label_s"]
+            leaf = leaf_dirs.get(key, f"label={key}")
             d = os.path.join(codes_dir, leaf)
             kept = _keep(spark.read.parquet(d))
             if kept.isEmpty():                 # list emptied: drop it
@@ -1171,7 +1197,9 @@ def rebuild_recommendation(spark: SparkSession, index: PQIndex | str,
       its own mean quantization distortion: the stored centroid (what
       routing ranks) is now a worse description of the list than the
       codes' own error, so probes route to the wrong lists. Compared
-      as round6(drift)·n >= Σ round6(d) — both sides exact decimals.
+      as round6(drift)·n >= Σ round6(d) — a deterministic double
+      comparison of round-6 values (both inputs are already rounded;
+      the product/sum happen in IEEE doubles, not decimals).
 
     add/delete/refresh never retrain (FAISS semantics), so this is the
     scheduled read that closes the loop. Cost: one integer agg over the
@@ -1202,9 +1230,11 @@ def rebuild_recommendation(spark: SparkSession, index: PQIndex | str,
     drifted = sorted((r["label"] for r in per if r["drifted"]),
                      key=str)
     # all-integer cross-multiply: n_lists·Σnᵢ²·DEN >= NUM·N² — no
-    # floating division decides the verdict
-    imbalanced = (n_lists * sumsq * _REBUILD_IMBALANCE_DEN
-                  >= _REBUILD_IMBALANCE_NUM * n_vec * n_vec)
+    # floating division decides the verdict. Guard n_vec > 0 (ADVICE
+    # r13): an emptied index satisfies 0 >= 0 and would recommend a
+    # rebuild for "imbalance" that doesn't exist.
+    imbalanced = n_vec > 0 and (n_lists * sumsq * _REBUILD_IMBALANCE_DEN
+                                >= _REBUILD_IMBALANCE_NUM * n_vec * n_vec)
     imbalance = (n_lists * sumsq) / (n_vec * n_vec) if n_vec else 1.0
     reasons = []
     if imbalanced:

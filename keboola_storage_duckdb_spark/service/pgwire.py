@@ -593,7 +593,8 @@ class PgWireServer:
         """Execute a bound portal once and cache its result rows."""
         if "rows" in portal:
             return
-        if self._COPY_RE.match(portal["sql"]):
+        if self._COPY_RE.match(portal["sql"]) \
+                or self._COPY_IN_RE.match(portal["sql"]):
             raise _PgError("0A000", "COPY is only supported over the "
                            "simple query protocol")
         compat = self._compat_dispatch(portal["sql"], project, user)
@@ -605,16 +606,23 @@ class PgWireServer:
         else:
             rows = self.engine.execute_query(
                 project, portal["sql"], stringify=True,
-                timeout_seconds=self.query_timeout, max_rows=self.max_rows)
+                timeout_seconds=self.query_timeout, max_rows=self.max_rows,
+                workspace=user)
         portal["cols"] = list(rows[0].keys()) if rows else []
         portal["rows"] = rows
         portal["sent"] = 0
 
-    _COPY_RE = re.compile(r"(?is)^\s*copy\s+(.+?)\s+to\s+stdout"
+    # GREEDY source group (ADVICE r13): the LAST "to stdout" is the verb,
+    # so a string literal containing "to stdout" inside a subquery source
+    # stays part of the source instead of splitting it early (options
+    # never contain the token).
+    _COPY_RE = re.compile(r"(?is)^\s*copy\s+(.+)\s+to\s+stdout\b"
                           r"\s*(.*?)\s*;?\s*$")
+    _COPY_IN_RE = re.compile(r"(?is)^\s*copy\s+(.+?)\s+from\s+stdin\b"
+                             r"\s*(.*?)\s*;?\s*$")
 
     def _copy_out(self, conn: socket.socket, project: str, source: str,
-                  options: str) -> None:
+                  options: str, workspace: str = "") -> None:
         """``COPY ... TO STDOUT`` — the simple-protocol export verb psql
         ``\\copy`` drives (the one interactive verb of the reference's
         workspace SQL surface, src/pgwire_server.py:154-203, this wire
@@ -641,9 +649,14 @@ class PgWireServer:
         csv_fmt = bool(re.search(r"\bcsv\b", low))
         header = csv_fmt and bool(
             re.search(r"\bheader\b(?!\s+(false|off|0)\b)", low))
+        # max_rows=None (ADVICE r13, medium): COPY is an EXPORT verb — a
+        # silent cap would ship a truncated file whose "COPY n" tag looks
+        # complete. The session's query cap protects interactive SELECTs;
+        # an export opts out of it explicitly.
         rows = self.engine.execute_query(
             project, q, stringify=True,
-            timeout_seconds=self.query_timeout, max_rows=self.max_rows)
+            timeout_seconds=self.query_timeout, max_rows=None,
+            workspace=workspace)
         cols = list(rows[0].keys()) if rows else []
         n = len(cols)
         conn.sendall(_msg(b"H", struct.pack("!BH", 0, n)
@@ -674,6 +687,187 @@ class PgWireServer:
             conn.sendall(_msg(b"d", (line + "\n").encode()))
         conn.sendall(_msg(b"c", b""))
         conn.sendall(_msg(b"C", _cstr(f"COPY {len(rows)}")))
+
+    @staticmethod
+    def _copy_text_unescape(field: str):
+        """Decode one text-format COPY field: ``\\N`` is NULL; backslash
+        escapes per the public COPY text format (the inverse of
+        ``_copy_out``'s ``_text``)."""
+        if field == "\\N":
+            return None
+        out, i = [], 0
+        esc = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+               "v": "\v", "\\": "\\"}
+        while i < len(field):
+            ch = field[i]
+            if ch == "\\" and i + 1 < len(field):
+                out.append(esc.get(field[i + 1], field[i + 1]))
+                i += 2
+            else:
+                out.append(ch)
+                i += 1
+        return "".join(out)
+
+    @staticmethod
+    def _copy_csv_rows(text: str) -> list[list]:
+        """RFC-4180 CSV for COPY: unquoted empty field = NULL, quoted
+        empty = '' (the PG CSV convention ``_copy_out`` emits — Python's
+        csv module cannot see the distinction, so parse by hand)."""
+        rows, field, row = [], [], []
+        quoted = had_quotes = False
+        i, n = 0, len(text)
+        while i < n:
+            ch = text[i]
+            if quoted:
+                if ch == '"':
+                    if i + 1 < n and text[i + 1] == '"':
+                        field.append('"')
+                        i += 2
+                        continue
+                    quoted = False
+                else:
+                    field.append(ch)
+                i += 1
+                continue
+            if ch == '"':
+                quoted = had_quotes = True
+            elif ch == ",":
+                row.append("".join(field) if (field or had_quotes) else None)
+                field, had_quotes = [], False
+            elif ch in ("\n", "\r"):
+                if ch == "\r" and i + 1 < n and text[i + 1] == "\n":
+                    i += 1
+                row.append("".join(field) if (field or had_quotes) else None)
+                rows.append(row)
+                field, row, had_quotes = [], [], False
+            else:
+                field.append(ch)
+            i += 1
+        if field or had_quotes or row:
+            row.append("".join(field) if (field or had_quotes) else None)
+            rows.append(row)
+        return rows
+
+    def _copy_in(self, conn: socket.socket, project: str, workspace: str,
+                 target: str, options: str) -> None:
+        """``COPY <table> [(cols)] FROM STDIN`` — the import twin of
+        ``_copy_out`` (VERDICT r13 #6), completing the psql ``\\copy``
+        round trip the reference's workspace SQL supports via DuckDB
+        (reference src/pgwire_server.py:154-203). Targets a WORKSPACE
+        object (the writable namespace of a wire session; project tables
+        import through the staging API, not the wire): an existing object
+        appends with values cast to its schema, a new object is created
+        from the column list / CSV header with string columns (the CSV
+        staging convention — type it with a later CTAS). Wire flow per
+        the public protocol: CopyInResponse → CopyData* → CopyDone →
+        ``COPY n`` (CopyFail → error). Text and CSV formats, ``\\.``
+        terminator honored in text mode; BINARY rejected (0A000)."""
+        m = re.fullmatch(r'([\w."]+)\s*(?:\(\s*([^)]*?)\s*\))?',
+                         target.strip())
+        if not m:
+            raise _PgError("42601", f"unsupported COPY target: {target!r}")
+        name = m.group(1).replace('"', "").split(".")[-1]
+        if not re.fullmatch(r"\w+", name):
+            raise _PgError("42601", f"invalid COPY target name: {name!r}")
+        columns = [c.strip().replace('"', "")
+                   for c in m.group(2).split(",")] if m.group(2) else None
+        low = options.lower()
+        if re.search(r"\bbinary\b", low):
+            raise _PgError("0A000", "COPY BINARY is not supported")
+        csv_fmt = bool(re.search(r"\bcsv\b", low))
+        header = csv_fmt and bool(
+            re.search(r"\bheader\b(?!\s+(false|off|0)\b)", low))
+
+        import os
+
+        ws_dir = self.engine.catalog.workspace_dir(workspace)
+        path = os.path.join(ws_dir, name)
+        existing = None
+        if os.path.isdir(path):
+            existing = self.engine.workspace_table(workspace, name).schema
+        if existing is None and columns is None and not header:
+            raise _PgError(
+                "42P01",
+                f'relation "{name}" does not exist (a new workspace object '
+                "needs a column list or CSV HEADER to name its columns)")
+
+        ncols = len(columns) if columns else (
+            len(existing.fields) if existing is not None else 0)
+        conn.sendall(_msg(b"G", struct.pack("!BH", 0, ncols)
+                          + struct.pack(f"!{ncols}H", *([0] * ncols))))
+        # drain the COPY stream fully before parsing: a mid-stream error
+        # must not leave half a stream in the buffer for the query loop
+        buf = bytearray()
+        failed = None
+        while True:
+            t = self._recv_exact(conn, 1)
+            (length,) = struct.unpack("!I", self._recv_exact(conn, 4))
+            body = self._recv_exact(conn, length - 4)
+            if t == b"d":
+                buf += body
+            elif t == b"c":                                  # CopyDone
+                break
+            elif t == b"f":                                  # CopyFail
+                failed = body.rstrip(b"\x00").decode() or "COPY cancelled"
+                break
+            elif t == b"X":
+                raise ConnectionResetError("terminated during COPY")
+            # Flush/Sync mid-copy: no-op per protocol
+        if failed is not None:
+            raise _PgError("57014", f"COPY from stdin failed: {failed}")
+
+        text = buf.decode()
+        if csv_fmt:
+            parsed = self._copy_csv_rows(text)
+            if header and parsed:
+                hdr = [c if c is not None else "" for c in parsed[0]]
+                parsed = parsed[1:]
+                if columns is None:
+                    columns = hdr
+        else:
+            parsed = []
+            for line in text.split("\n"):
+                if line.endswith("\r"):
+                    line = line[:-1]
+                if line == "\\.":
+                    break
+                if line == "" :
+                    continue
+                parsed.append([self._copy_text_unescape(f)
+                               for f in line.split("\t")])
+        if columns is None:
+            columns = [f.name for f in existing.fields]
+        bad = [r for r in parsed if len(r) != len(columns)]
+        if bad:
+            raise _PgError(
+                "22P04", f"row field count {len(bad[0])} does not match "
+                         f"column count {len(columns)}")
+
+        from pyspark.sql import functions as SF
+        from pyspark.sql import types as T
+
+        spark = self.engine.spark
+        str_schema = T.StructType(
+            [T.StructField(c, T.StringType()) for c in columns])
+        df = spark.createDataFrame(
+            [tuple(r) for r in parsed], str_schema)
+        if existing is not None:
+            known = {f.name for f in existing.fields}
+            unknown = [c for c in columns if c not in known]
+            if unknown:
+                raise _PgError(
+                    "42703", f'column "{unknown[0]}" of relation '
+                             f'"{name}" does not exist')
+            aligned = [
+                (SF.col(f.name) if f.name in set(columns)
+                 else SF.lit(None)).cast(f.dataType).alias(f.name)
+                for f in existing.fields]
+            df.select(*aligned).write.mode("append").parquet(path)
+        else:
+            df.write.mode("overwrite").parquet(path)
+        self.engine._log("pgwire_copy_in", workspace=workspace,
+                         object=name, rows=len(parsed))
+        conn.sendall(_msg(b"C", _cstr(f"COPY {len(parsed)}")))
 
     def _row_description(self, conn: socket.socket, cols: list[str]) -> None:
         desc = struct.pack("!H", len(cols))
@@ -839,7 +1033,20 @@ class PgWireServer:
             if mcopy:                                        # COPY-OUT
                 try:
                     self._copy_out(conn, project, mcopy.group(1),
-                                   mcopy.group(2))
+                                   mcopy.group(2), workspace=user)
+                except _PgError as e:
+                    self._error(conn, e.code, e.message)
+                except Exception as e:
+                    self._error(conn, "42601", str(e)[:500])
+                self._ready(conn)
+                continue
+            mcopy_in = self._COPY_IN_RE.match(sql)
+            if mcopy_in:                                     # COPY-IN
+                try:
+                    self._copy_in(conn, project, user, mcopy_in.group(1),
+                                  mcopy_in.group(2))
+                except ConnectionResetError:
+                    return
                 except _PgError as e:
                     self._error(conn, e.code, e.message)
                 except Exception as e:
@@ -854,7 +1061,7 @@ class PgWireServer:
                     rows, tag = self.engine.execute_query(
                         project, sql, stringify=True,
                         timeout_seconds=self.query_timeout,
-                        max_rows=self.max_rows), None
+                        max_rows=self.max_rows, workspace=user), None
             except _PgError as e:
                 self._error(conn, e.code, e.message)
                 self._ready(conn)

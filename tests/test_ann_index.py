@@ -710,3 +710,48 @@ def test_unescape_partition_value_cases():
     assert u("100%") == "100%"          # trailing % — malformed, kept
     assert u("%zz") == "%zz"            # non-hex — malformed, kept
     assert u("a%0Ab") == "a\nb"
+
+
+def test_rebuild_recommendation_empty_index_not_flagged(spark, emb,
+                                                        tmp_path):
+    """ADVICE r13: an index emptied by deletes must not recommend a
+    rebuild on a vacuous 0 >= 0 imbalance — there is nothing to
+    retrain."""
+    idx = AI.pq_index_build(emb, "vec_id", "embedding",
+                            str(tmp_path / "empty_gov"),
+                            label_col="label")
+    AI.pq_index_delete(spark, idx.path, emb.select("vec_id"),
+                       id_col="vec_id")
+    rec = AI.rebuild_recommendation(spark, idx.path, emb, "vec_id",
+                                    "embedding", "label")
+    assert rec["recommend_rebuild"] is False
+    assert rec["reasons"] == []
+
+
+def test_delete_resolves_bool_label_dirs(spark, tmp_path):
+    """ADVICE r13: non-int/string labels (bool here) render differently
+    in Python str() ('True') and Spark partition dirs ('true'); the
+    delete's leaf lookup must key on Spark's own rendering, or it falls
+    back to a raw f-string path that does not exist."""
+    import os
+
+    rows = [(i, i % 2 == 0,
+             [float((i * 7 + j) % 13) for j in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, flag boolean, embedding array<double>")
+    idx = AI.pq_index_build(df, "vec_id", "embedding",
+                            str(tmp_path / "boolidx"), label_col="flag",
+                            m=2, ksub=4, dim=8)
+    leaves = sorted(os.listdir(os.path.join(idx.path, "codes")))
+    assert any(d.startswith("label=true") for d in leaves), leaves
+    report = AI.pq_index_delete(
+        spark, idx.path, df.filter("flag").select("vec_id"),
+        id_col="vec_id")
+    assert report["deleted"] == 20
+    assert report["leaves_rewritten"] == ["label=true"]
+    # the true-list is gone (emptied), the false-list intact
+    remaining = AI.pq_index_load(spark, idx.path).codes(spark)
+    labs = {r["label"] for r in remaining.select("label").distinct()
+            .collect()}
+    assert labs == {False}

@@ -128,6 +128,35 @@ class MiniPgClient:
             elif t == b"Z":
                 return hdr, data, tag, err
 
+    def copy_in(self, sql, data: bytes, fail: str | None = None):
+        """Drive COPY ... FROM STDIN; on CopyInResponse sends the data in
+        two CopyData chunks (exercises stream reassembly) then CopyDone —
+        or CopyFail when ``fail`` is given. Returns (copy_response, tag,
+        error)."""
+        self.sock.sendall(b"Q" + struct.pack("!I", len(sql) + 5)
+                          + sql.encode() + b"\x00")
+        hdr, tag, err = None, None, None
+        while True:
+            t, body = self._read_msg()
+            if t == b"G":
+                fmt, ncols = struct.unpack("!BH", body[:3])
+                hdr = (fmt, ncols)
+                if fail is not None:
+                    f = fail.encode() + b"\x00"
+                    self.sock.sendall(b"f" + struct.pack("!I", len(f) + 4) + f)
+                else:
+                    half = len(data) // 2
+                    for chunk in (data[:half], data[half:]):
+                        self.sock.sendall(
+                            b"d" + struct.pack("!I", len(chunk) + 4) + chunk)
+                    self.sock.sendall(b"c" + struct.pack("!I", 4))
+            elif t == b"C":
+                tag = body.rstrip(b"\x00").decode()
+            elif t == b"E":
+                err = self._parse_error(body)
+            elif t == b"Z":
+                return hdr, tag, err
+
     # ------------------------------------------------- extended protocol
     def _send(self, t, payload):
         self.sock.sendall(t + struct.pack("!I", len(payload) + 4) + payload)
@@ -779,4 +808,102 @@ def test_copy_out_roundtrip(server):
     c.sync()
     msgs = dict(c.drain())
     assert b"E" in msgs
+    c.terminate()
+
+
+def test_copy_in_roundtrip(server):
+    """VERDICT r13 #6: COPY ... FROM STDIN completes the psql \\copy
+    round trip — export via COPY-OUT, import the bytes via COPY-IN into
+    a workspace object, export that object again: byte-equal. Covers CSV
+    (HEADER-named new object), text format (column-list-named, \\N nulls,
+    \\. terminator), append-to-existing with schema casts, and the error
+    surface (missing relation, BINARY, field-count, unknown column,
+    CopyFail)."""
+    srv, pw, _eng = server
+    c = MiniPgClient(srv.port, "ws_pg", "p5", pw)
+    assert c.auth_error is None
+
+    # --- CSV round trip: out -> in (new object named by HEADER) -> out
+    src_sql = ("COPY (SELECT id, name FROM in_c_data_users ORDER BY id) "
+               "TO STDOUT WITH (FORMAT CSV, HEADER)")
+    _h, data, tag, err = c.copy_out(src_sql)
+    assert err is None and tag == "COPY 3"
+    hdr, tag, err = c.copy_in(
+        "COPY users2 FROM STDIN WITH (FORMAT CSV, HEADER)", data)
+    assert err is None, err
+    assert tag == "COPY 3" and hdr == (0, 0)   # new object: ncols unknown
+    _h, data2, tag, err = c.copy_out(
+        "COPY (SELECT id, name FROM users2 ORDER BY id) "
+        "TO STDOUT WITH (FORMAT CSV, HEADER)")
+    assert err is None and tag == "COPY 3"
+    assert data2 == data                       # byte-equal round trip
+    # the quoted-empty vs bare-empty NULL distinction survived
+    assert data.decode().splitlines()[2] == "2,"
+
+    # --- text-format round trip into a column-list-named object,
+    #     with the \. end-of-data terminator psql appends
+    _h, tdata, tag, err = c.copy_out(
+        "COPY (SELECT id, name FROM in_c_data_users ORDER BY id) TO STDOUT")
+    assert err is None and tag == "COPY 3"
+    hdr, tag, err = c.copy_in("COPY users3 (id, name) FROM STDIN",
+                              tdata + b"\\.\nignored\tafter-terminator\n")
+    assert err is None, err
+    assert tag == "COPY 3" and hdr == (0, 2)
+    _h, tdata2, tag, err = c.copy_out(
+        "COPY (SELECT id, name FROM users3 ORDER BY id) TO STDOUT")
+    assert err is None and tdata2 == tdata
+    assert b"\\N" in tdata2                    # NULL round-tripped as \N
+
+    # --- append to an EXISTING typed object with schema casts: the
+    #     workspace CTAS load creates bigint id; COPY-IN strings must cast
+    _eng.load_table_to_workspace("ws_pg", "p5", "in_c_data", "users",
+                                 "typed_users", columns=["id", "name"])
+    hdr, tag, err = c.copy_in("COPY typed_users (name, id) FROM STDIN",
+                              b"Dave\t4\n")
+    assert err is None and tag == "COPY 1" and hdr == (0, 2)
+    cols, rows, err = c.query(
+        "SELECT id, name FROM typed_users ORDER BY id")
+    assert err is None
+    assert [r for r in rows] == [["1", "Alice"], ["2", None],
+                                 ["3", "Carol"], ["4", "Dave"]]
+
+    # --- errors
+    _h, _t, err = c.copy_in("COPY nope FROM STDIN", b"1\n")
+    assert err is not None and err["C"] == "42P01"
+    _h, _t, err = c.copy_in("COPY users9 (a) FROM STDIN BINARY", b"")
+    assert err is not None and err["C"] == "0A000"
+    _h, _t, err = c.copy_in("COPY users3 (id, name) FROM STDIN",
+                            b"only-one-field\n")
+    assert err is not None and err["C"] == "22P04"
+    _h, _t, err = c.copy_in("COPY typed_users (nosuch) FROM STDIN",
+                            b"x\n")
+    assert err is not None and err["C"] == "42703"
+    _h, _t, err = c.copy_in("COPY users3 (id, name) FROM STDIN",
+                            b"", fail="client aborted")
+    assert err is not None and err["C"] == "57014"
+    # the session survives all of it
+    _cols, rows, err = c.query("SELECT COUNT(*) AS n FROM users2")
+    assert err is None and rows == [["3"]]
+
+    # --- extended protocol refuses COPY-IN like COPY-OUT
+    c.parse("", "COPY users3 FROM STDIN")
+    c.bind("", "")
+    c.execute("")
+    c.sync()
+    msgs = dict(c.drain())
+    assert b"E" in msgs
+    c.terminate()
+
+
+def test_copy_out_greedy_source_with_stdout_literal(server):
+    """ADVICE r13: a string literal containing 'to stdout' inside the
+    subquery source must not split the COPY statement early — the LAST
+    TO STDOUT is the verb."""
+    srv, pw, _eng = server
+    c = MiniPgClient(srv.port, "ws_pg", "p5", pw)
+    assert c.auth_error is None
+    _h, data, tag, err = c.copy_out(
+        "COPY (SELECT 'sent to stdout once' AS s) TO STDOUT")
+    assert err is None and tag == "COPY 1"
+    assert data.decode() == "sent to stdout once\n"
     c.terminate()
