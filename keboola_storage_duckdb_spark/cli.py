@@ -533,6 +533,20 @@ def cmd_indexes_refresh(args):
      else print(f"Refreshed: +{res['added']} / -{res['deleted']} rows"))
 
 
+def cmd_indexes_rebuild(args):
+    # --if-recommended gates the re-train on the governance verdict
+    # (rebuild_recommendation): no-op + the verdict back when sound
+    res = _client(args).post(
+        f"{_tbl_base(args)}/{args.table}/indexes/{args.name}/rebuild",
+        {"if_recommended": bool(getattr(args, "if_recommended", False))})
+    if args.json:
+        print_json(res)
+    elif res.get("rebuilt"):
+        print(f"Rebuilt at {res['table_rows']} rows")
+    else:
+        print(f"Skipped: {res.get('reason')}")
+
+
 def cmd_indexes_compact(args):
     res = _client(args).post(
         f"{_tbl_base(args)}/{args.table}/indexes/{args.name}/compact",
@@ -752,6 +766,11 @@ def build_parser() -> argparse.ArgumentParser:
                         '[{"id": ..., "text": "..."}, ...]')
     s.add_argument("--threshold", type=float, default=0.8)
     index_parser("refresh", cmd_indexes_refresh)
+    s = index_parser("rebuild", cmd_indexes_rebuild)
+    s.add_argument("--if-recommended", action="store_true",
+                   dest="if_recommended",
+                   help="re-train only when rebuild_recommendation "
+                        "says the quantizer went stale; otherwise no-op")
     s = index_parser("compact", cmd_indexes_compact)
     s.add_argument("--max-files", type=int, default=4)
     index_parser("drop", cmd_indexes_drop)

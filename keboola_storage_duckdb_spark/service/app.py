@@ -335,6 +335,13 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
     def refresh_index(project, branch_id, bucket, table, name):
         return jsonify(engine.refresh_index(project, bucket, table, name))
 
+    @app.post(tbl + "/<table>/indexes/<name>/rebuild")
+    def rebuild_index(project, branch_id, bucket, table, name):
+        body = request.get_json(force=True) if request.data else {}
+        return jsonify(engine.rebuild_index(
+            project, bucket, table, name,
+            if_recommended=bool(body.get("if_recommended"))))
+
     @app.post(tbl + "/<table>/indexes/<name>/compact")
     def compact_index(project, branch_id, bucket, table, name):
         body = request.get_json(force=True) if request.data else {}

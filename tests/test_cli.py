@@ -288,6 +288,20 @@ def test_cli_index_lifecycle(server, spark, sf_dir, tmp_path, capsys):
                   "main", "--max-files", "0", capsys=capsys)
     assert rc == 0 and json.loads(out)["compacted"]
 
+    # rebuild: gated form no-ops on a sound index (r14, VERDICT r13 #5),
+    # unconditional form re-trains and clears staleness
+    rc, out = run(server, "indexes", "rebuild", "pidx", "in_c_v", "emb",
+                  "main", "--if-recommended", capsys=capsys)
+    assert rc == 0, out
+    assert json.loads(out)["rebuilt"] is False
+    rc, out = run(server, "indexes", "rebuild", "pidx", "in_c_v", "emb",
+                  "main", capsys=capsys)
+    assert rc == 0, out
+    assert json.loads(out)["rebuilt"] is True
+    rc, out = run(server, "indexes", "info", "pidx", "in_c_v", "emb",
+                  "main", capsys=capsys)
+    assert rc == 0 and json.loads(out)["stale"] is False
+
     rc, out = run(server, "indexes", "drop", "pidx", "in_c_v", "emb",
                   "main", capsys=capsys)
     assert rc == 0 and json.loads(out)["dropped"] == "main"

@@ -364,3 +364,41 @@ def test_rebuild_recommendation_flips_on_churn(ctx, spark, tmp_path_factory):
     assert rec["recommend_rebuild"] is True, rec
     assert 0 in rec["signals"]["drifted_lists"], rec
     assert any("drifted" in s for s in rec["reasons"])
+
+    # --- r14 (VERDICT r13 #5): governance ACTS on its own verdict.
+    # The gated rebuild re-trains codebooks+centroids at the current
+    # corpus and swaps atomically...
+    r = _post(c, GTBL + "/indexes/g/rebuild", {"if_recommended": True})
+    assert r.status_code == 200, r.get_json()
+    out = r.get_json()
+    assert out["rebuilt"] is True and out["stale"] is False
+    # ...the flag clears (fresh centroids ARE the member means again)...
+    rec = c.get(GTBL + "/indexes/g?recommend=1") \
+        .get_json()["recommendation"]
+    assert rec["recommend_rebuild"] is False, rec
+    assert rec["signals"]["drifted_lists"] == []
+    # ...search over the swapped artifacts still matches the certified
+    # kernel bit-for-bit...
+    from keboola_storage_duckdb_spark.functions import ann_index as AI
+    qs = _query_rows(
+        spark.createDataFrame(rows[:4],
+                              "vec_id bigint, label int, "
+                              "embedding array<double>"), 4)
+    res = _post(c, GTBL + "/indexes/g/search",
+                {"queries": qs, "k": 5, "nprobe": 3}).get_json()["results"]
+    got = {(x["query_id"], x["rank"]): x["neighbor_id"] for x in res}
+    idx = AI.pq_index_load(eng.spark, eng._index_path(
+        "px", "in_c_vec", "gov", "g"))
+    qdf = spark.createDataFrame(
+        [(q["id"], q["vector"]) for q in qs],
+        "query_id bigint, vector array<double>")
+    want = {(r.query_id, r.rank): r.neighbor_id
+            for r in AI.pq_index_search(spark, idx, qdf, "query_id",
+                                        "vector", k=5,
+                                        nprobe=3).collect()}
+    assert got == want
+    # ...and a second gated rebuild is a no-op with the verdict attached
+    out = _post(c, GTBL + "/indexes/g/rebuild",
+                {"if_recommended": True}).get_json()
+    assert out["rebuilt"] is False and out["reason"] == "not recommended"
+    assert out["recommendation"]["recommend_rebuild"] is False
