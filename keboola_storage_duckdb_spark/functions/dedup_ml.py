@@ -549,8 +549,45 @@ def simhash_dedup_keep(docs: DataFrame, id_col: str, text_col: str,
     Returns (``id_col``, cluster, keep)."""
     from .graph import connected_components
 
-    edges = simhash_pairs(docs, id_col, text_col, max_hamming=max_hamming)
-    cc = connected_components(edges.select("id_a", "id_b")) \
+    # Connectivity needs a SPANNING structure, not the full pair set:
+    # docs sharing one signature are hamming-0 cliques (every replica /
+    # boilerplate group), and the raw pair frame is quadratic in clique
+    # size — 77M pairs at sf1 where a star per signature (each member →
+    # the group's min id) plus pigeonhole pairs between DISTINCT
+    # signatures spans exactly the same components (members carry their
+    # group's signature verbatim, so group-to-group distance IS
+    # signature distance). Components and min-id labels are identical
+    # to closing over simhash_pairs; the work drops from O(Σ clique²)
+    # to O(N) stars + a join over distinct signatures.
+    sig = simhash(docs, id_col, text_col)
+    sig = sig.localCheckpoint(eager=False)   # feeds stars AND reps
+    rep = (sig.groupBy("simhash").agg(F.min("id").alias("rep"))
+              .localCheckpoint(eager=False))
+    stars = (sig.join(rep, "simhash")
+                .filter(F.col("id") != F.col("rep"))
+                .select(F.col("rep").alias("id_a"),
+                        F.col("id").alias("id_b")))
+    reps = rep.select(F.col("rep").alias("id"), "simhash")
+    chunks = reps.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("k"),
+                     F.shiftright(F.col("simhash"), 8 * k).bitwiseAND(255)
+                      .alias("chunk"))
+            for k in range(4)])).alias("c")) \
+        .select("id", "simhash", F.col("c.k").alias("k"),
+                F.col("c.chunk").alias("chunk"))
+    a = chunks.select(F.col("id").alias("id_a"),
+                      F.col("simhash").alias("sh_a"), "k", "chunk")
+    b = chunks.select(F.col("id").alias("id_b"),
+                      F.col("simhash").alias("sh_b"), "k", "chunk")
+    rep_pairs = (a.join(b, ["k", "chunk"])
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .filter(F.bit_count(F.col("sh_a").bitwiseXOR(
+                      F.col("sh_b"))) <= max_hamming)
+                  .select("id_a", "id_b")
+                  .distinct())
+    cc = connected_components(stars.unionByName(rep_pairs)) \
         .withColumnRenamed("id", id_col)
     cluster = F.coalesce(F.col("cluster"), F.col(id_col))
     return (docs.select(id_col).join(cc, id_col, "left")
