@@ -149,7 +149,8 @@ _COSINE_CAND_SLACK = 1e-6
 
 
 def _cosine_candidate_pairs(vectors: DataFrame, id_col: str, vec_col: str,
-                            threshold: float) -> DataFrame:
+                            threshold: float,
+                            block_col: str | None = None) -> DataFrame:
     """Stage 1 of the exact cosine threshold join: a SOUND candidate
     over-approximation (id_a < id_b, GEMM score >= threshold - slack),
     computed as tiled float64 BLAS matmuls in Arrow ``mapInPandas`` — the
@@ -171,7 +172,12 @@ def _cosine_candidate_pairs(vectors: DataFrame, id_col: str, vec_col: str,
     null ids and null vectors can never pass the exact filter and are
     dropped up front). Mixed-length vector pairs are skipped — the JVM
     ``zip_with`` fold null-pads them to a null score, which the exact
-    filter drops, so candidates only pair equal-length vectors."""
+    filter drops, so candidates only pair equal-length vectors.
+
+    ``block_col`` restricts candidates to same-block pairs (the blocked
+    semantics): the corpus is keyed by (dim, block) and each streamed
+    row GEMMs only against its own block's matrix — null blocks drop
+    (SQL join-on-block semantics)."""
     from pyspark.sql import types as T
 
     spark = vectors.sparkSession
@@ -181,24 +187,26 @@ def _cosine_candidate_pairs(vectors: DataFrame, id_col: str, vec_col: str,
                                T.StructField("id_b", id_type)])
     import numpy as np
 
-    # Bounded by the caller's unblocked_limit gate (<= ~100k rows × dim
-    # floats ≈ 50 MB) — the same corpus every executor needs in full for
-    # an all-pairs semantics; one driver collect + broadcast, same
-    # delivery rule as the PQ codebooks (_cb_attach).
-    rows = (vectors.select(F.col(id_col).alias("id"),
-                           F.col(vec_col).alias("v"))
-                   .where(F.col(id_col).isNotNull()
-                          & F.col(vec_col).isNotNull())
-                   .collect())
-    by_len: dict[int, tuple] = {}
+    # Bounded by the caller's gate (<= ~100k rows × dim floats ≈ 50 MB)
+    # — the same corpus every executor needs in full for an all-pairs
+    # semantics; one driver collect + broadcast, same delivery rule as
+    # the PQ codebooks (_cb_attach).
+    sel_cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")] + \
+        ([F.col(block_col).alias("blk")] if block_col else [])
+    cond = F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    if block_col:
+        cond = cond & F.col(block_col).isNotNull()
+    rows = vectors.select(*sel_cols).where(cond).collect()
+    by_key: dict[tuple, list] = {}
     for r in rows:
-        by_len.setdefault(len(r.v), []).append(r)
+        by_key.setdefault((len(r.v), r.blk if block_col else None),
+                          []).append(r)
     corpus = {}
-    for dim, rs in by_len.items():
+    for key, rs in by_key.items():
         ids = np.array([r.id for r in rs])
         mat = np.array([list(r.v) for r in rs], dtype=np.float64)
         nrm = np.sqrt((mat * mat).sum(axis=1))
-        corpus[dim] = (ids, mat, nrm)
+        corpus[key] = (ids, mat, nrm)
     bc = spark.sparkContext.broadcast(corpus)
     cut = threshold - _COSINE_CAND_SLACK
 
@@ -211,15 +219,19 @@ def _cosine_candidate_pairs(vectors: DataFrame, id_col: str, vec_col: str,
                 continue
             vecs = pdf["v"]
             row_ids = pdf["id"].to_numpy()
-            keep = np.array([v is not None for v in vecs], dtype=bool)
+            blks = pdf["blk"] if "blk" in pdf.columns else None
+            keys = [
+                None if v is None or (blks is not None
+                                      and pd.isna(blks.iloc[i]))
+                else (len(v), blks.iloc[i] if blks is not None else None)
+                for i, v in enumerate(vecs)]
             out_a, out_b = [], []
-            lens = np.array([len(v) if k else -1
-                             for v, k in zip(vecs, keep)])
-            for dim in set(lens[keep].tolist()):
-                sel = np.flatnonzero(lens == dim)
-                if dim not in cp or not len(sel):
+            for key in {k for k in keys if k is not None}:
+                sel = np.array([i for i, k in enumerate(keys)
+                                if k == key])
+                if key not in cp or not len(sel):
                     continue
-                cids, cmat, cnrm = cp[dim]
+                cids, cmat, cnrm = cp[key]
                 xmat = np.array([list(vecs.iloc[i]) for i in sel],
                                 dtype=np.float64)
                 xnrm = np.sqrt((xmat * xmat).sum(axis=1))
@@ -240,8 +252,7 @@ def _cosine_candidate_pairs(vectors: DataFrame, id_col: str, vec_col: str,
                 yield pd.DataFrame({"id_a": np.concatenate(out_a),
                                     "id_b": np.concatenate(out_b)})
 
-    return (vectors.select(F.col(id_col).alias("id"),
-                           F.col(vec_col).alias("v"))
+    return (vectors.select(*sel_cols)
                    .repartition(_par(vectors))
                    .mapInPandas(gen, schema=out_schema))
 
@@ -250,12 +261,19 @@ def cosine_near_dup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
                           threshold: float = 0.95,
                           block_col: str | None = None,
                           broadcast_build: bool = True,
-                          unblocked_limit: int = 100_000) -> DataFrame:
+                          unblocked_limit: int = 100_000,
+                          blocked_gemm_limit: int = 100_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥ threshold).
 
     ``block_col`` (e.g. a cluster/label column or an LSH bucket) turns the
     all-pairs product into per-block products — the shape that scales past
-    the unblocked gate: the join co-partitions both sides on the block key.
+    the unblocked gate. Kernel-adaptive (r14): while the corpus fits the
+    broadcast gate (``blocked_gemm_limit`` rows) the per-block dot
+    products also run through the BLAS candidate stage (corpus keyed by
+    block — same exact verify, ~20× the JVM fold's throughput); past it
+    the co-partitioned per-block join takes over, which distributes each
+    block's quadratic work across the cluster instead of pinning a block
+    to one Arrow task.
 
     The unblocked path (exact all-pairs SEMANTICS — output is the full
     threshold graph) runs as a two-stage exact join, never a corpus×corpus
@@ -287,7 +305,10 @@ def cosine_near_dup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
                                  F.col(vec_col).alias("v"),
                                  *([F.col(block_col).alias("blk")] if block_col else [])),
                   "v", "n2")
-    if block_col:
+    gemm_blocked = (block_col is not None
+                    and vectors.limit(blocked_gemm_limit + 1).count()
+                    <= blocked_gemm_limit)
+    if block_col and not gemm_blocked:
         # Per-block products; the N² dot products dominate, so spread the
         # streamed side across cores (the other side co-partitions by blk).
         a = v.repartition(_par(vectors)).select(
@@ -297,14 +318,17 @@ def cosine_near_dup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
                      F.col("n2").alias("nb"), F.col("blk"))
         joined = a.join(b, on="blk").filter(F.col("id_a") < F.col("id_b"))
     else:
-        cand = _cosine_candidate_pairs(vectors, id_col, vec_col, threshold)
+        cand = _cosine_candidate_pairs(vectors, id_col, vec_col, threshold,
+                                       block_col=block_col)
         a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                      F.col("n2").alias("na"))
         b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
                      F.col("n2").alias("nb"))
         # Candidates stream; the (gate-bounded) corpus broadcasts twice —
         # the exact filter below re-decides every candidate with the same
-        # JVM fold as the blocked path, so stage 1 only needs soundness.
+        # JVM fold as the blocked/cross-join paths, so stage 1 only needs
+        # soundness (within-block candidates are within-block pairs by
+        # construction, so no block condition is re-checked here).
         joined = (cand.join(F.broadcast(a), "id_a")
                       .join(F.broadcast(b), "id_b"))
     return (joined
