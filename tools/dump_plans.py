@@ -44,6 +44,15 @@ SHOWCASE = {
     "dedup_clusters": (
         "Iterative min-label propagation; each round joins edges⋈labels on "
         "vertex id and localCheckpoints to truncate lineage."),
+    "cosine_near_dup": (
+        "Exact two-stage threshold join (r14): BLAS candidate superset in "
+        "mapInPandas (threshold − 1e-6 slack) → identical JVM round-6 "
+        "verify behind two BroadcastHashJoins — NO corpus×corpus "
+        "CartesianProduct/BroadcastNestedLoopJoin anywhere."),
+    "simhash_dedup_keep": (
+        "Survivor form (r14): signature stars + distinct-signature "
+        "pigeonhole pairs span the same components as the full pair "
+        "closure with O(N) edges; min-id keeper join at the end."),
     "sessionize": (
         "lag → flag → running-sum over one user_id shuffle; both window "
         "frames reuse the same sort."),
