@@ -826,13 +826,16 @@ class PgWireServer:
                     columns = hdr
         else:
             parsed = []
-            for line in text.split("\n"):
+            lines = text.split("\n")
+            if lines and lines[-1] == "":
+                lines.pop()     # trailing row terminator, not a data row
+            for line in lines:
                 if line.endswith("\r"):
                     line = line[:-1]
                 if line == "\\.":
                     break
-                if line == "" :
-                    continue
+                # an empty line IS a row (one empty-string field): PG text
+                # format writes a single-column '' value as a bare newline
                 parsed.append([self._copy_text_unescape(f)
                                for f in line.split("\t")])
         if columns is None:

@@ -867,6 +867,15 @@ def test_copy_in_roundtrip(server):
     assert [r for r in rows] == [["1", "Alice"], ["2", None],
                                  ["3", "Carol"], ["4", "Dave"]]
 
+    # --- text format: an empty line is a ROW (single empty-string
+    # field), only the trailing newline is a terminator; \N stays NULL
+    hdr, tag, err = c.copy_in("COPY empties (s) FROM STDIN",
+                              b"\n\\N\nx\n")
+    assert err is None and tag == "COPY 3"
+    _h, edata, tag, err = c.copy_out("COPY empties TO STDOUT")
+    assert err is None and sorted(edata.decode().splitlines()) \
+        == ["", "\\N", "x"]
+
     # --- errors
     _h, _t, err = c.copy_in("COPY nope FROM STDIN", b"1\n")
     assert err is not None and err["C"] == "42P01"
