@@ -105,7 +105,11 @@ def main() -> None:
                  "ann_ivfpq_kmeans_indexed", "ann_index_delete",
                  "hybrid_rrf", "ivf_drift", "ann_sq8_indexed",
                  "ann_residual_indexed", "hybrid_recall",
-                 "minhash_dedup_incremental", "ann_ivfpq_indexed_lut"]:
+                 "minhash_dedup_incremental", "ann_ivfpq_indexed_lut",
+                 # r14: the exact two-stage cosine kernel + survivor forms
+                 # made these 10×-viable (607/1110/1090 s → seconds)
+                 "cosine_near_dup", "near_dedup_keep", "dedup_clusters",
+                 "simhash_dedup_keep", "minhash_dedup_keep"]:
         if ONLY and name not in ONLY:
             continue
         run(name, lambda name=name: Q[name](spark, DST))
