@@ -402,3 +402,47 @@ def test_rebuild_recommendation_flips_on_churn(ctx, spark, tmp_path_factory):
                 {"if_recommended": True}).get_json()
     assert out["rebuilt"] is False and out["reason"] == "not recommended"
     assert out["recommendation"]["recommend_rebuild"] is False
+
+
+def test_rebuild_sq8_and_minhash_kinds(ctx, spark, tmp_path_factory):
+    """rebuild_index re-trains EVERY index kind at the current corpus:
+    SQ8 re-fits the per-dim grid, minhash re-shingles — both swap
+    atomically and clear staleness; the gated form refuses non-pq kinds
+    (no governance signals to honor)."""
+    c, eng, emb = ctx
+    # sq8 over the existing emb table
+    r = _post(c, TBL + "/indexes",
+              {"name": "sq8_rb", "id_column": "vec_id",
+               "vector_column": "embedding", "kind": "sq8"})
+    assert r.status_code == 201, r.get_json()
+    out = _post(c, TBL + "/indexes/sq8_rb/rebuild").get_json()
+    assert out["rebuilt"] is True and out["stale"] is False
+    qs = _query_rows(emb, 2)
+    res = _post(c, TBL + "/indexes/sq8_rb/search",
+                {"queries": qs, "k": 3}).get_json()["results"]
+    assert len(res) == 6
+    r = _post(c, TBL + "/indexes/sq8_rb/rebuild", {"if_recommended": True})
+    assert r.status_code == 400, r.get_json()   # ungoverned kind refuses
+    # minhash over a small docs table
+    cols = [{"name": "doc_id", "type": "BIGINT", "nullable": False},
+            {"name": "text", "type": "VARCHAR", "nullable": True}]
+    assert _post(c, BASE, {"name": "docs_rb",
+                           "columns": cols}).status_code == 201
+    rows = [(i, f"the quick brown fox number {i % 7} jumps")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    src = str(tmp_path_factory.mktemp("rb") / "d.parquet")
+    df.write.parquet(src)
+    assert _post(c, BASE + "/docs_rb/import/file",
+                 {"path": src, "format": "parquet"}).status_code == 200
+    r = _post(c, BASE + "/docs_rb/indexes",
+              {"name": "mh", "id_column": "doc_id",
+               "text_column": "text", "kind": "minhash"})
+    assert r.status_code == 201, r.get_json()
+    out = _post(c, BASE + "/docs_rb/indexes/mh/rebuild").get_json()
+    assert out["rebuilt"] is True and out["stale"] is False
+    hits = _post(c, BASE + "/docs_rb/indexes/mh/dedup",
+                 {"documents": [{"id": -1,
+                                 "text": "the quick brown fox number 3 "
+                                         "jumps"}]}).get_json()
+    assert hits["n_hits"] >= 1

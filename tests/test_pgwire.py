@@ -916,3 +916,55 @@ def test_copy_out_greedy_source_with_stdout_literal(server):
     assert err is None and tag == "COPY 1"
     assert data.decode() == "sent to stdout once\n"
     c.terminate()
+
+
+def test_copy_codecs_roundtrip_property():
+    """Property round-trips of the COPY codecs in isolation (no server):
+    arbitrary cell values (tabs, newlines, quotes, backslashes, empty,
+    NULL) must survive text-format escape→unescape and CSV write→parse
+    bit-exactly, including PG's bare-empty-NULL vs quoted-empty-string
+    distinction."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from keboola_storage_duckdb_spark.service.pgwire import PgWireServer
+
+    cell = st.one_of(st.none(), st.text(max_size=12))
+    rows_st = st.lists(st.lists(cell, min_size=1, max_size=4), min_size=0,
+                       max_size=6).filter(
+        lambda rs: len({len(r) for r in rs}) <= 1)
+
+    def _text(v):
+        if v is None:
+            return "\\N"
+        return (str(v).replace("\\", "\\\\").replace("\t", "\\t")
+                .replace("\n", "\\n").replace("\r", "\\r"))
+
+    def _csv(v):
+        if v is None:
+            return ""
+        s = str(v)
+        if s == "":
+            return '""'
+        if any(ch in s for ch in (",", '"', "\n", "\r")):
+            s = '"' + s.replace('"', '""') + '"'
+        return s
+
+    @settings(max_examples=200, deadline=None)
+    @given(rows_st)
+    def check(rows):
+        text = "".join("\t".join(_text(c) for c in r) + "\n" for r in rows)
+        got = []
+        lines = text.split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        for line in lines:
+            got.append([PgWireServer._copy_text_unescape(f)
+                        for f in line.split("\t")])
+        assert got == [list(r) for r in rows], (text, got, rows)
+        csv_text = "".join(",".join(_csv(c) for c in r) + "\n"
+                           for r in rows)
+        parsed = PgWireServer._copy_csv_rows(csv_text)
+        assert parsed == [list(r) for r in rows], (csv_text, parsed, rows)
+
+    check()

@@ -293,3 +293,28 @@ def test_cosine_near_dup_unblocked_is_crossjoin_free(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cosine_blocked_adaptive_kernel_routing(spark, sf_dir):
+    """r14: the blocked cosine join is kernel-adaptive — below the
+    broadcast gate the per-block dot products run through the BLAS
+    candidate stage (MapInPandas, broadcast-hash verify); past the gate
+    it must fall back to the co-partitioned per-block JOIN (a huge
+    block's quadratic work must distribute across the cluster, not pin
+    one Arrow task). Both ends pinned."""
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        cosine_near_dup_pairs)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gated = cosine_near_dup_pairs(emb, "vec_id", "embedding", 0.35,
+                                  block_col="label")
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    big = cosine_near_dup_pairs(emb, "vec_id", "embedding", 0.35,
+                                block_col="label", blocked_gemm_limit=1)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
