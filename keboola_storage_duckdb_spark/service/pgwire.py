@@ -643,12 +643,7 @@ class PgWireServer:
                 raise _PgError("42601",
                                f"unsupported COPY source: {src!r}")
             q = f"SELECT {m.group(2) or '*'} FROM {m.group(1)}"
-        low = options.lower()
-        if re.search(r"\bbinary\b", low):
-            raise _PgError("0A000", "COPY BINARY is not supported")
-        csv_fmt = bool(re.search(r"\bcsv\b", low))
-        header = csv_fmt and bool(
-            re.search(r"\bheader\b(?!\s+(false|off|0)\b)", low))
+        csv_fmt, header, delim, null_str = self._copy_options(options)
         # max_rows=None (ADVICE r13, medium): COPY is an EXPORT verb — a
         # silent cap would ship a truncated file whose "COPY n" tag looks
         # complete. The session's query cap protects interactive SELECTs;
@@ -664,36 +659,66 @@ class PgWireServer:
 
         def _text(v):
             if v is None:
-                return "\\N"
+                return null_str
             return (str(v).replace("\\", "\\\\").replace("\t", "\\t")
-                    .replace("\n", "\\n").replace("\r", "\\r"))
+                    .replace("\n", "\\n").replace("\r", "\\r")
+                    .replace(delim, "\\" + delim if delim != "\t" else "\\t"))
 
         def _csv(v):
             if v is None:
-                return ""                     # PG CSV NULL: bare empty
+                return null_str               # PG CSV NULL default: bare empty
             s = str(v)
             if s == "":
                 return '""'                   # empty string stays quoted
-            if any(ch in s for ch in (",", '"', "\n", "\r")):
+            if s == null_str or any(ch in s
+                                    for ch in (delim, '"', "\n", "\r")):
                 s = '"' + s.replace('"', '""') + '"'
             return s
 
         if header and cols:
-            conn.sendall(_msg(b"d", (",".join(_csv(c) for c in cols)
+            conn.sendall(_msg(b"d", (delim.join(_csv(c) for c in cols)
                                      + "\n").encode()))
         for r in rows:
-            line = (",".join(_csv(r[c]) for c in cols) if csv_fmt
-                    else "\t".join(_text(r[c]) for c in cols))
+            line = (delim.join(_csv(r[c]) for c in cols) if csv_fmt
+                    else delim.join(_text(r[c]) for c in cols))
             conn.sendall(_msg(b"d", (line + "\n").encode()))
         conn.sendall(_msg(b"c", b""))
         conn.sendall(_msg(b"C", _cstr(f"COPY {len(rows)}")))
 
     @staticmethod
-    def _copy_text_unescape(field: str):
-        """Decode one text-format COPY field: ``\\N`` is NULL; backslash
-        escapes per the public COPY text format (the inverse of
-        ``_copy_out``'s ``_text``)."""
-        if field == "\\N":
+    def _copy_options(options: str) -> tuple[bool, bool, str, str]:
+        """Parse the COPY option tail both ways psql emits it —
+        ``WITH (FORMAT CSV, DELIMITER ';', NULL 'NA', HEADER)`` and the
+        legacy bare ``CSV DELIMITER ';' NULL 'NA' HEADER`` — into
+        (csv_fmt, header, delimiter, null_string). Defaults per the
+        public COPY spec: text = tab + ``\\N``; CSV = comma + empty.
+        BINARY rejects (0A000); a multi-char delimiter rejects."""
+        low = options.lower()
+        if re.search(r"\bbinary\b", low):
+            raise _PgError("0A000", "COPY BINARY is not supported")
+        csv_fmt = bool(re.search(r"\bcsv\b", low))
+        header = csv_fmt and bool(
+            re.search(r"\bheader\b(?!\s+(false|off|0)\b)", low))
+        delim = "," if csv_fmt else "\t"
+        null_str = "" if csv_fmt else "\\N"
+        m = re.search(r"\bdelimiter\s+'(.*?)'", options, flags=re.I)
+        if m:
+            if len(m.group(1)) != 1:
+                raise _PgError("0A000",
+                               "COPY delimiter must be a single character")
+            delim = m.group(1)
+        m = re.search(r"\bnull\s+'([^']*)'", options, flags=re.I)
+        if m:
+            null_str = m.group(1)
+        return csv_fmt, header, delim, null_str
+
+    @staticmethod
+    def _copy_text_unescape(field: str, null_str: str = "\\N"):
+        """Decode one text-format COPY field: the null string (matched on
+        the RAW field, before unescaping — PG semantics) is NULL;
+        backslash escapes per the public COPY text format (the inverse
+        of ``_copy_out``'s ``_text``)."""
+        if field == null_str:
             return None
         out, i = [], 0
         esc = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
@@ -709,12 +734,47 @@ class PgWireServer:
         return "".join(out)
 
     @staticmethod
-    def _copy_csv_rows(text: str) -> list[list]:
-        """RFC-4180 CSV for COPY: unquoted empty field = NULL, quoted
-        empty = '' (the PG CSV convention ``_copy_out`` emits — Python's
-        csv module cannot see the distinction, so parse by hand)."""
+    def _split_text_fields(line: str, delim: str) -> list[str]:
+        """Split one text-format row on the delimiter, honoring
+        backslash escapes — a value containing the delimiter exports as
+        ``\\<delim>`` (raw delimiter char preceded by a backslash), so a
+        naive split would cut inside it. (With the default tab delimiter
+        tabs export as the two-character ``\\t`` form and a plain split
+        is equivalent.)"""
+        fields, cur, i = [], [], 0
+        while i < len(line):
+            ch = line[i]
+            if ch == "\\" and i + 1 < len(line):
+                cur.append(ch)
+                cur.append(line[i + 1])
+                i += 2
+                continue
+            if ch == delim:
+                fields.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+            i += 1
+        fields.append("".join(cur))
+        return fields
+
+    @staticmethod
+    def _copy_csv_rows(text: str, delim: str = ",",
+                       null_str: str = "") -> list[list]:
+        """RFC-4180 CSV for COPY: an UNQUOTED field equal to the null
+        string is NULL, a quoted one is the literal value — the PG CSV
+        convention ``_copy_out`` emits (with defaults, bare empty = NULL
+        and quoted empty = ''; Python's csv module cannot see the
+        distinction, so parse by hand)."""
         rows, field, row = [], [], []
         quoted = had_quotes = False
+
+        def _cell():
+            s = "".join(field)
+            if not had_quotes and s == null_str:
+                return None
+            return s
+
         i, n = 0, len(text)
         while i < n:
             ch = text[i]
@@ -731,20 +791,20 @@ class PgWireServer:
                 continue
             if ch == '"':
                 quoted = had_quotes = True
-            elif ch == ",":
-                row.append("".join(field) if (field or had_quotes) else None)
+            elif ch == delim:
+                row.append(_cell())
                 field, had_quotes = [], False
             elif ch in ("\n", "\r"):
                 if ch == "\r" and i + 1 < n and text[i + 1] == "\n":
                     i += 1
-                row.append("".join(field) if (field or had_quotes) else None)
+                row.append(_cell())
                 rows.append(row)
                 field, row, had_quotes = [], [], False
             else:
                 field.append(ch)
             i += 1
         if field or had_quotes or row:
-            row.append("".join(field) if (field or had_quotes) else None)
+            row.append(_cell())
             rows.append(row)
         return rows
 
@@ -771,12 +831,7 @@ class PgWireServer:
             raise _PgError("42601", f"invalid COPY target name: {name!r}")
         columns = [c.strip().replace('"', "")
                    for c in m.group(2).split(",")] if m.group(2) else None
-        low = options.lower()
-        if re.search(r"\bbinary\b", low):
-            raise _PgError("0A000", "COPY BINARY is not supported")
-        csv_fmt = bool(re.search(r"\bcsv\b", low))
-        header = csv_fmt and bool(
-            re.search(r"\bheader\b(?!\s+(false|off|0)\b)", low))
+        csv_fmt, header, delim, null_str = self._copy_options(options)
 
         import os
 
@@ -818,7 +873,8 @@ class PgWireServer:
 
         text = buf.decode()
         if csv_fmt:
-            parsed = self._copy_csv_rows(text)
+            parsed = self._copy_csv_rows(text, delim=delim,
+                                         null_str=null_str)
             if header and parsed:
                 hdr = [c if c is not None else "" for c in parsed[0]]
                 parsed = parsed[1:]
@@ -836,8 +892,9 @@ class PgWireServer:
                     break
                 # an empty line IS a row (one empty-string field): PG text
                 # format writes a single-column '' value as a bare newline
-                parsed.append([self._copy_text_unescape(f)
-                               for f in line.split("\t")])
+                parsed.append([self._copy_text_unescape(f, null_str)
+                               for f in self._split_text_fields(line,
+                                                                delim)])
         if columns is None:
             columns = [f.name for f in existing.fields]
         bad = [r for r in parsed if len(r) != len(columns)]

@@ -968,3 +968,52 @@ def test_copy_codecs_roundtrip_property():
         assert parsed == [list(r) for r in rows], (csv_text, parsed, rows)
 
     check()
+
+
+def test_copy_delimiter_and_null_options(server):
+    """COPY DELIMITER / NULL options, both directions and both option
+    spellings: values containing the custom delimiter stay intact
+    (escaped in text, quoted in CSV), the custom null string round-trips
+    NULL, and a literal value equal to the null string survives quoted."""
+    srv, pw, _eng = server
+    c = MiniPgClient(srv.port, "ws_pg", "p5", pw)
+    assert c.auth_error is None
+    # seed an object whose values exercise the delimiter and null string
+    hdr, tag, err = c.copy_in(
+        "COPY dopt (id, s) FROM STDIN WITH (FORMAT CSV)",
+        b'1,"a;b"\n2,\n3,NA\n')
+    assert err is None and tag == "COPY 3"
+    # CSV out with DELIMITER ';' NULL 'NA': the a;b value must be quoted,
+    # NULL becomes NA, and the literal 'NA' string gets quoted
+    _h, data, tag, err = c.copy_out(
+        "COPY (SELECT id, s FROM dopt ORDER BY id) TO STDOUT "
+        "WITH (FORMAT CSV, DELIMITER ';', NULL 'NA')")
+    assert err is None and tag == "COPY 3"
+    assert data.decode().splitlines() == ['1;"a;b"', "2;NA", '3;"NA"']
+    # round it back in through the same options (legacy spelling)
+    hdr, tag, err = c.copy_in(
+        "COPY dopt2 (id, s) FROM STDIN CSV DELIMITER ';' NULL 'NA'", data)
+    assert err is None and tag == "COPY 3"
+    _h, back, _t, err = c.copy_out(
+        "COPY (SELECT id, s FROM dopt2 ORDER BY id) TO STDOUT "
+        "WITH (FORMAT CSV)")
+    assert err is None
+    assert back.decode().splitlines() == ['1,a;b', "2,", "3,NA"]
+    # text format with a custom delimiter: the in-value ';' is escaped
+    _h, tdata, tag, err = c.copy_out(
+        "COPY (SELECT id, s FROM dopt ORDER BY id) TO STDOUT "
+        "DELIMITER ';' NULL 'nil'")
+    assert err is None
+    assert tdata.decode().splitlines() == ["1;a\\;b", "2;nil", "3;NA"]
+    hdr, tag, err = c.copy_in(
+        "COPY dopt3 (id, s) FROM STDIN WITH (DELIMITER ';', NULL 'nil')",
+        tdata)
+    assert err is None and tag == "COPY 3"
+    _h, back, _t, err = c.copy_out(
+        "COPY (SELECT id, s FROM dopt3 ORDER BY id) TO STDOUT")
+    assert err is None
+    assert back.decode().splitlines() == ["1\ta;b", "2\t\\N", "3\tNA"]
+    # multi-char delimiter rejected
+    _h, _d, _t, err = c.copy_out("COPY dopt TO STDOUT DELIMITER 'ab'")
+    assert err is not None and err["C"] == "0A000"
+    c.terminate()
