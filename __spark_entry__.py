@@ -290,20 +290,31 @@ def q_distinct_counts(spark, sf_dir):
 
 def q_corr_pairs(spark, sf_dir):
     """A10: Pearson correlations from exact decimal co-sums (one pass,
-    no join — reference loops pairwise CORR, src/database.py:5474-5499)."""
+    no join — reference loops pairwise CORR, src/database.py:5474-5499).
+    Variables ride as INTEGER CENTS (Pearson is invariant to positive
+    per-variable scaling) so every co-sum is a scale-0 exact decimal that
+    reaches DOUBLE through the portable split cast — the plain
+    decimal→double cast diverges across engines past 2^53 (sf0.1)."""
     li = _t(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast("decimal(4,2)")
-    ep = F.col("l_extendedprice").cast("decimal(9,2)")
-    d = F.col("l_discount").cast("decimal(3,2)")
+    q = (F.col("l_quantity").cast("decimal(4,2)") * 100) \
+        .cast("decimal(6,0)")
+    ep = (F.col("l_extendedprice").cast("decimal(9,2)") * 100) \
+        .cast("decimal(11,0)")
+    d = (F.col("l_discount").cast("decimal(3,2)") * 100) \
+        .cast("decimal(5,0)")
     agg = li.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(q).cast("double").alias("sq"), F.sum(q * q).cast("double").alias("sqq"),
-        F.sum(ep).cast("double").alias("se"), F.sum(ep * ep).cast("double").alias("see"),
-        F.sum(d).cast("double").alias("sd"), F.sum(d * d).cast("double").alias("sdd"),
-        F.sum(q * ep).cast("double").alias("sqe"),
-        F.sum(q * d).cast("double").alias("sqd"),
-        F.sum(ep * d).cast("double").alias("sed"),
+        F.sum(q).alias("sq_d"), F.sum(q * q).alias("sqq_d"),
+        F.sum(ep).alias("se_d"), F.sum(ep * ep).alias("see_d"),
+        F.sum(d).alias("sd_d"), F.sum(d * d).alias("sdd_d"),
+        F.sum(q * ep).alias("sqe_d"),
+        F.sum(q * d).alias("sqd_d"),
+        F.sum(ep * d).alias("sed_d"),
     )
+    agg = agg.select(
+        "n", *[F.expr(_dec_to_double_sql(f"{c}_d")).alias(c)
+               for c in ("sq", "sqq", "se", "see", "sd", "sdd",
+                         "sqe", "sqd", "sed")])
 
     def corr(n, sx, sxx, sy, syy, sxy):
         return (n * F.col(sxy) - F.col(sx) * F.col(sy)) / (
@@ -399,9 +410,31 @@ def _moment_formulas(k: str) -> dict[str, str]:
     }
 
 
+def _dec_to_double_sql(e: str) -> str:
+    """Engine-portable exact-decimal → DOUBLE (r14): DuckDB's native
+    DECIMAL→DOUBLE cast is off by one ulp for some >2^53 integers
+    (measured: 22240711483861231690 → 0x1.34a6e1421b7fe vs the correctly
+    rounded 0x1.34a6e1421b7ff Spark/Python produce), so a shared
+    ``CAST(SUM(...) AS DOUBLE)`` text is NOT cross-engine deterministic
+    past 53 bits. This form is: render the scale-0 decimal as digits
+    (exact on both engines), slice into 14+12+12-digit groups (each
+    < 2^53 → exact DOUBLE casts), and recombine with two multiplies and
+    two adds — the identical correctly-rounded IEEE sequence everywhere
+    (fuzzed bit-equal on 800 random 1-38-digit values). NULL propagates
+    like the plain cast; negative values via abs + sign."""
+    s = f"lpad(CAST(abs({e}) AS STRING), 38, '0')"
+    mag = (f"(CAST(substr({s}, 1, 14) AS DOUBLE) * 1e24 + "
+           f"CAST(substr({s}, 15, 12) AS DOUBLE) * 1e12 + "
+           f"CAST(substr({s}, 27, 12) AS DOUBLE))")
+    return f"(CASE WHEN ({e}) < 0 THEN 0 - {mag} ELSE {mag} END)"
+
+
 def q_numeric_moments(spark, sf_dir):
     """A4/A5: mean/stddev/skewness/kurtosis per numeric lineitem column,
-    DuckDB estimator semantics (verified vs DuckDB builtins in tests)."""
+    DuckDB estimator semantics (verified vs DuckDB builtins in tests).
+    Power sums ride as exact decimals and reach DOUBLE through the
+    portable split cast (_dec_to_double_sql) — the plain decimal→double
+    cast diverges across engines past 2^53 (surfaced at sf0.1)."""
     li = _t(spark, sf_dir, "lineitem")
     aggs = []
     for col, (ddl, pc, k) in _MOMENT_COLS.items():
@@ -409,12 +442,19 @@ def q_numeric_moments(spark, sf_dir):
         y2 = (y * y).cast("decimal(19,0)")
         aggs += [
             F.count(F.col(col)).alias(f"{k}_n"),
-            F.sum(y).cast("double").alias(f"{k}_s1"),
-            F.sum(y2).cast("double").alias(f"{k}_s2"),
-            F.sum(y2 * y).cast("double").alias(f"{k}_s3"),
-            F.sum(y2 * y2).cast("double").alias(f"{k}_s4"),
+            F.sum(y).alias(f"{k}_s1d"),
+            F.sum(y2).alias(f"{k}_s2d"),
+            F.sum(y2 * y).alias(f"{k}_s3d"),
+            F.sum(y2 * y2).alias(f"{k}_s4d"),
         ]
     one = li.agg(*aggs)
+    dbl = []
+    for col, (_ddl, _pc, k) in _MOMENT_COLS.items():
+        dbl.append(F.col(f"{k}_n"))
+        for i in (1, 2, 3, 4):
+            dbl.append(F.expr(_dec_to_double_sql(f"{k}_s{i}d"))
+                        .alias(f"{k}_s{i}"))
+    one = one.select(*dbl)
     sel = []
     for col, (_ddl, _pc, k) in _MOMENT_COLS.items():
         f = _moment_formulas(k)
@@ -424,18 +464,41 @@ def q_numeric_moments(spark, sf_dir):
     return one.selectExpr(stack)
 
 
+def _corr_pairs_sql_head():
+    """Oracle twin of q_corr_pairs' sums CTE: integer-cent scale-0
+    decimal co-sums reaching DOUBLE through the portable split cast
+    (shared text with the Spark side — see _dec_to_double_sql)."""
+    qc = "CAST(CAST(l_quantity AS DECIMAL(4,2)) * 100 AS DECIMAL(6,0))"
+    ec = "CAST(CAST(l_extendedprice AS DECIMAL(9,2)) * 100 AS DECIMAL(11,0))"
+    dc = "CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS DECIMAL(5,0))"
+    sums = {"sq": f"SUM({qc})", "sqq": f"SUM({qc} * {qc})",
+            "se": f"SUM({ec})", "see": f"SUM({ec} * {ec})",
+            "sd": f"SUM({dc})", "sdd": f"SUM({dc} * {dc})",
+            "sqe": f"SUM({qc} * {ec})", "sqd": f"SUM({qc} * {dc})",
+            "sed": f"SUM({ec} * {dc})"}
+    inner = ", ".join(f"{expr} AS {name}_d" for name, expr in sums.items())
+    outer = ", ".join(f"{_dec_to_double_sql(name + '_d')} AS {name}"
+                      for name in sums)
+    return (f"WITH m0 AS (SELECT COUNT(*) AS n, {inner} FROM lineitem),\n"
+            f"m AS (SELECT n, {outer} FROM m0)")
+
+
 def _numeric_moments_sql():
     sums = []
+    casts = []
     for col, (ddl, pc, k) in _MOMENT_COLS.items():
         y = f"CAST(CAST({col} AS {ddl}) * 100 AS DECIMAL({pc},0))"
         y2 = f"CAST({y} * {y} AS DECIMAL(19,0))"
         sums += [
             f"COUNT({col}) AS {k}_n",
-            f"CAST(SUM({y}) AS DOUBLE) AS {k}_s1",
-            f"CAST(SUM({y2}) AS DOUBLE) AS {k}_s2",
-            f"CAST(SUM({y2} * {y}) AS DOUBLE) AS {k}_s3",
-            f"CAST(SUM({y2} * {y2}) AS DOUBLE) AS {k}_s4",
+            f"SUM({y}) AS {k}_s1d",
+            f"SUM({y2}) AS {k}_s2d",
+            f"SUM({y2} * {y}) AS {k}_s3d",
+            f"SUM({y2} * {y2}) AS {k}_s4d",
         ]
+        casts.append(f"{k}_n")
+        casts += [f"{_dec_to_double_sql(f'{k}_s{i}d')} AS {k}_s{i}"
+                  for i in (1, 2, 3, 4)]
     selects = []
     for col, (_ddl, _pc, k) in _MOMENT_COLS.items():
         f = _moment_formulas(k)
@@ -443,7 +506,8 @@ def _numeric_moments_sql():
             f"SELECT '{col}' AS col, {f['n_value']} AS n_value, {f['mean']} AS mean, "
             f"{f['stddev']} AS stddev, {f['skewness']} AS skewness, "
             f"{f['kurtosis']} AS kurtosis FROM m")
-    return ("WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+    return ("WITH m0 AS (SELECT " + ", ".join(sums) + " FROM lineitem),\n"
+            + "m AS (SELECT " + ", ".join(casts) + " FROM m0)\n"
             + "\nUNION ALL\n".join(selects))
 
 
@@ -4933,20 +4997,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT (l_returnflag, l_linestatus)) AS d_flag_status,
                    COUNT(*) AS n_rows
             FROM lineitem""",
-        "corr_pairs": """
-            WITH m AS (
-              SELECT COUNT(*) AS n,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS sq,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS sqq,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS se,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS see,
-                CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sd,
-                CAST(SUM(CAST(l_discount AS DECIMAL(3,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sdd,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sqe,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sqd,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sed
-              FROM lineitem
-            )
+        "corr_pairs": _corr_pairs_sql_head() + """
             SELECT
               (n * sqe - sq * se) / (sqrt(n * sqq - sq * sq) * sqrt(n * see - se * se)) AS corr_qty_price,
               (n * sqd - sq * sd) / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)) AS corr_qty_disc,
