@@ -3079,8 +3079,15 @@ def q_kmeans_fixed(spark, sf_dir):
     return out.select(F.col("id").alias("vec_id"), "cluster")
 
 
-_KMEANS_FIXED_SQL = """
-WITH seeds AS (
+_DOT_SQL = ("list_sum(list_transform(generate_series(1, len({a})), "
+            "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+# Shared fixed-round (k=4, rounds=2) Lloyd CTE chain — the certified
+# kmeans_fixed arithmetic, ending in a2 = (vec_id, cluster, d) where d is
+# the squared-L2 to the FINAL assigned centroid (the argmin's own value).
+# Reused verbatim by _KMEANS_FIXED_SQL, _SEMDEDUP_SQL and
+# _PROTOTYPE_PRUNE_SQL so the three oracles share one training chain.
+_KMEANS_CTES = """seeds AS (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
               - 1 AS INTEGER) AS cluster,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
@@ -3108,10 +3115,70 @@ cf AS (SELECT s.cluster, COALESCE(c1.c, s.c) AS c
 d2 AS (SELECT vec_id, cluster,
               list_sum(list_transform(generate_series(1, len(v)),
                        i -> (v[i] - c[i]) * (v[i] - c[i]))) AS d
-       FROM v CROSS JOIN cf)
-SELECT vec_id, cluster FROM d2
-QUALIFY row_number() OVER (PARTITION BY vec_id
-                           ORDER BY d ASC, cluster ASC) = 1"""
+       FROM v CROSS JOIN cf),
+a2 AS (SELECT vec_id, cluster, d FROM d2
+       QUALIFY row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cluster ASC) = 1)"""
+
+_KMEANS_FIXED_SQL = f"""
+WITH {_KMEANS_CTES}
+SELECT vec_id, cluster FROM a2"""
+
+
+def q_semdedup_keep(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings with the
+    certified fixed-round chain, cosine-compare ONLY within clusters
+    (the blocked kernel — no cross-cluster pair ever materializes), and
+    keep-first: a vector is dropped iff a LOWER-id member of its own
+    cluster matches at round-6 cosine >= 0.35. The cluster-bounded pair
+    space is the published web-scale recipe; the transitive CC variant
+    stays near_dedup_keep."""
+    from keboola_storage_duckdb_spark.functions.clustering import semdedup_keep
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semdedup_keep(emb, "vec_id", "embedding", k=4, rounds=2,
+                        threshold=0.35)
+    return out.select(F.col("id").alias("vec_id"), "cluster", "keep")
+
+
+_SEMDEDUP_SQL = f"""
+WITH {_KMEANS_CTES},
+ve AS (SELECT e.vec_id, e.embedding, a2.cluster,
+              {_DOT_SQL.format(a='e.embedding', b='e.embedding')} AS n2
+       FROM embeddings e JOIN a2 ON e.vec_id = a2.vec_id),
+p AS (SELECT b.vec_id AS id_b
+      FROM ve a JOIN ve b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                  / (sqrt(a.n2) * sqrt(b.n2)), 6) >= 0.35)
+SELECT vec_id, cluster, vec_id NOT IN (SELECT id_b FROM p) AS keep
+FROM a2"""
+
+
+def q_prototype_prune(spark, sf_dir):
+    """Prototypicality pruning (Sorscher et al. 2022): rank each trained
+    cluster's members by round-6 squared-L2 to their OWN final centroid
+    DESCENDING (prototypes prune first) and keep the hardest
+    ceil(n/2) per cluster — all-integer quota, (dist DESC, id ASC)
+    tie-break, every vector emitted with its verdict."""
+    from keboola_storage_duckdb_spark.functions.clustering import prototype_prune
+    emb = _t(spark, sf_dir, "embeddings")
+    out = prototype_prune(emb, "vec_id", "embedding", k=4, rounds=2,
+                          keep_num=1, keep_den=2)
+    return out.select(F.col("id").alias("vec_id"), "cluster", "dist",
+                      "keep")
+
+
+_PROTOTYPE_PRUNE_SQL = f"""
+WITH {_KMEANS_CTES},
+r AS (SELECT vec_id, cluster, ROUND(d, 6) AS dist,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY ROUND(d, 6) DESC, vec_id ASC)
+                 AS rn,
+             COUNT(*) OVER (PARTITION BY cluster) AS n
+      FROM a2)
+SELECT vec_id, cluster, dist,
+       rn <= (n * 1 + 2 - 1) // 2 AS keep
+FROM r"""
 
 
 
@@ -3462,9 +3529,6 @@ _PII_SQL = PII_SQL_TEMPLATE.format(
     id_col="doc_id", text_col="text", table="documents",
     email=PII_EMAIL, ip=PII_IP, phone=PII_PHONE)
 
-
-_DOT_SQL = ("list_sum(list_transform(generate_series(1, len({a})), "
-            "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
 
 _ANN_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
@@ -4735,9 +4799,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cm_heavy_hitters; parked 51+.
     "ann_ivfpq_kmeans_indexed": q_ann_ivfpq_kmeans_indexed,  # NEW r12
     "range_join": q_range_join,                  # bucketed interval join
-    "hll_distinct": q_hll_distinct,              # mergeable HLL sketch
+    # r14 rotation (late): semdedup_keep (T81, the published cluster-
+    # bounded semantic dedup) takes hll_distinct's slot — hll green
+    # r06-r13 and the sketch family stays window-certified via
+    # cm_heavy_hitters + the merge pytest suite; parked 51+.
+    "semdedup_keep": q_semdedup_keep,            # NEW r14: SemDeDup
     "cm_heavy_hitters": q_cm_heavy_hitters,      # count-min sketch
-    "bottom_k_sample": q_bottom_k_sample,        # mergeable exact-size sample
+    # r14 rotation (late): prototype_prune (T82, per-cluster
+    # prototypicality pruning) takes bottom_k_sample's slot — bottom-k
+    # green r08-r13 and its draw arithmetic stays window-certified
+    # inside temperature_mixture's composed quota-sampler oracle;
+    # parked 51+.
+    "prototype_prune": q_prototype_prune,        # NEW r14: data pruning
     "pack_sequences": q_pack_sequences,          # token-stream packing
     "repetition_signals": q_repetition_signals,  # Gopher repetition rules
     # r14 rotation: simhash_dedup_keep (the survivor form, VERDICT r13
@@ -4749,6 +4822,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- tail (51+): driver-green in r01-r09 CORRECTNESS records ----
     "ann_filtered": q_ann_filtered,              # parked r14 (green r08-r13;
     # filtered-ANN arithmetic window-certified via ann_filtered_indexed)
+    "hll_distinct": q_hll_distinct,              # parked r14 (green r06-r13;
+    # sketch family window-certified via cm_heavy_hitters + merge pytest)
+    "bottom_k_sample": q_bottom_k_sample,        # parked r14 (green r06-r13;
+    # the bottom-k draw stays window-certified inside temperature_mixture)
     "quota_sample": q_quota_sample,              # parked r11 (green r08-r10)
     "token_quota_sample": q_token_quota_sample,  # parked r11 (green r08-r10)
     "kmeans_fixed": q_kmeans_fixed,              # parked r11 (green r08-r10)
@@ -5069,6 +5146,8 @@ def oracle_sql() -> dict[str, str]:
         "bottom_k_sample": _BOTTOM_K_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "kmeans_fixed": _KMEANS_FIXED_SQL,
+        "semdedup_keep": _SEMDEDUP_SQL,
+        "prototype_prune": _PROTOTYPE_PRUNE_SQL,
         "quota_sample": _QUOTA_SAMPLE_SQL,
         "temperature_mixture": _TEMPERATURE_MIXTURE_SQL,
         "corpus_shards": _CORPUS_SHARDS_SQL,

@@ -232,3 +232,107 @@ def ivf_kmeans_search(labeled: DataFrame, centroids: list[list[float]],
                 .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
                 .select("query_id", "neighbor_id", "dist", "rank"))
+
+
+def _dist_to_assigned(labeled: DataFrame,
+                      centroids: list[list[float]]) -> F.Column:
+    """Round-6 squared-L2 distance from each ``(id, v, cluster)`` row to
+    its OWN assigned centroid — the identical ``zip_with``/``aggregate``
+    double fold the assignment ranked with (``_dist2``), so the emitted
+    value is the ``d`` the argmin already computed. Literal centroids
+    below ``_CENT_LITERAL_MAX_FLOATS`` (the certified text shape the
+    DuckDB oracle shares); past that the centroids would ride as one
+    broadcast row (``_assign_frame``'s rationale) — callers handle that
+    by joining the broadcast row first (see ``prototype_prune``)."""
+    d = F.lit(None).cast("double")
+    for j, c in enumerate(centroids):
+        d = F.when(F.col("cluster") == j, _dist2("v", c)).otherwise(d)
+    return F.round(d, 6)
+
+
+def semdedup_keep(vectors: DataFrame, id_col: str, vec_col: str,
+                  k: int = 4, rounds: int = 2,
+                  threshold: float = 0.35) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication that never compares across clusters: k-means the
+    embeddings (the certified fixed-round ``kmeans_fit`` chain — md5
+    seeds, lower-cluster tie-break), compute round-6 cosine pairs ONLY
+    within each cluster (``cosine_near_dup_pairs(block_col="cluster")``,
+    the blocked kernel), and apply the deterministic keep-first rule:
+    a vector is dropped iff some LOWER-id member of its own cluster
+    matches at ``score >= threshold``. Returns every vector as
+    ``(id, cluster, keep)`` — the frame a pipeline joins against to
+    drop semantic duplicates.
+
+    Scale shape (the reason SemDeDup exists): the cluster assignment
+    bounds the pair space to Σ nᵢ² instead of N² — at web scale k is
+    chosen so clusters stay small (the paper uses k=50k over LAION),
+    and the blocked cosine kernel co-partitions both sides on the
+    cluster key past the GEMM gate, so no broadcast and no cross join.
+    The keep-first rule is intentionally non-transitive (direct pairs
+    only, no connected components): it is the published recipe's
+    behavior and keeps the decision embarrassingly parallel per
+    cluster. The transitive variant is ``near_dedup_keep``."""
+    from .similarity import cosine_near_dup_pairs
+
+    labeled, _ = kmeans_fit(vectors, id_col, vec_col, k=k, rounds=rounds)
+    pairs = cosine_near_dup_pairs(labeled, "id", "v",
+                                  threshold=threshold, block_col="cluster")
+    dropped = (pairs.select(F.col("id_b").alias("id")).distinct()
+                    .withColumn("__dup", F.lit(True)))
+    return (labeled.join(dropped, "id", "left")
+                   .select("id", "cluster",
+                           F.col("__dup").isNull().alias("keep")))
+
+
+def prototype_prune(vectors: DataFrame, id_col: str, vec_col: str,
+                    k: int = 4, rounds: int = 2,
+                    keep_num: int = 1, keep_den: int = 2) -> DataFrame:
+    """Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws", arXiv:2206.14486): within each trained k-means
+    cluster, rank members by distance to their OWN centroid DESCENDING
+    (far = hard/informative, near = prototypical/redundant) and keep
+    the ``ceil(keep_num/keep_den · n)`` hardest per cluster — the
+    data-pruning metric that beats random pruning at scale without any
+    trained scorer. Deterministic end-to-end: the certified fixed-round
+    Lloyd chain (``kmeans_fit``), round-6 squared-L2 via the identical
+    assignment fold, ``(dist DESC, id ASC)`` rank tie-break, and an
+    all-integer quota ``(n·num + den − 1) div den``. Returns every
+    vector as ``(id, cluster, dist, keep)``.
+
+    Scale shape: one narrow map for the distance (centroids are
+    literals/broadcast — the vectors never shuffle for it) + ONE
+    cluster-keyed window (rank and count share the same exchange).
+    Skew note: cluster sizes are data-dependent; at 100 TB the window
+    sorts within clusters, so a giant cluster is a big sort, not a
+    crossJoin — and the quota rule only needs (rank, n), so the sort
+    is the floor for any exact per-cluster top-fraction."""
+    from pyspark.sql import Window
+
+    labeled, centroids = kmeans_fit(vectors, id_col, vec_col, k=k,
+                                    rounds=rounds)
+    if len(centroids) * len(centroids[0]) <= _CENT_LITERAL_MAX_FLOATS:
+        scored = labeled.select(
+            "id", "cluster", _dist_to_assigned(labeled, centroids)
+            .alias("dist"))
+    else:
+        cents_row = labeled.sparkSession.createDataFrame(
+            [(centroids,)], "__cents array<array<double>>")
+        scored = (labeled.crossJoin(F.broadcast(cents_row))
+                  .select("id", "cluster", F.round(F.expr(
+                      "aggregate(zip_with(v, "
+                      "element_at(__cents, cluster + 1), "
+                      "(x, y) -> (CAST(x AS DOUBLE) - y) "
+                      "* (CAST(x AS DOUBLE) - y)), "
+                      "CAST(0 AS DOUBLE), (acc, w) -> acc + w)"), 6)
+                      .alias("dist")))
+    w = Window.partitionBy("cluster")
+    ranked = (scored
+              .withColumn("rn", F.row_number().over(
+                  w.orderBy(F.col("dist").desc(), F.col("id").asc())))
+              .withColumn("n", F.count(F.lit(1)).over(w)))
+    return ranked.select(
+        "id", "cluster", "dist",
+        (F.col("rn") <= F.expr(
+            f"(n * {int(keep_num)} + {int(keep_den)} - 1) "
+            f"div {int(keep_den)}")).alias("keep"))

@@ -700,3 +700,81 @@ def test_simhash_dedup_keep_survivor_semantics(docs):
         members[c].append(d)
     for d, (c, k) in keep.items():
         assert k is (d == min(members[c])), (d, c, k)
+
+
+def test_semdedup_keep_first_rule(spark, sf_dir):
+    """SemDeDup (T81): the keep verdict must be exactly the keep-first
+    rule over the within-cluster round-6 cosine pairs — a vector is
+    dropped iff SOME lower-id member of its own trained cluster
+    matches at >= threshold; every vector appears exactly once; and
+    the decision never crosses clusters (a cross-cluster match at the
+    same threshold must not drop anything on its own)."""
+    from keboola_storage_duckdb_spark.functions.clustering import (
+        kmeans_fit, semdedup_keep)
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        cosine_near_dup_pairs)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = 0.35
+    out = semdedup_keep(emb, "vec_id", "embedding", k=4, rounds=2,
+                        threshold=t)
+    rows = {r.id: (r.cluster, r.keep) for r in out.collect()}
+    assert len(rows) == emb.count()            # every vector, once
+
+    labeled, _ = kmeans_fit(emb, "vec_id", "embedding", k=4, rounds=2)
+    pairs = cosine_near_dup_pairs(labeled, "id", "v", threshold=t,
+                                  block_col="cluster").collect()
+    dropped_expected = {p.id_b for p in pairs}
+    dropped_got = {i for i, (_, keep) in rows.items() if not keep}
+    assert dropped_got == dropped_expected
+
+    # pairs were within-cluster by construction
+    for p in pairs:
+        assert rows[p.id_a][0] == rows[p.id_b][0]
+    # at least one drop on the fixture, and never everything
+    assert dropped_got and len(dropped_got) < len(rows)
+
+
+def test_prototype_prune_quota_and_ranking(spark, sf_dir):
+    """Prototypicality pruning (T82): per cluster, keep EXACTLY
+    ceil(num/den * n) members and exactly the top-ranked ones by
+    (round-6 dist DESC, id ASC); every vector is emitted with its
+    verdict; the integer quota never rounds down."""
+    import math
+
+    from keboola_storage_duckdb_spark.functions.clustering import (
+        prototype_prune)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for num, den in ((1, 2), (2, 3)):
+        out = prototype_prune(emb, "vec_id", "embedding", k=4, rounds=2,
+                              keep_num=num, keep_den=den).collect()
+        assert len(out) == emb.count()
+        by_cluster: dict = {}
+        for r in out:
+            by_cluster.setdefault(r.cluster, []).append(r)
+        for cl, members in by_cluster.items():
+            n = len(members)
+            quota = math.ceil(n * num / den)
+            kept = [r for r in members if r.keep]
+            assert len(kept) == quota, (cl, n, num, den)
+            ranked = sorted(members, key=lambda r: (-r.dist, r.id))
+            assert {r.id for r in kept} == {r.id for r in ranked[:quota]}
+
+
+def test_prototype_prune_plan_single_window_exchange(spark, sf_dir):
+    """T82 scale shape: the distance is a narrow map (centroid
+    literals — no join, no shuffle of the vectors for it) and rank +
+    count share ONE cluster-keyed exchange; no cartesian product
+    anywhere."""
+    from keboola_storage_duckdb_spark.functions.clustering import (
+        prototype_prune)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = prototype_prune(emb, "vec_id", "embedding", k=4, rounds=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(cluster") <= 1, plan
