@@ -3084,18 +3084,23 @@ _DOT_SQL = ("list_sum(list_transform(generate_series(1, len({a})), "
 
 # Shared fixed-round (k=4, rounds=2) Lloyd CTE chain — the certified
 # kmeans_fixed arithmetic, ending in a2 = (vec_id, cluster, d) where d is
-# the squared-L2 to the FINAL assigned centroid (the argmin's own value).
-# Reused verbatim by _KMEANS_FIXED_SQL, _SEMDEDUP_SQL and
-# _PROTOTYPE_PRUNE_SQL so the three oracles share one training chain.
-_KMEANS_CTES = """seeds AS (
+# the squared-L2 to the FINAL assigned centroid (the argmin's own value)
+# and cf = the final trained centroids. Reused by _KMEANS_FIXED_SQL,
+# _SEMDEDUP_SQL, _PROTOTYPE_PRUNE_SQL and _SEMDEDUP_INCR_SQL so the four
+# oracles share one training chain; ``pred`` restricts the training
+# corpus (the persisted-index oracles train on the base split only).
+def _kmeans_ctes(pred: str = "TRUE") -> str:
+    return f"""seeds AS (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
               - 1 AS INTEGER) AS cluster,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
   FROM embeddings
+  WHERE {pred}
   QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 4),
 v AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings),
+      FROM embeddings
+      WHERE {pred}),
 d1 AS (SELECT vec_id, v, cluster,
               list_sum(list_transform(generate_series(1, len(v)),
                        i -> (v[i] - c[i]) * (v[i] - c[i]))) AS d
@@ -3119,6 +3124,9 @@ d2 AS (SELECT vec_id, cluster,
 a2 AS (SELECT vec_id, cluster, d FROM d2
        QUALIFY row_number() OVER (PARTITION BY vec_id
                                   ORDER BY d ASC, cluster ASC) = 1)"""
+
+
+_KMEANS_CTES = _kmeans_ctes()
 
 _KMEANS_FIXED_SQL = f"""
 WITH {_KMEANS_CTES}
@@ -3179,6 +3187,84 @@ r AS (SELECT vec_id, cluster, ROUND(d, 6) AS dist,
 SELECT vec_id, cluster, dist,
        rn <= (n * 1 + 2 - 1) // 2 AS keep
 FROM r"""
+
+
+def q_semdedup_incremental(spark, sf_dir):
+    """Ingestion-time semantic dedup against a PERSISTED SemDeDup index
+    (the embedding twin of minhash_dedup_incremental): the corpus
+    (vec_id % 10 <> 9) is trained + deduped ONCE into cluster-partitioned
+    survivor lists + frozen centroids; the daily delta (vec_id % 10 = 9)
+    costs |delta| routing + within-routed-list cosine products — the
+    corpus is never re-scored. A delta vector is dropped iff a stored
+    SURVIVOR of its frozen-centroid cluster matches at round-6 cosine
+    >= 0.35, or a lower-id delta member of the same cluster does (dropped
+    corpus members never veto — they are not in the index)."""
+    import os
+
+    from keboola_storage_duckdb_spark.functions.ann_index import (
+        _source_fingerprint)
+    from keboola_storage_duckdb_spark.functions.clustering import (
+        semdedup_index_build, semdedup_index_load, semdedup_index_query)
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 9)
+    delta = emb.filter(F.col("vec_id") % 10 == 9)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = _source_fingerprint(src, ("semdedup", "vec_id", "embedding",
+                                   4, 2, 0.35, "corpus:vec_id%10<>9"))
+    path = os.path.join(_ann_index_dir(), fp)
+    try:
+        fresh = semdedup_index_load(spark, path).get("fingerprint") != fp
+    except (OSError, ValueError):
+        fresh = True
+    if fresh:
+        semdedup_index_build(corpus, "vec_id", "embedding", path, k=4,
+                             rounds=2, threshold=0.35, fingerprint=fp)
+    out = semdedup_index_query(spark, path, delta, "vec_id", "embedding")
+    return out.select(F.col("id").alias("vec_id"), "cluster", "keep")
+
+
+# Training is deterministic (frozen-codebook property), so the oracle
+# re-derives the whole chain: train on the base split, batch keep-first
+# for the stored survivors, assign the delta via the SAME cf centroids,
+# then restrict the pair space to (survivor ∪ lower-id delta, delta).
+_SEMDEDUP_INCR_SQL = f"""
+WITH {_kmeans_ctes("vec_id % 10 <> 9")},
+bve AS (SELECT e.vec_id, e.embedding, a2.cluster,
+               {_DOT_SQL.format(a='e.embedding', b='e.embedding')} AS n2
+        FROM embeddings e JOIN a2 ON e.vec_id = a2.vec_id),
+bp AS (SELECT b.vec_id AS id_b
+       FROM bve a JOIN bve b
+         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       WHERE ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / (sqrt(a.n2) * sqrt(b.n2)), 6) >= 0.35),
+surv AS (SELECT * FROM bve
+         WHERE vec_id NOT IN (SELECT id_b FROM bp)),
+dv AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings WHERE vec_id % 10 = 9),
+dd AS (SELECT vec_id, cluster FROM (
+         SELECT dv.vec_id, cf.cluster,
+                list_sum(list_transform(generate_series(1, len(v)),
+                         i -> (v[i] - c[i]) * (v[i] - c[i]))) AS d
+         FROM dv CROSS JOIN cf)
+       QUALIFY row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cluster ASC) = 1),
+dve AS (SELECT e.vec_id, e.embedding, dd.cluster,
+               {_DOT_SQL.format(a='e.embedding', b='e.embedding')} AS n2
+        FROM embeddings e JOIN dd ON e.vec_id = dd.vec_id),
+p1 AS (SELECT b.vec_id AS id_b
+       FROM surv a JOIN dve b ON a.cluster = b.cluster
+       WHERE ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / (sqrt(a.n2) * sqrt(b.n2)), 6) >= 0.35),
+p2 AS (SELECT b.vec_id AS id_b
+       FROM dve a JOIN dve b
+         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       WHERE ROUND({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / (sqrt(a.n2) * sqrt(b.n2)), 6) >= 0.35)
+SELECT vec_id, cluster,
+       vec_id NOT IN (SELECT id_b FROM p1
+                      UNION ALL SELECT id_b FROM p2) AS keep
+FROM dd"""
 
 
 
@@ -4811,7 +4897,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # inside temperature_mixture's composed quota-sampler oracle;
     # parked 51+.
     "prototype_prune": q_prototype_prune,        # NEW r14: data pruning
-    "pack_sequences": q_pack_sequences,          # token-stream packing
+    # r14 rotation (late): semdedup_incremental (T83, the persisted
+    # SemDeDup index serve path) takes pack_sequences' slot —
+    # pack_sequences green r07-r13 and its exclusive-scan packing stays
+    # window-certified inside epoch_plan's composed oracle; parked 51+.
+    "semdedup_incremental": q_semdedup_incremental,  # NEW r14
     "repetition_signals": q_repetition_signals,  # Gopher repetition rules
     # r14 rotation: simhash_dedup_keep (the survivor form, VERDICT r13
     # #2) takes ann_filtered's slot — ann_filtered green r08-r13 and its
@@ -4824,6 +4914,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # filtered-ANN arithmetic window-certified via ann_filtered_indexed)
     "hll_distinct": q_hll_distinct,              # parked r14 (green r06-r13;
     # sketch family window-certified via cm_heavy_hitters + merge pytest)
+    "pack_sequences": q_pack_sequences,          # parked r14 (green r07-r13;
+    # the exclusive-scan packing stays window-certified inside epoch_plan)
     "bottom_k_sample": q_bottom_k_sample,        # parked r14 (green r06-r13;
     # the bottom-k draw stays window-certified inside temperature_mixture)
     "quota_sample": q_quota_sample,              # parked r11 (green r08-r10)
@@ -5148,6 +5240,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_fixed": _KMEANS_FIXED_SQL,
         "semdedup_keep": _SEMDEDUP_SQL,
         "prototype_prune": _PROTOTYPE_PRUNE_SQL,
+        "semdedup_incremental": _SEMDEDUP_INCR_SQL,
         "quota_sample": _QUOTA_SAMPLE_SQL,
         "temperature_mixture": _TEMPERATURE_MIXTURE_SQL,
         "corpus_shards": _CORPUS_SHARDS_SQL,

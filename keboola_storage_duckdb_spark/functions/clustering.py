@@ -31,32 +31,69 @@ def _dist2(vec_col: str, centroid: list[float]) -> F.Column:
 # past this many floats the k centroid literals stop being SQL text.
 _CENT_LITERAL_MAX_FLOATS = 50_000
 
+# The nested when-chain argmin is the historically certified shape, but
+# Janino rejects it past ~depth 12 (measured r14: k=12 compiles, k=16
+# throws InternalCompilerException and the interpreted fallback is 36x
+# slower — 72 s vs 2 s for 2000 rows). Above this depth the literal path
+# switches to the FLAT array_min-over-structs form (the broadcast path's
+# expression with a literal array-of-arrays) — same fold, same struct
+# tie rule, bit-identical assignments.
+_CENT_WHEN_CHAIN_MAX_K = 8
+
+
+def _cents_literal_sql(centroids: list[list[float]]) -> str:
+    """SQL literal ``array(array(...), ...)`` of the centroids (doubles)."""
+    return "array(" + ",".join(
+        "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
+        for c in centroids) + ")"
+
+
+def _argmin_struct_expr(cents_sql: str, k: int) -> F.Column:
+    """Flat argmin: min over (d, j) structs — d first then j IS the
+    lower-cluster tie rule; the fold per centroid is the identical
+    certified ``zip_with``/``aggregate`` double fold."""
+    return F.expr(
+        f"array_min(transform(sequence(0, {k - 1}), j -> "
+        "struct(aggregate(zip_with(v, "
+        f"element_at({cents_sql}, j + 1), "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) "
+        "* (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (acc, w) -> acc + w) AS d, "
+        "j AS c))).c")
+
 
 def _assign_frame(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """``(id, v, cluster)`` hard assignment: argmin over k centroids,
     strictly-lower distance wins, ties break toward the LOWER cluster
-    id. Below ``_CENT_LITERAL_MAX_FLOATS`` this is the certified shape —
+    id. At k <= _CENT_WHEN_CHAIN_MAX_K this is the certified shape —
     one literal-array dist column per centroid folded by a when-chain
-    (the text the DuckDB oracle shares). Past it, k·dim literal floats
-    are a codegen bomb (the codebook-literal failure mode of
-    similarity._cb_attach), so the centroids attach as ONE broadcast
-    row and the argmin becomes array_min over (d, j) structs — the
-    identical zip_with/aggregate fold per centroid read through
-    element_at, and struct ordering (d first, then j) IS the
-    lower-cluster tie rule, so assignments are bit-identical."""
+    (the text the DuckDB oracle shares). Past that depth (Janino
+    rejects deep when-chains — see _CENT_WHEN_CHAIN_MAX_K) the argmin
+    is the FLAT array_min over (d, j) structs with the centroids as a
+    literal array-of-arrays; and past _CENT_LITERAL_MAX_FLOATS the
+    k·dim literal floats are a codegen bomb (the codebook-literal
+    failure mode of similarity._cb_attach), so the centroids attach as
+    ONE broadcast row instead. All three forms run the identical
+    zip_with/aggregate fold with the lower-cluster tie rule, so
+    assignments are bit-identical."""
     k = len(centroids)
     if k * len(centroids[0]) <= _CENT_LITERAL_MAX_FLOATS:
-        dists = base.select(
+        if k <= _CENT_WHEN_CHAIN_MAX_K:
+            dists = base.select(
+                "id", "v",
+                *[_dist2("v", c).alias(f"d{j}")
+                  for j, c in enumerate(centroids)])
+            best = F.lit(0)
+            best_d = F.col("d0")
+            for j in range(1, k):
+                cond = F.col(f"d{j}") < best_d      # strict: lower cluster
+                best = F.when(cond, F.lit(j)).otherwise(best)   # wins ties
+                best_d = F.when(cond, F.col(f"d{j}")).otherwise(best_d)
+            return dists.select("id", "v", best.alias("cluster"))
+        return base.select(
             "id", "v",
-            *[_dist2("v", c).alias(f"d{j}")
-              for j, c in enumerate(centroids)])
-        best = F.lit(0)
-        best_d = F.col("d0")
-        for j in range(1, k):
-            cond = F.col(f"d{j}") < best_d          # strict: lower cluster
-            best = F.when(cond, F.lit(j)).otherwise(best)   # wins ties
-            best_d = F.when(cond, F.col(f"d{j}")).otherwise(best_d)
-        return dists.select("id", "v", best.alias("cluster"))
+            _argmin_struct_expr(_cents_literal_sql(centroids), k)
+            .alias("cluster"))
     spark = base.sparkSession
     cents = spark.createDataFrame([(centroids,)],
                                   "__cents array<array<double>>")
@@ -241,18 +278,28 @@ def _dist_to_assigned(labeled: DataFrame,
     double fold the assignment ranked with (``_dist2``), so the emitted
     value is the ``d`` the argmin already computed. Literal centroids
     below ``_CENT_LITERAL_MAX_FLOATS`` (the certified text shape the
-    DuckDB oracle shares); past that the centroids would ride as one
-    broadcast row (``_assign_frame``'s rationale) — callers handle that
-    by joining the broadcast row first (see ``prototype_prune``)."""
-    d = F.lit(None).cast("double")
-    for j, c in enumerate(centroids):
-        d = F.when(F.col("cluster") == j, _dist2("v", c)).otherwise(d)
-    return F.round(d, 6)
+    DuckDB oracle shares); past the when-chain depth gate the fold
+    reads its centroid through element_at on a literal array-of-arrays
+    (Janino rejects deep when-chains — _CENT_WHEN_CHAIN_MAX_K); past
+    the float budget the centroids would ride as one broadcast row
+    (``_assign_frame``'s rationale) — callers handle that by joining
+    the broadcast row first (see ``prototype_prune``)."""
+    if len(centroids) <= _CENT_WHEN_CHAIN_MAX_K:
+        d = F.lit(None).cast("double")
+        for j, c in enumerate(centroids):
+            d = F.when(F.col("cluster") == j, _dist2("v", c)).otherwise(d)
+        return F.round(d, 6)
+    return F.round(F.expr(
+        "aggregate(zip_with(v, "
+        f"element_at({_cents_literal_sql(centroids)}, cluster + 1), "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (acc, w) -> acc + w)"), 6)
 
 
 def semdedup_keep(vectors: DataFrame, id_col: str, vec_col: str,
                   k: int = 4, rounds: int = 2,
-                  threshold: float = 0.35) -> DataFrame:
+                  threshold: float = 0.35,
+                  blocked_gemm_limit: int = 100_000) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     deduplication that never compares across clusters: k-means the
     embeddings (the certified fixed-round ``kmeans_fit`` chain — md5
@@ -272,12 +319,18 @@ def semdedup_keep(vectors: DataFrame, id_col: str, vec_col: str,
     The keep-first rule is intentionally non-transitive (direct pairs
     only, no connected components): it is the published recipe's
     behavior and keeps the decision embarrassingly parallel per
-    cluster. The transitive variant is ``near_dedup_keep``."""
+    cluster. The transitive variant is ``near_dedup_keep``.
+    ``blocked_gemm_limit`` forwards the cosine kernel's broadcast gate:
+    raise it explicitly when the corpus fits executor memory so the
+    per-cluster products run through the BLAS candidate stage; past
+    broadcastable sizes the co-partitioned per-cluster join is the
+    distributed path (slow on one box, scales across executors)."""
     from .similarity import cosine_near_dup_pairs
 
     labeled, _ = kmeans_fit(vectors, id_col, vec_col, k=k, rounds=rounds)
     pairs = cosine_near_dup_pairs(labeled, "id", "v",
-                                  threshold=threshold, block_col="cluster")
+                                  threshold=threshold, block_col="cluster",
+                                  blocked_gemm_limit=blocked_gemm_limit)
     dropped = (pairs.select(F.col("id_b").alias("id")).distinct()
                     .withColumn("__dup", F.lit(True)))
     return (labeled.join(dropped, "id", "left")
@@ -336,3 +389,142 @@ def prototype_prune(vectors: DataFrame, id_col: str, vec_col: str,
         (F.col("rn") <= F.expr(
             f"(n * {int(keep_num)} + {int(keep_den)} - 1) "
             f"div {int(keep_den)}")).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted SemDeDup index (r14): build-once / serve-incremental semantic
+# dedup — the embedding-side twin of dedup_ml.minhash_index_* (reference
+# keeps dedup state as storage objects; cf. src/routers/table_import.py
+# dedup modes). Artifacts: survivors/ = the KEPT vectors as a
+# cluster-partitioned parquet table (posting-list layout — a delta only
+# scans the lists it routes to), meta.json = the FROZEN trained centroids
+# + params (the frozen-codebook property: a delta assigned later with the
+# same centroids routes identically).
+# ---------------------------------------------------------------------------
+
+def _semdedup_dropped(labeled: DataFrame, threshold: float,
+                      blocked_gemm_limit: int = 100_000) -> DataFrame:
+    """Distinct ids dropped by the keep-first rule over within-cluster
+    round-6 cosine pairs of a ``(id, v, cluster)`` frame."""
+    from .similarity import cosine_near_dup_pairs
+
+    pairs = cosine_near_dup_pairs(labeled, "id", "v",
+                                  threshold=threshold, block_col="cluster",
+                                  blocked_gemm_limit=blocked_gemm_limit)
+    return pairs.select(F.col("id_b").alias("id")).distinct()
+
+
+def semdedup_index_build(vectors: DataFrame, id_col: str, vec_col: str,
+                         path: str, k: int = 4, rounds: int = 2,
+                         threshold: float = 0.35,
+                         fingerprint: str | None = None,
+                         blocked_gemm_limit: int = 100_000) -> dict:
+    """Train (certified fixed-round Lloyd) + batch SemDeDup the corpus,
+    persisting ONLY the survivors partitioned by cluster plus the frozen
+    centroids — the state an ingestion-time semantic-dup check needs.
+    Atomic staging swap (ann_index discipline)."""
+    import os
+
+    from .ann_index import _make_staging, _publish, _write_meta
+
+    labeled, centroids = kmeans_fit(vectors, id_col, vec_col, k=k,
+                                    rounds=rounds)
+    labeled = labeled.localCheckpoint(eager=False)
+    dropped = _semdedup_dropped(labeled, threshold, blocked_gemm_limit)
+    kept = labeled.join(dropped, "id", "left_anti")
+    staging = _make_staging(path)
+    (kept.write.mode("overwrite").partitionBy("cluster")
+         .parquet(os.path.join(staging, "survivors")))
+    meta = {"kind": "semdedup", "k": k, "rounds": rounds,
+            "threshold": threshold, "dim": len(centroids[0]),
+            "centroids": centroids, "fingerprint": fingerprint}
+    _write_meta(staging, meta)
+    _publish(staging, path)
+    return meta
+
+
+def semdedup_index_load(spark, path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("kind") != "semdedup":
+        raise ValueError(f"{path} is not a semdedup index")
+    return meta
+
+
+def _semdedup_assign_delta(spark, meta: dict, delta: DataFrame,
+                           id_col: str, vec_col: str) -> DataFrame:
+    """Assign a delta to the FROZEN stored centroids — the identical
+    certified argmin fold the index was trained with (no retrain; the
+    add/search split of FAISS semantics)."""
+    base = delta.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("v"))
+    return _assign_frame(base, [[float(x) for x in c]
+                                for c in meta["centroids"]])
+
+
+def semdedup_index_query(spark, path: str, delta: DataFrame,
+                         id_col: str, vec_col: str) -> DataFrame:
+    """Ingestion-time semantic near-dup verdict for a delta against the
+    persisted index: each delta vector routes to its frozen-centroid
+    cluster, then is dropped iff a STORED SURVIVOR of that cluster
+    matches at round-6 cosine >= threshold, or a LOWER-id delta member
+    of the same cluster does (the batch keep-first rule restricted to
+    (survivor ∪ delta, delta) pairs — dropped corpus members never veto,
+    they are not in the index). Returns ``(id, cluster, keep)`` for
+    every delta row.
+
+    Scale shape: the delta is the small side — it BROADCASTS into the
+    survivor join, and the survivor scan statically prunes to the <= k
+    clusters the delta actually routed to (bounded collect of at most k
+    values over the posting-list partition layout). The corpus is never
+    re-scored; cost = |delta| routing + within-routed-list products."""
+    import os
+
+    from .similarity import cosine_expr, with_norm
+
+    meta = semdedup_index_load(spark, path)
+    t = meta["threshold"]
+    assigned = _semdedup_assign_delta(spark, meta, delta, id_col, vec_col) \
+        .localCheckpoint(eager=False)
+    hit_clusters = [r.cluster for r in
+                    assigned.select("cluster").distinct().collect()]  # <= k
+    surv = (spark.read.parquet(os.path.join(path, "survivors"))
+                 .filter(F.col("cluster").isin(hit_clusters)))
+    a = with_norm(surv.select(F.col("id").alias("id_a"),
+                              F.col("v").alias("va"), "cluster"),
+                  "va", "na")
+    b = with_norm(assigned.select(F.col("id").alias("id_b"),
+                                  F.col("v").alias("vb"), "cluster"),
+                  "vb", "nb")
+    dropped_by_stored = (
+        a.join(F.broadcast(b), "cluster")
+         .filter(F.round(cosine_expr("va", "vb", "na", "nb"), 6) >= t)
+         .select(F.col("id_b").alias("id")))
+    dropped_within = _semdedup_dropped(assigned, t)
+    dropped = dropped_by_stored.union(dropped_within.select("id")) \
+                               .distinct().withColumn("__dup", F.lit(True))
+    return (assigned.join(dropped, "id", "left")
+                    .select("id", "cluster",
+                            F.col("__dup").isNull().alias("keep")))
+
+
+def semdedup_index_add(spark, path: str, delta: DataFrame,
+                       id_col: str, vec_col: str) -> DataFrame:
+    """Query the delta, then append ONLY its keepers to the survivor
+    lists (frozen centroids — no retrain, no rewrite of existing
+    postings; the minhash_index_add discipline). A later delta then
+    sees this delta's survivors. Returns the verdict frame."""
+    import os
+
+    verdict = semdedup_index_query(spark, path, delta, id_col, vec_col) \
+        .localCheckpoint(eager=False)
+    assigned = _semdedup_assign_delta(
+        spark, semdedup_index_load(spark, path), delta, id_col, vec_col)
+    keepers = assigned.join(verdict.filter("keep").select("id"), "id")
+    (keepers.select("id", "v", "cluster")
+            .write.mode("append").partitionBy("cluster")
+            .parquet(os.path.join(path, "survivors")))
+    return verdict

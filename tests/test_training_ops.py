@@ -778,3 +778,70 @@ def test_prototype_prune_plan_single_window_exchange(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plan.count("hashpartitioning(cluster") <= 1, plan
+
+
+def test_semdedup_index_lifecycle(spark, tmp_path):
+    """Persisted SemDeDup index (T83): build stores ONLY survivors +
+    frozen centroids; query drops a delta vector iff a stored SURVIVOR
+    matches (dropped corpus members never veto — the index forgot them)
+    or a lower-id delta member does; add appends the delta's keepers so
+    a later delta sees them. Unit-circle fixture (k=1 so every pair is
+    comparable; the clustering itself is certified elsewhere):
+    cos(20 deg)=0.94 >= 0.9 matches, cos(40 deg)=0.77 does not."""
+    import math
+
+    from keboola_storage_duckdb_spark.functions.clustering import (
+        semdedup_index_build, semdedup_index_load, semdedup_index_query,
+        semdedup_index_add)
+
+    def vec(deg):
+        a = math.radians(deg)
+        return [math.cos(a), math.sin(a)]
+
+    path = str(tmp_path / "semidx")
+    base = spark.createDataFrame(
+        [(1, vec(0)), (2, vec(20)), (3, vec(180))],
+        "vec_id bigint, embedding array<double>")
+    meta = semdedup_index_build(base, "vec_id", "embedding", path,
+                                k=1, rounds=2, threshold=0.9,
+                                fingerprint="fp-test")
+    assert meta["kind"] == "semdedup" and meta["k"] == 1
+    assert semdedup_index_load(spark, path)["fingerprint"] == "fp-test"
+    surv = {r.id for r in
+            spark.read.parquet(path + "/survivors").collect()}
+    assert surv == {1, 3}                     # 2 dropped: cos20 vs id 1
+
+    delta = spark.createDataFrame(
+        [(101, vec(40)),    # cos20 to DROPPED 2, cos40 to kept 1 -> KEEP
+         (102, vec(182)),   # cos2 to stored survivor 3 -> DROP
+         (103, vec(41))],   # cos1 to lower-id delta 101 -> DROP
+        "vec_id bigint, embedding array<double>")
+    v1 = {r.id: r.keep for r in
+          semdedup_index_add(spark, path, delta, "vec_id",
+                             "embedding").collect()}
+    assert v1 == {101: True, 102: False, 103: False}
+    surv = {r.id for r in
+            spark.read.parquet(path + "/survivors").collect()}
+    assert surv == {1, 3, 101}                # only the keeper appended
+
+    delta2 = spark.createDataFrame(
+        [(201, vec(42)),    # cos2 to NOW-STORED 101 -> DROP
+         (202, vec(270))],  # far from everything -> KEEP
+        "vec_id bigint, embedding array<double>")
+    v2 = {r.id: r.keep for r in
+          semdedup_index_query(spark, path, delta2, "vec_id",
+                               "embedding").collect()}
+    assert v2 == {201: False, 202: True}
+
+    # kind guard: a foreign meta.json refuses to load
+    import json
+    import os
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "meta.json"), "w") as f:
+        json.dump({"kind": "minhash_lsh"}, f)
+    try:
+        semdedup_index_load(spark, bad)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
