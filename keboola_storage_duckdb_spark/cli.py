@@ -457,7 +457,8 @@ def cmd_tables_optimize(args):
 def cmd_indexes_create(args):
     body = {"name": args.name, "id_column": args.id_column,
             "kind": args.kind, "m": args.m, "ksub": args.ksub,
-            "dim": args.dim}
+            "dim": args.dim, "n_clusters": args.n_clusters,
+            "rounds": args.rounds, "threshold": args.threshold}
     if args.vector_column:
         body["vector_column"] = args.vector_column
     if args.text_column:
@@ -480,6 +481,11 @@ def cmd_indexes_dedup(args):
         f"{_tbl_base(args)}/{args.table}/indexes/{args.name}/dedup", body)
     if args.json:
         print_json(res)
+        return
+    if res["hits"] and "keep" in res["hits"][0]:       # semdedup verdicts
+        rows = [[h["id"], h["cluster"],
+                 "keep" if h["keep"] else "drop"] for h in res["hits"]]
+        print_table(["Vector", "Cluster", "Verdict"], rows)
         return
     rows = [[h["id"], h["duplicate_of"], round(h["jaccard"], 4)]
             for h in res["hits"]]
@@ -741,13 +747,19 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--text-column",
                    help="text column for kind=minhash (dedup index)")
     s.add_argument("--kind", default="pq",
-                   choices=["pq", "sq8", "minhash"])
+                   choices=["pq", "sq8", "minhash", "semdedup"])
     s.add_argument("--label-column",
                    help="IVF label column (pq only): posting lists as "
                         "parquet partitions, nprobe routing at search")
     s.add_argument("--m", type=int, default=4)
     s.add_argument("--ksub", type=int, default=8)
     s.add_argument("--dim", type=int, default=64)
+    s.add_argument("--n-clusters", type=int, default=4,
+                   help="semdedup: k-means blocking clusters")
+    s.add_argument("--rounds", type=int, default=2,
+                   help="semdedup: fixed Lloyd rounds")
+    s.add_argument("--threshold", type=float, default=0.9,
+                   help="semdedup: frozen cosine keep-first threshold")
     index_parser("list", cmd_indexes_list, with_name=False)
     s = index_parser("info", cmd_indexes_info)
     s.add_argument("--recommend", action="store_true",

@@ -424,16 +424,22 @@ class StorageEngine:
                      kind: str = "pq", label_column: str | None = None,
                      m: int = 4, ksub: int = 8, dim: int = 64,
                      text_column: str | None = None,
-                     n_hashes: int = 12, band_size: int = 4) -> dict:
+                     n_hashes: int = 12, band_size: int = 4,
+                     n_clusters: int = 4, rounds: int = 2,
+                     threshold: float = 0.9) -> dict:
         """Build a persisted index over a table column: ``kind="pq"``
         (ANN over ``vector_column``, optionally IVF-labeled by
         ``label_column`` — posting lists as parquet partitions, nprobe
         routing at search), ``kind="sq8"`` (per-dim scalar grid,
-        near-exact), or ``kind="minhash"`` (near-dup DEDUP index over
+        near-exact), ``kind="minhash"`` (near-dup DEDUP index over
         ``text_column`` — stored LSH buckets + shingle sets; query via
-        ``dedup_check``). The build is atomic (staging swap) and runs
-        under the table lock; main branch only (indexes are serving
-        artifacts, not CoW state)."""
+        ``dedup_check``), or ``kind="semdedup"`` (SEMANTIC dedup index
+        over ``vector_column`` — k-means-blocked survivor lists +
+        frozen centroids; ``dedup_check`` with vectors answers
+        ingestion-time keep/drop at the stored ``threshold``). The
+        build is atomic (staging swap) and runs under the table lock;
+        main branch only (indexes are serving artifacts, not CoW
+        state)."""
         from .functions import ann_index as AI
 
         path = self._index_path(project, bucket, table, name)
@@ -469,9 +475,17 @@ class StorageEngine:
                 meta = DM.minhash_index_build(
                     df, id_column, text_column, path,
                     n_hashes=n_hashes, band_size=band_size)
+            elif kind == "semdedup":
+                from .functions import clustering as CL
+                if label_column:
+                    raise CatalogError("semdedup indexes learn their "
+                                       "clusters — no label_column")
+                meta = CL.semdedup_index_build(
+                    df, id_column, vector_column, path, k=n_clusters,
+                    rounds=rounds, threshold=float(threshold))
             else:
                 raise CatalogError(f"unknown index kind: {kind!r} "
-                                   "(pq | sq8 | minhash)")
+                                   "(pq | sq8 | minhash | semdedup)")
             meta.update({"index_name": name,
                          "index_kind": kind,
                          "id_column": id_column,
@@ -517,6 +531,11 @@ class StorageEngine:
         if kind == "minhash":
             n_rows = self.spark.read.parquet(
                 os.path.join(path, "shingles")).count()
+        elif kind == "semdedup":
+            # n_vectors = the SURVIVORS the index serves against;
+            # staleness still compares built_rows (everything processed)
+            n_rows = self.spark.read.parquet(
+                os.path.join(path, "survivors")).count()
         else:
             n_rows = idx.codes(self.spark).count()
         tbl_df = self.read_table(project, bucket, table)
@@ -528,6 +547,7 @@ class StorageEngine:
                 "text_column": idx.meta.get("text_column"),
                 "label_column": idx.meta.get("label_col"),
                 "dim": idx.meta.get("dim"),
+                "threshold": idx.meta.get("threshold"),
                 "n_vectors": n_rows,
                 "built_rows": idx.meta.get("built_rows"),
                 "table_rows": current,
@@ -575,6 +595,10 @@ class StorageEngine:
                 return self._refresh_minhash_index(project, bucket,
                                                    table, name, path,
                                                    idx.meta)
+            if idx.meta.get("index_kind") == "semdedup":
+                return self._refresh_semdedup_index(project, bucket,
+                                                    table, name, path,
+                                                    idx.meta)
             id_col = idx.meta["id_column"]
             vec_col = idx.meta["vector_column"]
             df = self.read_table(project, bucket, table)
@@ -661,6 +685,56 @@ class StorageEngine:
         return {"added": added, "deleted": deleted,
                 "table_rows": rows, "stale": False}
 
+    def _refresh_semdedup_index(self, project: str, bucket: str,
+                                table: str, name: str, path: str,
+                                meta: dict) -> dict:
+        """Semdedup-kind refresh (caller holds the table lock): rows
+        the index never PROCESSED (anti-join vs the seen/ artifact —
+        the dropped fraction is never re-scored) get the incremental
+        verdict under the FROZEN centroids and their keepers append;
+        seen/survivor ids gone from the table rewrite both artifacts
+        filtered (staging swap — a re-imported id is then re-checked
+        on the next refresh)."""
+        from .functions import ann_index as AI
+        from .functions import clustering as CL
+
+        id_col, vec_col = meta["id_column"], meta["vector_column"]
+        df = self.read_table(project, bucket, table)
+        seen_dir = os.path.join(path, "seen")
+        seen = (self.spark.read.parquet(seen_dir)
+                    .select(F.col("id").alias(id_col)))
+        new_rows = df.join(seen, id_col, "left_anti")
+        # EAGER checkpoint before the artifact rewrites below (the
+        # minhash-refresh file-deletion hazard)
+        gone = (seen.join(df.select(id_col), id_col, "left_anti")
+                    .localCheckpoint())
+        added = 0
+        if not new_rows.isEmpty():
+            verdict = CL.semdedup_index_add(self.spark, path, new_rows,
+                                            id_col, vec_col)
+            added = verdict.count()
+        deleted = gone.count()
+        if deleted:
+            drop = F.broadcast(gone.withColumnRenamed(id_col, "id"))
+            for art, part in (("survivors", "cluster"), ("seen", None)):
+                d = os.path.join(path, art)
+                staging = AI._make_staging(d, work_dir=path)
+                kept = (self.spark.read.parquet(d)
+                            .join(drop, "id", "left_anti"))
+                w = kept.write.mode("overwrite")
+                if part:
+                    w = w.partitionBy(part)
+                w.parquet(staging)
+                AI._publish(staging, d, work_dir=path)
+                self.spark.catalog.refreshByPath(d)
+        rows = df.count()
+        meta["built_rows"] = rows
+        AI._write_meta(path, meta)
+        self._log("refresh_index", project=project, bucket=bucket,
+                  table=table, name=name, added=added, deleted=deleted)
+        return {"added": added, "deleted": deleted,
+                "table_rows": rows, "stale": False}
+
     def rebuild_index(self, project: str, bucket: str, table: str,
                       name: str, if_recommended: bool = False) -> dict:
         """Full re-train at the CURRENT corpus (VERDICT r13 #5 — the
@@ -714,6 +788,12 @@ class StorageEngine:
                     df, meta["id_column"], meta["text_column"], path,
                     n_hashes=meta["n_hashes"],
                     band_size=meta["band_size"])
+            elif kind == "semdedup":
+                from .functions import clustering as CL
+                new_meta = CL.semdedup_index_build(
+                    df, meta["id_column"], meta["vector_column"], path,
+                    k=meta["k"], rounds=meta["rounds"],
+                    threshold=meta["threshold"])
             else:
                 new_meta = AI.pq_index_build(
                     df, meta["id_column"], meta["vector_column"], path,
@@ -731,10 +811,15 @@ class StorageEngine:
     def dedup_check(self, project: str, bucket: str, table: str,
                     name: str, documents: list, threshold: float = 0.8,
                     max_documents: int = 1024) -> list[dict]:
-        """Ingestion-time near-dup check against a minhash index: for
-        each submitted ``{"id": ..., "text": ...}``, which INDEXED docs
-        it near-duplicates (exact Jaccard ≥ threshold on word-bigram
-        shingle sets, LSH-candidate-bounded). Submitted ids share the
+        """Ingestion-time near-dup check against a DEDUP index. For a
+        minhash index, each submitted ``{"id": ..., "text": ...}``
+        reports which INDEXED docs it near-duplicates (exact Jaccard ≥
+        threshold on word-bigram shingle sets, LSH-candidate-bounded).
+        For a semdedup index, each submitted ``{"id": ...,
+        "vector": [...]}`` gets the keep/drop verdict at the index's
+        STORED threshold (``threshold`` here is the minhash knob; a
+        semdedup index froze its threshold at build — the survivor set
+        is only meaningful at that value). Submitted ids share the
         corpus id space — use ids not present in it (e.g. negative)
         for external documents."""
         from .functions import ann_index as AI
@@ -743,16 +828,37 @@ class StorageEngine:
         path = self._index_path(project, bucket, table, name,
                                 must_exist=True)
         meta = AI.pq_index_load(self.spark, path).meta
-        if meta.get("index_kind") != "minhash":
+        kind = meta.get("index_kind")
+        if kind not in ("minhash", "semdedup"):
             raise CatalogError(
-                "dedup_check needs a minhash index — this one is "
-                f"{meta.get('index_kind', 'pq')!r}")
+                "dedup_check needs a minhash or semdedup index — this "
+                f"one is {meta.get('index_kind', 'pq')!r}")
         if not documents:
             raise CatalogError("documents must be a non-empty list")
         if len(documents) > max_documents:
             raise CatalogError(
                 f"document count {len(documents)} exceeds "
                 f"{max_documents} — batch the requests")
+        if kind == "semdedup":
+            from .functions import clustering as CL
+            dim = meta["dim"]
+            try:
+                rows = [(int(d["id"]), [float(x) for x in d["vector"]])
+                        for d in documents]
+            except (TypeError, KeyError, ValueError):
+                raise CatalogError(
+                    "each document needs {'id': ..., 'vector': [...]}")
+            bad = [i for i, (_, v) in enumerate(rows) if len(v) != dim]
+            if bad:
+                raise CatalogError(
+                    f"document {bad[0]}: vector has "
+                    f"{len(rows[bad[0]][1])} dims, index expects {dim}")
+            ddf = self.spark.createDataFrame(
+                rows, "vec_id bigint, vector array<double>")
+            out = CL.semdedup_index_query(self.spark, path, ddf,
+                                          "vec_id", "vector")
+            return [{"id": r.id, "cluster": r.cluster, "keep": r.keep}
+                    for r in sorted(out.collect(), key=lambda r: r.id)]
         try:
             rows = [(int(d["id"]), str(d["text"])) for d in documents]
         except (TypeError, KeyError, ValueError):
@@ -774,10 +880,10 @@ class StorageEngine:
                                 must_exist=True)
         with self.catalog.acquire(project, bucket, table):
             if AI.pq_index_load(self.spark, path).meta.get(
-                    "index_kind") == "minhash":
+                    "index_kind") in ("minhash", "semdedup"):
                 raise CatalogError(
                     "compact targets the posting-list layout of vector "
-                    "indexes; rebuild or refresh a minhash index")
+                    "indexes; rebuild or refresh a dedup index")
             report = AI.pq_index_compact(self.spark, path,
                                          max_files=max_files)
         self._log("compact_index", project=project, bucket=bucket,
@@ -802,8 +908,8 @@ class StorageEngine:
         path = self._index_path(project, bucket, table, name,
                                 must_exist=True)
         idx = AI.pq_index_load(self.spark, path)
-        if idx.meta.get("index_kind") == "minhash":
-            raise CatalogError("a minhash index answers dedup_check, "
+        if idx.meta.get("index_kind") in ("minhash", "semdedup"):
+            raise CatalogError("a dedup index answers dedup_check, "
                                "not vector search")
         if not queries:
             raise CatalogError("queries must be a non-empty list")

@@ -435,6 +435,11 @@ def semdedup_index_build(vectors: DataFrame, id_col: str, vec_col: str,
     staging = _make_staging(path)
     (kept.write.mode("overwrite").partitionBy("cluster")
          .parquet(os.path.join(staging, "survivors")))
+    # seen/ = every PROCESSED id (keepers AND dropped) so an
+    # incremental reconcile can compute the unprocessed delta without
+    # re-scoring the dropped fraction of the corpus on every refresh
+    (labeled.select("id").write.mode("overwrite")
+            .parquet(os.path.join(staging, "seen")))
     meta = {"kind": "semdedup", "k": k, "rounds": rounds,
             "threshold": threshold, "dim": len(centroids[0]),
             "centroids": centroids, "fingerprint": fingerprint}
@@ -527,4 +532,6 @@ def semdedup_index_add(spark, path: str, delta: DataFrame,
     (keepers.select("id", "v", "cluster")
             .write.mode("append").partitionBy("cluster")
             .parquet(os.path.join(path, "survivors")))
+    (verdict.select("id").write.mode("append")
+            .parquet(os.path.join(path, "seen")))
     return verdict

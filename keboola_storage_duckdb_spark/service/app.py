@@ -302,7 +302,10 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
             dim=int(body.get("dim") or 64),
             text_column=body.get("text_column"),
             n_hashes=int(body.get("n_hashes") or 12),
-            band_size=int(body.get("band_size") or 4))), 201
+            band_size=int(body.get("band_size") or 4),
+            n_clusters=int(body.get("n_clusters") or 4),
+            rounds=int(body.get("rounds") or 2),
+            threshold=float(body.get("threshold") or 0.9))), 201
 
     @app.get(tbl + "/<table>/indexes")
     def list_indexes(project, branch_id, bucket, table):

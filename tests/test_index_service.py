@@ -446,3 +446,104 @@ def test_rebuild_sq8_and_minhash_kinds(ctx, spark, tmp_path_factory):
                                  "text": "the quick brown fox number 3 "
                                          "jumps"}]}).get_json()
     assert hits["n_hits"] >= 1
+
+
+SEMTBL = DOCS_BASE + "/semv"
+
+
+def test_semdedup_index_over_rest(ctx, spark, tmp_path):
+    """Semantic-dedup indexes as storage objects (T83 over REST):
+    create a semdedup index on an embedding column, run the
+    ingestion-time vector dedup_check (dropped corpus members never
+    veto), refresh after imports/deletes without re-scoring processed
+    rows, rebuild retrains at the current corpus, and hit the
+    kind-validation walls. Unit-circle fixture, k=1, threshold 0.9
+    (cos 20deg = 0.94 matches, cos 40deg = 0.77 does not)."""
+    import math
+
+    def vec(deg):
+        a = math.radians(deg)
+        return [math.cos(a), math.sin(a)]
+
+    c, eng, _ = ctx
+    cols = [{"name": "vec_id", "type": "BIGINT", "nullable": False},
+            {"name": "embedding", "type": "DOUBLE[]", "nullable": True}]
+    r = _post(c, DOCS_BASE, {"name": "semv", "columns": cols})
+    assert r.status_code == 201, r.get_json()
+    src = str(tmp_path / "semv.parquet")
+    spark.createDataFrame(
+        [(1, vec(0)), (2, vec(20)), (3, vec(180))],
+        "vec_id bigint, embedding array<double>") \
+        .coalesce(1).write.parquet(src)
+    r = _post(c, SEMTBL + "/import/file", {"path": src,
+                                           "format": "parquet"})
+    assert r.status_code == 200, r.get_json()
+
+    r = _post(c, SEMTBL + "/indexes",
+              {"name": "sd", "kind": "semdedup", "id_column": "vec_id",
+               "vector_column": "embedding", "n_clusters": 1,
+               "threshold": 0.9})
+    assert r.status_code == 201, r.get_json()
+    info = r.get_json()
+    assert info["kind"] == "semdedup" and info["threshold"] == 0.9
+    assert info["n_vectors"] == 2          # survivors: 2 dropped vs 1
+    assert info["built_rows"] == 3 and not info["stale"]
+
+    # verdicts: near a SURVIVOR -> drop; near only the DROPPED member
+    # -> keep (the index forgot it); far from everything -> keep
+    r = _post(c, SEMTBL + "/indexes/sd/dedup",
+              {"documents": [{"id": -1, "vector": vec(2)},
+                             {"id": -2, "vector": vec(40)},
+                             {"id": -3, "vector": vec(270)}]})
+    assert r.status_code == 200, r.get_json()
+    hits = {h["id"]: h["keep"] for h in r.get_json()["hits"]}
+    assert hits == {-3: True, -2: True, -1: False}
+
+    # validation walls
+    assert _post(c, SEMTBL + "/indexes/sd/dedup",
+                 {"documents": [{"id": -1, "vector": [1.0, 0.0, 0.0]}]}
+                 ).status_code == 400       # dim mismatch
+    assert _post(c, SEMTBL + "/indexes/sd/dedup",
+                 {"documents": [{"id": -1, "text": "not a vector"}]}
+                 ).status_code == 400       # wrong payload shape
+    assert _post(c, SEMTBL + "/indexes/sd/search",
+                 {"queries": [{"id": -1, "vector": vec(5)}]}
+                 ).status_code == 400       # dedup indexes don't search
+    assert _post(c, SEMTBL + "/indexes/sd/compact", {}).status_code == 400
+
+    # refresh: new row 5 at 181deg routes next to survivor 3 -> dropped
+    # (processed but NOT appended); survivors unchanged
+    src2 = str(tmp_path / "semv2.parquet")
+    spark.createDataFrame([(5, vec(181))],
+                          "vec_id bigint, embedding array<double>") \
+         .coalesce(1).write.parquet(src2)
+    r = _post(c, SEMTBL + "/import/file",
+              {"path": src2, "format": "parquet",
+               "import_options": {"incremental": True}})
+    assert r.status_code == 200, r.get_json()
+    info = c.get(SEMTBL + "/indexes/sd").get_json()
+    assert info["stale"]
+    r = _post(c, SEMTBL + "/indexes/sd/refresh")
+    assert r.status_code == 200, r.get_json()
+    assert r.get_json() == {"added": 1, "deleted": 0, "table_rows": 4,
+                            "stale": False}
+    info = c.get(SEMTBL + "/indexes/sd").get_json()
+    assert not info["stale"] and info["n_vectors"] == 2
+
+    # delete survivor 1 -> refresh drops it from both artifacts
+    r = c.delete(SEMTBL + "/rows",
+                 data=json.dumps({"where": "vec_id = 1"}),
+                 content_type="application/json")
+    assert r.status_code == 200
+    r = _post(c, SEMTBL + "/indexes/sd/refresh")
+    assert r.get_json() == {"added": 0, "deleted": 1, "table_rows": 3,
+                            "stale": False}
+    assert c.get(SEMTBL + "/indexes/sd").get_json()["n_vectors"] == 1
+
+    # rebuild retrains at the current corpus {2: 20deg, 3: 180deg,
+    # 5: 181deg}: 5 drops vs 3 (cos 1deg), 2 survives
+    r = _post(c, SEMTBL + "/indexes/sd/rebuild")
+    assert r.status_code == 200, r.get_json()
+    assert r.get_json()["rebuilt"] is True
+    info = c.get(SEMTBL + "/indexes/sd").get_json()
+    assert info["n_vectors"] == 2 and not info["stale"]
