@@ -53,6 +53,18 @@ SHOWCASE = {
         "Survivor form (r14): signature stars + distinct-signature "
         "pigeonhole pairs span the same components as the full pair "
         "closure with O(N) edges; min-id keeper join at the end."),
+    "semdedup_keep": (
+        "SemDeDup (r14): trained-cluster blocking bounds the pair space "
+        "to Σnᵢ²; the within-cluster products ride the BLAS candidate "
+        "stage below the GEMM gate — no corpus×corpus product."),
+    "prototype_prune": (
+        "Prototypicality pruning (r14): distance to own centroid is a "
+        "narrow map over centroid literals (no join, no shuffle of the "
+        "vectors); rank and count share ONE cluster-keyed exchange."),
+    "semdedup_incremental": (
+        "Persisted SemDeDup serve path (r14): the delta broadcasts into "
+        "the survivor join and the survivor scan prunes to the <= k "
+        "routed clusters; the corpus is never re-scored."),
     "sessionize": (
         "lag → flag → running-sum over one user_id shuffle; both window "
         "frames reuse the same sort."),

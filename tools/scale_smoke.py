@@ -110,8 +110,10 @@ def main() -> None:
                  # made these 10×-viable (607/1110/1090 s → seconds)
                  "cosine_near_dup", "near_dedup_keep", "dedup_clusters",
                  "simhash_dedup_keep", "minhash_dedup_keep",
-                 # r14 late: cluster-bounded pruning ops (T81/T82)
-                 "semdedup_keep", "prototype_prune"]:
+                 # r14 late: cluster-bounded pruning ops (T81/T82) and
+                 # the persisted-index incremental serve path (T83)
+                 "semdedup_keep", "prototype_prune",
+                 "semdedup_incremental"]:
         if ONLY and name not in ONLY:
             continue
         run(name, lambda name=name: Q[name](spark, DST))
