@@ -476,7 +476,9 @@ def cmd_indexes_dedup(args):
     raw = args.documents
     if not raw.lstrip().startswith(("[", "{")):       # a path, not JSON
         raw = Path(raw).read_text()
-    body = {"documents": json.loads(raw), "threshold": args.threshold}
+    body = {"documents": json.loads(raw)}
+    if args.threshold is not None:     # semdedup indexes refuse an
+        body["threshold"] = args.threshold  # override (frozen at build)
     res = _client(args).post(
         f"{_tbl_base(args)}/{args.table}/indexes/{args.name}/dedup", body)
     if args.json:
@@ -776,7 +778,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--documents", required=True,
                    help="JSON file or inline JSON: "
                         '[{"id": ..., "text": "..."}, ...]')
-    s.add_argument("--threshold", type=float, default=0.8)
+    s.add_argument("--threshold", type=float, default=None,
+                   help="minhash Jaccard cutoff (default 0.8); omit "
+                        "for semdedup — its threshold froze at build")
     index_parser("refresh", cmd_indexes_refresh)
     s = index_parser("rebuild", cmd_indexes_rebuild)
     s.add_argument("--if-recommended", action="store_true",

@@ -708,11 +708,15 @@ class StorageEngine:
         # minhash-refresh file-deletion hazard)
         gone = (seen.join(df.select(id_col), id_col, "left_anti")
                     .localCheckpoint())
-        added = 0
+        added = processed = 0
         if not new_rows.isEmpty():
             verdict = CL.semdedup_index_add(self.spark, path, new_rows,
                                             id_col, vec_col)
-            added = verdict.count()
+            # "added" = rows that ENTERED the index (keepers), matching
+            # the pq/sq8/minhash refresh semantics; "processed" = the
+            # whole verdict-ed delta (dropped rows join seen/ only)
+            processed = verdict.count()
+            added = verdict.filter("keep").count()
         deleted = gone.count()
         if deleted:
             drop = F.broadcast(gone.withColumnRenamed(id_col, "id"))
@@ -731,9 +735,10 @@ class StorageEngine:
         meta["built_rows"] = rows
         AI._write_meta(path, meta)
         self._log("refresh_index", project=project, bucket=bucket,
-                  table=table, name=name, added=added, deleted=deleted)
-        return {"added": added, "deleted": deleted,
-                "table_rows": rows, "stale": False}
+                  table=table, name=name, added=added,
+                  processed=processed, deleted=deleted)
+        return {"added": added, "processed": processed,
+                "deleted": deleted, "table_rows": rows, "stale": False}
 
     def rebuild_index(self, project: str, bucket: str, table: str,
                       name: str, if_recommended: bool = False) -> dict:
@@ -809,7 +814,8 @@ class StorageEngine:
         return {"rebuilt": True, "table_rows": rows, "stale": False}
 
     def dedup_check(self, project: str, bucket: str, table: str,
-                    name: str, documents: list, threshold: float = 0.8,
+                    name: str, documents: list,
+                    threshold: float | None = None,
                     max_documents: int = 1024) -> list[dict]:
         """Ingestion-time near-dup check against a DEDUP index. For a
         minhash index, each submitted ``{"id": ..., "text": ...}``
@@ -841,6 +847,12 @@ class StorageEngine:
                 f"{max_documents} — batch the requests")
         if kind == "semdedup":
             from .functions import clustering as CL
+            if threshold is not None:
+                raise CatalogError(
+                    "semdedup verdicts are frozen at the build "
+                    f"threshold ({meta['threshold']}) — the survivor "
+                    "set is only meaningful at that value; omit "
+                    "threshold (rebuild to change it)")
             dim = meta["dim"]
             try:
                 rows = [(int(d["id"]), [float(x) for x in d["vector"]])
@@ -866,8 +878,9 @@ class StorageEngine:
             raise CatalogError(
                 "each document needs {'id': ..., 'text': ...}")
         ddf = self.spark.createDataFrame(rows, "doc_id bigint, text string")
-        out = DM.minhash_index_query(self.spark, path, ddf, "doc_id",
-                                     "text", threshold=float(threshold))
+        out = DM.minhash_index_query(
+            self.spark, path, ddf, "doc_id", "text",
+            threshold=0.8 if threshold is None else float(threshold))
         return [{"id": r.id_b, "duplicate_of": r.id_a,
                  "jaccard": r.jaccard}
                 for r in out.collect()]

@@ -271,8 +271,7 @@ def ivf_kmeans_search(labeled: DataFrame, centroids: list[list[float]],
                 .select("query_id", "neighbor_id", "dist", "rank"))
 
 
-def _dist_to_assigned(labeled: DataFrame,
-                      centroids: list[list[float]]) -> F.Column:
+def _dist_to_assigned(centroids: list[list[float]]) -> F.Column:
     """Round-6 squared-L2 distance from each ``(id, v, cluster)`` row to
     its OWN assigned centroid — the identical ``zip_with``/``aggregate``
     double fold the assignment ranked with (``_dist2``), so the emitted
@@ -325,14 +324,9 @@ def semdedup_keep(vectors: DataFrame, id_col: str, vec_col: str,
     per-cluster products run through the BLAS candidate stage; past
     broadcastable sizes the co-partitioned per-cluster join is the
     distributed path (slow on one box, scales across executors)."""
-    from .similarity import cosine_near_dup_pairs
-
     labeled, _ = kmeans_fit(vectors, id_col, vec_col, k=k, rounds=rounds)
-    pairs = cosine_near_dup_pairs(labeled, "id", "v",
-                                  threshold=threshold, block_col="cluster",
-                                  blocked_gemm_limit=blocked_gemm_limit)
-    dropped = (pairs.select(F.col("id_b").alias("id")).distinct()
-                    .withColumn("__dup", F.lit(True)))
+    dropped = _semdedup_dropped(labeled, threshold, blocked_gemm_limit) \
+        .withColumn("__dup", F.lit(True))
     return (labeled.join(dropped, "id", "left")
                    .select("id", "cluster",
                            F.col("__dup").isNull().alias("keep")))
@@ -366,7 +360,7 @@ def prototype_prune(vectors: DataFrame, id_col: str, vec_col: str,
                                     rounds=rounds)
     if len(centroids) * len(centroids[0]) <= _CENT_LITERAL_MAX_FLOATS:
         scored = labeled.select(
-            "id", "cluster", _dist_to_assigned(labeled, centroids)
+            "id", "cluster", _dist_to_assigned(centroids)
             .alias("dist"))
     else:
         cents_row = labeled.sparkSession.createDataFrame(
@@ -459,7 +453,7 @@ def semdedup_index_load(spark, path: str) -> dict:
     return meta
 
 
-def _semdedup_assign_delta(spark, meta: dict, delta: DataFrame,
+def _semdedup_assign_delta(meta: dict, delta: DataFrame,
                            id_col: str, vec_col: str) -> DataFrame:
     """Assign a delta to the FROZEN stored centroids — the identical
     certified argmin fold the index was trained with (no retrain; the
@@ -470,29 +464,20 @@ def _semdedup_assign_delta(spark, meta: dict, delta: DataFrame,
                                 for c in meta["centroids"]])
 
 
-def semdedup_index_query(spark, path: str, delta: DataFrame,
-                         id_col: str, vec_col: str) -> DataFrame:
-    """Ingestion-time semantic near-dup verdict for a delta against the
-    persisted index: each delta vector routes to its frozen-centroid
-    cluster, then is dropped iff a STORED SURVIVOR of that cluster
-    matches at round-6 cosine >= threshold, or a LOWER-id delta member
-    of the same cluster does (the batch keep-first rule restricted to
-    (survivor ∪ delta, delta) pairs — dropped corpus members never veto,
-    they are not in the index). Returns ``(id, cluster, keep)`` for
-    every delta row.
-
-    Scale shape: the delta is the small side — it BROADCASTS into the
-    survivor join, and the survivor scan statically prunes to the <= k
-    clusters the delta actually routed to (bounded collect of at most k
-    values over the posting-list partition layout). The corpus is never
-    re-scored; cost = |delta| routing + within-routed-list products."""
+def _semdedup_verdict_frames(spark, path: str, delta: DataFrame,
+                             id_col: str, vec_col: str,
+                             broadcast_delta_limit: int,
+                             blocked_gemm_limit: int):
+    """``(verdict, assigned)`` for a delta — the shared core of
+    query/add, so add never routes the delta twice. Both frames are
+    lazily checkpointed; ``assigned`` is (id, v, cluster)."""
     import os
 
     from .similarity import cosine_expr, with_norm
 
     meta = semdedup_index_load(spark, path)
     t = meta["threshold"]
-    assigned = _semdedup_assign_delta(spark, meta, delta, id_col, vec_col) \
+    assigned = _semdedup_assign_delta(meta, delta, id_col, vec_col) \
         .localCheckpoint(eager=False)
     hit_clusters = [r.cluster for r in
                     assigned.select("cluster").distinct().collect()]  # <= k
@@ -504,30 +489,65 @@ def semdedup_index_query(spark, path: str, delta: DataFrame,
     b = with_norm(assigned.select(F.col("id").alias("id_b"),
                                   F.col("v").alias("vb"), "cluster"),
                   "vb", "nb")
+    # The delta is USUALLY the small side, but refresh can feed an
+    # unbounded import here — past the gate the join co-partitions on
+    # cluster instead of forcing a delta broadcast (the 8 GB broadcast
+    # wall / driver OOM the rest of the repo gates the same way).
+    if delta.limit(broadcast_delta_limit + 1).count() \
+            <= broadcast_delta_limit:
+        b = F.broadcast(b)
     dropped_by_stored = (
-        a.join(F.broadcast(b), "cluster")
+        a.join(b, "cluster")
          .filter(F.round(cosine_expr("va", "vb", "na", "nb"), 6) >= t)
          .select(F.col("id_b").alias("id")))
-    dropped_within = _semdedup_dropped(assigned, t)
+    dropped_within = _semdedup_dropped(assigned, t, blocked_gemm_limit)
     dropped = dropped_by_stored.union(dropped_within.select("id")) \
                                .distinct().withColumn("__dup", F.lit(True))
-    return (assigned.join(dropped, "id", "left")
-                    .select("id", "cluster",
-                            F.col("__dup").isNull().alias("keep")))
+    verdict = (assigned.join(dropped, "id", "left")
+                       .select("id", "cluster",
+                               F.col("__dup").isNull().alias("keep"))
+                       .localCheckpoint(eager=False))
+    return verdict, assigned
+
+
+def semdedup_index_query(spark, path: str, delta: DataFrame,
+                         id_col: str, vec_col: str,
+                         broadcast_delta_limit: int = 100_000,
+                         blocked_gemm_limit: int = 100_000) -> DataFrame:
+    """Ingestion-time semantic near-dup verdict for a delta against the
+    persisted index: each delta vector routes to its frozen-centroid
+    cluster, then is dropped iff a STORED SURVIVOR of that cluster
+    matches at round-6 cosine >= threshold, or a LOWER-id delta member
+    of the same cluster does (the batch keep-first rule restricted to
+    (survivor ∪ delta, delta) pairs — dropped corpus members never veto,
+    they are not in the index). Returns ``(id, cluster, keep)`` for
+    every delta row.
+
+    Scale shape: a delta under ``broadcast_delta_limit`` rows BROADCASTS
+    into the survivor join (bigger deltas co-partition on cluster), and
+    the survivor scan statically prunes to the <= k clusters the delta
+    actually routed to (bounded collect of at most k values over the
+    posting-list partition layout). The corpus is never re-scored; cost
+    = |delta| routing + within-routed-list products."""
+    verdict, _ = _semdedup_verdict_frames(spark, path, delta, id_col,
+                                          vec_col, broadcast_delta_limit,
+                                          blocked_gemm_limit)
+    return verdict
 
 
 def semdedup_index_add(spark, path: str, delta: DataFrame,
-                       id_col: str, vec_col: str) -> DataFrame:
+                       id_col: str, vec_col: str,
+                       broadcast_delta_limit: int = 100_000,
+                       blocked_gemm_limit: int = 100_000) -> DataFrame:
     """Query the delta, then append ONLY its keepers to the survivor
     lists (frozen centroids — no retrain, no rewrite of existing
     postings; the minhash_index_add discipline). A later delta then
     sees this delta's survivors. Returns the verdict frame."""
     import os
 
-    verdict = semdedup_index_query(spark, path, delta, id_col, vec_col) \
-        .localCheckpoint(eager=False)
-    assigned = _semdedup_assign_delta(
-        spark, semdedup_index_load(spark, path), delta, id_col, vec_col)
+    verdict, assigned = _semdedup_verdict_frames(
+        spark, path, delta, id_col, vec_col, broadcast_delta_limit,
+        blocked_gemm_limit)
     keepers = assigned.join(verdict.filter("keep").select("id"), "id")
     (keepers.select("id", "v", "cluster")
             .write.mode("append").partitionBy("cluster")

@@ -303,9 +303,15 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
             text_column=body.get("text_column"),
             n_hashes=int(body.get("n_hashes") or 12),
             band_size=int(body.get("band_size") or 4),
-            n_clusters=int(body.get("n_clusters") or 4),
-            rounds=int(body.get("rounds") or 2),
-            threshold=float(body.get("threshold") or 0.9))), 201
+            # is-not-None, not falsy-or: threshold 0.0 (and 0 counts)
+            # are explicit values, not requests for the default
+            n_clusters=int(body["n_clusters"]
+                           if body.get("n_clusters") is not None else 4),
+            rounds=int(body["rounds"]
+                       if body.get("rounds") is not None else 2),
+            threshold=float(body["threshold"]
+                            if body.get("threshold") is not None
+                            else 0.9))), 201
 
     @app.get(tbl + "/<table>/indexes")
     def list_indexes(project, branch_id, bucket, table):
@@ -328,10 +334,11 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
     @app.post(tbl + "/<table>/indexes/<name>/dedup")
     def dedup_check(project, branch_id, bucket, table, name):
         body = request.get_json(force=True)
-        hits = engine.dedup_check(
+        th = body.get("threshold")      # None = each kind's default;
+        hits = engine.dedup_check(      # semdedup REFUSES an override
             project, bucket, table, name,
             documents=body.get("documents"),
-            threshold=float(body.get("threshold") or 0.8))
+            threshold=None if th is None else float(th))
         return jsonify({"hits": hits, "n_hits": len(hits)})
 
     @app.post(tbl + "/<table>/indexes/<name>/refresh")

@@ -506,6 +506,10 @@ def test_semdedup_index_over_rest(ctx, spark, tmp_path):
     assert _post(c, SEMTBL + "/indexes/sd/dedup",
                  {"documents": [{"id": -1, "text": "not a vector"}]}
                  ).status_code == 400       # wrong payload shape
+    assert _post(c, SEMTBL + "/indexes/sd/dedup",
+                 {"documents": [{"id": -1, "vector": vec(5)}],
+                  "threshold": 0.5}
+                 ).status_code == 400   # frozen threshold, no override
     assert _post(c, SEMTBL + "/indexes/sd/search",
                  {"queries": [{"id": -1, "vector": vec(5)}]}
                  ).status_code == 400       # dedup indexes don't search
@@ -525,8 +529,8 @@ def test_semdedup_index_over_rest(ctx, spark, tmp_path):
     assert info["stale"]
     r = _post(c, SEMTBL + "/indexes/sd/refresh")
     assert r.status_code == 200, r.get_json()
-    assert r.get_json() == {"added": 1, "deleted": 0, "table_rows": 4,
-                            "stale": False}
+    assert r.get_json() == {"added": 0, "processed": 1, "deleted": 0,
+                            "table_rows": 4, "stale": False}
     info = c.get(SEMTBL + "/indexes/sd").get_json()
     assert not info["stale"] and info["n_vectors"] == 2
 
@@ -536,8 +540,8 @@ def test_semdedup_index_over_rest(ctx, spark, tmp_path):
                  content_type="application/json")
     assert r.status_code == 200
     r = _post(c, SEMTBL + "/indexes/sd/refresh")
-    assert r.get_json() == {"added": 0, "deleted": 1, "table_rows": 3,
-                            "stale": False}
+    assert r.get_json() == {"added": 0, "processed": 0, "deleted": 1,
+                            "table_rows": 3, "stale": False}
     assert c.get(SEMTBL + "/indexes/sd").get_json()["n_vectors"] == 1
 
     # rebuild retrains at the current corpus {2: 20deg, 3: 180deg,
