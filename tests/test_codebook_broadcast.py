@@ -146,3 +146,15 @@ def test_lsh_planes_broadcast_equals_literal(emb, queries, monkeypatch):
     assert _rows(S.lsh_bucket(emb, "vec_id", "embedding")) == want_b
     assert _rows(S.lsh_ann_topk(emb, queries, "vec_id", "embedding",
                                 k=5)) == want_k
+
+
+def test_kmeans_flat_argmin_equals_when_chain(emb, monkeypatch):
+    """The three argmin forms are bit-identical (r14): the certified
+    when-chain (k <= _CENT_WHEN_CHAIN_MAX_K), the FLAT literal
+    array_min-over-structs form Janino accepts at any depth (the k=16
+    cliff fix), and the broadcast-row form — the struct (d, j) ordering
+    IS the lower-cluster tie rule in both flat forms."""
+    want = _rows(C.kmeans(emb, "vec_id", "embedding", k=4, max_iter=3))
+    monkeypatch.setattr(C, "_CENT_WHEN_CHAIN_MAX_K", 0)   # force flat
+    assert _rows(C.kmeans(emb, "vec_id", "embedding", k=4,
+                          max_iter=3)) == want
