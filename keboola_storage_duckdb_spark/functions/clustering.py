@@ -555,3 +555,49 @@ def semdedup_index_add(spark, path: str, delta: DataFrame,
     (verdict.select("id").write.mode("append")
             .parquet(os.path.join(path, "seen")))
     return verdict
+
+
+def stream_semdedup_add(spark, path: str, source_dir: str, schema,
+                        id_col: str, vec_col: str,
+                        checkpoint_dir: str,
+                        trigger: dict | None = None):
+    """Continuous semantic-dedup ingestion — Structured Streaming
+    feeding ``semdedup_index_add``: each micro-batch routes its vectors
+    through the FROZEN stored centroids, gets the keep-first verdict vs
+    the stored survivors ∪ its own lower-id members, and appends ONLY
+    the keepers (the ann_index ``stream_index_add`` discipline).
+    Batch-level exactly-once rides the stream checkpoint; record-level
+    redelivery safety is built in — a replayed id is already in the
+    ``seen/`` artifact, so the batch anti-joins it away before the
+    verdict (the dedupe-on-ingest rule the minhash/pq kinds opt into,
+    mandatory here because re-verdicting a kept id would re-append it).
+
+    NOTE on micro-batch boundaries: the keep-first rule compares each
+    row against STORED survivors at its batch's start plus lower-id
+    rows of its own batch — so unlike the pq encode (boundary-
+    invariant), splitting a feed differently can flip which member of
+    a near-dup GROUP survives (never whether the group is deduped);
+    the verdict at any boundary split is a valid SemDeDup output, and
+    one fixed split is deterministic (pinned by pytest).
+
+    Returns the started ``StreamingQuery``."""
+    import os
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _add_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.dropDuplicates([id_col])
+        seen = (spark.read.parquet(os.path.join(path, "seen"))
+                     .select(F.col("id").alias(id_col)))
+        batch_df = batch_df.join(seen, id_col, "left_anti")
+        if batch_df.isEmpty():
+            return
+        semdedup_index_add(spark, path, batch_df, id_col, vec_col)
+
+    writer = (stream.writeStream.foreachBatch(_add_batch)
+                    .option("checkpointLocation", checkpoint_dir)
+                    .trigger(**(trigger if trigger is not None
+                                else {"availableNow": True})))
+    return writer.start()

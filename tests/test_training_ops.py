@@ -845,3 +845,61 @@ def test_semdedup_index_lifecycle(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_stream_semdedup_add(spark, tmp_path):
+    """Streaming SemDeDup ingestion (T83 streaming twin): micro-batched
+    verdict-and-append against the frozen index — one fixed split is
+    deterministic, redelivery is a no-op at BOTH levels (same
+    checkpoint: batch skipped; fresh checkpoint over the same files:
+    the seen/ anti-join drops every already-processed id), and only
+    keepers ever enter the survivor lists."""
+    import math
+    import os
+
+    from keboola_storage_duckdb_spark.functions.clustering import (
+        semdedup_index_build, semdedup_index_query, stream_semdedup_add)
+
+    def vec(deg):
+        a = math.radians(deg)
+        return [math.cos(a), math.sin(a)]
+
+    path = str(tmp_path / "sidx")
+    base = spark.createDataFrame(
+        [(1, vec(0)), (3, vec(180))],
+        "vec_id bigint, embedding array<double>")
+    semdedup_index_build(base, "vec_id", "embedding", path,
+                         k=1, rounds=2, threshold=0.9)
+    # delta: 101 keeps (90deg), 102 drops vs survivor 1 (cos 2deg),
+    # 103 drops vs lower-id delta keeper 101 (cos 1deg)
+    delta = spark.createDataFrame(
+        [(101, vec(90)), (102, vec(2)), (103, vec(91))],
+        "vec_id bigint, embedding array<double>")
+    src = str(tmp_path / "src")
+    delta.coalesce(1).write.parquet(src)
+
+    q = stream_semdedup_add(spark, path, src, delta.schema, "vec_id",
+                            "embedding", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    surv = {r.id for r in spark.read.parquet(path + "/survivors").collect()}
+    assert surv == {1, 3, 101}
+    seen = {r.id for r in spark.read.parquet(path + "/seen").collect()}
+    assert seen == {1, 3, 101, 102, 103}
+
+    # same checkpoint -> batch-level no-op
+    q2 = stream_semdedup_add(spark, path, src, delta.schema, "vec_id",
+                             "embedding", str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    # fresh checkpoint over the same files -> record-level no-op
+    q3 = stream_semdedup_add(spark, path, src, delta.schema, "vec_id",
+                             "embedding", str(tmp_path / "ckpt2"))
+    q3.awaitTermination(120)
+    surv2 = {r.id for r in spark.read.parquet(path + "/survivors").collect()}
+    assert surv2 == {1, 3, 101}
+
+    # a later delta sees the streamed keeper: 201 at 92deg drops vs 101
+    later = spark.createDataFrame([(201, vec(92)), (202, vec(270))],
+                                  "vec_id bigint, embedding array<double>")
+    v = {r.id: r.keep for r in semdedup_index_query(
+        spark, path, later, "vec_id", "embedding").collect()}
+    assert v == {201: False, 202: True}
