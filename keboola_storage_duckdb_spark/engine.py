@@ -480,6 +480,13 @@ class StorageEngine:
                 if label_column:
                     raise CatalogError("semdedup indexes learn their "
                                        "clusters — no label_column")
+                if n_clusters < 1:
+                    raise CatalogError("n_clusters must be >= 1")
+                if rounds < 1:
+                    raise CatalogError("rounds must be >= 1")
+                if not (-1.0 <= float(threshold) <= 1.0):
+                    raise CatalogError(
+                        "threshold must be a cosine in [-1, 1]")
                 meta = CL.semdedup_index_build(
                     df, id_column, vector_column, path, k=n_clusters,
                     rounds=rounds, threshold=float(threshold))
@@ -693,8 +700,15 @@ class StorageEngine:
         the dropped fraction is never re-scored) get the incremental
         verdict under the FROZEN centroids and their keepers append;
         seen/survivor ids gone from the table rewrite both artifacts
-        filtered (staging swap — a re-imported id is then re-checked
-        on the next refresh)."""
+        filtered (staging swap).
+
+        Reconciliation is BY ID ONLY (the minhash discipline): a
+        delete + re-import of the same id BETWEEN two refreshes is
+        invisible — the id never leaves seen/, so the re-imported row
+        (even with a changed vector) is not re-scored and a stored
+        survivor keeps serving its old vector. Re-checking a reused id
+        requires a refresh to run while the id is absent (it then lands
+        in ``gone`` and the next refresh scores the new row)."""
         from .functions import ann_index as AI
         from .functions import clustering as CL
 
@@ -855,11 +869,24 @@ class StorageEngine:
                     "threshold (rebuild to change it)")
             dim = meta["dim"]
             try:
+                ids = [d["id"] for d in documents]
+                # int("3") is fine; int(3.7) would silently truncate —
+                # reject non-integral values instead of masking a
+                # caller bug (ADVICE r14)
+                if any(isinstance(i, float) and not i.is_integer()
+                       for i in ids):
+                    raise CatalogError(
+                        "document ids must be integral (a float id "
+                        "would be silently truncated)")
                 rows = [(int(d["id"]), [float(x) for x in d["vector"]])
                         for d in documents]
             except (TypeError, KeyError, ValueError):
                 raise CatalogError(
                     "each document needs {'id': ..., 'vector': [...]}")
+            if len({r[0] for r in rows}) != len(rows):
+                raise CatalogError(
+                    "duplicate document ids in one request — each id "
+                    "gets ONE verdict; submit distinct ids")
             bad = [i for i, (_, v) in enumerate(rows) if len(v) != dim]
             if bad:
                 raise CatalogError(

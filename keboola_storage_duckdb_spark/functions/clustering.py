@@ -356,6 +356,11 @@ def prototype_prune(vectors: DataFrame, id_col: str, vec_col: str,
     is the floor for any exact per-cluster top-fraction."""
     from pyspark.sql import Window
 
+    if keep_den <= 0:
+        raise ValueError(f"keep_den must be > 0, got {keep_den}")
+    if keep_num < 0 or keep_num > keep_den:
+        raise ValueError(
+            f"keep_num must be in [0, keep_den], got {keep_num}/{keep_den}")
     labeled, centroids = kmeans_fit(vectors, id_col, vec_col, k=k,
                                     rounds=rounds)
     if len(centroids) * len(centroids[0]) <= _CENT_LITERAL_MAX_FLOATS:
@@ -496,9 +501,14 @@ def _semdedup_verdict_frames(spark, path: str, delta: DataFrame,
     if delta.limit(broadcast_delta_limit + 1).count() \
             <= broadcast_delta_limit:
         b = F.broadcast(b)
+    # id_a != id_b: a stored copy of the SAME id never vetoes itself —
+    # a keeper replayed after a crash between add's two appends (in
+    # survivors/ but not yet seen/) re-verdicts as keep instead of
+    # misreporting itself as a drop (ADVICE r14).
     dropped_by_stored = (
         a.join(b, "cluster")
-         .filter(F.round(cosine_expr("va", "vb", "na", "nb"), 6) >= t)
+         .filter((F.col("id_a") != F.col("id_b")) &
+                 (F.round(cosine_expr("va", "vb", "na", "nb"), 6) >= t))
          .select(F.col("id_b").alias("id")))
     dropped_within = _semdedup_dropped(assigned, t, blocked_gemm_limit)
     dropped = dropped_by_stored.union(dropped_within.select("id")) \
@@ -542,13 +552,27 @@ def semdedup_index_add(spark, path: str, delta: DataFrame,
     """Query the delta, then append ONLY its keepers to the survivor
     lists (frozen centroids — no retrain, no rewrite of existing
     postings; the minhash_index_add discipline). A later delta then
-    sees this delta's survivors. Returns the verdict frame."""
+    sees this delta's survivors. Returns the verdict frame.
+
+    Replay safety: the two appends (survivors/ then seen/) are not one
+    atomic write; a crash between them leaves a keeper stored but
+    unseen. On replay the self-id veto exclusion keeps its verdict
+    "keep", and the append below anti-joins already-stored ids (pruned
+    to the delta's routed clusters) so the survivor list never gains a
+    duplicate row — state AND reporting converge."""
     import os
 
     verdict, assigned = _semdedup_verdict_frames(
         spark, path, delta, id_col, vec_col, broadcast_delta_limit,
         blocked_gemm_limit)
     keepers = assigned.join(verdict.filter("keep").select("id"), "id")
+    hit = [r.cluster for r in
+           keepers.select("cluster").distinct().collect()]  # <= k values
+    if hit:
+        stored_ids = (spark.read.parquet(os.path.join(path, "survivors"))
+                           .filter(F.col("cluster").isin(hit))
+                           .select("id"))
+        keepers = keepers.join(stored_ids, "id", "left_anti")
     (keepers.select("id", "v", "cluster")
             .write.mode("append").partitionBy("cluster")
             .parquet(os.path.join(path, "survivors")))

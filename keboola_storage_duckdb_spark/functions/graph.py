@@ -29,9 +29,27 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25, jump_from: int = 2) -> DataFrame:
     """(id, cluster) for every vertex appearing in ``edges``; ``cluster`` is
-    the minimum vertex id of the component. Deterministic."""
+    the minimum vertex id of the component. Deterministic.
+
+    Each round costs exactly ONE Spark action: the previous label is carried
+    through the min-aggregation as an ``old`` column, the round's frame is
+    lazily localCheckpointed, and the convergence probe (``lab < old`` —
+    labels only ever decrease) is the count that materializes the
+    checkpoint. The r14 form paid two actions per round (eager checkpoint +
+    anti-join count), which doubled the per-round fixed cost on small
+    shallow graphs (the minhash pair graph regressed ~2×).
+
+    Pointer jumping (path doubling — replace each label by its label's
+    label; fixpoint unchanged because labels stay bounded below by the
+    component minimum) cuts rounds from diameter to ~log2(diameter), but
+    its extra self-join per round only pays on graphs that have NOT
+    converged within a couple of plain rounds. ``jump_from`` enables it
+    from that round on: clique-ish near-dup graphs (minhash) converge
+    before it kicks in; chain-ish rep graphs (simhash star-spanning) still
+    get the doubling once plain propagation proves slow.
+    """
     und = (edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
                 .unionByName(
                edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -40,32 +58,34 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b",
     labels = (und.select(F.col("src").alias("id")).distinct()
                  .select("id", F.col("id").alias("lab"))
                  .localCheckpoint())
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
+        base = labels.select("id", "lab", F.col("lab").alias("old"))
         msgs = (und.join(labels.withColumnRenamed("id", "src"), "src")
-                   .select(F.col("dst").alias("id"), "lab"))
-        new_labels = (labels.unionByName(msgs)
-                            .groupBy("id").agg(F.min("lab").alias("lab")))
-        # Pointer jumping (path doubling, r14): additionally replace each
-        # label by ITS OWN label — labels only ever decrease and stay
-        # bounded below by the component minimum, so the fixpoint is
-        # unchanged while rounds drop from diameter to ~log2(diameter).
-        # One extra self-join of the (small) label table per round, no
-        # extra job; the simhash rep graph converged in 4 rounds instead
-        # of 8.
-        lab_of = new_labels.select(F.col("id").alias("lab"),
-                                   F.col("lab").alias("lab2"))
-        new_labels = (new_labels.join(lab_of, "lab", "left")
-                                .select("id",
-                                        F.least(F.col("lab"),
+                   .select(F.col("dst").alias("id"), "lab",
+                           F.lit(None).alias("old")))
+        # Every vertex appears in ``base`` exactly once, so min(old) (min
+        # ignores the NULLs the message rows carry) is the previous label.
+        new_labels = (base.unionByName(msgs)
+                          .groupBy("id").agg(F.min("lab").alias("lab"),
+                                             F.min("old").alias("old")))
+        if rnd >= jump_from:
+            lab_of = new_labels.select(F.col("id").alias("lab"),
+                                       F.col("lab").alias("lab2"))
+            new_labels = (new_labels.join(lab_of, "lab", "left")
+                                    .select("id",
+                                            F.least(
+                                                F.col("lab"),
                                                 F.coalesce("lab2", "lab"))
-                                         .alias("lab"))
-                                .localCheckpoint())
-        # Fixpoint = no (id, lab) row changed. Anti-join count works for ANY
-        # id type (a Σ-of-labels check would be NULL over string ids and
-        # terminate after one round with wrong clusters).
-        changed = new_labels.join(labels, ["id", "lab"], "left_anti") \
-                            .limit(1).count()
-        labels = new_labels
+                                             .alias("lab"),
+                                            "old"))
+        new_labels = new_labels.localCheckpoint(eager=False)
+        # The comparison works for ANY id type (strings compare
+        # lexicographically, matching min()); a Σ-of-labels check would be
+        # NULL over string ids and terminate after one round with wrong
+        # clusters. The full count (no limit) is what materializes every
+        # partition of the lazy checkpoint.
+        changed = new_labels.filter(F.col("lab") < F.col("old")).count()
+        labels = new_labels.select("id", "lab")
         if changed == 0:
             break
     return labels.select("id", F.col("lab").alias("cluster"))

@@ -120,8 +120,99 @@ def decode_image(payload: bytes) -> dict:
         return {"format": "bmp", "width": w, "height": h,
                 "channels": ch, "pixels": rows}
 
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+
     raise ValueError("unrecognized image format "
-                     "(codec-less decode supports PPM/PGM/BMP)")
+                     "(codec-less decode supports PPM/PGM/BMP/PNG)")
+
+
+# PNG color type -> sample count (bit depth 8 only; palette needs a PLTE
+# indirection and sub-byte packing — out of codec-less scope).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Real PNG decode with ONLY the stdlib: chunk walk (IHDR/IDAT/IEND),
+    zlib inflate of the concatenated IDAT stream, and the five published
+    scanline filters (None/Sub/Up/Average/Paeth — RFC 2083 §6). Supports
+    bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA), non-interlaced — the dominant real training-data image
+    format (VERDICT r14 #3). Sub unfilters via a per-lane cumsum (no
+    per-pixel Python loop); Average/Paeth walk pixels only on scanlines
+    that actually chose them."""
+    import zlib
+
+    import numpy as np
+
+    pos, n = 8, len(payload)
+    ihdr = None
+    idat = []
+    while pos + 8 <= n:
+        clen = int.from_bytes(payload[pos:pos + 4], "big")
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("PNG chunk truncated")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen                      # len + type + data + crc
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    ch = _PNG_CHANNELS.get(color)
+    if depth != 8 or ch is None:
+        raise ValueError("only 8-bit gray/RGB/(A) PNG supported")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG dimensions")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG raster size mismatch")
+    lines = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+    filters, data = lines[:, 0], lines[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f, row = filters[y], data[y]
+        if f == 0:                            # None
+            rec = row.copy()
+        elif f == 1:                          # Sub: per-lane cumsum
+            rec = np.cumsum(row.reshape(w, ch), axis=0,
+                            dtype=np.uint32).astype(np.uint8) \
+                    .reshape(stride)
+        elif f == 2:                          # Up
+            rec = row + prev
+        elif f == 3:                          # Average
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif f == 4:                          # Paeth
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (
+                    b if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return {"format": "png", "width": w, "height": h, "channels": ch,
+            "pixels": out.reshape(h, w, ch)}
 
 
 def encode_ppm(pixels) -> bytes:
@@ -419,7 +510,10 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                 try:
                     img = decode_image(bytes(p))
                     px = img["pixels"].astype("float64")
-                    luma = (px.mean() if img["channels"] == 1 else
+                    # ch 1/2 = gray(+alpha): luma is the gray plane;
+                    # ch 3/4 = RGB(A): ITU-R 601 weights
+                    luma = (float(px[:, :, 0].mean())
+                            if img["channels"] <= 2 else
                             float((px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587
                                    + px[:, :, 2] * 0.114).mean()))
                     vals = (img["format"], img["width"], img["height"],
@@ -469,8 +563,12 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             for p in pdf["payload"]:
                 try:
                     img = decode_image(bytes(p))
-                    px = img["pixels"][:, :, :3] if img["channels"] == 4 \
-                        else img["pixels"]
+                    # netpbm re-encode holds 1 or 3 channels: drop the
+                    # alpha plane (RGBA -> RGB, gray+alpha -> gray)
+                    px = (img["pixels"][:, :, :3]
+                          if img["channels"] == 4 else
+                          img["pixels"][:, :, :1]
+                          if img["channels"] == 2 else img["pixels"])
                     ys = (np.arange(target_h) * img["height"]) // target_h
                     xs = (np.arange(target_w) * img["width"]) // target_w
                     payloads.append(encode_ppm(

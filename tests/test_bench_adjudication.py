@@ -1,0 +1,95 @@
+"""bench.py self-adjudication (VERDICT r14 #2): a contended session must
+not publish 3-30x-over-record values without alternating re-reps; a true
+regression must survive them. Pure-Python — the re-rep loop is factored
+out of main() exactly so it tests without a Spark session (the real
+stress scenario — a CPU hog pinning the box mid-bench — is what these
+stubs replay deterministically)."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import adjudicate_pass  # noqa: E402
+
+
+def test_contention_comes_down_with_rereps():
+    # session min 12s vs 1.5s record (8x) — a contention window; the
+    # first re-rep lands calm and the record self-corrects
+    calls = []
+
+    def run(name):
+        calls.append(name)
+        return 1.6
+
+    timings = {"q_hot": 12.0, "q_fine": 1.0}
+    spreads = {"q_hot": [12.0, 14.2]}
+    prior = {"q_hot": 1.5, "q_fine": 1.1}
+    contended = adjudicate_pass(run, timings, spreads, prior,
+                                log=lambda m: None)
+    assert contended == []
+    assert calls == ["q_hot"]           # only the suspect re-repped
+    assert timings["q_hot"] == 1.6      # min self-corrected
+    assert timings["q_fine"] == 1.0     # untouched
+    assert spreads["q_hot"][-1] == 1.6  # rep recorded for the reader
+
+
+def test_sustained_contention_is_flagged_not_hidden():
+    # every re-rep still lands 8x over record -> named in `contended`,
+    # the (suspect) session min stays — bench never fabricates a number
+    def run(name):
+        return 11.5
+
+    timings = {"q_hot": 12.0}
+    spreads = {}
+    prior = {"q_hot": 1.5}
+    contended = adjudicate_pass(run, timings, spreads, prior,
+                                log=lambda m: None)
+    assert contended == ["q_hot"]
+    assert timings["q_hot"] == 11.5           # best observed, not prior
+    assert len(spreads["q_hot"]) == 4         # session min + 3 re-reps
+
+
+def test_alternating_order_across_suspects():
+    # two suspects alternate (q1 q2 q1 q2 ...) so one burst can't eat
+    # all of a single query's re-reps
+    calls = []
+
+    def run(name):
+        calls.append(name)
+        return 9.0 if len(calls) < 3 else 1.2
+
+    timings = {"q1": 10.0, "q2": 10.0}
+    prior = {"q1": 1.0, "q2": 1.0}
+    contended = adjudicate_pass(run, timings, {}, prior,
+                                log=lambda m: None)
+    assert contended == []
+    assert calls[:2] == ["q1", "q2"]          # alternating, not q1 q1
+
+
+def test_small_and_recordless_queries_are_not_suspects():
+    calls = []
+
+    def run(name):
+        calls.append(name)
+        return 0.1
+
+    # 0.9s vs 0.2s record is >2.5x but under the 1s absolute slack;
+    # q_new has no record at all; q_err failed (-1)
+    timings = {"q_small": 0.9, "q_new": 30.0, "q_err": -1.0}
+    prior = {"q_small": 0.2, "q_err": 1.0}
+    contended = adjudicate_pass(run, timings, {}, prior,
+                                log=lambda m: None)
+    assert contended == [] and calls == []
+
+
+def test_errored_rerep_keeps_session_value():
+    def run(name):
+        return -1.0
+
+    timings = {"q_hot": 12.0}
+    prior = {"q_hot": 1.5}
+    contended = adjudicate_pass(run, timings, {}, prior,
+                                log=lambda m: None)
+    # the re-rep itself failed: keep the session value, don't loop forever
+    assert timings["q_hot"] == 12.0 and contended == []

@@ -551,3 +551,20 @@ def test_semdedup_index_over_rest(ctx, spark, tmp_path):
     assert r.get_json()["rebuilt"] is True
     info = c.get(SEMTBL + "/indexes/sd").get_json()
     assert info["n_vectors"] == 2 and not info["stale"]
+
+    # ADVICE r14 validation walls: bad build params are a 400, not an
+    # IndexError-500 from inside kmeans_fit
+    for bad in ({"n_clusters": 0}, {"rounds": 0}, {"threshold": 1.5}):
+        body = {"name": "sd_bad", "kind": "semdedup",
+                "id_column": "vec_id", "vector_column": "embedding"}
+        body.update(bad)
+        r = _post(c, SEMTBL + "/indexes", body)
+        assert r.status_code == 400, (bad, r.get_json())
+    # duplicate submitted ids and float-truncating ids are caller bugs
+    assert _post(c, SEMTBL + "/indexes/sd/dedup",
+                 {"documents": [{"id": -1, "vector": vec(5)},
+                                {"id": -1, "vector": vec(50)}]}
+                 ).status_code == 400
+    assert _post(c, SEMTBL + "/indexes/sd/dedup",
+                 {"documents": [{"id": -1.7, "vector": vec(5)}]}
+                 ).status_code == 400

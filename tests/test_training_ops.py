@@ -847,6 +847,57 @@ def test_semdedup_index_lifecycle(spark, tmp_path):
         pass
 
 
+def test_semdedup_index_add_replay_idempotent(spark, tmp_path):
+    """ADVICE r14: a crash between add's two appends leaves a keeper in
+    survivors/ but not seen/; a replay of the same delta must (a)
+    re-verdict the keeper as KEEP (the stored self-copy never vetoes)
+    and (b) not append a duplicate survivor row."""
+    import math
+
+    from keboola_storage_duckdb_spark.functions.clustering import (
+        semdedup_index_build, semdedup_index_add)
+
+    def vec(deg):
+        a = math.radians(deg)
+        return [math.cos(a), math.sin(a)]
+
+    path = str(tmp_path / "semidx")
+    base = spark.createDataFrame(
+        [(1, vec(0))], "vec_id bigint, embedding array<double>")
+    semdedup_index_build(base, "vec_id", "embedding", path,
+                         k=1, rounds=2, threshold=0.9)
+    delta = spark.createDataFrame(
+        [(101, vec(90))], "vec_id bigint, embedding array<double>")
+    v1 = {r.id: r.keep for r in
+          semdedup_index_add(spark, path, delta, "vec_id",
+                             "embedding").collect()}
+    assert v1 == {101: True}
+    # replay the SAME delta (as after a crash before the seen/ append)
+    v2 = {r.id: r.keep for r in
+          semdedup_index_add(spark, path, delta, "vec_id",
+                             "embedding").collect()}
+    assert v2 == {101: True}              # not misreported as drop
+    rows = spark.read.parquet(path + "/survivors") \
+                     .filter("id = 101").count()
+    assert rows == 1                      # no duplicate survivor row
+
+
+def test_prototype_prune_rejects_bad_quota(spark):
+    import pytest as _pytest
+
+    from keboola_storage_duckdb_spark.functions.clustering import (
+        prototype_prune)
+
+    df = spark.createDataFrame([(1, [0.0, 1.0])],
+                               "id bigint, v array<double>")
+    with _pytest.raises(ValueError):
+        prototype_prune(df, "id", "v", keep_num=1, keep_den=0)
+    with _pytest.raises(ValueError):
+        prototype_prune(df, "id", "v", keep_num=-1, keep_den=2)
+    with _pytest.raises(ValueError):
+        prototype_prune(df, "id", "v", keep_num=3, keep_den=2)
+
+
 def test_stream_semdedup_add(spark, tmp_path):
     """Streaming SemDeDup ingestion (T83 streaming twin): micro-batched
     verdict-and-append against the frozen index — one fixed split is

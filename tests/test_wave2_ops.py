@@ -63,6 +63,19 @@ def test_connected_components_chain_converges(spark):
     assert len(got) == 13
 
 
+def test_connected_components_long_chain_needs_pointer_jump(spark):
+    # A 60-node path converges within max_iter=25 ONLY because pointer
+    # jumping (enabled from round jump_from=2) doubles label reach per
+    # round; plain min-propagation moves one hop per round.
+    from keboola_storage_duckdb_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"])
+    got = {r.id: r.cluster for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 61
+
+
 def test_pattern_counts_detects(spark):
     from keboola_storage_duckdb_spark.operators.profile import pattern_counts
 
