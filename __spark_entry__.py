@@ -1043,6 +1043,181 @@ SELECT doc_id AS id,
 FROM p"""
 
 
+def q_image_features_png(spark, sf_dir):
+    """REAL PNG decode, cross-engine checked (VERDICT r14 #3): build a
+    valid PNG per document — IHDR + a single IDAT whose zlib stream uses
+    ONE STORED deflate block (published RFC 1951 §3.2.4 layout: 2-byte
+    zlib header, 0x01 BFINAL/stored, LEN/NLEN, raw scanlines, Adler-32)
+    so the compressed size is exactly computable without a compressor —
+    then parse it back through the stdlib-zlib decoder
+    (functions/multimodal.py _decode_png via extract_image_features).
+    The DuckDB oracle PREDICTS n_bytes = 68 + h·(1+3w) plus every header
+    field from the construction; a decoder that misreads the chunk walk,
+    inflate framing, or IHDR hash-mismatches. Pixel-level unfiltering is
+    pinned separately by the round-trip pytest (all 5 filter types)."""
+    from keboola_storage_duckdb_spark.functions.multimodal import (
+        extract_image_features)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import hashlib
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def ck(ctype, body):
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", zlib.crc32(ctype + body)))
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 3 + len(text) % 4
+                h = 2 + int(doc_id) % 3
+                need = h * w * 3
+                d = hashlib.md5(text.encode("utf-8")).digest()
+                raster = (d * (need // 16 + 1))[:need]
+                raw = b"".join(
+                    b"\x00" + raster[y * w * 3:(y + 1) * w * 3]
+                    for y in range(h))
+                idat = (b"\x78\x01\x01"
+                        + struct.pack("<HH", len(raw), len(raw) ^ 0xFFFF)
+                        + raw + struct.pack(">I", zlib.adler32(raw)))
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                payloads.append(b"\x89PNG\r\n\x1a\n" + ck(b"IHDR", ihdr)
+                                + ck(b"IDAT", idat) + ck(b"IEND", b""))
+                ids.append(int(doc_id))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    built = docs.mapInPandas(build, schema="id long, payload binary")
+    feats = extract_image_features(built)
+    return feats.select("id", "n_bytes", "format", "width", "height",
+                        "channels", "decoded")
+
+
+_IMAGE_FEATURES_PNG_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         3 + length(text) % 4 AS w,
+         2 + doc_id % 3 AS h
+  FROM documents)
+SELECT doc_id AS id,
+       CAST(68 + h * (1 + 3 * w) AS INTEGER) AS n_bytes,
+       'png' AS format,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       TRUE AS decoded
+FROM p"""
+
+
+def _bpe_train_ctes(rounds: int) -> str:
+    """WITH RECURSIVE prologue that LEARNS ``rounds`` BPE merges in pure
+    SQL (the kmeans_fixed unrolled-training precedent, VERDICT r14 #4):
+    s{n} = vocabulary symbol sequences entering round n, t{n} = round n's
+    single most frequent adjacent pair (exact integer counts,
+    md5(l || US || r) tie-break — identical to functions/bpe.py), r{n} =
+    the left-to-right non-overlapping merge as a recursive scan carrying
+    (emitted prefix, pending symbol) per word. Ends at s{rounds+1}."""
+    regex = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+    parts = [f"""
+w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(text, '{regex}')) AS word
+        FROM documents)
+  GROUP BY word),
+s1 AS (SELECT word, freq, regexp_extract_all(word, '.') AS seq FROM w)"""]
+    for n in range(1, rounds + 1):
+        parts.append(f"""
+t{n} AS (
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT seq[i] AS a, seq[i + 1] AS b, freq
+        FROM s{n}, unnest(range(1, len(seq))) AS u(i))
+  GROUP BY a, b
+  ORDER BY cnt DESC, md5(a || chr(31) || b), a, b
+  LIMIT 1),
+r{n} AS (
+  SELECT word, freq, seq, 1 AS i, CAST([] AS VARCHAR[]) AS out,
+         CAST(NULL AS VARCHAR) AS pend, t{n}.a AS ma, t{n}.b AS mb
+  FROM s{n}, t{n}
+  UNION ALL
+  SELECT word, freq, seq, i + 1,
+         CASE WHEN pend IS NULL THEN out
+              WHEN pend = ma AND seq[i] = mb
+                THEN list_append(out, ma || mb)
+              ELSE list_append(out, pend) END,
+         CASE WHEN pend IS NULL THEN seq[i]
+              WHEN pend = ma AND seq[i] = mb THEN NULL
+              ELSE seq[i] END,
+         ma, mb
+  FROM r{n} WHERE i <= len(seq)),
+s{n + 1} AS (
+  SELECT word, freq,
+         CASE WHEN pend IS NULL THEN out
+              ELSE list_append(out, pend) END AS seq
+  FROM r{n} WHERE i = len(seq) + 1)""")
+    return "WITH RECURSIVE" + ",".join(parts)
+
+
+_BPE_ROUNDS = 3
+
+_BPE_TRAIN_SQL = _bpe_train_ctes(_BPE_ROUNDS) + "\n" + "\nUNION ALL\n".join(
+    f"SELECT CAST({n} AS INTEGER) AS rnd, a AS left_sym, b AS right_sym, "
+    f"a || b AS merged, cnt AS pair_count FROM t{n}"
+    for n in range(1, _BPE_ROUNDS + 1))
+
+_BPE_APPLY_SQL = _bpe_train_ctes(_BPE_ROUNDS) + f""",
+dw AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]') AS ws
+  FROM documents),
+per AS (
+  SELECT doc_id, i, ws[i] AS word
+  FROM dw, unnest(range(1, len(ws) + 1)) AS u(i)),
+j AS (
+  SELECT p.doc_id, p.i, v.seq
+  FROM per p JOIN s{_BPE_ROUNDS + 1} v ON v.word = p.word)
+SELECT doc_id AS id,
+       CAST(SUM(len(seq)) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list(array_to_string(seq, chr(31)) ORDER BY i),
+                           chr(31))) AS token_fp
+FROM j
+GROUP BY doc_id"""
+
+
+def q_bpe_train(spark, sf_dir):
+    """Deterministic BPE tokenizer TRAINING (VERDICT r14 #4,
+    functions/bpe.py — Sennrich et al. 2016): 3 fixed rounds of
+    top-pair merging over the documents word-frequency table, exact
+    integer counts, md5 tie-breaks. The DuckDB oracle re-learns the
+    same merges from scratch (unrolled rounds; the greedy merge scan is
+    a recursive CTE), so a divergence in pair counting, tie-breaking,
+    or merge application anywhere in the chain hash-mismatches."""
+    from keboola_storage_duckdb_spark.functions.bpe import bpe_train
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, "text", rounds=_BPE_ROUNDS)
+    return spark.createDataFrame(
+        [(m["rnd"], m["left_sym"], m["right_sym"], m["merged"],
+          m["pair_count"]) for m in merges],
+        "rnd int, left_sym string, right_sym string, merged string, "
+        "pair_count bigint")
+
+
+def q_bpe_apply(spark, sf_dir):
+    """Trained-tokenizer APPLY (VERDICT r14 #4): tokenize every document
+    under the 3 learned merges — exact per-doc token count plus an
+    order-sensitive md5 fingerprint of the full token stream, so the
+    oracle certifies the complete token SEQUENCE of every document, not
+    just counts."""
+    from keboola_storage_duckdb_spark.functions.bpe import (
+        bpe_apply, bpe_train)
+    docs = _t(spark, sf_dir, "documents")
+    _, vocab = bpe_train(docs, "text", rounds=_BPE_ROUNDS)
+    return bpe_apply(docs, "doc_id", "text", vocab)
+
+
 def _le_bytes_sql(expr: str, nbytes: int) -> str:
     """SQL expr: little-endian binary encoding of an int expression."""
     h = f"lpad(hex({expr}), {2 * nbytes}, '0')"
@@ -5011,6 +5186,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_estimate": q_minhash_estimate,      # parked r08 (green r07)
     "ann_topk_fold": q_ann_topk_fold,            # parked r08 (green r07)
     "image_features": q_image_features,          # parked r08 (green r07)
+    "image_features_png": q_image_features_png,  # NEW r15 (VERDICT #3)
+    "bpe_train": q_bpe_train,                    # NEW r15 (VERDICT #4)
+    "bpe_apply": q_bpe_apply,                    # NEW r15 (VERDICT #4)
     "audio_features": q_audio_features,          # parked r08 (green r07)
     "video_features": q_video_features,          # parked r08 (green r07)
     "near_dedup_keep": q_near_dedup_keep,        # parked r08 (green r07)
@@ -5318,6 +5496,9 @@ SELECT query_id, neighbor_id, adist, rank FROM pqtop""",
         "array_funcs": _ARRAY_FUNCS_SQL,
         "minhash_estimate": _minhash_estimate_sql(),
         "image_features": _IMAGE_FEATURES_SQL,
+        "image_features_png": _IMAGE_FEATURES_PNG_SQL,
+        "bpe_train": _BPE_TRAIN_SQL,
+        "bpe_apply": _BPE_APPLY_SQL,
         "audio_features": _AUDIO_FEATURES_SQL,
         "video_features": _VIDEO_FEATURES_SQL,
         "pivot_counts": _PIVOT_SQL,

@@ -82,23 +82,37 @@ def _exclusive_scan(rows: DataFrame, order_col: str,
 
 def pack_token_stream(docs: DataFrame, id_col: str, text_col: str,
                       max_len: int = 2048,
-                      partitions: int | None = None) -> DataFrame:
+                      partitions: int | None = None,
+                      token_counts: DataFrame | None = None) -> DataFrame:
     """Map each document to its span in the packed global token stream.
 
     Returns ``(doc_id, n_tokens, start_token, first_chunk, last_chunk,
     n_chunks)`` where chunks are ``max_len``-token context windows over
     the concatenation of all documents' BPE-ish tokens in ``id_col``
     order. Zero-token documents are excluded (they occupy no span).
+
+    ``token_counts`` (optional, VERDICT r14 #4): a precomputed
+    (id, n_tokens) frame — e.g. ``bpe.token_count_bpe`` under a TRAINED
+    tokenizer — replaces the regex-piece proxy so packed spans budget
+    real tokens.
     """
     spark = docs.sparkSession
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
-    toks = (docs.select(
-                F.col(id_col).alias("doc_id"),
-                F.size(F.regexp_extract_all(F.col(text_col),
-                                            F.lit(BPE_REGEX), F.lit(0)))
-                 .cast("long").alias("n_tokens"))
+    if token_counts is not None:
+        idc, cntc = token_counts.columns[:2]
+        toks = (token_counts.select(
+                    F.col(idc).alias("doc_id"),
+                    F.col(cntc).cast("long").alias("n_tokens"))
                 .filter(F.col("n_tokens") > 0))
+    else:
+        toks = (docs.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.size(F.regexp_extract_all(F.col(text_col),
+                                                F.lit(BPE_REGEX),
+                                                F.lit(0)))
+                     .cast("long").alias("n_tokens"))
+                    .filter(F.col("n_tokens") > 0))
 
     out = _exclusive_scan(toks, "doc_id", [], "n_tokens",
                           "pid int, off long", partitions, "start_token") \
