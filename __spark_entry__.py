@@ -4962,10 +4962,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_indexed": q_ann_pq_indexed,          # NEW r11: persisted PQ
     "ann_ivfpq_indexed": q_ann_ivfpq_indexed,    # NEW r11: persisted IVFPQ
     "ann_index_add": q_ann_index_add,            # NEW r11: incremental add
-    "ann_index_merge": q_ann_index_merge,        # NEW r11: shard merge
+    # r15 rotation (VERDICT r14 #6): bpe_apply takes ann_index_merge's
+    # slot — merge green r11-r14, lifecycle stays window-certified via
+    # ann_index_add/ann_index_delete; parked 51+.
+    "bpe_apply": q_bpe_apply,                    # NEW r15: trained tokenizer
     "epoch_plan": q_epoch_plan,                  # NEW r11: epoch composition
-    "ann_pq_indexed_lut": q_ann_pq_indexed_lut,  # NEW r11: LUT serving path
-    "ivfpq_rerank_indexed": q_ivfpq_rerank_indexed,  # NEW r11: persisted refine
+    # r15 rotation: the r9-r12-certified multimodal/span/sketch rows
+    # return to the window (their engine code was refactor-touched
+    # since last certification) in the slots of multiply-certified ANN
+    # variants whose arithmetic stays window-covered by siblings.
+    "image_features": q_image_features,          # re-certify r15 (r07-green)
+    "audio_features": q_audio_features,          # re-certify r15 (r07-green)
     "padding_waste": q_padding_waste,            # NEW r11: pad-vs-pack frame
     # r12 rotation: bfd_pack (rows-only — the r11 window burned slot 10
     # on a query the driver can only row-count) parks at 51+ per the
@@ -4980,15 +4987,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # path stays exercised by preview_orders' oracle arithmetic and the
     # engine e2e suite; parked 51+.
     "ann_index_delete": q_ann_index_delete,      # NEW r12: FAISS remove_ids
-    "ivfpq_rerank_recall": q_ivfpq_rerank_recall,  # NEW r10: refine value
-    "ann_ivfpq_residual": q_ann_ivfpq_residual,  # NEW r10: residual IVFPQ
-    "ann_pq_lut": q_ann_pq_lut,                  # NEW r10: LUT-form ADC
+    "video_features": q_video_features,          # re-certify r15 (r07-green)
+    "duplicate_spans": q_duplicate_spans,        # re-certify r15 (r07-r11)
+    "cut_spans": q_cut_spans,                    # re-certify r15 (r08-r10)
     # r09 rotation: ann_pq + pq_recall take the slots of ref_filter_in /
     # join_cust_orders_nation (both green r01-r08; their operators stay
     # sibling-certified: ref_filter_not_in r03-05, join_lineitem_part
     # r03-05 + set_ops/e2e) — parked at 51+
-    "ann_pq": q_ann_pq,                          # NEW r09: PQ compression ANN
-    "ann_ivfpq": q_ann_ivfpq,                    # NEW r10: composed IVFPQ
+    "hll_distinct": q_hll_distinct,              # re-certify r15 (r06-r13)
+    "bloom_membership": q_bloom_membership,      # re-certify r15 (r08-r11)
     "pq_recall": q_pq_recall,                    # NEW r09: PQ recall frame
     "upsert_update_duplicates": q_upsert_update_duplicates,
     "ann_sq8": q_ann_sq8,                        # NEW r10: scalar quantizer
@@ -5003,11 +5010,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # mapping/where/limit path stays exercised end-to-end by the engine
     # and driver-bridge suites; parked 51+.
     "minhash_dedup_incremental": q_minhash_dedup_incremental,  # NEW r12
-    "sq8_recall": q_sq8_recall,                  # NEW r10: SQ8 quality
+    "bottom_k_sample": q_bottom_k_sample,        # re-certify r15 (r06-r13)
     "temperature_mixture": q_temperature_mixture,  # NEW r10: √-temp mix
     "numeric_moments": q_numeric_moments,
     "quantiles": q_quantiles,
-    "ivfpq_recall": q_ivfpq_recall,              # NEW r10: e2e IVFPQ quality
+    "image_features_png": q_image_features_png,  # NEW r15: stdlib PNG decode
     "dedup_safe_split": q_dedup_safe_split,      # NEW r10: leakage-safe split
     # r12 rotation: ann_filtered_indexed (the filtered serving query,
     # VERDICT r11 #7) takes dedup_exact's slot — dedup_exact green
@@ -5026,7 +5033,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12 rotation: ann_ivf_kmeans takes ann_topk's slot — ann_topk
     # green r01-r11 and its oracle arithmetic stays pinned by the
     # parked twin ann_topk_fold (same SQL) + plan tests; parked at 51+.
-    "ann_ivf_kmeans": q_ann_ivf_kmeans,          # NEW r12: trained IVF
+    "bpe_train": q_bpe_train,                    # NEW r15: BPE training
     # r12 rotation (late): hybrid_recall takes token_length_profile's
     # slot — token_length_profile green r10-r11, its integer-stats
     # arithmetic stays window-certified inside padding_waste/epoch_plan;
@@ -5087,12 +5094,23 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- tail (51+): driver-green in r01-r09 CORRECTNESS records ----
     "ann_filtered": q_ann_filtered,              # parked r14 (green r08-r13;
     # filtered-ANN arithmetic window-certified via ann_filtered_indexed)
-    "hll_distinct": q_hll_distinct,              # parked r14 (green r06-r13;
-    # sketch family window-certified via cm_heavy_hitters + merge pytest)
+    # parked r15 (VERDICT r14 #6 rotation — all green r09-r14, each
+    # family still window-certified by an in-window sibling):
+    "ann_index_merge": q_ann_index_merge,        # add/delete stay in-window
+    "ann_pq_indexed_lut": q_ann_pq_indexed_lut,  # LUT via ann_ivfpq_indexed_lut
+    "ivfpq_rerank_indexed": q_ivfpq_rerank_indexed,  # refine via ivfpq_rerank
+    "ivfpq_rerank_recall": q_ivfpq_rerank_recall,  # recall frames: pq_recall,
+    # ivf_kmeans_recall, hybrid_recall stay in-window
+    "ann_ivfpq_residual": q_ann_ivfpq_residual,  # via ann_residual_indexed
+    "ann_pq_lut": q_ann_pq_lut,                  # via ann_ivfpq_indexed_lut
+    "ann_pq": q_ann_pq,                          # via ann_pq_indexed
+    "ann_ivfpq": q_ann_ivfpq,                    # via ann_ivfpq_indexed
+    "sq8_recall": q_sq8_recall,                  # via ann_sq8/ann_sq8_indexed
+    "ivfpq_recall": q_ivfpq_recall,              # via pq_recall + rerank
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,          # via ivf_kmeans_recall +
+    # ann_ivfpq_kmeans_indexed
     "pack_sequences": q_pack_sequences,          # parked r14 (green r07-r13;
     # the exclusive-scan packing stays window-certified inside epoch_plan)
-    "bottom_k_sample": q_bottom_k_sample,        # parked r14 (green r06-r13;
-    # the bottom-k draw stays window-certified inside temperature_mixture)
     "quota_sample": q_quota_sample,              # parked r11 (green r08-r10)
     "token_quota_sample": q_token_quota_sample,  # parked r11 (green r08-r10)
     "kmeans_fixed": q_kmeans_fixed,              # parked r11 (green r08-r10)
@@ -5104,7 +5122,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,                      # parked r12 (green r01-r11;
     # oracle shared with parked ann_topk_fold)
     "ivf_recall": q_ivf_recall,                  # parked r12 (green r08-r11)
-    "bloom_membership": q_bloom_membership,      # parked r12 (green r08-r11)
     "export_projection": q_export_projection,    # parked r12 (green r01-r11)
     "corpus_shards": q_corpus_shards,            # parked r12 (green r08-r11;
     # md5 shuffle/shard arithmetic stays window-certified in epoch_plan)
@@ -5115,11 +5132,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_quality": q_encoding_quality,      # parked r12 (green r08-r11)
     "sessionize": q_sessionize,                  # parked r12 (green r01-r11;
     # streaming batch-equal pytest keeps the operator pinned)
-    "duplicate_spans": q_duplicate_spans,        # parked r12 (green r07-r11)
     "quality_verdict": q_quality_verdict,        # parked r11 (green r08-r10)
     "decontaminate_cut": q_decontaminate_cut,    # parked r11 (green r08-r10)
     "dedup_rate": q_dedup_rate,                  # parked r11 (green r08-r10)
-    "cut_spans": q_cut_spans,                    # parked r11 (green r08-r10)
     "weighted_sample": q_weighted_sample,        # parked r11 (green r08-r10)
     "boilerplate_strings": q_boilerplate_strings,  # parked r11 (green r08-r10)
     "dedup_cut_keep_first": q_dedup_cut_keep_first,  # parked r11 (green r08-r10)
@@ -5185,12 +5200,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivors": q_dedup_survivors,        # parked r08 (green r07)
     "minhash_estimate": q_minhash_estimate,      # parked r08 (green r07)
     "ann_topk_fold": q_ann_topk_fold,            # parked r08 (green r07)
-    "image_features": q_image_features,          # parked r08 (green r07)
-    "image_features_png": q_image_features_png,  # NEW r15 (VERDICT #3)
-    "bpe_train": q_bpe_train,                    # NEW r15 (VERDICT #4)
-    "bpe_apply": q_bpe_apply,                    # NEW r15 (VERDICT #4)
-    "audio_features": q_audio_features,          # parked r08 (green r07)
-    "video_features": q_video_features,          # parked r08 (green r07)
     "near_dedup_keep": q_near_dedup_keep,        # parked r08 (green r07)
     "kmeans": q_kmeans,                          # rows-only iterative; its
     # arithmetic is hash-certified via kmeans_fixed (slot 34); parking it

@@ -257,7 +257,8 @@ def approx_distinct_counts(df: DataFrame, cols: list[str],
 
 def profile_table(df: DataFrame, max_corr_cols: int = 10,
                   corr_threshold: float = 0.3, top_corr: int = 20,
-                  approx_distinct: bool = False) -> dict:
+                  approx_distinct: bool = False,
+                  cache_scans: bool = True) -> dict:
     """Full profile: per-column stats, pattern detection, correlations,
     quality score. Bounded passes over the data; only aggregate scalars are
     collected to the driver.
@@ -338,12 +339,23 @@ def profile_table(df: DataFrame, max_corr_cols: int = 10,
         # histogram scan + one selection scan with LITERAL ranges (no
         # joins); its own stats job is skipped by injecting job 1's
         # counts/ranges ----
+        # r15 (VERDICT r14 #7): the quantile engine's two passes + the
+        # outlier/corr agg re-scanned the parquet 3×; cache the NUMERIC
+        # projection once (disk-spillable — never OOMs a big table;
+        # narrow: strings stay out) and let all three read it. 10×
+        # A/B'd: see NOTES r15. ``cache_scans=False`` opts out when even
+        # the numeric projection shouldn't hit local disks (a one-shot
+        # profile of a petabyte table on small executors).
+        num_df = df.select(*num_cols) if num_cols else None
+        if num_df is not None and cache_scans:
+            from pyspark import StorageLevel
+            num_df = num_df.persist(StorageLevel.MEMORY_AND_DISK)
         if num_cols:
             from .quantiles import exact_quantiles
             pre = {c: (row1[f"nn__{c}"], row1[f"nan__{c}"],
                        row1[f"qmin__{c}"], row1[f"qmax__{c}"])
                    for c in num_cols}
-            qvals = exact_quantiles(df, num_cols, list(QUANTILE_PROBS),
+            qvals = exact_quantiles(num_df, num_cols, list(QUANTILE_PROBS),
                                     precomputed_stats=pre)
             for c in num_cols:
                 row1[f"q__{c}"] = qvals[c] if any(
@@ -370,8 +382,11 @@ def profile_table(df: DataFrame, max_corr_cols: int = 10,
         for b in corr_cols[i + 1:]:
             cexprs.append(F.corr(F.col(a).cast("double"), F.col(b).cast("double"))
                            .alias(f"corr__{a}__{b}"))
-    row34 = (df.agg(*oexprs, *cexprs).collect()[0].asDict()
+    src34 = num_df if num_df is not None else df
+    row34 = (src34.agg(*oexprs, *cexprs).collect()[0].asDict()
              if (oexprs or cexprs) else {})
+    if num_df is not None and cache_scans:
+        num_df.unpersist(blocking=False)
     row3 = row34
     row4 = {k: v for k, v in row34.items() if k.startswith("corr__")}
     correlations = []

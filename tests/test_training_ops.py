@@ -676,6 +676,37 @@ def test_cosine_near_dup_unblocked_gate_still_raises(spark):
                               unblocked_limit=10).collect()
 
 
+def test_cosine_tiled_selfjoin_equals_broadcast(spark):
+    """VERDICT r14 #5: past the broadcast bound the unblocked candidate
+    stage runs as a tile-pair self-join with no driver collect — output
+    must equal the broadcast-GEMM path row for row (the verify stage is
+    shared, so this pins candidate COMPLETENESS and uniqueness)."""
+    import math
+
+    from keboola_storage_duckdb_spark.functions.similarity import (
+        _cosine_candidate_pairs_tiled, cosine_near_dup_pairs)
+
+    rows = [(i, [math.cos(math.radians(3.0 * (i % 7))),
+                 math.sin(math.radians(3.0 * (i % 7)))])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    broad = sorted(tuple(r) for r in cosine_near_dup_pairs(
+        df, "vec_id", "embedding", 0.999).collect())
+    tiled = sorted(tuple(r) for r in cosine_near_dup_pairs(
+        df, "vec_id", "embedding", 0.999,
+        blocked_gemm_limit=10).collect())
+    assert broad == tiled and len(broad) > 0
+
+    # candidate stage alone: many tiny tiles, each unordered pair once
+    cand = _cosine_candidate_pairs_tiled(df, "vec_id", "embedding",
+                                         0.999, rows_per_tile=7).collect()
+    pairs = [(r.id_a, r.id_b) for r in cand]
+    assert len(pairs) == len(set(pairs))       # no duplicate emission
+    assert all(a < b for a, b in pairs)        # normalized order
+    confirmed = {(a, b) for a, b, _ in broad}
+    assert confirmed <= set(pairs)             # sound over-approximation
+
+
 def test_simhash_dedup_keep_survivor_semantics(docs):
     """The survivor form must keep exactly one doc per SimHash cluster
     (the min id), mark the rest keep=False, give singletons their own
