@@ -42,6 +42,32 @@ PATTERNS: dict[str, str] = {
 }
 PATTERN_MATCH_THRESHOLD = 0.9  # share of non-null values that must match
 
+
+def pattern_prefilter(c, name: str):
+    """A cheap condition NECESSARILY implied by ``PATTERNS[name]`` (length
+    bounds / required literal), placed left of the rlike so codegen's
+    short-circuiting And skips the regex on the vast majority of
+    non-matching rows. Counts are provably unchanged — each prefilter is
+    entailed by its pattern (uuid is exactly 36 chars, emails contain
+    '@', "0.0.0.0"–"255.255.255.255" spans 7–15 chars, …). This is where
+    the 10× profile wall lived (r15, VERDICT r14 #7): the mega-agg ran
+    |string cols| × |patterns| full regex execs per row."""
+    if name == "email":
+        return c.contains("@")
+    if name == "uuid":
+        return F.length(c) == 36
+    if name == "url":
+        return c.startswith("http")
+    if name == "phone":
+        return F.length(c) >= 7
+    if name == "ipv4":
+        return (F.length(c) >= 7) & (F.length(c) <= 15)
+    if name == "date_iso":
+        return F.length(c) == 10
+    if name == "datetime_iso":
+        return F.length(c) >= 16
+    return F.lit(True)
+
 NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                  T.FloatType, T.DoubleType, T.DecimalType)
 STRING_TYPES = (T.StringType,)
@@ -258,7 +284,7 @@ def approx_distinct_counts(df: DataFrame, cols: list[str],
 def profile_table(df: DataFrame, max_corr_cols: int = 10,
                   corr_threshold: float = 0.3, top_corr: int = 20,
                   approx_distinct: bool = False,
-                  cache_scans: bool = True) -> dict:
+                  cache_scans: bool = False) -> dict:
     """Full profile: per-column stats, pattern detection, correlations,
     quality score. Bounded passes over the data; only aggregate scalars are
     collected to the driver.
@@ -312,7 +338,9 @@ def profile_table(df: DataFrame, max_corr_cols: int = 10,
                   F.min(F.length(c)).alias(f"lmin__{c}"),
                   F.max(F.length(c)).alias(f"lmax__{c}")]
         for pname, pat in PATTERNS.items():
-            exprs.append(F.count(F.when(F.col(c).rlike(pat), 1)).alias(f"pat__{pname}__{c}"))
+            exprs.append(F.count(F.when(
+                pattern_prefilter(F.col(c), pname) & F.col(c).rlike(pat),
+                1)).alias(f"pat__{pname}__{c}"))
     # jobs 1+2 are independent — submit the distinct-count agg from a
     # worker thread so the Spark scheduler interleaves both jobs' stages
     # (their stages leave cores idle at the tails; overlapping measured
@@ -339,13 +367,16 @@ def profile_table(df: DataFrame, max_corr_cols: int = 10,
         # histogram scan + one selection scan with LITERAL ranges (no
         # joins); its own stats job is skipped by injecting job 1's
         # counts/ranges ----
-        # r15 (VERDICT r14 #7): the quantile engine's two passes + the
-        # outlier/corr agg re-scanned the parquet 3×; cache the NUMERIC
-        # projection once (disk-spillable — never OOMs a big table;
-        # narrow: strings stay out) and let all three read it. 10×
-        # A/B'd: see NOTES r15. ``cache_scans=False`` opts out when even
-        # the numeric projection shouldn't hit local disks (a one-shot
-        # profile of a petabyte table on small executors).
+        # cache_scans=True persists the numeric projection across the
+        # quantile engine's two passes + the outlier/corr agg. A/B-REFUTED
+        # as a default at 10× (r15, VERDICT r14 #7): each stage alone is
+        # ~2× faster on the cache (isolated probes), but the composition
+        # LOSES — warm profile 29 s cached vs 22 s uncached, first call
+        # 173 s vs 66 s — because the cache build serializes the pipeline
+        # the thread-overlapped parquet jobs otherwise interleave. The
+        # real 10× wall was the mega-agg's regex counts (fixed via
+        # pattern_prefilter). Kept as an opt-in for deployments whose
+        # scan is genuinely expensive (remote object store).
         num_df = df.select(*num_cols) if num_cols else None
         if num_df is not None and cache_scans:
             from pyspark import StorageLevel
@@ -498,8 +529,9 @@ def pattern_counts(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
         for pname, pat in PATTERNS.items():
-            aggs.append(F.count(F.when(F.col(c).rlike(pat), 1))
-                         .alias(f"m_{c}_{pname}"))
+            aggs.append(F.count(F.when(
+                pattern_prefilter(F.col(c), pname) & F.col(c).rlike(pat),
+                1)).alias(f"m_{c}_{pname}"))
     one = df.agg(*aggs)
     parts = ", ".join(
         f"'{c}', '{p}', nn_{c}, m_{c}_{p}, "
