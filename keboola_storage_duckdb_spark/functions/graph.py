@@ -28,10 +28,58 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cc_driver(edges: DataFrame, a: str, b: str, rows: list) -> DataFrame:
+    """Driver union-find for SMALL edge lists (caller has proven the
+    bound): near-dup graphs at bench scale are a few hundred edges, where
+    every distributed label round costs a full multi-stage job — the
+    same per-job floor the profiler/quantile engines dodge with bounded
+    driver scalars. Output is IDENTICAL to the label-propagation loop
+    (components labeled by min member; Python string comparison is
+    code-point order, which equals Spark's UTF8 binary order)."""
+    from pyspark.sql import types as T
+
+    id_type = edges.schema[a].dataType
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        x, y = r[0], r[1]
+        for v in (x, y):
+            if v not in parent:
+                parent[v] = v
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        m = comp_min.get(r)
+        comp_min[r] = v if m is None or v < m else m
+    out = [(v, comp_min[find(v)]) for v in parent]
+    schema = T.StructType([T.StructField("id", id_type),
+                           T.StructField("cluster", id_type)])
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b",
-                         max_iter: int = 25, jump_from: int = 2) -> DataFrame:
+                         max_iter: int = 25, jump_from: int = 2,
+                         driver_limit: int = 100_000) -> DataFrame:
     """(id, cluster) for every vertex appearing in ``edges``; ``cluster`` is
     the minimum vertex id of the component. Deterministic.
+
+    Edge lists under ``driver_limit`` rows (checked with a bounded
+    ``limit(n+1).count()`` — one cheap action) run as a driver
+    union-find: a 500-edge dedup graph costs milliseconds there vs one
+    full Spark job per label round (r15; this, not the round count, was
+    the minhash_dedup_keep floor). Distributed label propagation takes
+    over past the bound — a 100 TB near-dup graph's edges never collect.
 
     Each round costs exactly ONE Spark action: the previous label is carried
     through the min-aggregation as an ``old`` column, the round's frame is
@@ -50,6 +98,13 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b",
     before it kicks in; chain-ish rep graphs (simhash star-spanning) still
     get the doubling once plain propagation proves slow.
     """
+    if driver_limit:
+        # ONE bounded action: probe and (if small) fetch in the same
+        # collect — the edge pipeline upstream (LSH verify, simhash
+        # stars) is the expensive part, never materialize it twice.
+        rows = edges.select(a, b).limit(driver_limit + 1).collect()
+        if len(rows) <= driver_limit:
+            return _cc_driver(edges, a, b, rows)
     und = (edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
                 .unionByName(
                edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
