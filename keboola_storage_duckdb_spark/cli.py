@@ -455,7 +455,9 @@ def cmd_tables_optimize(args):
 
 
 def cmd_indexes_create(args):
-    body = {"name": args.name, "id_column": args.id_column,
+    if args.kind != "bpe" and not args.id_column:
+        raise SystemExit("--id-column is required for kind != bpe")
+    body = {"name": args.name, "id_column": args.id_column or "",
             "kind": args.kind, "m": args.m, "ksub": args.ksub,
             "dim": args.dim, "n_clusters": args.n_clusters,
             "rounds": args.rounds, "threshold": args.threshold}
@@ -492,6 +494,21 @@ def cmd_indexes_dedup(args):
     rows = [[h["id"], h["duplicate_of"], round(h["jaccard"], 4)]
             for h in res["hits"]]
     print_table(["Doc", "Duplicate of", "Jaccard"], rows)
+
+
+def cmd_indexes_tokenize(args):
+    raw = args.documents
+    if not raw.lstrip().startswith(("[", "{")):       # a path, not JSON
+        raw = Path(raw).read_text()
+    res = _client(args).post(
+        f"{_tbl_base(args)}/{args.table}/indexes/{args.name}/tokenize",
+        {"documents": json.loads(raw)})
+    if args.json:
+        print_json(res)
+        return
+    rows = [[d["id"], d["n_tokens"], " ".join(d["tokens"])]
+            for d in res["documents"]]
+    print_table(["Doc", "Tokens", "Sequence"], rows)
 
 
 def cmd_indexes_list(args):
@@ -744,12 +761,14 @@ def build_parser() -> argparse.ArgumentParser:
         return s
 
     s = index_parser("create", cmd_indexes_create)
-    s.add_argument("--id-column", required=True)
+    s.add_argument("--id-column",
+                   help="row id column (required for every kind except "
+                        "bpe — a tokenizer trains on text alone)")
     s.add_argument("--vector-column")
     s.add_argument("--text-column",
-                   help="text column for kind=minhash (dedup index)")
+                   help="text column for kind=minhash/bpe")
     s.add_argument("--kind", default="pq",
-                   choices=["pq", "sq8", "minhash", "semdedup"])
+                   choices=["pq", "sq8", "minhash", "semdedup", "bpe"])
     s.add_argument("--label-column",
                    help="IVF label column (pq only): posting lists as "
                         "parquet partitions, nprobe routing at search")
@@ -774,6 +793,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--k", type=int, default=5)
     s.add_argument("--nprobe", type=int)
     s.add_argument("--filter-labels", help="JSON list of allowed labels")
+    s = index_parser("tokenize", cmd_indexes_tokenize)
+    s.add_argument("--documents", required=True,
+                   help="JSON file or inline JSON: "
+                        '[{"id": ..., "text": "..."}, ...]')
     s = index_parser("dedup", cmd_indexes_dedup)
     s.add_argument("--documents", required=True,
                    help="JSON file or inline JSON: "

@@ -446,12 +446,15 @@ class StorageEngine:
         if os.path.exists(path):
             raise AlreadyExistsError(f"index {name} exists on {table}")
         df = self.read_table(project, bucket, table)
-        data_col = text_column if kind == "minhash" else vector_column
+        data_col = text_column if kind in ("minhash", "bpe") \
+            else vector_column
         if data_col is None:
             raise CatalogError(
-                "text_column is required for kind=minhash" if
-                kind == "minhash" else "vector_column is required")
-        need = [id_column, data_col] + (
+                f"text_column is required for kind={kind}" if
+                kind in ("minhash", "bpe") else
+                "vector_column is required")
+        # a tokenizer trains on text alone — no id/key involved
+        need = ([id_column] if kind != "bpe" else []) + [data_col] + (
             [label_column] if label_column else [])
         missing = [c for c in need if c not in df.columns]
         if missing:
@@ -490,9 +493,18 @@ class StorageEngine:
                 meta = CL.semdedup_index_build(
                     df, id_column, vector_column, path, k=n_clusters,
                     rounds=rounds, threshold=float(threshold))
+            elif kind == "bpe":
+                from .functions import bpe as BP
+                if label_column:
+                    raise CatalogError("bpe tokenizers have no labels")
+                if rounds < 1:
+                    raise CatalogError("rounds must be >= 1")
+                meta = BP.bpe_index_build(df, text_column, path,
+                                          rounds=rounds)
             else:
                 raise CatalogError(f"unknown index kind: {kind!r} "
-                                   "(pq | sq8 | minhash | semdedup)")
+                                   "(pq | sq8 | minhash | semdedup | "
+                                   "bpe)")
             meta.update({"index_name": name,
                          "index_kind": kind,
                          "id_column": id_column,
@@ -543,6 +555,11 @@ class StorageEngine:
             # staleness still compares built_rows (everything processed)
             n_rows = self.spark.read.parquet(
                 os.path.join(path, "survivors")).count()
+        elif kind == "bpe":
+            # n_vectors = cached vocabulary size (the serving cache;
+            # the tokenizer itself is the frozen merge list in meta)
+            n_rows = self.spark.read.parquet(
+                os.path.join(path, "vocab")).count()
         else:
             n_rows = idx.codes(self.spark).count()
         tbl_df = self.read_table(project, bucket, table)
@@ -560,6 +577,9 @@ class StorageEngine:
                 "table_rows": current,
                 "stale": (idx.meta.get("built_rows") is not None
                           and current != idx.meta.get("built_rows"))}
+        if kind == "bpe":
+            info["n_merges"] = idx.meta.get("n_merges")
+            info["rounds"] = idx.meta.get("rounds")
         if idx.meta.get("label_col"):
             r = AI.ivf_list_stats(self.spark, idx).collect()[0]
             info["n_lists"] = r["n_lists"]
@@ -606,6 +626,9 @@ class StorageEngine:
                 return self._refresh_semdedup_index(project, bucket,
                                                     table, name, path,
                                                     idx.meta)
+            if idx.meta.get("index_kind") == "bpe":
+                return self._refresh_bpe_index(project, bucket, table,
+                                               name, path, idx.meta)
             id_col = idx.meta["id_column"]
             vec_col = idx.meta["vector_column"]
             df = self.read_table(project, bucket, table)
@@ -690,6 +713,45 @@ class StorageEngine:
         self._log("refresh_index", project=project, bucket=bucket,
                   table=table, name=name, added=added, deleted=deleted)
         return {"added": added, "deleted": deleted,
+                "table_rows": rows, "stale": False}
+
+    def _refresh_bpe_index(self, project: str, bucket: str, table: str,
+                           name: str, path: str, meta: dict) -> dict:
+        """Bpe-kind refresh (caller holds the table lock): the MERGES
+        never change — a tokenizer is a frozen artifact by contract
+        (retraining is ``rebuild_index``, a deliberate version bump).
+        Refresh only extends the vocab/ serving cache: words the current
+        table contains that the cache has never tokenized get their
+        sequences under the stored merges and append (with their current
+        corpus frequency). Stale cache entries for vanished words are
+        harmless (it is a cache keyed by word, not corpus state) and are
+        kept; ``built_rows`` resyncs so staleness clears."""
+        import os
+
+        from .functions import ann_index as AI
+        from .functions import bpe as BP
+
+        text_col = meta["text_column"]
+        df = self.read_table(project, bucket, table)
+        stored = self.spark.read.parquet(os.path.join(path, "vocab"))
+        freqs = BP.word_frequencies(df, text_col)
+        new_words = freqs.join(stored.select("word"), "word",
+                               "left_anti").localCheckpoint()
+        added = new_words.count()
+        if added:
+            merges = [tuple(m) for m in meta["merges"]]
+            seqs = BP.apply_merges_to_words(
+                new_words.select("word"), merges)
+            (new_words.join(seqs, "word")
+                      .select("word", "freq", "seq")
+                      .write.mode("append")
+                      .parquet(os.path.join(path, "vocab")))
+        rows = df.count()
+        meta["built_rows"] = rows
+        AI._write_meta(path, meta)
+        self._log("refresh_index", project=project, bucket=bucket,
+                  table=table, name=name, added=added, deleted=0)
+        return {"added": added, "deleted": 0,
                 "table_rows": rows, "stale": False}
 
     def _refresh_semdedup_index(self, project: str, bucket: str,
@@ -813,6 +875,11 @@ class StorageEngine:
                     df, meta["id_column"], meta["vector_column"], path,
                     k=meta["k"], rounds=meta["rounds"],
                     threshold=meta["threshold"])
+            elif kind == "bpe":
+                from .functions import bpe as BP
+                new_meta = BP.bpe_index_build(
+                    df, meta["text_column"], path,
+                    rounds=meta["rounds"])
             else:
                 new_meta = AI.pq_index_build(
                     df, meta["id_column"], meta["vector_column"], path,
@@ -912,6 +979,77 @@ class StorageEngine:
                  "jaccard": r.jaccard}
                 for r in out.collect()]
 
+    def tokenize_check(self, project: str, bucket: str, table: str,
+                       name: str, documents: list,
+                       max_documents: int = 1024) -> list[dict]:
+        """Tokenize ad-hoc documents under a stored bpe tokenizer (the
+        dedup_check shape for the tokenizer kind): each submitted
+        ``{"id": ..., "text": ...}`` returns its full token sequence and
+        count under the FROZEN merges — in-vocab words serve from the
+        cache, unseen words tokenize through the stored merge list. The
+        per-document reassembly is driver-side over the (bounded)
+        submitted set; the word-level tokenization runs in Spark."""
+        import re as _re
+
+        from .functions import ann_index as AI
+        from .functions import bpe as BP
+        from .functions.text import BPE_REGEX
+
+        path = self._index_path(project, bucket, table, name,
+                                must_exist=True)
+        meta = AI.pq_index_load(self.spark, path).meta
+        if meta.get("index_kind") != "bpe":
+            raise CatalogError(
+                "tokenize needs a bpe tokenizer index — this one is "
+                f"{meta.get('index_kind', 'pq')!r}")
+        if not documents:
+            raise CatalogError("documents must be a non-empty list")
+        if len(documents) > max_documents:
+            raise CatalogError(
+                f"document count {len(documents)} exceeds "
+                f"{max_documents} — batch the requests")
+        try:
+            ids = [d["id"] for d in documents]
+            if any(isinstance(i, float) and not i.is_integer()
+                   for i in ids):
+                raise CatalogError(
+                    "document ids must be integral (a float id "
+                    "would be silently truncated)")
+            rows = [(int(d["id"]), str(d["text"])) for d in documents]
+        except (TypeError, KeyError, ValueError):
+            raise CatalogError(
+                "each document needs {'id': ..., 'text': ...}")
+        if len({r[0] for r in rows}) != len(rows):
+            raise CatalogError("duplicate document ids in one request")
+        merges = [tuple(m) for m in
+                  BP.bpe_index_load(self.spark, path)["merges"]]
+        ddf = self.spark.createDataFrame(rows,
+                                         "doc_id bigint, text string")
+        words = (ddf.select(F.explode(F.regexp_extract_all(
+                     F.col("text"), F.lit(BPE_REGEX), F.lit(0)))
+                     .alias("word")).distinct())
+        stored = self.spark.read.parquet(
+            os.path.join(path, "vocab")).select("word", "seq")
+        cached = words.join(stored, "word")
+        fresh = BP.apply_merges_to_words(
+            words.join(stored.select("word"), "word", "left_anti"),
+            merges)
+        seq_map = {r["word"]: list(r["seq"]) for r in
+                   cached.unionByName(fresh).collect()}
+        # re.ASCII pins \s to [ \t\n\r\f\x0B] == Java's ASCII \s, so the
+        # driver-side pre-tokenization matches the engine regex exactly
+        rx = _re.compile(BPE_REGEX, _re.ASCII)
+        out = []
+        for did, text in rows:
+            toks: list[str] = []
+            for w in rx.findall(text):
+                toks.extend(seq_map.get(w, list(w)))
+            out.append({"id": did, "n_tokens": len(toks),
+                        "tokens": toks})
+        self._log("tokenize_check", project=project, bucket=bucket,
+                  table=table, name=name, documents=len(rows))
+        return sorted(out, key=lambda d: d["id"])
+
     def compact_index(self, project: str, bucket: str, table: str,
                       name: str, max_files: int = 4) -> dict:
         from .functions import ann_index as AI
@@ -920,10 +1058,11 @@ class StorageEngine:
                                 must_exist=True)
         with self.catalog.acquire(project, bucket, table):
             if AI.pq_index_load(self.spark, path).meta.get(
-                    "index_kind") in ("minhash", "semdedup"):
+                    "index_kind") in ("minhash", "semdedup", "bpe"):
                 raise CatalogError(
                     "compact targets the posting-list layout of vector "
-                    "indexes; rebuild or refresh a dedup index")
+                    "indexes; rebuild or refresh a dedup/tokenizer "
+                    "index")
             report = AI.pq_index_compact(self.spark, path,
                                          max_files=max_files)
         self._log("compact_index", project=project, bucket=bucket,
@@ -950,6 +1089,9 @@ class StorageEngine:
         idx = AI.pq_index_load(self.spark, path)
         if idx.meta.get("index_kind") in ("minhash", "semdedup"):
             raise CatalogError("a dedup index answers dedup_check, "
+                               "not vector search")
+        if idx.meta.get("index_kind") == "bpe":
+            raise CatalogError("a bpe tokenizer answers tokenize, "
                                "not vector search")
         if not queries:
             raise CatalogError("queries must be a non-empty list")

@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 from .text import BPE_REGEX
 
 __all__ = ["word_frequencies", "bpe_train", "bpe_apply",
-           "token_count_bpe", "US"]
+           "token_count_bpe", "apply_merges_to_words",
+           "bpe_index_build", "bpe_index_load", "bpe_index_apply", "US"]
 
 # Unit separator: joins symbols for tie-break hashing and token
 # fingerprints. Word-piece tokens never contain it; a pathological corpus
@@ -175,6 +176,124 @@ def bpe_apply(docs: DataFrame, id_col: str, text_col: str,
                              F.struct("pos", "ts"))),
                          lambda s: s["ts"]),
                      US)).alias("token_fp")))
+
+
+# The JVM aggregate-fold merge chain nests one lambda per merge; past a
+# handful of rounds the expression tree risks the measured Janino
+# depth cliff (NOTES r14: literal when-chains compile at 12, blow at
+# 16 → 36× interpreted fallback). Production tokenizers carry
+# thousands of merges, so the word-level apply switches to an
+# Arrow-batched map over the DISTINCT-WORD table past this bound —
+# vocabulary-bounded, never corpus-bounded, so the no-UDF-in-hot-path
+# rule holds (the corpus-side work stays a hash join either way).
+_MERGE_FOLD_MAX = 8
+
+
+def apply_merges_to_words(words: DataFrame,
+                          merges: list[tuple[str, str]],
+                          fold_limit: int = _MERGE_FOLD_MAX) -> DataFrame:
+    """(word) → (word, seq) under a FROZEN merge list applied in learned
+    order. JVM fold chain for small merge lists (the oracle-parity
+    path); Arrow ``mapInPandas`` with the broadcast merge list past
+    ``fold_limit`` (bit-equal to the fold — pinned by pytest; Python
+    ``list(str)`` splits code points exactly like ``F.split(col, '')``)."""
+    if len(merges) <= fold_limit:
+        out = words.select("word", F.split("word", "").alias("seq"))
+        for left, right in merges:
+            out = out.select(
+                "word", _apply_merge(F.col("seq"), left, right)
+                .alias("seq"))
+        return out
+    ms = [(str(left), str(right)) for left, right in merges]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            seqs = []
+            for w in pdf["word"]:
+                seq = list(w)
+                for left, right in ms:
+                    out0: list = []
+                    pend = None
+                    for cur in seq:
+                        if pend is None:
+                            pend = cur
+                        elif pend == left and cur == right:
+                            out0.append(left + right)
+                            pend = None
+                        else:
+                            out0.append(pend)
+                            pend = cur
+                    if pend is not None:
+                        out0.append(pend)
+                    seq = out0
+                seqs.append(seq)
+            yield pd.DataFrame({"word": pdf["word"], "seq": seqs})
+
+    return words.select("word").mapInPandas(
+        gen, schema="word string, seq array<string>")
+
+
+def bpe_index_build(docs: DataFrame, text_col: str, path: str,
+                    rounds: int = 3,
+                    fingerprint: str | None = None) -> dict:
+    """Persist a TRAINED tokenizer as a storage artifact (the
+    frozen-codebook discipline of ann_index/minhash_index — a training
+    pipeline versions its tokenizer and applies the SAME merges to every
+    corpus delta forever): ``meta.json`` holds the ordered merge list
+    (the tokenizer's entire definition — any text tokenizes from it
+    alone); ``vocab/`` caches the training vocabulary's tokenizations so
+    applying to the training corpus never re-derives them. Atomic
+    staging swap."""
+    import os
+
+    from .ann_index import _make_staging, _publish, _write_meta
+
+    staging = _make_staging(path)
+    merges, vocab = bpe_train(docs, text_col, rounds=rounds)
+    vocab.select("word", "freq", "seq").write.mode("overwrite") \
+         .parquet(os.path.join(staging, "vocab"))
+    meta = {"kind": "bpe", "rounds": rounds, "n_merges": len(merges),
+            "merges": [[m["left_sym"], m["right_sym"]] for m in merges],
+            "pair_counts": [m["pair_count"] for m in merges],
+            "fingerprint": fingerprint}
+    _write_meta(staging, meta)
+    _publish(staging, path)
+    return meta
+
+
+def bpe_index_load(spark, path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("kind") not in ("bpe",) and \
+            meta.get("index_kind") != "bpe":
+        raise ValueError(f"not a bpe tokenizer artifact: {path}")
+    return meta
+
+
+def bpe_index_apply(spark, path: str, docs: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
+    """Tokenize ANY document set under the stored frozen merges:
+    out-of-vocabulary words (corpus drift — the reason tokenizers are
+    frozen artifacts) tokenize through the same merge list in learned
+    order, in-vocabulary words serve from the cached tokenizations.
+    Returns ``(id, n_tokens, token_fp)`` like :func:`bpe_apply`."""
+    import os
+
+    meta = bpe_index_load(spark, path)
+    merges = [tuple(m) for m in meta["merges"]]
+    stored = spark.read.parquet(os.path.join(path, "vocab")) \
+                  .select("word", "seq")
+    words = (docs.select(F.explode(F.regexp_extract_all(
+                 F.col(text_col), F.lit(BPE_REGEX), F.lit(0)))
+                 .alias("word")).distinct())
+    fresh = apply_merges_to_words(
+        words.join(stored.select("word"), "word", "left_anti"), merges)
+    return bpe_apply(docs, id_col, text_col, stored.unionByName(fresh))
 
 
 def token_count_bpe(docs: DataFrame, id_col: str, text_col: str,

@@ -293,7 +293,10 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
         return jsonify(engine.create_index(
             project, bucket, table,
             name=body.get("name", ""),
-            id_column=body["id_column"],
+            # a bpe tokenizer trains on text alone — id_column optional
+            id_column=(body.get("id_column", "")
+                       if body.get("kind") == "bpe"
+                       else body["id_column"]),
             vector_column=body.get("vector_column"),
             kind=body.get("kind", "pq"),
             label_column=body.get("label_column"),
@@ -340,6 +343,13 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
             documents=body.get("documents"),
             threshold=None if th is None else float(th))
         return jsonify({"hits": hits, "n_hits": len(hits)})
+
+    @app.post(tbl + "/<table>/indexes/<name>/tokenize")
+    def tokenize_check(project, branch_id, bucket, table, name):
+        body = request.get_json(force=True)
+        docs = engine.tokenize_check(project, bucket, table, name,
+                                     documents=body.get("documents"))
+        return jsonify({"documents": docs, "n_documents": len(docs)})
 
     @app.post(tbl + "/<table>/indexes/<name>/refresh")
     def refresh_index(project, branch_id, bucket, table, name):

@@ -72,6 +72,74 @@ def test_bpe_apply_counts_fingerprint_and_oov(spark):
     assert counts == {10: 3, 11: 3}
 
 
+def test_apply_merges_fold_equals_pandas(spark):
+    """The Arrow word-tokenizer (used past the fold depth bound / by the
+    persisted artifact) must be bit-equal to the JVM fold chain."""
+    from keboola_storage_duckdb_spark.functions.bpe import (
+        apply_merges_to_words)
+
+    words = spark.createDataFrame(
+        [("abab",), ("aaab",), ("z",), ("ababab",), ("añb",)],
+        "word string")
+    merges = [("a", "b"), ("ab", "ab"), ("a", "a")]
+    fold = {r.word: r.seq for r in
+            apply_merges_to_words(words, merges).collect()}
+    arrow = {r.word: r.seq for r in
+             apply_merges_to_words(words, merges,
+                                   fold_limit=0).collect()}
+    assert fold == arrow
+    assert fold["abab"] == ["abab"]
+    assert fold["aaab"] == ["aa", "ab"]       # (a,b) first, then (a,a)
+    assert fold["ababab"] == ["abab", "ab"]
+
+
+def test_bpe_index_lifecycle(spark, tmp_path):
+    """Persisted tokenizer artifact: build freezes the merges; apply
+    serves cached vocab and tokenizes OOV words under the same merges;
+    the artifact round-trips through load."""
+    from keboola_storage_duckdb_spark.functions.bpe import (
+        bpe_apply, bpe_index_apply, bpe_index_build, bpe_index_load,
+        bpe_train)
+
+    path = str(tmp_path / "tok")
+    train = spark.createDataFrame(
+        [(1, "abab abab cd")], "doc_id long, text string")
+    meta = bpe_index_build(train, "text", path, rounds=2)
+    assert meta["kind"] == "bpe" and meta["n_merges"] == 2
+    assert bpe_index_load(spark, path)["merges"] == meta["merges"]
+
+    delta = spark.createDataFrame(
+        [(10, "abab cd"), (11, "zq abab abq")],  # zq/abq OOV
+        "doc_id long, text string")
+    got = {r.id: (r.n_tokens, r.token_fp) for r in
+           bpe_index_apply(spark, path, delta, "doc_id",
+                           "text").collect()}
+    # reference: retrain in-session and apply (same corpus, same merges)
+    _, vocab = bpe_train(train, "text", rounds=2)
+    # extend vocab with the delta's OOV words under the same merges:
+    # 'abq' -> [ab, q] via merge (a,b); 'zq' -> [z, q]
+    from keboola_storage_duckdb_spark.functions.bpe import (
+        apply_merges_to_words)
+    oov = spark.createDataFrame([("zq",), ("abq",)], "word string")
+    ext = vocab.select("word", "seq").unionByName(
+        apply_merges_to_words(oov, [tuple(m) for m in meta["merges"]]))
+    want = {r.id: (r.n_tokens, r.token_fp) for r in
+            bpe_apply(delta, "doc_id", "text", ext).collect()}
+    assert got == want
+    assert got[11][0] == 2 + 1 + 2            # [z,q] [abab] [ab,q]
+
+    # kind guard: a foreign meta.json refuses to load
+    import json as _json
+    import os as _os
+    bad = str(tmp_path / "bad")
+    _os.makedirs(bad)
+    with open(_os.path.join(bad, "meta.json"), "w") as f:
+        _json.dump({"kind": "pq"}, f)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bpe_index_load(spark, bad)
+
+
 def test_packing_consumes_trained_token_counts(spark):
     from keboola_storage_duckdb_spark.functions.packing import (
         pack_token_stream)

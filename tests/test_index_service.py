@@ -568,3 +568,75 @@ def test_semdedup_index_over_rest(ctx, spark, tmp_path):
     assert _post(c, SEMTBL + "/indexes/sd/dedup",
                  {"documents": [{"id": -1.7, "vector": vec(5)}]}
                  ).status_code == 400
+
+
+def test_bpe_index_over_rest(ctx, spark, tmp_path):
+    """Tokenizer as a storage object over REST: create (train), info
+    (vocab size + merge count + staleness), tokenize (frozen merges,
+    OOV fallback), refresh (extends the vocab cache, merges frozen),
+    rebuild (retrains), and the kind walls."""
+    import json as _json
+
+    c, eng, _ = ctx
+    cols = [{"name": "doc_id", "type": "BIGINT", "nullable": False},
+            {"name": "text", "type": "VARCHAR", "nullable": True}]
+    r = _post(c, DOCS_BASE, {"name": "toktbl", "columns": cols})
+    assert r.status_code == 201, r.get_json()
+    src = str(tmp_path / "tok.parquet")
+    spark.createDataFrame([(1, "abab abab cd")],
+                          "doc_id long, text string") \
+         .coalesce(1).write.parquet(src)
+    T = DOCS_BASE + "/toktbl"
+    assert _post(c, T + "/import/file",
+                 {"path": src, "format": "parquet"}).status_code == 200
+
+    r = _post(c, T + "/indexes",
+              {"name": "tok", "kind": "bpe", "text_column": "text",
+               "rounds": 2})
+    assert r.status_code == 201, r.get_json()
+    info = r.get_json()
+    assert info["kind"] == "bpe" and info["n_merges"] == 2
+    assert info["n_vectors"] == 2             # vocab: abab, cd
+    # tokenize: in-vocab + OOV
+    r = _post(c, T + "/indexes/tok/tokenize",
+              {"documents": [{"id": 7, "text": "abab zq"}]})
+    assert r.status_code == 200, r.get_json()
+    doc = r.get_json()["documents"][0]
+    assert doc["tokens"] == ["abab", "z", "q"] and doc["n_tokens"] == 3
+    # walls: search/dedup/compact refuse; bad payloads 400
+    assert _post(c, T + "/indexes/tok/search",
+                 {"queries": [{"id": 1, "vector": [0.0]}]}
+                 ).status_code == 400
+    assert _post(c, T + "/indexes/tok/dedup",
+                 {"documents": [{"id": 1, "text": "x"}]}
+                 ).status_code == 400
+    assert _post(c, T + "/indexes/tok/compact", {}).status_code == 400
+    assert _post(c, T + "/indexes/tok/tokenize",
+                 {"documents": []}).status_code == 400
+    assert _post(c, T + "/indexes/tok/tokenize",
+                 {"documents": [{"id": 1, "text": "x"},
+                                {"id": 1, "text": "y"}]}
+                 ).status_code == 400
+    # refresh: new words enter the vocab cache, merges stay frozen
+    src2 = str(tmp_path / "tok2.parquet")
+    spark.createDataFrame([(2, "abq abq")], "doc_id long, text string") \
+         .coalesce(1).write.parquet(src2)
+    assert _post(c, T + "/import/file",
+                 {"path": src2, "format": "parquet",
+                  "import_options": {"incremental": True}}
+                 ).status_code == 200
+    assert c.get(T + "/indexes/tok").get_json()["stale"]
+    r = _post(c, T + "/indexes/tok/refresh")
+    assert r.status_code == 200, r.get_json()
+    out = r.get_json()
+    assert out["added"] == 1 and not out["stale"]     # 'abq' cached
+    info = c.get(T + "/indexes/tok").get_json()
+    assert info["n_vectors"] == 3 and not info["stale"]
+    assert info["n_merges"] == 2                       # frozen
+    r = _post(c, T + "/indexes/tok/tokenize",
+              {"documents": [{"id": 8, "text": "abq"}]})
+    assert r.get_json()["documents"][0]["tokens"] == ["ab", "q"]
+    # rebuild retrains on the grown corpus
+    r = _post(c, T + "/indexes/tok/rebuild")
+    assert r.status_code == 200 and r.get_json()["rebuilt"] is True
+    assert not c.get(T + "/indexes/tok").get_json()["stale"]
