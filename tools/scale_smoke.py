@@ -113,7 +113,9 @@ def main() -> None:
                  # r14 late: cluster-bounded pruning ops (T81/T82) and
                  # the persisted-index incremental serve path (T83)
                  "semdedup_keep", "prototype_prune",
-                 "semdedup_incremental"]:
+                 "semdedup_incremental",
+                 # r15: BPE tokenizer train/apply + stdlib PNG decode
+                 "bpe_train", "bpe_apply", "image_features_png"]:
         if ONLY and name not in ONLY:
             continue
         run(name, lambda name=name: Q[name](spark, DST))
