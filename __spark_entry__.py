@@ -1058,7 +1058,11 @@ def q_image_features_png(spark, sf_dir):
     from keboola_storage_duckdb_spark.functions.multimodal import (
         extract_image_features)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL text would crash len(text) inside the builder while the oracle
+    # would emit a NULL-width row — drop nulls on BOTH sides so the twin
+    # queries stay total (ADVICE r15; current fixtures have none).
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .where(F.col("text").isNotNull()))
 
     def build(batches):
         import hashlib
@@ -1102,7 +1106,8 @@ WITH p AS (
   SELECT doc_id,
          3 + length(text) % 4 AS w,
          2 + doc_id % 3 AS h
-  FROM documents)
+  FROM documents
+  WHERE text IS NOT NULL)
 SELECT doc_id AS id,
        CAST(68 + h * (1 + 3 * w) AS INTEGER) AS n_bytes,
        'png' AS format,

@@ -63,13 +63,19 @@ def adjudicate_pass(run_query, timings: dict[str, float],
     log(f"bench adjudication: re-repping {len(suspects)} suspect "
         f"queries {suspects}")
     open_set = list(suspects)
+    errored: set[str] = set()
     for _ in range(max_reps):
         # Alternating order: every suspect samples every window equally,
         # so one sustained burst can't inflate a single query's re-reps.
         for name in list(open_set):
             t = run_query(name)
             if t < 0:
-                open_set.remove(name)       # rep errored; keep old record
+                # Rep errored: keep the session value, stop re-repping,
+                # but the suspect stays FLAGGED — its 2.5×-over-record
+                # session value is being published unverified, which is
+                # exactly what the contended field exists to mark.
+                open_set.remove(name)
+                errored.add(name)
                 continue
             spreads.setdefault(name, [timings[name]]).append(round(t, 4))
             timings[name] = round(min(timings[name], t), 4)
@@ -77,7 +83,7 @@ def adjudicate_pass(run_query, timings: dict[str, float],
                 open_set.remove(name)
         if not open_set:
             break
-    still = sorted(open_set)
+    still = sorted(set(open_set) | errored)
     if still:
         log(f"bench adjudication: still contended after re-reps: {still}")
     return still

@@ -104,16 +104,34 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b",
     before it kicks in; chain-ish rep graphs (simhash star-spanning) still
     get the doubling once plain propagation proves slow.
     """
+    # Null endpoints: the distributed loop's equi-joins silently drop
+    # them while a driver union-find would crash on None < str — filter
+    # them ONCE here so both paths agree (an edge with a null endpoint
+    # identifies nothing and is meaningless for clustering).
+    edges = edges.filter(F.col(a).isNotNull() & F.col(b).isNotNull())
     if driver_limit:
-        # Probe via a lazily-checkpointed count, NEVER limit().collect():
-        # a CollectLimit over the (expensive) pair pipeline funnels the
-        # whole upstream through one task — measured 116 s vs 9 s at 10×
-        # on the 2.4M-edge minhash graph. The count materializes the
-        # cache in parallel; the small case collects FROM the cache and
-        # the large case feeds the loop from it — the pipeline runs once
-        # either way.
+        # Probe via a lazily-checkpointed aggregate, NEVER
+        # limit().collect(): a CollectLimit over the (expensive) pair
+        # pipeline funnels the whole upstream through one task — measured
+        # 116 s vs 9 s at 10× on the 2.4M-edge minhash graph. The agg
+        # materializes the cache in parallel; the small case collects
+        # FROM the cache and the large case feeds the loop from it — the
+        # pipeline runs once either way. The bound is sized on BYTES,
+        # not rows: long string ids at 1M rows can cost several hundred
+        # MB of Row objects on the driver, so the same probe measures
+        # the average id width and the collect only happens when the
+        # estimated footprint (ids + ~120 B/Row Python overhead) fits
+        # in ``driver_byte_limit``.
         edges = edges.select(a, b).localCheckpoint(eager=False)
-        if edges.count() <= driver_limit:
+        probe = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.length(F.col(a).cast("string"))).alias("wa"),
+            F.avg(F.length(F.col(b).cast("string"))).alias("wb"),
+        ).collect()[0]
+        n = probe["n"]
+        est_bytes = n * ((probe["wa"] or 0) + (probe["wb"] or 0) + 120)
+        driver_byte_limit = 256 << 20
+        if n <= driver_limit and est_bytes <= driver_byte_limit:
             return _cc_driver(edges, a, b, edges.collect())
     und = (edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
                 .unionByName(

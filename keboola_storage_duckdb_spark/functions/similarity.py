@@ -232,8 +232,14 @@ def _cosine_candidate_pairs(vectors: DataFrame, id_col: str, vec_col: str,
                 if key not in cp or not len(sel):
                     continue
                 cids, cmat, cnrm = cp[key]
-                xmat = np.array([list(vecs.iloc[i]) for i in sel],
-                                dtype=np.float64)
+                # np.stack on the Arrow cells (ndarray each) builds the
+                # block in C; float32→float64 is exact, so this is
+                # bit-equal to the old per-element list() boxing at a
+                # fraction of the cost (the conversion, not the GEMM,
+                # dominated large batches).
+                xmat = np.stack([np.asarray(vecs.iloc[i])
+                                 for i in sel]).astype(np.float64,
+                                                       copy=False)
                 xnrm = np.sqrt((xmat * xmat).sum(axis=1))
                 xids = row_ids[sel]
                 # Tile rows so each score block stays ~32 MB regardless
@@ -265,7 +271,10 @@ def _cosine_candidate_pairs_tiled(vectors: DataFrame, id_col: str,
     broadcast bound — the same sound BLAS candidate over-approximation as
     ``_cosine_candidate_pairs`` with NO driver-memory step (VERDICT r14
     #5): the corpus never collects. Vectors hash into ``n_tiles``
-    id-keyed tiles (~32 MB of float64 each); the upper-triangle tile
+    id-keyed tiles (~64 MB of float64 each — shuffle replication is
+    n_tiles copies per row, so bigger tiles trade per-task memory for
+    less shuffle; a parallelism floor keeps at least enough tile pairs
+    to occupy the cores); the upper-triangle tile
     pairs are generated as driver-side SCALARS (O(n_tiles²) ints — the
     offsets-pattern class, never row data); each vector row replicates
     to the tile pairs containing its tile (one broadcast-join fan-out,
@@ -293,13 +302,21 @@ def _cosine_candidate_pairs_tiled(vectors: DataFrame, id_col: str,
                         F.col(vec_col).alias("v"))
                 .where(F.col(id_col).isNotNull()
                        & F.col(vec_col).isNotNull()))
-    head = v.select(F.size("v").alias("d")).limit(1).collect()
-    if not head:
+    # This path targets corpora past the broadcast bound, where the
+    # upstream pipeline is exactly the thing we must not re-derive: a
+    # lazy localCheckpoint materialized by ONE probe aggregate (count +
+    # dim in the same job — never limit(1), the CollectLimit trap) feeds
+    # the probe, both fan-out joins, and the verify stage from the same
+    # cache (ADVICE r15; the old form re-executed the pipeline ~4×).
+    v = v.localCheckpoint(eager=False)
+    probe = v.agg(F.count(F.lit(1)).alias("n"),
+                  F.max(F.size("v")).alias("d")).collect()[0]
+    n = probe["n"]
+    if not n:
         return spark.createDataFrame([], out_schema)
-    dim = max(1, head[0]["d"])
-    n = v.count()
+    dim = max(1, probe["d"])
     if rows_per_tile is None:
-        rows_per_tile = max(1024, 4_194_304 // dim)   # ≈32 MB float64
+        rows_per_tile = max(1024, 8_388_608 // dim)   # ≈64 MB float64
     p = _par(vectors)
     # enough tile pairs to occupy the cores even when size alone would
     # give few tiles: smallest t with t(t+1)/2 >= par
@@ -338,9 +355,9 @@ def _cosine_candidate_pairs_tiled(vectors: DataFrame, id_col: str,
             bsel = asel if same else b_pdf[b_lens == length]
             if not len(asel) or not len(bsel):
                 continue
-            amat = np.array([list(x) for x in asel["v"]], dtype=np.float64)
-            bmat = amat if same else np.array(
-                [list(x) for x in bsel["v"]], dtype=np.float64)
+            amat = np.stack(list(asel["v"])).astype(np.float64, copy=False)
+            bmat = amat if same else np.stack(
+                list(bsel["v"])).astype(np.float64, copy=False)
             anrm = np.sqrt((amat * amat).sum(axis=1))
             bnrm = anrm if same else np.sqrt((bmat * bmat).sum(axis=1))
             aids = asel["id"].to_numpy()
@@ -378,7 +395,8 @@ def cosine_near_dup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
                           block_col: str | None = None,
                           broadcast_build: bool = True,
                           unblocked_limit: int | None = None,
-                          blocked_gemm_limit: int = 100_000) -> DataFrame:
+                          blocked_gemm_limit: int = 100_000,
+                          rows_per_tile: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥ threshold).
 
     ``block_col`` (e.g. a cluster/label column or an LSH bucket) turns the
@@ -443,7 +461,8 @@ def cosine_near_dup_pairs(vectors: DataFrame, id_col: str, vec_col: str,
             # unblocked corpus past the broadcast bound: the tile-pair
             # self-join keeps every step distributed (VERDICT r14 #5)
             cand = _cosine_candidate_pairs_tiled(vectors, id_col, vec_col,
-                                                 threshold)
+                                                 threshold,
+                                                 rows_per_tile=rows_per_tile)
         a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                      F.col("n2").alias("na"))
         b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),

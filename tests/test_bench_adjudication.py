@@ -91,5 +91,8 @@ def test_errored_rerep_keeps_session_value():
     prior = {"q_hot": 1.5}
     contended = adjudicate_pass(run, timings, {}, prior,
                                 log=lambda m: None)
-    # the re-rep itself failed: keep the session value, don't loop forever
-    assert timings["q_hot"] == 12.0 and contended == []
+    # the re-rep itself failed: keep the session value, don't loop
+    # forever — but the suspect stays in the contended list, because its
+    # over-record session value is being published unverified (ADVICE
+    # r15: silently clearing it defeated the flag's purpose).
+    assert timings["q_hot"] == 12.0 and contended == ["q_hot"]
