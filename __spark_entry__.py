@@ -1118,6 +1118,107 @@ SELECT doc_id AS id,
 FROM p"""
 
 
+def q_image_features_jpeg(spark, sf_dir):
+    """T19 follow-on (VERDICT r15 #5): REAL baseline JPEG decode.
+    Constructs per-doc flat-gray baseline JPEGs (DC-only blocks, custom
+    single-length canonical Huffman tables, quant=8 so pixel = 128+DC
+    exactly) and decodes them through the stdlib+numpy
+    `_decode_jpeg` (multimodal.py) — marker walk, canonical Huffman
+    entropy decode, dequant, IDCT. The DuckDB oracle PREDICTS every
+    field from the construction: n_bytes = 312 header bytes +
+    ceil((12·n_mcu + cat)/8) entropy bytes (each MCU is a 4-bit DC code
+    + cat extra bits + an 8-bit EOB; the bitstream provably never emits
+    0xFF so no stuffing), mean_luma = 128 + diff exactly (IDCT of a
+    DC-only block is F/8; quant 8 cancels it). A decoder that misreads
+    the Huffman spec, bit order, DC prediction, or IDCT scaling
+    mismatches. Pixel-level paths (AC, subsampling, restarts) are pinned
+    by tests/test_jpeg.py against a reference encoder."""
+    from keboola_storage_duckdb_spark.functions.multimodal import (
+        extract_image_features)
+
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .where(F.col("text").isNotNull()))
+
+    def build(batches):
+        import pandas as pd
+
+        def seg(m, body):
+            return bytes([0xFF, m]) + (len(body) + 2).to_bytes(2, "big") \
+                + body
+
+        def dht(tc, th, length, syms):
+            bits = bytearray(16)
+            bits[length - 1] = len(syms)
+            return bytes([(tc << 4) | th]) + bytes(bits) + bytes(syms)
+
+        dqt = seg(0xDB, b"\x00" + bytes([8] * 64))
+        dht_dc = seg(0xC4, dht(0, 0, 4, list(range(12))))
+        ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                                  for s in range(1, 11)]
+        dht_ac = seg(0xC4, dht(1, 0, 8, ac_syms))
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 8 * (1 + len(text) % 3)
+                h = 8 * (1 + int(doc_id) % 2)
+                diff = int(doc_id) % 7 - 3
+                cat = 0 if diff == 0 else (1 if abs(diff) == 1 else 2)
+                extra = diff if diff >= 0 else diff + (1 << cat) - 1
+                nm = (w // 8) * (h // 8)
+                pieces = [(cat, 4)]
+                if cat:
+                    pieces.append((extra, cat))
+                pieces.append((0, 8))                      # EOB
+                for _ in range(nm - 1):
+                    pieces += [(0, 4), (0, 8)]             # DC cat0 + EOB
+                acc = nacc = 0
+                out = bytearray()
+                for v, nb in pieces:
+                    for i in range(nb - 1, -1, -1):
+                        acc = (acc << 1) | ((v >> i) & 1)
+                        nacc += 1
+                        if nacc == 8:
+                            out.append(acc)
+                            acc = nacc = 0
+                if nacc:                                   # pad with 1s
+                    out.append((acc << (8 - nacc))
+                               | ((1 << (8 - nacc)) - 1))
+                sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big")
+                          + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+                payloads.append(b"\xff\xd8" + dqt + sof + dht_dc + dht_ac
+                                + sos + bytes(out) + b"\xff\xd9")
+                ids.append(int(doc_id))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    built = docs.mapInPandas(build, schema="id long, payload binary")
+    feats = extract_image_features(built)
+    return feats.select("id", "n_bytes", "format", "width", "height",
+                        "channels", "mean_luma", "decoded")
+
+
+_IMAGE_FEATURES_JPEG_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         8 * (1 + length(text) % 3) AS w,
+         8 * (1 + doc_id % 2) AS h,
+         doc_id % 7 - 3 AS diff
+  FROM documents
+  WHERE text IS NOT NULL)
+SELECT doc_id AS id,
+       CAST(312 + (12 * (w // 8) * (h // 8)
+                   + CASE WHEN diff = 0 THEN 0
+                          WHEN abs(diff) = 1 THEN 1 ELSE 2 END + 7) // 8
+            AS INTEGER) AS n_bytes,
+       'jpeg' AS format,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(128 + diff AS DOUBLE) AS mean_luma,
+       TRUE AS decoded
+FROM p"""
+
+
 def _bpe_train_ctes(rounds: int) -> str:
     """WITH RECURSIVE prologue that LEARNS ``rounds`` BPE merges in pure
     SQL (the kmeans_fixed unrolled-training precedent, VERDICT r14 #4):
@@ -5020,6 +5121,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "numeric_moments": q_numeric_moments,
     "quantiles": q_quantiles,
     "image_features_png": q_image_features_png,  # NEW r15: stdlib PNG decode
+    "image_features_jpeg": q_image_features_jpeg,  # NEW r16: baseline JPEG decode
     "dedup_safe_split": q_dedup_safe_split,      # NEW r10: leakage-safe split
     # r12 rotation: ann_filtered_indexed (the filtered serving query,
     # VERDICT r11 #7) takes dedup_exact's slot — dedup_exact green
@@ -5511,6 +5613,7 @@ SELECT query_id, neighbor_id, adist, rank FROM pqtop""",
         "minhash_estimate": _minhash_estimate_sql(),
         "image_features": _IMAGE_FEATURES_SQL,
         "image_features_png": _IMAGE_FEATURES_PNG_SQL,
+        "image_features_jpeg": _IMAGE_FEATURES_JPEG_SQL,
         "bpe_train": _BPE_TRAIN_SQL,
         "bpe_apply": _BPE_APPLY_SQL,
         "audio_features": _AUDIO_FEATURES_SQL,

@@ -363,3 +363,24 @@ def test_histogram_bins(spark):
     h = {r.bucket: r.cnt for r in P.histogram(df, "x", 0.0, 100.0, bins=10).collect()}
     assert sum(h.values()) == 100
     assert h[0] == 10 and h[9] == 10
+
+
+def test_grouped_patterns_equal_per_row(spark, monkeypatch):
+    """The distinct-value pattern evaluation (VERDICT r15 #4) must give
+    the identical profile to the per-row regex block — including when a
+    column routes HIGH-cardinality (forced via a tiny routing bound)."""
+    rows = [(i,
+             "user@example.com" if i % 3 == 0 else "nope",
+             f"2024-01-{(i % 28) + 1:02d}",
+             f"free text {i}",
+             None if i % 7 == 0 else "10.0.0.%d" % (i % 256))
+            for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "id long, email string, d string, txt string, ip string")
+    base = P.profile_table(df, grouped_patterns=False)
+    grouped = P.profile_table(df, grouped_patterns=True)
+    assert grouped == base
+    # force every column through the high-card per-row branch too
+    monkeypatch.setattr(P, "_GROUPED_PATTERN_BOUND", 0)
+    forced_high = P.profile_table(df, grouped_patterns=True)
+    assert forced_high == base
