@@ -1293,6 +1293,32 @@ FROM j
 GROUP BY doc_id"""
 
 
+_BPE_TRAIN8_SQL = _bpe_train_ctes(8) + "\n" + "\nUNION ALL\n".join(
+    f"SELECT CAST({n} AS INTEGER) AS rnd, a AS left_sym, b AS right_sym, "
+    f"a || b AS merged, cnt AS pair_count FROM t{n}"
+    for n in range(1, 9))
+
+
+def q_bpe_train8(spark, sf_dir):
+    """bpe_train at 8 rounds (NEW r16): certifies the driver-local
+    training crossover (VERDICT r15 #1 — functions/bpe.py
+    _bpe_train_driver: one collect of the vocabulary-bounded word table,
+    all rounds at Python speed with a lazy-deletion heap + incremental
+    pair counts) at a merge depth where the incremental bookkeeping has
+    to survive several generations of merged symbols pairing with each
+    other. The oracle re-learns all 8 merges in unrolled recursive-CTE
+    SQL — any drift in the heap ordering, stale-entry handling, or
+    count updates mismatches."""
+    from keboola_storage_duckdb_spark.functions.bpe import bpe_train
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, "text", rounds=8)
+    return spark.createDataFrame(
+        [(m["rnd"], m["left_sym"], m["right_sym"], m["merged"],
+          m["pair_count"]) for m in merges],
+        "rnd int, left_sym string, right_sym string, merged string, "
+        "pair_count bigint")
+
+
 def q_bpe_train(spark, sf_dir):
     """Deterministic BPE tokenizer TRAINING (VERDICT r14 #4,
     functions/bpe.py — Sennrich et al. 2016): 3 fixed rounds of
@@ -5141,6 +5167,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green r01-r11 and its oracle arithmetic stays pinned by the
     # parked twin ann_topk_fold (same SQL) + plan tests; parked at 51+.
     "bpe_train": q_bpe_train,                    # NEW r15: BPE training
+    "bpe_train8": q_bpe_train8,                  # NEW r16: 8-round crossover cert
     # r12 rotation (late): hybrid_recall takes token_length_profile's
     # slot — token_length_profile green r10-r11, its integer-stats
     # arithmetic stays window-certified inside padding_waste/epoch_plan;
@@ -5615,6 +5642,7 @@ SELECT query_id, neighbor_id, adist, rank FROM pqtop""",
         "image_features_png": _IMAGE_FEATURES_PNG_SQL,
         "image_features_jpeg": _IMAGE_FEATURES_JPEG_SQL,
         "bpe_train": _BPE_TRAIN_SQL,
+        "bpe_train8": _BPE_TRAIN8_SQL,
         "bpe_apply": _BPE_APPLY_SQL,
         "audio_features": _AUDIO_FEATURES_SQL,
         "video_features": _VIDEO_FEATURES_SQL,

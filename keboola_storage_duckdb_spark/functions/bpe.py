@@ -255,10 +255,21 @@ def bpe_train(docs: DataFrame, text_col: str, rounds: int = 3,
         n = probe["n"]
         est_bytes = n * ((probe["w"] or 0) + 120)
         if n <= driver_limit and est_bytes <= _BPE_DRIVER_BYTE_LIMIT:
-            rows = wf.select("word", "freq").collect()
+            import pandas as pd
+
+            # Arrow both ways (toPandas / pandas createDataFrame): no
+            # per-Row objects at the 1M-word bound (graph.py r16
+            # precedent)
+            pdf = wf.select("word", "freq").toPandas()
+            rows = list(zip(pdf["word"], pdf["freq"]))
             merges, seqs = _bpe_train_driver(rows, rounds)
+            if not rows:
+                return merges, docs.sparkSession.createDataFrame(
+                    [], "word string, freq long, seq array<string>")
             vocab = docs.sparkSession.createDataFrame(
-                [(r[0], int(r[1]), s) for r, s in zip(rows, seqs)],
+                pd.DataFrame({"word": pdf["word"],
+                              "freq": pdf["freq"].astype("int64"),
+                              "seq": seqs}),
                 "word string, freq long, seq array<string>")
             return merges, vocab
     seq_words = (wf.select("word", "freq", F.split("word", "").alias("seq"))

@@ -62,15 +62,22 @@ def _cc_driver(edges: DataFrame, a: str, b: str, rows: list) -> DataFrame:
         r = find(v)
         m = comp_min.get(r)
         comp_min[r] = v if m is None or v < m else m
-    out = [(v, comp_min[find(v)]) for v in parent]
+    import pandas as pd
+
     schema = T.StructType([T.StructField("id", id_type),
                            T.StructField("cluster", id_type)])
+    if not parent:
+        return edges.sparkSession.createDataFrame([], schema)
+    verts = list(parent)
+    out = pd.DataFrame({"id": verts,
+                        "cluster": [comp_min[find(v)] for v in verts]})
     return edges.sparkSession.createDataFrame(out, schema)
 
 
 def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b",
                          max_iter: int = 25, jump_from: int = 0,
-                         driver_limit: int = 1_000_000) -> DataFrame:
+                         driver_limit: int = 1_000_000,
+                         driver_byte_limit: int = 256 << 20) -> DataFrame:
     """(id, cluster) for every vertex appearing in ``edges``; ``cluster`` is
     the minimum vertex id of the component. Deterministic.
 
@@ -130,9 +137,14 @@ def connected_components(edges: DataFrame, a: str = "id_a", b: str = "id_b",
         ).collect()[0]
         n = probe["n"]
         est_bytes = n * ((probe["wa"] or 0) + (probe["wb"] or 0) + 120)
-        driver_byte_limit = 256 << 20
         if n <= driver_limit and est_bytes <= driver_byte_limit:
-            return _cc_driver(edges, a, b, edges.collect())
+            # Arrow transfer (toPandas), not collect(): no per-Row
+            # wrapper objects — the r16 ceiling probe measured ~570 MB
+            # RSS and 16 s for a 1M-edge collect+createDataFrame round
+            # trip via pickle; Arrow cuts both by an order of magnitude.
+            pdf = edges.toPandas()
+            return _cc_driver(edges, a, b,
+                              list(zip(pdf[a], pdf[b])))
     und = (edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
                 .unionByName(
                edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))

@@ -53,7 +53,8 @@ def main() -> None:
         df = df.localCheckpoint()           # isolate build cost
         rss0 = _rss_mb()
         t0 = time.perf_counter()
-        out = connected_components(df, driver_limit=max(args.sizes) + 1)
+        out = connected_components(df, driver_limit=max(args.sizes) + 1,
+                                   driver_byte_limit=8 << 30)
         n_out = out.count()
         dt = time.perf_counter() - t0
         print(f"edges={n:>9,} wall={dt:6.1f}s vertices={n_out:,} "
