@@ -5113,7 +5113,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouped_quantiles": q_grouped_quantiles,    # promoted r12 (green r08-r10)
     "pq_distortion": q_pq_distortion,            # NEW r11: index quality
     "ivf_imbalance": q_ivf_imbalance,            # NEW r11: list balance
-    "ivfpq_rerank": q_ivfpq_rerank,              # NEW r10: two-stage retrieval
     # r12 rotation (late): ann_index_delete takes export_projection's
     # slot — export_projection green r01-r11, its projection/order/limit
     # path stays exercised by preview_orders' oracle arithmetic and the
@@ -5127,10 +5126,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sibling-certified: ref_filter_not_in r03-05, join_lineitem_part
     # r03-05 + set_ops/e2e) — parked at 51+
     "hll_distinct": q_hll_distinct,              # re-certify r15 (r06-r13)
-    "bloom_membership": q_bloom_membership,      # re-certify r15 (r08-r11)
-    "pq_recall": q_pq_recall,                    # NEW r09: PQ recall frame
     "upsert_update_duplicates": q_upsert_update_duplicates,
-    "ann_sq8": q_ann_sq8,                        # NEW r10: scalar quantizer
     # r12 rotation (late): ann_sq8_indexed takes corpus_shards' slot —
     # corpus_shards green r08-r11, its md5 shuffle/shard arithmetic
     # stays window-certified inside epoch_plan's composed oracle;
@@ -5176,12 +5172,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12 rotation (late): hybrid_rrf takes sessionize's slot —
     # sessionize green r01-r11 and pinned by the streaming batch-equal
     # pytest; parked 51+.
-    "hybrid_rrf": q_hybrid_rrf,                  # NEW r12: RRF hybrid retrieval
     # r12 rotation (late): ivf_drift takes duplicate_spans' slot —
     # duplicate_spans green r07-r11, its span family stays
     # window-certified via cut_spans' parked oracle + the spans pytest
     # suite; parked 51+.
-    "ivf_drift": q_ivf_drift,                    # NEW r12: quantizer drift
     # rotated IN r08: never driver-certified before (VERDICT r7 #3)
     # r12 rotation: ivf_kmeans_recall takes ivf_recall's slot — the
     # recall-frame family stays window-certified (pq_recall,
@@ -5218,12 +5212,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pack_sequences green r07-r13 and its exclusive-scan packing stays
     # window-certified inside epoch_plan's composed oracle; parked 51+.
     "semdedup_incremental": q_semdedup_incremental,  # NEW r14
-    "repetition_signals": q_repetition_signals,  # Gopher repetition rules
+    "simhash_dedup_keep": q_simhash_dedup_keep,  # re-certify r16 (CC refactor)
     # r14 rotation: simhash_dedup_keep (the survivor form, VERDICT r13
     # #2) takes ann_filtered's slot — ann_filtered green r08-r13 and its
     # filtered-ANN arithmetic stays window-certified via
     # ann_filtered_indexed (the persisted serving twin); parked 51+.
-    "simhash_dedup_keep": q_simhash_dedup_keep,  # NEW r14: survivor form
+    # r16 rotation IN: kernels these ride were refactored this round
+    # (similarity GEMM vectorization + checkpointed probe; graph Arrow
+    # crossover; profile grouped patterns + prefilters)
+    "table_profile": q_table_profile,            # re-certify r16 (profile refactor)
+    "pattern_profile": q_pattern_profile,        # re-certify r16 (prefilters/grouping)
+    "cosine_near_dup_blocked": q_cosine_near_dup_blocked,  # re-certify r16 (kernel)
+    "near_dedup_keep": q_near_dedup_keep,        # re-certify r16 (kernel)
+    "dedup_clusters": q_dedup_clusters,          # re-certify r16 (kernel+CC)
+    "repetition_signals": q_repetition_signals,  # parked r16 (Gopher repetition rules; untouched, green r14-r15)
     "execute_query": q_execute_query,            # keeper parked 51+ (green r01-r06)
     # ---- tail (51+): driver-green in r01-r09 CORRECTNESS records ----
     "ann_filtered": q_ann_filtered,              # parked r14 (green r08-r13;
@@ -5310,16 +5312,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,              # r06
     "ann_lsh": q_ann_lsh,                        # r06
     "ann_ivf": q_ann_ivf,                        # r06
-    "cosine_near_dup_blocked": q_cosine_near_dup_blocked,  # r06
     "multimodal_features": q_multimodal_features,  # r06
-    "pattern_profile": q_pattern_profile,        # r06
     "stratified_sample": q_stratified_sample,    # r06
     "rollup_agg": q_rollup_agg,                  # r06
     "asof_join": q_asof_join,                    # r06
     "json_extract": q_json_extract,              # r06
     "running_window": q_running_window,          # r06
-    "dedup_clusters": q_dedup_clusters,          # r06
-    "table_profile": q_table_profile,            # r06
     "decontaminate": q_decontaminate,            # r06
     "gopher_quality": q_gopher_quality,          # r06
     "pivot_counts": q_pivot_counts,              # r06
@@ -5334,10 +5332,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivors": q_dedup_survivors,        # parked r08 (green r07)
     "minhash_estimate": q_minhash_estimate,      # parked r08 (green r07)
     "ann_topk_fold": q_ann_topk_fold,            # parked r08 (green r07)
-    "near_dedup_keep": q_near_dedup_keep,        # parked r08 (green r07)
     "kmeans": q_kmeans,                          # rows-only iterative; its
     # arithmetic is hash-certified via kmeans_fixed (slot 34); parking it
     # makes the 50-slot window all-oracle-backed
+    "ann_sq8": q_ann_sq8,  # parked r16 (multiply certified; family sibling in-window)
+    "bloom_membership": q_bloom_membership,  # parked r16 (multiply certified; family sibling in-window)
+    "hybrid_rrf": q_hybrid_rrf,  # parked r16 (multiply certified; family sibling in-window)
+    "ivf_drift": q_ivf_drift,  # parked r16 (multiply certified; family sibling in-window)
+    "ivfpq_rerank": q_ivfpq_rerank,  # parked r16 (multiply certified; family sibling in-window)
+    "pq_recall": q_pq_recall,  # parked r16 (multiply certified; family sibling in-window)
 }
 
 

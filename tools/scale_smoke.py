@@ -115,7 +115,9 @@ def main() -> None:
                  "semdedup_keep", "prototype_prune",
                  "semdedup_incremental",
                  # r15: BPE tokenizer train/apply + stdlib PNG decode
-                 "bpe_train", "bpe_apply", "image_features_png"]:
+                 "bpe_train", "bpe_apply", "image_features_png",
+                 # r16: 8-round driver-crossover training + JPEG decode
+                 "bpe_train8", "image_features_jpeg"]:
         if ONLY and name not in ONLY:
             continue
         run(name, lambda name=name: Q[name](spark, DST))
