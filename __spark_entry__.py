@@ -1398,6 +1398,89 @@ SELECT doc_id AS id,
 FROM p"""
 
 
+def q_media_metadata_mixed(spark, sf_dir):
+    """T19 capstone (r16): the unified sniffer over a MIXED corpus — the
+    realistic shape of a media crawl. Each doc becomes one of three
+    payload kinds by doc_id % 3: a PCM WAV (8 kHz mono 8-bit, sample
+    count from the text), a CBR MP3 (64 kbps stereo), or JUNK bytes
+    (0x01 prefix — matches no magic); ``extract_media_metadata`` must
+    route each to the right parser and emit parsed=false with NULL
+    metadata (but real n_bytes) for the junk. The oracle predicts all
+    three branches, including the junk rows' n_bytes via the UTF-8
+    byte length. Certifies the dispatch + the never-fail contract the
+    per-format queries can't."""
+    from keboola_storage_duckdb_spark.functions.multimodal import (
+        extract_media_metadata)
+
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .where(F.col("text").isNotNull()))
+
+    def build(batches):
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                kind = doc_id % 3
+                if kind == 0:
+                    ns = 100 + len(text) % 50
+                    body = (hashlib.md5(text.encode()).digest()
+                            * (ns // 16 + 1))[:ns]
+                    p = (b"RIFF" + struct.pack("<I", 36 + ns) + b"WAVE"
+                         + b"fmt " + struct.pack("<I", 16)
+                         + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+                         + b"data" + struct.pack("<I", ns) + body)
+                elif kind == 1:
+                    nf = 2 + doc_id % 4
+                    flen = 144 * 64 * 1000 // 44100
+                    p = (bytes([0xFF, 0xFB, 0x50, 0x00])
+                         + b"\x00" * (flen - 4)) * nf
+                else:
+                    p = b"\x01" + text.encode("utf-8")
+                payloads.append(p)
+                ids.append(doc_id)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    built = docs.mapInPandas(build, schema="id long, payload binary")
+    meta = extract_media_metadata(built)
+    return meta.select("id", "n_bytes", "container", "codec",
+                       "sample_rate", "channels", "n_frames",
+                       "duration_ms", "bitrate_kbps", "parsed")
+
+
+_MEDIA_METADATA_MIXED_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 3 AS kind,
+         100 + length(text) % 50 AS ns,
+         2 + doc_id % 4 AS nf,
+         octet_length(encode(text)) AS tb
+  FROM documents
+  WHERE text IS NOT NULL)
+SELECT doc_id AS id,
+       CAST(CASE kind WHEN 0 THEN 44 + ns
+                      WHEN 1 THEN nf * ((144 * 64 * 1000) // 44100)
+                      ELSE 1 + tb END AS INTEGER) AS n_bytes,
+       CASE kind WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3' END AS container,
+       CASE kind WHEN 0 THEN 'pcm' WHEN 1 THEN 'mpeg1-l3' END AS codec,
+       CAST(CASE kind WHEN 0 THEN 8000 WHEN 1 THEN 44100 END AS INTEGER)
+           AS sample_rate,
+       CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 2 END AS INTEGER)
+           AS channels,
+       CAST(CASE kind WHEN 0 THEN ns WHEN 1 THEN nf END AS INTEGER)
+           AS n_frames,
+       CASE kind WHEN 0 THEN ns * 1000.0 / 8000
+                 WHEN 1 THEN nf * 1152 * 1000.0 / 44100 END AS duration_ms,
+       CAST(CASE kind WHEN 0 THEN 64 WHEN 1 THEN 64 END AS INTEGER)
+           AS bitrate_kbps,
+       kind <> 2 AS parsed
+FROM p"""
+
+
 def _bpe_train_ctes(rounds: int) -> str:
     """WITH RECURSIVE prologue that LEARNS ``rounds`` BPE merges in pure
     SQL (the kmeans_fixed unrolled-training precedent, VERDICT r14 #4):
@@ -5303,7 +5386,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # path stays exercised by preview_orders' oracle arithmetic and the
     # engine e2e suite; parked 51+.
     "ann_index_delete": q_ann_index_delete,      # NEW r12: FAISS remove_ids
-    "video_features": q_video_features,          # re-certify r15 (r07-green)
+    # r16b rotation: the mixed-corpus sniffer query (wav/mp3/junk
+    # dispatch + the parsed=false contract under the oracle) takes
+    # video_features' slot — green r07+r15, featurizer untouched since.
+    "media_metadata_mixed": q_media_metadata_mixed,  # NEW r16: mixed sniff
     "duplicate_spans": q_duplicate_spans,        # re-certify r15 (r07-r11)
     "cut_spans": q_cut_spans,                    # re-certify r15 (r08-r10)
     # r09 rotation: ann_pq + pq_recall take the slots of ref_filter_in /
@@ -5415,6 +5501,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # per-modality featurizers untouched, plumbing window-certified via
     # the unified audio_features_mp3 / video_features_mp4 path)
     "audio_features": q_audio_features,          # parked r16b (green r07+r15)
+    "video_features": q_video_features,          # parked r16b (green r07+r15)
     "execute_query": q_execute_query,            # keeper parked 51+ (green r01-r06)
     # ---- tail (51+): driver-green in r01-r09 CORRECTNESS records ----
     "ann_filtered": q_ann_filtered,              # parked r14 (green r08-r13;
@@ -5835,6 +5922,7 @@ SELECT query_id, neighbor_id, adist, rank FROM pqtop""",
         "image_features_jpeg": _IMAGE_FEATURES_JPEG_SQL,
         "audio_features_mp3": _AUDIO_FEATURES_MP3_SQL,
         "video_features_mp4": _VIDEO_FEATURES_MP4_SQL,
+        "media_metadata_mixed": _MEDIA_METADATA_MIXED_SQL,
         "bpe_train": _BPE_TRAIN_SQL,
         "bpe_train8": _BPE_TRAIN8_SQL,
         "bpe_apply": _BPE_APPLY_SQL,

@@ -178,7 +178,12 @@ def _decode_png(payload: bytes) -> dict:
         raise ValueError("interlaced PNG not supported")
     if w <= 0 or h <= 0:
         raise ValueError("bad PNG dimensions")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        # corrupt deflate stream must surface as the featurizers'
+        # decoded=false row, not crash a 100 TB catalog pass
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
     stride = w * ch
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG raster size mismatch")

@@ -242,3 +242,20 @@ def test_extract_media_metadata_mixed(spark):
     assert not out[3]["parsed"] and out[3]["container"] is None
     assert not out[4]["parsed"] and out[4]["n_bytes"] is None
     assert out[1]["duration_ms"] == 3 * 1152 * 1000.0 / 44100
+
+
+def test_corrupt_png_idat_yields_unparsed(spark):
+    import zlib
+
+    def ck(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + ck(b"IHDR", ihdr)
+           + ck(b"IDAT", b"\x99\x99not deflate\x00") + ck(b"IEND", b""))
+    with pytest.raises(ValueError):
+        sniff_media(bad)
+    df = spark.createDataFrame([(1, bad)], "id long, payload binary")
+    row = extract_media_metadata(df).collect()[0]
+    assert not row["parsed"] and row["n_bytes"] == len(bad)
