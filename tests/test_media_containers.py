@@ -259,3 +259,29 @@ def test_corrupt_png_idat_yields_unparsed(spark):
     df = spark.createDataFrame([(1, bad)], "id long, payload binary")
     row = extract_media_metadata(df).collect()[0]
     assert not row["parsed"] and row["n_bytes"] == len(bad)
+
+
+def test_stream_media_metadata_matches_batch(spark, tmp_path):
+    """Structured-Streaming twin: extract_media_metadata is a stateless
+    mapInPandas, so the same featurizer runs unchanged over readStream
+    (availableNow) — the streaming catalog stage of a live media crawl."""
+    rows = [
+        (1, b"".join(mp3_frame(9, mono=True) for _ in range(3))),
+        (2, mp4_stream(with_audio=True)),
+        (3, b"\x01 junk"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    src = str(tmp_path / "media_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = extract_media_metadata(stream)
+    q = (out.writeStream.format("memory").queryName("media_meta_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["id"]: (r["container"], r["n_frames"], r["n_tracks"],
+                     r["parsed"])
+           for r in spark.sql("SELECT * FROM media_meta_test").collect()}
+    want = {r["id"]: (r["container"], r["n_frames"], r["n_tracks"],
+                      r["parsed"])
+            for r in extract_media_metadata(df).collect()}
+    assert got == want and len(got) == 3
