@@ -117,7 +117,10 @@ def main() -> None:
                  # r15: BPE tokenizer train/apply + stdlib PNG decode
                  "bpe_train", "bpe_apply", "image_features_png",
                  # r16: 8-round driver-crossover training + JPEG decode
-                 "bpe_train8", "image_features_jpeg"]:
+                 "bpe_train8", "image_features_jpeg",
+                 # r16b: container metadata walks (MP3/MP4/mixed sniff)
+                 "audio_features_mp3", "video_features_mp4",
+                 "media_metadata_mixed"]:
         if ONLY and name not in ONLY:
             continue
         run(name, lambda name=name: Q[name](spark, DST))
