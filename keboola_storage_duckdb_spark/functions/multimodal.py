@@ -136,6 +136,12 @@ def decode_image(payload: bytes) -> dict:
 # indirection and sub-byte packing — out of codec-less scope).
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# Decode guardrail for junk corpora: a header can DECLARE dimensions whose
+# decode buffers would OOM an executor long before the (truncated/garbage)
+# pixel data fails — cap at 100 MP (larger than any real training image;
+# the JPEG planes for 100 MP are ~800 MB f64, the ceiling of sane).
+_PIXEL_CAP = 100_000_000
+
 
 def _decode_png(payload: bytes) -> dict:
     """Real PNG decode with ONLY the stdlib: chunk walk (IHDR/IDAT/IEND),
@@ -178,14 +184,21 @@ def _decode_png(payload: bytes) -> dict:
         raise ValueError("interlaced PNG not supported")
     if w <= 0 or h <= 0:
         raise ValueError("bad PNG dimensions")
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as exc:
-        # corrupt deflate stream must surface as the featurizers'
-        # decoded=false row, not crash a 100 TB catalog pass
-        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    if w * h > _PIXEL_CAP:
+        raise ValueError("PNG dimensions exceed the decode cap")
     stride = w * ch
-    if len(raw) != h * (1 + stride):
+    expect = h * (1 + stride)
+    try:
+        # Bounded inflate: a deflate bomb in a junk corpus must not OOM
+        # an executor, so never produce more than the IHDR-implied raster
+        # size (+1 to detect overrun) — corrupt streams surface as the
+        # featurizers' decoded=false row, not a crash.
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expect + 1)
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    if len(raw) != expect or (d.unconsumed_tail
+                              and d.decompress(d.unconsumed_tail, 1)):
         raise ValueError("PNG raster size mismatch")
     lines = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
     filters, data = lines[:, 0], lines[:, 1:]
@@ -397,6 +410,8 @@ def _decode_jpeg(payload: bytes) -> dict:
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     if w <= 0 or h <= 0:
         raise ValueError("bad JPEG dimensions")
+    if w * h > _PIXEL_CAP:
+        raise ValueError("JPEG dimensions exceed the decode cap")
     if len(comps) not in (1, 3):
         raise ValueError("only 1- or 3-component JPEG supported")
     by_id = {c["id"]: c for c in comps}
@@ -1108,8 +1123,13 @@ def parse_mp4(payload: bytes) -> dict:
             trk["sample_rate"] = int.from_bytes(payload[e + 32:e + 34],
                                                 "big")  # 16.16 int part
 
-    def walk(pos: int, end: int, trk: dict | None) -> None:
+    def walk(pos: int, end: int, trk: dict | None,
+             depth: int = 0) -> None:
         nonlocal brand, mvhd_ts, mvhd_dur, has_mdat, saw_moov
+        if depth > 16:
+            # real files nest < 10 levels; a crafted nested-box bomb
+            # must not drive the recursive descent to RecursionError
+            return
         for btype, b, e in _mp4_boxes(payload, pos, end):
             if btype == b"ftyp" and brand is None and e - b >= 4:
                 brand = payload[b:b + 4].decode("latin-1").strip()
@@ -1149,11 +1169,11 @@ def parse_mp4(payload: bytes) -> dict:
             elif btype == b"trak":
                 t: dict = {}
                 tracks.append(t)
-                walk(b, e, t)
+                walk(b, e, t, depth + 1)
             elif btype in _MP4_CONTAINERS:
                 if btype == b"moov":
                     saw_moov = True
-                walk(b, e, trk)
+                walk(b, e, trk, depth + 1)
 
     walk(0, n, None)
     if brand is None or not saw_moov:

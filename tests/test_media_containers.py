@@ -285,3 +285,102 @@ def test_stream_media_metadata_matches_batch(spark, tmp_path):
                       r["parsed"])
             for r in extract_media_metadata(df).collect()}
     assert got == want and len(got) == 3
+
+
+# ------------------------------------------------------- junk-corpus armor
+def test_mp4_nested_box_bomb_no_recursion_error():
+    # 10k-deep nested moov boxes: must parse (depth-capped), not
+    # RecursionError an executor
+    depth = 10_000
+    inner = b""
+    for _ in range(depth):
+        inner = box(b"moov", inner)
+    payload = box(b"ftyp", b"isom" + struct.pack(">I", 0)) + inner
+    m = parse_mp4(payload)
+    assert m["brand"] == "isom" and m["n_tracks"] == 0
+
+
+def test_png_zlib_bomb_bounded():
+    import zlib
+
+    from keboola_storage_duckdb_spark.functions.multimodal import (
+        decode_image)
+
+    def ck(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    # 2x2 gray IHDR but an IDAT that inflates to 100 MB: the bounded
+    # inflate must stop at the expected raster size and reject
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 100_000_000, 9)   # ~100 KB compressed
+    payload = (b"\x89PNG\r\n\x1a\n" + ck(b"IHDR", ihdr)
+               + ck(b"IDAT", bomb) + ck(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_image(payload)
+
+
+def test_pixel_cap_rejects_giant_headers():
+    import zlib
+
+    from keboola_storage_duckdb_spark.functions.multimodal import (
+        decode_image)
+
+    def ck(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + ck(b"IHDR", ihdr)
+           + ck(b"IDAT", zlib.compress(b"\x00")) + ck(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_image(png)
+    # JPEG declaring 65535x65535 must be rejected before allocating
+    # ~34 GB of component planes
+    def seg(m, body):
+        return bytes([0xFF, m]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    sof = seg(0xC0, bytes([8]) + (65535).to_bytes(2, "big")
+              + (65535).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dqt = seg(0xDB, b"\x00" + bytes([8] * 64))
+    dht = seg(0xC4, bytes([0x00]) + bytes([0] * 16) + b"")
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8" + dqt + sof + dht + sos + b"\x00\x00"
+                     + b"\xff\xd9")
+
+
+def test_fuzz_sniff_media_only_valueerror():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def run(payload):
+        try:
+            sniff_media(payload)
+        except ValueError:
+            pass
+
+    run()
+
+
+def test_fuzz_mp3_mp4_prefix_mutations():
+    """Truncations and byte flips of VALID streams — the realistic
+    corruption shape — must yield ValueError or a successful parse,
+    never any other exception."""
+    mp3 = id3v2(5) + b"".join(mp3_frame(9) for _ in range(3))
+    mp4 = mp4_stream(with_audio=True)
+    for base, parse in ((mp3, parse_mp3), (mp4, parse_mp4)):
+        for cut in range(0, len(base), 7):
+            try:
+                parse(base[:cut])
+            except ValueError:
+                pass
+        for flip in range(0, len(base), 11):
+            mut = bytearray(base)
+            mut[flip] ^= 0xFF
+            try:
+                parse(bytes(mut))
+            except ValueError:
+                pass
