@@ -193,6 +193,46 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
         limit = int(request.args.get("limit", 100))
         return jsonify(engine.operations_log(limit=limit))
 
+    # ------------------------------------------------------------- backend
+    @app.post("/backend/init")
+    def backend_init():
+        """Initialize the storage backend (reference routers/backend.py
+        :84-149): ensure every storage path exists and is writable,
+        report anything created; failures -> 500 init_failed. The
+        reference gates this on require_admin — this service's key model
+        has no roles, so any valid API key qualifies (documented
+        simplification; auth runs in the shared before_request)."""
+        created, errors = [], []
+        paths = {"warehouse": engine.catalog.warehouse,
+                 "files": os.path.join(engine.catalog.warehouse, "_files")}
+        for name, path in paths.items():
+            try:
+                if not os.path.isdir(path):
+                    os.makedirs(path, exist_ok=True)
+                    created.append(path)
+                if not os.access(path, os.W_OK):
+                    errors.append(f"{name}: not writable ({path})")
+            except OSError as e:
+                errors.append(f"{name}: {e}")
+        if errors:
+            return jsonify({"error": "init_failed",
+                            "message": "Backend initialization failed",
+                            "details": {"errors": errors}}), 500
+        engine._log("init_backend", created=created)
+        msg = "Backend initialized successfully" + (
+            f" (created: {', '.join(created)})" if created else "")
+        return jsonify({"success": True, "message": msg,
+                        "storage_paths": paths})
+
+    @app.post("/backend/remove")
+    def backend_remove():
+        """No-op by design (reference routers/backend.py:151-171 —
+        cleanup belongs to the service lifecycle)."""
+        engine._log("remove_backend")
+        return jsonify({"success": True,
+                        "message": "Backend removal acknowledged (no-op)",
+                        "storage_paths": None})
+
     # ----------------------------------------------------------- projects
     @app.post("/projects")
     def create_project():

@@ -415,3 +415,19 @@ def test_arrow_query_truncation(client):
     tbl = pa.ipc.open_stream(r.data).read_all()
     assert tbl.num_rows == 2
     assert int(r.headers["X-Row-Count"]) == 2
+
+
+def test_backend_init_and_remove(client):
+    r = client.post("/backend/init")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["success"] and "warehouse" in body["storage_paths"]
+    import os
+
+    assert os.path.isdir(body["storage_paths"]["files"])
+    # idempotent second call: nothing left to create
+    r2 = client.post("/backend/init")
+    assert r2.status_code == 200
+    assert "created" not in r2.get_json()["message"]
+    r3 = client.post("/backend/remove")
+    assert r3.status_code == 200 and "no-op" in r3.get_json()["message"]
