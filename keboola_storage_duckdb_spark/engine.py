@@ -1220,6 +1220,173 @@ class StorageEngine:
                 return name
         return None
 
+    # ------------------------------------------- project-scoped API keys
+    # Reference routers/api_keys.py:95-440: keys belong to a project,
+    # carry a scope (project_admin / branch_admin / branch_read — the
+    # branch scopes require an existing branch), optional expiry, and
+    # support soft revoke (never the last active project_admin key) and
+    # rotate (NEW id + secret, same scope/branch/ttl, old key revoked).
+
+    _KEY_SCOPES = ("project_admin", "branch_admin", "branch_read")
+
+    def _project_keys_path(self) -> str:
+        return os.path.join(self.catalog.warehouse, "_project_keys.json")
+
+    def _project_keys_load(self) -> dict:
+        path = self._project_keys_path()
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    def _project_keys_save(self, keys: dict) -> None:
+        path = self._project_keys_path()
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(keys, f)
+        os.replace(tmp, path)
+
+    def _key_public(self, rec: dict) -> dict:
+        return {k: rec.get(k) for k in
+                ("id", "project_id", "branch_id", "key_prefix", "scope",
+                 "description", "created_at", "expires_at", "revoked_at")}
+
+    def _mint_project_key(self, project: str, scope: str,
+                          branch_id: str | None, description: str | None,
+                          expires_at: float | None) -> tuple[dict, str]:
+        import hashlib
+
+        secret = f"pk_{project}_{uuid.uuid4().hex}{uuid.uuid4().hex[:8]}"
+        key_id = f"key_{uuid.uuid4().hex[:8]}"
+        rec = {"id": key_id, "project_id": project, "branch_id": branch_id,
+               "scope": scope, "description": description,
+               "sha256": hashlib.sha256(secret.encode()).hexdigest(),
+               "key_prefix": secret[:12], "created_at": time.time(),
+               "expires_at": expires_at, "revoked_at": None}
+        return rec, secret
+
+    def create_project_api_key(self, project: str,
+                               scope: str = "project_admin",
+                               branch_id: str | None = None,
+                               description: str | None = None,
+                               expires_in_days: float | None = None) -> dict:
+        """Returns the public record + the cleartext ``api_key`` (shown
+        exactly once, like the reference)."""
+        if not os.path.isdir(self.catalog.project_dir(project)):
+            raise NotFoundError(f"project {project} not found")
+        if scope not in self._KEY_SCOPES:
+            raise CatalogError(f"invalid scope {scope!r}")
+        if scope in ("branch_admin", "branch_read"):
+            if not branch_id:
+                raise CatalogError(f"branch_id is required for scope "
+                                   f"'{scope}'")
+            if branch_id != "default" and not os.path.isdir(
+                    self.catalog.project_dir(project, branch_id)):
+                raise NotFoundError(f"branch {branch_id} not found")
+        elif branch_id:
+            raise CatalogError(
+                "branch_id must be null for scope 'project_admin'")
+        expires_at = (time.time() + expires_in_days * 86400
+                      if expires_in_days else None)
+        rec, secret = self._mint_project_key(project, scope, branch_id,
+                                             description, expires_at)
+        with self._ops_lock:
+            keys = self._project_keys_load()
+            keys[rec["id"]] = rec
+            self._project_keys_save(keys)
+        self._log("create_api_key", project=project, key_id=rec["id"],
+                  scope=scope, branch_id=branch_id)
+        return {**self._key_public(rec), "api_key": secret}
+
+    def list_project_api_keys(self, project: str) -> list[dict]:
+        return [self._key_public(r) for r in
+                self._project_keys_load().values()
+                if r["project_id"] == project]
+
+    def get_project_api_key(self, project: str, key_id: str) -> dict:
+        rec = self._project_keys_load().get(key_id)
+        if rec is None or rec["project_id"] != project:
+            raise NotFoundError(f"API key {key_id} not found")
+        return self._key_public(rec)
+
+    def revoke_project_api_key(self, project: str, key_id: str) -> None:
+        with self._ops_lock:
+            keys = self._project_keys_load()
+            rec = keys.get(key_id)
+            if rec is None or rec["project_id"] != project:
+                raise NotFoundError(f"API key {key_id} not found")
+            if rec["scope"] == "project_admin" and not rec["revoked_at"]:
+                active = sum(1 for r in keys.values()
+                             if r["project_id"] == project
+                             and r["scope"] == "project_admin"
+                             and not r["revoked_at"])
+                if active <= 1:
+                    raise CatalogError(
+                        "Cannot revoke the last active project_admin key. "
+                        "Create a new one first.")
+            rec["revoked_at"] = time.time()
+            self._project_keys_save(keys)
+        self._log("revoke_api_key", project=project, key_id=key_id)
+
+    def rotate_project_api_key(self, project: str, key_id: str) -> dict:
+        """New id + secret with the old key's scope/branch/ttl; the old
+        key is revoked in the same atomic write."""
+        with self._ops_lock:
+            keys = self._project_keys_load()
+            old = keys.get(key_id)
+            if old is None or old["project_id"] != project:
+                raise NotFoundError(f"API key {key_id} not found")
+            if old["revoked_at"]:
+                raise CatalogError("Cannot rotate a revoked key. "
+                                   "Create a new key instead.")
+            expires_at = None
+            if old["expires_at"]:
+                ttl = old["expires_at"] - old["created_at"]
+                expires_at = time.time() + ttl
+            rec, secret = self._mint_project_key(
+                project, old["scope"], old["branch_id"],
+                f"{old.get('description') or 'API Key'} (rotated)",
+                expires_at)
+            old["revoked_at"] = time.time()
+            keys[rec["id"]] = rec
+            self._project_keys_save(keys)
+        self._log("rotate_api_key", project=project, old=key_id,
+                  new=rec["id"])
+        return {**self._key_public(rec), "api_key": secret}
+
+    def verify_project_api_key(self, key: str) -> dict | None:
+        """Return the public record of a live (non-revoked, non-expired)
+        scoped key matching ``key``, else None."""
+        import hashlib
+
+        digest = hashlib.sha256(key.encode()).hexdigest()
+        now = time.time()
+        for rec in self._project_keys_load().values():
+            if rec["sha256"] == digest and not rec["revoked_at"] \
+                    and not (rec["expires_at"] and rec["expires_at"] < now):
+                return self._key_public(rec)
+        return None
+
+    # --------------------------------------------------------------- stats
+    def project_stats(self, project: str) -> dict:
+        """Live project statistics (reference routers/projects.py:256-312):
+        bucket/table counts from the catalog, size from walking the
+        project directory — the Spark analogue of querying the DuckDB
+        file."""
+        buckets = self.catalog.list_buckets(project)
+        n_tables = sum(len(self.catalog.list_tables(project, b))
+                       for b in buckets)
+        size = 0
+        for dirpath, _dirs, files in os.walk(
+                self.catalog.project_dir(project)):
+            for name in files:
+                try:
+                    size += os.path.getsize(os.path.join(dirpath, name))
+                except OSError:
+                    pass
+        return {"id": project, "size_bytes": size,
+                "table_count": n_tables, "bucket_count": len(buckets)}
+
     # -------------------------------------------------------------- writes
     def _write_table(self, project: str, bucket: str, table: str, df: DataFrame,
                      branch: str | None = None, op: str = "write") -> None:
@@ -2632,6 +2799,106 @@ class StorageEngine:
         with open(path) as f:
             stored = json.load(f)["sha256"]
         return hashlib.sha256(password.encode()).hexdigest() == stored
+
+    # ------------------------------------------- pgwire session registry
+    # Reference routers/pgwire_auth.py (/internal/pgwire): the REST
+    # backchannel an external pgwire proxy (duckgres) uses — register a
+    # session after auth, heartbeat activity + query counts, close with
+    # a reason, list/cleanup stale ones. Persisted like the reference's
+    # metadata DB rows so cleanup semantics survive restarts.
+
+    def _pgwire_sessions_path(self) -> str:
+        return os.path.join(self.catalog.warehouse, "_pgwire_sessions.json")
+
+    def _pgwire_sessions_load(self) -> dict:
+        path = self._pgwire_sessions_path()
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    def _pgwire_sessions_save(self, sessions: dict) -> None:
+        path = self._pgwire_sessions_path()
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(sessions, f)
+        os.replace(tmp, path)
+
+    def pgwire_session_create(self, session_id: str, workspace_id: str,
+                              client_ip: str | None = None) -> dict:
+        if not os.path.isdir(self.catalog.workspace_dir(workspace_id)):
+            raise NotFoundError(f"workspace {workspace_id} not found")
+        now = time.time()
+        rec = {"session_id": session_id, "workspace_id": workspace_id,
+               "client_ip": client_ip, "status": "active",
+               "created_at": now, "last_activity_at": now,
+               "query_count": 0, "closed_reason": None}
+        with self._ops_lock:
+            sessions = self._pgwire_sessions_load()
+            sessions[session_id] = rec
+            self._pgwire_sessions_save(sessions)
+        self._log("pgwire_session_create", session=session_id,
+                  workspace=workspace_id)
+        return rec
+
+    def pgwire_session_get(self, session_id: str) -> dict:
+        rec = self._pgwire_sessions_load().get(session_id)
+        if rec is None:
+            raise NotFoundError(f"session {session_id} not found")
+        return rec
+
+    def pgwire_session_activity(self, session_id: str,
+                                increment_queries: int = 0) -> dict:
+        with self._ops_lock:
+            sessions = self._pgwire_sessions_load()
+            rec = sessions.get(session_id)
+            if rec is None:
+                raise NotFoundError(f"session {session_id} not found")
+            rec["last_activity_at"] = time.time()
+            rec["query_count"] += int(increment_queries or 0)
+            self._pgwire_sessions_save(sessions)
+        return rec
+
+    def pgwire_session_close(self, session_id: str,
+                             reason: str = "disconnected") -> None:
+        with self._ops_lock:
+            sessions = self._pgwire_sessions_load()
+            rec = sessions.get(session_id)
+            if rec is None:
+                raise NotFoundError(f"session {session_id} not found")
+            rec["status"] = "closed"
+            rec["closed_reason"] = reason
+            rec["last_activity_at"] = time.time()
+            self._pgwire_sessions_save(sessions)
+        self._log("pgwire_session_close", session=session_id, reason=reason)
+
+    def pgwire_sessions_list(self, workspace_id: str | None = None,
+                             status: str | None = None) -> list[dict]:
+        out = list(self._pgwire_sessions_load().values())
+        if workspace_id:
+            out = [s for s in out if s["workspace_id"] == workspace_id]
+        if status:
+            out = [s for s in out if s["status"] == status]
+        return sorted(out, key=lambda s: s["created_at"])
+
+    def pgwire_sessions_cleanup(self, idle_timeout_seconds: float) -> int:
+        """Mark active sessions idle past the timeout as ``timeout``;
+        returns how many were marked (reference cleanup semantics)."""
+        cutoff = time.time() - idle_timeout_seconds
+        marked = 0
+        with self._ops_lock:
+            sessions = self._pgwire_sessions_load()
+            for rec in sessions.values():
+                if rec["status"] == "active" \
+                        and rec["last_activity_at"] < cutoff:
+                    rec["status"] = "timeout"
+                    rec["closed_reason"] = "idle_timeout"
+                    marked += 1
+            if marked:
+                self._pgwire_sessions_save(sessions)
+        if marked:
+            self._log("pgwire_sessions_cleanup", marked=marked)
+        return marked
 
     # ----------------------------------------------------------- object info
     def object_info(self, path: list[str]) -> dict:

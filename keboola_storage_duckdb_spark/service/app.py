@@ -75,7 +75,8 @@ def _branch(branch_id: str) -> str | None:
     return None if branch_id in ("default", "main") else branch_id
 
 
-def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
+def create_app(engine, require_auth: bool = False, s3_config=None,
+               pgwire_max_connections: int = 20) -> Flask:
     app = Flask("keboola_storage_duckdb_spark")
     idem = IdempotencyCache()
 
@@ -120,7 +121,8 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
                 or request.path.startswith("/s3/"):
             return None
         key = request.headers.get("X-API-Key")
-        if not key or engine.verify_api_key(key) is None:
+        if not key or (engine.verify_api_key(key) is None
+                       and engine.verify_project_api_key(key) is None):
             return jsonify({"error": "unauthorized",
                             "message": "missing or invalid API key"}), 401
         return None
@@ -771,6 +773,112 @@ def create_app(engine, require_auth: bool = False, s3_config=None) -> Flask:
         body = request.get_json(force=True)
         return jsonify({"name": body["name"],
                         "key": engine.create_api_key(body["name"])}), 201
+
+    # Project-scoped keys (reference routers/api_keys.py:95-440): scope +
+    # branch validation, expiry, soft revoke (never the last active
+    # project_admin), rotate = new id/secret + old key revoked.
+    @app.post("/projects/<project>/api-keys")
+    def create_project_key(project):
+        body = request.get_json(force=True) or {}
+        rec = engine.create_project_api_key(
+            project, scope=body.get("scope", "project_admin"),
+            branch_id=body.get("branch_id"),
+            description=body.get("description"),
+            expires_in_days=body.get("expires_in_days"))
+        return jsonify(rec), 201
+
+    @app.get("/projects/<project>/api-keys")
+    def list_project_keys(project):
+        return jsonify(engine.list_project_api_keys(project))
+
+    @app.get("/projects/<project>/api-keys/<key_id>")
+    def get_project_key(project, key_id):
+        return jsonify(engine.get_project_api_key(project, key_id))
+
+    @app.delete("/projects/<project>/api-keys/<key_id>")
+    def revoke_project_key(project, key_id):
+        engine.revoke_project_api_key(project, key_id)
+        return "", 204
+
+    @app.post("/projects/<project>/api-keys/<key_id>/rotate")
+    def rotate_project_key(project, key_id):
+        return jsonify(engine.rotate_project_api_key(project, key_id)), 201
+
+    @app.get("/projects/<project>/stats")
+    def project_stats(project):
+        return jsonify(engine.project_stats(project))
+
+    # -------------------------------------- pgwire REST backchannel
+    # (reference routers/pgwire_auth.py, prefix /internal/pgwire: the
+    # surface an external pgwire proxy uses — auth check, session
+    # register/heartbeat/close, list, stale cleanup). The in-process
+    # PG-wire server (service/pgwire.py) authenticates directly; this
+    # REST twin exists for proxy deployments and parity. Reference
+    # workspace expiry (410) has no analogue — our workspaces carry no
+    # TTL (documented simplification).
+    @app.post("/internal/pgwire/auth")
+    def pgwire_auth():
+        body = request.get_json(force=True)
+        ws = body.get("username", "")
+        if not engine.verify_workspace_password(ws, body.get("password",
+                                                             "")):
+            return jsonify({"error": "invalid_credentials",
+                            "message": "Invalid username or password"}), 401
+        active = len(engine.pgwire_sessions_list(workspace_id=ws,
+                                                 status="active"))
+        if active >= pgwire_max_connections:
+            return jsonify({
+                "error": "connection_limit_reached",
+                "message": f"Maximum connections "
+                           f"({pgwire_max_connections}) reached for "
+                           f"workspace",
+                "details": {"workspace_id": ws,
+                            "active_sessions": active,
+                            "limit": pgwire_max_connections}}), 429
+        d = engine.catalog.workspace_dir(ws)
+        objects = sorted(e for e in os.listdir(d)
+                         if not e.startswith("_"))
+        return jsonify({"workspace_id": ws, "db_path": d,
+                        "tables": objects,
+                        "memory_limit": "2GB",
+                        "query_timeout_seconds": 300})
+
+    @app.post("/internal/pgwire/sessions")
+    def pgwire_session_create():
+        body = request.get_json(force=True)
+        return jsonify(engine.pgwire_session_create(
+            body["session_id"], body["workspace_id"],
+            client_ip=body.get("client_ip"))), 201
+
+    @app.get("/internal/pgwire/sessions")
+    def pgwire_sessions_list():
+        return jsonify(engine.pgwire_sessions_list(
+            workspace_id=request.args.get("workspace_id"),
+            status=request.args.get("status")))
+
+    @app.get("/internal/pgwire/sessions/<session_id>")
+    def pgwire_session_get(session_id):
+        return jsonify(engine.pgwire_session_get(session_id))
+
+    @app.patch("/internal/pgwire/sessions/<session_id>/activity")
+    def pgwire_session_activity(session_id):
+        body = request.get_json(force=True) or {}
+        return jsonify(engine.pgwire_session_activity(
+            session_id,
+            increment_queries=body.get("increment_queries", 0)))
+
+    @app.delete("/internal/pgwire/sessions/<session_id>")
+    def pgwire_session_close(session_id):
+        engine.pgwire_session_close(
+            session_id, reason=request.args.get("reason", "disconnected"))
+        return "", 204
+
+    @app.post("/internal/pgwire/sessions/cleanup")
+    def pgwire_sessions_cleanup():
+        timeout = float(request.args.get("idle_timeout_seconds", 1800))
+        return jsonify({"cleaned_up": engine.pgwire_sessions_cleanup(
+                            timeout),
+                        "idle_timeout_seconds": timeout})
 
     # ---------------------------------------------------------- SQL query
     @app.post("/projects/<project>/query")

@@ -431,3 +431,140 @@ def test_backend_init_and_remove(client):
     assert "created" not in r2.get_json()["message"]
     r3 = client.post("/backend/remove")
     assert r3.status_code == 200 and "no-op" in r3.get_json()["message"]
+
+
+def test_project_scoped_api_keys_lifecycle(client):
+    # scope/branch validation (reference api_keys.py:118-147)
+    assert _post(client, "/projects/p1/api-keys",
+                 {"scope": "branch_admin"}).status_code == 400
+    assert _post(client, "/projects/p1/api-keys",
+                 {"scope": "project_admin", "branch_id": "b9"}
+                 ).status_code == 400
+    assert _post(client, "/projects/p1/api-keys",
+                 {"scope": "branch_read", "branch_id": "nope"}
+                 ).status_code == 404
+    assert _post(client, "/projects/ghost/api-keys", {}).status_code == 404
+
+    k1 = _post(client, "/projects/p1/api-keys",
+               {"description": "ci", "expires_in_days": 7}).get_json()
+    assert k1["scope"] == "project_admin" and k1["api_key"].startswith("pk_")
+    assert k1["key_prefix"] == k1["api_key"][:12]
+    assert k1["expires_at"] > k1["created_at"]
+
+    listed = client.get("/projects/p1/api-keys").get_json()
+    assert [k["id"] for k in listed] == [k1["id"]]
+    assert all("api_key" not in k and "sha256" not in k for k in listed)
+
+    got = client.get(f"/projects/p1/api-keys/{k1['id']}").get_json()
+    assert got["description"] == "ci" and "api_key" not in got
+
+    # cannot revoke the LAST active project_admin key
+    r = client.delete(f"/projects/p1/api-keys/{k1['id']}")
+    assert r.status_code == 400
+
+    # rotate: new id + secret, same scope, old key revoked
+    k2 = _post(client, f"/projects/p1/api-keys/{k1['id']}/rotate").get_json()
+    assert k2["id"] != k1["id"] and k2["api_key"] != k1["api_key"]
+    assert k2["description"].endswith("(rotated)")
+    old = client.get(f"/projects/p1/api-keys/{k1['id']}").get_json()
+    assert old["revoked_at"] is not None
+    # rotating a revoked key: 400
+    assert _post(client,
+                 f"/projects/p1/api-keys/{k1['id']}/rotate").status_code == 400
+    # with a second admin key minted by the rotate, the revoke works
+    k3 = _post(client, "/projects/p1/api-keys", {}).get_json()
+    assert client.delete(
+        f"/projects/p1/api-keys/{k3['id']}").status_code == 204
+
+
+def test_project_scoped_key_authenticates(spark, tmp_path_factory):
+    eng = StorageEngine(spark, str(tmp_path_factory.mktemp("wh_auth2")))
+    eng.create_project("pa")
+    app = create_app(eng, require_auth=True)
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        assert c.get("/projects").status_code == 401
+        secret = eng.create_project_api_key("pa")["api_key"]
+        assert c.get("/projects",
+                     headers={"X-API-Key": secret}).status_code == 200
+        # expired keys are rejected
+        assert eng.verify_project_api_key(secret) is not None
+        expired = eng.create_project_api_key(
+            "pa", expires_in_days=-1)["api_key"]
+        assert eng.verify_project_api_key(expired) is None
+
+
+def test_project_stats(client):
+    r = client.get("/projects/p1/stats")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["id"] == "p1" and body["bucket_count"] >= 1
+    assert body["table_count"] >= 1 and body["size_bytes"] > 0
+    assert client.get("/projects/ghost/stats").status_code == 404
+
+
+def test_pgwire_rest_backchannel(client):
+    # workspace + credential
+    _post(client, "/projects/p1/workspaces", {"id": "wpg"})
+    pw = _post(client,
+               "/projects/p1/workspaces/wpg/credentials/reset"
+               ).get_json()["password"]
+    # auth: wrong password 401, right one returns session init info
+    assert _post(client, "/internal/pgwire/auth",
+                 {"username": "wpg", "password": "nope"}).status_code == 401
+    auth = _post(client, "/internal/pgwire/auth",
+                 {"username": "wpg", "password": pw})
+    assert auth.status_code == 200
+    info = auth.get_json()
+    assert info["workspace_id"] == "wpg" and "db_path" in info
+
+    # session lifecycle: register -> activity -> close
+    r = _post(client, "/internal/pgwire/sessions",
+              {"session_id": "s1", "workspace_id": "wpg",
+               "client_ip": "10.0.0.9"})
+    assert r.status_code == 201 and r.get_json()["status"] == "active"
+    assert _post(client, "/internal/pgwire/sessions",
+                 {"session_id": "sx", "workspace_id": "ghost"}
+                 ).status_code == 404
+    act = client.patch("/internal/pgwire/sessions/s1/activity",
+                       data=json.dumps({"increment_queries": 3}),
+                       content_type="application/json")
+    assert act.get_json()["query_count"] == 3
+    listed = client.get(
+        "/internal/pgwire/sessions?workspace_id=wpg&status=active"
+        ).get_json()
+    assert [s["session_id"] for s in listed] == ["s1"]
+    assert client.delete(
+        "/internal/pgwire/sessions/s1?reason=test_done").status_code == 204
+    closed = client.get("/internal/pgwire/sessions/s1").get_json()
+    assert closed["status"] == "closed"
+    assert closed["closed_reason"] == "test_done"
+    assert client.get(
+        "/internal/pgwire/sessions/nope").status_code == 404
+
+    # stale cleanup: an active session with old activity flips to timeout
+    _post(client, "/internal/pgwire/sessions",
+          {"session_id": "s2", "workspace_id": "wpg"})
+    res = _post(client,
+                "/internal/pgwire/sessions/cleanup?idle_timeout_seconds=0")
+    assert res.get_json()["cleaned_up"] == 1
+    assert client.get("/internal/pgwire/sessions/s2"
+                      ).get_json()["status"] == "timeout"
+
+
+def test_pgwire_auth_connection_limit(spark, tmp_path_factory):
+    eng = StorageEngine(spark, str(tmp_path_factory.mktemp("wh_pgl")))
+    eng.create_project("pl")
+    eng.create_workspace("wl")
+    pw = eng.reset_workspace_password("wl")
+    app = create_app(eng, pgwire_max_connections=1)
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        assert _post(c, "/internal/pgwire/auth",
+                     {"username": "wl", "password": pw}).status_code == 200
+        _post(c, "/internal/pgwire/sessions",
+              {"session_id": "a", "workspace_id": "wl"})
+        r = _post(c, "/internal/pgwire/auth",
+                  {"username": "wl", "password": pw})
+        assert r.status_code == 429
+        assert r.get_json()["error"] == "connection_limit_reached"
