@@ -2383,6 +2383,61 @@ class StorageEngine:
     def _snapshot_settings_path(self) -> str:
         return os.path.join(self.catalog.warehouse, "_snapshot_settings.json")
 
+    _SNAPSHOT_DEFAULTS = {"enabled": True, "retention_days": 90,
+                          "auto_retention_days": 7}
+
+    def get_snapshot_settings(self, level: str, path: list[str]) -> dict:
+        """Reference SnapshotSettingsResponse
+        (routers/snapshot_settings.py:111-137): the EFFECTIVE config at
+        this level, per-field inheritance provenance
+        (default/project/bucket/table), and the local overrides (None
+        when the level sets nothing itself)."""
+        if level not in ("project", "bucket", "table"):
+            raise CatalogError(f"invalid settings level {level!r}")
+        want = {"project": 1, "bucket": 2, "table": 3}[level]
+        if len(path) != want:
+            raise CatalogError(f"{level} settings need a {want}-part path")
+        data = {}
+        store = self._snapshot_settings_path()
+        if os.path.exists(store):
+            with open(store) as f:
+                data = json.load(f)
+        effective = dict(self._SNAPSHOT_DEFAULTS)
+        inheritance = {k: "default" for k in effective}
+        for lvl, parts in (("project", path[:1]), ("bucket", path[:2]),
+                           ("table", path[:3]))[:want]:
+            local = data.get(lvl, {}).get("/".join(parts), {})
+            for k, v in local.items():
+                effective[k] = v
+                inheritance[k] = lvl
+        local_config = data.get(level, {}).get("/".join(path)) or None
+        return {"effective_config": effective, "inheritance": inheritance,
+                "local_config": local_config}
+
+    def delete_snapshot_settings(self, level: str, path: list[str]) -> None:
+        """Clear the LOCAL overrides at one level (idempotent); narrower
+        and broader levels are untouched — the next read re-inherits
+        (reference delete_*_snapshot_settings)."""
+        if level not in ("project", "bucket", "table"):
+            raise CatalogError(f"invalid settings level {level!r}")
+        store = self._snapshot_settings_path()
+        removed = False
+        with self._ops_lock:
+            if not os.path.exists(store):
+                return
+            with open(store) as f:
+                data = json.load(f)
+            if data.get(level, {}).pop("/".join(path), None) is not None:
+                tmp = store + f".tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
+                    json.dump(data, f)
+                os.replace(tmp, store)
+                removed = True
+        # _log takes the same non-reentrant ops lock — never call it
+        # while holding the lock
+        if removed:
+            self._log("delete_snapshot_settings", level=level, path=path)
+
     # ---------------------------------------------------------- snapshots
     def snapshot_create(self, project: str, bucket: str, table: str,
                         description: str = "") -> dict:

@@ -768,6 +768,43 @@ def create_app(engine, require_auth: bool = False, s3_config=None,
                                      retention_days=body.get("retention_days"))
         return jsonify({"level": level, "path": body["path"]})
 
+    # Per-resource snapshot-settings paths (reference
+    # routers/snapshot_settings.py — GET returns effective config +
+    # per-field inheritance + local overrides; PUT sets local overrides;
+    # DELETE clears them so the level re-inherits). The flat
+    # /snapshot-settings/<level> PUT above predates these and stays.
+    def _snap_routes(level, rule, parts):
+        def get_fn(**kw):
+            return jsonify(engine.get_snapshot_settings(
+                level, [kw[p] for p in parts]))
+
+        def put_fn(**kw):
+            body = request.get_json(force=True) or {}
+            path = [kw[p] for p in parts]
+            engine.set_snapshot_settings(
+                level, path, enabled=body.get("enabled"),
+                retention_days=body.get("retention_days"))
+            return jsonify(engine.get_snapshot_settings(level, path))
+
+        def delete_fn(**kw):
+            engine.delete_snapshot_settings(level, [kw[p] for p in parts])
+            return "", 204
+
+        app.add_url_rule(rule, f"snap_get_{level}", get_fn,
+                         methods=["GET"])
+        app.add_url_rule(rule, f"snap_put_{level}", put_fn,
+                         methods=["PUT"])
+        app.add_url_rule(rule, f"snap_del_{level}", delete_fn,
+                         methods=["DELETE"])
+
+    _snap_routes("project", "/projects/<project>/settings/snapshots",
+                 ("project",))
+    _snap_routes("bucket",
+                 "/projects/<project>/branches/<branch_id>/buckets"
+                 "/<bucket>/settings/snapshots", ("project", "bucket"))
+    _snap_routes("table", tbl + "/<table>/settings/snapshots",
+                 ("project", "bucket", "table"))
+
     @app.post("/api-keys")
     def create_api_key():
         body = request.get_json(force=True)

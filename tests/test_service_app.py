@@ -568,3 +568,42 @@ def test_pgwire_auth_connection_limit(spark, tmp_path_factory):
                   {"username": "wl", "password": pw})
         assert r.status_code == 429
         assert r.get_json()["error"] == "connection_limit_reached"
+
+
+def test_snapshot_settings_resource_paths(client):
+    # defaults + inheritance provenance at the table level
+    url_t = ("/projects/p1/branches/default/buckets/in_c_main/tables/"
+             "users/settings/snapshots")
+    got = client.get(url_t).get_json()
+    assert got["effective_config"]["enabled"] is True
+    assert got["inheritance"]["enabled"] == "default"
+    assert got["local_config"] is None
+
+    # project-level override inherits downward
+    r = client.put("/projects/p1/settings/snapshots",
+                   data=json.dumps({"retention_days": 30}),
+                   content_type="application/json")
+    assert r.get_json()["local_config"] == {"retention_days": 30}
+    got = client.get(url_t).get_json()
+    assert got["effective_config"]["retention_days"] == 30
+    assert got["inheritance"]["retention_days"] == "project"
+
+    # table-level override wins over project
+    client.put(url_t, data=json.dumps({"retention_days": 5}),
+               content_type="application/json")
+    got = client.get(url_t).get_json()
+    assert got["effective_config"]["retention_days"] == 5
+    assert got["inheritance"]["retention_days"] == "table"
+    assert got["local_config"] == {"retention_days": 5}
+
+    # DELETE clears the local override -> re-inherits from project
+    assert client.delete(url_t).status_code == 204
+    got = client.get(url_t).get_json()
+    assert got["effective_config"]["retention_days"] == 30
+    assert got["inheritance"]["retention_days"] == "project"
+    # idempotent delete + cleanup of the project override
+    assert client.delete(url_t).status_code == 204
+    assert client.delete(
+        "/projects/p1/settings/snapshots").status_code == 204
+    got = client.get(url_t).get_json()
+    assert got["effective_config"]["retention_days"] == 90
