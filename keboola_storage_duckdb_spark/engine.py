@@ -1367,6 +1367,44 @@ class StorageEngine:
                 return self._key_public(rec)
         return None
 
+    # ------------------------------------------------------ project meta
+    def _project_meta_path(self, project: str) -> str:
+        return os.path.join(self.catalog.project_dir(project),
+                            "_meta.json")
+
+    def get_project_meta(self, project: str) -> dict:
+        """Display name + settings (reference projects table metadata;
+        defaults: name == id, empty settings)."""
+        path = self._project_meta_path(project)
+        meta = {"name": project, "settings": {}}
+        if os.path.exists(path):
+            with open(path) as f:
+                meta.update(json.load(f))
+        return meta
+
+    def update_project_meta(self, project: str, name: str | None = None,
+                            settings: dict | None = None) -> dict:
+        """UpdateProject (reference routers/projects.py:314-400): patch
+        the display name and/or merge settings keys."""
+        if not os.path.isdir(self.catalog.project_dir(project)):
+            raise NotFoundError(f"project {project} not found")
+        with self._ops_lock:
+            meta = {"name": project, "settings": {}}
+            path = self._project_meta_path(project)
+            if os.path.exists(path):
+                with open(path) as f:
+                    meta.update(json.load(f))
+            if name is not None:
+                meta["name"] = name
+            if settings is not None:
+                meta["settings"].update(settings)
+            tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, path)
+        self._log("update_project", project=project)
+        return meta
+
     # --------------------------------------------------------------- stats
     def project_stats(self, project: str) -> dict:
         """Live project statistics (reference routers/projects.py:256-312):

@@ -251,7 +251,18 @@ def create_app(engine, require_auth: bool = False, s3_config=None,
         if project not in engine.catalog.list_projects():
             raise NotFoundError(f"project {project} not found")
         return jsonify({"id": project,
-                        "buckets": engine.catalog.list_buckets(project)})
+                        "buckets": engine.catalog.list_buckets(project),
+                        **engine.get_project_meta(project)})
+
+    @app.put("/projects/<project>")
+    def update_project(project):
+        """Update project metadata — display name / settings dict
+        (reference routers/projects.py:314-400 update_project)."""
+        body = request.get_json(force=True) or {}
+        return jsonify({"id": project,
+                        **engine.update_project_meta(
+                            project, name=body.get("name"),
+                            settings=body.get("settings"))})
 
     @app.delete("/projects/<project>")
     def drop_project(project):

@@ -607,3 +607,24 @@ def test_snapshot_settings_resource_paths(client):
         "/projects/p1/settings/snapshots").status_code == 204
     got = client.get(url_t).get_json()
     assert got["effective_config"]["retention_days"] == 90
+
+
+def test_update_project_metadata(client):
+    got = client.get("/projects/p1").get_json()
+    assert got["name"] == "p1" and got["settings"] == {}
+    r = client.put("/projects/p1",
+                   data=json.dumps({"name": "Prod Warehouse",
+                                    "settings": {"tier": "gold"}}),
+                   content_type="application/json")
+    assert r.get_json()["name"] == "Prod Warehouse"
+    got = client.get("/projects/p1").get_json()
+    assert got["name"] == "Prod Warehouse"
+    assert got["settings"] == {"tier": "gold"}
+    # settings merge, name untouched
+    client.put("/projects/p1", data=json.dumps({"settings": {"x": 1}}),
+               content_type="application/json")
+    got = client.get("/projects/p1").get_json()
+    assert got["settings"] == {"tier": "gold", "x": 1}
+    assert got["name"] == "Prod Warehouse"
+    assert client.put("/projects/ghost", data=json.dumps({"name": "n"}),
+                      content_type="application/json").status_code == 404
