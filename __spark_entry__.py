@@ -5316,6 +5316,190 @@ def q_bfd_pack(spark, sf_dir):
                     max_len=64, n_shards=8, seed="bfd")
 
 
+def q_funnel_steps(spark, sf_dir):
+    """Ordered funnel over the events stream (NEW r16): users completing
+    signup → view → click → purchase IN ORDER, each step at-or-after the
+    user's earliest completion of the previous one (total (ts, event_id)
+    event order — deterministic under equal timestamps). One window pass
+    per user (streaming/events.py:funnel_steps); the oracle re-derives
+    the same chained strictly-preceding-frame running minima in SQL."""
+    from keboola_storage_duckdb_spark.streaming.events import funnel_steps
+    return funnel_steps(_t(spark, sf_dir, "events"),
+                        ["signup", "view", "click", "purchase"])
+
+
+_FUNNEL_STEPS_SQL = """
+WITH e0 AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'signup' THEN ts END AS q0
+  FROM events),
+e1 AS (
+  SELECT *, CASE WHEN event_type = 'view'
+                  AND min(q0) OVER wp IS NOT NULL THEN ts END AS q1
+  FROM e0 WINDOW wp AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+e2 AS (
+  SELECT *, CASE WHEN event_type = 'click'
+                  AND min(q1) OVER wp IS NOT NULL THEN ts END AS q2
+  FROM e1 WINDOW wp AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+e3 AS (
+  SELECT *, CASE WHEN event_type = 'purchase'
+                  AND min(q2) OVER wp IS NOT NULL THEN ts END AS q3
+  FROM e2 WINDOW wp AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+per_user AS (
+  SELECT user_id, min(q0) r0, min(q1) r1, min(q2) r2, min(q3) r3
+  FROM e3 GROUP BY user_id),
+c AS (SELECT count(r0) n0, count(r1) n1, count(r2) n2, count(r3) n3
+      FROM per_user)
+SELECT CAST(1 AS INTEGER) AS step, 'signup' AS event_type, n0 AS n_users,
+       CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS conversion FROM c
+UNION ALL SELECT CAST(2 AS INTEGER), 'view', n1,
+       CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM c
+UNION ALL SELECT CAST(3 AS INTEGER), 'click', n2,
+       CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM c
+UNION ALL SELECT CAST(4 AS INTEGER), 'purchase', n3,
+       CAST(n3 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM c"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix (NEW r16): cohort = Monday week of
+    the user's earliest signup; retained at offset k = any event in
+    cohort_week + k. Integer day-diffs / 7 over Monday-aligned week
+    truncs — engine-exact (streaming/events.py:cohort_retention)."""
+    from keboola_storage_duckdb_spark.streaming.events import cohort_retention
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+_COHORT_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         date_trunc('week', e.ts) AS week
+  FROM events e JOIN first f USING (user_id)
+  WHERE date_trunc('week', e.ts) >= f.cohort_week)
+SELECT CAST(cohort_week AS DATE) AS cohort_week,
+       CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(week AS DATE))
+            / 7 AS INTEGER) AS week_offset,
+       COUNT(*) AS n_users
+FROM act GROUP BY 1, 2"""
+
+
+def q_gap_fill(spark, sf_dir):
+    """Hourly gap-fill with LOCF + linear interpolation (NEW r16, the
+    timescale time_bucket_gapfill family): per-event-type dense hourly
+    spine over each series' span; bucket means are exact-decimal sums /
+    counts, interpolation is correctly-rounded double arithmetic written
+    in the same order in both engines
+    (streaming/events.py:gap_fill_hourly)."""
+    from keboola_storage_duckdb_spark.streaming.events import gap_fill_hourly
+    return gap_fill_hourly(_t(spark, sf_dir, "events"))
+
+
+_GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(12,2))) AS s
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT series, min(bucket) AS b0, max(bucket) AS b1
+           FROM hourly GROUP BY 1),
+spine AS (SELECT series,
+                 unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+          FROM bounds),
+f AS (SELECT sp.series, sp.bucket, h.n_events,
+             CAST(h.s AS DOUBLE) / CAST(h.n_events AS DOUBLE) AS avg_value
+      FROM spine sp LEFT JOIN hourly h
+        ON h.series = sp.series AND h.bucket = sp.bucket),
+w AS (SELECT *,
+        last_value(avg_value IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN avg_value IS NOT NULL THEN bucket END
+                   IGNORE NULLS) OVER wp AS pt,
+        first_value(avg_value IGNORE NULLS) OVER wf AS nv,
+        first_value(CASE WHEN avg_value IS NOT NULL THEN bucket END
+                    IGNORE NULLS) OVER wf AS nt
+      FROM f
+      WINDOW wp AS (PARTITION BY series ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY series ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT series, bucket, COALESCE(n_events, 0) AS n_events, avg_value,
+       COALESCE(avg_value, pv) AS filled_locf,
+       COALESCE(avg_value,
+                CASE WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+                  pv + (nv - pv)
+                     * (CAST(epoch_us(bucket) - epoch_us(pt) AS DOUBLE)
+                        / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+                END) AS filled_interp,
+       CAST(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS INTEGER)
+           AS is_gap
+FROM w"""
+
+
+def q_fuzzy_join_names(spark, sf_dir):
+    """Edit-distance record linkage (NEW r16): all customer-name pairs
+    within Levenshtein distance 1 via the SymSpell 1-deletion
+    neighbourhood join — complete blocking for d=1, no N² pair product
+    (operators/linkage.py). The oracle re-derives the neighbourhood and
+    uses DuckDB's integer levenshtein — exact cross-engine."""
+    from keboola_storage_duckdb_spark.operators.linkage import (
+        fuzzy_pairs_symdelete)
+    cust = _t(spark, sf_dir, "customer")
+    return fuzzy_pairs_symdelete(cust, "c_custkey", "c_name", max_dist=1)
+
+
+_FUZZY_JOIN_NAMES_SQL = """
+WITH v AS (
+  SELECT c_custkey AS id, c_name AS name,
+         unnest(list_distinct(list_prepend(c_name,
+           list_transform(range(0, length(c_name)),
+                          i -> substr(c_name, 1, CAST(i AS INTEGER))
+                               || substr(c_name, CAST(i + 2 AS INTEGER))))))
+           AS variant
+  FROM customer)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 1"""
+
+
+def q_containment_dedup(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (NEW r16): Broder
+    containment |A∩B|/|A| ≥ 9/10 over distinct word-bigram sets —
+    catches short-doc-quoted-in-long-doc inclusion that symmetric
+    Jaccard misses. Prefix-filtered on the contained side only
+    (dedup_ml.ngram_containment_pairs); pure-integer accept, exact
+    SQL twin on string shingles."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        ngram_containment_pairs)
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, "doc_id", "text",
+                                   threshold_num=9, threshold_den=10,
+                                   min_shingles=5)
+
+
+_CONTAINMENT_DEDUP_SQL = """
+WITH toks AS (SELECT doc_id AS id, str_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT id,
+              unnest(list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1])) AS shingle
+       FROM toks),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+common AS (SELECT a.id AS ca, b.id AS cb, COUNT(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id != b.id
+           GROUP BY 1, 2)
+SELECT ca AS contained, cb AS container, sa.n AS n_contained, inter,
+       CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+FROM common
+JOIN sizes sa ON sa.id = ca
+JOIN sizes sb ON sb.id = cb
+WHERE sa.n >= 5 AND sb.n >= 5 AND inter * 10 >= 9 * sa.n"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver-certified window (slots 1-50) ----
     # r10 rotation (VERDICT r9 #8: rotate only the genuinely new):
@@ -5390,13 +5574,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dispatch + the parsed=false contract under the oracle) takes
     # video_features' slot — green r07+r15, featurizer untouched since.
     "media_metadata_mixed": q_media_metadata_mixed,  # NEW r16: mixed sniff
-    "duplicate_spans": q_duplicate_spans,        # re-certify r15 (r07-r11)
+    # r16c rotation: funnel_steps takes duplicate_spans' slot —
+    # duplicate_spans green r07-r11 + r15, its window-fingerprint
+    # machinery stays window-certified inside cut_spans (composes it);
+    # parked 51+.
+    "funnel_steps": q_funnel_steps,              # NEW r16: ordered funnel
     "cut_spans": q_cut_spans,                    # re-certify r15 (r08-r10)
     # r09 rotation: ann_pq + pq_recall take the slots of ref_filter_in /
     # join_cust_orders_nation (both green r01-r08; their operators stay
     # sibling-certified: ref_filter_not_in r03-05, join_lineitem_part
     # r03-05 + set_ops/e2e) — parked at 51+
-    "hll_distinct": q_hll_distinct,              # re-certify r15 (r06-r13)
+    # r16c rotation: cohort_retention takes hll_distinct's slot — hll
+    # green r06-r13 + r15, the sketch family stays window-certified via
+    # cm_heavy_hitters; parked 51+.
+    "cohort_retention": q_cohort_retention,      # NEW r16: retention matrix
     "upsert_update_duplicates": q_upsert_update_duplicates,
     # r12 rotation (late): ann_sq8_indexed takes corpus_shards' slot —
     # corpus_shards green r08-r11, its md5 shuffle/shard arithmetic
@@ -5409,7 +5600,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # mapping/where/limit path stays exercised end-to-end by the engine
     # and driver-bridge suites; parked 51+.
     "minhash_dedup_incremental": q_minhash_dedup_incremental,  # NEW r12
-    "bottom_k_sample": q_bottom_k_sample,        # re-certify r15 (r06-r13)
+    # r16c rotation: gap_fill takes bottom_k_sample's slot — bottom-k
+    # green r06-r13 + r15, its draw arithmetic stays window-certified
+    # inside temperature_mixture's composed quota-sampler oracle;
+    # parked 51+.
+    "gap_fill": q_gap_fill,                      # NEW r16: LOCF/interp gapfill
     "temperature_mixture": q_temperature_mixture,  # NEW r10: √-temp mix
     "numeric_moments": q_numeric_moments,
     "quantiles": q_quantiles,
@@ -5459,13 +5654,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # encoding_quality green r08-r11, its mojibake rules pinned by the
     # text pytest suite; parked 51+.
     "ann_ivfpq_indexed_lut": q_ann_ivfpq_indexed_lut,  # NEW r12
-    "leakage_report": q_leakage_report,          # NEW r08: leakage frame
+    # r16c rotation: fuzzy_join_names takes leakage_report's slot —
+    # leakage green r08-r15, its span-fingerprint frame stays
+    # window-certified via dedup_safe_split + cut_spans; parked 51+.
+    "fuzzy_join_names": q_fuzzy_join_names,      # NEW r16: SymSpell linkage
     # r12 rotation: ann_ivfpq_kmeans_indexed (the complete persisted
     # IndexIVFPQ) takes bloom_membership's slot — bloom green r08-r11,
     # the sketch family stays window-certified via hll_distinct +
     # cm_heavy_hitters; parked 51+.
     "ann_ivfpq_kmeans_indexed": q_ann_ivfpq_kmeans_indexed,  # NEW r12
-    "range_join": q_range_join,                  # bucketed interval join
+    # r16c rotation: containment_dedup takes range_join's slot —
+    # range_join green through r15, its bucketed interval machinery
+    # stays pinned by the rangejoin pytest suite + asof sibling;
+    # parked 51+.
+    "containment_dedup": q_containment_dedup,    # NEW r16: Broder containment
     # r14 rotation (late): semdedup_keep (T81, the published cluster-
     # bounded semantic dedup) takes hll_distinct's slot — hll green
     # r06-r13 and the sketch family stays window-certified via
@@ -5504,6 +5706,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_features": q_video_features,          # parked r16b (green r07+r15)
     "execute_query": q_execute_query,            # keeper parked 51+ (green r01-r06)
     # ---- tail (51+): driver-green in r01-r09 CORRECTNESS records ----
+    # parked r16c (all multiply certified, code untouched this round;
+    # displaced by the five NEW r16c queries above):
+    "duplicate_spans": q_duplicate_spans,        # via cut_spans (composes it)
+    "hll_distinct": q_hll_distinct,              # via cm_heavy_hitters
+    "bottom_k_sample": q_bottom_k_sample,        # via temperature_mixture
+    "leakage_report": q_leakage_report,          # via dedup_safe_split
+    "range_join": q_range_join,                  # rangejoin pytest + asof
     "ann_filtered": q_ann_filtered,              # parked r14 (green r08-r13;
     # filtered-ANN arithmetic window-certified via ann_filtered_indexed)
     # parked r15 (VERDICT r14 #6 rotation — all green r09-r14, each
@@ -5833,6 +6042,11 @@ def oracle_sql() -> dict[str, str]:
         "pattern_profile": _pattern_profile_sql(),
         "hash_sample": _HASH_SAMPLE_SQL,
         "range_join": _RANGE_JOIN_SQL,
+        "funnel_steps": _FUNNEL_STEPS_SQL,
+        "cohort_retention": _COHORT_RETENTION_SQL,
+        "gap_fill": _GAP_FILL_SQL,
+        "fuzzy_join_names": _FUZZY_JOIN_NAMES_SQL,
+        "containment_dedup": _CONTAINMENT_DEDUP_SQL,
         "hll_distinct": _HLL_SQL,
         "cm_heavy_hitters": _CM_SQL,
         "bottom_k_sample": _BOTTOM_K_SQL,

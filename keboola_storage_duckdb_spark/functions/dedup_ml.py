@@ -737,3 +737,153 @@ def minhash_index_query(spark, path: str, new_docs: DataFrame,
     arr_all = (spark.read.parquet(os.path.join(path, "shingles"))
                     .unionByName(arr_new))
     return _verify_pairs_with_arrays(cands, arr_all, threshold)
+
+
+def ngram_containment_pairs(docs: DataFrame, id_col: str, text_col: str,
+                            threshold_num: int = 9, threshold_den: int = 10,
+                            min_shingles: int = 5,
+                            hashed_verify: bool = True,
+                            max_doc_freq: int | None = None,
+                            dense_vocab_limit: int = 8192) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection: pairs where one document's
+    shingle set is ≥ num/den contained in another's — Broder's
+    *containment* c(A,B) = |A∩B| / |A|. Catches what symmetric Jaccard
+    misses: a short document quoted inside a much longer one scores
+    c ≈ 1 but J ≈ |A|/|B| ≈ 0, so resemblance dedup never pairs them.
+    The standard corpus-hygiene pass for quote/boilerplate inclusion.
+
+    Prefix filter, containment form: a qualifying pair needs overlap
+    ≥ ⌈t·|A|⌉, so (prefix-filter theorem) B must hit one of A's first
+    |A| − ⌈t·|A|⌉ + 1 shingles in the global rarest-first (df, shingle)
+    order — only the CONTAINED side is prefix-indexed; the container
+    side posts all its shingles (it may be arbitrarily large), pruned by
+    |B| ≥ ⌈t·|A|⌉. The candidate product is Σ_{s∈prefix} df(s) — the
+    rarest-first order keeps df small, the same bound the Jaccard path
+    rides. Threshold is a rational num/den so every filter and the final
+    accept (den·inter ≥ num·|A|) is pure integer math — engine-exact.
+
+    Verification intersects whole shingle arrays (64-bit md5 prefixes
+    when ``hashed_verify``, the ngram_jaccard_prefix_pairs trade —
+    deterministic and identical in DuckDB). Docs with fewer than
+    ``min_shingles`` distinct shingles are excluded on both sides (a
+    2-shingle doc is "contained" everywhere; same filter in the oracle).
+
+    Returns (contained, container, n_contained, inter, containment) with
+    contained ≠ container; equal sets emit both directions.
+
+    ``max_doc_freq`` (default None = exact): on replica-dense corpora the
+    container posting lists grow with duplication and the candidate
+    product Σ_{s∈prefix} df(s) goes quadratic — the same Σdf² wall the
+    plain inverted Jaccard hits. Setting a cap drops shingles with
+    df > cap from the CONTAINER index only (verification stays exact
+    over whole arrays): pairs whose every shared prefix shingle is
+    ultra-frequent may be missed — the documented stop-shingle
+    sub-recall trade, mirroring ``ngram_jaccard_prefix_pairs``."""
+    from pyspark.sql import Window
+
+    arr = shingle_arrays(docs, id_col, text_col)
+    if hashed_verify:
+        arr = arr.select("id", F.expr(
+            "transform(shs, s -> "
+            "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+        ).alias("shs"))
+    arr = (arr.filter(F.size("shs") >= min_shingles)
+              .localCheckpoint(eager=False))
+    sh = _explode_shingles(arr)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (sh.join(freq, "shingle")
+                .withColumn("r", F.row_number().over(
+                    Window.partitionBy("id").orderBy("df", "shingle"))))
+    ranked = ranked.localCheckpoint(eager=False)
+    # overlap bound α = ⌈t·n⌉ in integers: ceil(num·n / den)
+    alpha = F.ceil(F.col("n") * threshold_num / F.lit(threshold_den))
+    prefix = (ranked.filter(F.col("r") <= F.col("n") - alpha + 1)
+                    .select(F.col("id").alias("contained"),
+                            F.col("n").alias("na"), F.col("r").alias("ra"),
+                            "shingle"))
+    posts = ranked.select(F.col("id").alias("container"),
+                          F.col("n").alias("nb"), F.col("r").alias("rb"),
+                          "shingle")
+    if max_doc_freq is not None:
+        keep = freq.filter(F.col("df") <= max_doc_freq).select("shingle")
+        posts = posts.join(keep, "shingle")
+    alpha_a = F.ceil(F.col("na") * threshold_num / F.lit(threshold_den))
+    # Positional filter, containment form (sound by the first-common-
+    # shingle argument: both lists share the global (df, shingle) order,
+    # so for the FIRST common shingle at ranks (ra, rb) every other
+    # common shingle sits after both — overlap ≤ 1 + min(na−ra, nb−rb),
+    # and that match has ra inside A's prefix by the count argument; a
+    # qualifying pair therefore always passes on at least one row).
+    # On dense corpora it prunes container matches to B's first
+    # nb − α + 1 positions — the candidate cut that keeps Σ df(prefix)
+    # from exploding when every shingle is frequent.
+    ubound = F.lit(1) + F.least(F.col("na") - F.col("ra"),
+                                F.col("nb") - F.col("rb"))
+    cands_raw = (prefix.repartition(_par(sh, 2)).join(posts, "shingle")
+                 .filter((F.col("contained") != F.col("container"))
+                         & (F.col("nb") >= alpha_a)
+                         & (ubound >= alpha_a))
+                 .select("contained", "container"))
+
+    # Dense-vocabulary route: when the corpus' distinct-shingle count is
+    # small (the replica-dense fixture: 931 shingles over 5000 docs →
+    # nearly every doc pair is a candidate and the prefix filter cannot
+    # block), per-pair verification dominates. Represent each doc's set
+    # as a fixed-width bitmask over the global shingle dictionary and
+    # verify with zip_with-AND + bit_count — ~10× cheaper per pair than
+    # array_intersect, which also lets the expensive pre-verify
+    # pair-DISTINCT be skipped (duplicate candidates re-verify for
+    # pennies; the distinct moves to the tiny result). Identical rows to
+    # the array path (pytest-pinned); vocabulary-gated, so a real sparse
+    # corpus (vocab ~ corpus size) stays on the array path where masks
+    # are impossible and candidates are few anyway.
+    vocab_n = freq.count()
+    if vocab_n <= dense_vocab_limit:
+        nw = (vocab_n + 63) // 64
+        vocab_idx = freq.select(
+            "shingle",
+            (F.row_number().over(Window.orderBy("df", "shingle")) - 1)
+            .alias("_vi"))
+        masks = (sh.join(vocab_idx, "shingle")
+                 .groupBy("id", "n").agg(F.collect_list("_vi").alias("_vis"))
+                 .select("id", "n", F.expr(
+                     f"transform(sequence(0, {nw - 1}), w -> "
+                     "aggregate(filter(_vis, i -> i div 64 = w), "
+                     "cast(0 as bigint), (acc, i) -> acc | "
+                     "shiftleft(cast(1 as bigint), cast(i % 64 as int))))"
+                 ).alias("mask")))
+        ma = masks.select(F.col("id").alias("contained"),
+                          F.col("n").alias("n_contained"),
+                          F.col("mask").alias("_mka"))
+        mb = masks.select(F.col("id").alias("container"),
+                          F.col("mask").alias("_mkb"))
+        # Explicit per-word sum, NOT zip_with/aggregate: higher-order
+        # functions are interpreted row-at-a-time in Spark (they break
+        # whole-stage codegen) — a flat nw-term bit_count sum stays
+        # inside codegen and runs ~an order of magnitude faster on the
+        # millions of candidate rows this route exists for.
+        inter = sum((F.bit_count(F.element_at("_mka", w + 1)
+                                 .bitwiseAND(F.element_at("_mkb", w + 1)))
+                     for w in range(nw)), F.lit(0))
+        return (cands_raw.join(ma, "contained").join(mb, "container")
+                .withColumn("inter", inter)
+                .filter(F.col("inter") * threshold_den
+                        >= F.lit(threshold_num) * F.col("n_contained"))
+                .select("contained", "container", "n_contained", "inter")
+                .distinct()
+                .withColumn("containment",
+                            F.col("inter").cast("double")
+                            / F.col("n_contained").cast("double")))
+
+    cands = cands_raw.distinct()
+    sa = arr.select(F.col("id").alias("contained"), F.col("shs").alias("sa"))
+    sb = arr.select(F.col("id").alias("container"), F.col("shs").alias("sb"))
+    return (cands.join(sa, "contained").join(sb, "container")
+            .select("contained", "container",
+                    F.size("sa").alias("n_contained"),
+                    F.size(F.array_intersect("sa", "sb")).alias("inter"))
+            .filter(F.col("inter") * threshold_den
+                    >= F.lit(threshold_num) * F.col("n_contained"))
+            .withColumn("containment",
+                        F.col("inter").cast("double")
+                        / F.col("n_contained").cast("double")))

@@ -384,3 +384,143 @@ def stream_cm_sketch(spark, source_dir: str, schema,
                   .groupBy(F.col("e.row").alias("row"),
                            F.col("e.bucket").alias("bucket"))
                   .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def funnel_steps(events: DataFrame, steps: list[str],
+                 ts_col: str = "ts", user_col: str = "user_id",
+                 order_col: str = "event_id") -> DataFrame:
+    """Ordered-funnel analysis: how many users completed step 1, then step
+    2 at-or-after their earliest step-1 completion, then step 3 after
+    that, … Classic product-analytics sequence matching (the reference's
+    SQL surface has no MATCH_RECOGNIZE; this is the window-chain
+    formulation).
+
+    One window pass per user: ``q_k`` marks an event as a *qualified*
+    step-k completion when the running earliest qualified step-(k-1) time
+    over STRICTLY PRECEDING rows is set; the per-user earliest step-k
+    completion is then just ``min(q_k)``. "After" means later in the
+    total (ts, event_id) event order — deterministic under equal
+    timestamps. Single shuffle on user_id; the chained window columns
+    share one sort (Catalyst stacks the Window nodes over the same
+    ordering). At 100 TB this is the standard per-user funnel shape:
+    no self-joins, no per-step rescans of the events table.
+
+    Returns one row per step: (step, event_type, n_users, conversion)
+    where conversion = n_users / step-1 users (double)."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(),
+                                             F.col(order_col).asc())
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    df = events
+    for k, step in enumerate(steps):
+        qual = F.when(F.col("event_type") == step, F.col(ts_col))
+        if k > 0:
+            qual = F.when(
+                (F.col("event_type") == step)
+                & F.min(f"_q{k-1}").over(prev).isNotNull(), F.col(ts_col))
+        df = df.withColumn(f"_q{k}", qual)
+    per_user = df.groupBy(user_col).agg(
+        *[F.min(f"_q{k}").alias(f"_r{k}") for k in range(len(steps))])
+    counts = per_user.agg(
+        *[F.count(f"_r{k}").alias(f"_n{k}") for k in range(len(steps))])
+    rows = counts.select(F.explode(F.array(*[
+        F.struct(F.lit(k + 1).cast("int").alias("step"),
+                 F.lit(s).alias("event_type"),
+                 F.col(f"_n{k}").alias("n_users"),
+                 (F.col(f"_n{k}").cast("double")
+                  / F.col("_n0").cast("double")).alias("conversion"))
+        for k, s in enumerate(steps)])).alias("f"))
+    return rows.select("f.step", "f.event_type", "f.n_users", "f.conversion")
+
+
+def cohort_retention(events: DataFrame, cohort_event: str = "signup",
+                     ts_col: str = "ts",
+                     user_col: str = "user_id") -> DataFrame:
+    """Weekly cohort-retention matrix: users are cohorted by the Monday
+    week of their earliest ``cohort_event``; a cohort member is retained
+    in week offset k if they have ANY event in cohort_week + k weeks.
+    Both engines truncate weeks to Monday, and offsets are exact integer
+    day-diffs / 7 (week truncs are 7-day aligned), so the matrix is
+    engine-exact.
+
+    Shape at scale: one groupBy(user) for first-touch, one shuffle join
+    back on user (both sides already hash-partitioned on user_id — AQE
+    reuses the exchange), one distinct + count per (cohort, offset).
+    Events before the user's cohort week (possible when cohort_event is
+    not their first event) are excluded."""
+    first = (events.filter(F.col("event_type") == cohort_event)
+             .groupBy(user_col)
+             .agg(F.date_trunc("week", F.min(ts_col)).alias("cohort_week")))
+    act = (events.select(user_col, F.col(ts_col))
+           .join(first, user_col)
+           .select(user_col, "cohort_week",
+                   F.date_trunc("week", F.col(ts_col)).alias("week"))
+           .filter(F.col("week") >= F.col("cohort_week"))
+           .distinct())
+    return (act.groupBy(
+                F.col("cohort_week").cast("date").alias("cohort_week"),
+                (F.datediff(F.col("week").cast("date"),
+                            F.col("cohort_week").cast("date")) / 7)
+                .cast("int").alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def gap_fill_hourly(events: DataFrame, series_col: str = "event_type",
+                    ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """Time-series gap fill (the timescale `time_bucket_gapfill` family):
+    per-series hourly buckets densified over each series' [min, max] hour
+    range, with missing buckets filled by LOCF (last observation carried
+    forward) and by linear interpolation between the neighbouring
+    observed buckets.
+
+    Exactness: bucket means are exact-decimal sums / integer counts cast
+    to double (one correctly-rounded division); the interpolation is
+    ``prev + (next - prev) * (dh / span)`` over integer-valued doubles —
+    every step IEEE-correctly-rounded and written in the same order in
+    the SQL twin, so results are bit-equal cross-engine (no libm).
+
+    Shape at scale: the dense spine is generated per series (explode of
+    sequence(min, max, 1 hour) — rows bounded by series' time spans, not
+    by raw event count), left-joined to the hourly aggregate, then four
+    ignore-nulls window columns over one (series, bucket) sort. One
+    shuffle for the aggregate, one for the window."""
+    hourly = (events.groupBy(
+                  F.col(series_col).alias("series"),
+                  F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col(value_col).cast("decimal(12,2)"))
+                    .alias("_sum")))
+    spine = (hourly.groupBy("series")
+             .agg(F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1"))
+             .select("series",
+                     F.explode(F.sequence(
+                         "_b0", "_b1", F.expr("interval 1 hour")))
+                      .alias("bucket")))
+    filled = (spine.join(hourly, ["series", "bucket"], "left")
+              .withColumn("avg_value",
+                          F.col("_sum").cast("double")
+                          / F.col("n_events").cast("double")))
+    w = Window.partitionBy("series").orderBy("bucket")
+    wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_t = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
+    out = (filled
+           .withColumn("_pv", F.last("avg_value", ignorenulls=True).over(wp))
+           .withColumn("_pt", F.last(obs_t, ignorenulls=True).over(wp))
+           .withColumn("_nv", F.first("avg_value", ignorenulls=True).over(wf))
+           .withColumn("_nt", F.first(obs_t, ignorenulls=True).over(wf)))
+    dh = (F.unix_micros(F.col("bucket")) - F.unix_micros(F.col("_pt")))
+    span = (F.unix_micros(F.col("_nt")) - F.unix_micros(F.col("_pt")))
+    interp = (F.col("_pv")
+              + (F.col("_nv") - F.col("_pv"))
+              * (dh.cast("double") / span.cast("double")))
+    return (out.select(
+        "series", "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_value",
+        F.coalesce("avg_value", F.col("_pv")).alias("filled_locf"),
+        F.coalesce("avg_value",
+                   F.when(F.col("_pt").isNotNull()
+                          & F.col("_nt").isNotNull(), interp))
+         .alias("filled_interp"),
+        F.col("n_events").isNull().cast("int").alias("is_gap")))

@@ -120,7 +120,10 @@ def main() -> None:
                  "bpe_train8", "image_features_jpeg",
                  # r16b: container metadata walks (MP3/MP4/mixed sniff)
                  "audio_features_mp3", "video_features_mp4",
-                 "media_metadata_mixed"]:
+                 "media_metadata_mixed",
+                 # r16c: event analytics (linkage/containment pair forms
+                 # are quadratic-OUTPUT under replication — see below)
+                 "funnel_steps", "cohort_retention", "gap_fill"]:
         if ONLY and name not in ONLY:
             continue
         run(name, lambda name=name: Q[name](spark, DST))
@@ -140,6 +143,32 @@ def main() -> None:
         run("cosine_near_dup_blocked",
             lambda: cosine_near_dup_pairs(emb, "vec_id", "embedding", 0.45,
                                           block_col="label"))
+
+        # r16c pair ops: replication duplicates every c_name / doc text
+        # 10×, so the TRUE pair output grows ~100× (28M name pairs) and
+        # the container posting lists go Σdf²-quadratic — the same wall
+        # as the unblocked jaccard. Measure the capped scale forms, and
+        # count() instead of collect() (the output IS tens of millions
+        # of rows; the filter still forces the levenshtein / intersect
+        # work, only the final row shipment is skipped).
+        from keboola_storage_duckdb_spark.functions.dedup_ml import (
+            ngram_containment_pairs)
+        from keboola_storage_duckdb_spark.operators.linkage import (
+            fuzzy_pairs_symdelete)
+
+        def run_count(name, fn):
+            t0 = time.perf_counter()
+            n = fn().count()
+            timings[name] = {"sec": round(time.perf_counter() - t0, 1),
+                             "rows": n}
+
+        cust = load_table(spark, DST, "customer")
+        run_count("fuzzy_names_capped_vf40",
+                  lambda: fuzzy_pairs_symdelete(cust, "c_custkey", "c_name",
+                                                max_variant_freq=40))
+        run_count("containment_capped_df200",
+                  lambda: ngram_containment_pairs(docs, "doc_id", "text",
+                                                  max_doc_freq=200))
 
         timings["service"] = service_path(spark)
 
