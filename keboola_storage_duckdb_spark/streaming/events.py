@@ -524,3 +524,58 @@ def gap_fill_hourly(events: DataFrame, series_col: str = "event_type",
                           & F.col("_nt").isNotNull(), interp))
          .alias("filled_interp"),
         F.col("n_events").isNull().cast("int").alias("is_gap")))
+
+
+def stream_funnel_state(spark, source_dir: str, schema,
+                        steps: list[str]) -> DataFrame:
+    """Streaming twin of ``funnel_steps``: per-user step-completion
+    times carried in GroupState across micro-batches. Each batch's
+    events are processed in (ts, event_id) order with the same chaining
+    rule as the batch windows — step k's time is set by the first
+    qualifying event once step k−1 is already set by an earlier event —
+    so after a full in-order ``availableNow`` pass the per-user vectors
+    equal the batch form's running minima exactly (tested).
+
+    Contract (the honest streaming-funnel caveat, like
+    within-watermark dedup): a user's events must arrive in event-time
+    order ACROSS micro-batches for exact equality — an event arriving
+    after a later-timestamped one can miss enabling a chain the batch
+    form would count. State is len(steps) nullable int64s per user.
+
+    Output (update mode): one row per touched user per micro-batch with
+    the current completion times as epoch micros (NULL = not reached);
+    the funnel report is a downstream count over the latest row per
+    user."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ns = len(steps)
+    out_schema = ("user_id BIGINT, "
+                  + ", ".join(f"r{k} BIGINT" for k in range(ns)))
+    state_schema = ", ".join(f"s{k} BIGINT" for k in range(ns))
+    step_idx = {s: k for k, s in enumerate(steps)}
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        r = list(state.get) if state.exists else [None] * ns
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for ts, et in zip(batch["ts"], batch["event_type"]):
+            k = step_idx.get(et)
+            if k is None or r[k] is not None:
+                continue
+            if k == 0 or r[k - 1] is not None:
+                r[k] = int(ts.value) // 1000   # pandas ns → epoch µs
+        state.update(tuple(r))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            **{f"r{k}": [r[k]] for k in range(ns)}})
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (stream.filter(F.col("event_type").isin(list(steps)))
+                  .groupBy("user_id")
+                  .applyInPandasWithState(
+                      update,
+                      outputStructType=out_schema,
+                      stateStructType=state_schema,
+                      outputMode="update",
+                      timeoutConf=GroupStateTimeout.NoTimeout))

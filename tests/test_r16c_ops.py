@@ -255,3 +255,29 @@ def test_containment_dense_mask_route_equals_array_route(spark):
              ngram_containment_pairs(docs, "doc_id", "text",
                                      dense_vocab_limit=0).collect()}
     assert dense == array and len(dense) == 56
+
+
+def test_stream_funnel_state_matches_batch(spark, tmp_path):
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+    from keboola_storage_duckdb_spark.streaming.events import (
+        funnel_steps, stream_funnel_state)
+    steps = ["signup", "view", "click", "purchase"]
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "funnel_src")
+    ev.write.parquet(src)
+    got = stream_funnel_state(spark, src, ev.schema, steps)
+    q = (got.writeStream.format("memory").queryName("funnel_stream")
+            .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from funnel_stream").collect()
+    # last update per user is the final vector (single batch here, but
+    # keep it robust against multi-batch replans)
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = [r[f"r{k}"] for k in range(4)]
+    stream_counts = [sum(1 for v in final.values() if v[k] is not None)
+                     for k in range(4)]
+    batch = {r["step"]: r["n_users"]
+             for r in funnel_steps(ev, steps).collect()}
+    assert stream_counts == [batch[k] for k in (1, 2, 3, 4)]
+    assert stream_counts[0] > 0 and stream_counts[3] <= stream_counts[2]
