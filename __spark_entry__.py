@@ -5500,6 +5500,139 @@ JOIN sizes sb ON sb.id = cb
 WHERE sa.n >= 5 AND sb.n >= 5 AND inter * 10 >= 9 * sa.n"""
 
 
+def q_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over user event sequences
+    (NEW r16c): P(next type | type) from lead() per user in (ts,
+    event_id) order — exact integer pair counts, one correctly-rounded
+    division (streaming/events.py:transition_matrix)."""
+    from keboola_storage_duckdb_spark.streaming.events import (
+        transition_matrix)
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
+_TRANSITION_MATRIX_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS nxt
+  FROM events),
+pairs AS (SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE)
+       / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM pairs"""
+
+
+def q_top_paths(spark, sf_dir):
+    """Top-20 user journeys (NEW r16c): each user's first 5 event types
+    in (ts, event_id) order as a path string, counted and ranked with
+    pinned ties (streaming/events.py:top_paths). Spark rebuilds the
+    order with array_sort over (ts, event_id, type) structs
+    (collect_list alone is nondeterministic); the oracle uses DuckDB's
+    ordered array_agg — the (ts, event_id) key is unique, so both
+    produce the same sequence."""
+    from keboola_storage_duckdb_spark.streaming.events import top_paths
+    return top_paths(_t(spark, sf_dir, "events"), k=20, path_len=5)
+
+
+_TOP_PATHS_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         array_to_string(list_slice(
+             array_agg(event_type ORDER BY ts ASC, event_id ASC),
+             1, 5), '>') AS path
+  FROM events GROUP BY user_id),
+counted AS (SELECT path, COUNT(*) AS n_users FROM seq GROUP BY path)
+SELECT path, n_users, rank FROM (
+  SELECT path, n_users,
+         CAST(row_number() OVER (ORDER BY n_users DESC, path ASC)
+              AS INTEGER) AS rank
+  FROM counted) WHERE rank <= 20"""
+
+
+def q_ab_test_readout(spark, sf_dir):
+    """Two-variant experiment readout (NEW r16c): md5 50/50 user split,
+    purchase conversion per variant, two-proportion pooled z-score vs
+    variant 0 — + − × ÷ √ only, bit-equal cross-engine
+    (streaming/events.py:ab_test_readout)."""
+    from keboola_storage_duckdb_spark.streaming.events import (
+        ab_test_readout)
+    return ab_test_readout(_t(spark, sf_dir, "events"))
+
+
+_AB_TEST_SQL = """
+WITH users AS (
+  SELECT user_id AS u,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS converted,
+         CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 2 AS INTEGER) AS variant
+  FROM events GROUP BY user_id),
+per AS (SELECT variant, COUNT(*) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS conversions
+        FROM users GROUP BY variant),
+ctrl AS (SELECT n_users AS n0, conversions AS c0 FROM per WHERE variant = 0)
+SELECT variant, n_users, conversions,
+       CAST(conversions AS DOUBLE) / CAST(n_users AS DOUBLE) AS rate,
+       CASE WHEN variant = 0 THEN 0.0
+            WHEN conversions + c0 > 0 AND conversions + c0 < n_users + n0
+            THEN
+         ((CAST(conversions AS DOUBLE) / CAST(n_users AS DOUBLE))
+          - (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+         / sqrt(((CAST(conversions AS DOUBLE) + CAST(c0 AS DOUBLE))
+                 / (CAST(n_users AS DOUBLE) + CAST(n0 AS DOUBLE)))
+                * (1.0 - ((CAST(conversions AS DOUBLE)
+                           + CAST(c0 AS DOUBLE))
+                          / (CAST(n_users AS DOUBLE)
+                             + CAST(n0 AS DOUBLE))))
+                * (1.0 / CAST(n_users AS DOUBLE)
+                   + 1.0 / CAST(n0 AS DOUBLE)))
+       END AS z
+FROM per, ctrl"""
+
+
+def q_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection on hourly event counts (NEW
+    r16c): trailing-24-observation mean/std per series, strictly
+    preceding frame, variance clamped at 0 before the sqrt, NULL z on
+    warm-up (<12 obs) or zero std
+    (streaming/events.py:rolling_zscore)."""
+    from keboola_storage_duckdb_spark.streaming.events import rolling_zscore
+    return rolling_zscore(_t(spark, sf_dir, "events"))
+
+
+_ROLLING_ZSCORE_SQL = """
+WITH hourly AS (
+  SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT *,
+         COUNT(*) OVER fr AS n_obs,
+         CAST(SUM(n) OVER fr AS DOUBLE) AS s,
+         CAST(SUM(n * n) OVER fr AS DOUBLE) AS ss
+  FROM hourly
+  WINDOW fr AS (PARTITION BY series ORDER BY bucket
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+sc AS (
+  SELECT series, bucket, n, n_obs,
+         s / CAST(n_obs AS DOUBLE) AS mean_all,
+         sqrt(GREATEST((ss - s * s / CAST(n_obs AS DOUBLE))
+                       / (CAST(n_obs AS DOUBLE) - 1.0), 0.0)) AS std_all
+  FROM w)
+SELECT series, bucket, n, n_obs,
+       CASE WHEN n_obs >= 12 THEN mean_all END AS mean_w,
+       CASE WHEN n_obs >= 12 AND std_all > 0.0
+            THEN (CAST(n AS DOUBLE) - mean_all) / std_all END AS z,
+       CAST(CASE WHEN (CASE WHEN n_obs >= 12 AND std_all > 0.0
+                       THEN (CAST(n AS DOUBLE) - mean_all) / std_all
+                       END) IS NOT NULL
+                  AND abs((CAST(n AS DOUBLE) - mean_all) / std_all) > 3.0
+            THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+FROM sc"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver-certified window (slots 1-50) ----
     # r10 rotation (VERDICT r9 #8: rotate only the genuinely new):
@@ -5588,7 +5721,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green r06-r13 + r15, the sketch family stays window-certified via
     # cm_heavy_hitters; parked 51+.
     "cohort_retention": q_cohort_retention,      # NEW r16: retention matrix
-    "upsert_update_duplicates": q_upsert_update_duplicates,
+    # r16c rotation (late): transition_matrix takes
+    # upsert_update_duplicates' slot — upsert green r15 + earlier, the
+    # write-mode family keeps delete_rows + import_from_table pytest +
+    # engine e2e coverage; parked 51+.
+    "transition_matrix": q_transition_matrix,    # NEW r16: Markov transitions
     # r12 rotation (late): ann_sq8_indexed takes corpus_shards' slot —
     # corpus_shards green r08-r11, its md5 shuffle/shard arithmetic
     # stays window-certified inside epoch_plan's composed oracle;
@@ -5606,8 +5743,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # parked 51+.
     "gap_fill": q_gap_fill,                      # NEW r16: LOCF/interp gapfill
     "temperature_mixture": q_temperature_mixture,  # NEW r10: √-temp mix
-    "numeric_moments": q_numeric_moments,
-    "quantiles": q_quantiles,
+    # r16c rotation (late): top_paths + ab_test_readout take
+    # numeric_moments' and quantiles' slots — both green r15 and
+    # multiply earlier; moments arithmetic stays window-certified via
+    # table_profile's moments fold, exact quantiles via
+    # grouped_quantiles (same operator, in-window slot 10); parked 51+.
+    "top_paths": q_top_paths,                    # NEW r16: journey ranking
+    "ab_test_readout": q_ab_test_readout,        # NEW r16: experiment z
     "image_features_png": q_image_features_png,  # NEW r15: stdlib PNG decode
     "image_features_jpeg": q_image_features_jpeg,  # NEW r16: baseline JPEG decode
     "dedup_safe_split": q_dedup_safe_split,      # NEW r10: leakage-safe split
@@ -5624,7 +5766,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12 rotation: zorder_layout takes minhash_lsh's slot — minhash_lsh
     # green r06-r11 and its operator family stays window-certified via
     # minhash_dedup_keep (end-to-end minhash+LSH+verify); parked at 51+.
-    "zorder_layout": q_zorder_layout,            # NEW r12: Morton layout frame
+    # r16c rotation (late): rolling_zscore takes zorder_layout's slot —
+    # zorder green r12-r15, the Morton layout frame stays pinned by the
+    # bucketed/optimize pytest suite; parked 51+.
+    "rolling_zscore": q_rolling_zscore,          # NEW r16: anomaly scoring
     # r12 rotation: ann_ivf_kmeans takes ann_topk's slot — ann_topk
     # green r01-r11 and its oracle arithmetic stays pinned by the
     # parked twin ann_topk_fold (same SQL) + plan tests; parked at 51+.
@@ -5707,12 +5852,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "execute_query": q_execute_query,            # keeper parked 51+ (green r01-r06)
     # ---- tail (51+): driver-green in r01-r09 CORRECTNESS records ----
     # parked r16c (all multiply certified, code untouched this round;
-    # displaced by the five NEW r16c queries above):
+    # displaced by the nine NEW r16c queries above):
     "duplicate_spans": q_duplicate_spans,        # via cut_spans (composes it)
     "hll_distinct": q_hll_distinct,              # via cm_heavy_hitters
     "bottom_k_sample": q_bottom_k_sample,        # via temperature_mixture
     "leakage_report": q_leakage_report,          # via dedup_safe_split
     "range_join": q_range_join,                  # rangejoin pytest + asof
+    "upsert_update_duplicates": q_upsert_update_duplicates,  # engine e2e
+    "numeric_moments": q_numeric_moments,        # via table_profile moments
+    "quantiles": q_quantiles,                    # via grouped_quantiles
+    "zorder_layout": q_zorder_layout,            # bucketed pytest suite
     "ann_filtered": q_ann_filtered,              # parked r14 (green r08-r13;
     # filtered-ANN arithmetic window-certified via ann_filtered_indexed)
     # parked r15 (VERDICT r14 #6 rotation — all green r09-r14, each
@@ -6047,6 +6196,10 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill": _GAP_FILL_SQL,
         "fuzzy_join_names": _FUZZY_JOIN_NAMES_SQL,
         "containment_dedup": _CONTAINMENT_DEDUP_SQL,
+        "transition_matrix": _TRANSITION_MATRIX_SQL,
+        "top_paths": _TOP_PATHS_SQL,
+        "ab_test_readout": _AB_TEST_SQL,
+        "rolling_zscore": _ROLLING_ZSCORE_SQL,
         "hll_distinct": _HLL_SQL,
         "cm_heavy_hitters": _CM_SQL,
         "bottom_k_sample": _BOTTOM_K_SQL,

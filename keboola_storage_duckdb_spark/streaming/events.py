@@ -579,3 +579,133 @@ def stream_funnel_state(spark, source_dir: str, schema,
                       stateStructType=state_schema,
                       outputMode="update",
                       timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def transition_matrix(events: DataFrame, ts_col: str = "ts",
+                      user_col: str = "user_id",
+                      order_col: str = "event_id") -> DataFrame:
+    """Clickstream transition matrix: P(next event type | current type)
+    from each user's (ts, event_id)-ordered event sequence — the
+    first-order Markov summary of user journeys. lead() per user, one
+    pair count, probabilities as exact-integer counts cast to double in
+    one correctly-rounded division. Single shuffle on user, second on
+    the tiny (from, to) key space."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(),
+                                             F.col(order_col).asc())
+    pairs = (events
+             .withColumn("_next", F.lead("event_type").over(w))
+             .filter(F.col("_next").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"),
+                      F.col("_next").alias("to_type"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "p", F.col("n").cast("double")
+        / F.sum("n").over(tot).cast("double"))
+
+
+def top_paths(events: DataFrame, k: int = 20, path_len: int = 5,
+              ts_col: str = "ts", user_col: str = "user_id",
+              order_col: str = "event_id") -> DataFrame:
+    """Top-k user journeys: each user's first ``path_len`` event types
+    (in (ts, event_id) order) joined into one path string, counted, and
+    ranked (count desc, path asc — pinned ties). collect_list is
+    order-nondeterministic, so the sequence is rebuilt deterministically
+    by array_sort over (ts, event_id, type) structs before slicing —
+    the portable ordered-agg form both engines agree on."""
+    seq = (events.groupBy(F.col(user_col).alias("user"))
+           .agg(F.array_sort(F.collect_list(F.struct(
+               F.col(ts_col).alias("t"),
+               F.col(order_col).alias("o"),
+               F.col("event_type").alias("e")))).alias("evs")))
+    path = seq.select(
+        "user",
+        F.array_join(F.expr(f"transform(slice(evs, 1, {path_len}), "
+                            "x -> x.e)"), ">").alias("path"))
+    ranked = (path.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+              .withColumn("rank", F.row_number().over(
+                  Window.orderBy(F.col("n_users").desc(),
+                                 F.col("path").asc())))
+              .filter(F.col("rank") <= k))
+    return ranked.select("path", "n_users", F.col("rank").cast("int")
+                         .alias("rank"))
+
+
+def ab_test_readout(events: DataFrame, convert_event: str = "purchase",
+                    user_col: str = "user_id") -> DataFrame:
+    """Experiment readout: users hash-split 50/50 by md5 (the
+    deterministic split every sampler here uses), conversion = any
+    ``convert_event``; per variant the user count, conversions, rate,
+    and the two-proportion z-score vs variant 0 (pooled). The z formula
+    uses only + − × ÷ √ — every step correctly rounded, so the readout
+    is bit-equal cross-engine (no erf/p-values: those need libm; rank
+    the |z| against the usual 1.96/2.58 cutoffs downstream)."""
+    users = (events.groupBy(F.col(user_col).alias("user"))
+             .agg(F.max(F.when(F.col("event_type") == convert_event, 1)
+                        .otherwise(0)).alias("converted"))
+             .withColumn("variant", (F.conv(F.substring(
+                 F.md5(F.col("user").cast("string")), 1, 8), 16, 10)
+                 .cast("bigint") % 2).cast("int")))
+    per = (users.groupBy("variant")
+           .agg(F.count(F.lit(1)).alias("n_users"),
+                F.sum("converted").alias("conversions")))
+    ctrl = per.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("_n0"), F.col("conversions").alias("_c0"))
+    j = per.crossJoin(ctrl)
+    n, c = F.col("n_users").cast("double"), F.col("conversions").cast("double")
+    n0, c0 = F.col("_n0").cast("double"), F.col("_c0").cast("double")
+    rate = c / n
+    p_pool = (c + c0) / (n + n0)
+    z = ((c / n) - (c0 / n0)) / F.sqrt(
+        p_pool * (F.lit(1.0) - p_pool)
+        * (F.lit(1.0) / n + F.lit(1.0) / n0))
+    # degenerate pools (0% or 100% pooled conversion) have a zero
+    # denominator: integer-guard to NULL — double x/0 is
+    # engine-divergent (NaN vs NULL)
+    pooled_ok = ((F.col("conversions") + F.col("_c0") > 0)
+                 & (F.col("conversions") + F.col("_c0")
+                    < F.col("n_users") + F.col("_n0")))
+    return j.select("variant", "n_users", "conversions",
+                    rate.alias("rate"),
+                    F.when(F.col("variant") == 0, F.lit(0.0))
+                     .when(pooled_ok, z).alias("z"))
+
+
+def rolling_zscore(events: DataFrame, series_col: str = "event_type",
+                   ts_col: str = "ts", window: int = 24,
+                   min_obs: int = 12, cutoff: float = 3.0) -> DataFrame:
+    """Time-series anomaly detection: per-series hourly event counts
+    scored against the trailing ``window`` OBSERVED buckets (strictly
+    preceding rows — the current bucket never scores itself). mean, std
+    and z are built from exact integer sums in correctly-rounded double
+    steps (+ − × ÷ √ only; variance clamped at 0 before the sqrt so
+    rounding can't produce NaN), identical order in the SQL twin.
+    Buckets with fewer than ``min_obs`` trailing observations emit NULL
+    z (warm-up). One shuffle to the hourly aggregate, one sort per
+    series for the frame."""
+    hourly = (events.groupBy(
+        F.col(series_col).alias("series"),
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy("series").orderBy("bucket")
+         .rowsBetween(-window, -1))
+    nobs = F.count(F.lit(1)).over(w)
+    s = F.sum("n").over(w).cast("double")
+    ss = F.sum(F.col("n") * F.col("n")).over(w).cast("double")
+    cnt = nobs.cast("double")
+    mean = s / cnt
+    var = F.greatest((ss - s * s / cnt) / (cnt - F.lit(1.0)), F.lit(0.0))
+    std = F.sqrt(var)
+    # std == 0 (constant trailing window) emits NULL z, never a division
+    # by zero: double x/0 is engine-divergent (IEEE inf vs NULL).
+    z = F.when(std > F.lit(0.0),
+               (F.col("n").cast("double") - mean) / std)
+    out = (hourly
+           .withColumn("n_obs", nobs)
+           .withColumn("mean_w", F.when(nobs >= min_obs, mean))
+           .withColumn("z", F.when(nobs >= min_obs, z)))
+    return out.select(
+        "series", "bucket", "n", "n_obs", "mean_w", "z",
+        (F.when(F.col("z").isNotNull()
+                & (F.abs("z") > F.lit(cutoff)), 1).otherwise(0))
+        .cast("int").alias("is_anomaly"))

@@ -281,3 +281,91 @@ def test_stream_funnel_state_matches_batch(spark, tmp_path):
              for r in funnel_steps(ev, steps).collect()}
     assert stream_counts == [batch[k] for k in (1, 2, 3, 4)]
     assert stream_counts[0] > 0 and stream_counts[3] <= stream_counts[2]
+
+
+# ------------------------------------------------- sequence analytics
+
+def test_transition_matrix_probs(spark):
+    from keboola_storage_duckdb_spark.streaming.events import (
+        transition_matrix)
+    rows = [(1, 0, 1, "view"), (2, 1, 1, "click"), (3, 2, 1, "view"),
+            (4, 3, 1, "purchase"),
+            (5, 0, 2, "view"), (6, 1, 2, "click")]
+    out = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in transition_matrix(_ev(spark, rows)).collect()}
+    assert out[("view", "click")] == (2, 2 / 3)
+    assert out[("view", "purchase")] == (1, 1 / 3)
+    assert out[("click", "view")] == (1, 1.0)
+    assert len(out) == 3                # last event of each user emits none
+
+
+def test_top_paths_order_and_ties(spark):
+    from keboola_storage_duckdb_spark.streaming.events import top_paths
+    rows = [(1, 0, 1, "view"), (2, 1, 1, "click"),
+            (3, 0, 2, "view"), (4, 1, 2, "click"),
+            (5, 0, 3, "signup"),
+            # user 4: same ts — event_id order decides the path
+            (6, 0, 4, "view"), (7, 0, 4, "click")]
+    out = [(r["path"], r["n_users"], r["rank"])
+           for r in top_paths(_ev(spark, rows), k=10).collect()]
+    assert out[0] == ("view>click", 3, 1)
+    assert out[1] == ("signup", 1, 2)
+
+
+def test_ab_test_readout_exact(spark):
+    import hashlib
+    from keboola_storage_duckdb_spark.streaming.events import ab_test_readout
+    rows = []
+    eid = 0
+    for uid in range(40):
+        rows.append((eid, uid, uid, "view")); eid += 1
+        if uid % 3 == 0:
+            rows.append((eid, uid + 1, uid, "purchase")); eid += 1
+    ev = _ev(spark, [(e, m, u, t) for (e, m, u, t) in rows])
+    out = {r["variant"]: r for r in ab_test_readout(ev).collect()}
+    def variant(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+    exp_n = {v: sum(1 for u in range(40) if variant(u) == v) for v in (0, 1)}
+    exp_c = {v: sum(1 for u in range(40) if variant(u) == v and u % 3 == 0)
+             for v in (0, 1)}
+    for v in (0, 1):
+        assert out[v]["n_users"] == exp_n[v]
+        assert out[v]["conversions"] == exp_c[v]
+        assert out[v]["rate"] == exp_c[v] / exp_n[v]
+    assert out[0]["z"] == 0.0 and out[1]["z"] is not None
+
+
+def test_ab_test_degenerate_pool_null_z(spark):
+    from keboola_storage_duckdb_spark.streaming.events import ab_test_readout
+    # nobody converts: pooled rate 0 -> z must be NULL, never NaN/inf
+    rows = [(i, 0, i, "view") for i in range(10)]
+    out = {r["variant"]: r["z"] for r in
+           ab_test_readout(_ev(spark, rows)).collect()}
+    assert out[0] == 0.0 and out[1] is None
+
+
+def test_rolling_zscore_spike_and_warmup(spark):
+    import datetime as dt
+    from keboola_storage_duckdb_spark.streaming.events import rolling_zscore
+    rows, eid = [], 0
+    for h in range(30):
+        n = 50 if h == 29 else (2 + (h % 3))   # spike in the last hour
+        for i in range(n):
+            rows.append((eid, h * 60 + i, 1, "click")); eid += 1
+    out = {r["bucket"].hour + 24 * (r["bucket"].day - 1): r
+           for r in rolling_zscore(_ev(spark, rows),
+                                   min_obs=12).collect()}
+    assert out[0]["z"] is None and out[5]["z"] is None      # warm-up
+    assert out[29]["is_anomaly"] == 1 and out[29]["z"] > 3
+    assert out[20]["is_anomaly"] == 0
+
+
+def test_rolling_zscore_constant_series_null_z(spark):
+    from keboola_storage_duckdb_spark.streaming.events import rolling_zscore
+    rows, eid = [], 0
+    for h in range(20):
+        for i in range(4):
+            rows.append((eid, h * 60 + i, 1, "view")); eid += 1
+    zs = [r["z"] for r in rolling_zscore(_ev(spark, rows),
+                                         min_obs=5).collect()]
+    assert all(z is None for z in zs)      # zero std: guarded, not NaN

@@ -123,7 +123,9 @@ def main() -> None:
                  "media_metadata_mixed",
                  # r16c: event analytics (linkage/containment pair forms
                  # are quadratic-OUTPUT under replication — see below)
-                 "funnel_steps", "cohort_retention", "gap_fill"]:
+                 "funnel_steps", "cohort_retention", "gap_fill",
+                 "transition_matrix", "top_paths", "ab_test_readout",
+                 "rolling_zscore"]:
         if ONLY and name not in ONLY:
             continue
         run(name, lambda name=name: Q[name](spark, DST))
