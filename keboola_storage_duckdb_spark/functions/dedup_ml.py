@@ -25,8 +25,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .util import par as _par
+
+# Byte bound on the containment brute route's (id, text) collect — past
+# it nothing is ever collected and the candidate-join routes serve.
+_BRUTE_COLLECT_BYTES = 64 << 20
 
 
 def word_tokens(text_col: str | Column) -> Column:
@@ -739,12 +744,112 @@ def minhash_index_query(spark, path: str, new_docs: DataFrame,
     return _verify_pairs_with_arrays(cands, arr_all, threshold)
 
 
+def _containment_brute_gemm(docs: DataFrame, id_col: str,
+                            text_col: str,
+                            texts_pdf, min_shingles: int,
+                            threshold_num: int, threshold_den: int,
+                            dense_vocab_limit: int,
+                            brute_cells_limit: int) -> DataFrame | None:
+    """Candidate-free containment verification for small dense corpora
+    (r16 opt): given the collected (id, text) table — bounded by the
+    caller's byte/row gate — shingle in plain Python (the Spark-side
+    interpreted transform()/array_distinct expression measured ~2 s calm
+    for 255k shingles; the Python loop is ~0.1 s), build the doc×vocab
+    bit matrix with one pd.factorize + fancy assign, broadcast it, and
+    compute |A∩B| for ALL ordered pairs as one float32 GEMM per task
+    over position rows. Intersections never exceed vocab ≤
+    dense_vocab_limit « 2^24, so every float32 count is an exact integer.
+    No candidate join, no pair shuffle, no tokenize job: the whole Spark
+    side is one mapInPandas over a tiny position frame.
+
+    Returns None when the tokenized corpus fails the density gates
+    (vocab > dense_vocab_limit or docs·vocab > brute_cells_limit) — the
+    caller falls back to the candidate-join routes (the collect was
+    byte-bounded, so the wasted probe is a bounded constant)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = docs.sparkSession
+    id_t = docs.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("contained", id_t),
+        T.StructField("container", id_t),
+        T.StructField("n_contained", T.IntegerType()),
+        T.StructField("inter", T.IntegerType()),
+    ])
+    num, den = threshold_num, threshold_den
+
+    def _finish(pairs: DataFrame) -> DataFrame:
+        return pairs.withColumn(
+            "containment", F.col("inter").cast("double")
+            / F.col("n_contained").cast("double"))
+
+    # Python twin of shingle_arrays + the min_shingles filter: literal
+    # single-space split (trailing/consecutive-space empties kept by both
+    # Spark's regex split and str.split(" ")), adjacent-bigram shingles,
+    # per-doc set semantics.
+    ids_l, sets_l = [], []
+    for doc_id, text in zip(texts_pdf[id_col], texts_pdf[text_col]):
+        toks = text.split(" ") if isinstance(text, str) else []
+        s = {toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)}
+        if len(s) >= min_shingles:
+            ids_l.append(doc_id)
+            sets_l.append(list(s))
+    if not ids_l:
+        return _finish(spark.createDataFrame([], out_schema))
+    lens = np.array([len(s) for s in sets_l], dtype=np.int64)
+    all_vals = np.concatenate([np.asarray(s, dtype=object)
+                               for s in sets_l])
+    # factorize = hash-based shingle→column bijection at C speed; the
+    # column order is internal, any bijection yields identical counts
+    codes, uniq = pd.factorize(all_vals)
+    vocab_n, n_docs = len(uniq), len(ids_l)
+    if (vocab_n > dense_vocab_limit
+            or n_docs * max(vocab_n, 1) > brute_cells_limit):
+        return None
+    bits = np.zeros((n_docs, vocab_n), dtype=np.float32)
+    bits[np.repeat(np.arange(n_docs), lens), codes] = 1.0
+    ids_all = np.asarray(ids_l)
+    bc = spark.sparkContext.broadcast((ids_all, lens, bits))
+    # A side: a position frame only — every doc is an A row exactly once,
+    # so each ordered pair is emitted exactly once and equal sets emit
+    # both directions; self-pairs are excluded by position (O(rows)).
+    a_side = (spark.createDataFrame(
+        pd.DataFrame({"_ix": np.arange(n_docs, dtype=np.int64)}),
+        schema=T.StructType([T.StructField("_ix", T.LongType())]))
+        .repartition(_par(docs)))
+
+    def verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_b, na_b, bits_b = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ixs = b["_ix"].to_numpy()
+            inter = (bits_b[ixs] @ bits_b.T).astype(np.int64)
+            na_a = na_b[ixs]
+            ok = den * inter >= num * na_a[:, None]
+            ok[np.arange(len(ixs)), ixs] = False
+            ai, bi = np.nonzero(ok)
+            yield pd.DataFrame({
+                "contained": ids_b[ixs[ai]],
+                "container": ids_b[bi],
+                "n_contained": na_a[ai].astype(np.int32),
+                "inter": inter[ai, bi].astype(np.int32),
+            })
+
+    return _finish(a_side.mapInPandas(verify, out_schema))
+
+
 def ngram_containment_pairs(docs: DataFrame, id_col: str, text_col: str,
                             threshold_num: int = 9, threshold_den: int = 10,
                             min_shingles: int = 5,
                             hashed_verify: bool = True,
                             max_doc_freq: int | None = None,
-                            dense_vocab_limit: int = 8192) -> DataFrame:
+                            dense_vocab_limit: int = 8192,
+                            brute_cells_limit: int = 16_000_000) -> DataFrame:
     """ASYMMETRIC near-duplicate detection: pairs where one document's
     shingle set is ≥ num/den contained in another's — Broder's
     *containment* c(A,B) = |A∩B| / |A|. Catches what symmetric Jaccard
@@ -778,8 +883,49 @@ def ngram_containment_pairs(docs: DataFrame, id_col: str, text_col: str,
     df > cap from the CONTAINER index only (verification stays exact
     over whole arrays): pairs whose every shared prefix shingle is
     ultra-frequent may be missed — the documented stop-shingle
-    sub-recall trade, mirroring ``ngram_jaccard_prefix_pairs``."""
+    sub-recall trade, mirroring ``ngram_jaccard_prefix_pairs``.
+
+    ``brute_cells_limit`` (r16 opt; 0 disables): when the corpus is small
+    (raw texts under ``_BRUTE_COLLECT_BYTES``) and dense (n_docs × vocab
+    ≤ this many bit-matrix cells — a 64 MB float32 matrix at the 16M
+    default), candidates are skipped entirely: texts are collected once
+    (bounded), shingled in Python, and all ordered pairs are verified by
+    one float32 GEMM per task over the broadcast bit matrix
+    (``_containment_brute_gemm``; exact — inter ≤ vocab ≤ 8192 « 2^24).
+    Past either gate the candidate-join routes below serve unchanged, so
+    a 100 TB corpus never collects anything. Route-equality
+    pytest-pinned across all three routes."""
     from pyspark.sql import Window
+
+    # Brute GEMM route probe (r16 opt): on a small dense corpus the
+    # prefix filter cannot block (sf0.1: 3.99M of 12.5M pairs remain
+    # candidates) and the candidate join + mask joins dominate — 10.4 s
+    # calm vs DuckDB's sub-second hash agg. One NARROW aggregate decides
+    # whether the raw texts are small enough to collect (no explode, no
+    # distinct shuffle, no tokenize — the Spark-side shingle expression
+    # alone measured ~2 s calm, interpreted HOFs); the density gates
+    # (vocab ≤ dense_vocab_limit, docs·vocab ≤ brute_cells_limit) are
+    # then checked driver-side after the bounded collect, falling back to
+    # the candidate-join routes when the corpus turns out sparse. Past
+    # the byte gate nothing is ever collected — a 100 TB corpus goes
+    # straight to the join routes.
+    # max_doc_freq is a deliberate sub-recall cap — the caller asked for
+    # the capped candidate semantics, which the exact brute route cannot
+    # honor, so it only serves the exact (default) form.
+    if brute_cells_limit and max_doc_freq is None:
+        _q = docs.agg(
+            F.count(F.lit(1)).alias("d"),
+            F.sum(F.length(F.col(text_col))).alias("b")).first()
+        q_docs, q_bytes = int(_q["d"] or 0), int(_q["b"] or 0)
+        if (q_docs * min_shingles <= brute_cells_limit
+                and q_bytes <= _BRUTE_COLLECT_BYTES):
+            texts_pdf = docs.select(id_col, text_col).toPandas()
+            out = _containment_brute_gemm(
+                docs, id_col, text_col, texts_pdf, min_shingles,
+                threshold_num, threshold_den, dense_vocab_limit,
+                brute_cells_limit)
+            if out is not None:
+                return out
 
     arr = shingle_arrays(docs, id_col, text_col)
     if hashed_verify:
@@ -790,6 +936,10 @@ def ngram_containment_pairs(docs: DataFrame, id_col: str, text_col: str,
     arr = (arr.filter(F.size("shs") >= min_shingles)
               .localCheckpoint(eager=False))
     sh = _explode_shingles(arr)
+    # NOT checkpointed deliberately (r16 A/B): freq feeds several
+    # consumers, but a localCheckpoint here measured 13.3 s vs 10.4 s —
+    # the barrier serializes jobs that AQE otherwise interleaves, and the
+    # recompute above the (checkpointed) arr is cheap.
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = (sh.join(freq, "shingle")
                 .withColumn("r", F.row_number().over(

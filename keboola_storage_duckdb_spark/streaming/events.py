@@ -648,7 +648,12 @@ def ab_test_readout(events: DataFrame, convert_event: str = "purchase",
                  .cast("bigint") % 2).cast("int")))
     per = (users.groupBy("variant")
            .agg(F.count(F.lit(1)).alias("n_users"),
-                F.sum("converted").alias("conversions")))
+                F.sum("converted").alias("conversions"))
+           # consumed twice (own side of the crossJoin + the variant-0
+           # control row): without this cut the full scan + per-user
+           # aggregate runs twice (r16 opt; the before-plan showed both
+           # subtrees). 2-row frame — the checkpoint is free.
+           .localCheckpoint(eager=False))
     ctrl = per.filter(F.col("variant") == 0).select(
         F.col("n_users").alias("_n0"), F.col("conversions").alias("_c0"))
     j = per.crossJoin(ctrl)

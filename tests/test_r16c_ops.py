@@ -245,16 +245,22 @@ def test_containment_df_cap_subrecall_and_noop(spark):
 
 
 def test_containment_dense_mask_route_equals_array_route(spark):
+    """All THREE routes (r16: brute GEMM default, candidate+mask join,
+    candidate+array join) emit identical rows."""
     from keboola_storage_duckdb_spark.functions.dedup_ml import (
         ngram_containment_pairs)
     from keboola_storage_duckdb_spark.sources.tables import load_table
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    dense = {tuple(r) for r in
+    brute = {tuple(r) for r in
              ngram_containment_pairs(docs, "doc_id", "text").collect()}
+    dense = {tuple(r) for r in
+             ngram_containment_pairs(docs, "doc_id", "text",
+                                     brute_cells_limit=0).collect()}
     array = {tuple(r) for r in
              ngram_containment_pairs(docs, "doc_id", "text",
+                                     brute_cells_limit=0,
                                      dense_vocab_limit=0).collect()}
-    assert dense == array and len(dense) == 56
+    assert brute == dense == array and len(brute) == 56
 
 
 def test_stream_funnel_state_matches_batch(spark, tmp_path):
