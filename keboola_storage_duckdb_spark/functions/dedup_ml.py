@@ -348,7 +348,11 @@ def simhash_pairs(docs: DataFrame, id_col: str, text_col: str,
     split the 32-bit signature into 4 bytes; any pair within Hamming ≤ 3
     must agree on ≥1 byte, so candidates come from 4 equality joins instead
     of an all-pairs product. Returns (id_a, id_b, hamming)."""
-    sig = simhash(docs, id_col, text_col)
+    # sig feeds BOTH sides of the self-join; without the cut the whole
+    # md5-per-token + 32-fold signature subtree runs twice (r16 opt —
+    # calm A/B 2.93 vs 3.18 s at sf0.1, dup subtree gone from the plan;
+    # the frame is (id, simhash) — 16 B/doc, a free checkpoint).
+    sig = simhash(docs, id_col, text_col).localCheckpoint(eager=False)
     chunks = sig.select(
         "id", "simhash",
         F.explode(F.array(*[
