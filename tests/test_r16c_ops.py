@@ -263,6 +263,27 @@ def test_containment_dense_mask_route_equals_array_route(spark):
     assert brute == dense == array and len(brute) == 56
 
 
+def test_containment_brute_sparse_fallthrough(spark):
+    """When the byte gate admits the collect but the corpus turns out
+    sparse (vocab > dense_vocab_limit), the brute helper returns None and
+    the candidate-join routes serve — rows identical either way."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        ngram_containment_pairs)
+    words = [f"w{i}" for i in range(40)]
+    docs = _docs(spark, [
+        (1, " ".join(words[:20])),
+        (2, " ".join(words[:18])),          # contained in 1
+        (3, " ".join(words[20:40]))])
+    # vocab is ~37 distinct bigrams; dense_vocab_limit=8 forces the
+    # post-collect fall-through (and the join side routes to arrays)
+    fell = {tuple(r) for r in
+            ngram_containment_pairs(docs, "doc_id", "text",
+                                    dense_vocab_limit=8).collect()}
+    brute = {tuple(r) for r in
+             ngram_containment_pairs(docs, "doc_id", "text").collect()}
+    assert fell == brute and (2, 1) in {(a, b) for a, b, *_ in fell}
+
+
 def test_stream_funnel_state_matches_batch(spark, tmp_path):
     from keboola_storage_duckdb_spark.sources.tables import load_table
     from keboola_storage_duckdb_spark.streaming.events import (
