@@ -60,21 +60,29 @@ def fuzzy_pairs_symdelete(df: DataFrame, id_col: str, name_col: str,
               .localCheckpoint(eager=False))
     var = base.select(
         "id", F.explode(_deletion_neighbourhood("name")).alias("variant"))
+    # Candidate pairs via groupBy + double explode instead of a variant
+    # self-join (r16 opt: 2.64 vs 3.32 s calm A/B, rows identical) — one
+    # shuffle groups each variant's ids, singleton variants drop before
+    # any pair exists, and no 285k-row broadcast hash table is built.
+    # (id, variant) pairs are unique (the neighbourhood is per-name
+    # distinct), so size(ids) IS the variant frequency the optional cap
+    # filters on. Pairs stay bare int ids: names re-attach AFTER dedup
+    # via two joins against the tiny base — measured 6.2 → 4.6 s in the
+    # build round vs carrying two ~20-char strings through the shuffle.
     if max_variant_freq is not None:
+        # cap BEFORE collect_set: the count aggregate streams, so a
+        # mass-duplicated variant never materializes its id set at all
         keep = (var.groupBy("variant")
                 .agg(F.count(F.lit(1)).alias("vf"))
                 .filter(F.col("vf") <= max_variant_freq)
                 .select("variant"))
         var = var.join(keep, "variant")
-    # Candidate pairs on bare int ids: the variant join + pair-distinct
-    # shuffle only 8-byte ids (names re-attach AFTER dedup via two joins
-    # against the tiny base — measured 6.2 s → cheaper than carrying two
-    # ~20-char strings through the candidate shuffle at sf0.1).
-    a = var.select(F.col("id").alias("id_a"), "variant")
-    b = var.select(F.col("id").alias("id_b"), "variant")
-    pairs = (a.join(b, "variant")
-              .filter(F.col("id_a") < F.col("id_b"))
-              .select("id_a", "id_b").distinct())
+    grp = (var.groupBy("variant").agg(F.collect_set("id").alias("ids"))
+              .filter(F.size("ids") >= 2))
+    pairs = (grp.select("ids", F.explode("ids").alias("id_a"))
+                .select("id_a", F.explode("ids").alias("id_b"))
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
     na = base.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"))
     nb = base.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"))
     return (pairs.join(na, "id_a").join(nb, "id_b")
