@@ -18,6 +18,74 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Driver-Lloyd crossover bound (r16 opt; the graph.connected_components /
+# bpe_train discipline): when rows × dim stays under this many floats the
+# vectors collect ONCE (~64 MB of float64 at the default) and every Lloyd
+# round runs in numpy with the IDENTICAL sequential per-dim fold — each
+# distributed round otherwise pays a Spark job plus re-codegen of the
+# fresh centroid-literal expression. Past the bound (or for exotic id
+# types / null-or-ragged vectors) the distributed loop serves unchanged,
+# so a 100 TB corpus never collects.
+_DRIVER_LLOYD_MAX_FLOATS = 8_000_000
+
+
+def _lloyd_collect(base: DataFrame, limit: int):
+    """Bounded vector collect for the driver-Lloyd crossover: returns
+    (ids, X float64 matrix) or None when the gates refuse (size, id
+    type, null/ragged vectors). One narrow probe agg + one toPandas."""
+    import numpy as np
+
+    id_t = dict(base.dtypes).get("id", "")
+    if not (id_t in ("bigint", "int", "smallint", "tinyint", "string")
+            and limit):
+        return None
+    row = base.agg(F.count(F.lit(1)).alias("n"),
+                   F.min(F.size("v")).alias("dmin"),
+                   F.max(F.size("v")).alias("dmax")).first()
+    n, dmin, dmax = (int(row["n"] or 0), int(row["dmin"] or 0),
+                     int(row["dmax"] or 0))
+    if n == 0 or dmin != dmax or dmin <= 0 or n * dmax > limit:
+        return None
+    pdf = base.toPandas()
+    if pdf["v"].isna().any() or pdf["id"].isna().any():
+        return None
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    return list(pdf["id"]), X
+
+
+def _md5_seed_order(ids) -> list[int]:
+    """Row positions ordered by md5(CAST(id AS STRING)) ascending — the
+    engine-portable seed order (Spark's UTF8 ordering of hex digests ==
+    Python str ordering)."""
+    import hashlib
+
+    return sorted(range(len(ids)),
+                  key=lambda i: hashlib.md5(
+                      str(ids[i]).encode()).hexdigest())
+
+
+def _dist2_np(X, c):
+    """Squared L2 with the SAME IEEE op sequence as the certified
+    zip_with/aggregate fold: per dim one subtraction, one multiply, one
+    running add — vectorized over rows, sequential over dims."""
+    import numpy as np
+
+    acc = np.zeros(X.shape[0], dtype=np.float64)
+    for i in range(X.shape[1]):
+        diff = X[:, i] - c[i]
+        acc = acc + diff * diff
+    return acc
+
+
+def _assign_np(X, centroids):
+    """argmin over centroids, ties to the LOWER cluster id (np.argmin
+    returns the first minimum — the when-chain/struct-min rule)."""
+    import numpy as np
+
+    d = np.stack([_dist2_np(X, np.asarray(c, dtype=np.float64))
+                  for c in centroids])
+    return np.argmin(d, axis=0)
+
 
 def _dist2(vec_col: str, centroid: list[float]) -> F.Column:
     arr = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in centroid) + ")"
@@ -109,11 +177,44 @@ def _assign_frame(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
 
 def kmeans(vectors: DataFrame, id_col: str, vec_col: str, k: int = 4,
-           max_iter: int = 10) -> DataFrame:
+           max_iter: int = 10,
+           driver_float_limit: int = _DRIVER_LLOYD_MAX_FLOATS) -> DataFrame:
     """(id, cluster) hard assignments after Lloyd iterations (≤max_iter,
-    stops early when assignments are stable)."""
+    stops early when assignments are stable).
+
+    Under ``driver_float_limit`` (rows × dim) the iteration runs
+    driver-side on ONE bounded collect with the identical sequential
+    fold arithmetic, md5 seed order, lower-cluster ties and
+    stability rule — bit-equal centroids (pytest-pinned vs the
+    distributed loop); only the FINAL assignment map stays a Spark
+    frame. Saves one job + one fresh centroid-literal codegen per
+    round (r16 opt). 0 disables."""
     base = vectors.select(F.col(id_col).alias("id"),
                           F.col(vec_col).alias("v"))
+    got = _lloyd_collect(base, driver_float_limit)
+    if got is not None:
+        import numpy as np
+
+        ids, X = got
+        centroids = [[float(x) for x in X[i]]
+                     for i in _md5_seed_order(ids)[:k]]
+        prev_counts: dict[int, int] | None = None
+        c_used = centroids
+        for _ in range(max_iter):
+            c_used = centroids
+            lab = _assign_np(X, centroids)
+            new_centroids = list(centroids)
+            counts: dict[int, int] = {}
+            for cl in np.unique(lab):
+                mask = lab == cl
+                counts[int(cl)] = int(mask.sum())
+                new_centroids[int(cl)] = [
+                    float(x) for x in X[mask].sum(axis=0) / mask.sum()]
+            if new_centroids == centroids and counts == prev_counts:
+                break
+            centroids = new_centroids
+            prev_counts = counts
+        return _assign_frame(base, c_used).select("id", "cluster")
     seeds = (base.withColumn("h", F.md5(F.col("id").cast("string")))
                  .orderBy("h").limit(k).select("v").collect())
     centroids = [list(r.v) for r in seeds]
@@ -148,7 +249,8 @@ def kmeans(vectors: DataFrame, id_col: str, vec_col: str, k: int = 4,
 
 
 def kmeans_fit(vectors: DataFrame, id_col: str, vec_col: str, k: int = 8,
-               rounds: int = 2):
+               rounds: int = 2,
+               driver_float_limit: int = _DRIVER_LLOYD_MAX_FLOATS):
     """Fixed-round Lloyd TRAINING that also returns the model: exactly
     ``rounds`` assignment passes from the md5-seeded init (the
     bit-reproducible kmeans_fixed contract — no early stop, no RNG),
@@ -160,12 +262,31 @@ def kmeans_fit(vectors: DataFrame, id_col: str, vec_col: str, k: int = 8,
     the certified chain)."""
     base = vectors.select(F.col(id_col).alias("id"),
                           F.col(vec_col).alias("v"))
-    seeds = (base.withColumn("h", F.md5(F.col("id").cast("string")))
-                 .orderBy("h").limit(k).select("v").collect())
-    centroids = [[float(x) for x in r.v] for r in seeds]
 
     def _assign(cents):
         return _assign_frame(base, cents).localCheckpoint(eager=False)
+
+    got = _lloyd_collect(base, driver_float_limit)
+    if got is not None:
+        # Driver-Lloyd crossover (r16 opt): identical seeds, folds, tie
+        # and empty-cluster rules — bit-equal centroids pytest-pinned vs
+        # the distributed loop; the returned assignment stays Spark.
+        import numpy as np
+
+        ids, X = got
+        centroids = [[float(x) for x in X[i]]
+                     for i in _md5_seed_order(ids)[:k]]
+        for _ in range(rounds - 1):
+            lab = _assign_np(X, centroids)
+            centroids = list(centroids)
+            for cl in np.unique(lab):
+                mask = lab == cl
+                centroids[int(cl)] = [
+                    float(x) for x in X[mask].sum(axis=0) / mask.sum()]
+        return _assign(centroids), centroids
+    seeds = (base.withColumn("h", F.md5(F.col("id").cast("string")))
+                 .orderBy("h").limit(k).select("v").collect())
+    centroids = [[float(x) for x in r.v] for r in seeds]
 
     for _ in range(rounds - 1):
         assign = _assign(centroids)

@@ -708,7 +708,9 @@ def _pq_codes_expr(vec_col: str, cb: list[list[list[float]]],
 
 def pq_train_codebooks(vectors: DataFrame, id_col: str, vec_col: str,
                        m: int = 4, ksub: int = 8, dim: int = 64,
-                       iters: int = 2) -> list[list[list[float]]]:
+                       iters: int = 2,
+                       driver_float_limit: int | None = None
+                       ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou et al. 2011, public): split
     each ``dim``-vector into ``m`` contiguous subvectors and learn a
     ``ksub``-centroid k-means codebook PER subspace. Returns
@@ -726,9 +728,39 @@ def pq_train_codebooks(vectors: DataFrame, id_col: str, vec_col: str,
 
     Scale: training touches each vector ``iters`` times with narrow
     maps; only m·ksub·dim/m doubles ever reach the driver per round."""
+    from .clustering import (_DRIVER_LLOYD_MAX_FLOATS, _assign_np,
+                             _lloyd_collect, _md5_seed_order)
+
     sub = dim // m
     base = vectors.select(F.col(id_col).alias("id"),
                           F.col(vec_col).alias("v"))
+    if driver_float_limit is None:
+        driver_float_limit = _DRIVER_LLOYD_MAX_FLOATS
+    got = _lloyd_collect(base, driver_float_limit)
+    if got is not None:
+        # Driver-Lloyd crossover (r16 opt, clustering.kmeans discipline):
+        # each distributed iter paid one job + a fresh codebook-literal
+        # codegen; under the bound the whole training runs in numpy with
+        # the identical sequential subvector folds, md5 seed order,
+        # lower-code ties and keep-previous empty-code rule — bit-equal
+        # codebooks (pytest-pinned vs the distributed loop).
+        import numpy as np
+
+        ids, X = got
+        order = _md5_seed_order(ids)[:ksub]
+        cb = [[[float(x) for x in X[i][j * sub:(j + 1) * sub]]
+               for i in order] for j in range(m)]
+        for _ in range(iters):
+            new = [[list(cb[j][c]) for c in range(ksub)] for j in range(m)]
+            for j in range(m):
+                Xj = X[:, j * sub:(j + 1) * sub]
+                lab = _assign_np(Xj, cb[j])
+                for c in np.unique(lab):
+                    mask = lab == c
+                    new[j][int(c)] = [
+                        float(x) for x in Xj[mask].sum(axis=0) / mask.sum()]
+            cb = new
+        return cb
     seeds = (base.withColumn("h", F.md5(F.col("id").cast("string")))
                  .orderBy("h").limit(ksub).select("v").collect())
     cb = [[[float(x) for x in r.v[j * sub:(j + 1) * sub]] for r in seeds]
