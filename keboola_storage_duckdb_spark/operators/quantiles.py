@@ -855,10 +855,46 @@ def exact_quantiles(df: DataFrame, cols: list[str], probs: list[float],
     return out
 
 
+def _exact_quantiles_driver(df: DataFrame, cols: list[str],
+                            probs: list[float]) -> dict[str, list[float]]:
+    """Driver-collect quantile route (r16 opt, the Lloyd-crossover
+    discipline): one bounded toPandas of the needed columns, np.sort per
+    column, the SAME order statistics and the module's own ``_interp``
+    formula — order statistics are data values, so selection method
+    cannot change them, and the interpolation op order is shared with
+    both other routes. NaN semantics match: np.sort places NaN above
+    every double (Spark's ordering), NULLs drop, n counts non-null
+    including NaN."""
+    import numpy as np
+
+    # toArrow keeps the null bitmap separate from NaN VALUES (toPandas
+    # would conflate both into float64 NaN): drop_null removes exactly
+    # the SQL NULLs, genuine NaNs stay and sort above every double.
+    tbl = df.select(*[F.col(c).cast("double").alias(c)
+                      for c in cols]).toArrow()
+    out: dict[str, list[float]] = {}
+    for c in cols:
+        vals = np.sort(tbl.column(c).drop_null().to_numpy(
+            zero_copy_only=False).astype(np.float64))
+        n = len(vals)
+        if n == 0:
+            out[c] = [None] * len(probs)
+            continue
+        rk = _rank_set(n, [float(p) for p in probs])
+        res = []
+        for p in probs:
+            lo_rank, hi_rank, pos = rk[float(p)]
+            res.append(_interp(lo_rank, hi_rank, pos,
+                               float(vals[lo_rank]), float(vals[hi_rank])))
+        out[c] = res
+    return out
+
+
 def exact_quantiles_auto(df: DataFrame, cols: list[str], probs: list[float],
                          bins: int = 4096, max_inbin: int = 4_000_000,
                          max_rows: int = 200_000,
                          precomputed_stats: dict | None = None,
+                         driver_value_limit: int = 8_000_000,
                          ) -> dict[str, list[float]]:
     """SIZE-GUARDED ungrouped exact quantiles (VERDICT r8 #5 — the
     ungrouped twin of :func:`grouped_quantiles_auto`): one cheap count
@@ -900,6 +936,14 @@ def exact_quantiles_auto(df: DataFrame, cols: list[str], probs: list[float],
         n = max(precomputed_stats[c][0] for c in cols)
     else:
         n = df.count()
+    # Driver-collect route (r16 opt): under the value bound (~64 MB of
+    # float64 at the default) ONE bounded toArrow + np.sort replaces
+    # either multi-job engine — order statistics are data values, so the
+    # route can never change a result (pytest pins all three routes
+    # bit-equal). 0 disables; past the bound the original crossover
+    # logic picks native vs histogram exactly as before.
+    if driver_value_limit and 0 < n * len(cols) <= driver_value_limit:
+        return _exact_quantiles_driver(df, cols, probs)
     if n > max_rows:
         return exact_quantiles(df, cols, probs, bins, max_inbin,
                                precomputed_stats)

@@ -94,10 +94,32 @@ def test_exact_quantiles_auto_all_null_and_empty(spark):
     allnull = spark.createDataFrame([(None,), (None,)], "x double")
     empty = spark.createDataFrame([], "x double")
     for df in (allnull, empty):
-        for max_rows in (0, 4_000_000):
-            out = exact_quantiles_auto(df, ["x"], [0.25, 0.75],
-                                       max_rows=max_rows)
-            assert out["x"] == [None, None], (df, max_rows)
+        for kw in ({}, {"driver_value_limit": 0, "max_rows": 0},
+                   {"driver_value_limit": 0}):
+            out = exact_quantiles_auto(df, ["x"], [0.25, 0.75], **kw)
+            assert out["x"] == [None, None], (df, kw)
+
+
+def test_exact_quantiles_driver_route_nan_and_null(spark):
+    """The r16 driver-collect route must match the other engines when
+    the column mixes SQL NULLs (dropped) with genuine NaN values
+    (ordered above every double) — the toArrow null bitmap keeps them
+    distinct where toPandas would conflate."""
+    import math
+
+    from keboola_storage_duckdb_spark.operators.quantiles import (
+        exact_quantiles_auto)
+    rows = [(1.0,), (None,), (float("nan"),), (3.0,), (2.0,), (None,)]
+    df = spark.createDataFrame(rows, "x double")
+    probs = [0.0, 0.5, 1.0]
+    drv = exact_quantiles_auto(df, ["x"], probs)
+    hist = exact_quantiles_auto(df, ["x"], probs,
+                                driver_value_limit=0, max_rows=0)
+    nat = exact_quantiles_auto(df, ["x"], probs, driver_value_limit=0)
+    def norm(d):
+        return [("nan" if isinstance(v, float) and math.isnan(v) else v)
+                for v in d["x"]]
+    assert norm(drv) == norm(hist) == norm(nat)
 
 
 def test_pack_token_stream_empty_input(spark):

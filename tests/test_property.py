@@ -306,14 +306,16 @@ def test_exact_quantiles_model(spark, vals, probs, bins, max_inbin):
     ref = df.agg(F.expr(f"percentile(x, {parr})")).collect()[0][0]
     got = exact_quantiles(df, ["x"], probs, bins=bins, max_inbin=max_inbin)
     assert got["x"] == list(ref)
-    # the auto route (VERDICT r8 #5) must be bit-identical on BOTH engine
-    # choices: max_rows=0 forces the bounded path, the default the native
+    # the auto route must be bit-identical on ALL THREE engine choices:
+    # default = driver collect (r16), driver_value_limit=0 + max_rows=0
+    # forces the bounded path, driver_value_limit=0 alone the native
     from keboola_storage_duckdb_spark.operators.quantiles import (
         exact_quantiles_auto)
-    for max_rows in (0, 4_000_000):
+    for kw in ({}, {"driver_value_limit": 0, "max_rows": 0},
+               {"driver_value_limit": 0}):
         auto = exact_quantiles_auto(df, ["x"], probs, bins=bins,
-                                    max_inbin=max_inbin, max_rows=max_rows)
-        assert auto["x"] == list(ref), f"max_rows={max_rows}"
+                                    max_inbin=max_inbin, **kw)
+        assert auto["x"] == list(ref), f"route={kw}"
 
 
 @given(rows=st.lists(
