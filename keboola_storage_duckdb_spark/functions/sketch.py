@@ -304,7 +304,8 @@ FROM sel WHERE is_row = 0"""
 
 def quota_sample(df: DataFrame, group_col: str, id_col: str,
                  quotas: dict[str, int],
-                 prefilter: bool = True) -> DataFrame:
+                 prefilter: bool = True,
+                 driver_row_limit: int = 262_144) -> DataFrame:
     """Per-group QUOTA sampling without replacement — the training-
     mixture primitive stated as counts: "this mixture takes 40 docs of
     source A, 25 of B, none of C" (weighted_sample answers the
@@ -356,6 +357,44 @@ def quota_sample(df: DataFrame, group_col: str, id_col: str,
              base.join(F.broadcast(q), "g")
                  .groupBy("g").agg(F.count(F.lit(1)).alias("n"))
                  .collect()}
+    # Driver route (r16 opt, the Lloyd/quantile crossover discipline):
+    # the sizes probe above already tells us how many rows the quota'd
+    # groups hold; under the bound collect (g, id, h) once and rank in
+    # Python — the md5 strings come FROM the scan, the per-group sort is
+    # the identical ascending hex order, ranks and the quota filter are
+    # integer-exact, so the output is bit-identical to either
+    # distributed form (pytest-pinned). Replaces the survivor-count
+    # guard job + the rank window + its join with one bounded collect.
+    if driver_row_limit and 0 < sum(sizes.values()) <= driver_row_limit:
+        import pandas as pd
+
+        from pyspark.sql import types as _T
+
+        pdf = (base.join(F.broadcast(q), "g")
+                   .select("g", "id", "h", "quota").toPandas())
+        parts = []
+        for g, grp in pdf.groupby("g", sort=False):
+            # max(0): pandas head(-n) would DROP tail rows, while the
+            # rank filter semantics of a non-positive quota are "none"
+            quota = max(int(grp["quota"].iloc[0]), 0)
+            keep = grp.sort_values("h", kind="mergesort").head(quota)
+            if len(keep):
+                keep = keep.assign(
+                    sample_rank=range(1, len(keep) + 1))
+                parts.append(keep[["g", "id", "sample_rank", "quota"]])
+        id_t = df.schema[id_col].dataType
+        schema = _T.StructType([
+            _T.StructField("g", _T.StringType()),
+            _T.StructField("id", id_t),
+            _T.StructField("sample_rank", _T.IntegerType()),
+            _T.StructField("quota", _T.IntegerType()),
+        ])
+        if not parts:
+            return spark.createDataFrame([], schema)
+        out = pd.concat(parts, ignore_index=True)
+        out["sample_rank"] = out["sample_rank"].astype("int32")
+        out["quota"] = out["quota"].astype("int32")
+        return spark.createDataFrame(out, schema=schema)
     full, thresh = 1 << 48, {}
     for g, quota in qmap.items():
         n = sizes.get(g, 0)

@@ -45,13 +45,16 @@ def test_quota_sample_prefilter_is_exact(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     quotas = {"en": 3, "de": 1, "fr": 10_000, "es": 12}
-    fast = {(r.g, r.sample_rank): (r.id, r.quota) for r in
-            quota_sample(docs, "lang", "doc_id", quotas,
-                         prefilter=True).collect()}
+    driver = {(r.g, r.sample_rank): (r.id, r.quota) for r in
+              quota_sample(docs, "lang", "doc_id", quotas,
+                           prefilter=True).collect()}
+    thresh = {(r.g, r.sample_rank): (r.id, r.quota) for r in
+              quota_sample(docs, "lang", "doc_id", quotas,
+                           prefilter=True, driver_row_limit=0).collect()}
     naive = {(r.g, r.sample_rank): (r.id, r.quota) for r in
              quota_sample(docs, "lang", "doc_id", quotas,
-                          prefilter=False).collect()}
-    assert fast == naive and len(fast) > 0
+                          prefilter=False, driver_row_limit=0).collect()}
+    assert driver == thresh == naive and len(driver) > 0
 
 
 def test_ivf_recall_bounds_and_exact_self_consistency(spark, sf_dir):
