@@ -32,7 +32,18 @@ _DRIVER_LLOYD_MAX_FLOATS = 8_000_000
 def _lloyd_collect(base: DataFrame, limit: int):
     """Bounded vector collect for the driver-Lloyd crossover: returns
     (ids, X float64 matrix) or None when the gates refuse (size, id
-    type, null/ragged vectors). One narrow probe agg + one toPandas."""
+    type, null/ragged/non-finite vectors, or values that are not
+    float32-exact). One narrow probe agg + one toPandas.
+
+    Exactness gates (ADVICE r16): a NULL/NaN ELEMENT inside a vector
+    becomes NaN in X and poisons every mean (the distributed F.avg
+    skips NULLs — a real route divergence), so non-finite matrices
+    refuse. And the driver means use numpy pairwise summation while
+    the distributed route merges Spark partial sums — those agree
+    bit-for-bit only when the sums are EXACT, which is the documented
+    float32-valued-in-float64 conditional; data that does not
+    round-trip float32 therefore refuses too, and the distributed loop
+    (the certified pre-r16 behavior) serves it."""
     import numpy as np
 
     id_t = dict(base.dtypes).get("id", "")
@@ -50,6 +61,10 @@ def _lloyd_collect(base: DataFrame, limit: int):
     if pdf["v"].isna().any() or pdf["id"].isna().any():
         return None
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    if not np.isfinite(X).all():
+        return None
+    if not np.array_equal(X, X.astype(np.float32).astype(np.float64)):
+        return None
     return list(pdf["id"]), X
 
 

@@ -769,7 +769,15 @@ def _containment_brute_gemm(docs: DataFrame, id_col: str,
     Returns None when the tokenized corpus fails the density gates
     (vocab > dense_vocab_limit or docs·vocab > brute_cells_limit) — the
     caller falls back to the candidate-join routes (the collect was
-    byte-bounded, so the wasted probe is a bounded constant)."""
+    byte-bounded, so the wasted probe is a bounded constant).
+
+    Broadcast lifetime (ADVICE r16): the (ids, lens, bits) broadcast —
+    up to ~64 MB — stays referenced by the returned DataFrame's task
+    closure (it must: the plan is lazy and re-executable), so it lives
+    until the DataFrame is garbage-collected, at which point Spark's
+    ContextCleaner unpersists it. Sessions that call this in a loop and
+    keep every result frame alive accumulate one bounded broadcast per
+    LIVE frame; dropping the frame reference releases it."""
     import numpy as np
     import pandas as pd
 
@@ -845,8 +853,19 @@ def _containment_brute_gemm(docs: DataFrame, id_col: str,
             inter = (bits_b[ixs] @ bits_b.T).astype(np.int64)
             na_a = na_b[ixs]
             ok = den * inter >= num * na_a[:, None]
+            # Degenerate-input parity with the candidate routes (ADVICE
+            # r16): an empty shingle set (possible only when the caller
+            # passes min_shingles < 1) must pair with nothing — the
+            # accept is vacuously true at na = 0 — and the join routes
+            # exclude contained != container by ID, so duplicate doc
+            # ids may not emit (X, X) self-pairs either (positional
+            # self-exclusion alone misses them).
+            ok &= na_a[:, None] > 0
             ok[np.arange(len(ixs)), ixs] = False
             ai, bi = np.nonzero(ok)
+            if len(ai):
+                keep = ids_b[ixs[ai]] != ids_b[bi]
+                ai, bi = ai[keep], bi[keep]
             yield pd.DataFrame({
                 "contained": ids_b[ixs[ai]],
                 "container": ids_b[bi],

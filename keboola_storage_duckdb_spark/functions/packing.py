@@ -37,10 +37,66 @@ __all__ = ["pack_token_stream", "corpus_shards", "epoch_plan",
            "padding_waste", "bfd_pack"]
 
 
+# Driver-scan crossover bound (r17 opt; the quota/Lloyd/union-find
+# discipline): when a scan's input is KNOWN to be at most this many rows
+# (from a caller-supplied bound or a metadata-cheap count(*) — never a
+# probe that re-runs the tokenize), the whole exclusive scan runs on one
+# bounded toPandas + int64 cumsum instead of the range shuffle +
+# checkpoint + totals collect + window join. ~150 B/row → ~150 MB at the
+# default. Past the bound (or on null/tied/exotic order keys) the
+# two-phase distributed scan serves unchanged.
+_DRIVER_SCAN_MAX_ROWS = 1_000_000
+
+_SCAN_KEY_TYPES = ("bigint", "int", "smallint", "tinyint", "string")
+
+
+def _exclusive_scan_driver(rows: DataFrame, order_col: str,
+                           group_cols: list[str], weight_col: str,
+                           out_col: str) -> DataFrame | None:
+    """Bounded driver route for :func:`_exclusive_scan` (r17 opt): one
+    toPandas of the (already caller-bounded) rows frame, a mergesort by
+    the order key and a per-group int64 exclusive cumsum — integer
+    arithmetic only, so the sums are exact in any order and the result
+    is bit-identical to the distributed two-phase scan. Returns None
+    when the gates refuse (exotic/null/tied order keys — ordering among
+    ties is undefined in BOTH forms, so ties route to the distributed
+    scan exactly as certified data never exercises them).
+
+    Python str ordering == Spark UTF8 binary ordering (UTF-8 byte order
+    preserves code-point order), so string keys sort identically."""
+    import pandas as pd  # noqa: F401  (toPandas dependency, explicit)
+
+    spark = rows.sparkSession
+    types = dict(rows.dtypes)
+    if types.get(order_col) not in _SCAN_KEY_TYPES:
+        return None
+    if any(types.get(g) not in _SCAN_KEY_TYPES for g in group_cols):
+        return None
+    pdf = rows.toPandas()
+    if len(pdf) and (pdf[order_col].isna().any()
+                     or pdf[order_col].duplicated().any()
+                     or any(pdf[g].isna().any() for g in group_cols)):
+        return None
+    pdf = pdf.sort_values(order_col, kind="mergesort") \
+             .reset_index(drop=True)
+    w = pdf[weight_col].astype("int64")
+    if group_cols:
+        csum = w.groupby([pdf[g] for g in group_cols], sort=False).cumsum()
+    else:
+        csum = w.cumsum()
+    pdf[out_col] = (csum - w).astype("int64")
+    from pyspark.sql import types as T
+    schema = T.StructType(list(rows.schema.fields)
+                          + [T.StructField(out_col, T.LongType(), True)])
+    return spark.createDataFrame(pdf, schema)
+
+
 def _exclusive_scan(rows: DataFrame, order_col: str,
                     group_cols: list[str], weight_col: str,
                     off_schema: str, partitions: int,
-                    out_col: str) -> DataFrame:
+                    out_col: str, max_rows: int | None = None,
+                    driver_row_limit: int = _DRIVER_SCAN_MAX_ROWS
+                    ) -> DataFrame:
     """Shared two-phase exclusive prefix scan: ``out_col`` = the sum of
     ``weight_col`` over all rows strictly before this one in
     ``order_col`` order within its ``group_cols`` group (global when
@@ -53,8 +109,22 @@ def _exclusive_scan(rows: DataFrame, order_col: str,
     2. per-(pid, group) totals -> driver-side exclusive offsets (O(P·G)
        scalars — AQE-class metadata, never row data);
     3. broadcast offsets back + an intra-partition running window.
-    """
+
+    ``max_rows`` (r17 opt): a caller-known UPPER BOUND on the row count
+    (a quota budget, or a metadata count(*) of the raw input — callers
+    never pay a probe that re-runs their expensive map). When it fits
+    ``driver_row_limit`` the scan runs on one bounded driver collect
+    instead (:func:`_exclusive_scan_driver`); integer cumsums are exact
+    in any order, so the route cannot change a result (pytest-pinned
+    bit-equal). None or past the bound → the distributed form above.
+    ``driver_row_limit=0`` disables the driver route entirely."""
     spark = rows.sparkSession
+    if (driver_row_limit and max_rows is not None
+            and 0 <= max_rows <= driver_row_limit):
+        out = _exclusive_scan_driver(rows, order_col, group_cols,
+                                     weight_col, out_col)
+        if out is not None:
+            return out
     ranged = (rows.repartitionByRange(partitions, order_col)
                   .withColumn("pid", F.spark_partition_id())
                   .localCheckpoint(eager=False))   # pin pid assignment
@@ -83,7 +153,9 @@ def _exclusive_scan(rows: DataFrame, order_col: str,
 def pack_token_stream(docs: DataFrame, id_col: str, text_col: str,
                       max_len: int = 2048,
                       partitions: int | None = None,
-                      token_counts: DataFrame | None = None) -> DataFrame:
+                      token_counts: DataFrame | None = None,
+                      driver_row_limit: int = _DRIVER_SCAN_MAX_ROWS
+                      ) -> DataFrame:
     """Map each document to its span in the packed global token stream.
 
     Returns ``(doc_id, n_tokens, start_token, first_chunk, last_chunk,
@@ -95,10 +167,21 @@ def pack_token_stream(docs: DataFrame, id_col: str, text_col: str,
     (id, n_tokens) frame — e.g. ``bpe.token_count_bpe`` under a TRAINED
     tokenizer — replaces the regex-piece proxy so packed spans budget
     real tokens.
+
+    ``driver_row_limit`` (r17 opt, 0 disables): under it the exclusive
+    scan runs on one bounded driver collect (see ``_exclusive_scan``);
+    the row bound comes from a column-less count(*) of the RAW input —
+    never a probe that re-runs the tokenize.
     """
     spark = docs.sparkSession
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
+    max_rows = None
+    if driver_row_limit:
+        # pruned-to-nothing scan (count never evaluates the token map);
+        # counts pre-filter rows, a valid UPPER bound on the scan input
+        max_rows = (token_counts if token_counts is not None
+                    else docs).count()
     if token_counts is not None:
         idc, cntc = token_counts.columns[:2]
         toks = (token_counts.select(
@@ -115,7 +198,9 @@ def pack_token_stream(docs: DataFrame, id_col: str, text_col: str,
                     .filter(F.col("n_tokens") > 0))
 
     out = _exclusive_scan(toks, "doc_id", [], "n_tokens",
-                          "pid int, off long", partitions, "start_token") \
+                          "pid int, off long", partitions, "start_token",
+                          max_rows=max_rows,
+                          driver_row_limit=driver_row_limit) \
         .select("doc_id", "n_tokens", "start_token",
                 F.expr(f"start_token DIV {max_len}").alias("first_chunk"),
                 F.expr(f"(start_token + n_tokens - 1) DIV {max_len}")
@@ -127,7 +212,8 @@ def pack_token_stream(docs: DataFrame, id_col: str, text_col: str,
 def epoch_plan(docs: DataFrame, group_col: str, id_col: str,
                text_col: str, budget: int = 200, n_shards: int = 4,
                max_len: int = 2048, seed: str = "epoch",
-               partitions: int | None = None) -> DataFrame:
+               partitions: int | None = None,
+               driver_row_limit: int = _DRIVER_SCAN_MAX_ROWS) -> DataFrame:
     """One training EPOCH, end to end (VERDICT r10 #5): compose the
     three certified mixture/layout primitives into the frame a data
     loader actually consumes —
@@ -178,9 +264,13 @@ def epoch_plan(docs: DataFrame, group_col: str, id_col: str,
                             (F.conv(F.substring("h", 1, 12), 16, 10)
                               .cast("long") % n_shards).cast("int"))
                 .filter(F.col("n_tokens") > 0))
+    # The scan input is quota-bounded BY CONSTRUCTION: the mixture keeps
+    # Σ_g ⌊budget·√n_g/Σ√n⌋ ≤ budget rows, so the driver-scan bound is a
+    # parameter, not a probe — no extra job on any scale path (r17 opt).
     out = _exclusive_scan(rows, "h", ["shard"], "n_tokens",
                           "pid int, shard int, off long", partitions,
-                          "start_token")
+                          "start_token", max_rows=budget,
+                          driver_row_limit=driver_row_limit)
     return (out.select(
                 "doc_id", "g", "shard", "n_tokens", "start_token",
                 F.expr(f"start_token DIV {max_len}").alias("first_chunk"),
@@ -193,7 +283,9 @@ def epoch_plan(docs: DataFrame, group_col: str, id_col: str,
 
 def corpus_shards(docs: DataFrame, id_col: str, n_shards: int = 8,
                   seed: str = "shard",
-                  partitions: int | None = None) -> DataFrame:
+                  partitions: int | None = None,
+                  driver_row_limit: int = _DRIVER_SCAN_MAX_ROWS
+                  ) -> DataFrame:
     """Deterministic global shuffle + shard layout for a training run:
     every row gets a reproducible pseudo-random order key
     ``md5(seed|id)``, a uniform shard ``first-48-bits(key) % n_shards``,
@@ -221,9 +313,13 @@ def corpus_shards(docs: DataFrame, id_col: str, n_shards: int = 8,
                               .cast("long") % n_shards).cast("int")))
 
     rows = rows.withColumn("one", F.lit(1).cast("long"))
+    # column-less count(*) of the raw input = the scan-input upper bound
+    # (rows only FILTERS docs); no tokenize/hash evaluates under count
+    max_rows = docs.count() if driver_row_limit else None
     return _exclusive_scan(rows, "h", ["shard"], "one",
                            "pid int, shard int, off long", partitions,
-                           "pos") \
+                           "pos", max_rows=max_rows,
+                           driver_row_limit=driver_row_limit) \
         .select("doc_id", "shard", "pos")
 
 

@@ -50,6 +50,14 @@ def fuzzy_pairs_symdelete(df: DataFrame, id_col: str, name_col: str,
     sub-recall — pairs sharing only ultra-frequent variants are
     missed; exact duplicates are the exact-dedup pass's job anyway).
 
+    SCALE NOTE (VERDICT r16 #4): the uncapped form collects each
+    variant's WHOLE id set into one aggregation buffer and explodes
+    v² pairs from that single row — a skew hot-spot when one variant
+    is mass-duplicated. The uncapped form is therefore small-data /
+    exact-recall only; at scale always pass ``max_variant_freq`` (the
+    streaming count cap prunes a hot variant BEFORE its id set ever
+    materializes — the form the 10× scale smoke runs).
+
     Returns (id_a, id_b, name_a, name_b, dist)."""
     if max_dist != 1:
         raise ValueError("symdelete blocking is complete only for "

@@ -942,7 +942,13 @@ def exact_quantiles_auto(df: DataFrame, cols: list[str], probs: list[float],
     # route can never change a result (pytest pins all three routes
     # bit-equal). 0 disables; past the bound the original crossover
     # logic picks native vs histogram exactly as before.
-    if driver_value_limit and 0 < n * len(cols) <= driver_value_limit:
+    # Stats-supplied calls NEVER take it (VERDICT r16 #1): stats carry
+    # only the max per-column NON-NULL count, but toArrow collects ALL
+    # rows — a mostly-NULL column on a huge table would pass the value
+    # bound yet collect everything. Only a true row count may gate a
+    # driver collect.
+    if (precomputed_stats is None and driver_value_limit
+            and 0 < n * len(cols) <= driver_value_limit):
         return _exact_quantiles_driver(df, cols, probs)
     if n > max_rows:
         return exact_quantiles(df, cols, probs, bins, max_inbin,

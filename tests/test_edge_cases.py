@@ -122,6 +122,34 @@ def test_exact_quantiles_driver_route_nan_and_null(spark):
     assert norm(drv) == norm(hist) == norm(nat)
 
 
+def test_exact_quantiles_auto_stats_never_take_driver_route(spark,
+                                                            monkeypatch):
+    """VERDICT r16 #1: stats-supplied calls carry only the max per-column
+    NON-NULL count, but the driver route's toArrow collects ALL rows — a
+    mostly-NULL column would pass the value bound yet collect everything.
+    The driver route must therefore be refused whenever
+    ``precomputed_stats`` is supplied (only a true row count may gate a
+    driver collect)."""
+    from keboola_storage_duckdb_spark.operators import quantiles as q
+
+    rows = [(float(i),) if i % 100 == 0 else (None,) for i in range(500)]
+    df = spark.createDataFrame(rows, "x double")
+
+    # without stats the driver route serves (n=500 true rows, in bound)
+    out2 = q.exact_quantiles_auto(df, ["x"], [0.5])
+    assert out2["x"] == [200.0]
+
+    def _boom(*a, **k):
+        raise AssertionError("driver route taken with precomputed_stats")
+
+    monkeypatch.setattr(q, "_exact_quantiles_driver", _boom)
+    # non-null n=5 → would trivially pass the 8M value bound
+    stats = {"x": (5, 0, 0.0, 400.0)}
+    out = q.exact_quantiles_auto(df, ["x"], [0.5],
+                                 precomputed_stats=stats)
+    assert out["x"] == [200.0]
+
+
 def test_pack_token_stream_empty_input(spark):
     from keboola_storage_duckdb_spark.functions.packing import (
         pack_token_stream)

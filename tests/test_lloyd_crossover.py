@@ -69,3 +69,45 @@ def test_lloyd_collect_gates(spark, emb):
         "v", F.when(F.col("id") == 0, F.lit(None)).otherwise(F.col("v")))
     assert _lloyd_collect(withnull, 10**9) is None    # null vector
     assert _lloyd_collect(base, 10**9) is not None
+
+
+def test_lloyd_collect_refuses_nan_element(spark, emb):
+    """ADVICE r16: a NULL ELEMENT inside a vector (NaN after np.stack)
+    must refuse the driver route — the distributed F.avg skips NULLs,
+    so the routes genuinely diverge there, and the NaN centroid would
+    render an unparseable CAST(nan AS DOUBLE) literal."""
+    from pyspark.sql import functions as F
+
+    from keboola_storage_duckdb_spark.functions.clustering import (
+        _lloyd_collect, kmeans)
+    base = emb.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").alias("v"))
+    poisoned = base.withColumn(
+        "v", F.when(F.col("id") == 0,
+                    F.expr("transform(v, (x, i) -> "
+                           "CASE WHEN i = 0 THEN NULL ELSE x END)"))
+             .otherwise(F.col("v")))
+    assert _lloyd_collect(poisoned, 10**9) is None
+    # and kmeans on such input serves from the distributed loop without
+    # crashing (F.avg skips the NULL element)
+    out = kmeans(poisoned, "id", "v", k=2, max_iter=1).collect()
+    assert len(out) > 0
+
+
+def test_lloyd_collect_refuses_non_float32_exact(spark):
+    """ADVICE r16: driver means use numpy pairwise summation, the
+    distributed route merges Spark partial sums — bit-equal only when
+    sums are exact. Varying-exponent float64 data (not float32
+    round-trippable) must therefore refuse the driver route."""
+    from keboola_storage_duckdb_spark.functions.clustering import (
+        _lloyd_collect)
+    rows = [(i, [1.0 + 1e-12 * i, 2.0 ** (-30 + i), 0.1])
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    assert _lloyd_collect(df, 10**9) is None
+    # the same magnitudes rounded to float32 pass
+    import numpy as np
+    rows32 = [(i, [float(np.float32(v)) for v in vec])
+              for i, vec in rows]
+    df32 = spark.createDataFrame(rows32, "id bigint, v array<double>")
+    assert _lloyd_collect(df32, 10**9) is not None

@@ -212,6 +212,31 @@ def test_containment_hashed_equals_string_path(spark):
     assert a == b and len(a) == 56
 
 
+def test_containment_brute_degenerate_inputs(spark):
+    """ADVICE r16: the brute GEMM route must match the candidate routes
+    on degenerate inputs — min_shingles=0 empty shingle sets pair with
+    NOTHING (the accept is vacuously true at na=0 otherwise), and
+    duplicate doc ids never emit (X, X) self-pairs (the join routes
+    filter contained != container by ID, not by row position)."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        ngram_containment_pairs)
+    text = "alpha beta gamma delta epsilon zeta eta"
+    # doc 3 has ZERO shingles (single token); min_shingles=0 admits it
+    docs = _docs(spark, [(1, text), (2, text), (3, "tiny")])
+    for kw in ({}, {"brute_cells_limit": 0}):
+        got = {(r["contained"], r["container"]) for r in
+               ngram_containment_pairs(docs, "doc_id", "text",
+                                       min_shingles=0, **kw).collect()}
+        assert got == {(1, 2), (2, 1)}, kw
+    # duplicate ids: two rows both id=1 with identical text
+    dup = _docs(spark, [(1, text), (1, text), (2, text)])
+    for kw in ({}, {"brute_cells_limit": 0}):
+        got = {(r["contained"], r["container"]) for r in
+               ngram_containment_pairs(dup, "doc_id", "text",
+                                       **kw).collect()}
+        assert got == {(1, 2), (2, 1)}, kw
+
+
 def test_fuzzy_variant_cap_subrecall(spark):
     from keboola_storage_duckdb_spark.operators.linkage import (
         fuzzy_pairs_symdelete)

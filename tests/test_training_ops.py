@@ -276,6 +276,64 @@ def test_pack_token_stream_matches_global_window(spark, sf_dir):
     assert out == {1: (0, 2), 4: (2, 1)}
 
 
+def test_exclusive_scan_driver_route_equals_distributed(spark, sf_dir):
+    """r17 opt: the bounded driver exclusive-scan route must be
+    bit-identical to the two-phase distributed scan across all three
+    callers (pack_token_stream, corpus_shards, epoch_plan);
+    driver_row_limit=0 forces the distributed form."""
+    from keboola_storage_duckdb_spark.functions.packing import (
+        corpus_shards, epoch_plan, pack_token_stream)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    a = rows(pack_token_stream(docs, "doc_id", "text", max_len=512))
+    b = rows(pack_token_stream(docs, "doc_id", "text", max_len=512,
+                               driver_row_limit=0))
+    assert a == b and len(a) > 0
+
+    a = rows(corpus_shards(docs, "doc_id", n_shards=4))
+    b = rows(corpus_shards(docs, "doc_id", n_shards=4,
+                           driver_row_limit=0))
+    assert a == b and len(a) > 0
+
+    a = rows(epoch_plan(docs, "lang", "doc_id", "text", budget=50,
+                        n_shards=3, max_len=256))
+    b = rows(epoch_plan(docs, "lang", "doc_id", "text", budget=50,
+                        n_shards=3, max_len=256, driver_row_limit=0))
+    assert a == b and len(a) > 0
+
+
+def test_exclusive_scan_driver_gates_refuse(spark):
+    """Ties, nulls and exotic key types in the order column refuse the
+    driver scan (ordering among ties is undefined in both forms) and the
+    distributed scan serves."""
+    from pyspark.sql import functions as F
+
+    from keboola_storage_duckdb_spark.functions.packing import (
+        _exclusive_scan_driver)
+
+    tied = spark.createDataFrame(
+        [(1, "k1", 2), (2, "k1", 3), (3, "k2", 5)],
+        "doc_id long, h string, n long")
+    assert _exclusive_scan_driver(tied, "h", [], "n", "s") is None
+    withnull = spark.createDataFrame(
+        [(1, None, 2), (2, "k1", 3)], "doc_id long, h string, n long")
+    assert _exclusive_scan_driver(withnull, "h", [], "n", "s") is None
+    dated = spark.createDataFrame(
+        [(1, 2)], "doc_id long, n long").withColumn(
+            "h", F.current_date())
+    assert _exclusive_scan_driver(dated, "h", [], "n", "s") is None
+    ok = spark.createDataFrame(
+        [(1, "a", 2), (2, "b", 3)], "doc_id long, h string, n long")
+    out = _exclusive_scan_driver(ok, "h", [], "n", "s")
+    assert out is not None
+    assert {(r.doc_id, r.s) for r in out.collect()} == {(1, 0), (2, 2)}
+
+
 def test_quality_verdict_reasons(spark):
     """Composed filter stack: keep only when every rule passes; reasons
     list the failed rules in QUALITY_RULES order."""
