@@ -375,6 +375,134 @@ def simhash_pairs(docs: DataFrame, id_col: str, text_col: str,
              .filter(F.col("hamming") <= max_hamming))
 
 
+def _jaccard_brute_gemm(docs: DataFrame, id_col: str, text_col: str,
+                        texts_pdf, threshold: float, hashed_verify: bool,
+                        adaptive: bool, density_limit: int,
+                        dense_vocab_limit: int,
+                        brute_cells_limit: int) -> DataFrame | None:
+    """Candidate-free Jaccard verification for small dense corpora (r17
+    opt — the containment ``_containment_brute_gemm`` template applied
+    to the symmetric form): shingle the collected texts in Python, build
+    the doc×vocab float32 bit matrix, and verify ALL unordered pairs
+    with one GEMM per task. |A∩B| ≤ vocab ≤ dense_vocab_limit « 2²⁴, so
+    every float32 count is an exact integer; jaccard =
+    double(inter) / (na + nb − inter) is the identical IEEE division the
+    array-verify route computes, and the accept (jaccard ≥ threshold)
+    the identical double compare — so rows are bit-equal to the
+    candidate routes (pytest-pinned).
+
+    ``hashed_verify`` parity: the candidate route intersects arrays of
+    truncated-md5 int64s, so a 60-bit collision would MERGE two shingles
+    there — the brute route therefore hashes the (tiny) vocabulary with
+    the same md5-prefix map and merges collided columns, while ``na``
+    stays the pre-merge distinct-string count (= the hashed ARRAY length
+    the route's F.size measures). ``adaptive`` parity: when the Σdf²
+    density probe would reroute the candidate path to the sub-recall LSH
+    form, the brute route refuses (it could only return the EXACT
+    answer); df here is the same per-hashed-shingle document frequency,
+    summed as exact integers.
+
+    Returns None when any gate refuses (vocab/cells density, null ids,
+    adaptive density) — the caller falls through to the candidate
+    routes. Broadcast lifetime note: same as the containment route."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    spark = docs.sparkSession
+    if texts_pdf[id_col].isna().any():
+        return None
+    v_bound = min(dense_vocab_limit,
+                  brute_cells_limit // max(len(texts_pdf), 1))
+    vocab_seen: set = set()
+    ids_l, sets_l = [], []
+    for doc_id, text in zip(texts_pdf[id_col], texts_pdf[text_col]):
+        toks = text.split(" ") if isinstance(text, str) else []
+        s = {toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)}
+        vocab_seen.update(s)
+        if len(vocab_seen) > v_bound:
+            return None
+        ids_l.append(doc_id)
+        sets_l.append(list(s))
+    lens = np.array([len(s) for s in sets_l], dtype=np.int64)
+    n_docs = len(ids_l)
+    id_t = docs.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_t),
+        T.StructField("id_b", id_t),
+        T.StructField("jaccard", T.DoubleType()),
+    ])
+    if n_docs == 0:
+        return spark.createDataFrame([], out_schema)
+    all_vals = np.concatenate([np.asarray(s, dtype=object)
+                               for s in sets_l]) if lens.sum() else \
+        np.array([], dtype=object)
+    codes, uniq = pd.factorize(all_vals)
+    if hashed_verify and len(uniq):
+        # same truncated-md5 map as the Spark transform; collided
+        # shingles share a column exactly like array_intersect on the
+        # hashed arrays would merge them
+        hvals = np.array([int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                          for s in uniq], dtype=np.int64)
+        hcodes, huniq = pd.factorize(hvals)
+        codes = hcodes[codes]
+        vocab_n = len(huniq)
+    else:
+        vocab_n = len(uniq)
+    if (vocab_n > dense_vocab_limit
+            or n_docs * max(vocab_n, 1) > brute_cells_limit):
+        return None
+    if adaptive and vocab_n:
+        df_counts = np.bincount(codes, minlength=vocab_n).astype(np.int64)
+        if int((df_counts * df_counts).sum()) > density_limit:
+            return None                    # sub-recall LSH route owns it
+    bits = np.zeros((n_docs, vocab_n), dtype=np.float32)
+    if lens.sum():
+        bits[np.repeat(np.arange(n_docs), lens), codes] = 1.0
+    ids_all = np.asarray(ids_l)
+    bc = spark.sparkContext.broadcast((ids_all, lens, bits))
+    a_side = (spark.createDataFrame(
+        pd.DataFrame({"_ix": np.arange(n_docs, dtype=np.int64)}),
+        schema=T.StructType([T.StructField("_ix", T.LongType())]))
+        .repartition(_par(docs)))
+    thr = float(threshold)
+
+    def verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_b, n_b, bits_b = bc.value
+        pos = np.arange(len(ids_b))
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ixs = b["_ix"].to_numpy()
+            inter = (bits_b[ixs] @ bits_b.T).astype(np.int64)
+            # each unordered pair once: position j strictly after i, and
+            # at least one shared shingle (candidate routes only ever
+            # see pairs sharing a prefix shingle — also kills the 0/0)
+            cand = (inter >= 1) & (pos[None, :] > ixs[:, None])
+            ai, bi = np.nonzero(cand)
+            iv = inter[ai, bi]
+            na = n_b[ixs[ai]]
+            nb = n_b[bi]
+            jac = iv.astype(np.float64) / (na + nb - iv)
+            keep = jac >= thr
+            ai, bi, jac = ai[keep], bi[keep], jac[keep]
+            a_ids, b_ids = ids_b[ixs[ai]], ids_b[bi]
+            neq = a_ids != b_ids           # duplicate ids never self-pair
+            a_ids, b_ids, jac = a_ids[neq], b_ids[neq], jac[neq]
+            swap = a_ids > b_ids           # emit (min, max) by id value
+            yield pd.DataFrame({
+                "id_a": np.where(swap, b_ids, a_ids),
+                "id_b": np.where(swap, a_ids, b_ids),
+                "jaccard": jac,
+            })
+
+    return a_side.mapInPandas(verify, out_schema)
+
+
 def ngram_jaccard_prefix_pairs(docs: DataFrame, id_col: str, text_col: str,
                                threshold: float = 0.8,
                                hashed_verify: bool = True,
@@ -382,7 +510,10 @@ def ngram_jaccard_prefix_pairs(docs: DataFrame, id_col: str, text_col: str,
                                adaptive: bool = False,
                                density_limit: int = 200_000_000,
                                max_doc_freq_cap: int = 1_000,
-                               dense_route: str = "lsh") -> DataFrame:
+                               dense_route: str = "lsh",
+                               dense_vocab_limit: int = 8192,
+                               brute_cells_limit: int = 16_000_000
+                               ) -> DataFrame:
     """Exact bigram-Jaccard pairs via PREFIX FILTERING (the PPJoin family —
     Vernica et al., "Efficient Parallel Set-Similarity Joins Using
     MapReduce", SIGMOD'10): order each doc's shingles by global document
@@ -421,8 +552,31 @@ def ngram_jaccard_prefix_pairs(docs: DataFrame, id_col: str, text_col: str,
     documented sub-recall for pairs sharing only ultra-frequent
     shingles. Below ``density_limit`` nothing changes: candidates and
     results stay exactly the certified-oracle answer.
+
+    ``brute_cells_limit`` (r17 opt, 0 disables — the containment brute
+    template): when the corpus is small (raw texts under
+    ``_BRUTE_COLLECT_BYTES``) and dense (docs × vocab ≤ this many bit
+    cells), candidates are skipped entirely and all pairs are verified
+    by one float32 GEMM per task (``_jaccard_brute_gemm``; bit-equal
+    rows, pytest-pinned, incl. hashed-verify collision semantics and the
+    adaptive density reroute). Past any gate the candidate routes below
+    serve unchanged — a 100 TB corpus never collects anything.
     """
     from pyspark.sql import Window
+
+    if brute_cells_limit:
+        _q = docs.agg(
+            F.count(F.lit(1)).alias("d"),
+            F.sum(F.length(F.col(text_col))).alias("b")).first()
+        q_docs, q_bytes = int(_q["d"] or 0), int(_q["b"] or 0)
+        if q_docs <= brute_cells_limit and q_bytes <= _BRUTE_COLLECT_BYTES:
+            texts_pdf = docs.select(id_col, text_col).toPandas()
+            out = _jaccard_brute_gemm(
+                docs, id_col, text_col, texts_pdf, threshold,
+                hashed_verify, adaptive, density_limit,
+                dense_vocab_limit, brute_cells_limit)
+            if out is not None:
+                return out
 
     arr = shingle_arrays(docs, id_col, text_col)
     if hashed_verify:
@@ -473,7 +627,14 @@ def ngram_jaccard_prefix_pairs(docs: DataFrame, id_col: str, text_col: str,
                 .withColumn("r", F.row_number().over(
                     Window.partitionBy("id").orderBy("df", "shingle"))))
     plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    prefix = ranked.filter(F.col("r") <= plen).select("id", "n", "r", "shingle")
+    # prefix feeds both sides of the candidate self-join and its
+    # freq-join + rank-window subtree plans twice — but a
+    # localCheckpoint cut here was A/B-REFUTED (r17: plain min 2.57 s vs
+    # checkpointed 2.85 s, 4 alternating reps — the containment-freq
+    # lesson again: the barrier serializes jobs AQE interleaves and the
+    # recompute above the checkpointed arr is cheap). Do not re-try.
+    prefix = ranked.filter(F.col("r") <= plen) \
+                   .select("id", "n", "r", "shingle")
     pa = prefix.select(F.col("id").alias("id_a"), F.col("n").alias("na"),
                        F.col("r").alias("ra"), "shingle")
     pb = prefix.select(F.col("id").alias("id_b"), F.col("n").alias("nb"),

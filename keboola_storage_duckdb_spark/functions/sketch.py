@@ -305,7 +305,8 @@ FROM sel WHERE is_row = 0"""
 def quota_sample(df: DataFrame, group_col: str, id_col: str,
                  quotas: dict[str, int],
                  prefilter: bool = True,
-                 driver_row_limit: int = 262_144) -> DataFrame:
+                 driver_row_limit: int = 262_144,
+                 sizes: dict[str, int] | None = None) -> DataFrame:
     """Per-group QUOTA sampling without replacement — the training-
     mixture primitive stated as counts: "this mixture takes 40 docs of
     source A, 25 of B, none of C" (weighted_sample answers the
@@ -331,6 +332,18 @@ def quota_sample(df: DataFrame, group_col: str, id_col: str,
     per group and falls back to the unfiltered rank if any group comes
     up short, so the output is bit-identical to the naive form always.
 
+    ``sizes`` (r17 opt): precomputed exact per-group row counts of the
+    quota'd groups (``{g: n}`` over ``df`` with non-null ids — exactly
+    what :func:`temperature_quotas` already collected). Supplying them
+    skips the sizes probe job; the values feed only the prefilter
+    thresholds and the driver-route row bound, so a correct count can
+    never change a result (and the survivor GUARD below still
+    re-verifies the threshold route independently). They MUST be true
+    row counts — the driver-route collect is gated on them (the
+    VERDICT r16 #1 lesson: only a true row count may gate a driver
+    collect), which is why this parameter takes exact counts and not
+    estimates.
+
     Returns ``(g, id, sample_rank, quota)``.
     """
     from pyspark.sql import Window
@@ -353,10 +366,15 @@ def quota_sample(df: DataFrame, group_col: str, id_col: str,
     if not prefilter:
         return ranked(base)
 
-    sizes = {r["g"]: r["n"] for r in
-             base.join(F.broadcast(q), "g")
-                 .groupBy("g").agg(F.count(F.lit(1)).alias("n"))
-                 .collect()}
+    if sizes is None:
+        sizes = {r["g"]: r["n"] for r in
+                 base.join(F.broadcast(q), "g")
+                     .groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+                     .collect()}
+    else:
+        # restrict to quota'd groups — the probe above only ever counts
+        # rows that survive the join to q
+        sizes = {g: int(n) for g, n in sizes.items() if g in qmap}
     # Driver route (r16 opt, the Lloyd/quantile crossover discipline):
     # the sizes probe above already tells us how many rows the quota'd
     # groups hold; under the bound collect (g, id, h) once and rank in
@@ -557,14 +575,30 @@ def temperature_quotas(df: DataFrame, group_col: str, id_col: str,
     same value DuckDB's running window SUM produces at its last row);
     the final ⌊·⌋ is one identical IEEE chain. O(groups) rows reach
     the driver."""
-    import math
+    return _temperature_quotas_from_counts(
+        _group_counts(df, group_col, id_col), budget)
 
+
+def _group_counts(df: DataFrame, group_col: str,
+                  id_col: str) -> dict[str, int]:
+    """Exact per-group row counts (non-null group AND id, group cast to
+    string) — the single probe temperature_mixture shares between quota
+    derivation and quota_sample's prefilter sizing (r17 opt: the same
+    aggregate used to run twice, once here and once as quota_sample's
+    sizes probe)."""
     rows = (df.filter(F.col(group_col).isNotNull()
                       & F.col(id_col).isNotNull())
               .groupBy(F.col(group_col).cast("string").alias("g"))
               .agg(F.count(F.lit(1)).alias("n"))
               .collect())
-    counts = sorted((r.g, r.n) for r in rows)
+    return {r.g: int(r.n) for r in rows}
+
+
+def _temperature_quotas_from_counts(counts_map: dict[str, int],
+                                    budget: int) -> dict[str, int]:
+    import math
+
+    counts = sorted(counts_map.items())
     total = 0.0
     for _, n in counts:
         total += math.sqrt(float(n))
@@ -579,7 +613,13 @@ def temperature_mixture(df: DataFrame, group_col: str, id_col: str,
     certified deterministic bottom-k sampler (:func:`quota_sample`) —
     the one-call form of "rebalance this multilingual corpus into a
     budget-sized training mix". Same (g, id, sample_rank, quota)
-    contract and the same hash-threshold prefilter scale path."""
-    quotas = temperature_quotas(df, group_col, id_col, budget)
+    contract and the same hash-threshold prefilter scale path.
+
+    The per-group counts are collected ONCE and shared: they derive the
+    quotas AND size quota_sample's prefilter/driver gates (r17 opt —
+    previously the identical aggregate ran twice; counts are exact, so
+    the route and result are unchanged, pytest-pinned)."""
+    counts = _group_counts(df, group_col, id_col)
+    quotas = _temperature_quotas_from_counts(counts, budget)
     return quota_sample(df, group_col, id_col, quotas,
-                        prefilter=prefilter)
+                        prefilter=prefilter, sizes=counts)

@@ -212,6 +212,56 @@ def test_containment_hashed_equals_string_path(spark):
     assert a == b and len(a) == 56
 
 
+def test_jaccard_brute_route_equals_candidate_routes(spark):
+    """r17 opt: the candidate-free jaccard GEMM route must emit
+    bit-identical rows to the prefix-filtered candidate route, on the
+    hashed AND string verify paths, with adaptive on."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        ngram_jaccard_prefix_pairs)
+    from keboola_storage_duckdb_spark.sources.tables import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for kw in ({"adaptive": True}, {"hashed_verify": False}):
+        brute = sorted(map(tuple, ngram_jaccard_prefix_pairs(
+            docs, "doc_id", "text", threshold=0.8, **kw).collect()))
+        cand = sorted(map(tuple, ngram_jaccard_prefix_pairs(
+            docs, "doc_id", "text", threshold=0.8,
+            brute_cells_limit=0, **kw).collect()))
+        assert brute == cand and len(brute) > 0, kw
+
+
+def test_jaccard_brute_degenerate_inputs(spark):
+    """Duplicate ids never self-pair; shingle-free docs pair with
+    nothing; output ids are (min, max)-ordered like the candidate
+    route's id_a < id_b."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        ngram_jaccard_prefix_pairs)
+    text = "alpha beta gamma delta epsilon zeta eta"
+    docs = _docs(spark, [(1, text), (1, text), (2, text), (3, "tiny"),
+                         (4, None)])
+    for kw in ({}, {"brute_cells_limit": 0}):
+        got = {(r.id_a, r.id_b, r.jaccard) for r in
+               ngram_jaccard_prefix_pairs(docs, "doc_id", "text",
+                                          threshold=0.8, **kw).collect()}
+        assert got == {(1, 2, 1.0)}, kw
+
+
+def test_jaccard_brute_adaptive_density_refuses(spark):
+    """When the Σdf² probe would reroute the candidate path to the
+    sub-recall LSH form, the (exact) brute route must refuse and let the
+    adaptive routing decide — both forms give the same rows."""
+    from keboola_storage_duckdb_spark.functions.dedup_ml import (
+        ngram_jaccard_prefix_pairs)
+    text = "alpha beta gamma delta epsilon zeta eta"
+    docs = _docs(spark, [(i, text) for i in range(6)])
+    a = sorted(map(tuple, ngram_jaccard_prefix_pairs(
+        docs, "doc_id", "text", threshold=0.8, adaptive=True,
+        density_limit=10).collect()))
+    b = sorted(map(tuple, ngram_jaccard_prefix_pairs(
+        docs, "doc_id", "text", threshold=0.8, adaptive=True,
+        density_limit=10, brute_cells_limit=0).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_containment_brute_degenerate_inputs(spark):
     """ADVICE r16: the brute GEMM route must match the candidate routes
     on degenerate inputs — min_shingles=0 empty shingle sets pair with

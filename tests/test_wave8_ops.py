@@ -56,6 +56,19 @@ def test_quota_sample_prefilter_is_exact(spark, sf_dir):
                           prefilter=False, driver_row_limit=0).collect()}
     assert driver == thresh == naive and len(driver) > 0
 
+    # r17 opt: precomputed sizes skip the probe but change nothing —
+    # on the driver route AND the hash-threshold route
+    from keboola_storage_duckdb_spark.functions.sketch import _group_counts
+    counts = _group_counts(docs, "lang", "doc_id")
+    sized = {(r.g, r.sample_rank): (r.id, r.quota) for r in
+             quota_sample(docs, "lang", "doc_id", quotas,
+                          prefilter=True, sizes=counts).collect()}
+    sized_t = {(r.g, r.sample_rank): (r.id, r.quota) for r in
+               quota_sample(docs, "lang", "doc_id", quotas,
+                            prefilter=True, sizes=counts,
+                            driver_row_limit=0).collect()}
+    assert sized == sized_t == naive
+
 
 def test_ivf_recall_bounds_and_exact_self_consistency(spark, sf_dir):
     """recall ∈ [0, 1]; n_hits <= k; and probing EVERY cell gives
