@@ -296,6 +296,8 @@ def q_corr_pairs(spark, sf_dir):
     reaches DOUBLE through the portable split cast — the plain
     decimal→double cast diverges across engines past 2^53 (sf0.1)."""
     li = _t(spark, sf_dir, "lineitem")
+    li = _fan_if_few_splits(
+        li.select("l_quantity", "l_extendedprice", "l_discount"), spark)
     q = (F.col("l_quantity").cast("decimal(4,2)") * 100) \
         .cast("decimal(6,0)")
     ep = (F.col("l_extendedprice").cast("decimal(9,2)") * 100) \
@@ -429,6 +431,22 @@ def _dec_to_double_sql(e: str) -> str:
     return f"(CASE WHEN ({e}) < 0 THEN 0 - {mag} ELSE {mag} END)"
 
 
+def _fan_if_few_splits(df, spark):
+    """Round-robin repartition ONLY when the scan has fewer partitions
+    than cores (r17 opt, guide §2 scale-adaptive partitioning): the
+    exact-decimal partial aggregations below are CPU-bound in
+    BigDecimal arithmetic (probe: decimal agg 1.72 s vs the same agg in
+    doubles 0.47 s), and a small parquet arrives in ~3 splits that
+    serialize that work. Decimal sums are exact in any order, so the
+    fan-out cannot change a result (A/B'd bit-equal; 1.72 -> 0.89 s
+    calm min). At scale the scan already has >> cores splits and NO
+    shuffle is added — this is not a tuned-for-local constant."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def q_numeric_moments(spark, sf_dir):
     """A4/A5: mean/stddev/skewness/kurtosis per numeric lineitem column,
     DuckDB estimator semantics (verified vs DuckDB builtins in tests).
@@ -436,6 +454,7 @@ def q_numeric_moments(spark, sf_dir):
     portable split cast (_dec_to_double_sql) — the plain decimal→double
     cast diverges across engines past 2^53 (surfaced at sf0.1)."""
     li = _t(spark, sf_dir, "lineitem")
+    li = _fan_if_few_splits(li.select(*_MOMENT_COLS.keys()), spark)
     aggs = []
     for col, (ddl, pc, k) in _MOMENT_COLS.items():
         y = (F.col(col).cast(ddl) * 100).cast(f"decimal({pc},0)")  # integer cents

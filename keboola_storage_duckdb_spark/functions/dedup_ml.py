@@ -237,16 +237,24 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str,
 
 def minhash_band_buckets(docs: DataFrame, id_col: str, text_col: str,
                          n_hashes: int = 12, band_size: int = 4,
-                         _arr: DataFrame | None = None) -> DataFrame:
+                         _arr: DataFrame | None = None,
+                         _sig: DataFrame | None = None) -> DataFrame:
     """MinHash signatures + LSH banding.
 
     Permutation h_s(x) = md5(s || '|' || x) — min over a doc's shingles of a
     cryptographic hash is a valid minwise permutation and is portable across
     engines. Returns (id, band, bucket) where bucket = md5 of the band's
     concatenated minhashes.
+
+    ``_sig``: a precomputed (usually checkpointed) signature frame from
+    :func:`minhash_signatures` — callers that consume the signatures
+    more than once pass it so the md5-per-shingle subtree is computed
+    exactly once (r17 opt).
     """
     assert n_hashes % band_size == 0
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes, _arr=_arr)
+    sig = (_sig if _sig is not None
+           else minhash_signatures(docs, id_col, text_col, n_hashes,
+                                   _arr=_arr))
     n_bands = n_hashes // band_size
     band_cols = []
     for b in range(n_bands):
@@ -271,8 +279,14 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
     # lazy localCheckpoint materializes the (id, shs) arrays at first use
     # and both branches reuse them instead of re-tokenizing the corpus.
     arr = shingle_arrays(docs, id_col, text_col).localCheckpoint(eager=False)
+    # bb feeds BOTH sides of the bucket self-join; without the sig cut
+    # the 12-way md5 + min-agg signature subtree plans twice above the
+    # checkpointed arr (the simhash_pairs disease, r17 opt — the frame
+    # is (id, 12 hex minhashes), ~400 B/doc).
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, _arr=arr) \
+        .localCheckpoint(eager=False)
     bb = minhash_band_buckets(docs, id_col, text_col, n_hashes, band_size,
-                              _arr=arr)
+                              _sig=sig)
     left = bb.select(F.col("id").alias("id_a"), "band", "bucket")
     right = bb.select(F.col("id").alias("id_b"), "band", "bucket")
     cands = (left.join(right, ["band", "bucket"])
@@ -675,14 +689,17 @@ def minhash_estimate_pairs(docs: DataFrame, id_col: str, text_col: str,
     (n_hashes, band_size) for a corpus: estimator bias/variance vs the
     candidate threshold. Returns (id_a, id_b, est_jaccard, jaccard)."""
     arr = shingle_arrays(docs, id_col, text_col).localCheckpoint(eager=False)
+    # sig feeds FOUR consumers here (both bucket-join sides via bb, and
+    # the sa/sb signature joins) — one cut computes it once (r17 opt)
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, _arr=arr) \
+        .localCheckpoint(eager=False)
     bb = minhash_band_buckets(docs, id_col, text_col, n_hashes, band_size,
-                              _arr=arr)
+                              _sig=sig)
     left = bb.select(F.col("id").alias("id_a"), "band", "bucket")
     right = bb.select(F.col("id").alias("id_b"), "band", "bucket")
     cands = (left.join(right, ["band", "bucket"])
                  .filter(F.col("id_a") < F.col("id_b"))
                  .select("id_a", "id_b").distinct())
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes, _arr=arr)
     sa = sig.select(F.col("id").alias("id_a"),
                     *[F.col(f"mh{s}").alias(f"a{s}") for s in range(n_hashes)])
     sb = sig.select(F.col("id").alias("id_b"),
