@@ -75,10 +75,20 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     # probe): without it Spark re-tokenizes and re-hashes the whole corpus
     # per branch — no cross-branch CSE (NOTES). Lazy = cache-on-first-use.
     wins = wins.localCheckpoint(eager=False)
-    dup = wins.groupBy("h").agg(
-        F.count(F.lit(1)).alias("occ"),
-        F.countDistinct("id").alias("docs"))
-    dup = dup.filter((F.col("docs") > 1) if cross_doc else (F.col("occ") > 1))
+    if cross_doc:
+        # "≥ 2 distinct docs" as min(id) != max(id) — equivalent to
+        # countDistinct(id) > 1 (incl. null-id rows: both skip nulls)
+        # but partial-aggregates map-side in ONE exchange, where the
+        # distinct aggregation re-shuffles every distinct (h, id) pair
+        # through a second full-width exchange (r17 opt; plan pair in
+        # plans/r17, rows pinned identical).
+        dup = (wins.groupBy("h")
+                   .agg(F.min("id").alias("_i0"), F.max("id").alias("_i1"))
+                   .filter(F.col("_i0") != F.col("_i1")))
+    else:
+        dup = (wins.groupBy("h")
+                   .agg(F.count(F.lit(1)).alias("occ"))
+                   .filter(F.col("occ") > 1))
     marked = wins.join(dup.select("h"), "h", "left_semi")
     if keep_first:
         # rank occurrences per hash; the (id, pos)-first survives. One

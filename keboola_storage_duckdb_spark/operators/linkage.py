@@ -58,7 +58,17 @@ def fuzzy_pairs_symdelete(df: DataFrame, id_col: str, name_col: str,
     streaming count cap prunes a hot variant BEFORE its id set ever
     materializes — the form the 10× scale smoke runs).
 
-    Returns (id_a, id_b, name_a, name_b, dist)."""
+    Returns (id_a, id_b, name_a, name_b, dist).
+
+    A full DRIVER route was built and A/B-REFUTED in r17 (do not
+    re-try): collect names, factorize, SymSpell over unique names,
+    chunked-numpy one-edit verify, expand id pairs — rows came out
+    identical but the route measured 4.0 s vs 2.8 s distributed in the
+    same session. The output itself is ~262 k rows at sf0.1, and the
+    driver round-trip (createDataFrame + LocalTableScan collect of the
+    result) costs more than the candidate join it replaces; driver
+    crossovers only win when the DATA collected and returned is small
+    relative to the shuffles they remove (quota/Lloyd/scan cases)."""
     if max_dist != 1:
         raise ValueError("symdelete blocking is complete only for "
                          "max_dist=1; higher radii need d-deletion "
