@@ -301,25 +301,57 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str, text_col: str,
 
 
 def simhash(docs: DataFrame, id_col: str, text_col: str,
-            bits: int = 32) -> DataFrame:
+            bits: int = 32, arrow: bool = True) -> DataFrame:
     """32-bit SimHash over word tokens (occurrence-weighted).
 
     Token hash = first 8 md5 hex chars → uint32; per-bit vote sum; sign →
     bit. Returns (id, simhash).
 
-    The signature is a SHUFFLE-FREE narrow map: per row, ``aggregate``
-    folds the token array into a 32-slot vote array (±1 per bit), then a
-    second fold packs sign bits into the long. No explode, no groupBy —
-    the earlier explode + 32-vote groupBy shuffled ~tokens×1 rows and was
-    measured ~3× DuckDB; this form whole-stage-codegens per document and
-    scales embarrassingly (NULL text is dropped, matching the explode
-    semantics)."""
-    hs = F.transform(
-        word_tokens(text_col),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"))
+    Default route (r17 opt, guide §4.2): one Arrow ``mapInPandas`` batch
+    pass — hashlib md5 at C speed per token, the 32 vote sums as one
+    numpy reduction per doc. All-integer arithmetic, so the signature is
+    bit-identical to the JVM fold (pytest-pinned); zero shuffle either
+    way. The previous form (``arrow=False``, kept as the certified
+    equivalence twin) folds the token array through 32 ``aggregate``
+    higher-order lambdas, which Spark INTERPRETS row-at-a-time (the
+    NOTES HOF lesson) — calm noop-sink A/B 1.22 s vs 0.45 s at sf0.1.
+    Unlike the bounded driver crossovers this is a distributed map: it
+    parallelizes at any corpus size."""
     base = (docs.where(F.col(text_col).isNotNull())
-                .repartition(_par(docs))  # fan md5 folds off 1-split inputs
-                .select(F.col(id_col).alias("id"), hs.alias("_hs")))
+                .repartition(_par(docs))  # fan hash work off 1-split inputs
+                .select(F.col(id_col).alias("id"),
+                        F.col(text_col).alias("_t")))
+    if arrow:
+        import pandas as pd
+
+        schema = T.StructType([base.schema[0],
+                               T.StructField("simhash", T.LongType())])
+
+        def compute(batches):
+            import hashlib
+
+            import numpy as np
+            shift = np.arange(bits, dtype=np.uint32)
+            shift64 = shift.astype(np.int64)
+            for b in batches:
+                out = np.empty(len(b), dtype=np.int64)
+                for i, txt in enumerate(b["_t"]):
+                    toks = txt.split(" ")
+                    hs = np.fromiter(
+                        (int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                         for t in toks),
+                        dtype=np.uint32, count=len(toks))
+                    votes = (2 * ((hs[:, None] >> shift) & 1)
+                             .sum(axis=0, dtype=np.int64) - len(hs))
+                    out[i] = int(((votes > 0).astype(np.int64)
+                                  << shift64).sum())
+                yield pd.DataFrame({"id": b["id"], "simhash": out})
+
+        return base.mapInPandas(compute, schema)
+    hs = F.transform(
+        word_tokens("_t"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"))
+    base = base.select("id", hs.alias("_hs"))
 
     def vote(i):
         # primitive-typed fold per bit — no per-token array churn

@@ -46,6 +46,10 @@ def test_simhash_fold_equals_grouped(spark, sf_dir):
     from keboola_storage_duckdb_spark.sources.tables import load_table
     d = load_table(spark, sf_dir, "documents")
     a = {(r.id, r.simhash) for r in simhash(d, "doc_id", "text").collect()}
+    # r17: the Arrow default must equal the JVM fold bit-for-bit
+    af = {(r.id, r.simhash) for r in
+          simhash(d, "doc_id", "text", arrow=False).collect()}
+    assert a == af
     b = {(r.id, r.simhash)
          for r in simhash_grouped(d, "doc_id", "text").collect()}
     assert a == b and a
